@@ -1,0 +1,225 @@
+package graft
+
+/** DuckDB-equivalent SQL for every oracle-checkable query in
+  * [[SparkEntry.queries]]. Run by the driver against the same parquet tables.
+  *
+  * Conventions keeping the two engines hash-identical:
+  *  - `events.ts` is nanosecond parquet; Spark truncates to micros on read, so
+  *    every oracle use goes through `CAST(ts AS TIMESTAMP)` (DuckDB micros)
+  *    and emits `epoch_ms(...)` BIGINT, matching Spark's `unix_millis`.
+  *  - money math in DECIMAL(18,2), cast to DOUBLE at the end (exact both
+  *    sides); averages written as SUM/COUNT (DuckDB's AVG is a double
+  *    accumulator, Spark's is exact decimal — SUM/COUNT sidesteps both).
+  *  - counts cast to BIGINT (Spark size()/length() are 32-bit, DuckDB's 64).
+  *  - windows carry total deterministic orders; QUALIFY mirrors Spark's
+  *    row_number()=1 filters; tie-break is always (ts DESC, value DESC).
+  *  - similarity math: elementwise double products sequentially folded
+  *    (list_dot_product over DOUBLE[] ≡ Spark aggregate over zip_with).
+  */
+object OracleSql {
+
+  /** events with Spark-equivalent (micros) timestamps. */
+  private val EV =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+
+  private val NORM_TEXT =
+    raw"""trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  private val TOKS_RAW =
+    raw"""list_filter(string_split_regex(trim(text), '\s+'), t -> length(t) > 0)"""
+  private val TOKS_LOWER =
+    raw"""list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> length(t) > 0)"""
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val EN = sqlList(graft.functions.TextFunctions.EnglishStopwords)
+  private val DE = sqlList(graft.functions.TextFunctions.GermanStopwords)
+  private val ES = sqlList(graft.functions.TextFunctions.SpanishStopwords)
+  private val FR = sqlList(graft.functions.TextFunctions.FrenchStopwords)
+
+  val all: Map[String, String] = Map(
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_chained_sql" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "feat_latest_ts" ->
+      s"""WITH $EV
+         |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1""".stripMargin,
+
+    "feat_latest_no_ts" ->
+      """SELECT c_custkey AS entity, c_acctbal AS value, CAST(0 AS BIGINT) AS ts_ms
+        |FROM customer""".stripMargin,
+
+    "chunked_export" ->
+      s"""WITH $EV,
+         |mat AS (
+         |  SELECT user_id AS entity, value, ts FROM ev
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1),
+         |numbered AS (
+         |  SELECT entity, value, ts, row_number() OVER (ORDER BY entity) AS row_number FROM mat)
+         |SELECT entity, value, epoch_ms(ts) AS ts_ms, CAST(row_number AS BIGINT) AS row_number,
+         |  ascii(substr(md5(CAST(entity AS VARCHAR)), 1, 1)) AS chunk_id
+         |FROM numbered WHERE row_number > 0 AND row_number <= 100""".stripMargin,
+
+    "pit_purchases" ->
+      s"""WITH $EV,
+         |lbl AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+         |lkey AS (SELECT DISTINCT user_id, ts FROM lbl),
+         |fc AS (SELECT user_id AS e, ts AS fts, value AS v FROM ev WHERE event_type = 'click'),
+         |pc AS (
+         |  SELECT l.user_id, l.ts, f.v FROM lkey l
+         |  LEFT JOIN fc f ON l.user_id = f.e AND f.fts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1),
+         |fo AS (SELECT o_custkey AS e, o_orderdate AS fts, o_totalprice AS v FROM orders),
+         |po AS (
+         |  SELECT l.user_id, l.ts, f.v FROM lkey l
+         |  LEFT JOIN fo f ON l.user_id = f.e AND f.fts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1)
+         |SELECT l.user_id, epoch_ms(l.ts) AS ts_ms, pc.v AS f_click, c.c_acctbal AS f_bal,
+         |  po.v AS f_orders, l.value AS label
+         |FROM lbl l
+         |LEFT JOIN pc ON l.user_id = pc.user_id AND l.ts = pc.ts
+         |LEFT JOIN customer c ON l.user_id = c.c_custkey
+         |LEFT JOIN po ON l.user_id = po.user_id AND l.ts = po.ts""".stripMargin,
+
+    "pit_no_label_ts" ->
+      s"""WITH $EV,
+         |fe AS (SELECT user_id, value FROM ev
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1),
+         |fo AS (SELECT o_custkey, o_totalprice FROM orders
+         |  QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_totalprice DESC) = 1)
+         |SELECT c.c_custkey, fe.value AS f_ev, fo.o_totalprice AS f_orders, c.c_acctbal AS label
+         |FROM customer c
+         |LEFT JOIN fe ON c.c_custkey = fe.user_id
+         |LEFT JOIN fo ON c.c_custkey = fo.o_custkey""".stripMargin,
+
+    "pit_lag" ->
+      s"""WITH $EV,
+         |lbl AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+         |lkey AS (SELECT DISTINCT user_id, ts FROM lbl),
+         |fc AS (SELECT user_id AS e, ts AS fts, value AS v FROM ev WHERE event_type = 'click'),
+         |pc AS (
+         |  SELECT l.user_id, l.ts, f.v FROM lkey l
+         |  LEFT JOIN fc f ON l.user_id = f.e AND f.fts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1),
+         |pl AS (
+         |  SELECT l.user_id, l.ts, f.v FROM lkey l
+         |  LEFT JOIN fc f ON l.user_id = f.e AND f.fts + INTERVAL 3600 SECOND <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1)
+         |SELECT l.user_id, epoch_ms(l.ts) AS ts_ms, pc.v AS f_click, pl.v AS f_click_lag1h,
+         |  l.value AS label
+         |FROM lbl l
+         |LEFT JOIN pc ON l.user_id = pc.user_id AND l.ts = pc.ts
+         |LEFT JOIN pl ON l.user_id = pl.user_id AND l.ts = pl.ts""".stripMargin,
+
+    "pit_multi_entity" ->
+      """SELECT l.l_suppkey, l.l_partkey, epoch_ms(l.l_shipdate) AS ts_ms,
+        |  s.s_acctbal AS f_supp_bal, p.p_retailprice AS f_part_price,
+        |  l.l_extendedprice AS label
+        |FROM lineitem l
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |LEFT JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+
+    "batch_features" ->
+      s"""WITH $EV,
+         |a AS (SELECT user_id AS entity, value AS f_click FROM ev WHERE event_type = 'click'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1),
+         |b AS (SELECT c_custkey AS entity, c_acctbal AS f_bal FROM customer),
+         |c AS (SELECT o_custkey AS entity, o_totalprice AS f_orders FROM orders
+         |  QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_totalprice DESC) = 1),
+         |ab AS (SELECT COALESCE(a.entity, b.entity) AS entity, f_click, f_bal
+         |  FROM a FULL OUTER JOIN b ON a.entity = b.entity)
+         |SELECT COALESCE(ab.entity, c.entity) AS entity, f_click, f_bal, f_orders
+         |FROM ab FULL OUTER JOIN c ON ab.entity = c.entity""".stripMargin,
+
+    "train_test_split" ->
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN substr(md5(concat_ws('|', CAST(event_id AS VARCHAR), '42')), 1, 8) < '40000000'
+        |       THEN 1 ELSE 0 END AS is_test
+        |FROM events""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH f AS (SELECT doc_id, md5($NORM_TEXT) AS fp FROM documents)
+         |SELECT doc_id, fp FROM f
+         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"SELECT doc_id, md5($NORM_TEXT) AS fp FROM documents",
+
+    "text_stats" ->
+      raw"""WITH base AS (
+           |  SELECT doc_id, text,
+           |    CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter($TOKS_LOWER, t -> list_contains($EN, t))) AS BIGINT) AS n_hits
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars2,
+           |  n_tokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+           |  round(CASE WHEN length(text) = 0 THEN 0.0
+           |    ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END, 6) AS alpha_ratio,
+           |  round(CASE WHEN length(text) = 0 THEN 0.0
+           |    ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) END, 6) AS digit_ratio,
+           |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_hits * 1.0 / n_tokens END, 6) AS stopword_ratio
+           |FROM base""".stripMargin,
+
+    "lang_id" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) * 1.0 / length(text) END AS cjk,
+           |    list_distinct($TOKS_LOWER) AS toks
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, lang, cjk,
+           |    len(list_intersect(toks, $EN)) AS en,
+           |    len(list_intersect(toks, $DE)) AS de,
+           |    len(list_intersect(toks, $ES)) AS es,
+           |    len(list_intersect(toks, $FR)) AS fr
+           |  FROM d)
+           |SELECT doc_id, lang,
+           |  CASE WHEN cjk >= 0.2 THEN 'zh'
+           |       WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'und'
+           |       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+           |       WHEN de >= es AND de >= fr THEN 'de'
+           |       WHEN es >= fr THEN 'es'
+           |       ELSE 'fr' END AS pred_lang
+           |FROM s""".stripMargin,
+
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
+        |FROM ranked WHERE rnk <= 10 AND query_id != neighbor_id""".stripMargin,
+
+    "source_preview" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id LIMIT 20",
+  )
+}

@@ -1,13 +1,279 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog._
+import graft.functions.{Dedup, TextFunctions => TF, Vectors}
+import graft.ops._
+import graft.transform.SqlTransform
+
+/** Driver contract (SURVEY.md §7 + builder prompt): one `queries` entry per
+  * implemented operator from SURVEY.md §2, with a DuckDB-equivalent oracle SQL
+  * for each SQL-expressible one.
+  *
+  * Determinism rules shared by every query/oracle pair (the driver hash-compares
+  * values column-by-column):
+  *  - money aggregates go through DECIMAL(18,2) and are cast to DOUBLE at the
+  *    end — exact, order-independent, identical in both engines;
+  *  - event timestamps are nanosecond parquet; Spark truncates to micros on
+  *    read, so oracles `CAST(ts AS TIMESTAMP)` (micros) before comparing and
+  *    both sides emit `epoch ms` BIGINT columns, never raw timestamps;
+  *  - every window has a total deterministic order (documented tie-breaks);
+  *  - float similarity scores are sequential-fold doubles rounded to 6 dp.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Read a harness table; TIMESTAMP_NTZ columns (plain parquet
+    * timestamp[ms]) are cast to session-TZ (UTC) TIMESTAMP so epoch math and
+    * oracle comparisons agree (DuckDB treats naive parquet timestamps as
+    * epoch-UTC; so do we). */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => acc
+      }
+    }
+  }
+
+  /** events.ts is nanosecond parquet, which Spark 4 refuses as a timestamp;
+    * read it as raw int64 nanos and integer-divide to micros — exactly the
+    * truncation DuckDB's CAST(ts_ns AS TIMESTAMP) applies, keeping both
+    * engines on identical micros. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // ------------------------------------------------------------------ T1/T2
+  // SQL transformation with {{source}} templating, full SparkSQL passthrough.
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS count_order,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+      |FROM {{lineitem}}
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s, q1Sql, Map(ResourceId("lineitem") -> t(s, dir, "lineitem")))
+
+  // Chained transformations (T4): t1 = enriched orders, t2 = agg over {{t1}}.
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.registerSource(SourceVariant(ResourceId("orders"),
+      PrimaryData(s"$dir/orders.parquet")))
+    cat.registerSource(SourceVariant(ResourceId("customer"),
+      PrimaryData(s"$dir/customer.parquet")))
+    cat.registerSource(SourceVariant(ResourceId("nation"),
+      PrimaryData(s"$dir/nation.parquet")))
+    cat.registerSource(SourceVariant(ResourceId("enriched"), SqlTransformation(
+      """SELECT o_orderkey, o_totalprice, n_name
+        |FROM {{orders}} o JOIN {{customer}} c ON o.o_custkey = c.c_custkey
+        |JOIN {{nation}} n ON c.c_nationkey = n.n_nationkey""".stripMargin)))
+    cat.registerSource(SourceVariant(ResourceId("by_nation"), SqlTransformation(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM {{enriched}} GROUP BY n_name""".stripMargin)))
+    cat.resolve(ResourceId("by_nation"))
+  }
+
+  // ------------------------------------------------------- M: materialization
+
+  private def featLatestTs(s: SparkSession, dir: String): DataFrame =
+    Materialize.latest(
+      events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts")),
+      "entity", "value", Some("ts"))
+      .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+
+  private def featLatestNoTs(s: SparkSession, dir: String): DataFrame =
+    Materialize.latestTriple(
+      Materialize.toTriple(t(s, dir, "customer"),
+        graft.types.ResourceSchema("c_custkey", "c_acctbal", None)))
+      .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+
+  private def chunkedExport(s: SparkSession, dir: String): DataFrame = {
+    val mat = Materialize.latest(
+      events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts")),
+      "entity", "value", Some("ts"))
+    val numbered = Materialize.withGlobalRowNumber(mat, Seq(col("entity").asc))
+    Materialize.chunkSlice(numbered, 0, 100)
+      .withColumn("chunk_id",
+        ascii(substring(md5(col("entity").cast("string")), 1, 1)))
+      .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"),
+        col("row_number").cast("long").as("row_number"), col("chunk_id"))
+  }
+
+  // --------------------------------------------------- P: point-in-time joins
+
+  private def pitPurchases(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val label = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    val feats = Seq(
+      FeatureSide(clicks, "user_id", "value", Some("ts"), "f_click"),
+      FeatureSide(t(s, dir, "customer"), "c_custkey", "c_acctbal", None, "f_bal"),
+      FeatureSide(t(s, dir, "orders"), "o_custkey", "o_totalprice",
+        Some("o_orderdate"), "f_orders"))
+    AsOfJoin.trainingSet(label, Map("entity" -> "user_id"), "value", Some("ts"), feats)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("f_click"), col("f_bal"), col("f_orders"), col("label"))
+  }
+
+  private def pitNoLabelTs(s: SparkSession, dir: String): DataFrame = {
+    val feats = Seq(
+      FeatureSide(events(s, dir), "user_id", "value", Some("ts"), "f_ev"),
+      FeatureSide(t(s, dir, "orders"), "o_custkey", "o_totalprice",
+        Some("o_orderdate"), "f_orders"))
+    AsOfJoin.trainingSet(t(s, dir, "customer"), Map("entity" -> "c_custkey"),
+        "c_acctbal", None, feats)
+      .select(col("c_custkey"), col("f_ev"), col("f_orders"), col("label"))
+  }
+
+  private def pitLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val label = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    val feats = Seq(
+      FeatureSide(clicks, "user_id", "value", Some("ts"), "f_click"),
+      FeatureSide(clicks, "user_id", "value", Some("ts"), "f_click_lag1h",
+        lagSeconds = Some(3600L)))
+    AsOfJoin.trainingSet(label, Map("entity" -> "user_id"), "value", Some("ts"), feats)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("f_click"), col("f_click_lag1h"), col("label"))
+  }
+
+  private def pitMultiEntity(s: SparkSession, dir: String): DataFrame = {
+    val label = t(s, dir, "lineitem")
+    val feats = Seq(
+      FeatureSide(t(s, dir, "supplier"), "s_suppkey", "s_acctbal", None,
+        "f_supp_bal", entityName = "supplier"),
+      FeatureSide(t(s, dir, "part"), "p_partkey", "p_retailprice", None,
+        "f_part_price", entityName = "part"))
+    AsOfJoin.trainingSet(label,
+        Map("supplier" -> "l_suppkey", "part" -> "l_partkey"),
+        "l_extendedprice", Some("l_shipdate"), feats)
+      .select(col("l_suppkey"), col("l_partkey"),
+        unix_millis(col("l_shipdate")).as("ts_ms"),
+        col("f_supp_bal"), col("f_part_price"), col("label"))
+  }
+
+  // ------------------------------------------------------------ B: batch join
+
+  private def batchFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val fClick = Materialize.latest(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("entity"), col("value"), col("ts")),
+      "entity", "value", Some("ts"))
+    val fBal = t(s, dir, "customer")
+      .select(col("c_custkey").as("entity"), col("c_acctbal").as("value"))
+    val fOrders = Materialize.latest(
+      t(s, dir, "orders").select(col("o_custkey").as("entity"),
+        col("o_totalprice").as("value"), col("o_orderdate").as("ts")),
+      "entity", "value", Some("ts"))
+    BatchJoin.batchFeatures(Seq(
+      "f_click" -> fClick, "f_bal" -> fBal, "f_orders" -> fOrders))
+  }
+
+  // ------------------------------------------------------------ X: split
+
+  private def trainTestSplit(s: SparkSession, dir: String): DataFrame =
+    Split.withSplit(
+      events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+      Seq("event_id"), testSize = 0.25, seed = 42L)
+
+  // ----------------------------------------------- text / dedup / similarity
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), TF.fingerprintMd5(col("text")).as("fp"))
+
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TF.fingerprintMd5(col("text")).as("fp"))
+
+  /** Rolling-hash (simhash) fingerprints — no portable oracle (xxhash64-based),
+    * covered rows-only + by ScalaTest. */
+  private def simhashFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("simhash"))
+
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+      TF.charCount(col("text")).cast("long").as("n_chars2"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TF.subwordCount(col("text")).cast("long").as("n_subwords"),
+      round(TF.alphaRatio(col("text")), 6).as("alpha_ratio"),
+      round(TF.digitRatio(col("text")), 6).as("digit_ratio"),
+      round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+  }
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TF.langId(col("text")).as("pred_lang"))
+
+  private def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Vectors.annTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+  }
+
+  private def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5)
+
+  private def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)
+
+  private def cosineNearDups(s: SparkSession, dir: String): DataFrame =
+    Vectors.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+      numPlanes = 16, threshold = 0.4)
+
+  // ------------------------------------------------------------ O6: preview
+
+  private def sourcePreview(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).orderBy(col("event_id")).limit(20)
+      .select(col("event_id"), col("event_type"), col("value"))
+
+  // ================================================================ contract
+
+  /** Flagship: the full feature-store slice (transform → PIT training set). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pitPurchases(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"        -> (q1 _),
+    "q3_chained_sql"    -> (q3 _),
+    "feat_latest_ts"    -> (featLatestTs _),
+    "feat_latest_no_ts" -> (featLatestNoTs _),
+    "chunked_export"    -> (chunkedExport _),
+    "pit_purchases"     -> (pitPurchases _),
+    "pit_no_label_ts"   -> (pitNoLabelTs _),
+    "pit_lag"           -> (pitLag _),
+    "pit_multi_entity"  -> (pitMultiEntity _),
+    "batch_features"    -> (batchFeatures _),
+    "train_test_split"  -> (trainTestSplit _),
+    "dedup_exact"       -> (dedupExact _),
+    "doc_fingerprint"   -> (docFingerprint _),
+    "simhash_fingerprint" -> (simhashFingerprint _),
+    "text_stats"        -> (textStats _),
+    "lang_id"           -> (langIdQ _),
+    "ann_topk"          -> (annTopK _),
+    "minhash_near_dups" -> (minhashNearDups _),
+    "simhash_near_dups" -> (simhashNearDups _),
+    "cosine_near_dups"  -> (cosineNearDups _),
+    "source_preview"    -> (sourcePreview _),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

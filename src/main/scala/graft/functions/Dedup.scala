@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora. Training-data-pipeline
+  * extensions (not in the reference, which has no text surface — SURVEY.md
+  * §2.9); designs follow the published MinHash/SimHash literature
+  * (Broder 1997; Charikar 2002; Lee et al. 2021 "Deduplicating Training Data
+  * Makes Language Models Better").
+  *
+  * Scale design:
+  *  - exact dedup: one hash-shuffle on a 32-byte digest, map-side partial agg;
+  *  - MinHash/LSH: signatures computed in the scan projection (codegen'd
+  *    expressions, no UDF), candidate generation is an explode + groupBy on
+  *    (band, bandHash) — the classic band-bucket join — so cost is
+  *    O(docs × bands) rows shuffled, never O(docs²);
+  *  - verification joins only touch candidate pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on canonicalized content: keeps the row with the smallest
+    * `idCol` per distinct normalized text. Group key is the md5 digest, not
+    * the text itself — 32 bytes/row through the shuffle regardless of doc
+    * size. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    df.withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature: for each of `numHashes` permutations, the min over
+    * the doc's shingle set of xxhash64(shingle, seed=p). Custom Catalyst
+    * expression (single pass over the shingle array — see
+    * [[graft.functions.expressions.MinHashSig]]); computed in the scan stage. */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    graft.functions.expressions.HashExprs.minhashSig(
+      TextFunctions.shingles(text, shingleK), numHashes)
+
+  /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`,
+    * each band reduced to one 64-bit key. Two docs share a band key iff their
+    * band signatures agree exactly — P(collision) ≈ 1-(1-j^r)^b for Jaccard j. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * shingle-set Jaccard. Output: (idA, idB, jaccard) with idA < idB and
+    * jaccard >= threshold. */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("__id"),
+      TextFunctions.shingles(col(textCol), shingleK).as("__sh"),
+      minhashSignature(col(textCol), shingleK, numHashes).as("__sig"))
+      .withColumn("__band", explode(lshBandKeys(col("__sig"), bands, rowsPerBand)))
+
+    // Band-bucket self-join: docs sharing any band key become candidates.
+    val a = withSig.select(col("__band"), col("__id").as("idA"), col("__sh").as("__shA"))
+    val b = withSig.select(col("__band"), col("__id").as("idB"), col("__sh").as("__shB"))
+    val cand = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
+      .select("idA", "idB", "__shA", "__shB").dropDuplicates("idA", "idB")
+
+    cand.withColumn("jaccard",
+        size(array_intersect(col("__shA"), col("__shB"))).cast("double") /
+          size(array_union(col("__shA"), col("__shB"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity for an explicit candidate pair set
+    * (pairs: columns idA, idB). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String,
+                   idCol: String, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__jid"),
+      TextFunctions.shingles(col(textCol), k).as("__jsh"))
+    pairs
+      .join(sh.withColumnRenamed("__jid", "idA").withColumnRenamed("__jsh", "__sa"), Seq("idA"))
+      .join(sh.withColumnRenamed("__jid", "idB").withColumnRenamed("__jsh", "__sb"), Seq("idB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (Charikar 2002) — custom Catalyst
+    * expression ([[graft.functions.expressions.SimHash64]]). */
+  def simhash64(text: Column): Column =
+    graft.functions.expressions.HashExprs.simhash64(TextFunctions.tokens(text))
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the simhash
+    * (any pair within Hamming distance ≤ 3 of a 64-bit hash shares at least
+    * one exact quarter — pigeonhole), verify with full Hamming distance. */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withH = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h"))
+      .withColumn("__q", explode(array((0 until 4).map(q =>
+        struct(lit(q).as("qi"),
+          shiftright(col("__h"), q * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)))
+    val a = withH.select(col("__q"), col("__id").as("idA"), col("__h").as("__ha"))
+    val b = withH.select(col("__q"), col("__id").as("idB"), col("__h").as("__hb"))
+    a.join(b, Seq("__q")).where(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", hamming64(col("__ha"), col("__hb")))
+      .where(col("hamming") <= maxHamming)
+      .select("idA", "idB", "hamming")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * `Column` expressions built from `org.apache.spark.sql.functions` — fully
+  * codegen'd, evaluated inside the scan projection (no shuffle, no UDF), so
+  * they stream at parquet-scan speed on any cluster size.
+  *
+  * The reference has no text operators of its own (SURVEY.md §2.9) — these are
+  * the training-data-pipeline extensions the engine adds as first-class ops.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A crude BPE-ish subword count: letter runs consumed in chunks of <=4
+    * chars, each digit, and each non-space symbol count as one token (regex
+    * approximation of byte-pair-tokenizer granularity; deterministic,
+    * shuffle-free, codegen'd). */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"))
+
+  def charCount(text: Column): Column = length(text)
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  /** Mean whitespace-token length (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "on", "with", "as", "was", "are", "this", "be", "by", "at", "from")
+  val GermanStopwords: Seq[String] = Seq(
+    "der", "die", "das", "und", "ist", "von", "mit", "den", "im", "für",
+    "auf", "ein", "eine", "nicht", "auch", "sich", "des", "dem", "zu", "werden")
+  val SpanishStopwords: Seq[String] = Seq(
+    "el", "la", "de", "que", "y", "en", "los", "del", "se", "las",
+    "por", "un", "para", "con", "una", "es", "al", "lo", "como", "más")
+  val FrenchStopwords: Seq[String] = Seq(
+    "le", "la", "de", "et", "les", "des", "est", "un", "une", "du",
+    "dans", "que", "pour", "qui", "sur", "pas", "au", "plus", "par", "avec")
+
+  private def lcTokens(text: Column): Column = array_distinct(tokens(lower(text)))
+
+  /** # of distinct lowercase tokens hitting a stopword list. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(array_intersect(lcTokens(text), array(words.map(lit): _*)))
+
+  def stopwordRatio(text: Column, words: Seq[String] = EnglishStopwords): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      size(filter(tokens(lower(text)), t => array_contains(array(words.map(lit): _*), t)))
+        .cast("double") / n)
+  }
+
+  /** CJK character count (Chinese text carries no whitespace tokens, so
+    * stopword scoring can't see it — count Han codepoints instead). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^一-鿿]", ""))
+
+  def cjkRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(cjkCount(text).cast("double") / length(text))
+
+  /** n-gram-heuristic language ID over {en,de,es,fr,zh}: CJK ratio ≥ 0.2 ⇒ zh,
+    * else argmax of stopword hits with a deterministic tie order
+    * (en > de > es > fr; 0 hits everywhere ⇒ "und" = undetermined). */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, EnglishStopwords)
+    val de = stopwordHits(text, GermanStopwords)
+    val es = stopwordHits(text, SpanishStopwords)
+    val fr = stopwordHits(text, FrenchStopwords)
+    when(cjkRatio(text) >= 0.2, lit("zh"))
+      .when(en === 0 && de === 0 && es === 0 && fr === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Composite quality score in [0,1]: favors alphabetic text of reasonable
+    * length with moderate punctuation and some stopword mass. Deterministic,
+    * branch-free, codegen'd. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round(lenScore * 0.25 + alpha * 0.35 + stop * 0.2 + punctPenalty * 0.2, 6)
+  }
+
+  /** Whitespace-collapsed, lowercased canonical form. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Stable content fingerprint: md5 of the canonical form. */
+  def fingerprintMd5(text: Column): Column = md5(normalizedText(text))
+
+  /** Character k-gram (shingle) set of the canonical form. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = normalizedText(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(0))),
+      i => t.substr(i, lit(k))))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity + nearest-neighbor search over embedding columns
+  * (`array<float>`). Covers the reference's vector surface (O4 `Nearest`,
+  * provider/redis.go:454-493 HNSW / pinecone.go) re-expressed for batch Spark:
+  * brute-force exact top-k as the baseline, random-hyperplane LSH bucketing as
+  * the scale path (HNSW is a serving-side index; for 100 TB batch scans the
+  * bucketed-join shape is the right primitive).
+  *
+  * All arithmetic is sequential left-to-right double accumulation
+  * (`aggregate` over `zip_with`) — deterministic and reproducible across
+  * engines, which the DuckDB oracle relies on.
+  */
+object Vectors {
+
+  /** Dot product, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. Queries are broadcast (small side by construction);
+    * the corpus is scanned once, fully parallel; per-query top-k is a window
+    * over (sim desc, id asc) — deterministic tie-break.
+    *
+    * At 1000-executor scale: corpus-partition-local top-k via the window's
+    * partial aggregation + AQE; no corpus shuffle beyond the final per-query
+    * k rows. */
+  def annTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("__rn").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `p`, dim `i` ∈
+    * uniform[-1, 1), derived from xxhash64 — no RNG state, reproducible on any
+    * cluster. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p), i), lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH signature: bit p = sign of
+    * dot(v, plane_p). Computed in the scan projection. */
+  def hyperplaneSignature(vec: Column, numPlanes: Int): Column = {
+    val planes = (0 until numPlanes).map { p =>
+      val prod = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(prod >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate near-duplicate pairs by embedding cosine: LSH-bucket on the
+    * hyperplane signature (multi-probe: the full signature plus each
+    * single-bit flip neighborhood collapses to bucketing on signature
+    * quarters, pigeonhole-style like SimHash), verify candidates exactly.
+    * Output (idA < idB, cosine >= threshold). */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      hyperplaneSignature(col(vecCol), numPlanes).as("__sig"))
+    // bucket on signature halves: Hamming-1-close signatures share a half
+    val banded = sig.withColumn("__band", explode(array(
+      struct(lit(0).as("bi"), col("__sig").bitwiseAND(lit((1L << (numPlanes / 2)) - 1)).as("bv")),
+      struct(lit(1).as("bi"), shiftright(col("__sig"), numPlanes / 2).as("bv")))))
+    val a = banded.select(col("__band"), col("__id").as("idA"), col("__v").as("__va"))
+    val b = banded.select(col("__band"), col("__id").as("idB"), col("__v").as("__vb"))
+    a.join(b, Seq("__band")).where(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact (brute-force) cosine near-dup pairs — oracle-checkable baseline;
+    * O(n²), small inputs only. */
+  def cosineNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("idA"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
+    a.crossJoin(b).where(col("idA") < col("idB"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
+}

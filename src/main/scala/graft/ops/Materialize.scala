@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.types.ResourceSchema
+
+/** Latest-value materialization — the core "feature snapshot" operator
+  * (reference M1-M5: provider/queries/materialize_ts.sql,
+  * materialize_no_ts.sql, provider/sql.go:1816-1867,
+  * offline_store_spark_runner.py:672-685).
+  *
+  * Scale notes: the window `partitionBy(entity)` shuffles once on the entity
+  * key — the minimum possible for this semantics — and the row_number filter
+  * is evaluated streaming per partition (no buffering beyond the sort). With
+  * AQE on, skewed entities get split at the shuffle. The reference's
+  * correlated `MAX(ts)` subquery (M1) would be a second shuffle; the window
+  * form is strictly better and is what the reference itself uses on Spark (M5).
+  */
+object Materialize {
+
+  val EpochZero: Column = to_timestamp(lit(0)) // CAST(0 AS TIMESTAMP), reference spark.go:120
+
+  /** Project a wide source onto the canonical (entity, value, ts) triple
+    * (reference ResourceSchema, provider/offline.go:916-922). Missing ts ⇒
+    * epoch-0 constant (reference materialize_no_ts.sql, spark.go:120). */
+  def toTriple(df: DataFrame, schema: ResourceSchema): DataFrame = {
+    val ts = schema.ts.map(col).getOrElse(EpochZero)
+    df.select(col(schema.entity).as("entity"), col(schema.value).as("value"),
+      ts.as("ts"))
+  }
+
+  /** M1/M5: one row per entity — the latest by ts. The reference's SQL-store
+    * variant dedups ties via rn=1 (provider/sql.go:1839-1843) but leaves the
+    * tie order unspecified; we pin a deterministic tie-break (highest ts, then
+    * highest value, then caller-supplied extras) so results are reproducible
+    * and oracle-checkable. */
+  def latest(df: DataFrame, entity: String, value: String, ts: Option[String],
+             extraTieBreak: Seq[Column] = Nil): DataFrame = {
+    ts match {
+      case Some(t) =>
+        val w = Window.partitionBy(col(entity))
+          .orderBy((col(t).desc +: col(value).desc +: extraTieBreak.map(_.desc)): _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+      case None =>
+        // M2: no timestamp — assume ~1 row/entity, enforce deterministically.
+        val w = Window.partitionBy(col(entity))
+          .orderBy((col(value).desc +: extraTieBreak.map(_.desc)): _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+    }
+  }
+
+  /** Materialize a canonical triple to one row per entity. */
+  def latestTriple(triple: DataFrame): DataFrame =
+    latest(triple, "entity", "value", Some("ts"))
+
+  /** M3/S11: chunk addressing for parallel export.
+    *
+    * Exact reference semantics (global contiguous row_number —
+    * provider/sql.go:1821-1843) require a total order: fine for export of a
+    * materialization that fits a single downstream consumer, but the global
+    * window collapses to one partition. The scale path is hash chunking:
+    * deterministic, shuffle-free (computed in the scan projection), and every
+    * chunk is independently addressable — which is all the reference's chunked
+    * online-store copy (runner/materialize.go:101-230) actually needs.
+    */
+  def withHashChunk(df: DataFrame, entity: String, nChunks: Int): DataFrame =
+    df.withColumn("chunk_id", pmod(xxhash64(col(entity)), lit(nChunks)))
+
+  /** Reference-exact global row numbering (small/medium exports only). */
+  def withGlobalRowNumber(df: DataFrame, orderBy: Seq[Column]): DataFrame =
+    df.withColumn("row_number", row_number().over(Window.orderBy(orderBy: _*)))
+
+  def chunkSlice(numbered: DataFrame, lo: Long, hi: Long): DataFrame =
+    numbered.where(col("row_number") > lo && col("row_number") <= hi)
+}

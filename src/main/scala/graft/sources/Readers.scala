@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.PrimaryData
+
+/** File-source readers (reference S1/S2 —
+  * offline_store_spark_runner.py:1036-1053). All reads are declarative
+  * `spark.read` so Catalyst gets pushdown + pruning; `recursiveFileLookup`
+  * mirrors the reference, `ignoreCorruptFiles` is NOT set by default (we want
+  * hard failures, the reference's silent-skip is a data-loss footgun at 100 TB —
+  * opt in via the options map if needed).
+  */
+object Readers {
+
+  def readPrimary(spark: SparkSession, p: PrimaryData): DataFrame = p.format match {
+    case "parquet" => parquet(spark, p.path)
+    case "csv"     => csv(spark, p.path, header = p.csvHeader)
+    case "json"    => spark.read.option("recursiveFileLookup", "true").json(p.path)
+    case other     => throw new IllegalArgumentException(s"unsupported format $other")
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+          inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .option("recursiveFileLookup", "true")
+      .csv(path)
+
+  /** Convenience: read one of the harness tables from an sf directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

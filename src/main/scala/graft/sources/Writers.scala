@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{DailyPartition, HashPartition, PartitionHint}
+
+/** Versioned sinks. The reference writes every transformation run into a NEW
+  * timestamped subdirectory (immutable versioned outputs —
+  * offline_store_spark_runner.py:896-909) and resolves "latest" by
+  * lexicographically-max dirname; we keep the identical scheme (no Delta jars
+  * in this environment, and the scheme is format-agnostic + rename-atomic per
+  * run directory).
+  */
+object Writers {
+
+  private val fmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd-HH-mm-ss-SSSSSS").withZone(ZoneOffset.UTC)
+
+  def newVersion(): String = fmt.format(Instant.now())
+
+  /** K1: parquet write into a fresh timestamped version dir; returns the dir. */
+  def writeVersioned(df: DataFrame, baseDir: String,
+                     partition: Option[PartitionHint] = None): String = {
+    val out = s"$baseDir/${newVersion()}"
+    val w = partition match {
+      case Some(HashPartition(col0, buckets)) =>
+        df.repartition(buckets, col(col0)).write
+      case Some(DailyPartition(col0)) =>
+        // K5: derive a date partition column, sort within partitions by ts
+        // (offline_store_spark_runner.py:1064-1073)
+        df.withColumn("__date", date_format(col(col0), "yyyy-MM-dd"))
+          .sortWithinPartitions(col(col0))
+          .write.partitionBy("__date")
+      case None => df.write
+    }
+    w.mode(SaveMode.ErrorIfExists).parquet(out)
+    out
+  }
+
+  /** Latest committed version dir under baseDir (lexicographic max — the dir
+    * names are zero-padded UTC timestamps so this is chronological). */
+  def latestVersion(spark: SparkSession, baseDir: String): Option[String] = {
+    val p = new Path(baseDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString)
+      if (dirs.isEmpty) None else Some(dirs.max)
+    }
+  }
+
+  def readLatest(spark: SparkSession, baseDir: String): DataFrame =
+    latestVersion(spark, baseDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => throw new IllegalStateException(s"no versions under $baseDir")
+    }
+
+  /** K2: CSV write with/without header. */
+  def writeCsv(df: DataFrame, dir: String, header: Boolean = true): String = {
+    val out = s"$dir/${newVersion()}"
+    df.write.option("header", header.toString).mode(SaveMode.ErrorIfExists).csv(out)
+    out
+  }
+
+  /** T7: atomic replace — write to a new version then flip a LATEST pointer
+    * file (single-file rename is atomic on HDFS-like stores; the reference's
+    * temp-table + swap, provider/sql.go:2011-2031). */
+  def atomicReplace(spark: SparkSession, df: DataFrame, baseDir: String): String = {
+    val out = writeVersioned(df, baseDir)
+    val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$baseDir/.LATEST.tmp")
+    val ptr = new Path(s"$baseDir/LATEST")
+    val os = fs.create(tmp, true)
+    os.write(out.getBytes("UTF-8")); os.close()
+    fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+    out
+  }
+}
