@@ -1,0 +1,120 @@
+package graft.serving
+
+import scala.collection.concurrent.TrieMap
+import scala.util.Random
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** In-process serving layer — the reference's online-store + serving surface
+  * (O1-O6, serving/serving.go, provider/online.go:43-54) collapsed into one
+  * JVM:
+  *
+  *  - O1 point lookup: per-feature entity→value maps loaded from a
+  *    materialization (one row per entity by construction — the whole table
+  *    IS the snapshot, so a driver-side map is the honest equivalent of the
+  *    reference's Redis/Dynamo copy; at 100 TB the map lives in an external
+  *    KV store and `load` becomes the K9 chunked copy, same interface).
+  *  - O2 row assembly across features, O3 on-demand (request-time) Scala
+  *    closures, O4 vector nearest-neighbor, O5 training-set iterator with
+  *    repeat/shuffle/batch, O6 source preview.
+  */
+final class OnlineStore {
+
+  private val tables = TrieMap.empty[String, Map[Any, Any]]
+  private val onDemand = TrieMap.empty[String, (Map[String, Any], Seq[Any]) => Any]
+  private val vectors = TrieMap.empty[String, Map[Any, Array[Float]]]
+
+  /** K9/K10 equivalent: copy a materialization (entity, value) into the
+    * online table for `feature`. */
+  def load(feature: String, materialized: DataFrame,
+           entityCol: String = "entity", valueCol: String = "value"): Unit = {
+    val m = materialized.select(entityCol, valueCol).collect()
+      .map(r => r.get(0) -> r.get(1)).toMap
+    tables.put(feature, m)
+  }
+
+  def loadVectors(feature: String, df: DataFrame,
+                  entityCol: String = "entity", vecCol: String = "vector"): Unit = {
+    val m = df.select(entityCol, vecCol).collect().map { r =>
+      r.get(0) -> r.getSeq[Float](1).toArray
+    }.toMap
+    vectors.put(feature, m)
+  }
+
+  def registerOnDemand(feature: String,
+                       fn: (Map[String, Any], Seq[Any]) => Any): Unit =
+    onDemand.put(feature, fn)
+
+  /** O1: point lookup. */
+  def get(feature: String, entity: Any): Option[Any] =
+    tables.get(feature).flatMap(_.get(entity))
+
+  /** O2/O3: assemble a serving row; on-demand features are computed at
+    * request time from params + the already-resolved precomputed values. */
+  def features(names: Seq[String], entity: Any,
+               params: Map[String, Any] = Map.empty): Seq[Option[Any]] = {
+    val pre = names.map(n => n -> get(n, entity)).toMap
+    names.map { n =>
+      onDemand.get(n) match {
+        case Some(fn) => Some(fn(params + ("entity" -> entity), pre.values.flatten.toSeq))
+        case None     => pre(n)
+      }
+    }
+  }
+
+  /** O4: brute-force cosine nearest neighbors over a loaded vector table
+    * (serving-side k-NN over the snapshot; the batch-scale path is
+    * [[graft.functions.Vectors.annTopK]]). */
+  def nearest(feature: String, query: Array[Float], k: Int): Seq[(Any, Double)] = {
+    val tab = vectors.getOrElse(feature, Map.empty)
+    val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
+    tab.iterator.map { case (e, v) =>
+      var dot = 0.0; var nv = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i).toDouble * query(i); nv += v(i).toDouble * v(i); i += 1 }
+      e -> (if (nv == 0 || qn == 0) 0.0 else dot / (math.sqrt(nv) * qn))
+    }.toSeq.sortBy { case (e, s) => (-s, e.toString) }.take(k)
+  }
+}
+
+/** O5: training-set consumption combinators (reference client Dataset
+  * repeat/shuffle/batch — client/src/featureform/serving.py:310-777). The
+  * iterator pulls from `toLocalIterator` (spill-free, partition-at-a-time);
+  * shuffle is a client-side buffer shuffle exactly like the reference's. */
+object TrainingSetIterator {
+
+  def rows(df: DataFrame): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
+  def repeat(df: DataFrame, n: Int): Iterator[Row] =
+    Iterator.range(0, n).flatMap(_ => rows(df))
+
+  /** Buffered shuffle with a deterministic seed. */
+  def shuffled(it: Iterator[Row], bufferSize: Int, seed: Long): Iterator[Row] = {
+    val rnd = new Random(seed)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val out = it.flatMap { r =>
+      buf += r
+      if (buf.size >= bufferSize) {
+        val i = rnd.nextInt(buf.size)
+        val picked = buf(i); buf(i) = buf.last; buf.dropRightInPlace(1)
+        Iterator.single(picked)
+      } else Iterator.empty
+    }
+    out ++ new Iterator[Row] {
+      def hasNext: Boolean = buf.nonEmpty
+      def next(): Row = {
+        val i = rnd.nextInt(buf.size)
+        val picked = buf(i); buf(i) = buf.last; buf.dropRightInPlace(1)
+        picked
+      }
+    }
+  }
+
+  def batched(it: Iterator[Row], size: Int): Iterator[Seq[Row]] =
+    it.grouped(size)
+
+  /** O6: source preview (reference SourceData limit stream). */
+  def preview(df: DataFrame, limit: Int): Seq[Row] = df.limit(limit).collect().toSeq
+}

@@ -47,7 +47,9 @@ object Writers {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString)
+      // strip the fs scheme so returned paths match what writeVersioned returns
+      val dirs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.toUri.getPath)
       if (dirs.isEmpty) None else Some(dirs.max)
     }
   }

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(colExpr: org.apache.spark.sql.Column, text: String): Any =
+    Seq(Tuple1(text)).toDF("t").select(colExpr).collect().head.get(0)
+
+  test("tokenCount handles empties and runs of whitespace") {
+    assert(one(TextFunctions.tokenCount($"t"), "a  b\tc\nd") == 4)
+    assert(one(TextFunctions.tokenCount($"t"), "   ") == 0)
+    assert(one(TextFunctions.tokenCount($"t"), "") == 0)
+  }
+
+  test("langId picks stopword-dominant language, CJK, und") {
+    assert(one(TextFunctions.langId($"t"), "the cat sat on the mat with a hat") == "en")
+    assert(one(TextFunctions.langId($"t"), "der Hund und die Katze sind im Haus") == "de")
+    assert(one(TextFunctions.langId($"t"), "el perro y el gato en la casa por una") == "es")
+    assert(one(TextFunctions.langId($"t"), "le chien et le chat dans les maisons pour") == "fr")
+    assert(one(TextFunctions.langId($"t"), "你好世界这是中文文本") == "zh")
+    assert(one(TextFunctions.langId($"t"), "xyzzy plugh") == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val a = one(TextFunctions.fingerprintMd5($"t"), "Hello   World")
+    val b = one(TextFunctions.fingerprintMd5($"t"), "hello world")
+    val c = one(TextFunctions.fingerprintMd5($"t"), "hello worlds")
+    assert(a == b && a != c)
+  }
+
+  test("shingles produce distinct k-grams of the normalized text") {
+    val got = one(TextFunctions.shingles($"t", 3), "abcabc")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(got.toSet == Set("abc", "bca", "cab"))
+  }
+
+  test("qualityScore in [0,1], higher for clean prose than symbol soup") {
+    val good = one(TextFunctions.qualityScore($"t"),
+      "The quick brown fox jumps over the lazy dog and runs into the forest.")
+      .asInstanceOf[Double]
+    val bad = one(TextFunctions.qualityScore($"t"), "@@@!!! ### $$$ %%% ^^^ &&&")
+      .asInstanceOf[Double]
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min-id doc per normalized text") {
+    val docs = Seq((1L, "Hello World"), (2L, "hello   world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("minhash near-dups finds the known near-duplicate pairs on testdata") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.contains((8L, 120L)), s"expected planted near-dup (8,120) in $pairs")
+  }
+
+  test("minhash jaccard estimates true jaccard on identical docs") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.99)
+      .collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical texts distance 0, unrelated texts far") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different subject matter entirely unrelated words")
+    ).toDF("doc_id", "text")
+    val h = df.select($"doc_id", Dedup.simhash64($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 10)
+  }
+
+  test("ngramJaccard computes exact overlap for explicit pairs") {
+    val docs = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("idA", "idB")
+    val got = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    // columns order: idB, idA after joins; use fieldIndex-safe access instead
+    val byPair = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(byPair((1L, 2L)) == 1.0)
+    assert(byPair((1L, 3L)) == 0.0)
+  }
+}
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0") {
+    val df = Seq((Array(1.0f, 0f), Array(1.0f, 0f), Array(0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Vectors.cosine($"a", $"b").as("same"),
+      Vectors.cosine($"a", $"c").as("orth")).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("annTopK returns ranked neighbors excluding self") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val got = Vectors.annTopK(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" === 0), "vec_id", "embedding", k = 5).collect()
+    assert(got.length == 4) // self is rank 1, excluded
+    val sims = got.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(!got.exists(_.getAs[Long]("neighbor_id") == 0L))
+  }
+
+  test("LSH near-dups are a subset of exact near-dups (precision 1.0)") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val lsh = Vectors.cosineNearDups(emb, "vec_id", "embedding",
+      numPlanes = 16, threshold = 0.4)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val exact = Vectors.cosineNearDupsExact(emb, "vec_id", "embedding", 0.4)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"lsh=$lsh exact=$exact")
+    assert(lsh.nonEmpty)
+  }
+}

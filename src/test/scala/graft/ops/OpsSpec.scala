@@ -1,0 +1,147 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latest keeps max-ts row per entity, ties broken by max value") {
+    val df = Seq(
+      (1L, 10.0, ts("2024-01-01 00:00:00")),
+      (1L, 20.0, ts("2024-01-02 00:00:00")),
+      (1L, 15.0, ts("2024-01-02 00:00:00")), // tie on ts -> 20.0 wins
+      (2L, 5.0, ts("2024-01-01 00:00:00"))
+    ).toDF("entity", "value", "ts")
+    val got = Materialize.latest(df, "entity", "value", Some("ts"))
+      .orderBy("entity").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 20.0), (2L, 5.0)))
+  }
+
+  test("toTriple without ts injects epoch zero") {
+    val df = Seq((1L, 2.0)).toDF("e", "v")
+    val got = Materialize.toTriple(df, graft.types.ResourceSchema("e", "v", None))
+      .collect().head
+    assert(got.getTimestamp(2).getTime == 0L)
+  }
+
+  test("hash chunks are deterministic and complete") {
+    val df = Seq.tabulate(100)(i => (i.toLong, i.toDouble)).toDF("entity", "value")
+    val chunked = Materialize.withHashChunk(df, "entity", 8)
+    assert(chunked.count() == 100)
+    assert(chunked.select("chunk_id").distinct().count() <= 8)
+    val again = Materialize.withHashChunk(df, "entity", 8)
+    assert(chunked.except(again).count() == 0)
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val label = Seq(
+    (1L, ts("2024-01-05 00:00:00"), 100.0),
+    (1L, ts("2024-01-01 00:00:00"), 50.0), // before any feature -> NULL
+    (2L, ts("2024-01-10 00:00:00"), 70.0)
+  ).toDF("uid", "lts", "lval")
+
+  private val feat = Seq(
+    (1L, ts("2024-01-02 00:00:00"), 1.0),
+    (1L, ts("2024-01-05 00:00:00"), 2.0), // equal ts inclusive
+    (1L, ts("2024-01-06 00:00:00"), 3.0), // after label -> excluded
+    (2L, ts("2024-01-03 00:00:00"), 9.0)
+  ).toDF("fe", "fts", "fv")
+
+  private def run(strategy: AsOfStrategy): Map[(Long, Timestamp), Option[Double]] =
+    AsOfJoin.trainingSet(label, Map("entity" -> "uid"), "lval", Some("lts"),
+        Seq(FeatureSide(feat, "fe", "fv", Some("fts"), "f1")), strategy)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("as-of semantics: inclusive ts, NULL padding, latest wins (UnionWindow)") {
+    val got = run(UnionWindow)
+    assert(got((1L, ts("2024-01-05 00:00:00"))).contains(2.0))
+    assert(got((1L, ts("2024-01-01 00:00:00"))).isEmpty)
+    assert(got((2L, ts("2024-01-10 00:00:00"))).contains(9.0))
+  }
+
+  test("JoinWindow strategy agrees with UnionWindow") {
+    assert(run(UnionWindow) == run(JoinWindow))
+  }
+
+  test("strategies agree on real events data") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val lbl = ev.filter($"event_type" === "purchase")
+    val clk = ev.filter($"event_type" === "click")
+    def result(st: AsOfStrategy) = AsOfJoin.trainingSet(
+      lbl, Map("entity" -> "user_id"), "value", Some("ts"),
+      Seq(FeatureSide(clk, "user_id", "value", Some("ts"), "f")), st)
+    assert(result(UnionWindow).except(result(JoinWindow)).count() == 0)
+    assert(result(JoinWindow).except(result(UnionWindow)).count() == 0)
+  }
+
+  test("lag shifts feature availability") {
+    val got = AsOfJoin.trainingSet(label, Map("entity" -> "uid"), "lval", Some("lts"),
+        Seq(FeatureSide(feat, "fe", "fv", Some("fts"), "f1",
+          lagSeconds = Some(3 * 24 * 3600L)))) // 3 days
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // at label 01-05, feature 01-02+3d = 01-05 visible (inclusive); 01-05+3d not
+    assert(got((1L, ts("2024-01-05 00:00:00"))).contains(1.0))
+  }
+
+  test("multi-entity mappings join through different label columns") {
+    val lbl2 = Seq((1L, 20L, ts("2024-01-05 00:00:00"), 1.0))
+      .toDF("ka", "kb", "lts", "lval")
+    val fa = Seq((1L, 11.0)).toDF("ea", "va")
+    val fb = Seq((20L, 22.0)).toDF("eb", "vb")
+    val got = AsOfJoin.trainingSet(lbl2,
+      Map("A" -> "ka", "B" -> "kb"), "lval", Some("lts"),
+      Seq(FeatureSide(fa, "ea", "va", None, "f_a", entityName = "A"),
+        FeatureSide(fb, "eb", "vb", None, "f_b", entityName = "B"))).collect().head
+    assert(got.getDouble(got.fieldIndex("f_a")) == 11.0)
+    assert(got.getDouble(got.fieldIndex("f_b")) == 22.0)
+  }
+}
+
+class SplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split is deterministic, disjoint, and near the requested fraction") {
+    val df = Seq.tabulate(2000)(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    val s1 = Split.withSplit(df, Seq("id"), 0.25, seed = 7L)
+    val s2 = Split.withSplit(df, Seq("id"), 0.25, seed = 7L)
+    assert(s1.except(s2).count() == 0)
+    val frac = s1.filter($"is_test" === 1).count().toDouble / 2000
+    assert(math.abs(frac - 0.25) < 0.05, s"frac=$frac")
+    assert(Split.train(df, Seq("id"), 0.25, 7L).count() +
+      Split.test(df, Seq("id"), 0.25, 7L).count() == 2000)
+  }
+
+  test("different seeds give different splits") {
+    val df = Seq.tabulate(500)(i => Tuple1(i.toLong)).toDF("id")
+    val a = Split.test(df, Seq("id"), 0.5, 1L).select("id").as[Long].collect().toSet
+    val b = Split.test(df, Seq("id"), 0.5, 2L).select("id").as[Long].collect().toSet
+    assert(a != b)
+  }
+}
+
+class BatchJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full-outer batch join coalesces entities across features") {
+    val f1 = Seq((1L, 10.0), (2L, 20.0)).toDF("entity", "value")
+    val f2 = Seq((2L, 0.2), (3L, 0.3)).toDF("entity", "value")
+    val got = BatchJoin.batchFeatures(Seq("a" -> f1, "b" -> f2))
+      .orderBy("entity").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0).isNullAt(2) && got(2).isNullAt(1)) // NULL padding both sides
+  }
+}
