@@ -36,13 +36,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash signature: for each of `numHashes` permutations, the min over
-    * the doc's shingle set of xxhash64(shingle, seed=p). Custom Catalyst
-    * expression (single pass over the shingle array — see
-    * [[graft.functions.expressions.MinHashSig]]); computed in the scan stage. */
+  /** MinHash signature over byte k-grams of the normalized text — custom
+    * Catalyst expression ([[graft.functions.expressions.MinHashSig]]: sliding
+    * byte-window hashing + universal-hash permutations, computed in the scan
+    * stage). */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
     graft.functions.expressions.HashExprs.minhashSig(
-      TextFunctions.shingles(text, shingleK), numHashes)
+      TextFunctions.normalizedText(text), shingleK, numHashes)
 
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`,
     * each band reduced to one 64-bit key. Two docs share a band key iff their
@@ -52,28 +52,56 @@ object Dedup {
       xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))
     }: _*)
 
-  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
-    * shingle-set Jaccard. Output: (idA, idB, jaccard) with idA < idB and
-    * jaccard >= threshold. */
+  /** Candidate near-duplicate pairs via MinHash LSH. Three-stage filter so
+    * heavy payloads never ride the candidate shuffle:
+    *  1. band-bucket self-join on the 64-long signature (512 B/row — NOT the
+    *     multi-KB shingle arrays);
+    *  2. cheap signature-estimated Jaccard (fraction of agreeing minhash
+    *     components, O(numHashes) per pair) with slack below the threshold;
+    *  3. exact shingle-set Jaccard only for the survivors (re-joined to the
+    *     shingle table by id).
+    * Output: (idA, idB, jaccard) with idA < idB and exact jaccard >= threshold.
+    */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(
+    // persist = optimizer barrier: MinHashSig is CodegenFallback (no
+    // subexpression elimination), and CollapseProject would otherwise inline
+    // one copy per band key per join leg (~17 evals/row — measured 35 s vs
+    // 2 s for the signatures themselves at 5k docs). The cached table is
+    // id + 64 longs — ~600 B/row, negligible at any doc count that fits a
+    // cluster's aggregate memory; spills to disk otherwise.
+    val sigs = df.select(
       col(idCol).as("__id"),
-      TextFunctions.shingles(col(textCol), shingleK).as("__sh"),
       minhashSignature(col(textCol), shingleK, numHashes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
       .withColumn("__band", explode(lshBandKeys(col("__sig"), bands, rowsPerBand)))
 
-    // Band-bucket self-join: docs sharing any band key become candidates.
-    val a = withSig.select(col("__band"), col("__id").as("idA"), col("__sh").as("__shA"))
-    val b = withSig.select(col("__band"), col("__id").as("idB"), col("__sh").as("__shB"))
-    val cand = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
-      .select("idA", "idB", "__shA", "__shB").dropDuplicates("idA", "idB")
+    val a = banded.select(col("__band"), col("__id").as("idA"), col("__sig").as("__sa"))
+    val b = banded.select(col("__band"), col("__id").as("idB"), col("__sig").as("__sb"))
+    // estimate BEFORE dropDuplicates: the filter runs streaming inside the
+    // join stage, so the dedup shuffle carries only surviving (idA, idB)
+    // pairs instead of every candidate with two 512 B signatures attached.
+    val estimated = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
+      .withColumn("__est",
+        aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .where(col("__est") >= threshold - 0.15)
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
 
-    cand.withColumn("jaccard",
-        size(array_intersect(col("__shA"), col("__shB"))).cast("double") /
-          size(array_union(col("__shA"), col("__shB"))))
+    val txt = df.select(col(idCol).as("__jid"),
+      TextFunctions.normalizedText(col(textCol)).as("__jtxt"))
+    estimated
+      .join(txt.withColumnRenamed("__jid", "idA").withColumnRenamed("__jtxt", "__ta"),
+        Seq("idA"))
+      .join(txt.withColumnRenamed("__jid", "idB").withColumnRenamed("__jtxt", "__tb"),
+        Seq("idB"))
+      .withColumn("jaccard", graft.functions.expressions.HashExprs
+        .kgramJaccard(col("__ta"), col("__tb"), shingleK))
       .where(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -81,17 +109,17 @@ object Dedup {
   // ---------------------------------------------------------------- n-gram jaccard
 
   /** Exact n-gram Jaccard similarity for an explicit candidate pair set
-    * (pairs: columns idA, idB). */
+    * (pairs: columns idA, idB) — [[graft.functions.expressions.KgramJaccard]]
+    * over normalized text. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String,
                    idCol: String, k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("__jid"),
-      TextFunctions.shingles(col(textCol), k).as("__jsh"))
+    val txt = docs.select(col(idCol).as("__jid"),
+      TextFunctions.normalizedText(col(textCol)).as("__jtxt"))
     pairs
-      .join(sh.withColumnRenamed("__jid", "idA").withColumnRenamed("__jsh", "__sa"), Seq("idA"))
-      .join(sh.withColumnRenamed("__jid", "idB").withColumnRenamed("__jsh", "__sb"), Seq("idB"))
-      .withColumn("jaccard",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb"))))
+      .join(txt.withColumnRenamed("__jid", "idA").withColumnRenamed("__jtxt", "__ta"), Seq("idA"))
+      .join(txt.withColumnRenamed("__jid", "idB").withColumnRenamed("__jtxt", "__tb"), Seq("idB"))
+      .withColumn("jaccard", graft.functions.expressions.HashExprs
+        .kgramJaccard(col("__ta"), col("__tb"), k))
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
 
