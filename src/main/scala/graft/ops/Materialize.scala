@@ -58,6 +58,16 @@ object Materialize {
   def latestTriple(triple: DataFrame): DataFrame =
     latest(triple, "entity", "value", Some("ts"))
 
+  /** K6: MERGE-upsert equivalent — fold a batch of new events into an
+    * existing one-row-per-entity snapshot (reference Iceberg MERGE INTO,
+    * offline_store_spark_runner.py:688-765; with no table-format jars here
+    * the refreshed snapshot is written as a new version dir, which is the
+    * same atomic-replace semantics). Unioning and re-reducing is one shuffle
+    * on entity; entities untouched by `updates` keep their snapshot row. */
+  def upsert(snapshot: DataFrame, updates: DataFrame): DataFrame =
+    latestTriple(snapshot.select("entity", "value", "ts")
+      .unionByName(updates.select("entity", "value", "ts")))
+
   /** M3/S11: chunk addressing for parallel export.
     *
     * Exact reference semantics (global contiguous row_number —
