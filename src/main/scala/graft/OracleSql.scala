@@ -150,6 +150,16 @@ object OracleSql {
          |SELECT COALESCE(ab.entity, c.entity) AS entity, f_click, f_bal, f_orders
          |FROM ab FULL OUTER JOIN c ON ab.entity = c.entity""".stripMargin,
 
+    "merge_upsert" ->
+      s"""WITH $EV,
+         |snap AS (
+         |  SELECT user_id AS entity, value, ts FROM ev WHERE event_id < 500
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1),
+         |upd AS (SELECT user_id AS entity, value, ts FROM ev WHERE event_id >= 500),
+         |unioned AS (SELECT * FROM snap UNION ALL SELECT * FROM upd)
+         |SELECT entity, value, epoch_ms(ts) AS ts_ms FROM unioned
+         |QUALIFY row_number() OVER (PARTITION BY entity ORDER BY ts DESC, value DESC) = 1""".stripMargin,
+
     "train_test_split" ->
       """SELECT event_id, user_id, value,
         |  CASE WHEN substr(md5(concat_ws('|', CAST(event_id AS VARCHAR), '42')), 1, 8) < '40000000'
@@ -169,17 +179,28 @@ object OracleSql {
            |  SELECT doc_id, text,
            |    CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
            |    CAST(len(list_filter($TOKS_LOWER, t -> list_contains($EN, t))) AS BIGINT) AS n_hits
-           |  FROM documents)
+           |  FROM documents),
+           |ratios AS (
+           |  SELECT doc_id, text, n_tokens,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS alpha_r,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) END AS digit_r,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END AS punct_r,
+           |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_hits * 1.0 / n_tokens END AS stop_r
+           |  FROM base)
            |SELECT doc_id,
            |  CAST(length(text) AS BIGINT) AS n_chars2,
            |  n_tokens,
            |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
-           |  round(CASE WHEN length(text) = 0 THEN 0.0
-           |    ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END, 6) AS alpha_ratio,
-           |  round(CASE WHEN length(text) = 0 THEN 0.0
-           |    ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) END, 6) AS digit_ratio,
-           |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_hits * 1.0 / n_tokens END, 6) AS stopword_ratio
-           |FROM base""".stripMargin,
+           |  round(alpha_r, 6) AS alpha_ratio,
+           |  round(digit_r, 6) AS digit_ratio,
+           |  round(stop_r, 6) AS stopword_ratio,
+           |  round(least(length(text) * 1.0 / 500.0, 1.0) * 0.25 + alpha_r * 0.35 +
+           |    least(stop_r * 4.0, 1.0) * 0.2 +
+           |    greatest(0.0, 1.0 - punct_r * 5.0) * 0.2, 6) AS quality
+           |FROM ratios""".stripMargin,
 
     "lang_id" ->
       raw"""WITH d AS (

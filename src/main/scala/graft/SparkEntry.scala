@@ -166,6 +166,19 @@ object SparkEntry {
         col("f_supp_bal"), col("f_part_price"), col("label"))
   }
 
+  /** K6 MERGE-upsert: fold the "new" half of the event stream into a snapshot
+    * built from the "old" half; entities untouched by updates keep their row. */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id").as("entity"), col("value"), col("ts"), col("event_id"))
+    val half = 500 // event_id < 500 exists at every sf
+    val snap = Materialize.latestTriple(
+      ev.filter(col("event_id") < half).select("entity", "value", "ts"))
+    val updates = ev.filter(col("event_id") >= half).select("entity", "value", "ts")
+    Materialize.upsert(snap, updates)
+      .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+  }
+
   // ------------------------------------------------------------ B: batch join
 
   private def batchFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -215,7 +228,8 @@ object SparkEntry {
       TF.subwordCount(col("text")).cast("long").as("n_subwords"),
       round(TF.alphaRatio(col("text")), 6).as("alpha_ratio"),
       round(TF.digitRatio(col("text")), 6).as("digit_ratio"),
-      round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      TF.qualityScore(col("text")).as("quality"))
   }
 
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
@@ -261,6 +275,7 @@ object SparkEntry {
     "pit_no_label_ts"   -> (pitNoLabelTs _),
     "pit_lag"           -> (pitLag _),
     "pit_multi_entity"  -> (pitMultiEntity _),
+    "merge_upsert"      -> (mergeUpsert _),
     "batch_features"    -> (batchFeatures _),
     "train_test_split"  -> (trainTestSplit _),
     "dedup_exact"       -> (dedupExact _),

@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product, accumulated in double. */
+  /** Dot product, accumulated sequentially in double (custom expression —
+    * allocation-free; identical arithmetic to the zip_with/aggregate fold
+    * and to the DuckDB oracle's list_dot_product over DOUBLE[]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,11 +38,15 @@ object Vectors {
   def annTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int): DataFrame = {
+    // norms precomputed per side (once per row, not per pair); cosine per
+    // pair is then a single dot + two multiplies — same arithmetic order as
+    // dot/(sqrt(aa)*sqrt(bb)), so oracle-identical.
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("__qv")))
-    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("__cv"), norm(col(corpusVec)).as("__cn"))
       .crossJoin(q)
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
