@@ -55,6 +55,64 @@ object Vectors {
         round(col("cosine"), 6).as("cosine"), col("__rn").cast("long").as("rank"))
   }
 
+  /** IVF-style approximate top-k — the scale path for corpus sizes where the
+    * brute-force cross join is too wide. Classic inverted-file search
+    * (Jégou et al. 2011) re-expressed relationally:
+    *
+    *  1. `nlist` centroids picked deterministically from the corpus itself
+    *     (every ⌈n/nlist⌉-th vector by id — data-dependent like a k-means
+    *     init, reproducible, no RNG state);
+    *  2. one corpus pass assigns each vector to its nearest centroid
+    *     (broadcast centroids, argmax cosine) → the inverted lists;
+    *  3. each query probes its `nprobe` nearest cells; scoring joins only
+    *     those cells' vectors — a broadcast-equi-join on cell id, so the
+    *     scan is ~nprobe/nlist of the corpus instead of all of it.
+    *
+    * Returns the same schema as [[annTopK]]. Recall depends on
+    * (nlist, nprobe); the spec checks it against the exact baseline. */
+  def annTopKIVF(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cv"),
+      norm(col(corpusVec)).as("__cn"))
+    // 1. deterministic centroid sample: the nlist corpus vectors with the
+    // smallest id-hashes — orderBy+limit plans as TakeOrderedAndProject
+    // (distributed partial top-k, no global sort), and the hash makes the
+    // pick uniform over the corpus rather than id-locality-biased.
+    val centroids = broadcast(
+      c.orderBy(xxhash64(col("__cid")).asc)
+        .limit(nlist)
+        .select(col("__cid").as("cent_id"), col("__cv").as("cent_v"),
+          col("__cn").as("cent_n")))
+    // 2. assign corpus vectors to nearest centroid
+    val wAssign = Window.partitionBy(col("__cid"))
+      .orderBy(col("__sim").desc, col("cent_id").asc)
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__sim", dot(col("__cv"), col("cent_v")) / (col("__cn") * col("cent_n")))
+      .withColumn("__r", row_number().over(wAssign))
+      .filter(col("__r") === 1)
+      .select(col("cent_id").as("cell"), col("__cid"), col("__cv"), col("__cn"))
+    // 3. queries probe their nprobe nearest cells
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      norm(col(queryVec)).as("__qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("cent_id").asc)
+    val probes = q.crossJoin(centroids)
+      .withColumn("__sim", dot(col("__qv"), col("cent_v")) / (col("__qn") * col("cent_n")))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes).join(assigned, Seq("cell"))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .select(col("query_id"), col("__cid").as("neighbor_id"), col("cosine"))
+      .withColumn("__rn", row_number().over(wRank))
+      .where(col("__rn") <= k && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("__rn").cast("long").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane `p`, dim `i` ∈
     * uniform[-1, 1), derived from xxhash64 — no RNG state, reproducible on any
     * cluster. */

@@ -135,3 +135,29 @@ class VectorsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 }
+
+class IvfSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("IVF top-k: high recall vs exact brute force, correct ranking") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Vectors.annTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Vectors.annTopKIVF(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nlist = 8, nprobe = 4)
+      .collect()
+    // per-query ranking is consistent
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+    val ivfPairs = ivf.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ivfPairs & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall") // nprobe=4 of nlist=8 -> ~half the corpus scanned
+    assert(ivfPairs.subsetOf(ivfPairs)) // sanity
+  }
+}

@@ -61,3 +61,30 @@ class StreamingSpec extends SparkSpec {
     assert(dirs3.isEmpty && df3.isEmpty)
   }
 }
+
+class IncrementalRunnerSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("refreshLatest folds only new version dirs into the snapshot") {
+    val events = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    val snap = java.nio.file.Files.createTempDirectory("graft-sn").toString
+    graft.sources.Writers.writeVersioned(
+      Seq((1L, 10.0, ts(100)), (2L, 20.0, ts(100))).toDF("entity", "value", "ts"), events)
+    val v1 = IncrementalRunner.refreshLatest(spark, events, snap)
+    assert(v1.isDefined)
+    assert(graft.sources.Writers.readLatest(spark, snap).count() == 2)
+    // no new data -> no-op
+    assert(IncrementalRunner.refreshLatest(spark, events, snap).isEmpty)
+    // append a delta: newer value for 1, new entity 3
+    Thread.sleep(5)
+    graft.sources.Writers.writeVersioned(
+      Seq((1L, 11.0, ts(200)), (3L, 30.0, ts(100))).toDF("entity", "value", "ts"), events)
+    val v2 = IncrementalRunner.refreshLatest(spark, events, snap)
+    assert(v2.isDefined && v2 != v1)
+    val got = graft.sources.Writers.readLatest(spark, snap)
+      .select("entity", "value").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+  }
+}
