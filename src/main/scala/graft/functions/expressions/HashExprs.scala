@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -31,7 +31,14 @@ import org.apache.spark.sql.types._
   * Measured ~40× over the array formulation (18.5 s → sub-second for 5k docs).
   */
 final case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  // call-out codegen: the loop stays in compiled Scala, the surrounding
+  // stage keeps whole-stage codegen (CodegenFallback would disable it).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -42,8 +49,11 @@ final case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
   private lazy val bs: Array[Long] =
     Array.tabulate(numHashes)(p => XXH64.hashLong(2L * p + 1, 0xC2B2AE3D27D4EB4FL))
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Public entry point used by both interpreted eval and generated code. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val n = s.numBytes
@@ -73,13 +83,20 @@ final case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
   * each element-hash's bit b; output bit set iff the sum is positive.
   * Element hash = xxhash64(element, seed=42) — same as Spark's `xxhash64`. */
 final case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  def compute(arr: ArrayData): Long = {
     val counters = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -101,7 +118,7 @@ final case class SimHash64(child: Expression)
       if (counters(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
@@ -126,7 +143,12 @@ object HashExprs {
   * verification stage behind MinHash LSH candidates.
   */
 final case class KgramJaccard(left: Expression, right: Expression, shingleK: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kgramJaccard", this, classOf[KgramJaccard].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kgram_jaccard"
@@ -151,10 +173,16 @@ final case class KgramJaccard(left: Expression, right: Expression, shingleK: Int
     if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = kgramSet(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-    val sb = kgramSet(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-    if (sa.isEmpty && sb.isEmpty) return java.lang.Double.valueOf(1.0)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  def compute(a: org.apache.spark.unsafe.types.UTF8String,
+              b: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val sa = kgramSet(a)
+    val sb = kgramSet(b)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
     var i = 0; var j = 0; var inter = 0
     while (i < sa.length && j < sb.length) {
       if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
@@ -162,7 +190,7 @@ final case class KgramJaccard(left: Expression, right: Expression, shingleK: Int
       else j += 1
     }
     val union = sa.length + sb.length - inter
-    java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+    if (union == 0) 1.0 else inter.toDouble / union
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KgramJaccard =
