@@ -59,6 +59,32 @@ object OracleSql {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name""".stripMargin,
 
+    "q_rollup" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM orders""".stripMargin,
+
+    "q_clicks_no_purchase" ->
+      s"""WITH $EV
+         |SELECT user_id, CAST(ts AS DATE) AS day FROM ev WHERE event_type = 'click'
+         |EXCEPT
+         |SELECT user_id, CAST(ts AS DATE) AS day FROM ev WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_exists_semi" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+
     "feat_latest_ts" ->
       s"""WITH $EV
          |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev

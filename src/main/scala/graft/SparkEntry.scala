@@ -86,6 +86,45 @@ object SparkEntry {
     cat.resolve(ResourceId("by_nation"))
   }
 
+  // T1 passthrough breadth: the full SparkSQL surface is the transformation
+  // language — rollup, window frames, set ops, correlated subqueries.
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s,
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM {{orders}} o
+        |JOIN {{customer}} c ON o.o_custkey = c.c_custkey
+        |JOIN {{nation}} n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin,
+      Map(ResourceId("orders") -> t(s, dir, "orders"),
+        ResourceId("customer") -> t(s, dir, "customer"),
+        ResourceId("nation") -> t(s, dir, "nation")))
+
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM {{orders}}""".stripMargin,
+      Map(ResourceId("orders") -> t(s, dir, "orders")))
+
+  private def qClicksNoPurchase(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s,
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM {{events}} WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) AS day FROM {{events}} WHERE event_type = 'purchase'""".stripMargin,
+      Map(ResourceId("events") -> events(s, dir)))
+
+  private def qExistsSemi(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s,
+      """SELECT c_custkey, c_acctbal FROM {{customer}} c
+        |WHERE EXISTS (SELECT 1 FROM {{orders}} o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+      Map(ResourceId("customer") -> t(s, dir, "customer"),
+        ResourceId("orders") -> t(s, dir, "orders")))
+
   // ------------------------------------------------------- M: materialization
 
   private def featLatestTs(s: SparkSession, dir: String): DataFrame =
@@ -268,6 +307,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
+    "q_rollup"          -> (qRollup _),
+    "q_window_running"  -> (qWindowRunning _),
+    "q_clicks_no_purchase" -> (qClicksNoPurchase _),
+    "q_exists_semi"     -> (qExistsSemi _),
     "feat_latest_ts"    -> (featLatestTs _),
     "feat_latest_no_ts" -> (featLatestNoTs _),
     "chunked_export"    -> (chunkedExport _),
