@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.expressions.{FloatVectorDot, KgramJaccard, MinHashSig, SimHash64}
+
+/** SQL registration of the engine's custom expressions, so SQL
+  * transformations (T1) can call them alongside the built-in library —
+  * the reference's "full engine SQL surface" contract extended with our
+  * additions (SURVEY.md §2.10).
+  *
+  * Usage in SQL after `Registry.registerAll(spark)`:
+  * {{{
+  *   SELECT minhash_sig(text, 5, 64), simhash64(tokens),
+  *          kgram_jaccard(a, b, 5), fvec_dot(v1, v2) ...
+  * }}}
+  */
+object Registry {
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig", exprs => {
+      require(exprs.length == 3, "minhash_sig(text, shingleK, numHashes)")
+      MinHashSig(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", exprs => {
+      require(exprs.length == 1, "simhash64(array<string>)")
+      SimHash64(exprs.head)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("kgram_jaccard", exprs => {
+      require(exprs.length == 3, "kgram_jaccard(a, b, shingleK)")
+      KgramJaccard(exprs.head, exprs(1), intLit(exprs(2)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("fvec_dot", exprs => {
+      require(exprs.length == 2, "fvec_dot(a, b)")
+      FloatVectorDot(exprs.head, exprs(1))
+    }, "scala_udf")
+  }
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal, got $other")
+    }
+}

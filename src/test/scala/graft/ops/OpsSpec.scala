@@ -145,3 +145,40 @@ class BatchJoinSpec extends SparkSpec {
     assert(got(0).isNullAt(2) && got(2).isNullAt(1)) // NULL padding both sides
   }
 }
+
+class SkewSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // hot key: 90% of rows share key 1
+    val large = (Seq.fill(900)(1L) ++ (2L to 101L)).zipWithIndex
+      .map { case (k, i) => (k, i.toDouble) }.toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "a"), (50L, "b"), (999L, "miss"))
+      .toDF("k", "name")
+    val plain = large.join(dim, Seq("k"), "inner")
+    val salted = Skew.saltedJoin(large, dim, "k", buckets = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "v", "name").except(plain.select("k", "v", "name")).count() == 0)
+    assert(plain.select("k", "v", "name").except(salted.select("k", "v", "name")).count() == 0)
+  }
+}
+
+class RegistrySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions callable from SQL") {
+    graft.functions.Registry.registerAll(spark)
+    Seq(("hello world hello", "hello world")).toDF("a", "b")
+      .createOrReplaceTempView("reg_test")
+    val r = spark.sql(
+      """SELECT kgram_jaccard(a, a, 3) AS self_sim,
+        |       simhash64(split(a, ' ')) AS sh,
+        |       minhash_sig(a, 5, 16) AS sig,
+        |       fvec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot
+        |FROM reg_test""".stripMargin).collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getSeq[Long](2).length == 16)
+    assert(r.getDouble(3) == 11.0)
+  }
+}
