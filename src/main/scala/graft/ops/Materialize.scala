@@ -81,9 +81,35 @@ object Materialize {
   def withHashChunk(df: DataFrame, entity: String, nChunks: Int): DataFrame =
     df.withColumn("chunk_id", pmod(xxhash64(col(entity)), lit(nChunks)))
 
-  /** Reference-exact global row numbering (small/medium exports only). */
+  /** Reference-exact global row numbering (small/medium exports only —
+    * the empty-partition window collapses to one task). */
   def withGlobalRowNumber(df: DataFrame, orderBy: Seq[Column]): DataFrame =
     df.withColumn("row_number", row_number().over(Window.orderBy(orderBy: _*)))
+
+  /** Distributed global row numbering — the scale path for M3 chunk
+    * addressing. `repartitionByRange` gives a total order across partitions
+    * (range exchange, fully parallel), `sortWithinPartitions` orders inside,
+    * and a zipWithIndex-style two-pass (per-partition counts → offsets)
+    * assigns contiguous 1-based ids with no single-partition stage. Ties in
+    * `orderCols` get an arbitrary-but-stable order within equal keys (make
+    * the ordering total for full determinism). */
+  def withDistributedRowNumber(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema
+    // .copy(): toRdd yields buffer-reused UnsafeRows
+    val rdd = sorted.queryExecution.toRdd.map(_.copy()).zipWithIndex()
+      .map { case (row, idx) =>
+        val out = new Array[Any](schema.length + 1)
+        var i = 0
+        while (i < schema.length) { out(i) = row.get(i, schema(i).dataType); i += 1 }
+        out(schema.length) = idx + 1
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(out.toIndexedSeq)
+      }
+    val outSchema = schema.add("row_number", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    org.apache.spark.sql.graft.ColumnBridge.internalCreateDataFrame(
+      df.sparkSession, rdd, outSchema)
+  }
 
   def chunkSlice(numbered: DataFrame, lo: Long, hi: Long): DataFrame =
     numbered.where(col("row_number") > lo && col("row_number") <= hi)

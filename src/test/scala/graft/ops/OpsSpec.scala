@@ -182,3 +182,18 @@ class RegistrySpec extends graft.SparkSpec {
     assert(r.getDouble(3) == 11.0)
   }
 }
+
+class DistributedRowNumberSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("distributed row numbering matches the window form") {
+    val df = Seq.tabulate(500)(i => ((i * 37) % 500L, i.toDouble))
+      .toDF("entity", "value")
+    val viaWindow = Materialize.withGlobalRowNumber(df, Seq(col("entity").asc))
+      .select($"entity", $"row_number".cast("long")).as[(Long, Long)].collect().toMap
+    val viaDist = Materialize.withDistributedRowNumber(df, Seq(col("entity")))
+      .select($"entity", $"row_number").as[(Long, Long)].collect().toMap
+    assert(viaDist == viaWindow)
+    assert(viaDist.values.toSeq.sorted == (1L to 500L))
+  }
+}
