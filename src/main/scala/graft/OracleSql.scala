@@ -80,6 +80,12 @@ object OracleSql {
          |EXCEPT
          |SELECT user_id, CAST(ts AS DATE) AS day FROM ev WHERE event_type = 'purchase'""".stripMargin,
 
+    "q_top_per_segment" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
+
     "q_exists_semi" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

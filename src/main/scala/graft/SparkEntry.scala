@@ -125,6 +125,17 @@ object SparkEntry {
       Map(ResourceId("customer") -> t(s, dir, "customer"),
         ResourceId("orders") -> t(s, dir, "orders")))
 
+  private def qTopPerSegment(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s,
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM {{orders}} o JOIN {{customer}} c ON o.o_custkey = c.c_custkey)
+        |WHERE rn <= 3""".stripMargin,
+      Map(ResourceId("orders") -> t(s, dir, "orders"),
+        ResourceId("customer") -> t(s, dir, "customer")))
+
   // ------------------------------------------------------- M: materialization
 
   private def featLatestTs(s: SparkSession, dir: String): DataFrame =
@@ -311,6 +322,7 @@ object SparkEntry {
     "q_window_running"  -> (qWindowRunning _),
     "q_clicks_no_purchase" -> (qClicksNoPurchase _),
     "q_exists_semi"     -> (qExistsSemi _),
+    "q_top_per_segment" -> (qTopPerSegment _),
     "feat_latest_ts"    -> (featLatestTs _),
     "feat_latest_no_ts" -> (featLatestNoTs _),
     "chunked_export"    -> (chunkedExport _),

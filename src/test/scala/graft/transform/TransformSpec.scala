@@ -89,3 +89,25 @@ class WritersSpec extends SparkSpec {
     assert(ptr == v2)
   }
 }
+
+class DailyPartitionSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.catalog.DailyPartition
+  import java.sql.Timestamp
+
+  test("K5 date-partitioned versioned write round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dp").toString
+    val df = Seq(
+      (1L, 1.0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 2.0, Timestamp.valueOf("2024-01-02 11:00:00")),
+      (3L, 3.0, Timestamp.valueOf("2024-01-02 12:00:00"))
+    ).toDF("entity", "value", "ts")
+    val out = graft.sources.Writers.writeVersioned(df, dir, Some(DailyPartition("ts")))
+    // partition dirs by date exist
+    val sub = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("__date="))
+    assert(sub.toSet == Set("__date=2024-01-01", "__date=2024-01-02"))
+    val back = graft.sources.Writers.readLatest(spark, dir)
+    assert(back.count() == 3)
+    assert(back.columns.contains("__date"))
+  }
+}
