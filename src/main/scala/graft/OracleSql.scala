@@ -257,6 +257,41 @@ object OracleSql {
            |       ELSE 'fr' END AS pred_lang
            |FROM s""".stripMargin,
 
+    "corpus_clean" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, text,
+           |    CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
+           |    list_distinct($TOKS_LOWER) AS dtoks,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) * 1.0 / length(text) END AS cjk,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS alpha_r,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END AS punct_r,
+           |    CAST(len(list_filter($TOKS_LOWER, t -> list_contains($EN, t))) AS BIGINT) AS en_hits
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, text, n_tokens,
+           |    round(least(length(text) * 1.0 / 500.0, 1.0) * 0.25 + alpha_r * 0.35 +
+           |      least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE en_hits * 1.0 / n_tokens END) * 4.0, 1.0) * 0.2 +
+           |      greatest(0.0, 1.0 - punct_r * 5.0) * 0.2, 6) AS quality,
+           |    CASE WHEN cjk >= 0.2 THEN 'zh'
+           |         WHEN len(list_intersect(dtoks, $EN)) = 0 AND len(list_intersect(dtoks, $DE)) = 0
+           |          AND len(list_intersect(dtoks, $ES)) = 0 AND len(list_intersect(dtoks, $FR)) = 0 THEN 'und'
+           |         WHEN len(list_intersect(dtoks, $EN)) >= len(list_intersect(dtoks, $DE))
+           |          AND len(list_intersect(dtoks, $EN)) >= len(list_intersect(dtoks, $ES))
+           |          AND len(list_intersect(dtoks, $FR)) <= len(list_intersect(dtoks, $EN)) THEN 'en'
+           |         WHEN len(list_intersect(dtoks, $DE)) >= len(list_intersect(dtoks, $ES))
+           |          AND len(list_intersect(dtoks, $DE)) >= len(list_intersect(dtoks, $FR)) THEN 'de'
+           |         WHEN len(list_intersect(dtoks, $ES)) >= len(list_intersect(dtoks, $FR)) THEN 'es'
+           |         ELSE 'fr' END AS pred_lang
+           |  FROM d),
+           |kept AS (
+           |  SELECT doc_id, text, n_tokens FROM scored
+           |  WHERE quality >= 0.5 AND pred_lang = 'en')
+           |SELECT doc_id, md5($NORM_TEXT) AS fp, n_tokens FROM kept
+           |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin,
+
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -282,6 +282,17 @@ object SparkEntry {
       TF.qualityScore(col("text")).as("quality"))
   }
 
+  /** The 100 TB use-case in one pipeline: quality-gate the corpus, keep one
+    * language, drop exact duplicates — all scan-stage expressions plus one
+    * digest-keyed dedup shuffle. */
+  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .where(TF.qualityScore(col("text")) >= 0.5 && TF.langId(col("text")) === "en")
+    Dedup.exact(docs, "text", "doc_id")
+      .select(col("doc_id"), TF.fingerprintMd5(col("text")).as("fp"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TF.langId(col("text")).as("pred_lang"))
@@ -338,6 +349,7 @@ object SparkEntry {
     "simhash_fingerprint" -> (simhashFingerprint _),
     "text_stats"        -> (textStats _),
     "lang_id"           -> (langIdQ _),
+    "corpus_clean"      -> (corpusClean _),
     "ann_topk"          -> (annTopK _),
     "minhash_near_dups" -> (minhashNearDups _),
     "simhash_near_dups" -> (simhashNearDups _),
