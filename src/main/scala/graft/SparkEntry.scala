@@ -268,7 +268,8 @@ object SparkEntry {
     * covered rows-only + by ScalaTest. */
   private def simhashFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-      Dedup.simhash64(col("text")).as("simhash"))
+      Dedup.simhash64(col("text")).as("simhash"),
+      Dedup.winnowFingerprints(col("text")).as("winnow_fps"))
 
   private def textStats(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")

@@ -66,12 +66,12 @@ object Dedup {
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // persist = optimizer barrier: MinHashSig is CodegenFallback (no
-    // subexpression elimination), and CollapseProject would otherwise inline
-    // one copy per band key per join leg (~17 evals/row — measured 35 s vs
-    // 2 s for the signatures themselves at 5k docs). The cached table is
-    // id + 64 longs — ~600 B/row, negligible at any doc count that fits a
-    // cluster's aggregate memory; spills to disk otherwise.
+    // persist = optimizer barrier: CollapseProject would otherwise inline
+    // the signature expression once per band key per join leg (~17 evals/row
+    // — measured 35 s vs 2 s for the signatures themselves at 5k docs before
+    // this barrier), and the table feeds BOTH self-join legs. id + 64 longs
+    // — ~600 B/row, negligible at any doc count that fits a cluster's
+    // aggregate memory; spills to disk otherwise.
     val sigs = df.select(
       col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleK, numHashes).as("__sig"))
@@ -124,6 +124,12 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- simhash
+
+  /** Winnowing fingerprints over normalized text (rolling window-min of
+    * k-gram hashes — [[graft.functions.expressions.WinnowFingerprint]]). */
+  def winnowFingerprints(text: Column, shingleK: Int = 5, window: Int = 8): Column =
+    graft.functions.expressions.HashExprs.winnowFingerprint(
+      TextFunctions.normalizedText(text), shingleK, window)
 
   /** 64-bit SimHash over whitespace tokens (Charikar 2002) — custom Catalyst
     * expression ([[graft.functions.expressions.SimHash64]]). */

@@ -134,6 +134,9 @@ object HashExprs {
   def kgramJaccard(a: Column, b: Column, shingleK: Int): Column =
     ColumnBridge.column(KgramJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b), shingleK))
+  def winnowFingerprint(text: Column, shingleK: Int, window: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(
+      ColumnBridge.expression(text), shingleK, window))
 }
 
 /** Exact Jaccard similarity of the byte k-gram sets of two strings.
@@ -195,4 +198,60 @@ final case class KgramJaccard(left: Expression, right: Expression, shingleK: Int
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KgramJaccard =
     copy(left = l, right = r)
+}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+  * the MOSS local fingerprinting scheme). Hash every byte k-gram of the
+  * (caller-normalized) string, slide a window of `window` hashes, keep the
+  * window minimum (rightmost on ties, per the paper), emit the distinct
+  * selected hashes in first-seen order. Any two documents sharing a
+  * substring of length ≥ window + k - 1 are guaranteed to share a
+  * fingerprint — the standard plagiarism/near-dup primitive.
+  */
+final case class WinnowFingerprint(child: Expression, shingleK: Int, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val n = s.numBytes
+    if (n < shingleK) return new GenericArrayData(Array.emptyLongArray)
+    val m = n - shingleK + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hashes(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + i, shingleK, 42L)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var start = 0
+    while (start <= m - math.min(window, m)) {
+      val end = math.min(start + window, m)
+      var minIdx = start
+      var j = start + 1
+      while (j < end) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      out.add(hashes(minIdx))
+      start += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var w = 0
+    while (it.hasNext) { arr(w) = it.next(); w += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
 }

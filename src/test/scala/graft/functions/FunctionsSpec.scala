@@ -87,6 +87,20 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 10)
   }
 
+  test("winnowing: identical docs share all fingerprints, shared substrings overlap") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "a completely different sentence that still mentions the lazy dog near the river"),
+      (4L, "zzz qqq xxx vvv www uuu ttt sss rrr")
+    ).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", Dedup.winnowFingerprints($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    assert((fps(1L) & fps(3L)).nonEmpty)   // shared "the lazy dog near the river"
+    assert((fps(1L) & fps(4L)).isEmpty)
+  }
+
   test("ngramJaccard computes exact overlap for explicit pairs") {
     val docs = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("idA", "idB")
