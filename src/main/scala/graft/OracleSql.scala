@@ -33,6 +33,135 @@ object OracleSql {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // ----------------------------------------------------------- sketch oracles
+  // The sketches hash with md5 (Md5Hash64 ≡ DuckDB md5_number_lower) and
+  // shingle by CHARACTER (≡ substr), so the FULL LSH pipelines — signatures,
+  // band bucketing, candidate pairs, exact verify — are recomputed here
+  // bit-for-bit. Scala `(x * y) & Long.MaxValue` ≡ HUGEINT `(x * y) % 2^63`.
+
+  /** 2^63 — DuckDB parses it as HUGEINT/UBIGINT. */
+  private val M63 = "9223372036854775808"
+
+  /** 63-bit md5 hash of a VARCHAR expression ≡ Md5Hash64.lowerMasked. */
+  private def mh63(x: String): String =
+    s"CAST(md5_number_lower($x) % $M63 AS BIGINT)"
+
+  /** Unsigned literal for bit b of a 64-bit word. */
+  private def bitLit(b: Int): String =
+    if (b == 63) M63 else (1L << b).toString
+
+  /** MinHash LSH near-dups, full-pipeline replica of Dedup.minhashNearDups
+    * (shingleK=5, numHashes=64, bands=16×4, threshold=0.5). Note: docs with
+    * fewer than 5 chars would be absent from `sigs` (Spark gives them an
+    * all-MaxValue signature); testdata minimum normalized length is 44, so
+    * the case is unreachable here. */
+  private def minhashNearDupsSql: String = {
+    val numHashes = 64
+    val bands = 16
+    val rpb = 4
+    val minAgree = math.ceil((0.5 - 0.15) * numHashes).toInt // ≡ Dedup's filter
+    val minExprs = (0 until numHashes).map { p =>
+      val a = graft.functions.expressions.MinHashConstants.a(p)
+      val b = graft.functions.expressions.MinHashConstants.b(p)
+      s"CAST(min(((CAST($a AS HUGEINT) * h) % $M63 + $b) % $M63) AS BIGINT) AS s$p"
+    }.mkString(",\n    ")
+    val sigList = (0 until numHashes).map(p => s"s$p").mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val bk = (0 until rpb).map(r => s"s${b * rpb + r}").mkString("[", ", ", "]")
+      s"SELECT doc_id, $b AS b, $bk AS bk FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents),
+       |pos AS (SELECT doc_id, nt, unnest(generate_series(1, greatest(length(nt) - 4, 0))) AS i FROM d),
+       |sh AS (SELECT doc_id, ${mh63("substr(nt, i, 5)")} AS h FROM pos),
+       |sigs AS (SELECT doc_id,
+       |    $minExprs
+       |  FROM sh GROUP BY doc_id),
+       |sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS idA, y.doc_id AS idB
+       |  FROM banded x JOIN banded y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |est AS (SELECT c.idA, c.idB FROM cand c
+       |  JOIN sigl sa ON c.idA = sa.doc_id JOIN sigl sb ON c.idB = sb.doc_id
+       |  WHERE list_sum(list_transform(generate_series(1, $numHashes),
+       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= $minAgree),
+       |kg AS (SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(length(nt) - 4, 0)), i -> substr(nt, i, 5))) AS ks FROM d),
+       |j AS (SELECT e.idA, e.idB, len(list_intersect(ka.ks, kb.ks)) AS inter,
+       |    len(ka.ks) AS na, len(kb.ks) AS nb
+       |  FROM est e JOIN kg ka ON e.idA = ka.doc_id JOIN kg kb ON e.idB = kb.doc_id)
+       |SELECT idA, idB, round(inter / (na + nb - inter), 6) AS jaccard
+       |FROM j WHERE inter / (na + nb - inter) >= 0.5""".stripMargin
+  }
+
+  /** 64-bit SimHash per doc ≡ SimHash64: per bit, ±1 votes over
+    * md5_number_lower of each raw whitespace token; bit set iff sum > 0.
+    * Returns CTE text ending with `sims(doc_id, h UBIGINT)` (0 for docs
+    * with no tokens, matching the Scala fold over an empty array). */
+  private def simhashCtes: String = {
+    val bitVotes = (0 until 64).map { b =>
+      s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${bitLit(b)} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""tok AS (SELECT doc_id, unnest($TOKS_RAW) AS t FROM documents),
+       |th AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+       |sv AS (SELECT doc_id,
+       |    $bitVotes
+       |  AS simsum FROM th GROUP BY doc_id),
+       |sims AS (SELECT d0.doc_id, CAST(COALESCE(sv.simsum, 0) AS UBIGINT) AS h
+       |  FROM documents d0 LEFT JOIN sv ON d0.doc_id = sv.doc_id)""".stripMargin
+  }
+
+  /** SimHash near-dups, full-pipeline replica of Dedup.simhashNearDups
+    * (quarter-bucket candidates, Hamming ≤ 6 verify). */
+  private def simhashNearDupsSql: String =
+    s"""WITH $simhashCtes,
+       |qk AS (SELECT doc_id, h, qi, CAST((h >> (qi * 16)) & 65535 AS BIGINT) AS qv
+       |  FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS qi FROM sims)),
+       |cand AS (SELECT DISTINCT x.doc_id AS idA, y.doc_id AS idB, x.h AS ha, y.h AS hb
+       |  FROM qk x JOIN qk y ON x.qi = y.qi AND x.qv = y.qv AND x.doc_id < y.doc_id)
+       |SELECT idA, idB, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin
+
+  /** SimHash value (unsigned-decimal string) + winnowing fingerprint digest
+    * (md5 of sorted comma-joined 63-bit window-min hashes; k=5, window=8). */
+  private def simhashFingerprintSql: String =
+    s"""WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents),
+       |$simhashCtes,
+       |pos AS (SELECT doc_id, nt, greatest(length(nt) - 4, 0) AS m,
+       |    unnest(generate_series(1, greatest(length(nt) - 4, 0))) AS i FROM d),
+       |wh AS (SELECT doc_id, m, i, ${mh63("substr(nt, i, 5)")} AS h FROM pos),
+       |wm AS (SELECT doc_id, m, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh FROM wh),
+       |sel AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= greatest(m - 8, 0) + 1),
+       |dig AS (SELECT doc_id, md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY mh)) AS wd
+       |  FROM sel GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(s.h AS VARCHAR) AS simhash,
+       |  COALESCE(dig.wd, md5('')) AS winnow_digest
+       |FROM sims s LEFT JOIN dig ON s.doc_id = dig.doc_id""".stripMargin
+
+  /** Hyperplane-LSH cosine near-dups, full-pipeline replica of
+    * Vectors.cosineNearDups (16 planes, signature-half buckets, cosine ≥ 0.4
+    * verify). Plane components from md5("p|i") ≡ Vectors.planeComponent. */
+  private def cosineNearDupsSql: String = {
+    val comp = s"((${mh63("CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)")} % 2000001) - 1000000) / 1000000.0"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ep AS (SELECT vec_id, v, unnest(generate_series(0, 15)) AS p FROM e),
+       |bits AS (SELECT vec_id, CASE WHEN list_dot_product(v,
+       |    list_transform(generate_series(0, len(v) - 1), i -> $comp)) >= 0
+       |  THEN (1 << p) ELSE 0 END AS bit FROM ep),
+       |sigt AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
+       |sv AS (SELECT e.vec_id, e.v, sigt.sig FROM e JOIN sigt ON e.vec_id = sigt.vec_id),
+       |banded AS (
+       |  SELECT vec_id, v, 0 AS b, sig & 255 AS bv FROM sv
+       |  UNION ALL SELECT vec_id, v, 1 AS b, sig >> 8 AS bv FROM sv),
+       |cand AS (SELECT DISTINCT x.vec_id AS idA, y.vec_id AS idB, x.v AS va, y.v AS vb
+       |  FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
+       |c2 AS (SELECT idA, idB, list_dot_product(va, vb) /
+       |    (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cosine
+       |  FROM cand)
+       |SELECT idA, idB, round(cosine, 6) AS cosine FROM c2 WHERE cosine >= 0.4""".stripMargin
+  }
+
   private val EN = sqlList(graft.functions.TextFunctions.EnglishStopwords)
   private val DE = sqlList(graft.functions.TextFunctions.GermanStopwords)
   private val ES = sqlList(graft.functions.TextFunctions.SpanishStopwords)
@@ -309,5 +438,10 @@ object OracleSql {
 
     "source_preview" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id LIMIT 20",
+
+    "minhash_near_dups"   -> minhashNearDupsSql,
+    "simhash_near_dups"   -> simhashNearDupsSql,
+    "simhash_fingerprint" -> simhashFingerprintSql,
+    "cosine_near_dups"    -> cosineNearDupsSql,
   )
 }

@@ -154,7 +154,10 @@ object SparkEntry {
     val mat = Materialize.latest(
       events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts")),
       "entity", "value", Some("ts"))
-    val numbered = Materialize.withGlobalRowNumber(mat, Seq(col("entity").asc))
+    // scale path: range-exchange + zipWithIndex — contiguous global numbering
+    // with NO single-partition window (entity is unique post-latest, so the
+    // range order is total and the numbering deterministic)
+    val numbered = Materialize.withDistributedRowNumber(mat, Seq(col("entity")))
     Materialize.chunkSlice(numbered, 0, 100)
       .withColumn("chunk_id",
         ascii(substring(md5(col("entity").cast("string")), 1, 1)))
@@ -264,12 +267,17 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TF.fingerprintMd5(col("text")).as("fp"))
 
-  /** Rolling-hash (simhash) fingerprints — no portable oracle (xxhash64-based),
-    * covered rows-only + by ScalaTest. */
+  /** Document sketches, both md5-derived and fully oracle-checked: the 64-bit
+    * SimHash as an unsigned-decimal string (DuckDB recomputes the bit votes),
+    * and the winnowing fingerprint set reduced to an order-insensitive scalar
+    * digest (md5 of the sorted comma-joined values — scalar because the
+    * driver's pandas compare can't sort array columns). */
   private def simhashFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-      Dedup.simhash64(col("text")).as("simhash"),
-      Dedup.winnowFingerprints(col("text")).as("winnow_fps"))
+      conv(hex(Dedup.simhash64(col("text"))), 16, 10).as("simhash"),
+      md5(array_join(
+        transform(array_sort(Dedup.winnowFingerprints(col("text"))),
+          x => x.cast("string")), ",")).as("winnow_digest"))
 
   private def textStats(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")

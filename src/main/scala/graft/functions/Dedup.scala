@@ -84,12 +84,15 @@ object Dedup {
     // estimate BEFORE dropDuplicates: the filter runs streaming inside the
     // join stage, so the dedup shuffle carries only surviving (idA, idB)
     // pairs instead of every candidate with two 512 B signatures attached.
+    // Integer compare (# agreeing components >= minAgree) — no float
+    // boundary, bit-identical in the DuckDB oracle.
+    val minAgree = math.ceil((threshold - 0.15) * numHashes).toInt
     val estimated = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
-      .withColumn("__est",
+      .withColumn("__agree",
         aggregate(zip_with(col("__sa"), col("__sb"),
             (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
-      .where(col("__est") >= threshold - 0.15)
+          lit(0), (acc, x) => acc + x))
+      .where(col("__agree") >= minAgree)
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
 
@@ -152,7 +155,7 @@ object Dedup {
     val b = withH.select(col("__q"), col("__id").as("idB"), col("__h").as("__hb"))
     a.join(b, Seq("__q")).where(col("idA") < col("idB"))
       .dropDuplicates("idA", "idB")
-      .withColumn("hamming", hamming64(col("__ha"), col("__hb")))
+      .withColumn("hamming", hamming64(col("__ha"), col("__hb")).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("idA", "idB", "hamming")
   }

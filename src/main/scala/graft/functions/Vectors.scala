@@ -114,10 +114,14 @@ object Vectors {
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `p`, dim `i` ∈
-    * uniform[-1, 1), derived from xxhash64 — no RNG state, reproducible on any
-    * cluster. */
+    * uniform[-1, 1), derived from md5 of "p|i" — no RNG state, reproducible on
+    * any cluster AND in the DuckDB oracle
+    * (`(md5_number_lower(p || '|' || i) % 2^63) % 2000001 - 1000000) / 1e6`). */
   private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i), lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0
+    ((graft.functions.expressions.Md5Long(
+        concat(lit(s"$p|"), i.cast("string")))
+      .bitwiseAND(lit(Long.MaxValue)) % lit(2000001L)) - lit(1000000L))
+      .cast("double") / 1000000.0
 
   /** Random-hyperplane (SimHash-for-vectors) LSH signature: bit p = sign of
     * dot(v, plane_p). Computed in the scan projection. */

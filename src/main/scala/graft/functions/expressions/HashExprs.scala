@@ -14,19 +14,25 @@ import org.apache.spark.sql.types._
   * 500 docs); a single `Expression` evaluating a tight JVM loop over the
   * already-built array is ~1000× faster and still sits inside the scan
   * projection — per-row, shuffle-free, trivially parallel at any cluster size.
-  * Hashing reuses Spark's own XXH64 so results match `xxhash64()` semantics.
+  *
+  * Hash primitive: [[Md5Hash64]] (≡ DuckDB `md5_number_lower`), and shingles
+  * are CHARACTER windows (≡ SQL `substr`) — so every sketch value here is
+  * reproducible in the DuckDB oracle bit-for-bit, making the whole LSH
+  * pipeline (signatures → bands → candidates → verify) hash-checkable
+  * end-to-end, not just the final verify stage.
   */
 
-/** MinHash signature over the byte k-grams of the input STRING (already
+/** MinHash signature over the character k-grams of the input STRING (already
   * normalized by the caller). Two standard optimizations vs the naive
   * per-shingle × per-permutation form:
   *
-  *  1. shingles are hashed as sliding byte windows directly off the
-  *     UTF8String buffer — no substring/array materialization, and no
-  *     dedup (min over a multiset equals min over its set);
-  *  2. one xxhash64 per position, expanded to `numHashes` permutations by
-  *     universal hashing h_p = a_p·h + b_p (Broder-style permutation family;
-  *     a_p odd, constants derived deterministically from p via xxhash64).
+  *  1. shingles are hashed as sliding char windows directly off the UTF-8
+  *     buffer — no substring/array materialization, and no dedup (min over a
+  *     multiset equals min over its set);
+  *  2. one md5-hash per position, expanded to `numHashes` permutations by
+  *     universal hashing h_p = a_p·h + b_p mod 2^63 (Broder-style permutation
+  *     family; a_p odd, constants from [[MinHashConstants]] so the oracle can
+  *     inline them as literals).
   *
   * Measured ~40× over the array formulation (18.5 s → sub-second for 5k docs).
   */
@@ -43,29 +49,29 @@ final case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  // deterministic permutation constants (stable across JVMs/executors)
-  private lazy val as: Array[Long] =
-    Array.tabulate(numHashes)(p => XXH64.hashLong(2L * p, 0x9E3779B97F4A7C15L) | 1L)
-  private lazy val bs: Array[Long] =
-    Array.tabulate(numHashes)(p => XXH64.hashLong(2L * p + 1, 0xC2B2AE3D27D4EB4FL))
+  private lazy val as: Array[Long] = Array.tabulate(numHashes)(MinHashConstants.a)
+  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(MinHashConstants.b)
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   /** Public entry point used by both interpreted eval and generated code. */
   def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
-    val n = s.numBytes
+    val bytes = s.getBytes
+    val starts = Md5Hash64.charStarts(bytes, bytes.length)
+    val numChars = starts.length - 1
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    if (n >= shingleK) {
+    if (numChars >= shingleK) {
       var i = 0
-      val last = n - shingleK
+      val last = numChars - shingleK
       while (i <= last) {
-        val h = XXH64.hashUnsafeBytes(base, off + i, shingleK, 42L)
+        val from = starts(i)
+        val h = Md5Hash64.lowerMasked(bytes, from, starts(i + shingleK) - from)
         var p = 0
         while (p < numHashes) {
-          val hp = as(p) * h + bs(p)
+          // ((a·h mod 2^63) + b) mod 2^63: Long wraparound keeps the low 64
+          // bits, & MaxValue keeps the low 63 ≡ DuckDB HUGEINT % 2^63.
+          val hp = (((as(p) * h) & Long.MaxValue) + bs(p)) & Long.MaxValue
           if (hp < sig(p)) sig(p) = hp
           p += 1
         }
@@ -81,7 +87,7 @@ final case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
 
 /** 64-bit SimHash (Charikar 2002) over a string array: per bit b, sum ±1 of
   * each element-hash's bit b; output bit set iff the sum is positive.
-  * Element hash = xxhash64(element, seed=42) — same as Spark's `xxhash64`. */
+  * Element hash = [[Md5Hash64.lower]] ≡ DuckDB md5_number_lower(element). */
 final case class SimHash64(child: Expression)
     extends UnaryExpression {
 
@@ -103,7 +109,8 @@ final case class SimHash64(child: Expression)
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val b8 = s.getBytes
+        val h = Md5Hash64.lower(b8, 0, b8.length)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
@@ -139,11 +146,14 @@ object HashExprs {
       ColumnBridge.expression(text), shingleK, window))
 }
 
-/** Exact Jaccard similarity of the byte k-gram sets of two strings.
-  * K-grams are 64-bit xxhash64 values (collision probability negligible at
-  * corpus scale); sets are sorted long arrays merged in place — no boxed
-  * collections, no array-of-strings materialization. Used as the exact
-  * verification stage behind MinHash LSH candidates.
+/** Exact Jaccard similarity of the character k-gram sets of two strings.
+  * K-grams are hashed to 64-bit xxhash64 values (collision probability
+  * negligible at corpus scale, and Jaccard depends only on set relations, so
+  * the fast non-oracle hash is fine here); sets are sorted long arrays merged
+  * in place — no boxed collections, no array-of-strings materialization. Used
+  * as the exact verification stage behind MinHash LSH candidates; char
+  * windows ≡ SQL substr shingles, so the DuckDB oracle's
+  * list_intersect-over-substr computes the identical value.
   */
 final case class KgramJaccard(left: Expression, right: Expression, shingleK: Int)
     extends BinaryExpression {
@@ -157,12 +167,17 @@ final case class KgramJaccard(left: Expression, right: Expression, shingleK: Int
   override def prettyName: String = "kgram_jaccard"
 
   private def kgramSet(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
-    val n = s.numBytes
-    if (n < shingleK) return Array.emptyLongArray
-    val out = new Array[Long](n - shingleK + 1)
+    val bytes = s.getBytes
+    val starts = Md5Hash64.charStarts(bytes, bytes.length)
+    val numChars = starts.length - 1
+    if (numChars < shingleK) return Array.emptyLongArray
+    val out = new Array[Long](numChars - shingleK + 1)
     var i = 0
-    while (i <= n - shingleK) {
-      out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + i, shingleK, 42L)
+    while (i <= numChars - shingleK) {
+      val from = starts(i)
+      out(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        starts(i + shingleK) - from, 42L)
       i += 1
     }
     java.util.Arrays.sort(out)
@@ -201,11 +216,13 @@ final case class KgramJaccard(left: Expression, right: Expression, shingleK: Int
 }
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
-  * the MOSS local fingerprinting scheme). Hash every byte k-gram of the
-  * (caller-normalized) string, slide a window of `window` hashes, keep the
-  * window minimum (rightmost on ties, per the paper), emit the distinct
-  * selected hashes in first-seen order. Any two documents sharing a
-  * substring of length ≥ window + k - 1 are guaranteed to share a
+  * the MOSS local fingerprinting scheme). Hash every char k-gram of the
+  * (caller-normalized) string with [[Md5Hash64.lowerMasked]] (oracle-
+  * reproducible), slide a window of `window` hashes, keep the window minimum
+  * (rightmost on ties, per the paper — note the selected VALUE is the same
+  * whichever tied index wins, so the fingerprint set is order-independent),
+  * emit the distinct selected hashes in first-seen order. Any two documents
+  * sharing a substring of length ≥ window + k - 1 are guaranteed to share a
   * fingerprint — the standard plagiarism/near-dup primitive.
   */
 final case class WinnowFingerprint(child: Expression, shingleK: Int, window: Int)
@@ -223,13 +240,16 @@ final case class WinnowFingerprint(child: Expression, shingleK: Int, window: Int
     compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val n = s.numBytes
-    if (n < shingleK) return new GenericArrayData(Array.emptyLongArray)
-    val m = n - shingleK + 1
+    val bytes = s.getBytes
+    val starts = Md5Hash64.charStarts(bytes, bytes.length)
+    val numChars = starts.length - 1
+    if (numChars < shingleK) return new GenericArrayData(Array.emptyLongArray)
+    val m = numChars - shingleK + 1
     val hashes = new Array[Long](m)
     var i = 0
     while (i < m) {
-      hashes(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + i, shingleK, 42L)
+      val from = starts(i)
+      hashes(i) = Md5Hash64.lowerMasked(bytes, from, starts(i + shingleK) - from)
       i += 1
     }
     val out = new java.util.LinkedHashSet[java.lang.Long]()
