@@ -439,6 +439,62 @@ object OracleSql {
     "source_preview" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id LIMIT 20",
 
+    "df_transform" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // final incremental snapshot == full recompute (the T5/M6 invariant)
+    "incremental_refresh" ->
+      s"""WITH $EV
+         |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1""".stripMargin,
+
+    "versioned_write_roundtrip" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') < '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "csv_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 1000",
+
+    "online_serving" ->
+      s"""WITH $EV,
+         |latest AS (SELECT user_id, value FROM ev WHERE event_type = 'click'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1),
+         |u AS (SELECT CAST(unnest(generate_series(0, 149)) AS BIGINT) AS entity)
+         |SELECT u.entity, l.value AS f_click, COALESCE(l.value * 2, -1.0) AS f_dbl
+         |FROM u LEFT JOIN latest l ON u.entity = l.user_id""".stripMargin,
+
+    "training_stream" ->
+      s"""WITH $EV
+         |SELECT event_id, value FROM ev CROSS JOIN (VALUES (0), (1)) epochs(e)""".stripMargin,
+
+    "split_serve" ->
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN substr(md5(concat_ws('|', CAST(event_id AS VARCHAR), '42')), 1, 8) < '40000000'
+        |       THEN 'test' ELSE 'train' END AS role
+        |FROM events""".stripMargin,
+
+    "merge_upsert_wide" ->
+      s"""WITH $EV,
+         |trip AS (
+         |  SELECT user_id AS entity, 'f_' || event_type AS feature, value, ts FROM ev
+         |  WHERE (event_id < 500 AND event_type IN ('click', 'purchase'))
+         |     OR (event_id >= 500 AND event_type IN ('click', 'purchase', 'view'))),
+         |latest AS (SELECT entity, feature, value, ts FROM trip
+         |  QUALIFY row_number() OVER (PARTITION BY entity, feature ORDER BY ts DESC, value DESC) = 1)
+         |SELECT entity,
+         |  max(CASE WHEN feature = 'f_click' THEN value END) AS f_click,
+         |  max(CASE WHEN feature = 'f_click' THEN epoch_ms(ts) END) AS f_click_ts_ms,
+         |  max(CASE WHEN feature = 'f_purchase' THEN value END) AS f_purchase,
+         |  max(CASE WHEN feature = 'f_purchase' THEN epoch_ms(ts) END) AS f_purchase_ts_ms,
+         |  max(CASE WHEN feature = 'f_view' THEN value END) AS f_view,
+         |  max(CASE WHEN feature = 'f_view' THEN epoch_ms(ts) END) AS f_view_ts_ms
+         |FROM latest GROUP BY entity""".stripMargin,
+
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_fingerprint" -> simhashFingerprintSql,

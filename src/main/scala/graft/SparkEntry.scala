@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog._
@@ -329,6 +330,159 @@ object SparkEntry {
     events(s, dir).orderBy(col("event_id")).limit(20)
       .select(col("event_id"), col("event_type"), col("value"))
 
+  // ---------------------------------------- T3: DataFrame transformation
+
+  /** T3 through the catalog: a Scala-closure transformation over two
+    * registered primary sources, resolved via the DAG. */
+  private def dfTransform(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.registerSource(SourceVariant(ResourceId("orders"),
+      PrimaryData(s"$dir/orders.parquet")))
+    cat.registerSource(SourceVariant(ResourceId("customer"),
+      PrimaryData(s"$dir/customer.parquet")))
+    cat.registerSource(SourceVariant(ResourceId("seg_rev"), DfTransformation(
+      Seq(ResourceId("orders"), ResourceId("customer")),
+      { case Seq(o, c) =>
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(c("c_mktsegment"))
+          .agg(count("*").as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      })))
+    cat.resolve(ResourceId("seg_rev"))
+  }
+
+  // ----------------------- T5/M6: incremental refresh over version dirs
+
+  /** Two incremental refresh cycles: batch 1 builds the snapshot, batch 2
+    * upserts only the delta; the final snapshot must equal a full recompute
+    * (which is exactly what the oracle computes). */
+  private def incrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val ev = events(s, dir)
+      .select(col("user_id").as("entity"), col("value"), col("ts"), col("event_id"))
+    graft.sources.Writers.writeVersioned(
+      ev.filter(col("event_id") < 500).select("entity", "value", "ts"), s"$tmp/ev")
+    graft.streaming.IncrementalRunner.refreshLatest(s, s"$tmp/ev", s"$tmp/snap")
+    graft.sources.Writers.writeVersioned(
+      ev.filter(col("event_id") >= 500).select("entity", "value", "ts"), s"$tmp/ev")
+    graft.streaming.IncrementalRunner.refreshLatest(s, s"$tmp/ev", s"$tmp/snap")
+    graft.sources.Writers.readLatest(s, s"$tmp/snap")
+      .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+  }
+
+  // --------------------- K1/K5/T7: versioned/partitioned write round-trip
+
+  /** K5 date-partitioned versioned write, read-back through the partition
+    * column, then a T7 atomic replace with a filtered set; the final
+    * readLatest sees only the replaced version. */
+  private def versionedWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vw").toString
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    graft.sources.Writers.writeVersioned(o, s"$tmp/t",
+      Some(graft.catalog.DailyPartition("o_orderdate")))
+    val back = graft.sources.Writers.readLatest(s, s"$tmp/t") // has __date partition col
+    graft.sources.Writers.atomicReplace(s,
+      back.filter(col("__date") < "1998-01-01"), s"$tmp/t")
+    graft.sources.Writers.readLatest(s, s"$tmp/t")
+      // partition-column type inference may read __date back as DATE —
+      // normalize to the yyyy-MM-dd string for the oracle compare
+      .groupBy(date_format(col("__date").cast("date"), "yyyy-MM-dd").as("day"))
+      .agg(count("*").as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+  }
+
+  // ------------------------------------------- S1/K2: CSV write + scan
+
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val src = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    val out = graft.sources.Writers.writeCsv(src, tmp)
+    graft.sources.Readers.csv(s, out)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+  }
+
+  // ------------------- O1/O2/O3/K7: online store load + serving rows
+
+  /** Chunk-copies the click materialization into the online store, then
+    * assembles serving rows (precomputed + on-demand) for the full entity
+    * domain; missing entities exercise the None path. */
+  private def onlineServing(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.serving.OnlineStore
+    val fClick = Materialize.latest(
+      events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("entity"), col("value"), col("ts")),
+      "entity", "value", Some("ts"))
+    store.load("f_click", fClick)
+    store.registerOnDemand("f_dbl", (_, pre) =>
+      pre.headOption.map(_.asInstanceOf[Double] * 2.0).getOrElse(-1.0))
+    val rows = (0L until 150L).map { e =>
+      val Seq(click, dbl) = store.features(Seq("f_click", "f_dbl"), e)
+      org.apache.spark.sql.Row(e, click.map(_.asInstanceOf[Double]).orNull,
+        dbl.get.asInstanceOf[Double])
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("entity",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("f_click",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("f_dbl",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  // ----------------------- B3/O5: training-set stream combinators
+
+  /** Two epochs through the training-set iterator with a buffered shuffle —
+    * a permutation of 2× the base rows, which the sorted hash-compare checks
+    * as a multiset (= CROSS JOIN with a 2-row epoch table in the oracle). */
+  private def trainingStream(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).select(col("event_id"), col("value"))
+    val it = graft.serving.TrainingSetIterator.shuffled(
+      graft.serving.TrainingSetIterator.repeat(base, 2), bufferSize = 256, seed = 7L)
+    val rows = it.toSeq
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), base.schema)
+  }
+
+  // ------------------------------------- X3: split-serving protocol
+
+  private def splitServe(s: SparkSession, dir: String): DataFrame = {
+    val session = new SplitSession(
+      events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+      Seq("event_id"), testSize = 0.25, seed = 42L).initialize()
+    val out = session.trainFrame.withColumn("role", lit("train"))
+      .unionByName(session.testFrame.withColumn("role", lit("test")))
+    out
+  }
+
+  // --------------------------- K6 wide: multi-feature upsert + evolution
+
+  /** Wide online table: batch 1 has click+purchase features, batch 2 adds
+    * `f_view` — the upsert grows the schema (reference ALTER ADD COLUMNS)
+    * while folding newer per-feature values in. */
+  private def mergeUpsertWide(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id").as("entity"),
+      concat(lit("f_"), col("event_type")).as("feature"),
+      col("value"), col("ts"), col("event_id"))
+    val batch1 = ev.filter(col("event_id") < 500 &&
+      col("feature").isin("f_click", "f_purchase"))
+    val batch2 = ev.filter(col("event_id") >= 500 &&
+      col("feature").isin("f_click", "f_purchase", "f_view"))
+    val snap = Materialize.wideSnapshot(
+      batch1.select("entity", "feature", "value", "ts"),
+      Seq("f_click", "f_purchase"))
+    Materialize.upsertWide(snap, batch2)
+      .select(col("entity"),
+        col("f_click"), unix_millis(col("f_click__ts")).as("f_click_ts_ms"),
+        col("f_purchase"), unix_millis(col("f_purchase__ts")).as("f_purchase_ts_ms"),
+        col("f_view"), unix_millis(col("f_view__ts")).as("f_view_ts_ms"))
+  }
+
   // ================================================================ contract
 
   /** Flagship: the full feature-store slice (transform → PIT training set). */
@@ -364,6 +518,14 @@ object SparkEntry {
     "simhash_near_dups" -> (simhashNearDups _),
     "cosine_near_dups"  -> (cosineNearDups _),
     "source_preview"    -> (sourcePreview _),
+    "df_transform"      -> (dfTransform _),
+    "incremental_refresh" -> (incrementalRefresh _),
+    "versioned_write_roundtrip" -> (versionedWriteRoundtrip _),
+    "csv_roundtrip"     -> (csvRoundtrip _),
+    "online_serving"    -> (onlineServing _),
+    "training_stream"   -> (trainingStream _),
+    "split_serve"       -> (splitServe _),
+    "merge_upsert_wide" -> (mergeUpsertWide _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -68,6 +68,59 @@ object Materialize {
     latestTriple(snapshot.select("entity", "value", "ts")
       .unionByName(updates.select("entity", "value", "ts")))
 
+  /** K6 with schema evolution — the multi-feature online table. The reference
+    * evolves the wide feature table with `ALTER TABLE ADD COLUMNS` per new
+    * feature and MERGEs each feature's updates into its column
+    * (offline_store_spark_runner.py:688-765). Re-expressed relationally:
+    * the wide table is the pivot of per-(entity, feature) latest triples, so
+    * an upsert = melt the snapshot, union the update triples, re-reduce,
+    * re-pivot — features present only in the updates become new columns (the
+    * ALTER ADD analog), entities/features untouched keep their cells.
+    *
+    * Wide layout: (entity, f, f__ts, g, g__ts, ...) — per-feature value +
+    * timestamp, column order = sorted feature names (deterministic schema).
+    *
+    * Scale: two entity-keyed shuffles ((entity, feature) reduce, entity
+    * pivot) over |snapshot|+|updates| rows, never the full history; the
+    * feature-name list is metadata-scale (a distinct-collect, exactly what
+    * the reference's schema inspection does).
+    */
+  def wideSnapshot(triples: DataFrame, features: Seq[String]): DataFrame = {
+    val latest = {
+      val w = Window.partitionBy(col("entity"), col("feature"))
+        .orderBy(col("ts").desc, col("value").desc)
+      triples.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    val aggs = features.sorted.flatMap { f =>
+      Seq(max(when(col("feature") === f, col("value"))).as(f),
+        max(when(col("feature") === f, col("ts"))).as(s"${f}__ts"))
+    }
+    latest.groupBy(col("entity")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Inverse of [[wideSnapshot]]: wide → (entity, feature, value, ts)
+    * triples; features are inferred from the `<name>__ts` column pairs. */
+  def meltWide(wide: DataFrame): DataFrame = {
+    val feats = wide.columns.filter(_.endsWith("__ts")).map(_.dropRight(4)).sorted
+    val stackExpr = feats.map(f => s"'$f', `$f`, `${f}__ts`").mkString(", ")
+    wide.selectExpr("entity",
+        s"stack(${feats.length}, $stackExpr) AS (feature, value, ts)")
+      .where(col("value").isNotNull)
+  }
+
+  /** Fold per-feature update triples (entity, feature, value, ts) into a wide
+    * snapshot, adding columns for features never seen before. */
+  def upsertWide(wide: DataFrame, updates: DataFrame): DataFrame = {
+    val known = wide.columns.filter(_.endsWith("__ts")).map(_.dropRight(4)).toSet
+    // metadata-scale collect: the distinct feature-name list (≡ reference
+    // schema inspection before ALTER ADD COLUMNS)
+    val incoming = updates.select("feature").distinct().collect().map(_.getString(0))
+    val allFeats = (known ++ incoming).toSeq.sorted
+    wideSnapshot(meltWide(wide).unionByName(updates.select("entity", "feature", "value", "ts")),
+      allFeats)
+  }
+
   /** M3/S11: chunk addressing for parallel export.
     *
     * Exact reference semantics (global contiguous row_number —

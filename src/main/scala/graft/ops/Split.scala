@@ -38,3 +38,46 @@ object Split {
   def test(df: DataFrame, keyCols: Seq[String], testSize: Double, seed: Long): DataFrame =
     withSplit(df, keyCols, testSize, seed).filter(col("is_test") === 1).drop("is_test")
 }
+
+/** X3: the split-serving protocol — one split definition serving paired
+  * train/test iterators with a pinned view and deterministic replay
+  * (reference serving/serving.go:128-291: INITIALIZE creates the split
+  * views, then train/test streams iterate them independently; re-requesting
+  * an iterator replays the same rows).
+  *
+  * `initialize()` pins the tagged frame (cache = the reference's view
+  * lifecycle); both iterators derive from that one frame, so they partition
+  * the data exactly (train ∪ test = all, train ∩ test = ∅) and replay
+  * identically — the hash split is a pure function of the key columns, so
+  * even across sessions the assignment is stable. `close()` releases the
+  * pin.
+  */
+final class SplitSession(df: DataFrame, keyCols: Seq[String],
+                         testSize: Double, seed: Long) {
+  private var tagged: DataFrame = _
+
+  def initialize(): this.type = synchronized {
+    if (tagged == null)
+      tagged = Split.withSplit(df, keyCols, testSize, seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    this
+  }
+
+  private def frame: DataFrame = synchronized {
+    require(tagged != null, "SplitSession not initialized")
+    tagged
+  }
+
+  def trainFrame: DataFrame = frame.filter(col("is_test") === 0).drop("is_test")
+  def testFrame: DataFrame  = frame.filter(col("is_test") === 1).drop("is_test")
+
+  /** Paired iterators — each call replays from the pinned view. */
+  def train(): Iterator[org.apache.spark.sql.Row] =
+    graft.serving.TrainingSetIterator.rows(trainFrame)
+  def test(): Iterator[org.apache.spark.sql.Row] =
+    graft.serving.TrainingSetIterator.rows(testFrame)
+
+  def close(): Unit = synchronized {
+    if (tagged != null) { tagged.unpersist(); tagged = null }
+  }
+}
