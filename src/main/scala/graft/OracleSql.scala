@@ -495,6 +495,18 @@ object OracleSql {
          |  max(CASE WHEN feature = 'f_view' THEN epoch_ms(ts) END) AS f_view_ts_ms
          |FROM latest GROUP BY entity""".stripMargin,
 
+    "catalog_persist" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 0.1 AS DOUBLE) AS rev_tax
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    // the engine emits ok=1 only if IVF recall@10 >= 0.5 vs the exact
+    // baseline — the oracle pins the expected assertion row
+    "ann_topk_ivf" ->
+      "SELECT 'recall_at_10_ge_0.5' AS metric, CAST(1 AS BIGINT) AS ok",
+
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_fingerprint" -> simhashFingerprintSql,

@@ -28,8 +28,13 @@ final case class PrimaryData(
 final case class SqlTransformation(query: String) extends SourceDef
 
 /** Scala DataFrame transformation — the reference's dill-pickled Python fn
-  * (metadata.proto:617-629) re-expressed as a first-class Scala closure. */
-final case class DfTransformation(inputs: Seq[ResourceId], fn: Seq[DataFrame] => DataFrame)
+  * (metadata.proto:617-629) re-expressed as a first-class Scala closure.
+  * `fnName` makes the definition durable: persistence stores the name and
+  * [[CatalogStore.load]] rebinds it from a caller-supplied function registry
+  * (closures themselves die with the JVM — same constraint the reference
+  * works around by pickling). */
+final case class DfTransformation(inputs: Seq[ResourceId], fn: Seq[DataFrame] => DataFrame,
+                                  fnName: Option[String] = None)
     extends SourceDef
 
 /** Partition layout hints — reference metadata.proto:583-590. */
@@ -71,6 +76,16 @@ final case class TrainingSetVariant(
 
 final case class EntityDef(name: String)
 
+/** On-demand (request-time) feature as a Spark SQL expression string over the
+  * already-assembled feature row — the durable form of the reference's
+  * serialized on-demand function (metadata.proto:326-328; SURVEY §2.10 maps
+  * request-time fns to `functions.expr`). Strings persist; closures don't. */
+final case class OnDemandVariant(id: ResourceId, expr: String) {
+  /** Batch application: add the feature to an assembled frame. */
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(id.name, org.apache.spark.sql.functions.expr(expr))
+}
+
 /** In-memory resource registry + DAG resolution. The reference runs a task DAG
   * over a metadata server (scheduling/task_dag.go:17-73); in a single Spark
   * process that collapses to memoized topological resolution of DataFrames.
@@ -86,6 +101,7 @@ final class Catalog(spark: SparkSession) {
   private val labels    = mutable.LinkedHashMap.empty[ResourceId, LabelVariant]
   private val tsets     = mutable.LinkedHashMap.empty[ResourceId, TrainingSetVariant]
   private val entities  = mutable.LinkedHashMap.empty[String, EntityDef]
+  private val onDemands = mutable.LinkedHashMap.empty[ResourceId, OnDemandVariant]
   private val resolved  = mutable.HashMap.empty[ResourceId, DataFrame]
 
   private def put[V](m: mutable.Map[ResourceId, V], id: ResourceId, v: V): V =
@@ -105,13 +121,19 @@ final class Catalog(spark: SparkSession) {
   def registerTrainingSet(t: TrainingSetVariant): TrainingSetVariant = put(tsets, t.id, t)
   def registerEntity(e: EntityDef): EntityDef =
     synchronized { entities.getOrElseUpdate(e.name, e) }
+  def registerOnDemand(o: OnDemandVariant): OnDemandVariant = put(onDemands, o.id, o)
 
   def source(id: ResourceId): SourceVariant           = sources(id)
   def feature(id: ResourceId): FeatureVariant         = features(id)
   def label(id: ResourceId): LabelVariant             = labels(id)
   def trainingSet(id: ResourceId): TrainingSetVariant = tsets(id)
+  def onDemand(id: ResourceId): OnDemandVariant       = onDemands(id)
   def allSources: Seq[SourceVariant]   = synchronized(sources.values.toSeq)
   def allFeatures: Seq[FeatureVariant] = synchronized(features.values.toSeq)
+  def allLabels: Seq[LabelVariant]     = synchronized(labels.values.toSeq)
+  def allTrainingSets: Seq[TrainingSetVariant] = synchronized(tsets.values.toSeq)
+  def allEntities: Seq[EntityDef]      = synchronized(entities.values.toSeq)
+  def allOnDemands: Seq[OnDemandVariant] = synchronized(onDemands.values.toSeq)
 
   /** Resolve a source to a DataFrame, recursively materializing upstream
     * transformations (reference coordinator/tasks/source.go:429-533). Memoized;
@@ -131,7 +153,7 @@ final class Catalog(spark: SparkSession) {
           case SqlTransformation(q) =>
             graft.transform.SqlTransform.run(spark, q,
               rid => resolve(rid, inFlight + id))
-          case DfTransformation(inputs, fn) =>
+          case DfTransformation(inputs, fn, _) =>
             fn(inputs.map(i => resolve(i, inFlight + id)))
         }
         synchronized(resolved.getOrElseUpdate(id, df))

@@ -60,38 +60,46 @@ object Vectors {
     * (Jégou et al. 2011) re-expressed relationally:
     *
     *  1. `nlist` centroids picked deterministically from the corpus itself
-    *     (every ⌈n/nlist⌉-th vector by id — data-dependent like a k-means
-    *     init, reproducible, no RNG state);
-    *  2. one corpus pass assigns each vector to its nearest centroid
-    *     (broadcast centroids, argmax cosine) → the inverted lists;
+    *     (the nlist smallest id-hashes — uniform over the corpus, no RNG
+    *     state; plans as TakeOrderedAndProject, a distributed partial top-k);
+    *  2. one corpus pass assigns each vector to its nearest centroid — the
+    *     centroids are collected to the driver (nlist·dim floats,
+    *     metadata-scale) and inlined as LITERALS, so the argmax is a
+    *     when-chain evaluated in the scan projection: ZERO shuffle, vs the
+    *     old crossJoin + window shape that exchanged corpus×nlist rows;
     *  3. each query probes its `nprobe` nearest cells; scoring joins only
     *     those cells' vectors — a broadcast-equi-join on cell id, so the
     *     scan is ~nprobe/nlist of the corpus instead of all of it.
     *
     * Returns the same schema as [[annTopK]]. Recall depends on
-    * (nlist, nprobe); the spec checks it against the exact baseline. */
+    * (nlist, nprobe); the spec and the `ann_topk_ivf` driver query check it
+    * against the exact baseline. */
   def annTopKIVF(corpus: DataFrame, corpusId: String, corpusVec: String,
                  queries: DataFrame, queryId: String, queryVec: String,
                  k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cv"),
       norm(col(corpusVec)).as("__cn"))
-    // 1. deterministic centroid sample: the nlist corpus vectors with the
-    // smallest id-hashes — orderBy+limit plans as TakeOrderedAndProject
-    // (distributed partial top-k, no global sort), and the hash makes the
-    // pick uniform over the corpus rather than id-locality-biased.
+    // 1. deterministic centroid sample (metadata-scale collect: nlist rows)
+    val centRows = c.orderBy(xxhash64(col("__cid")).asc).limit(nlist).collect()
+    val cents = centRows.map { r =>
+      (r.get(0), r.getSeq[Float](1).toArray, r.getDouble(2))
+    }
     val centroids = broadcast(
       c.orderBy(xxhash64(col("__cid")).asc)
         .limit(nlist)
         .select(col("__cid").as("cent_id"), col("__cv").as("cent_v"),
           col("__cn").as("cent_n")))
-    // 2. assign corpus vectors to nearest centroid
-    val wAssign = Window.partitionBy(col("__cid"))
-      .orderBy(col("__sim").desc, col("cent_id").asc)
-    val assigned = c.crossJoin(centroids)
-      .withColumn("__sim", dot(col("__cv"), col("cent_v")) / (col("__cn") * col("cent_n")))
-      .withColumn("__r", row_number().over(wAssign))
-      .filter(col("__r") === 1)
-      .select(col("cent_id").as("cell"), col("__cid"), col("__cv"), col("__cn"))
+    // 2. nearest-centroid argmax as a scan-projection `array_max` over
+    // (sim, cid) structs built from the literal centroids — linear-size
+    // expression (a when-chain fold would double the tree per centroid),
+    // lexicographic struct max = max sim, larger cid on (measure-zero) float
+    // ties. |v| is constant per row, so argmax of dot(v,c)/|c| suffices
+    // (no per-row sqrt of the corpus norm needed).
+    val cellExpr = array_max(array(cents.map { case (cid, cv, cn) =>
+      struct((dot(col("__cv"), typedlit(cv)) / cn).as("s"), lit(cid).as("c"))
+    }: _*)).getField("c")
+    val assigned = c.withColumn("cell", cellExpr)
+      .select(col("cell"), col("__cid"), col("__cv"), col("__cn"))
     // 3. queries probe their nprobe nearest cells
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
       norm(col(queryVec)).as("__qn"))
