@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Optimizer barrier for small derived tables that feed multiple plan legs
+    * (CollapseProject would otherwise inline the defining expressions once
+    * per downstream use — see minhashNearDups). `persist` (default) caches;
+    * `checkpoint` = true instead writes a reliable checkpoint (requires
+    * `SparkContext.setCheckpointDir`) — prefer it at cluster scale so a lost
+    * executor re-reads the materialized table instead of recomputing the
+    * whole signature pass, and so the barrier survives cache eviction. */
+  private[graft] def barrier(df: DataFrame, checkpoint: Boolean): DataFrame =
+    if (checkpoint) df.checkpoint()
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on canonicalized content: keeps the row with the smallest
@@ -64,18 +75,19 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      checkpointSignatures: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // persist = optimizer barrier: CollapseProject would otherwise inline
-    // the signature expression once per band key per join leg (~17 evals/row
-    // — measured 35 s vs 2 s for the signatures themselves at 5k docs before
-    // this barrier), and the table feeds BOTH self-join legs. id + 64 longs
-    // — ~600 B/row, negligible at any doc count that fits a cluster's
+    // barrier: CollapseProject would otherwise inline the signature
+    // expression once per band key per join leg (~17 evals/row — measured
+    // 35 s vs 2 s for the signatures themselves at 5k docs before this
+    // barrier), and the table feeds BOTH self-join legs. id + 64 longs —
+    // ~600 B/row, negligible at any doc count that fits a cluster's
     // aggregate memory; spills to disk otherwise.
-    val sigs = df.select(
+    val sigs = barrier(df.select(
       col(idCol).as("__id"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minhashSignature(col(textCol), shingleK, numHashes).as("__sig")),
+      checkpointSignatures)
     val banded = sigs
       .withColumn("__band", explode(lshBandKeys(col("__sig"), bands, rowsPerBand)))
 

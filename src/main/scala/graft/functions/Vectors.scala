@@ -150,12 +150,15 @@ object Vectors {
     * quarters, pigeonhole-style like SimHash), verify candidates exactly.
     * Output (idA < idB, cosine >= threshold). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     numPlanes: Int = 16, threshold: Double = 0.95): DataFrame = {
-    // persist: signature reused by both join legs and both band exprs
-    // (same CollapseProject inlining hazard as Dedup.minhashNearDups)
-    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      hyperplaneSignature(col(vecCol), numPlanes).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                     numPlanes: Int = 16, threshold: Double = 0.95,
+                     checkpointSignatures: Boolean = false): DataFrame = {
+    // barrier: signature reused by both join legs and both band exprs
+    // (same CollapseProject inlining hazard as Dedup.minhashNearDups;
+    // checkpoint=true for the cluster-scale recompute-on-loss rationale)
+    val sig = graft.functions.Dedup.barrier(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        hyperplaneSignature(col(vecCol), numPlanes).as("__sig")),
+      checkpointSignatures)
     // bucket on signature halves: Hamming-1-close signatures share a half
     val banded = sig.withColumn("__band", explode(array(
       struct(lit(0).as("bi"), col("__sig").bitwiseAND(lit((1L << (numPlanes / 2)) - 1)).as("bv")),
