@@ -507,6 +507,19 @@ object OracleSql {
     "ann_topk_ivf" ->
       "SELECT 'recall_at_10_ge_0.5' AS metric, CAST(1 AS BIGINT) AS ok",
 
+    // every dimension below is what the engine ENCODED before decoding —
+    // the oracle re-derives them arithmetically, proving the codec round-trip
+    "media_pipeline" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 24 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id * 7) % 24 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1000 + doc_id % 500 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 12 ELSE -1 END AS BIGINT) AS resized_w,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 9 ELSE -1 END AS BIGINT) AS resized_h
+        |FROM documents""".stripMargin,
+
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_fingerprint" -> simhashFingerprintSql,

@@ -534,6 +534,40 @@ object SparkEntry {
       (col("hits").cast("double") / col("total") >= 0.5).cast("long").as("ok"))
   }
 
+  // ------------------------------- multimodal: real-codec round-trip
+
+  /** Real-codec media pipeline, oracle-checked end-to-end: synthesize PNG
+    * images / PCM WAV audio with dimensions that are arithmetic functions of
+    * the id, decode with the real JDK codecs, bilinear-resize the images,
+    * re-decode — the oracle recomputes every expected dimension in SQL, so
+    * a codec that lied about width/height/sample-rate/frames turns the row
+    * red. */
+  private def mediaPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Codecs, Multimodal}
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map { id =>
+      if (id % 2 == 0)
+        Multimodal.MediaRow(id, "image",
+          Codecs.syntheticPng((8 + id % 24).toInt, (8 + (id * 7) % 24).toInt, id))
+      else
+        Multimodal.MediaRow(id, "audio",
+          Codecs.syntheticWav((8000 + (id % 8) * 1000).toInt, (1000 + id % 500).toInt, id))
+    }.toDF()
+    val decoded = Multimodal.decodeFeatures(s, media).toDF()
+    val resized = Multimodal.decodeFeatures(s,
+      Multimodal.resizeImages(s, media.filter(col("kind") === "image"), 12, 9)).toDF()
+      .select(col("media_id"), col("width").as("rw"), col("height").as("rh"))
+    decoded.join(resized, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sampleRate").cast("long").as("sample_rate"),
+        col("nFrames").cast("long").as("n_frames"),
+        coalesce(col("rw"), lit(-1)).cast("long").as("resized_w"),
+        coalesce(col("rh"), lit(-1)).cast("long").as("resized_h"))
+  }
+
   // ================================================================ contract
 
   /** Flagship: the full feature-store slice (transform → PIT training set). */
@@ -579,6 +613,7 @@ object SparkEntry {
     "merge_upsert_wide" -> (mergeUpsertWide _),
     "catalog_persist"   -> (catalogPersist _),
     "ann_topk_ivf"      -> (annTopKIVFQ _),
+    "media_pipeline"    -> (mediaPipeline _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

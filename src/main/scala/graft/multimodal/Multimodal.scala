@@ -9,12 +9,11 @@ import org.apache.spark.sql.functions._
   * a typed Dataset (the Scala analogue of `mapInPandas` — one partition =
   * one worker batch, schema declared up front, no driver round-trips).
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` derives deterministic fake metadata and
-  * "features" from the bytes themselves, so the Spark-side plumbing —
-  * schema, partitioning, batch shape, feature vector layout — is real and
-  * testable, and swapping the stub body for a JNI/FFmpeg call changes no
-  * plan shape.
+  * Codecs: IMAGE (PNG/JPEG/BMP/GIF via `javax.imageio`) and AUDIO (WAV via
+  * `javax.sound.sampled`) decode/resize/feature-extract are REAL — see
+  * [[Codecs]], pure-JDK, no external libraries. Only VIDEO remains stubbed
+  * (the JDK ships no video codec); undecodable payloads fall back to the
+  * deterministic stub so the pipeline is total.
   */
 object Multimodal {
 
@@ -36,10 +35,30 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       col(kindCol).as("kind"), col(bytesCol).as("bytes"))
 
-  // ---- STUB decode ------------------------------------------------------
-  // Deterministic fake "decode": metadata and features are pure functions of
-  // the payload bytes. Replace the body with a real codec (e.g. TwelveMonkeys
-  // / javacv) without touching the surrounding dataflow.
+  // ---- real decode (image/audio), stub fallback (video/undecodable) ------
+
+  private def decodeReal(r: MediaRow, featureDim: Int): Option[MediaFeatures] =
+    r.kind match {
+      case "image" =>
+        Codecs.decodeImage(r.bytes).map { img =>
+          val grid = math.max(math.sqrt(featureDim).toInt, 1)
+          val feat = java.util.Arrays.copyOf(
+            Codecs.imageFeatures(img, grid), featureDim)
+          MediaFeatures(r.media_id, r.kind, r.bytes.length,
+            img.getWidth, img.getHeight, 0, 1, feat)
+        }
+      case "audio" =>
+        for {
+          meta <- Codecs.audioMeta(r.bytes)
+          feat <- Codecs.audioFeatures(r.bytes, featureDim)
+        } yield MediaFeatures(r.media_id, r.kind, r.bytes.length,
+          0, 0, meta.sampleRate, meta.frames.toInt, feat)
+      case _ => None // video: JDK has no codec — stub below
+    }
+
+  // Deterministic fake "decode" for video payloads and undecodable bytes:
+  // metadata and features are pure functions of the payload, so the
+  // pipeline stays total and reproducible.
   private def decodeStub(r: MediaRow, featureDim: Int): MediaFeatures = {
     val b = r.bytes
     def at(i: Int): Int = if (b.isEmpty) 0 else b(i % b.length) & 0xFF
@@ -57,18 +76,35 @@ object Multimodal {
     MediaFeatures(r.media_id, r.kind, b.length, width, height, sampleRate, nFrames, feat)
   }
 
-  /** Batch decode/feature-extract: partition-parallel, schema-stable. */
+  /** Batch decode/feature-extract: partition-parallel, schema-stable. Image
+    * and audio payloads go through the REAL JDK codecs; video and
+    * undecodable payloads fall back to the deterministic stub. */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
                      featureDim: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // per-partition init (real impl: open codec once per batch/partition)
-      it.map(r => decodeStub(r, featureDim))
+      // per-partition batch; ImageIO/AudioSystem readers are instantiated
+      // inside the executor JVM, never shipped from the driver
+      it.map(r => decodeReal(r, featureDim).getOrElse(decodeStub(r, featureDim)))
     }
   }
 
+  /** Real image resize (Graphics2D bilinear resample → PNG re-encode);
+    * non-image/undecodable rows pass through unchanged. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   width: Int, height: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].map { r =>
+      Codecs.resizeImage(r.bytes, width, height) match {
+        case Some(out) => MediaRow(r.media_id, r.kind, out)
+        case None      => r
+      }
+    }.toDF()
+  }
+
   /** "Resize" stub: byte-stride subsample keeping every k-th byte — stands in
-    * for a pixel resample; preserves the binary-in/binary-out contract. */
+    * for a pixel resample where no codec exists (video); preserves the
+    * binary-in/binary-out contract. */
   def resizeStub(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].map { r =>
