@@ -1,0 +1,135 @@
+package graft.sched
+
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Scheduling / orchestration surface — the reference's coordinator +
+  * task-DAG layer (scheduling/task_dag.go:17-73, coordinator/scheduler.go:
+  * 24-117, `max_job_duration` provider/offline.go:251,378-411) collapsed to
+  * one process:
+  *
+  *  - durable TASK-RUN RECORDS: every attempt appends a JSON line to
+  *    `<stateDir>/task_runs.jsonl` (status, attempt, timings, error) — the
+  *    etcd/psql task-run table's single-process analogue;
+  *  - RETRY with exponential backoff up to `maxAttempts`;
+  *  - `maxJobDuration` enforcement: the body runs in a Spark job group that
+  *    is CANCELLED on timeout (the same kill the reference issues to
+  *    long-running materializations), and the run records `timeout`;
+  *  - RESUME: a (task, runKey) that already has a `success` record is
+  *    skipped — re-running a crashed pipeline re-executes only what did not
+  *    complete, which is what makes the version-dir writers + idempotent
+  *    upserts end-to-end restartable;
+  *  - [[Schedule]]: fixed-interval due-time evaluation (the reference
+  *    stores cron-ish schedule strings on resources; evaluation is a pure
+  *    function here, the driver loop belongs to the caller).
+  */
+final case class TaskRun(task: String, runKey: String, attempt: Int,
+                         status: String, startMs: Long, endMs: Long,
+                         error: Option[String])
+
+final case class Schedule(everyMs: Long, offsetMs: Long = 0L) {
+  require(everyMs > 0)
+  /** Latest due tick at or before `nowMs` (None if before the first). */
+  def lastDue(nowMs: Long): Option[Long] =
+    if (nowMs < offsetMs) None
+    else Some(offsetMs + (nowMs - offsetMs) / everyMs * everyMs)
+  /** Is a run due at `nowMs`, given the previous completed tick? */
+  def isDue(nowMs: Long, lastRunTickMs: Option[Long]): Boolean =
+    lastDue(nowMs).exists(t => lastRunTickMs.forall(_ < t))
+}
+
+final class TaskRunner(spark: SparkSession, stateDir: String,
+                       maxAttempts: Int = 3,
+                       maxJobDuration: java.time.Duration = java.time.Duration.ofHours(4),
+                       backoffMs: Long = 100L) {
+
+  private val mapper = new ObjectMapper()
+  private val file = new Path(s"$stateDir/task_runs.jsonl")
+  private def fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def runs(): Seq[TaskRun] = {
+    if (!fs.exists(file)) return Nil
+    val in = fs.open(file)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val m = mapper.readValue(line, classOf[java.util.Map[String, Any]])
+      TaskRun(m.get("task").toString, m.get("runKey").toString,
+        m.get("attempt").asInstanceOf[Number].intValue(), m.get("status").toString,
+        m.get("startMs").asInstanceOf[Number].longValue(),
+        m.get("endMs").asInstanceOf[Number].longValue(),
+        Option(m.get("error")).map(_.toString))
+    }.toSeq
+  }
+
+  private def append(r: TaskRun): Unit = synchronized {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    m.put("task", r.task); m.put("runKey", r.runKey); m.put("attempt", r.attempt)
+    m.put("status", r.status); m.put("startMs", r.startMs); m.put("endMs", r.endMs)
+    r.error.foreach(e => m.put("error", e))
+    val line = mapper.writeValueAsString(m) + "\n"
+    fs.mkdirs(new Path(stateDir))
+    // LocalFileSystem does not support append(); records are metadata-scale,
+    // so read + atomic rewrite (tmp + rename) keeps the log durable
+    val existing =
+      if (fs.exists(file)) {
+        val in = fs.open(file)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } else ""
+    val tmp = new Path(s"$stateDir/.task_runs.jsonl.tmp")
+    val out = fs.create(tmp, true)
+    out.write((existing + line).getBytes("UTF-8")); out.close()
+    fs.delete(file, false)
+    fs.rename(tmp, file)
+  }
+
+  def succeeded(task: String, runKey: String): Boolean =
+    runs().exists(r => r.task == task && r.runKey == runKey && r.status == "success")
+
+  /** Run `body` with retry/backoff/timeout, recording every attempt.
+    * Returns the final record; a previously-succeeded (task, runKey) is
+    * skipped with status "skipped" (resume semantics). */
+  def run[T](task: String, runKey: String)(body: => T): (TaskRun, Option[T]) = {
+    if (succeeded(task, runKey)) {
+      val now = System.currentTimeMillis()
+      return (TaskRun(task, runKey, 0, "skipped", now, now, None), None)
+    }
+    var attempt = 1
+    var last: TaskRun = null
+    while (attempt <= maxAttempts) {
+      val start = System.currentTimeMillis()
+      val groupId = s"graft-task-$task-$runKey-$attempt"
+      val result =
+        try {
+          spark.sparkContext.setJobGroup(groupId, task, interruptOnCancel = true)
+          val fut = scala.concurrent.Future(body)(
+            scala.concurrent.ExecutionContext.global)
+          try {
+            val v = scala.concurrent.Await.result(fut,
+              scala.concurrent.duration.Duration.fromNanos(maxJobDuration.toNanos))
+            Right(v)
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(groupId) // the reference's kill
+              Left("timeout": String)
+            case e: Throwable => Left(Option(e.getMessage).getOrElse(e.toString))
+          }
+        } finally spark.sparkContext.clearJobGroup()
+      val end = System.currentTimeMillis()
+      result match {
+        case Right(v) =>
+          last = TaskRun(task, runKey, attempt, "success", start, end, None)
+          append(last)
+          return (last, Some(v))
+        case Left(err) =>
+          val status = if (err == "timeout") "timeout" else "failed"
+          last = TaskRun(task, runKey, attempt, status, start, end, Some(err))
+          append(last)
+          if (attempt < maxAttempts) Thread.sleep(backoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    (last, None)
+  }
+}

@@ -61,10 +61,27 @@ final class OnlineStore {
     }
   }
 
-  /** O4: brute-force cosine nearest neighbors over a loaded vector table
-    * (serving-side k-NN over the snapshot; the batch-scale path is
-    * [[graft.functions.Vectors.annTopK]]). */
-  def nearest(feature: String, query: Array[Float], k: Int): Seq[(Any, Double)] = {
+  private val indexes = TrieMap.empty[String, VectorIndex]
+
+  /** Build the serving ANN index ([[VectorIndex]], multi-probe hyperplane
+    * LSH) over an already-loaded vector table — the Redis-HNSW role.
+    * `nearest` automatically uses it once built. */
+  def buildIndex(feature: String, numPlanes: Int = 16): Unit = {
+    val idx = new VectorIndex(numPlanes)
+    vectors.getOrElse(feature, Map.empty).foreach { case (id, v) => idx.add(id, v) }
+    indexes.put(feature, idx)
+  }
+
+  /** O4: cosine nearest neighbors over a loaded vector table — indexed
+    * (multi-probe LSH) when [[buildIndex]] has run, linear scan otherwise
+    * (the batch-scale path is [[graft.functions.Vectors.annTopK]]). */
+  def nearest(feature: String, query: Array[Float], k: Int): Seq[(Any, Double)] =
+    indexes.get(feature) match {
+      case Some(idx) => idx.nearest(query, k)
+      case None      => nearestScan(feature, query, k)
+    }
+
+  private def nearestScan(feature: String, query: Array[Float], k: Int): Seq[(Any, Double)] = {
     val tab = vectors.getOrElse(feature, Map.empty)
     val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
     tab.iterator.map { case (e, v) =>

@@ -1,0 +1,96 @@
+package graft.serving
+
+import scala.collection.mutable
+
+/** In-process serving-side ANN index — the role Redis HNSW plays in the
+  * reference (provider/redis.go:260,454-493), re-expressed as multi-probe
+  * hyperplane LSH so lookups stop being O(n) linear scans
+  * (OnlineStore.nearest) once a feature's vector table is indexed.
+  *
+  * Same hash family as the batch path ([[graft.functions.Vectors
+  * .hyperplaneSignature]]): plane component (p, i) = md5("p|i") mapped to
+  * [-1, 1) — deterministic, no RNG state, so the serving index buckets
+  * agree with the batch LSH buckets for the same numPlanes.
+  *
+  * Query: probe buckets in Hamming-distance order from the query signature
+  * (exact signature first, then 1-bit flips, then 2-bit flips …) until at
+  * least `oversample × k` candidates are gathered, then exact-cosine rank.
+  * Worst case degrades to the full scan (all buckets) — never worse than
+  * the linear baseline, typically probes a small fraction.
+  */
+final class VectorIndex(numPlanes: Int = 16) {
+  require(numPlanes > 0 && numPlanes <= 30, "numPlanes in (0, 30]")
+
+  private val buckets =
+    mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Any, Array[Float], Double)]]
+  private var planes: Array[Array[Double]] = _
+  private var dim: Int = -1
+
+  private def planeComponent(p: Int, i: Int): Double = {
+    val h = graft.functions.expressions.Md5Hash64.lower(s"$p|$i") & Long.MaxValue
+    ((h % 2000001L) - 1000000L).toDouble / 1000000.0
+  }
+
+  private def ensurePlanes(d: Int): Unit = {
+    if (planes == null) {
+      dim = d
+      planes = Array.tabulate(numPlanes, d)(planeComponent)
+    }
+    require(d == dim, s"vector dim $d != index dim $dim")
+  }
+
+  def signature(vec: Array[Float]): Int = {
+    ensurePlanes(vec.length)
+    var sig = 0
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i).toDouble * planes(p)(i); i += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  def add(id: Any, vec: Array[Float]): Unit = {
+    var n = 0.0
+    var i = 0
+    while (i < vec.length) { n += vec(i).toDouble * vec(i); i += 1 }
+    buckets.getOrElseUpdate(signature(vec), mutable.ArrayBuffer.empty)
+      .append((id, vec, math.sqrt(n)))
+  }
+
+  def size: Int = buckets.valuesIterator.map(_.size).sum
+
+  /** Top-k by cosine; `oversample` bounds how many candidates are gathered
+    * before exact ranking. Returns (id, cosine) sorted (cosine desc, id asc
+    * by string — the OnlineStore.nearest tie-break). */
+  def nearest(query: Array[Float], k: Int, oversample: Int = 4): Seq[(Any, Double)] = {
+    if (buckets.isEmpty) return Nil
+    ensurePlanes(query.length)
+    val qsig = signature(query)
+    var qn = 0.0
+    var i = 0
+    while (i < query.length) { qn += query(i).toDouble * query(i); i += 1 }
+    val qnorm = math.sqrt(qn)
+    val target = math.max(k * oversample, k)
+    val cand = mutable.ArrayBuffer.empty[(Any, Array[Float], Double)]
+    // probe buckets in Hamming order: group existing signatures by distance
+    // to the query signature (cheap: one popcount per non-empty bucket)
+    val byDist = buckets.keysIterator.toArray
+      .sortBy(s => Integer.bitCount(s ^ qsig))
+    var b = 0
+    while (b < byDist.length &&
+      (cand.size < target || Integer.bitCount(byDist(b) ^ qsig) == 0)) {
+      cand ++= buckets(byDist(b))
+      b += 1
+    }
+    cand.iterator.map { case (id, v, n) =>
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += v(j).toDouble * query(j); j += 1 }
+      id -> (if (n == 0 || qnorm == 0) 0.0 else dot / (n * qnorm))
+    }.toSeq.sortBy { case (id, s) => (-s, id.toString) }.take(k)
+  }
+}

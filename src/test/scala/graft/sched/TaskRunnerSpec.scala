@@ -1,0 +1,57 @@
+package graft.sched
+
+import java.util.concurrent.atomic.AtomicInteger
+import graft.SparkSpec
+
+class TaskRunnerSpec extends SparkSpec {
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_sched").toString
+
+  test("retry with recorded attempts, then success") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 3, backoffMs = 1)
+    val calls = new AtomicInteger(0)
+    val (rec, out) = runner.run("mat", "v1") {
+      if (calls.incrementAndGet() < 3) sys.error("flaky")
+      42
+    }
+    assert(out.contains(42) && rec.status == "success" && rec.attempt == 3)
+    val runs = runner.runs().filter(r => r.task == "mat" && r.runKey == "v1")
+    assert(runs.map(_.status) == Seq("failed", "failed", "success"))
+  }
+
+  test("resume skips a completed (task, runKey); failures exhaust attempts") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    assert(runner.run("t", "k") { 1 }._1.status == "success")
+    // same key: skipped without executing the body
+    val calls = new AtomicInteger(0)
+    val (rec, out) = runner.run("t", "k") { calls.incrementAndGet() }
+    assert(rec.status == "skipped" && out.isEmpty && calls.get() == 0)
+    // records survive a "restart" (fresh runner over the same state dir)
+    val runner2 = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    assert(runner2.succeeded("t", "k"))
+    val (fr, fo) = runner2.run("always_fails", "k") { sys.error("nope") }
+    assert(fr.status == "failed" && fr.attempt == 2 && fo.isEmpty)
+  }
+
+  test("maxJobDuration cancels the job group and records timeout") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 1,
+      maxJobDuration = java.time.Duration.ofMillis(800))
+    val (rec, out) = runner.run("slow", "k") {
+      // a genuinely long Spark job (driver-side sleep per partition)
+      spark.range(0, 64, 1, 8).rdd.foreach(_ => Thread.sleep(2000))
+    }
+    assert(rec.status == "timeout" && out.isEmpty)
+  }
+
+  test("schedule due-time evaluation") {
+    val s = Schedule(everyMs = 1000, offsetMs = 500)
+    assert(s.lastDue(400).isEmpty)
+    assert(s.lastDue(500).contains(500L) && s.lastDue(1499).contains(500L))
+    assert(s.lastDue(2600).contains(2500L))
+    assert(s.isDue(1600, None))
+    assert(s.isDue(1600, Some(500L)))      // new tick at 1500
+    assert(!s.isDue(1600, Some(1500L)))    // already ran this tick
+  }
+}
