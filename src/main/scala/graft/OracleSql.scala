@@ -520,6 +520,14 @@ object OracleSql {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 9 ELSE -1 END AS BIGINT) AS resized_h
         |FROM documents""".stripMargin,
 
+    // the salted join must equal the plain join — the oracle IS the plain join
+    "skew_salted_join" ->
+      """SELECT l.l_orderkey AS o_orderkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  MAX(o.o_totalprice) AS o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_fingerprint" -> simhashFingerprintSql,

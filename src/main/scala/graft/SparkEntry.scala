@@ -568,6 +568,21 @@ object SparkEntry {
         coalesce(col("rh"), lit(-1)).cast("long").as("resized_h"))
   }
 
+  // ---------------------------------------- skew-salted join (plan-pinned)
+
+  /** Salted join vs its plain equivalent: lineitem (large, o_orderkey can be
+    * hot) × orders (replicated small side) — result must equal the plain
+    * join, which is exactly what the oracle computes. */
+  private def skewSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "o_orderkey", buckets = 8)
+      .groupBy(col("o_orderkey"))
+      .agg(count("*").as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+        max(col("o_totalprice")).as("o_totalprice"))
+
   // ================================================================ contract
 
   /** Flagship: the full feature-store slice (transform → PIT training set). */
@@ -614,6 +629,7 @@ object SparkEntry {
     "catalog_persist"   -> (catalogPersist _),
     "ann_topk_ivf"      -> (annTopKIVFQ _),
     "media_pipeline"    -> (mediaPipeline _),
+    "skew_salted_join"  -> (skewSaltedJoin _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
