@@ -454,7 +454,7 @@ object OracleSql {
     "versioned_write_roundtrip" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-        |FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') < '1995-07-01'
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') < '1995-02-15'
         |GROUP BY 1""".stripMargin,
 
     "csv_roundtrip" ->

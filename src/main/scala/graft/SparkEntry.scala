@@ -378,13 +378,13 @@ object SparkEntry {
   private def versionedWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_vw").toString
     val o = t(s, dir, "orders")
-      .filter(col("o_orderdate") < "1996-01-01") // one year ≈ 365 partitions
+      .filter(col("o_orderdate") < "1995-04-01") // one quarter ≈ 90 partitions
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
     graft.sources.Writers.writeVersioned(o, s"$tmp/t",
       Some(graft.catalog.DailyPartition("o_orderdate")))
     val back = graft.sources.Writers.readLatest(s, s"$tmp/t") // has __date partition col
     graft.sources.Writers.atomicReplace(s,
-      back.filter(col("__date") < "1995-07-01"), s"$tmp/t")
+      back.filter(col("__date") < "1995-02-15"), s"$tmp/t")
     graft.sources.Writers.readLatest(s, s"$tmp/t")
       // partition-column type inference may read __date back as DATE —
       // normalize to the yyyy-MM-dd string for the oracle compare
