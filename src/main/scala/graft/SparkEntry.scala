@@ -545,7 +545,10 @@ object SparkEntry {
   private def mediaPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Codecs, Multimodal}
-    val ids = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    // the documents parquet is one file → one partition; spread the codec
+    // work across the executor threads before the per-item map
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
     val media = ids.map { id =>
       if (id % 2 == 0)
         Multimodal.MediaRow(id, "image",

@@ -18,6 +18,9 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 object Codecs {
 
   System.setProperty("java.awt.headless", "true")
+  // in-memory streams only — ImageIO's default temp-FILE cache serializes
+  // every encode/decode on disk I/O
+  ImageIO.setUseCache(false)
 
   // ---------------------------------------------------------------- images
 
