@@ -520,6 +520,13 @@ object OracleSql {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 9 ELSE -1 END AS BIGINT) AS resized_h
         |FROM documents""".stripMargin,
 
+    // the streaming latest-value state must converge to the batch
+    // materialization — the oracle IS the batch latest
+    "streaming_latest" ->
+      s"""WITH $EV
+         |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1""".stripMargin,
+
     // the salted join must equal the plain join — the oracle IS the plain join
     "skew_salted_join" ->
       """SELECT l.l_orderkey AS o_orderkey, COUNT(*) AS n,

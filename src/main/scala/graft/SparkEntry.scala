@@ -586,6 +586,31 @@ object SparkEntry {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
         max(col("o_totalprice")).as("o_totalprice"))
 
+  // ------------------------------- S8/M6: streaming latest-value snapshot
+
+  /** The streaming operator graph under the correctness gate: triples →
+    * file-source stream (multiple micro-batches) → stateful latest-value →
+    * update-mode emissions; the final state per entity (max emission by the
+    * batch tie-break) must equal the batch materialization, which is what
+    * the oracle computes. */
+  private def streamingLatest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts"))
+      .repartition(8).write.parquet(s"$tmp/in") // 8 files → several micro-batches
+    val stream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/in",
+      maxFilesPerTrigger = 2)
+    val table = s"stream_latest_${System.nanoTime()}"
+    val q = graft.streaming.StreamingLatest.latestValueStream(s, stream)
+      .writeStream.outputMode("update").format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(col("ts").desc, col("value").desc)
+    s.table(table)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+  }
+
   // ================================================================ contract
 
   /** Flagship: the full feature-store slice (transform → PIT training set). */
@@ -633,6 +658,7 @@ object SparkEntry {
     "ann_topk_ivf"      -> (annTopKIVFQ _),
     "media_pipeline"    -> (mediaPipeline _),
     "skew_salted_join"  -> (skewSaltedJoin _),
+    "streaming_latest"  -> (streamingLatest _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
