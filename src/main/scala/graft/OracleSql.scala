@@ -507,18 +507,31 @@ object OracleSql {
     "ann_topk_ivf" ->
       "SELECT 'recall_at_10_ge_0.5' AS metric, CAST(1 AS BIGINT) AS ok",
 
-    // every dimension below is what the engine ENCODED before decoding —
-    // the oracle re-derives them arithmetically, proving the codec round-trip
+    // every dimension below is what the engine ENCODED before decoding — the
+    // oracle re-derives them arithmetically, proving the codec round-trip;
+    // lum_sum recomputes the per-PIXEL integer luminance of the synthetic
+    // image formula (PNG lossless ⇒ decoded pixels must match exactly)
     "media_pipeline" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 24 ELSE 0 END AS BIGINT) AS width,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id * 7) % 24 ELSE 0 END AS BIGINT) AS height,
-        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS BIGINT) AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1000 + doc_id % 500 END AS BIGINT) AS n_frames,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 12 ELSE -1 END AS BIGINT) AS resized_w,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 9 ELSE -1 END AS BIGINT) AS resized_h
-        |FROM documents""".stripMargin,
+      """WITH img AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 24 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, h, unnest(generate_series(0, w - 1)) AS x FROM img),
+        |pxy AS (SELECT doc_id, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+        |lum AS (
+        |  SELECT doc_id, SUM((299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+        |      + 114 * (v & 255)) // 1000) AS lum_sum
+        |  FROM (SELECT doc_id, (x * 31 + y * 17 + doc_id * 131) & 16777215 AS v FROM pxy)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 8 + d.doc_id % 24 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 8 + (d.doc_id * 7) % 24 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN d.doc_id % 2 = 1 THEN 8000 + (d.doc_id % 8) * 1000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 1000 + d.doc_id % 500 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 12 ELSE -1 END AS BIGINT) AS resized_w,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 9 ELSE -1 END AS BIGINT) AS resized_h,
+        |  CAST(COALESCE(lum.lum_sum, -1) AS BIGINT) AS lum_sum
+        |FROM documents d LEFT JOIN lum ON d.doc_id = lum.doc_id""".stripMargin,
 
     // the streaming latest-value state must converge to the batch
     // materialization — the oracle IS the batch latest
@@ -526,6 +539,25 @@ object OracleSql {
       s"""WITH $EV
          |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev
          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1""".stripMargin,
+
+    // deterministic orchestration ledger: flaky task retried to success,
+    // resume skips (not recorded), doomed task exhausts attempts
+    "task_runs" ->
+      """SELECT * FROM (VALUES
+        |  ('materialize', CAST(1 AS BIGINT), 'failed'),
+        |  ('materialize', CAST(2 AS BIGINT), 'failed'),
+        |  ('materialize', CAST(3 AS BIGINT), 'success'),
+        |  ('doomed', CAST(1 AS BIGINT), 'failed'),
+        |  ('doomed', CAST(2 AS BIGINT), 'failed'),
+        |  ('doomed', CAST(3 AS BIGINT), 'failed')) AS t(task, attempt, status)""".stripMargin,
+
+    // each event lands in exactly two 10-min windows on the 5-min grid
+    "windowed_counts" ->
+      s"""WITH $EV,
+         |w AS (SELECT user_id AS entity, epoch_ms(ts) AS ms FROM ev),
+         |k AS (SELECT entity, ms, unnest([ms // 300000, ms // 300000 - 1]) AS wk FROM w)
+         |SELECT CAST(wk * 300000 AS BIGINT) AS ws_ms, entity, COUNT(*) AS n
+         |FROM k GROUP BY 1, 2""".stripMargin,
 
     // the salted join must equal the plain join — the oracle IS the plain join
     "skew_salted_join" ->

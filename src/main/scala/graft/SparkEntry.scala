@@ -561,14 +561,25 @@ object SparkEntry {
     val resized = Multimodal.decodeFeatures(s,
       Multimodal.resizeImages(s, media.filter(col("kind") === "image"), 12, 9)).toDF()
       .select(col("media_id"), col("width").as("rw"), col("height").as("rh"))
+    // pixel-exact decode proof: PNG is lossless, so the decoded integer
+    // luminance checksum equals the arithmetic function of the generator
+    // formula the oracle recomputes in SQL
+    val lums = media.as[Multimodal.MediaRow].map { r =>
+      (r.media_id,
+        if (r.kind == "image")
+          Codecs.decodeImage(r.bytes).map(Codecs.luminanceSum).getOrElse(-2L)
+        else -1L)
+    }.toDF("media_id", "lum_sum")
     decoded.join(resized, Seq("media_id"), "left")
+      .join(lums, Seq("media_id"))
       .select(col("media_id"), col("kind"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("sampleRate").cast("long").as("sample_rate"),
         col("nFrames").cast("long").as("n_frames"),
         coalesce(col("rw"), lit(-1)).cast("long").as("resized_w"),
-        coalesce(col("rh"), lit(-1)).cast("long").as("resized_h"))
+        coalesce(col("rh"), lit(-1)).cast("long").as("resized_h"),
+        col("lum_sum"))
   }
 
   // ---------------------------------------- skew-salted join (plan-pinned)
@@ -609,6 +620,44 @@ object SparkEntry {
     s.table(table)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+  }
+
+  // ----------------------------- orchestration: task runs, retry, resume
+
+  /** TaskRunner lifecycle under the gate: a flaky materialization (fails
+    * twice, then succeeds), a resumed re-run (skipped), and an
+    * exhausted-failure task — the recorded (task, attempt, status) ledger is
+    * fully deterministic and the oracle pins it. */
+  private def taskRuns(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_runs").toString
+    val runner = new graft.sched.TaskRunner(s, tmp, maxAttempts = 3, backoffMs = 1)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    runner.run("materialize", "v1") {
+      if (calls.incrementAndGet() < 3) sys.error("flaky")
+      Materialize.latestTriple(
+        events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts")))
+        .queryExecution.toRdd.count()
+    }
+    runner.run("materialize", "v1") { 0L } // resumed → skipped, not recorded
+    runner.run("doomed", "v1") { sys.error("always") }
+    import s.implicits._
+    runner.runs().map(r => (r.task, r.attempt, r.status))
+      .toDF("task", "attempt", "status")
+      .select(col("task"), col("attempt").cast("long").as("attempt"), col("status"))
+  }
+
+  // ------------------------------- watermarked sliding-window aggregation
+
+  /** The streaming windowed-agg operator graph evaluated on the batch frame
+    * (identical `window()` assignment logic); oracle re-derives the two
+    * 10-minute/5-minute-slide windows per event arithmetically. */
+  private def windowedCounts(s: SparkSession, dir: String): DataFrame = {
+    val triples = events(s, dir)
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+    graft.streaming.StreamingLatest.windowedCounts(triples,
+        "10 minutes", "5 minutes", "30 minutes")
+      .select(unix_millis(col("window.start")).as("ws_ms"), col("entity"),
+        col("n"))
   }
 
   // ================================================================ contract
@@ -659,6 +708,8 @@ object SparkEntry {
     "media_pipeline"    -> (mediaPipeline _),
     "skew_salted_join"  -> (skewSaltedJoin _),
     "streaming_latest"  -> (streamingLatest _),
+    "task_runs"         -> (taskRuns _),
+    "windowed_counts"   -> (windowedCounts _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -61,6 +61,25 @@ object Codecs {
     feat
   }
 
+  /** Exact integer luminance checksum — PNG is lossless, so for synthetic
+    * images this equals an arithmetic function of the generator formula
+    * (which is what the media_pipeline oracle recomputes in SQL). */
+  def luminanceSum(img: BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
   /** Real pixel resample (Graphics2D bilinear) → re-encoded PNG bytes. */
   def resizeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
     decodeImage(bytes).map { src =>
