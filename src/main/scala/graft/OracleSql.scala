@@ -559,6 +559,20 @@ object OracleSql {
          |SELECT CAST(wk * 300000 AS BIGINT) AS ws_ms, entity, COUNT(*) AS n
          |FROM k GROUP BY 1, 2""".stripMargin,
 
+    // the streaming as-of emission set must equal the batch as-of join
+    "stream_asof" ->
+      s"""WITH $EV,
+         |lbl AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+         |lkey AS (SELECT DISTINCT user_id, ts FROM lbl),
+         |fc AS (SELECT user_id AS e, ts AS fts, value AS v FROM ev WHERE event_type = 'click'),
+         |pc AS (
+         |  SELECT l.user_id, l.ts, f.v FROM lkey l
+         |  LEFT JOIN fc f ON l.user_id = f.e AND f.fts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1)
+         |SELECT l.user_id AS entity, epoch_ms(l.ts) AS ts_ms, l.value AS label,
+         |  pc.v AS feature
+         |FROM lbl l LEFT JOIN pc ON l.user_id = pc.user_id AND l.ts = pc.ts""".stripMargin,
+
     // the salted join must equal the plain join — the oracle IS the plain join
     "skew_salted_join" ->
       """SELECT l.l_orderkey AS o_orderkey, COUNT(*) AS n,

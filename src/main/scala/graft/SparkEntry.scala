@@ -660,6 +660,54 @@ object SparkEntry {
         col("n"))
   }
 
+  // ------------------------------------ stream-stream as-of, end-to-end
+
+  /** Stream-stream as-of join under the gate: click-features and
+    * purchase-labels replayed through two file-source streams; a
+    * beyond-horizon watermark delay guarantees no late-drops, and sentinel
+    * rows (entity -1) pushed into BOTH streams advance the min-watermark so
+    * every label flushes. The emitted set must equal the batch as-of join,
+    * which the oracle computes. */
+  private def streamAsOf(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sasof").toString
+    val ev = events(s, dir)
+    val feats = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+    val lbls = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+    feats.coalesce(2).write.parquet(s"$tmp/f")
+    lbls.coalesce(2).write.parquet(s"$tmp/l")
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+
+    val fStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/f", 1)
+    val lStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/l", 1)
+    // delay > the whole data span ⇒ nothing is ever watermark-late
+    val joined = graft.streaming.StreamingAsOf.asOfStream(s, lStream, fStream,
+      delayThreshold = "3650 days")
+    val table = s"stream_asof_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try {
+      q.processAllAvailable()
+      import s.implicits._
+      def sentinel(offsetDays: Int): DataFrame =
+        Seq((-1L, 0.0, new java.sql.Timestamp(
+          maxTs.getTime + (3650L + offsetDays) * 86400000L)))
+          .toDF("entity", "value", "ts")
+      // two rounds: the first advances the watermark past every label, the
+      // second triggers the event-time-timeout flush batch
+      sentinel(1).write.mode("append").parquet(s"$tmp/f")
+      sentinel(1).write.mode("append").parquet(s"$tmp/l")
+      q.processAllAvailable()
+      sentinel(2).write.mode("append").parquet(s"$tmp/f")
+      sentinel(2).write.mode("append").parquet(s"$tmp/l")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(table).filter(col("entity") >= 0)
+      .select(col("entity"), unix_millis(col("ts")).as("ts_ms"),
+        col("label"), col("feature"))
+  }
+
   // ================================================================ contract
 
   /** Flagship: the full feature-store slice (transform → PIT training set). */
@@ -710,6 +758,7 @@ object SparkEntry {
     "streaming_latest"  -> (streamingLatest _),
     "task_runs"         -> (taskRuns _),
     "windowed_counts"   -> (windowedCounts _),
+    "stream_asof"       -> (streamAsOf _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
