@@ -607,7 +607,7 @@ object SparkEntry {
   private def streamingLatest(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts"))
-      .repartition(8).write.parquet(s"$tmp/in") // 8 files → several micro-batches
+      .repartition(4).write.parquet(s"$tmp/in") // 4 files → 2 micro-batches
     val stream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/in",
       maxFilesPerTrigger = 2)
     val table = s"stream_latest_${System.nanoTime()}"
@@ -675,8 +675,11 @@ object SparkEntry {
       .select(col("user_id").as("entity"), col("value"), col("ts"))
     val lbls = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("entity"), col("value"), col("ts"))
-    feats.coalesce(2).write.parquet(s"$tmp/f")
-    lbls.coalesce(2).write.parquet(s"$tmp/l")
+    // one file per stream: the pending→sentinel-flush lifecycle still runs
+    // across 3 micro-batches (data, watermark push, timeout flush); finer
+    // multi-batch interleavings are covered by StreamingAsOfSpec
+    feats.coalesce(1).write.parquet(s"$tmp/f")
+    lbls.coalesce(1).write.parquet(s"$tmp/l")
     val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
 
     val fStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/f", 1)
