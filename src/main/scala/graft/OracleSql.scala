@@ -581,6 +581,20 @@ object OracleSql {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
 
+    // custom exprs called from SQL: the oracle recomputes both values
+    // independently (substr-shingle jaccard; md5-vote simhash)
+    "q_custom_fn" ->
+      s"""WITH $simhashCtes,
+         |d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents),
+         |kg AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(nt) - 4, 0)), i -> substr(nt, i, 5))) AS ks FROM d)
+         |SELECT a.doc_id,
+         |  round(len(list_intersect(a.ks, b.ks)) /
+         |    (len(a.ks) + len(b.ks) - len(list_intersect(a.ks, b.ks))), 6) AS next_jaccard,
+         |  CAST(s.h AS VARCHAR) AS simhash
+         |FROM kg a JOIN kg b ON b.doc_id = a.doc_id + 1
+         |JOIN sims s ON s.doc_id = a.doc_id""".stripMargin,
+
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_fingerprint" -> simhashFingerprintSql,

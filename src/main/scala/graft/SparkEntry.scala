@@ -711,6 +711,25 @@ object SparkEntry {
         col("label"), col("feature"))
   }
 
+  // -------------------------- custom expressions on the SQL surface (T1)
+
+  /** The registered custom Catalyst expressions called FROM SQL — adjacent-
+    * doc k-gram Jaccard and the 64-bit SimHash, both recomputed indepen-
+    * dently by the oracle (substr-shingle set math / md5 bit votes). */
+  private def qCustomFn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.registerAll(s)
+    SqlTransform.runWith(s,
+      raw"""WITH d AS (SELECT doc_id, text,
+           |    trim(regexp_replace(lower(text), '\\s+', ' ')) AS nt
+           |  FROM {{documents}})
+           |SELECT a.doc_id,
+           |  round(kgram_jaccard(a.nt, b.nt, 5), 6) AS next_jaccard,
+           |  conv(hex(simhash64(filter(split(trim(a.text), '\\s+'),
+           |    t -> length(t) > 0))), 16, 10) AS simhash
+           |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+      Map(ResourceId("documents") -> t(s, dir, "documents")))
+  }
+
   // ================================================================ contract
 
   /** Flagship: the full feature-store slice (transform → PIT training set). */
@@ -762,6 +781,7 @@ object SparkEntry {
     "task_runs"         -> (taskRuns _),
     "windowed_counts"   -> (windowedCounts _),
     "stream_asof"       -> (streamAsOf _),
+    "q_custom_fn"       -> (qCustomFn _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
