@@ -595,6 +595,20 @@ object OracleSql {
          |FROM kg a JOIN kg b ON b.doc_id = a.doc_id + 1
          |JOIN sims s ON s.doc_id = a.doc_id""".stripMargin,
 
+    // full replay of the winnowing near-dup pipeline (k=20, window=24,
+    // >= 3 shared fingerprints)
+    "winnow_near_dups" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents),
+         |pos AS (SELECT doc_id, nt, greatest(length(nt) - 19, 0) AS m,
+         |    unnest(generate_series(1, greatest(length(nt) - 19, 0))) AS i FROM d),
+         |wh AS (SELECT doc_id, m, i, ${mh63("substr(nt, i, 20)")} AS h FROM pos),
+         |wm AS (SELECT doc_id, m, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS mh FROM wh),
+         |sel AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= greatest(m - 24, 0) + 1)
+         |SELECT a.doc_id AS idA, b.doc_id AS idB, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_fingerprint" -> simhashFingerprintSql,
