@@ -609,6 +609,14 @@ object OracleSql {
          |FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
 
+    // the bucketed co-located join must equal the plain join
+    "bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_fingerprint" -> simhashFingerprintSql,

@@ -748,6 +748,29 @@ object SparkEntry {
       .where(col("n_shared") >= 3)
   }
 
+  // --------------------------------- bucketed co-located join (no shuffle)
+
+  /** Two tables bucketed on the join key (8 buckets each) joined with a
+    * forced sort-merge join — the bucket layout satisfies the join's
+    * distribution requirement, so the join itself runs with zero exchanges
+    * (asserted in BucketedJoinSpec); here the result is oracle-checked
+    * against the plain join. */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bj").toString
+    val n = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    graft.sources.Writers.writeBucketed(t(s, dir, "orders"),
+      s"b_orders_$n", s"$tmp/o", "o_custkey", 8, Seq("o_custkey"))
+    graft.sources.Writers.writeBucketed(
+      t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+      s"b_cust_$n", s"$tmp/c", "o_custkey", 8, Seq("o_custkey"))
+    s.table(s"b_orders_$n").hint("merge")
+      .join(s.table(s"b_cust_$n"), Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count("*").as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+  }
+
   // ================================================================ contract
 
   /** Flagship: the full feature-store slice (transform → PIT training set). */
@@ -801,6 +824,7 @@ object SparkEntry {
     "stream_asof"       -> (streamAsOf _),
     "q_custom_fn"       -> (qCustomFn _),
     "winnow_near_dups"  -> (winnowNearDups _),
+    "bucketed_join"     -> (bucketedJoin _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -67,6 +67,23 @@ object Writers {
       case None => throw new IllegalStateException(s"no versions under $baseDir")
     }
 
+  /** Bucketed table write — the co-located-join primitive at cluster scale:
+    * two tables bucketed by the same key into the same bucket count join
+    * with NO shuffle exchange (the bucket layout IS the hash partitioning,
+    * persisted; Spark's FileSourceScanExec reports it as outputPartitioning).
+    * Bucketing metadata only survives through the session catalog, so this
+    * is a `saveAsTable` with an explicit path; read back via
+    * `spark.table(name)`. sortCols pre-sorts within buckets (sort-merge
+    * joins skip their sort too). */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    bucketCol: String, buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("path", path)
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
   /** K2: CSV write with/without header. */
   def writeCsv(df: DataFrame, dir: String, header: Boolean = true): String = {
     val out = s"$dir/${newVersion()}"
