@@ -611,8 +611,12 @@ object SparkEntry {
     val stream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/in",
       maxFilesPerTrigger = 2)
     val table = s"stream_latest_${System.nanoTime()}"
-    val q = graft.streaming.StreamingLatest.latestValueStream(s, stream)
+    // small state partitioning for the 150-entity state (see streamAsOf)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try graft.streaming.StreamingLatest.latestValueStream(s, stream)
       .writeStream.outputMode("update").format("memory").queryName(table).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.processAllAvailable() finally q.stop()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("entity"))
@@ -688,8 +692,14 @@ object SparkEntry {
     val joined = graft.streaming.StreamingAsOf.asOfStream(s, lStream, fStream,
       delayThreshold = "3650 days")
     val table = s"stream_asof_${System.nanoTime()}"
-    val q = joined.writeStream.outputMode("append")
+    // 150 entities don't need 32 state-store partitions; the query pins its
+    // state partitioning at start, so the conf is restored right after
+    // (partition count never affects results)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try joined.writeStream.outputMode("append")
       .format("memory").queryName(table).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
       import s.implicits._
