@@ -84,6 +84,18 @@ object Writers {
       .saveAsTable(tableName)
   }
 
+  /** Small-file compaction: rewrite the latest version of a versioned table
+    * into `targetFiles` files as a NEW version (readers of old versions are
+    * unaffected; readLatest flips atomically with the directory listing).
+    * The incremental writers naturally accrete one file per micro-batch /
+    * delta — at 100 TB uncompacted version dirs kill both the name-node and
+    * scan planning, so this runs as periodic housekeeping (a TaskRunner
+    * schedule). Returns the new version dir. */
+  def compact(spark: SparkSession, baseDir: String, targetFiles: Int = 1): String = {
+    val df = readLatest(spark, baseDir)
+    writeVersioned(df.repartition(targetFiles), baseDir)
+  }
+
   /** K2: CSV write with/without header. */
   def writeCsv(df: DataFrame, dir: String, header: Boolean = true): String = {
     val out = s"$dir/${newVersion()}"
