@@ -694,7 +694,10 @@ object SparkEntry {
     val table = s"stream_asof_${System.nanoTime()}"
     // 150 entities don't need 32 state-store partitions; the query pins its
     // state partitioning at start, so the conf is restored right after
-    // (partition count never affects results)
+    // (partition count never affects results). Measured: the RocksDB state
+    // store provider is ~20% SLOWER here (per-instance native init dwarfs
+    // this tiny state) — it's the right provider only once per-partition
+    // state outgrows the heap, so the default HDFS-backed store stays.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try joined.writeStream.outputMode("append")
