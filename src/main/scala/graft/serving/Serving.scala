@@ -49,14 +49,18 @@ final class OnlineStore {
     tables.get(feature).flatMap(_.get(entity))
 
   /** O2/O3: assemble a serving row; on-demand features are computed at
-    * request time from params + the already-resolved precomputed values. */
+    * request time from params + the already-resolved precomputed values
+    * (passed in `names` order — NOT map order, which is hash-dependent
+    * beyond 4 entries). */
   def features(names: Seq[String], entity: Any,
                params: Map[String, Any] = Map.empty): Seq[Option[Any]] = {
-    val pre = names.map(n => n -> get(n, entity)).toMap
+    val pre = names.map(n => n -> get(n, entity))
+    val preValues = pre.flatMap(_._2)
+    val preMap = pre.toMap
     names.map { n =>
       onDemand.get(n) match {
-        case Some(fn) => Some(fn(params + ("entity" -> entity), pre.values.flatten.toSeq))
-        case None     => pre(n)
+        case Some(fn) => Some(fn(params + ("entity" -> entity), preValues))
+        case None     => preMap(n)
       }
     }
   }
