@@ -748,18 +748,11 @@ object SparkEntry {
   /** Document pairs sharing ≥3 winnowing fingerprints (k=20 char shingles,
     * window 24 — any shared substring of 43+ chars is guaranteed a shared
     * fingerprint). Bucketed self-join on the fingerprint value — never
-    * all-pairs — and, like the other sketches, fully replayed by the oracle. */
-  private def winnowNearDups(s: SparkSession, dir: String): DataFrame = {
-    val fps = t(s, dir, "documents").select(col("doc_id"),
-      explode(Dedup.winnowFingerprints(col("text"), shingleK = 20, window = 24))
-        .as("fp"))
-    val a = fps.select(col("doc_id").as("idA"), col("fp"))
-    val b = fps.select(col("doc_id").as("idB"), col("fp"))
-    a.join(b, Seq("fp")).where(col("idA") < col("idB"))
-      .groupBy(col("idA"), col("idB"))
-      .agg(count("*").cast("long").as("n_shared"))
-      .where(col("n_shared") >= 3)
-  }
+    * all-pairs, hot fingerprints frequency-capped — and, like the other
+    * sketches, fully replayed by the oracle. */
+  private def winnowNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowNearDups(t(s, dir, "documents"), "text", "doc_id",
+      shingleK = 20, window = 24, minShared = 3)
 
   // --------------------------------- bucketed co-located join (no shuffle)
 

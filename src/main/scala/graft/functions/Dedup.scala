@@ -31,6 +31,41 @@ object Dedup {
     if (checkpoint) df.checkpoint()
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+
+  /** Document-frequency cap on bucket keys before an LSH self-join — the
+    * standard guard against the n² blow-up of a "hot" bucket (template-heavy
+    * web corpora put boilerplate headers/footers in millions of documents; a
+    * band/fingerprint value shared by n docs yields n² candidate rows).
+    *
+    * Keys occurring in more than `cap` rows are dropped entirely (docs in a
+    * bucket that size are boilerplate-similar, not near-duplicate-similar in
+    * any useful sense) and the dropped key/row counts are logged so coverage
+    * loss is explicit, never silent. Cost: one extra aggregation on the key
+    * (column-pruned, map-side partial) + a broadcast anti-join — the hot-key
+    * list is tiny by construction (each key covers > cap rows).
+    */
+  private[graft] def capHotKeys(df: DataFrame, keyCol: String, cap: Int,
+                                what: String): DataFrame = {
+    require(cap > 0, s"$what: frequency cap must be positive")
+    // hot-key list collected to the driver: bounded by rows/cap keys (each
+    // covers > cap rows), i.e. metadata-scale for any sane cap
+    val hotRows = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__freq"))
+      .where(col("__freq") > cap).collect()
+    if (hotRows.isEmpty) df
+    else {
+      log.warn(s"$what: dropping ${hotRows.length} bucket key(s) with more " +
+        s"than $cap occurrences (${hotRows.map(_.getLong(1)).sum} rows) " +
+        "before candidate generation")
+      val keyField = df.schema(keyCol)
+      val hotDf = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows.map(r =>
+          org.apache.spark.sql.Row(r.get(0))): _*),
+        org.apache.spark.sql.types.StructType(Seq(keyField)))
+      df.join(broadcast(hotDf), Seq(keyCol), "left_anti")
+    }
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on canonicalized content: keeps the row with the smallest
@@ -76,7 +111,8 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8,
-                      checkpointSignatures: Boolean = false): DataFrame = {
+                      checkpointSignatures: Boolean = false,
+                      maxBandFreq: Int = 2000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // barrier: CollapseProject would otherwise inline the signature
     // expression once per band key per join leg (~17 evals/row — measured
@@ -84,12 +120,27 @@ object Dedup {
     // barrier), and the table feeds BOTH self-join legs. id + 64 longs —
     // ~600 B/row, negligible at any doc count that fits a cluster's
     // aggregate memory; spills to disk otherwise.
-    val sigs = barrier(df.select(
-      col(idCol).as("__id"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("__sig")),
+    //
+    // Docs shorter than shingleK chars have NO k-grams: their signature
+    // would be the all-MaxValue sentinel, band-colliding every tiny doc
+    // with every other one (and KgramJaccard calls two empty sets 1.0).
+    // They cannot be near-duplicates under a k-gram measure, so they are
+    // filtered out of the signature table — matching the DuckDB oracle,
+    // which never emits them.
+    val sigs = barrier(df
+      .select(col(idCol).as("__id"),
+        TextFunctions.normalizedText(col(textCol)).as("__norm"))
+      .where(char_length(col("__norm")) >= shingleK)
+      .select(col("__id"),
+        graft.functions.expressions.HashExprs
+          .minhashSig(col("__norm"), shingleK, numHashes).as("__sig")),
       checkpointSignatures)
-    val banded = sigs
-      .withColumn("__band", explode(lshBandKeys(col("__sig"), bands, rowsPerBand)))
+    // hot-band guard: a degenerate band key shared by n docs yields n²
+    // candidates — cap its document frequency before the self-join
+    val banded = capHotKeys(
+      sigs.withColumn("__band",
+        explode(lshBandKeys(col("__sig"), bands, rowsPerBand))),
+      "__band", maxBandFreq, "minhashNearDups")
 
     val a = banded.select(col("__band"), col("__id").as("idA"), col("__sig").as("__sa"))
     val b = banded.select(col("__band"), col("__id").as("idB"), col("__sig").as("__sb"))
@@ -146,6 +197,31 @@ object Dedup {
     graft.functions.expressions.HashExprs.winnowFingerprint(
       TextFunctions.normalizedText(text), shingleK, window)
 
+  /** Winnowing near-dup pairs (MOSS-style shared substrings): documents
+    * sharing at least `minShared` winnowing fingerprints — any shared
+    * substring of `window + shingleK - 1` chars guarantees a shared
+    * fingerprint. Bucketed self-join on the fingerprint value — never
+    * all-pairs — with the same hot-bucket frequency cap as the other LSH
+    * joins (a boilerplate fingerprint in n docs would otherwise create n²
+    * candidate rows). */
+  def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
+                     shingleK: Int = 5, window: Int = 8, minShared: Int = 3,
+                     maxFpFreq: Int = 2000): DataFrame = {
+    // barrier: the fingerprint table feeds both self-join legs and the
+    // cap's frequency scan — one winnowing pass, not three
+    val fps = capHotKeys(
+      barrier(df.select(col(idCol).as("__id"),
+        explode(winnowFingerprints(col(textCol), shingleK, window)).as("__fp")),
+        checkpoint = false),
+      "__fp", maxFpFreq, "winnowNearDups")
+    val a = fps.select(col("__id").as("idA"), col("__fp"))
+    val b = fps.select(col("__id").as("idB"), col("__fp"))
+    a.join(b, Seq("__fp")).where(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash over whitespace tokens (Charikar 2002) — custom Catalyst
     * expression ([[graft.functions.expressions.SimHash64]]). */
   def simhash64(text: Column): Column =
@@ -158,11 +234,16 @@ object Dedup {
     * (any pair within Hamming distance ≤ 3 of a 64-bit hash shares at least
     * one exact quarter — pigeonhole), verify with full Hamming distance. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val withH = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h"))
-      .withColumn("__q", explode(array((0 until 4).map(q =>
-        struct(lit(q).as("qi"),
-          shiftright(col("__h"), q * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)))
+                      maxHamming: Int = 3, maxBandFreq: Int = 2000): DataFrame = {
+    // barrier: the hash table feeds both self-join legs AND the cap's
+    // frequency scan — persist so the simhash pass runs once
+    val withH = capHotKeys(
+      barrier(df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h")),
+        checkpoint = false)
+        .withColumn("__q", explode(array((0 until 4).map(q =>
+          struct(lit(q).as("qi"),
+            shiftright(col("__h"), q * 16).bitwiseAND(0xFFFFL).as("qv"))): _*))),
+      "__q", maxBandFreq, "simhashNearDups")
     val a = withH.select(col("__q"), col("__id").as("idA"), col("__h").as("__ha"))
     val b = withH.select(col("__q"), col("__id").as("idB"), col("__h").as("__hb"))
     a.join(b, Seq("__q")).where(col("idA") < col("idB"))

@@ -121,28 +121,16 @@ object Vectors {
         round(col("cosine"), 6).as("cosine"), col("__rn").cast("long").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: plane `p`, dim `i` ∈
-    * uniform[-1, 1), derived from md5 of "p|i" — no RNG state, reproducible on
-    * any cluster AND in the DuckDB oracle
-    * (`(md5_number_lower(p || '|' || i) % 2^63) % 2000001 - 1000000) / 1e6`). */
-  private def planeComponent(p: Int, i: Column): Column =
-    ((graft.functions.expressions.Md5Long(
-        concat(lit(s"$p|"), i.cast("string")))
-      .bitwiseAND(lit(Long.MaxValue)) % lit(2000001L)) - lit(1000000L))
-      .cast("double") / 1000000.0
-
   /** Random-hyperplane (SimHash-for-vectors) LSH signature: bit p = sign of
-    * dot(v, plane_p). Computed in the scan projection. */
-  def hyperplaneSignature(vec: Column, numPlanes: Int): Column = {
-    val planes = (0 until numPlanes).map { p =>
-      val prod = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(prod >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    planes.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * dot(v, plane_p), planes derived from md5("p|i") ∈ uniform[-1, 1) — no
+    * RNG state, reproducible on any cluster AND in the DuckDB oracle
+    * (`(md5_number_lower(p || '|' || i) % 2^63) % 2000001 - 1000000) / 1e6`).
+    * Computed in the scan projection by
+    * [[graft.functions.expressions.HyperplaneSig]], which tabulates the
+    * constant plane matrix once per task instead of re-deriving the md5
+    * components per row. */
+  def hyperplaneSignature(vec: Column, numPlanes: Int): Column =
+    graft.functions.expressions.VectorExprs.hyperplaneSig(vec, numPlanes)
 
   /** Approximate near-duplicate pairs by embedding cosine: LSH-bucket on the
     * hyperplane signature (multi-probe: the full signature plus each
@@ -151,7 +139,8 @@ object Vectors {
     * Output (idA < idB, cosine >= threshold). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      numPlanes: Int = 16, threshold: Double = 0.95,
-                     checkpointSignatures: Boolean = false): DataFrame = {
+                     checkpointSignatures: Boolean = false,
+                     maxBandFreq: Int = 2000): DataFrame = {
     // barrier: signature reused by both join legs and both band exprs
     // (same CollapseProject inlining hazard as Dedup.minhashNearDups;
     // checkpoint=true for the cluster-scale recompute-on-loss rationale)
@@ -159,14 +148,27 @@ object Vectors {
       df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
         hyperplaneSignature(col(vecCol), numPlanes).as("__sig")),
       checkpointSignatures)
-    // bucket on signature halves: Hamming-1-close signatures share a half
-    val banded = sig.withColumn("__band", explode(array(
-      struct(lit(0).as("bi"), col("__sig").bitwiseAND(lit((1L << (numPlanes / 2)) - 1)).as("bv")),
-      struct(lit(1).as("bi"), shiftright(col("__sig"), numPlanes / 2).as("bv")))))
-    val a = banded.select(col("__band"), col("__id").as("idA"), col("__v").as("__va"))
-    val b = banded.select(col("__band"), col("__id").as("idB"), col("__v").as("__vb"))
-    a.join(b, Seq("__band")).where(col("idA") < col("idB"))
+    // bucket on signature halves: Hamming-1-close signatures share a half.
+    // Band legs carry ONLY (band, id) — the candidate-pair dedup shuffle
+    // moves 16 bytes/pair, never the vectors; payloads are re-joined by id
+    // from the cached signature table afterwards (same shape as
+    // Dedup.minhashNearDups). Hot bands (a degenerate signature half shared
+    // by > maxBandFreq vectors — n² candidates in that bucket) are dropped
+    // with a logged count before the self-join.
+    val banded = graft.functions.Dedup.capHotKeys(
+      sig.select(col("__id"), col("__sig")).withColumn("__band", explode(array(
+        struct(lit(0).as("bi"), col("__sig").bitwiseAND(lit((1L << (numPlanes / 2)) - 1)).as("bv")),
+        struct(lit(1).as("bi"), shiftright(col("__sig"), numPlanes / 2).as("bv"))))),
+      "__band", maxBandFreq, "cosineNearDups")
+    val a = banded.select(col("__band"), col("__id").as("idA"))
+    val b = banded.select(col("__band"), col("__id").as("idB"))
+    val pairs = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
+      .select("idA", "idB")
       .dropDuplicates("idA", "idB")
+    val vecs = sig.select(col("__id"), col("__v"))
+    pairs
+      .join(vecs.withColumnRenamed("__id", "idA").withColumnRenamed("__v", "__va"), Seq("idA"))
+      .join(vecs.withColumnRenamed("__id", "idB").withColumnRenamed("__v", "__vb"), Seq("idB"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .where(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))

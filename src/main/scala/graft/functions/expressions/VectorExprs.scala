@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -57,8 +57,84 @@ final case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH signature of a float-vector column: bit p of the
+  * output long = sign of dot(v, plane_p), planes derived deterministically
+  * from md5("p|i") mapped to [-1, 1) (≡ the DuckDB oracle's
+  * `((md5_number_lower(p || '|' || i) % 2^63) % 2000001 - 1000000) / 1e6`).
+  *
+  * The plane matrix is a compile-time constant (numPlanes × dim doubles) —
+  * tabulated ONCE per task on first row and reused, so signature cost is
+  * pure dot products. The previous declarative form rebuilt the md5-derived
+  * components inside the row expression: numPlanes × dim digests PER ROW
+  * (~1,024 for 16 planes × 64 dims) — ~1000× more hashing than needed.
+  * Accumulation order (sequential left-to-right double) and values are
+  * bit-identical to that form, so the oracle SQL is unchanged.
+  */
+final case class HyperplaneSig(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  require(numPlanes > 0 && numPlanes <= 63, "numPlanes in (0, 63]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  // call-out codegen: the loop stays in compiled Scala, the surrounding
+  // stage keeps whole-stage codegen.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  // per-task cache (expressions are serialized per task, so no cross-thread
+  // sharing; a benign race would only redo the 16×dim tabulation)
+  @transient private var cachedDim: Int = -1
+  @transient private var planes: Array[Double] = _ // flattened [p * dim + i]
+
+  private def planeComponent(p: Int, i: Int): Double =
+    (((Md5Hash64.lower(s"$p|$i") & Long.MaxValue) % 2000001L) - 1000000L)
+      .toDouble / 1000000.0
+
+  private def planesFor(dim: Int): Array[Double] = {
+    if (cachedDim != dim) {
+      val m = new Array[Double](numPlanes * dim)
+      var p = 0
+      while (p < numPlanes) {
+        var i = 0
+        while (i < dim) { m(p * dim + i) = planeComponent(p, i); i += 1 }
+        p += 1
+      }
+      planes = m
+      cachedDim = dim
+    }
+    planes
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  def compute(vec: ArrayData): Long = {
+    val dim = vec.numElements()
+    val m = planesFor(dim)
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      val base = p * dim
+      while (i < dim) { dot += vec.getFloat(i).toDouble * m(base + i); i += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hyperplaneSig(vec: Column, numPlanes: Int): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), numPlanes))
 }
