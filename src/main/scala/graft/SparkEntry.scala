@@ -282,22 +282,28 @@ object SparkEntry {
 
   private def textStats(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // one TextStats struct per row; the 6 stat columns below are field reads
+    // off the SAME expression, deduplicated by subexpression elimination —
+    // the document is walked once, not once per column
+    val st = TF.textStats(col("text"))
     d.select(col("doc_id"),
-      TF.charCount(col("text")).cast("long").as("n_chars2"),
-      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+      st.getField("n_chars").as("n_chars2"),
+      st.getField("n_tokens").as("n_tokens"),
       TF.subwordCount(col("text")).cast("long").as("n_subwords"),
-      round(TF.alphaRatio(col("text")), 6).as("alpha_ratio"),
-      round(TF.digitRatio(col("text")), 6).as("digit_ratio"),
-      round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-      TF.qualityScore(col("text")).as("quality"))
+      round(TF.alphaRatioFrom(st), 6).as("alpha_ratio"),
+      round(TF.digitRatioFrom(st), 6).as("digit_ratio"),
+      round(TF.stopwordRatioFrom(st), 6).as("stopword_ratio"),
+      TF.qualityScoreFrom(st).as("quality"))
   }
 
   /** The 100 TB use-case in one pipeline: quality-gate the corpus, keep one
     * language, drop exact duplicates — all scan-stage expressions plus one
     * digest-keyed dedup shuffle. */
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    // qualityScore and langId share one TextStats subexpression in the gate
+    val st = TF.textStats(col("text"))
     val docs = t(s, dir, "documents")
-      .where(TF.qualityScore(col("text")) >= 0.5 && TF.langId(col("text")) === "en")
+      .where(TF.qualityScoreFrom(st) >= 0.5 && TF.langIdFrom(st) === "en")
     Dedup.exact(docs, "text", "doc_id")
       .select(col("doc_id"), TF.fingerprintMd5(col("text")).as("fp"),
         TF.tokenCount(col("text")).cast("long").as("n_tokens"))

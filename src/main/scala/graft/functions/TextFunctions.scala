@@ -83,15 +83,50 @@ object TextFunctions {
     when(length(text) === 0, lit(0.0))
       .otherwise(cjkCount(text).cast("double") / length(text))
 
+  // ------------------------------------------------- single-pass statistics
+
+  /** Every per-document count in ONE pass ([[graft.functions.expressions
+    * .TextStats]] struct: n_chars/n_alpha/n_digit/n_punct/n_cjk/n_tokens/
+    * stop_occ_en/hits_{en,de,es,fr}) — the scan-stage building block for
+    * [[qualityScore]], [[langId]] and the text_stats query. Repeated uses of
+    * the same struct in one projection are deduplicated by Spark's
+    * subexpression elimination, so a query reading 8 stats still walks the
+    * document once, not 8 times. */
+  def textStats(text: Column): Column =
+    graft.functions.expressions.TextExprs.textStats(text)
+
+  /** alphaRatio rebuilt from a [[textStats]] struct (identical value). */
+  def alphaRatioFrom(stats: Column): Column =
+    when(stats.getField("n_chars") === 0, lit(0.0)).otherwise(
+      stats.getField("n_alpha").cast("double") / stats.getField("n_chars"))
+
+  def digitRatioFrom(stats: Column): Column =
+    when(stats.getField("n_chars") === 0, lit(0.0)).otherwise(
+      stats.getField("n_digit").cast("double") / stats.getField("n_chars"))
+
+  def punctRatioFrom(stats: Column): Column =
+    when(stats.getField("n_chars") === 0, lit(0.0)).otherwise(
+      stats.getField("n_punct").cast("double") / stats.getField("n_chars"))
+
+  def stopwordRatioFrom(stats: Column): Column =
+    when(stats.getField("n_tokens") === 0, lit(0.0)).otherwise(
+      stats.getField("stop_occ_en").cast("double") / stats.getField("n_tokens"))
+
+  def cjkRatioFrom(stats: Column): Column =
+    when(stats.getField("n_chars") === 0, lit(0.0)).otherwise(
+      stats.getField("n_cjk").cast("double") / stats.getField("n_chars"))
+
   /** n-gram-heuristic language ID over {en,de,es,fr,zh}: CJK ratio ≥ 0.2 ⇒ zh,
     * else argmax of stopword hits with a deterministic tie order
-    * (en > de > es > fr; 0 hits everywhere ⇒ "und" = undetermined). */
-  def langId(text: Column): Column = {
-    val en = stopwordHits(text, EnglishStopwords)
-    val de = stopwordHits(text, GermanStopwords)
-    val es = stopwordHits(text, SpanishStopwords)
-    val fr = stopwordHits(text, FrenchStopwords)
-    when(cjkRatio(text) >= 0.2, lit("zh"))
+    * (en > de > es > fr; 0 hits everywhere ⇒ "und" = undetermined).
+    * Declarative definition (the oracle-SQL-facing one): stopwordHits ×4 +
+    * cjkRatio; computed here from one [[textStats]] pass. */
+  def langIdFrom(stats: Column): Column = {
+    val en = stats.getField("hits_en")
+    val de = stats.getField("hits_de")
+    val es = stats.getField("hits_es")
+    val fr = stats.getField("hits_fr")
+    when(cjkRatioFrom(stats) >= 0.2, lit("zh"))
       .when(en === 0 && de === 0 && es === 0 && fr === 0, lit("und"))
       .when(en >= de && en >= es && en >= fr, lit("en"))
       .when(de >= es && de >= fr, lit("de"))
@@ -99,16 +134,22 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  def langId(text: Column): Column = langIdFrom(textStats(text))
+
   /** Composite quality score in [0,1]: favors alphabetic text of reasonable
     * length with moderate punctuation and some stopword mass. Deterministic,
-    * branch-free, codegen'd. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val alpha = alphaRatio(text)
-    val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
-    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    * branch-free, codegen'd. Declarative definition: lenScore·0.25 +
+    * alphaRatio·0.35 + min(stopwordRatio·4,1)·0.2 + max(0,1−punctRatio·5)·0.2;
+    * computed here from one [[textStats]] pass. */
+  def qualityScoreFrom(stats: Column): Column = {
+    val lenScore = least(stats.getField("n_chars").cast("double") / 500.0, lit(1.0))
+    val alpha = alphaRatioFrom(stats)
+    val stop = least(stopwordRatioFrom(stats) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatioFrom(stats) * 5.0)
     round(lenScore * 0.25 + alpha * 0.35 + stop * 0.2 + punctPenalty * 0.2, 6)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreFrom(textStats(text))
 
   /** Whitespace-collapsed, lowercased canonical form. */
   def normalizedText(text: Column): Column =

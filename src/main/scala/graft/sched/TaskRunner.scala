@@ -63,6 +63,11 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     }.toSeq
   }
 
+  // SINGLE-RUNNER CONTRACT: the read + tmp + rename rewrite below is atomic
+  // against crashes but NOT against concurrent TaskRunner instances sharing
+  // one stateDir — concurrent writers can lose each other's records. One
+  // runner per stateDir per process is the supported topology (matching the
+  // reference's single-coordinator ownership of the task-run table).
   private def append(r: TaskRun): Unit = synchronized {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("task", r.task); m.put("runKey", r.runKey); m.put("attempt", r.attempt)
@@ -103,15 +108,34 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
       val result =
         try {
           spark.sparkContext.setJobGroup(groupId, task, interruptOnCancel = true)
-          val fut = scala.concurrent.Future(body)(
-            scala.concurrent.ExecutionContext.global)
+          // dedicated thread (not a shared pool) so a timed-out body can be
+          // interrupted — cancelJobGroup kills Spark jobs but not arbitrary
+          // driver-side code, and an abandoned thread would otherwise still
+          // be running when the retry loop starts attempt N+1
+          val promise = scala.concurrent.Promise[T]()
+          val runner = new Thread(() => {
+            // explicit catch-all: Try() would rethrow InterruptedException
+            // (fatal per NonFatal), escaping the thread as console noise
+            val r = try scala.util.Success(body)
+                    catch { case t: Throwable => scala.util.Failure(t) }
+            promise.tryComplete(r); ()
+          }, s"$groupId-body")
+          runner.setDaemon(true)
+          runner.start()
           try {
-            val v = scala.concurrent.Await.result(fut,
+            val v = scala.concurrent.Await.result(promise.future,
               scala.concurrent.duration.Duration.fromNanos(maxJobDuration.toNanos))
             Right(v)
           } catch {
             case _: java.util.concurrent.TimeoutException =>
               spark.sparkContext.cancelJobGroup(groupId) // the reference's kill
+              runner.interrupt()
+              runner.join(5000) // grace; a body that ignores interrupts is
+              // logged and left behind rather than blocking the retry loop
+              if (runner.isAlive)
+                org.slf4j.LoggerFactory.getLogger("graft.TaskRunner").warn(
+                  s"$groupId: body thread ignored interrupt after timeout; " +
+                    "it may still be running while the next attempt starts")
               Left("timeout": String)
             case e: Throwable => Left(Option(e.getMessage).getOrElse(e.toString))
           }

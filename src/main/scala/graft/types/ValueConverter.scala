@@ -32,6 +32,9 @@ object ValueConverter {
     case FFUInt8  => v >= 0 && v <= 255
     case FFUInt16 => v >= 0 && v <= 65535
     case FFUInt32 => v >= 0 && v <= 4294967295L
+    // a negative Long is NOT a valid uint64 value here: the unsigned
+    // reinterpretation is only legal through the explicit uint64To path
+    case FFUInt64 => v >= 0
     case _        => true
   }
 
@@ -94,6 +97,7 @@ object ValueConverter {
         case FFString => Right(v.toString)
         case FFFloat32 => Right(if (v) 1.0f else 0.0f)
         case FFFloat64 => Right(if (v) 1.0 else 0.0)
+        case FFTimestamp | FFDatetime => Left(s"cannot convert bool → $t")
         case s: FFScalar => Right(boxLong(if (v) 1L else 0L, s))
       }
 
