@@ -621,5 +621,58 @@ object OracleSql {
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_fingerprint" -> simhashFingerprintSql,
     "cosine_near_dups"    -> cosineNearDupsSql,
+
+    // compaction rewrites layout, never data: per-day rollup of the
+    // compacted table == direct recompute over the source
+    "compact_roundtrip" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders WHERE o_orderdate < DATE '1995-04-01'
+        |GROUP BY 1""".stripMargin,
+
+    // hash-bucketed versioned write round-trips content exactly
+    "hash_partitioned_write" ->
+      "SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer",
+
+    // exact substr-shingle jaccard over consecutive-id pairs (k=3); same
+    // replay as q_custom_fn's kgram term
+    "ngram_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents),
+         |kg AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(nt) - 2, 0)), i -> substr(nt, i, 3))) AS ks FROM d)
+         |SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |  round(len(list_intersect(a.ks, b.ks)) /
+         |    (len(a.ks) + len(b.ks) - len(list_intersect(a.ks, b.ks))), 6) AS jaccard
+         |FROM kg a JOIN kg b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    // serving ANN: self-hit + recall>=0.9 vs the linear scan, asserted
+    // Spark-side on a deterministic clustered corpus; the oracle pins the
+    // expected checked row
+    "vector_index_serve" ->
+      "SELECT 'vector_index_recall_ge_0.9' AS metric, CAST(1 AS BIGINT) AS ok",
+
+    // metadata lineage over a persisted+reloaded catalog: pinned VALUES
+    // (the catalog content is fully declared by the query itself)
+    "catalog_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('features_of_model', 'churn_model', 'f_rev.default'),
+        |  ('features_of_model', 'churn_model', 'f_cnt.default'),
+        |  ('features_of_model', 'fraud_model', 'f_rev.default'),
+        |  ('models_consuming', 'f_rev.default', 'churn_model'),
+        |  ('models_consuming', 'f_rev.default', 'fraud_model'),
+        |  ('tagged_core', 'SOURCE', 'cust_rev.default'),
+        |  ('tagged_core', 'FEATURE', 'f_rev.default'),
+        |  ('provider_type', 'local_spark', 'SPARK_OFFLINE'),
+        |  ('provider_prop_team', 'local_spark', 'data'),
+        |  ('registered_user', 'alice', '-')
+        |) AS t(query, subject, related)""".stripMargin,
+
+    // cron-driven two-tick orchestrated refresh == full recompute, with
+    // exactly two successful runs in the ledger
+    "orchestrated_refresh" ->
+      s"""WITH $EV
+         |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms,
+         |  CAST(2 AS BIGINT) AS n_runs FROM ev
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1""".stripMargin,
   )
 }

@@ -789,6 +789,195 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     pitPurchases(spark, "/root/testdata/sf0.001")
 
+  // --------------------- compaction / hash-bucketed write round-trips
+
+  /** Small-file compaction with a preserved DailyPartition layout: a
+    * 16-file fragmented version is compacted into a date-partitioned one;
+    * the read-back content (grouped per day) must equal a direct recompute
+    * over the source table — proving compaction changed layout, not data. */
+  private def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < "1995-04-01")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    graft.sources.Writers.writeVersioned(o.repartition(16), s"$tmp/t")
+    graft.sources.Writers.compact(s, s"$tmp/t",
+      partition = Some(graft.catalog.DailyPartition("o_orderdate")))
+    graft.sources.Writers.readLatest(s, s"$tmp/t")
+      .groupBy(date_format(col("__date").cast("date"), "yyyy-MM-dd").as("day"))
+      .agg(count("*").as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+  }
+
+  /** HashPartition versioned write (the pre-bucketing primitive for
+    * co-located downstream joins): 8 hash buckets on the key, content
+    * round-trips exactly. */
+  private def hashPartitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hpw").toString
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("acctbal"))
+    graft.sources.Writers.writeVersioned(c, s"$tmp/t",
+      Some(graft.catalog.HashPartition("c_custkey", 8)))
+    graft.sources.Writers.readLatest(s, s"$tmp/t")
+  }
+
+  // ------------------------------- n-gram jaccard over an explicit pair set
+
+  /** Exact k-gram Jaccard for an explicit candidate pair list (the verify
+    * primitive exposed standalone): consecutive doc-id pairs, k=3. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = docs.select(col("doc_id").as("idA"),
+      (col("doc_id") + 1).as("idB"))
+    Dedup.ngramJaccard(docs, pairs, "text", "doc_id", k = 3)
+  }
+
+  // ------------------------------------ serving ANN index vs linear scan
+
+  /** The serving-side ANN path end-to-end: a deterministic clustered corpus
+    * (bases from the embeddings table + members perturbed by other table
+    * vectors), served through OnlineStore — linear scan before buildIndex,
+    * multi-probe LSH index after. Checks (a) every self-query returns itself
+    * first at cosine ~1 and (b) recall@10 vs the pre-index linear scan ≥ 0.9
+    * — emitted as a checked row so an index regression turns the gate red.
+    * (On the raw UNIFORM embeddings LSH recall degrades to the probed
+    * fraction by construction — clusters are the workload ANN exists for.) */
+  private def vectorIndexServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").select(col("vec_id").cast("long"),
+        col("embedding")).as[(Long, Array[Float])]
+      .filter(_._1 < 330).collect().sortBy(_._1).toMap
+    val corpus: Seq[(Long, Array[Float])] =
+      (0 until 30).flatMap { b =>
+        val base = emb(b.toLong)
+        val members = (0 until 9).map { j =>
+          val o = emb(30L + b * 9 + j)
+          (b * 100L + j + 1, base.indices.map(i => base(i) + 0.05f * o(i)).toArray)
+        }
+        (b * 100L, base) +: members
+      }
+    val store = new graft.serving.OnlineStore
+    store.loadVectors("emb", corpus.toDF("entity", "vector"))
+    val queries = (0 until 30).map(b => b * 100L -> emb(b.toLong))
+    val scanTop = queries.map { case (id, v) =>
+      id -> store.nearest("emb", v, 10).map(_._1).toSet
+    }.toMap
+    store.buildIndex("emb")
+    var hits = 0
+    var selfOk = true
+    queries.foreach { case (id, v) =>
+      val top = store.nearest("emb", v, 10)
+      selfOk &&= top.head._1 == id && top.head._2 > 0.999999
+      hits += top.map(_._1).count(scanTop(id).contains)
+    }
+    val recallOk = hits.toDouble / (queries.length * 10) >= 0.9
+    val ok = if (selfOk && recallOk) 1L else 0L
+    Seq(("vector_index_recall_ge_0.9", ok)).toDF("metric", "ok")
+  }
+
+  // ---------------- metadata breadth: providers/users/models/tags/lineage
+
+  /** Provider / User / Model resources, tags & properties, and the two
+    * dashboard lineage queries ("which features does model M consume" —
+    * directly or through its training sets — and "which models consume
+    * feature F"), all persisted and answered from a RELOADED catalog so the
+    * round-trip itself is part of the check. */
+  private def catalogLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    val cat = new Catalog(s)
+    cat.registerEntity(EntityDef("customer"))
+    cat.registerSource(SourceVariant(ResourceId("orders"),
+      PrimaryData(s"$dir/orders.parquet")))
+    cat.registerSource(SourceVariant(ResourceId("cust_rev"), SqlTransformation(
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n
+        |FROM {{orders}} GROUP BY o_custkey""".stripMargin)))
+    cat.registerFeature(FeatureVariant(ResourceId("f_rev"), ResourceId("cust_rev"),
+      graft.types.ResourceSchema("o_custkey", "rev", None), "customer"))
+    cat.registerFeature(FeatureVariant(ResourceId("f_cnt"), ResourceId("cust_rev"),
+      graft.types.ResourceSchema("o_custkey", "n", None), "customer"))
+    cat.registerLabel(LabelVariant(ResourceId("l_big"), ResourceId("cust_rev"),
+      Seq(EntityMapping("customer", "o_custkey")), "rev"))
+    cat.registerTrainingSet(TrainingSetVariant(ResourceId("ts_churn"),
+      ResourceId("l_big"), Seq(ResourceId("f_rev"), ResourceId("f_cnt"))))
+    cat.registerProvider(ProviderDef("local_spark", "SPARK_OFFLINE", "in-proc"))
+    cat.registerUser(UserDef("alice"))
+    // churn_model consumes through its training set; fraud_model directly
+    cat.registerModel(ModelDef("churn_model",
+      trainingSets = Seq(ResourceId("ts_churn"))))
+    cat.registerModel(ModelDef("fraud_model", features = Seq(ResourceId("f_rev"))))
+    cat.addTags(ResourceKey("SOURCE", "cust_rev.default"), Seq("core"))
+    cat.addTags(ResourceKey("FEATURE", "f_rev.default"), Seq("core", "pii"))
+    cat.setProperties(ResourceKey("PROVIDER", "local_spark"), Map("team" -> "data"))
+
+    CatalogStore.save(cat, s, tmp)
+    val re = CatalogStore.load(s, tmp) // fresh catalog ≡ restarted process
+    val rows =
+      re.featuresConsumedBy("churn_model").map(f =>
+        ("features_of_model", "churn_model", f.toString)) ++
+      re.featuresConsumedBy("fraud_model").map(f =>
+        ("features_of_model", "fraud_model", f.toString)) ++
+      re.modelsConsuming(ResourceId("f_rev")).map(m =>
+        ("models_consuming", "f_rev.default", m)) ++
+      re.resourcesTagged("core").map(k => ("tagged_core", k.kind, k.id)) ++
+      re.allProviders.map(p => ("provider_type", p.name, p.providerType)) ++
+      re.allProviders.map(p => ("provider_prop_team", p.name,
+        re.properties(ResourceKey("PROVIDER", p.name)).getOrElse("team", "-"))) ++
+      re.allUsers.map(u => ("registered_user", u.name, "-"))
+    rows.toDF("query", "subject", "related")
+  }
+
+  // ----------------- orchestrated refresh: cron + task runner + incremental
+
+  /** The production refresh loop composed from its parts: a CronSchedule
+    * decides ticks, the TaskRunner executes each refresh with durable run
+    * records (and skips an already-completed tick on crash-replay), and
+    * IncrementalRunner folds only the delta version dirs. Final snapshot
+    * must equal a full recompute (the oracle), and the ledger must hold
+    * exactly two successful runs. */
+  private def orchestratedRefresh(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orch").toString
+    val ev = events(s, dir)
+      .select(col("user_id").as("entity"), col("value"), col("ts"), col("event_id"))
+    val cron = graft.sched.CronSchedule("*/10 * * * *")
+    val runner = new graft.sched.TaskRunner(s, s"$tmp/state", maxAttempts = 2,
+      backoffMs = 1)
+    def msAt(minute: Int): Long = minute * 60000L
+    var lastTick: Option[Long] = None
+
+    // tick 1 (t=00:15): first delta lands, cron fires at the 00:10 tick
+    graft.sources.Writers.writeVersioned(
+      ev.filter(col("event_id") < 500).select("entity", "value", "ts"), s"$tmp/ev")
+    require(cron.isDue(msAt(15), lastTick))
+    val t1 = cron.lastDue(msAt(15)).get
+    runner.run("refresh", s"tick-$t1") {
+      graft.streaming.IncrementalRunner.refreshLatest(s, s"$tmp/ev", s"$tmp/snap").get
+    }
+    lastTick = Some(t1)
+    require(!cron.isDue(msAt(15), lastTick)) // same tick never re-fires
+    // crash-replay of the same tick resumes instead of re-running
+    val (replay, _) = runner.run("refresh", s"tick-$t1") {
+      throw new IllegalStateException("must not re-execute a completed tick")
+    }
+    require(replay.status == "skipped")
+
+    // tick 2 (t=00:25): second delta, next cron tick, incremental fold
+    graft.sources.Writers.writeVersioned(
+      ev.filter(col("event_id") >= 500).select("entity", "value", "ts"), s"$tmp/ev")
+    require(cron.isDue(msAt(25), lastTick))
+    val t2 = cron.lastDue(msAt(25)).get
+    runner.run("refresh", s"tick-$t2") {
+      graft.streaming.IncrementalRunner.refreshLatest(s, s"$tmp/ev", s"$tmp/snap").get
+    }
+    val nSuccess = runner.runs().count(_.status == "success").toLong
+    graft.sources.Writers.readLatest(s, s"$tmp/snap")
+      .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("n_runs", lit(nSuccess))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -837,6 +1026,12 @@ object SparkEntry {
     "q_custom_fn"       -> (qCustomFn _),
     "winnow_near_dups"  -> (winnowNearDups _),
     "bucketed_join"     -> (bucketedJoin _),
+    "compact_roundtrip" -> (compactRoundtrip _),
+    "hash_partitioned_write" -> (hashPartitionedWrite _),
+    "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "vector_index_serve" -> (vectorIndexServe _),
+    "orchestrated_refresh" -> (orchestratedRefresh _),
+    "catalog_lineage"   -> (catalogLineage _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -86,6 +86,27 @@ final case class OnDemandVariant(id: ResourceId, expr: String) {
     df.withColumn(id.name, org.apache.spark.sql.functions.expr(expr))
 }
 
+/** Infrastructure provider record — reference metadata.proto:388-404
+  * (Provider: type, software, team, serialized config). Config stays an
+  * opaque string map here (no secrets handling in-process). */
+final case class ProviderDef(name: String, providerType: String,
+                             description: String = "")
+
+/** User resource — reference metadata.proto (User owns resources via the
+  * `owner` field on every variant). */
+final case class UserDef(name: String)
+
+/** Model resource — reference metadata/metadata.go's Model ↔ feature /
+  * training-set lineage (a model records which features and training sets it
+  * consumes; the dashboard's "which models use this feature" query). */
+final case class ModelDef(name: String, features: Seq[ResourceId] = Nil,
+                          trainingSets: Seq[ResourceId] = Nil)
+
+/** (kind, id-string) addressing for cross-kind metadata: tags, properties,
+  * owner. Kinds: SOURCE, FEATURE, LABEL, TRAINING_SET, ENTITY, ON_DEMAND,
+  * PROVIDER, USER, MODEL. */
+final case class ResourceKey(kind: String, id: String)
+
 /** In-memory resource registry + DAG resolution. The reference runs a task DAG
   * over a metadata server (scheduling/task_dag.go:17-73); in a single Spark
   * process that collapses to memoized topological resolution of DataFrames.
@@ -102,6 +123,11 @@ final class Catalog(spark: SparkSession) {
   private val tsets     = mutable.LinkedHashMap.empty[ResourceId, TrainingSetVariant]
   private val entities  = mutable.LinkedHashMap.empty[String, EntityDef]
   private val onDemands = mutable.LinkedHashMap.empty[ResourceId, OnDemandVariant]
+  private val providers = mutable.LinkedHashMap.empty[String, ProviderDef]
+  private val users     = mutable.LinkedHashMap.empty[String, UserDef]
+  private val models    = mutable.LinkedHashMap.empty[String, ModelDef]
+  private val tagMap    = mutable.LinkedHashMap.empty[ResourceKey, Seq[String]]
+  private val propMap   = mutable.LinkedHashMap.empty[ResourceKey, Map[String, String]]
   private val resolved  = mutable.HashMap.empty[ResourceId, DataFrame]
 
   private def put[V](m: mutable.Map[ResourceId, V], id: ResourceId, v: V): V =
@@ -134,6 +160,72 @@ final class Catalog(spark: SparkSession) {
   def allTrainingSets: Seq[TrainingSetVariant] = synchronized(tsets.values.toSeq)
   def allEntities: Seq[EntityDef]      = synchronized(entities.values.toSeq)
   def allOnDemands: Seq[OnDemandVariant] = synchronized(onDemands.values.toSeq)
+
+  // ------------------------- providers / users / models + tags & lineage
+
+  def registerProvider(p: ProviderDef): ProviderDef = synchronized {
+    providers.get(p.name) match {
+      case Some(existing) if existing == p => existing
+      case Some(_) => throw new IllegalArgumentException(
+        s"provider ${p.name} already registered with a different definition")
+      case None => providers.put(p.name, p); p
+    }
+  }
+  def registerUser(u: UserDef): UserDef =
+    synchronized(users.getOrElseUpdate(u.name, u))
+  def registerModel(m: ModelDef): ModelDef = synchronized {
+    // models ACCRETE lineage (the reference logs each training run's
+    // associations): re-registering merges feature/training-set lists
+    val merged = models.get(m.name) match {
+      case Some(prev) => ModelDef(m.name,
+        (prev.features ++ m.features).distinct,
+        (prev.trainingSets ++ m.trainingSets).distinct)
+      case None => m
+    }
+    models.put(m.name, merged); merged
+  }
+
+  def provider(name: String): ProviderDef = providers(name)
+  def model(name: String): ModelDef       = models(name)
+  def allProviders: Seq[ProviderDef] = synchronized(providers.values.toSeq)
+  def allUsers: Seq[UserDef]         = synchronized(users.values.toSeq)
+  def allModels: Seq[ModelDef]       = synchronized(models.values.toSeq)
+
+  /** Attach tags to any resource (append, deduplicated, order kept). */
+  def addTags(key: ResourceKey, tags: Seq[String]): Unit = synchronized {
+    tagMap.put(key, (tagMap.getOrElse(key, Nil) ++ tags).distinct)
+  }
+  def setProperties(key: ResourceKey, props: Map[String, String]): Unit =
+    synchronized { propMap.put(key, propMap.getOrElse(key, Map.empty) ++ props) }
+  def tags(key: ResourceKey): Seq[String] = synchronized(tagMap.getOrElse(key, Nil))
+  def properties(key: ResourceKey): Map[String, String] =
+    synchronized(propMap.getOrElse(key, Map.empty))
+  def allTags: Seq[(ResourceKey, Seq[String])] = synchronized(tagMap.toSeq)
+  def allProperties: Seq[(ResourceKey, Map[String, String])] =
+    synchronized(propMap.toSeq)
+
+  /** Every resource carrying `tag`, in registration order. */
+  def resourcesTagged(tag: String): Seq[ResourceKey] =
+    synchronized(tagMap.collect { case (k, ts) if ts.contains(tag) => k }.toSeq)
+
+  /** Features a model consumes — its direct associations plus the features
+    * of every training set it declares (reference metadata.go lineage). */
+  def featuresConsumedBy(modelName: String): Seq[ResourceId] = synchronized {
+    models.get(modelName).map { m =>
+      (m.features ++ m.trainingSets.flatMap(t => tsets.get(t).map(_.features)
+        .getOrElse(Nil))).distinct
+    }.getOrElse(Nil)
+  }
+
+  /** Models consuming a feature (directly or through a training set) — the
+    * dashboard's reverse-lineage query. */
+  def modelsConsuming(featureId: ResourceId): Seq[String] = synchronized {
+    models.values.collect {
+      case m if m.features.contains(featureId) ||
+        m.trainingSets.exists(t =>
+          tsets.get(t).exists(_.features.contains(featureId))) => m.name
+    }.toSeq
+  }
 
   /** Resolve a source to a DataFrame, recursively materializing upstream
     * transformations (reference coordinator/tasks/source.go:429-533). Memoized;

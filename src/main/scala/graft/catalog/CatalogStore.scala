@@ -79,7 +79,20 @@ object CatalogStore {
           "lags" -> jl(t.lags.map(g => j("feature" -> idMap(g.feature),
             "name" -> g.name, "lagSeconds" -> g.lagSeconds)))))),
       "onDemand" -> jl(cat.allOnDemands.map(o =>
-        j("id" -> idMap(o.id), "expr" -> o.expr))))
+        j("id" -> idMap(o.id), "expr" -> o.expr))),
+      "providers" -> jl(cat.allProviders.map(p =>
+        j("name" -> p.name, "providerType" -> p.providerType,
+          "description" -> p.description))),
+      "users" -> jl(cat.allUsers.map(u => j("name" -> u.name))),
+      "models" -> jl(cat.allModels.map(m =>
+        j("name" -> m.name, "features" -> jl(m.features.map(idMap)),
+          "trainingSets" -> jl(m.trainingSets.map(idMap))))),
+      "tags" -> jl(cat.allTags.map { case (k, ts) =>
+        j("kind" -> k.kind, "id" -> k.id, "tags" -> jl(ts)) }),
+      "properties" -> jl(cat.allProperties.map { case (k, ps) =>
+        val pm = new java.util.LinkedHashMap[String, Any]()
+        ps.foreach { case (a, b) => pm.put(a, b) }
+        j("kind" -> k.kind, "id" -> k.id, "props" -> pm) }))
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dir))
@@ -168,6 +181,25 @@ object CatalogStore {
       cat.registerOnDemand(OnDemandVariant(
         idOf(o.get("id").asInstanceOf[java.util.Map[String, Any]]),
         o.get("expr").toString))
+    }
+    seqOf("providers").foreach(p => cat.registerProvider(ProviderDef(
+      p.get("name").toString, p.get("providerType").toString,
+      str(p, "description").getOrElse(""))))
+    seqOf("users").foreach(u => cat.registerUser(UserDef(u.get("name").toString)))
+    seqOf("models").foreach { m =>
+      def ids(k: String) = m.get(k).asInstanceOf[java.util.List[Any]].asScala.toSeq
+        .map(x => idOf(x.asInstanceOf[java.util.Map[String, Any]]))
+      cat.registerModel(ModelDef(m.get("name").toString,
+        ids("features"), ids("trainingSets")))
+    }
+    seqOf("tags").foreach { t =>
+      cat.addTags(ResourceKey(t.get("kind").toString, t.get("id").toString),
+        t.get("tags").asInstanceOf[java.util.List[Any]].asScala.toSeq.map(_.toString))
+    }
+    seqOf("properties").foreach { t =>
+      cat.setProperties(ResourceKey(t.get("kind").toString, t.get("id").toString),
+        t.get("props").asInstanceOf[java.util.Map[String, Any]].asScala
+          .map { case (k, v) => k -> v.toString }.toMap)
     }
     cat
   }

@@ -90,10 +90,24 @@ object Writers {
     * The incremental writers naturally accrete one file per micro-batch /
     * delta — at 100 TB uncompacted version dirs kill both the name-node and
     * scan planning, so this runs as periodic housekeeping (a TaskRunner
-    * schedule). Returns the new version dir. */
-  def compact(spark: SparkSession, baseDir: String, targetFiles: Int = 1): String = {
-    val df = readLatest(spark, baseDir)
-    writeVersioned(df.repartition(targetFiles), baseDir)
+    * schedule). Pass the table's `partition` hint so compaction PRESERVES
+    * the partitioned layout (a DailyPartition table compacted without it
+    * would silently flatten into an unpartitioned dir and lose partition
+    * pruning; the discovered `__date` column is dropped and re-derived so
+    * it stays a partition directory, not a data column). Returns the new
+    * version dir. */
+  def compact(spark: SparkSession, baseDir: String, targetFiles: Int = 1,
+              partition: Option[PartitionHint] = None): String = {
+    val df0 = readLatest(spark, baseDir)
+    partition match {
+      case Some(_: DailyPartition) =>
+        val df = if (df0.columns.contains("__date")) df0.drop("__date") else df0
+        writeVersioned(df, baseDir, partition) // repartitions on __date inside
+      case Some(_: HashPartition) =>
+        writeVersioned(df0, baseDir, partition) // bucket count = file count
+      case None =>
+        writeVersioned(df0.repartition(targetFiles), baseDir)
+    }
   }
 
   /** K2: CSV write with/without header. */

@@ -62,6 +62,45 @@ class CatalogPersistSpec extends SparkSpec {
     }
   }
 
+  test("providers/users/models + tags/properties round-trip; lineage answers") {
+    val dir = freshDir()
+    val cat = new Catalog(spark)
+    cat.registerSource(SourceVariant(ResourceId("orders"),
+      PrimaryData(s"$sf001/orders.parquet")))
+    cat.registerFeature(FeatureVariant(ResourceId("f1"), ResourceId("orders"),
+      graft.types.ResourceSchema("o_custkey", "o_totalprice", None)))
+    cat.registerFeature(FeatureVariant(ResourceId("f2"), ResourceId("orders"),
+      graft.types.ResourceSchema("o_custkey", "o_shippriority", None)))
+    cat.registerLabel(LabelVariant(ResourceId("l1"), ResourceId("orders"),
+      Seq(EntityMapping("customer", "o_custkey")), "o_totalprice"))
+    cat.registerTrainingSet(TrainingSetVariant(ResourceId("ts1"),
+      ResourceId("l1"), Seq(ResourceId("f1"), ResourceId("f2"))))
+    cat.registerProvider(ProviderDef("spark_local", "SPARK_OFFLINE", "d"))
+    cat.registerUser(UserDef("bob"))
+    cat.registerModel(ModelDef("m_direct", features = Seq(ResourceId("f1"))))
+    cat.registerModel(ModelDef("m_via_ts", trainingSets = Seq(ResourceId("ts1"))))
+    // model lineage accretes on re-registration
+    cat.registerModel(ModelDef("m_direct", features = Seq(ResourceId("f2"))))
+    cat.addTags(ResourceKey("FEATURE", "f1.default"), Seq("pii"))
+    cat.addTags(ResourceKey("MODEL", "m_direct"), Seq("prod", "pii"))
+    cat.setProperties(ResourceKey("PROVIDER", "spark_local"), Map("team" -> "ml"))
+
+    CatalogStore.save(cat, spark, dir)
+    val back = CatalogStore.load(spark, dir)
+    assert(back.provider("spark_local") == ProviderDef("spark_local", "SPARK_OFFLINE", "d"))
+    assert(back.allUsers == Seq(UserDef("bob")))
+    assert(back.model("m_direct").features ==
+      Seq(ResourceId("f1"), ResourceId("f2")))
+    assert(back.featuresConsumedBy("m_via_ts") ==
+      Seq(ResourceId("f1"), ResourceId("f2")))
+    assert(back.modelsConsuming(ResourceId("f1")).toSet ==
+      Set("m_direct", "m_via_ts"))
+    assert(back.resourcesTagged("pii").toSet ==
+      Set(ResourceKey("FEATURE", "f1.default"), ResourceKey("MODEL", "m_direct")))
+    assert(back.properties(ResourceKey("PROVIDER", "spark_local")) ==
+      Map("team" -> "ml"))
+  }
+
   test("unnamed DfTransformation refuses to persist") {
     val dir = freshDir()
     val cat = new Catalog(spark)

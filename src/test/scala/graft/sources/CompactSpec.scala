@@ -22,4 +22,30 @@ class CompactSpec extends SparkSpec {
     val b = Writers.readLatest(spark, base).as[(Long, Long)].collect().sorted.toSeq
     assert(a == b && a.size == 1000)
   }
+
+  test("compact preserves a DailyPartition layout (no silent flattening)") {
+    import java.sql.Timestamp
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_p").toString
+    val df = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(86400000L * (i % 3)), i * 1.0)
+    }.toDF("id", "ts", "v")
+    Writers.writeVersioned(df.repartition(8), base,
+      Some(graft.catalog.DailyPartition("ts")))
+    def dateDirs(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.startsWith("__date="))
+    assert(dateDirs(Writers.latestVersion(spark, base).get) == 3)
+
+    val compacted = Writers.compact(spark, base,
+      partition = Some(graft.catalog.DailyPartition("ts")))
+    // layout preserved: still 3 date dirs, __date still a partition column
+    assert(dateDirs(compacted) == 3)
+    val back = Writers.readLatest(spark, base)
+    assert(back.columns.contains("__date"))
+    assert(back.count() == 300)
+    // and the partition column did NOT leak into the data files
+    val dataCols = spark.read.parquet(
+      new java.io.File(compacted).listFiles().find(_.getName.startsWith("__date="))
+        .get.toString).columns.toSet
+    assert(!dataCols.contains("__date"))
+  }
 }
