@@ -167,6 +167,37 @@ object OracleSql {
   private val ES = sqlList(graft.functions.TextFunctions.SpanishStopwords)
   private val FR = sqlList(graft.functions.TextFunctions.FrenchStopwords)
 
+  /** Per-doc BPE subword counts ≡ [[graft.functions.expressions.BpeCount]]:
+    * greedy lowest-rank/leftmost-occurrence merges replayed as a recursive
+    * CTE. Symbols are chr(31)-separated (corpus has no control chars;
+    * BpeVocab symbols are [a-z]+, so both the separator and the merge pair
+    * are regex-literal); non-global `regexp_replace` applies exactly ONE
+    * leftmost occurrence per step, matching the Scala loop; symbol count
+    * strictly decreases, so `min(len)` per word is the fixed point. The
+    * merge VALUES come from BpeVocab.sqlValues — one source of truth.
+    * Requires `WITH RECURSIVE` at the top of the enclosing query. */
+  private def bpeDocCtes: String = {
+    val values = graft.functions.expressions.BpeVocab.sqlValues
+    raw"""bpe_merges(rank, a, b) AS (SELECT * FROM (VALUES $values)),
+         |bpe_w AS (SELECT doc_id, unnest($TOKS_LOWER) AS word FROM documents),
+         |bpe_dw AS (SELECT DISTINCT word FROM bpe_w),
+         |bpe_init AS (SELECT word, chr(31) || array_to_string(list_transform(
+         |    generate_series(1, length(word)), i -> substr(word, i, 1)), chr(31)) || chr(31) AS s
+         |  FROM bpe_dw),
+         |bpe_st AS (
+         |  SELECT word, s FROM bpe_init
+         |  UNION ALL
+         |  SELECT bpe_st.word, regexp_replace(bpe_st.s,
+         |      chr(31)||m.a||chr(31)||m.b||chr(31), chr(31)||m.a||m.b||chr(31))
+         |  FROM bpe_st JOIN bpe_merges m ON m.rank = (
+         |    SELECT min(m2.rank) FROM bpe_merges m2
+         |    WHERE contains(bpe_st.s, chr(31)||m2.a||chr(31)||m2.b||chr(31)))),
+         |bpe_wc AS (SELECT word, min(len(string_split(s, chr(31))) - 2) AS n
+         |  FROM bpe_st GROUP BY word),
+         |bpe_doc AS (SELECT w.doc_id, CAST(SUM(c.n) AS BIGINT) AS n_subwords
+         |  FROM bpe_w w JOIN bpe_wc c ON w.word = c.word GROUP BY w.doc_id)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q1_pricing" ->
@@ -336,7 +367,9 @@ object OracleSql {
       s"SELECT doc_id, md5($NORM_TEXT) AS fp FROM documents",
 
     "text_stats" ->
-      raw"""WITH base AS (
+      raw"""WITH RECURSIVE
+           |$bpeDocCtes,
+           |base AS (
            |  SELECT doc_id, text,
            |    CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
            |    CAST(len(list_filter($TOKS_LOWER, t -> list_contains($EN, t))) AS BIGINT) AS n_hits
@@ -354,14 +387,14 @@ object OracleSql {
            |SELECT doc_id,
            |  CAST(length(text) AS BIGINT) AS n_chars2,
            |  n_tokens,
-           |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+           |  COALESCE(bd.n_subwords, 0) AS n_subwords,
            |  round(alpha_r, 6) AS alpha_ratio,
            |  round(digit_r, 6) AS digit_ratio,
            |  round(stop_r, 6) AS stopword_ratio,
            |  round(least(length(text) * 1.0 / 500.0, 1.0) * 0.25 + alpha_r * 0.35 +
            |    least(stop_r * 4.0, 1.0) * 0.2 +
            |    greatest(0.0, 1.0 - punct_r * 5.0) * 0.2, 6) AS quality
-           |FROM ratios""".stripMargin,
+           |FROM ratios LEFT JOIN bpe_doc bd USING (doc_id)""".stripMargin,
 
     "lang_id" ->
       raw"""WITH d AS (

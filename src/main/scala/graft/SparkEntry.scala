@@ -289,7 +289,7 @@ object SparkEntry {
     d.select(col("doc_id"),
       st.getField("n_chars").as("n_chars2"),
       st.getField("n_tokens").as("n_tokens"),
-      TF.subwordCount(col("text")).cast("long").as("n_subwords"),
+      TF.bpeTokenCount(col("text")).as("n_subwords"),
       round(TF.alphaRatioFrom(st), 6).as("alpha_ratio"),
       round(TF.digitRatioFrom(st), 6).as("digit_ratio"),
       round(TF.stopwordRatioFrom(st), 6).as("stopword_ratio"),

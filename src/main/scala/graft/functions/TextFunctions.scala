@@ -22,10 +22,18 @@ object TextFunctions {
 
   /** A crude BPE-ish subword count: letter runs consumed in chunks of <=4
     * chars, each digit, and each non-space symbol count as one token (regex
-    * approximation of byte-pair-tokenizer granularity; deterministic,
-    * shuffle-free, codegen'd). */
+    * approximation kept for cheap heuristics; [[bpeTokenCount]] is the
+    * tokenizer-faithful counter). */
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Real greedy-merge BPE subword count over the built-in merge table
+    * ([[graft.functions.expressions.BpeVocab]]) — deterministic, computed in
+    * the scan projection, and exactly replayed by the DuckDB oracle (the
+    * oracle's merge VALUES are generated from the same Scala table). Swap
+    * the table for a model's published merge list for budget-grade counts. */
+  def bpeTokenCount(text: Column): Column =
+    graft.functions.expressions.BpeExprs.bpeCount(text)
 
   def charCount(text: Column): Column = length(text)
 
