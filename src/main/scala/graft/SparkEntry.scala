@@ -685,15 +685,27 @@ object SparkEntry {
       .select(col("user_id").as("entity"), col("value"), col("ts"))
     val lbls = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("entity"), col("value"), col("ts"))
-    // one file per stream: the pending→sentinel-flush lifecycle still runs
-    // across 3 micro-batches (data, watermark push, timeout flush); finer
-    // multi-batch interleavings are covered by StreamingAsOfSpec
     feats.coalesce(1).write.parquet(s"$tmp/f")
     lbls.coalesce(1).write.parquet(s"$tmp/l")
     val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def sentinel(offsetDays: Int): DataFrame = {
+      import s.implicits._
+      Seq((-1L, 0.0, new java.sql.Timestamp(
+        maxTs.getTime + (3650L + offsetDays) * 86400000L)))
+        .toDF("entity", "value", "ts")
+    }
+    // The first sentinel lands BEFORE the query starts, so micro-batch 1
+    // ingests data + watermark-push together (watermark is still 0 during
+    // the batch ⇒ every label pends and arms its wm+1 timeout, and the
+    // batch's max event time lifts the watermark past every label for the
+    // next one). Batch 2 (second sentinel) then fires all the timeouts at
+    // once — a 2-stateful-batch lifecycle instead of the previous 4; the
+    // finer multi-batch interleavings are covered by StreamingAsOfSpec.
+    sentinel(1).write.mode("append").parquet(s"$tmp/f")
+    sentinel(1).write.mode("append").parquet(s"$tmp/l")
 
-    val fStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/f", 1)
-    val lStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/l", 1)
+    val fStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/f", 8)
+    val lStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/l", 8)
     // delay > the whole data span ⇒ nothing is ever watermark-late
     val joined = graft.streaming.StreamingAsOf.asOfStream(s, lStream, fStream,
       delayThreshold = "3650 days")
@@ -711,16 +723,9 @@ object SparkEntry {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
-      import s.implicits._
-      def sentinel(offsetDays: Int): DataFrame =
-        Seq((-1L, 0.0, new java.sql.Timestamp(
-          maxTs.getTime + (3650L + offsetDays) * 86400000L)))
-          .toDF("entity", "value", "ts")
-      // two rounds: the first advances the watermark past every label, the
-      // second triggers the event-time-timeout flush batch
-      sentinel(1).write.mode("append").parquet(s"$tmp/f")
-      sentinel(1).write.mode("append").parquet(s"$tmp/l")
-      q.processAllAvailable()
+      // batch 1 ingested data + the pre-written sentinel in one go; one
+      // more sentinel round lets the lifted watermark fire every armed
+      // event-time timeout
       sentinel(2).write.mode("append").parquet(s"$tmp/f")
       sentinel(2).write.mode("append").parquet(s"$tmp/l")
       q.processAllAvailable()
