@@ -660,7 +660,8 @@ object OracleSql {
     "compact_roundtrip" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-        |FROM orders WHERE o_orderdate < DATE '1995-04-01'
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
         |GROUP BY 1""".stripMargin,
 
     // hash-bucketed versioned write round-trips content exactly

@@ -694,13 +694,15 @@ object SparkEntry {
         maxTs.getTime + (3650L + offsetDays) * 86400000L)))
         .toDF("entity", "value", "ts")
     }
-    // The first sentinel lands BEFORE the query starts, so micro-batch 1
-    // ingests data + watermark-push together (watermark is still 0 during
-    // the batch ⇒ every label pends and arms its wm+1 timeout, and the
-    // batch's max event time lifts the watermark past every label for the
-    // next one). Batch 2 (second sentinel) then fires all the timeouts at
-    // once — a 2-stateful-batch lifecycle instead of the previous 4; the
-    // finer multi-batch interleavings are covered by StreamingAsOfSpec.
+    // The sentinel lands BEFORE the query starts, so micro-batch 1 ingests
+    // data + watermark-push together (watermark is still 0 during the batch
+    // ⇒ every label pends and arms its wm+1 timeout, and the batch's max
+    // event time lifts the watermark past every label). The engine then
+    // runs ONE no-data micro-batch — `processAllAvailable` blocks until
+    // `lastExecutionRequiresAnotherBatch` is false, so this is a guaranteed
+    // step, not a race — whose watermark fires every armed timeout: a
+    // 2-stateful-batch lifecycle instead of the previous 4-5. The finer
+    // multi-batch interleavings are covered by StreamingAsOfSpec.
     sentinel(1).write.mode("append").parquet(s"$tmp/f")
     sentinel(1).write.mode("append").parquet(s"$tmp/l")
 
@@ -718,18 +720,14 @@ object SparkEntry {
     // state outgrows the heap, so the default HDFS-backed store stays.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // pin the no-data-batch contract the lifecycle above relies on (it is
+    // the Spark default, but the flush would silently hang without it)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try joined.writeStream.outputMode("append")
       .format("memory").queryName(table).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try {
-      q.processAllAvailable()
-      // batch 1 ingested data + the pre-written sentinel in one go; one
-      // more sentinel round lets the lifted watermark fire every armed
-      // event-time timeout
-      sentinel(2).write.mode("append").parquet(s"$tmp/f")
-      sentinel(2).write.mode("append").parquet(s"$tmp/l")
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     s.table(table).filter(col("entity") >= 0)
       .select(col("entity"), unix_millis(col("ts")).as("ts_ms"),
         col("label"), col("feature"))
@@ -802,8 +800,11 @@ object SparkEntry {
     * over the source table — proving compaction changed layout, not data. */
   private def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    // one quarter of orders: enough days (~90 partition dirs) to prove the
+    // layout survives, without a full partition-discovery pass over years
+    // of daily dirs dominating the round-trip
     val o = t(s, dir, "orders")
-      .filter(col("o_orderdate") < "1995-04-01")
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-04-01")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
     graft.sources.Writers.writeVersioned(o.repartition(16), s"$tmp/t")
     graft.sources.Writers.compact(s, s"$tmp/t",
