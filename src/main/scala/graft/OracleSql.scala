@@ -419,6 +419,53 @@ object OracleSql {
            |       ELSE 'fr' END AS pred_lang
            |FROM s""".stripMargin,
 
+    // Gopher-family repetition signals: RepStats' integer fields replayed
+    // with list n-grams + group-count max; fractions are the same arithmetic
+    // over them (int → DOUBLE casts explicit — DuckDB `/` on ints is double,
+    // but the CASTs keep the formulas literally identical to the Spark side).
+    "repetition_stats" ->
+      raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+           |b AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM d),
+           |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM d),
+           |m2 AS (SELECT doc_id, max(c) AS m FROM (
+           |    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+           |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+           |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g FROM d),
+           |m3 AS (SELECT doc_id, max(c) AS m FROM (
+           |    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+           |SELECT b.doc_id,
+           |  CAST(n AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(m2.m, 0) AS BIGINT) AS top2_n,
+           |  round(CASE WHEN n = 0 THEN 0.0
+           |    ELSE 1.0 - CAST(nd AS DOUBLE) / n END, 6) AS dup_token_frac,
+           |  round(CASE WHEN n < 2 THEN 0.0
+           |    ELSE CAST(COALESCE(m2.m, 0) AS DOUBLE) / (n - 1) END, 6) AS top2_frac,
+           |  round(CASE WHEN n < 3 THEN 0.0
+           |    ELSE CAST(COALESCE(m3.m, 0) AS DOUBLE) / (n - 2) END, 6) AS top3_frac
+           |FROM b LEFT JOIN m2 ON b.doc_id = m2.doc_id
+           |       LEFT JOIN m3 ON b.doc_id = m3.doc_id""".stripMargin,
+
+    // eval-set n-gram decontamination: word 8-grams of lower(text), eval =
+    // doc_id % 10 = 0, corpus docs flagged with their distinct-overlap count
+    "decontaminate" ->
+      raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+           |    i -> array_to_string(toks[i:i + 7], ' '))) AS ng FROM d),
+           |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0)
+           |SELECT g.doc_id, CAST(COUNT(DISTINCT g.ng) AS BIGINT) AS n_hits
+           |FROM g JOIN e USING (ng) WHERE g.doc_id % 10 <> 0
+           |GROUP BY 1""".stripMargin,
+
+    // K8 sink round-trip: the append-mode "topic" must hold exactly the
+    // input stream — order-independent per-entity stats vs the batch table
+    "kafka_write_roundtrip" ->
+      s"""WITH $EV
+         |SELECT user_id AS entity, COUNT(*) AS n,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  max(epoch_ms(ts)) AS max_ts_ms
+         |FROM ev GROUP BY 1""".stripMargin,
+
     "corpus_clean" ->
       raw"""WITH d AS (
            |  SELECT doc_id, text,

@@ -313,6 +313,38 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TF.langId(col("text")).as("pred_lang"))
 
+  /** Gopher-family repetition signals: one RepStats struct per row (single
+    * document walk in the scan projection), fractions derived as arithmetic
+    * over its integer fields so the oracle replays them exactly. */
+  private def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.expressions.RepExprs.repStats(col("text"))
+    val n = st.getField("n_tokens")
+    t(s, dir, "documents").select(col("doc_id"),
+      n.as("n_tokens"),
+      st.getField("top2_n").as("top2_n"),
+      round(when(n === 0, 0.0)
+        .otherwise(lit(1.0) - st.getField("n_distinct").cast("double") / n), 6)
+        .as("dup_token_frac"),
+      round(when(n < 2, 0.0)
+        .otherwise(st.getField("top2_n").cast("double") / (n - 1)), 6)
+        .as("top2_frac"),
+      round(when(n < 3, 0.0)
+        .otherwise(st.getField("top3_n").cast("double") / (n - 2)), 6)
+        .as("top3_frac"))
+  }
+
+  /** Eval-set decontamination: documents with doc_id % 10 == 0 stand in for
+    * a held-out benchmark; every other document sharing a word 8-gram with
+    * them is flagged with its overlap count. Broadcast eval grams — the
+    * corpus side never shuffles its text. */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.functions.Decontam.contaminated(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", n = 8)
+  }
+
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Vectors.annTopK(emb, "vec_id", "embedding",
@@ -733,6 +765,34 @@ object SparkEntry {
         col("label"), col("feature"))
   }
 
+  // --------------------------------------- K8: Kafka-write emulation (sink)
+
+  /** K8 under the gate: the triple stream written through an APPEND-mode
+    * file sink — dir-as-topic with the sink's commit log giving the
+    * exactly-once the reference gets from the Kafka producer
+    * (`format("kafka")` + `to_json(struct(...))` is the drop-in swap when
+    * connector jars are on the classpath; the operator graph is identical).
+    * The "topic" is read back and aggregated per entity with
+    * order-independent stats; the oracle recomputes them from the batch
+    * table — proving the sink dropped and duplicated nothing. */
+  private def kafkaWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kw").toString
+    events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts"))
+      .repartition(4).write.parquet(s"$tmp/in") // 4 files → 2 micro-batches
+    val stream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/in", 2)
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$tmp/topic")
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$tmp/topic")
+      .groupBy(col("entity"))
+      .agg(count("*").as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        max(unix_millis(col("ts"))).as("max_ts_ms"))
+  }
+
   // -------------------------- custom expressions on the SQL surface (T1)
 
   /** The registered custom Catalyst expressions called FROM SQL — adjacent-
@@ -1038,6 +1098,9 @@ object SparkEntry {
     "vector_index_serve" -> (vectorIndexServe _),
     "orchestrated_refresh" -> (orchestratedRefresh _),
     "catalog_lineage"   -> (catalogLineage _),
+    "repetition_stats"  -> (repetitionStats _),
+    "decontaminate"     -> (decontaminate _),
+    "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

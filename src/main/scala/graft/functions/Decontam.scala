@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data decontamination: flag corpus documents that share word
+  * n-grams with a held-out evaluation set (the standard n-gram-overlap
+  * check run before any benchmark-reporting training run).
+  *
+  * Shape at 100 TB: the eval side is always small (benchmarks are
+  * thousands of documents), so its distinct n-gram set is BROADCAST and
+  * the corpus side never shuffles its text — n-grams are exploded in the
+  * scan stage, the broadcast hash join keeps only hit rows, and the
+  * per-document aggregation shuffles just (doc_id, ngram) hits (a
+  * vanishing fraction of the corpus). For eval sets too big for one
+  * broadcast, swap the join key for the 63-bit md5 of the gram
+  * ([[expressions.HashExprs]] bridge) to cut the broadcast to 8 B/gram —
+  * semantics identical.
+  *
+  * No reference counterpart (its surface stops at SQL transformations);
+  * this extends the corpus-hygiene family beside [[Dedup]].
+  */
+object Decontam {
+
+  /** Space-joined word n-grams of `lower(text)` (whitespace tokens, the
+    * TOKS_LOWER contract; tokens contain no spaces, so the join is
+    * collision-free). Empty array when the document has fewer than n
+    * tokens — `sequence(1, 0)` would count DOWN, not produce empty. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, n_hits): corpus documents sharing at least one word n-gram
+    * with `eval`, with the count of distinct overlapping n-grams. */
+  def contaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
+                   idCol: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(wordNgrams(col(textCol), n)).as("__ng")).distinct()
+    corpus
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__ng"))
+      .join(broadcast(evalGrams), "__ng")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__ng")).as("n_hits"))
+  }
+}
