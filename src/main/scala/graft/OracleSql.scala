@@ -466,6 +466,38 @@ object OracleSql {
          |  max(epoch_ms(ts)) AS max_ts_ms
          |FROM ev GROUP BY 1""".stripMargin,
 
+    // PII redaction replay: same injection arithmetic, same RE2-safe
+    // patterns (single-backslash raw strings shared with TextFunctions),
+    // DuckDB needs the 'g' flag for replace-all
+    "pii_scrub" -> {
+      val email = graft.functions.TextFunctions.EmailRe
+      val phone = graft.functions.TextFunctions.PhoneRe
+      val ip = graft.functions.TextFunctions.Ipv4Re
+      s"""WITH inj AS (SELECT doc_id,
+         |  text || ' contact doc' || doc_id || '@example.com or +155500012' ||
+         |    (doc_id % 100) || ' at 10.0.0.' || (doc_id % 256) AS t
+         |  FROM documents),
+         |scr AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    t, '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g') AS s FROM inj)
+         |SELECT doc_id, md5(s) AS scrubbed_md5,
+         |  CAST(length(s) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(s, '<EMAIL>|<PHONE>|<IP>')) AS BIGINT) AS n_redactions
+         |FROM scr""".stripMargin
+    },
+
+    // deterministic stratified sampling: md5-prefix gate, thresholds
+    // generated from the same Sampling.hexThreshold the Spark side uses
+    "stratified_sample" -> {
+      val en = graft.functions.Sampling.hexThreshold(0.5)
+      val de = graft.functions.Sampling.hexThreshold(0.25)
+      val other = graft.functions.Sampling.hexThreshold(0.1)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), 'mix1')), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '$en' WHEN 'de' THEN '$de' ELSE '$other' END""".stripMargin
+    },
+
     "corpus_clean" ->
       raw"""WITH d AS (
            |  SELECT doc_id, text,

@@ -333,6 +333,33 @@ object SparkEntry {
         .as("top3_frac"))
   }
 
+  /** PII redaction under the gate. The corpus carries no PII, so a
+    * deterministic contact line (email + intl phone + IPv4 derived from
+    * doc_id) is injected first — the scrub provably fires on every row and
+    * the oracle replays injection + redaction with the same RE2-safe
+    * patterns. */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact doc"), col("doc_id").cast("string"),
+      lit("@example.com or +155500012"), (col("doc_id") % 100).cast("string"),
+      lit(" at 10.0.0."), (col("doc_id") % 256).cast("string"))
+    val scrubbed = TF.scrubPii(injected)
+    t(s, dir, "documents").select(col("doc_id"),
+      md5(scrubbed).as("scrubbed_md5"),
+      length(scrubbed).cast("long").as("n_chars"),
+      regexp_count(scrubbed, lit("<EMAIL>|<PHONE>|<IP>")).cast("long")
+        .as("n_redactions"))
+  }
+
+  /** Deterministic training-mix sampling: languages kept at per-stratum
+    * rates via the md5-prefix gate (same X2-split hash bridge), exactly
+    * reproduced by the oracle. */
+  private def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.stratifiedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang",
+      rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1, seed = "mix1")
+
   /** Eval-set decontamination: documents with doc_id % 10 == 0 stand in for
     * a held-out benchmark; every other document sharing a word 8-gram with
     * them is flagged with its overlap count. Broadcast eval grams — the
@@ -1101,6 +1128,8 @@ object SparkEntry {
     "repetition_stats"  -> (repetitionStats _),
     "decontaminate"     -> (decontaminate _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
+    "pii_scrub"         -> (piiScrub _),
+    "stratified_sample" -> (stratifiedSampleQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

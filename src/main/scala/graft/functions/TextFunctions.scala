@@ -49,6 +49,26 @@ object TextFunctions {
     when(length(text) === 0, lit(0.0)).otherwise(
       length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
 
+  // ------------------------------------------------------- PII scrubbing
+
+  /** PII patterns shared verbatim with the DuckDB oracle: RE2-safe (no
+    * backrefs / lookarounds), identical match semantics in Java regex.
+    * Raw strings — single backslashes work in both engines. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe = """\+\d{9,14}"""
+  val Ipv4Re = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+
+  /** Redact emails, +intl phone numbers, and IPv4 addresses — the standard
+    * corpus-hygiene pass before publication or training. Email first (its
+    * body would otherwise feed the IP pattern); three codegen'd
+    * regexp_replace ops in the scan projection, no shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Mean whitespace-token length (0 for empty docs). */
   def meanTokenLen(text: Column): Column = {
     val n = tokenCount(text)

@@ -17,19 +17,21 @@ import org.apache.spark.sql.{DataFrame, Row}
   *    closures, O4 vector nearest-neighbor, O5 training-set iterator with
   *    repeat/shuffle/batch, O6 source preview.
   */
-final class OnlineStore {
+final class OnlineStore(backend: KvBackend = new InProcessKv) {
 
-  private val tables = TrieMap.empty[String, Map[Any, Any]]
   private val onDemand = TrieMap.empty[String, (Map[String, Any], Seq[Any]) => Any]
   private val vectors = TrieMap.empty[String, Map[Any, Array[Float]]]
 
   /** K9/K10 equivalent: copy a materialization (entity, value) into the
-    * online table for `feature`. */
+    * online table for `feature`. Driver-side collect is correct ONLY for
+    * the in-process backend; network-backed [[KvBackend]]s load
+    * executor-side via [[OnlineBulkLoad.bulkLoad]] instead. */
   def load(feature: String, materialized: DataFrame,
            entityCol: String = "entity", valueCol: String = "value"): Unit = {
-    val m = materialized.select(entityCol, valueCol).collect()
-      .map(r => r.get(0) -> r.get(1)).toMap
-    tables.put(feature, m)
+    val rows = materialized.select(entityCol, valueCol).collect()
+      .iterator.map(r => r.get(0) -> r.get(1))
+    backend.createTable(feature)
+    backend.putBatch(feature, rows)
   }
 
   def loadVectors(feature: String, df: DataFrame,
@@ -44,9 +46,9 @@ final class OnlineStore {
                        fn: (Map[String, Any], Seq[Any]) => Any): Unit =
     onDemand.put(feature, fn)
 
-  /** O1: point lookup. */
+  /** O1: point lookup (the gRPC FeatureServe body at the wire seam). */
   def get(feature: String, entity: Any): Option[Any] =
-    tables.get(feature).flatMap(_.get(entity))
+    backend.get(feature, entity)
 
   /** O2/O3: assemble a serving row; on-demand features are computed at
     * request time from params + the already-resolved precomputed values

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingPiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample: per-stratum rates within tolerance, deterministic") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), 0.0, "s1")
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en") / 2000.0 - 0.5) < 0.05)
+    assert(math.abs(byLang("de") / 2000.0 - 0.1) < 0.05)
+    // deterministic: same seed = same rows; different seed = different draw
+    val again = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), 0.0, "s1").as[(Long, String)].collect().toSet
+    assert(again == out.as[(Long, String)].collect().toSet)
+    val other = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), 0.0, "s2").as[(Long, String)].collect().toSet
+    assert(other != again)
+  }
+
+  test("hexThreshold edges") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+  }
+
+  test("scrubPii redacts emails, phones, IPs and leaves prose alone") {
+    val out = Seq(Tuple1(
+      "mail a.user+x@sub.example.org or call +12345678901 from 192.168.1.200 ok"))
+      .toDF("t").select(TextFunctions.scrubPii($"t")).as[String].collect().head
+    assert(out == "mail <EMAIL> or call <PHONE> from <IP> ok")
+    val clean = Seq(Tuple1("no contact info here, version 1.2 at 3pm"))
+      .toDF("t").select(TextFunctions.scrubPii($"t")).as[String].collect().head
+    assert(clean == "no contact info here, version 1.2 at 3pm")
+  }
+}
