@@ -466,6 +466,23 @@ object OracleSql {
          |  max(epoch_ms(ts)) AS max_ts_ms
          |FROM ev GROUP BY 1""".stripMargin,
 
+    // pair -> cluster resolution: the full minhash LSH replay nested as a
+    // derived table, closed transitively (reach = all ids reachable from a
+    // through the undirected pair graph; min(reachable) = component min,
+    // exactly Dedup.clusterPairs' fixpoint)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |e AS (SELECT idA AS s, idB AS d FROM p
+         |      UNION SELECT idB, idA FROM p),
+         |n AS (SELECT DISTINCT s AS id FROM e),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT r.a, e.d FROM reach r JOIN e ON r.b = e.s)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
+
     // PII redaction replay: same injection arithmetic, same RE2-safe
     // patterns (single-backslash raw strings shared with TextFunctions),
     // DuckDB needs the 'g' flag for replace-all

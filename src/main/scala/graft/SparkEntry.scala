@@ -385,6 +385,15 @@ object SparkEntry {
   private def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)
 
+  /** Pair → cluster resolution over the MinHash near-dup graph (same
+    * parameters as minhash_near_dups): each duplicate-involved document
+    * mapped to the min id reachable through the pair graph; the oracle
+    * recomputes the pairs with the full LSH replay and closes them with a
+    * recursive transitive closure. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterPairs(
+      minhashNearDups(s, dir).select(col("idA"), col("idB")))
+
   private def cosineNearDups(s: SparkSession, dir: String): DataFrame =
     Vectors.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
       numPlanes = 16, threshold = 0.4)
@@ -1130,6 +1139,7 @@ object SparkEntry {
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),
+    "dedup_clusters"    -> (dedupClusters _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -252,4 +252,51 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("idA", "idB", "hamming")
   }
+
+  /** Resolve near-dup PAIRS into clusters: connected components by min-id
+    * label propagation, so each document maps to the smallest id reachable
+    * through the pair graph (`cluster_id == doc_id` marks the canonical
+    * keeper — "keep one per cluster" is then a plain filter).
+    *
+    * Each iteration is one join + one min-aggregation, and the loop runs
+    * until a fixpoint (#iterations = graph diameter, single digits for
+    * near-dup clusters in practice — chains of borderline-similar docs,
+    * not arbitrary graphs). Every round `localCheckpoint`s its labels:
+    * a cached barrier alone is NOT enough — the logical plan references
+    * the previous round's labels several times per round, so lineage
+    * grows exponentially with the diameter (measured: a 13-node chain
+    * OOMed the driver building the plan string). On a cluster prefer
+    * reliable `checkpoint` for fault tolerance; for adversarial
+    * diameters at planet scale the same loop takes the large-star/
+    * small-star step (Kiveris et al. 2014) — noted, not needed for dup
+    * clusters.
+    *
+    * Input columns `idA`/`idB` (long); output (doc_id, cluster_id). */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = barrier(
+      pairs.select(col("idA").as("src"), col("idB").as("dst"))
+        .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+        .distinct(), checkpoint = false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // candidate label per node: min over its own and its neighbors' comps
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("comp", "__nc"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("__nc")).as("__nm"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nm"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "__old"), "id")
+        .where(col("comp") =!= col("__old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      log.warn(s"clusterPairs: stopped at maxIter=$maxIter before fixpoint")
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
 }

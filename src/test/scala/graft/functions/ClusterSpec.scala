@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clusters(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.clusterPairs(pairs.toDF("idA", "idB"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, triangle, and isolated pair resolve to component minima") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // triangle 10-11-12 with redundant edges, isolated pair 20-21
+    val out = clusters(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)))
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges (min must travel the whole diameter)") {
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val out = clusters(chain)
+    assert(out.size == 13)
+    assert(out.values.forall(_ == 0L))
+  }
+
+  test("canonical keeper per cluster is a plain filter") {
+    val out = Dedup.clusterPairs(Seq((5L, 3L), (3L, 9L)).toDF("idA", "idB"))
+    val keepers = out.where("doc_id = cluster_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(keepers == Seq((3L, 3L)))
+  }
+}
