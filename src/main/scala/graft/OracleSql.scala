@@ -483,6 +483,25 @@ object OracleSql {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin,
 
+    // int8 quantization replay: identical double arithmetic elementwise
+    // (floor(x/s + 0.5) is the portable round-half-up; round() half-mode
+    // conventions differ between engines)
+    "embedding_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding AS e,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, e, s,
+        |    CASE WHEN s = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) END AS qv
+        |  FROM b)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  round(list_max(list_transform(generate_series(1, len(e)),
+        |    i -> abs(CAST(e[i] AS DOUBLE) - qv[i] * s))), 6) AS max_abs_err
+        |FROM q""".stripMargin,
+
     // PII redaction replay: same injection arithmetic, same RE2-safe
     // patterns (single-backslash raw strings shared with TextFunctions),
     // DuckDB needs the 'g' flag for replace-all

@@ -333,6 +333,27 @@ object SparkEntry {
         .as("top3_frac"))
   }
 
+  /** int8 embedding quantization under the gate: per-vector symmetric
+    * scale, portable round-half-up, and the reconstruction error bounded
+    * by scale/2 — integer sums/extrema plus rounded doubles so the oracle
+    * replays every element with DuckDB list arithmetic. */
+  private def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val base = t(s, dir, "embeddings").select(col("vec_id"),
+      col("embedding").as("__e"),
+      Vectors.int8Scale(col("embedding")).as("__s"))
+    base.select(col("vec_id"), col("__e"), col("__s"),
+        Vectors.quantizeInt8(col("__e"), col("__s")).as("__q"))
+      .select(col("vec_id"),
+        round(col("__s"), 6).as("scale"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("__q")).as("q_min"),
+        array_max(col("__q")).as("q_max"),
+        round(array_max(zip_with(col("__e"), col("__q"),
+          (ev, qv) => abs(ev.cast("double") - qv.cast("double") * col("__s")))), 6)
+          .as("max_abs_err"))
+  }
+
   /** PII redaction under the gate. The corpus carries no PII, so a
     * deterministic contact line (email + intl phone + IPv4 derived from
     * doc_id) is injected first — the scrub provably fires on every row and
@@ -1140,6 +1161,7 @@ object SparkEntry {
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "dedup_clusters"    -> (dedupClusters _),
+    "embedding_quantize" -> (embeddingQuantize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

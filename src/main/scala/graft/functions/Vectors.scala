@@ -27,6 +27,27 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  // ------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 scale (max |x| / 127; 0 for the zero
+    * vector). Quantized storage is 4× smaller than float32 — at corpus
+    * scale that is the difference between an in-memory ANN shard and a
+    * spilled one; dot products on int8 SIMD-vectorize on modern CPUs. */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Symmetric int8 quantization against `scale` — round-half-up via
+    * `floor(x/s + 0.5)` (identical in every engine; `round()` half-mode
+    * conventions differ). Values land in [-127, 127]. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    when(scale === 0, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") / scale + lit(0.5)).cast("long")))
+
+  /** Reconstruction: q * scale. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. Queries are broadcast (small side by construction);
     * the corpus is scanned once, fully parallel; per-query top-k is a window

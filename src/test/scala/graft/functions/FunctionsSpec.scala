@@ -128,6 +128,28 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("int8 quantization: range, exactness at extremes, error <= scale/2") {
+    val df = Seq(
+      Tuple1(Array(2.54f, -1.27f, 0f, 0.025f)),
+      Tuple1(Array(0f, 0f, 0f, 0f))).toDF("e")
+    val out = df.select(
+      Vectors.int8Scale($"e").as("s"),
+      Vectors.quantizeInt8($"e", Vectors.int8Scale($"e")).as("q")).collect()
+    val (s0, q0) = (out(0).getDouble(0), out(0).getSeq[Long](1))
+    assert(math.abs(s0 - 2.54 / 127) < 1e-9)
+    assert(q0 == Seq(127L, -63L, 0L, 1L)) // -63.5 → floor(-63) = -63; 1.25 → 1
+    assert(out(1).getDouble(0) == 0.0 && out(1).getSeq[Long](1).forall(_ == 0L))
+    // reconstruction error bounded by half a quantization step
+    val err = df.filter(size($"e") > 0).select(
+      array_max(zip_with($"e",
+        Vectors.dequantizeInt8(
+          Vectors.quantizeInt8($"e", Vectors.int8Scale($"e")),
+          Vectors.int8Scale($"e")),
+        (a, b) => abs(a.cast("double") - b))).as("err"),
+      Vectors.int8Scale($"e").as("s")).collect()
+    err.foreach(r => assert(r.getDouble(0) <= r.getDouble(1) / 2 + 1e-9))
+  }
+
   test("annTopK returns ranked neighbors excluding self") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val got = Vectors.annTopK(emb, "vec_id", "embedding",
