@@ -466,6 +466,13 @@ object OracleSql {
          |  max(epoch_ms(ts)) AS max_ts_ms
          |FROM ev GROUP BY 1""".stripMargin,
 
+    // incremental dedup: exactly the full-corpus pair set restricted to
+    // pairs touching the new batch (doc_id % 5 = 4) — reusing stored
+    // signatures must not change any reported pair
+    "incremental_dedup" ->
+      s"""SELECT idA, idB, jaccard FROM ($minhashNearDupsSql)
+         |WHERE idA % 5 = 4 OR idB % 5 = 4""".stripMargin,
+
     // pair -> cluster resolution: the full minhash LSH replay nested as a
     // derived table, closed transitively (reach = all ids reachable from a
     // through the undirected pair graph; min(reachable) = component min,

@@ -406,6 +406,24 @@ object SparkEntry {
   private def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)
 
+  /** Incremental dedup under the gate: corpus signatures (docs with
+    * doc_id % 5 != 4) are persisted as a versioned table and READ BACK —
+    * the reuse artifact — then the "new batch" (doc_id % 5 == 4) is
+    * deduped against them; only pairs touching the batch are reported.
+    * Oracle = the full-corpus LSH replay filtered to those pairs. */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isNew = col("doc_id") % 5 === 4
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    graft.sources.Writers.writeVersioned(
+      Dedup.minhashSignatureTable(docs.filter(!isNew), "text", "doc_id",
+        shingleK = 5, numHashes = 64), s"$tmp/sigs")
+    Dedup.minhashNearDupsIncremental(
+      graft.sources.Writers.readLatest(s, s"$tmp/sigs"),
+      docs, docs.filter(isNew), "text", "doc_id",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5)
+  }
+
   /** Pair → cluster resolution over the MinHash near-dup graph (same
     * parameters as minhash_near_dups): each duplicate-involved document
     * mapped to the min id reachable through the pair graph; the oracle
@@ -1162,6 +1180,7 @@ object SparkEntry {
     "stratified_sample" -> (stratifiedSampleQ _),
     "dedup_clusters"    -> (dedupClusters _),
     "embedding_quantize" -> (embeddingQuantize _),
+    "incremental_dedup" -> (incrementalDedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

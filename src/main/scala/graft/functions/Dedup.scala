@@ -172,6 +172,70 @@ object Dedup {
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Reusable signature table (doc_id, sig) — the artifact an incremental
+    * pipeline persists (e.g. [[graft.sources.Writers.writeVersioned]])
+    * so corpus signatures are computed once, not per arriving batch. */
+  def minhashSignatureTable(df: DataFrame, textCol: String, idCol: String,
+                            shingleK: Int = 5, numHashes: Int = 64): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextFunctions.normalizedText(col(textCol)).as("__norm"))
+      .where(char_length(col("__norm")) >= shingleK)
+      .select(col("doc_id"), graft.functions.expressions.HashExprs
+        .minhashSig(col("__norm"), shingleK, numHashes).as("sig"))
+
+  /** Incremental near-dup detection: pairs TOUCHING the new batch only,
+    * against precomputed corpus signatures. At 100 TB this is the only
+    * sane steady state — a daily 0.1% batch re-hashes 0.1% of the corpus,
+    * bands it against the stored signature table (signatures: ~600 B/doc,
+    * 3 orders of magnitude smaller than the text), and never recomputes
+    * or reshuffles the existing corpus text; only verified candidates
+    * re-read text payloads by id. Old–old pairs are excluded by
+    * construction (they were reported when their batch arrived); new–new
+    * pairs appear once (orientation + dedup).
+    *
+    * `corpusSigs` must come from [[minhashSignatureTable]] with the same
+    * parameters; `allDocs` provides text for the exact verify. */
+  def minhashNearDupsIncremental(corpusSigs: DataFrame, allDocs: DataFrame,
+                                 newDocs: DataFrame, textCol: String, idCol: String,
+                                 shingleK: Int = 5, numHashes: Int = 64,
+                                 bands: Int = 16, threshold: Double = 0.8,
+                                 maxBandFreq: Int = 2000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val newSigs = barrier(
+      minhashSignatureTable(newDocs, textCol, idCol, shingleK, numHashes),
+      checkpoint = false)
+    val allSigs = corpusSigs.unionByName(newSigs)
+    def banded(sigs: DataFrame) = sigs.withColumn("__band",
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val bandedAll = capHotKeys(banded(allSigs), "__band", maxBandFreq,
+      "minhashNearDupsIncremental")
+    val n = banded(newSigs)
+      .select(col("__band"), col("doc_id").as("__idN"), col("sig").as("__sn"))
+    val o = bandedAll
+      .select(col("__band"), col("doc_id").as("__idO"), col("sig").as("__so"))
+    val minAgree = math.ceil((threshold - 0.15) * numHashes).toInt
+    val estimated = n.join(o, Seq("__band")).where(col("__idN") =!= col("__idO"))
+      .withColumn("__agree",
+        aggregate(zip_with(col("__sn"), col("__so"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .where(col("__agree") >= minAgree)
+      .select(least(col("__idN"), col("__idO")).as("idA"),
+        greatest(col("__idN"), col("__idO")).as("idB"))
+      .dropDuplicates("idA", "idB")
+    val txt = allDocs.select(col(idCol).as("__jid"),
+      TextFunctions.normalizedText(col(textCol)).as("__jtxt"))
+    estimated
+      .join(txt.withColumnRenamed("__jid", "idA").withColumnRenamed("__jtxt", "__ta"),
+        Seq("idA"))
+      .join(txt.withColumnRenamed("__jid", "idB").withColumnRenamed("__jtxt", "__tb"),
+        Seq("idB"))
+      .withColumn("jaccard", graft.functions.expressions.HashExprs
+        .kgramJaccard(col("__ta"), col("__tb"), shingleK))
+      .where(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------- n-gram jaccard
 
   /** Exact n-gram Jaccard similarity for an explicit candidate pair set
