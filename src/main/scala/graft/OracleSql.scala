@@ -830,5 +830,134 @@ object OracleSql {
          |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms,
          |  CAST(2 AS BIGINT) AS n_runs FROM ev
          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1""".stripMargin,
+
+    // ------------------------- sequence packing / unigram LM / corpus stats
+
+    // concatenate-and-chunk packing: md5 shard, per-shard cumulative token
+    // offsets, 512-token boundary cuts — all integer arithmetic, replayed
+    // exactly (floor() is explicit: DuckDB CAST(double AS BIGINT) rounds,
+    // Spark truncates)
+    "seq_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % $M63 AS BIGINT) % 8 AS shard,
+         |    CAST(len($TOKS_RAW) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n,
+         |    CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM d WHERE n > 0),
+         |e AS (
+         |  SELECT doc_id, shard, n, cum,
+         |    unnest(generate_series(CAST(floor((cum - n) / 512) AS BIGINT),
+         |                           CAST(floor((cum - 1) / 512) AS BIGINT))) AS seq
+         |  FROM c)
+         |SELECT doc_id, shard, seq,
+         |  CAST(least((seq + 1) * 512, cum) - greatest(seq * 512, cum - n) AS BIGINT)
+         |    AS toks_in_seq
+         |FROM e""".stripMargin,
+
+    // first-fit greedy packing: the sequential running-capacity fold
+    // replayed as a recursive CTE stepping every shard's doc-rank in
+    // lockstep (depth = max docs per shard; 8 rows per step)
+    "seq_pack_greedy" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id,
+         |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % $M63 AS BIGINT) % 8 AS shard,
+         |    CAST(len($TOKS_RAW) AS BIGINT) AS n
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, shard, n,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+         |  FROM b WHERE n > 0),
+         |rec AS (
+         |  SELECT doc_id, shard, rk, n, CAST(0 AS BIGINT) AS seq, n AS fill
+         |  FROM d WHERE rk = 1
+         |  UNION ALL
+         |  SELECT d.doc_id, d.shard, d.rk, d.n,
+         |    CASE WHEN r.fill + d.n <= 512 THEN r.seq ELSE r.seq + 1 END,
+         |    CASE WHEN r.fill + d.n <= 512 THEN r.fill + d.n ELSE d.n END
+         |  FROM rec r JOIN d ON d.shard = r.shard AND d.rk = r.rk + 1)
+         |SELECT doc_id, shard, seq, n AS n_toks FROM rec""".stripMargin,
+
+    // unigram corpus-frequency score: integer token/frequency sums, exact
+    // ratios rounded at the end — no float accumulation order anywhere
+    "unigram_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS_LOWER) AS token FROM documents),
+         |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(freq) AS BIGINT) AS sum_freq,
+         |  CAST(SUM(CASE WHEN freq < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  round(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS mean_freq,
+         |  round(CAST(SUM(CASE WHEN freq < 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         |    AS rare_ratio
+         |FROM tok JOIN f USING (token)
+         |GROUP BY doc_id""".stripMargin,
+
+    // frequency-ranked top-200 vocabulary, deterministic (freq DESC, token)
+    // tie-break, dense ids from 0
+    "vocab_topk" ->
+      s"""WITH tok AS (SELECT unnest($TOKS_LOWER) AS token FROM documents),
+         |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+         |    AS vocab_id, token, freq
+         |FROM f
+         |QUALIFY row_number() OVER (ORDER BY freq DESC, token) <= 200""".stripMargin,
+
+    // per-source training-mix rollup: doc/dup/token/char/lang counts, all
+    // integer aggregation; md5() hex = Spark md5()
+    "domain_stats" ->
+      s"""WITH d AS (SELECT source, lang,
+         |    CAST(len($TOKS_RAW) AS BIGINT) AS n_toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    md5(text) AS digest
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+         |FROM d GROUP BY source""".stripMargin,
+
+    // column profile over customer (+ an injected-null column): one row per
+    // column; numerics pre-cast to DECIMAL so min/max render identically as
+    // strings in both engines
+    "column_profile" -> {
+      val base = """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |  CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal_dec,
+        |  nullif(c_mktsegment, 'BUILDING') AS c_seg_nullable
+        |FROM customer)""".stripMargin
+      val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment",
+        "c_acctbal_dec", "c_seg_nullable")
+      val parts = cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM c""".stripMargin
+      }
+      base + "\n" + parts.mkString("\nUNION ALL\n")
+    },
+
+    // deterministic training-order shuffle: global row numbers in
+    // (md5(doc_id), doc_id) order
+    "shuffle_export" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY
+         |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % $M63 AS BIGINT),
+         |    doc_id) AS BIGINT) AS row_number, doc_id
+         |FROM documents""".stripMargin,
+
+    // streaming exact dedup: the doubled delivery must collapse back to the
+    // single-copy per-user rollup
+    "streaming_dedup" ->
+      s"""WITH $EV
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  max(epoch_ms(ts)) AS max_ts_ms
+         |FROM ev GROUP BY 1""".stripMargin,
   )
 }

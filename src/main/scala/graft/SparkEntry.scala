@@ -1119,6 +1119,136 @@ object SparkEntry {
       .withColumn("n_runs", lit(nSuccess))
   }
 
+  // --------------------- sequence packing (training-run layout)
+
+  /** Concatenate-and-chunk packing of the documents table into 512-token
+    * sequences across 8 md5 shards — the GPT-style layout pass. Output is
+    * the (doc, sequence) overlap map; the full pipeline (shard assignment,
+    * per-shard cumulative token offsets, boundary chunking) is integer
+    * arithmetic replayed exactly by the oracle. */
+  private def seqPack(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Pack.packChunks(t(s, dir, "documents"), "doc_id", "text",
+      budget = 512, nShards = 8)
+
+  /** First-fit greedy packing (no document splits): the sequential
+    * running-capacity fold runs as a sorted mapPartitions per shard; the
+    * oracle replays it with a recursive CTE stepping doc-rank by doc-rank
+    * within every shard in lockstep. */
+  private def seqPackGreedy(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Pack.packGreedy(t(s, dir, "documents"), "doc_id", "text",
+      budget = 512, nShards = 8)
+
+  // --------------------- unigram-LM corpus scoring + vocabulary
+
+  /** Per-document corpus-frequency quality score (the unigram reduction of
+    * a perplexity gate): integer-exact token/frequency sums, ratios rounded
+    * at the end. rare = corpus frequency < 5. */
+  private def unigramLmScore(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLM.corpusFreqScore(
+      t(s, dir, "documents"), "doc_id", "text", rareBelow = 5)
+
+  /** Top-200 frequency-ranked vocabulary with dense deterministic ids. */
+  private def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLM.vocab(t(s, dir, "documents"), "text", topK = 200)
+
+  // --------------------- per-source corpus statistics (training-mix table)
+
+  /** The per-source rollup a training-mix decision reads: doc counts,
+    * exact-dup counts (md5 digest collisions within the source), token and
+    * char totals, language spread. Pure integer aggregation — one shuffle,
+    * map-side partials. */
+  private def domainStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("digest"))
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("n_dup_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("mean_chars",
+        round(col("total_chars").cast("double") / col("n_docs"), 6))
+  }
+
+  // --------------------- catalog column profiling
+
+  /** Source-registration column profile over customer (with a
+    * deterministically injected null column so null counting is actually
+    * exercised): rows / nulls / exact NDV / min / max per column. */
+  private def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_nationkey"),
+      col("c_mktsegment"),
+      col("c_acctbal").cast("decimal(18,2)").as("c_acctbal_dec"),
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("c_seg_nullable"))
+    graft.ops.Profile.columnProfile(c,
+      Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal_dec",
+        "c_seg_nullable"))
+  }
+
+  // --------------------- deterministic global shuffle (training order)
+
+  /** Reproducible corpus shuffle for a training run: order by md5(doc_id)
+    * (uniform, engine-reproducible), number rows with the distributed
+    * range-exchange + zipWithIndex path (no single-partition window), emit
+    * the (position, doc) manifest. */
+  private def shuffleExport(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents").select(col("doc_id"),
+      // masked ⇒ non-negative, so the signed-Long sort order matches the
+      // oracle's UBIGINT (md5_number_lower % 2^63) order
+      graft.functions.expressions.Md5Long(col("doc_id").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)).as("__h"))
+    ops.Materialize.withDistributedRowNumber(keyed, Seq(col("__h"), col("doc_id")))
+      .select(col("row_number"), col("doc_id"))
+  }
+
+  // --------------------- streaming exact dedup
+
+  /** Streaming exact dedup: the events table is delivered TWICE through a
+    * file-source stream (4+4 files over multiple micro-batches), a stateful
+    * dropDuplicates on event_id keeps the first arrival of each, and the
+    * per-user rollup of the deduped sink must equal the single-copy batch
+    * aggregate — if the state failed to suppress a re-delivery, every count
+    * doubles and the gate goes red. State is keyed by event_id only
+    * (bounded by the id domain; a production pipeline bounds it with
+    * dropDuplicatesWithinWatermark on the event-time column instead). */
+  private def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+    ev.repartition(4).write.parquet(s"$tmp/in")
+    ev.repartition(4).write.mode("append").parquet(s"$tmp/in") // second delivery
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // 150-entity state, not 32 stores
+    val q = try s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(s"$tmp/in")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+      .start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max(unix_millis(col("ts"))).as("max_ts_ms"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -1181,6 +1311,14 @@ object SparkEntry {
     "dedup_clusters"    -> (dedupClusters _),
     "embedding_quantize" -> (embeddingQuantize _),
     "incremental_dedup" -> (incrementalDedup _),
+    "seq_pack"          -> (seqPack _),
+    "seq_pack_greedy"   -> (seqPackGreedy _),
+    "unigram_lm_score"  -> (unigramLmScore _),
+    "vocab_topk"        -> (vocabTopK _),
+    "domain_stats"      -> (domainStats _),
+    "column_profile"    -> (columnProfile _),
+    "shuffle_export"    -> (shuffleExport _),
+    "streaming_dedup"   -> (streamingDedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level unigram language-model statistics — the classic cheap
+  * quality filter for LLM training data (the KenLM-filter role, reduced to
+  * unigrams): score every document against the corpus's own token
+  * distribution, flag documents dominated by rare/unseen tokens, and build
+  * the frequency-ranked vocabulary used for tokenizer training.
+  *
+  * 100 TB design: one `groupBy(token)` shuffle with map-side partial
+  * aggregation builds the frequency table (bounded by vocabulary size, which
+  * grows ~log with corpus size); per-doc scoring broadcasts it and
+  * re-aggregates by doc id. At real corpus scale the table is truncated by
+  * `minCount` before broadcast — rare tokens collapse into the OOV bucket
+  * exactly as a trained tokenizer would treat them.
+  *
+  * Determinism: the oracle-facing stats are integer sums (token counts and
+  * corpus frequencies) and exact integer ratios rounded at the end — no
+  * float accumulation order to diverge on. Log-space perplexity
+  * ([[surprisal]]) is a double and deliberately NOT part of the oracle
+  * surface (ln() is only ~1-ulp-specified in both engines); its spec checks
+  * it against a Scala reference with a tolerance instead.
+  */
+object UnigramLM {
+
+  private def toks(text: Column): Column =
+    TextFunctions.tokens(lower(trim(text)))
+
+  /** Corpus token frequencies: `(token, freq)`, lowercased whitespace
+    * tokens. One shuffle, partial-agg before it. */
+  def tokenFrequencies(docs: DataFrame, textCol: String,
+                       minCount: Long = 1): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+
+  /** Per-document corpus-frequency score: `(doc_id, n_toks, sum_freq,
+    * n_rare, mean_freq, rare_ratio)`. `sum_freq` = Σ corpus-frequency of the
+    * doc's tokens (duplicates counted — it is the doc's token multiset);
+    * `n_rare` = tokens with corpus frequency < `rareBelow`. Low `mean_freq`
+    * / high `rare_ratio` = gibberish, boilerplate code, or wrong-language
+    * content — the unigram version of a perplexity gate. */
+  def corpusFreqScore(docs: DataFrame, idCol: String, textCol: String,
+                      rareBelow: Long = 5): DataFrame = {
+    val freqs = broadcast(tokenFrequencies(docs, textCol))
+    docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .join(freqs, Seq("token")) // inner: every doc token exists in the corpus table
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("freq")).as("sum_freq"),
+        sum(when(col("freq") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_toks"), col("sum_freq"), col("n_rare"),
+        round(col("sum_freq").cast("double") / col("n_toks"), 6).as("mean_freq"),
+        round(col("n_rare").cast("double") / col("n_toks"), 6).as("rare_ratio"))
+  }
+
+  /** Per-document mean surprisal −mean log2 p(token) under the corpus
+    * unigram LM (2^surprisal = perplexity). Spec-checked against a Scala
+    * reference; excluded from the DuckDB oracle (see class doc). */
+  def surprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val freqs = broadcast(tokenFrequencies(docs, textCol))
+    val total = freqs.agg(sum("freq")).head.getLong(0).toDouble // metadata-scale
+    docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .join(freqs, Seq("token"))
+      .groupBy("doc_id")
+      .agg((-sum(log(2.0, col("freq") / total)) / count(lit(1))).as("surprisal"))
+  }
+
+  /** Frequency-ranked vocabulary: top `topK` tokens as `(vocab_id, token,
+    * freq)`, ids dense from 0 in (freq DESC, token ASC) order — the
+    * deterministic tie-break makes the table identical on every run and
+    * engine. Top-K plans as TakeOrderedAndProject (distributed partial
+    * top-K, no global sort); the final numbering runs over K rows —
+    * metadata-scale by construction. */
+  def vocab(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val order = Seq(col("freq").desc, col("token").asc)
+    tokenFrequencies(docs, textCol)
+      .orderBy(order: _*).limit(topK)
+      .withColumn("vocab_id",
+        (row_number().over(Window.orderBy(order: _*)) - 1).cast("long"))
+      .select("vocab_id", "token", "freq")
+  }
+}

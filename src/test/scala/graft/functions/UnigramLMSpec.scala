@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class UnigramLMSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus frequencies: the=3, cat=2, sat=1, dog=1, ran=1
+  private def docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "The cat"),
+    (3L, "the dog ran")
+  ).toDF("doc_id", "text")
+
+  test("tokenFrequencies counts lowercased whitespace tokens") {
+    val f = UnigramLM.tokenFrequencies(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("the" -> 3L, "cat" -> 2L, "sat" -> 1L, "dog" -> 1L, "ran" -> 1L))
+  }
+
+  test("corpusFreqScore sums the doc's token-multiset frequencies") {
+    val s = UnigramLM.corpusFreqScore(docs, "doc_id", "text", rareBelow = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // doc 1: the(3)+cat(2)+sat(1)=6, one rare (sat)
+    assert(s(1L) == ((3L, 6L, 1L, 2.0, 0.333333)))
+    // doc 2: the(3)+cat(2)=5, none rare
+    assert(s(2L) == ((2L, 5L, 0L, 2.5, 0.0)))
+    // doc 3: the(3)+dog(1)+ran(1)=5, two rare
+    assert(s(3L) == ((3L, 5L, 2L, 1.666667, 0.666667)))
+  }
+
+  test("surprisal matches a hand fold within tolerance") {
+    val total = 8.0 // 3+2+1+1+1
+    def lg(p: Double) = math.log(p) / math.log(2)
+    val expected1 = -(lg(3 / total) + lg(2 / total) + lg(1 / total)) / 3
+    val got = UnigramLM.surprisal(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - expected1) < 1e-9)
+  }
+
+  test("vocab ranks by frequency with token tie-break and dense ids") {
+    val v = UnigramLM.vocab(docs, "text", topK = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(v.toSeq == Seq((0L, "the", 3L), (1L, "cat", 2L), (2L, "dog", 1L)))
+  }
+
+  test("minCount truncation drops the tail") {
+    val f = UnigramLM.tokenFrequencies(docs, "text", minCount = 2).collect()
+      .map(_.getString(0)).toSet
+    assert(f == Set("the", "cat"))
+  }
+}
