@@ -951,6 +951,83 @@ object OracleSql {
          |    doc_id) AS BIGINT) AS row_number, doc_id
          |FROM documents""".stripMargin,
 
+    // temperature-1/2 training mix: sqrt weights (IEEE-exact), round(…,6),
+    // integer budget split — window runs over n_sources rows
+    "mix_plan" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(SUM(len($TOKS_RAW)) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT source, total_tokens,
+         |    round(sqrt(CAST(total_tokens AS DOUBLE)) /
+         |      SUM(sqrt(CAST(total_tokens AS DOUBLE))) OVER (), 6) AS weight
+         |  FROM s)
+         |SELECT source, total_tokens, weight,
+         |  CAST(round(weight * 1000000) AS BIGINT) AS planned_tokens,
+         |  round(CAST(round(weight * 1000000) AS BIGINT) /
+         |    CAST(total_tokens AS DOUBLE), 6) AS sampling_rate
+         |FROM w""".stripMargin,
+
+    // equal-count curriculum bins: bin = floor((rank-1)·4/n) over the
+    // (quality, doc_id) total order — integer rank arithmetic, no ntile
+    "curriculum_bins" ->
+      raw"""WITH base AS (
+           |  SELECT doc_id, text,
+           |    CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter($TOKS_LOWER, t -> list_contains($EN, t))) AS BIGINT) AS n_hits
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    round(least(length(text) * 1.0 / 500.0, 1.0) * 0.25 +
+           |      (CASE WHEN length(text) = 0 THEN 0.0
+           |        ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END) * 0.35 +
+           |      least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_hits * 1.0 / n_tokens END) * 4.0, 1.0) * 0.2 +
+           |      greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+           |        ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END) * 5.0) * 0.2,
+           |      6) AS quality
+           |  FROM base),
+           |r AS (
+           |  SELECT doc_id, quality,
+           |    row_number() OVER (ORDER BY quality, doc_id) AS rk,
+           |    COUNT(*) OVER () AS n
+           |  FROM q)
+           |SELECT doc_id, quality,
+           |  CAST(floor((rk - 1) * 4 / n) AS BIGINT) AS bin
+           |FROM r""".stripMargin,
+
+    // cross-source duplicate provenance: the full MinHash LSH pipeline
+    // replayed, pairs rolled up per unordered source pair
+    "cross_source_dups" ->
+      s"""WITH p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |d AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs
+         |FROM p JOIN d a ON p.idA = a.doc_id JOIN d b ON p.idB = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    // nearest-rank percentile profile: p_q = value at rank ceil(q·n) per
+    // group — rank selection on DECIMAL values, cast to double at the end
+    "numeric_profile" ->
+      s"""WITH r AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+         |  FROM orders),
+         |rk AS (
+         |  SELECT grp, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rk,
+         |    COUNT(*) OVER (PARTITION BY grp) AS n
+         |  FROM r)
+         |SELECT grp,
+         |  CAST(max(n) AS BIGINT) AS n_rows,
+         |  CAST(min(v) AS DOUBLE) AS min_value,
+         |  CAST(max(CASE WHEN rk = ceil(0.25 * n) THEN v END) AS DOUBLE) AS p25,
+         |  CAST(max(CASE WHEN rk = ceil(0.50 * n) THEN v END) AS DOUBLE) AS p50,
+         |  CAST(max(CASE WHEN rk = ceil(0.90 * n) THEN v END) AS DOUBLE) AS p90,
+         |  CAST(max(CASE WHEN rk = ceil(0.99 * n) THEN v END) AS DOUBLE) AS p99,
+         |  CAST(max(v) AS DOUBLE) AS max_value
+         |FROM rk GROUP BY grp""".stripMargin,
+
     // streaming exact dedup: the doubled delivery must collapse back to the
     // single-copy per-user rollup
     "streaming_dedup" ->

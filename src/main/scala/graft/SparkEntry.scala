@@ -1249,6 +1249,36 @@ object SparkEntry {
         max(unix_millis(col("ts"))).as("max_ts_ms"))
   }
 
+  // --------------------- training-mix planning + corpus diagnostics
+
+  /** Temperature-1/2 mix plan over the documents table: per-source token
+    * totals → sqrt-weighted sampling plan for a 1M-token budget. sqrt is
+    * IEEE-exact in both engines; everything else is integer or round(…,6). */
+  private def mixPlan(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Mix.temperatureMix(t(s, dir, "documents"), "source",
+      "text", budgetTokens = 1000000L)
+
+  /** Equal-count curriculum bins by quality rank: integer rank arithmetic
+    * over the distributed row numbering — no ntile, no float thresholds. */
+  private def curriculumBinsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Mix.curriculumBins(t(s, dir, "documents"), "doc_id",
+      "text", nBins = 4)
+
+  /** Cross-source duplicate provenance matrix: MinHash near-dup pairs
+    * (same parameters as minhash_near_dups) rolled up per source pair. */
+  private def crossSourceDupsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.crossSourceDups(t(s, dir, "documents"), "text",
+      "doc_id", "source", threshold = 0.5)
+
+  /** Nearest-rank percentile profile of order totals per priority class —
+    * the numeric-column catalog profile (p_q = value at rank ceil(q·n);
+    * rank selection, never interpolation). */
+  private def numericProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.numericProfile(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price")),
+      "o_orderpriority", "price")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -1319,6 +1349,10 @@ object SparkEntry {
     "column_profile"    -> (columnProfile _),
     "shuffle_export"    -> (shuffleExport _),
     "streaming_dedup"   -> (streamingDedup _),
+    "mix_plan"          -> (mixPlan _),
+    "curriculum_bins"   -> (curriculumBinsQ _),
+    "cross_source_dups" -> (crossSourceDupsQ _),
+    "numeric_profile"   -> (numericProfileQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -363,4 +363,30 @@ object Dedup {
       log.warn(s"clusterPairs: stopped at maxIter=$maxIter before fixpoint")
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
+
+  /** Cross-source duplicate provenance: near-duplicate pairs (the MinHash
+    * LSH pipeline, same parameters as [[minhashNearDups]]) rolled up by
+    * unordered source pair — the matrix that tells a corpus owner which
+    * feeds mirror each other (and which source to drop when budgeting
+    * ingestion).
+    *
+    * 100 TB design: all the heavy lifting is the already-bucketed LSH
+    * pipeline; the source attachment is two id-keyed joins against an
+    * id→source projection (broadcastable when the duplicate set is small,
+    * AQE decides), and the final aggregation is `n_sources²`-scale. */
+  def crossSourceDups(docs: DataFrame, textCol: String, idCol: String,
+                      sourceCol: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(docs, textCol, idCol, threshold = threshold)
+      .select(col("idA"), col("idB"))
+    val src = docs.select(col(idCol).cast("long").as("__id"),
+      col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(col("__id").as("idA"), col("__src").as("__sa")), "idA")
+      .join(src.select(col("__id").as("idB"), col("__src").as("__sb")), "idB")
+      .groupBy(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_near_dup_pairs"))
+  }
 }

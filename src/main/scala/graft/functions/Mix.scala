@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-mix planning — turning per-source corpus statistics into the
+  * sampling plan a training run executes. The reference stops at
+  * training-set serving (SURVEY.md §2.8); these are first-class
+  * training-data-pipeline extensions.
+  *
+  * Both operators are deterministic by construction so the DuckDB oracle
+  * replays them exactly: the mix weights use `sqrt` (IEEE-correctly-rounded
+  * in every engine, unlike `pow`) and `round(…, 6)`; the curriculum bins
+  * use pure integer rank arithmetic — no float interpolation anywhere.
+  */
+object Mix {
+
+  /** Temperature-weighted mix plan (the multilingual-training sampling
+    * rule with temperature 1/2): weight_s ∝ sqrt(tokens_s), so
+    * low-resource sources are up-weighted relative to their token share.
+    * Output per source: `(source, total_tokens, weight, planned_tokens,
+    * sampling_rate)` where `planned_tokens = round(weight · budget)` and
+    * `sampling_rate = planned / total` (> 1 means multi-epoch).
+    *
+    * 100 TB design: one partial-agg shuffle to source granularity; the
+    * window that normalizes the weights runs over `n_sources` rows —
+    * metadata-scale by construction (the WindowExec warning it triggers is
+    * about those ~20 rows, not the corpus). */
+  def temperatureMix(docs: DataFrame, sourceCol: String, textCol: String,
+                     budgetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(sum(col("n_toks")).as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()  // n_sources rows
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    perSource
+      .withColumn("__sq", sqrt(col("total_tokens").cast("double")))
+      .withColumn("weight", round(col("__sq") / sum(col("__sq")).over(w), 6))
+      .withColumn("planned_tokens",
+        round(col("weight") * budgetTokens).cast("long"))
+      .withColumn("sampling_rate",
+        round(col("planned_tokens").cast("double") / col("total_tokens"), 6))
+      .select("source", "total_tokens", "weight", "planned_tokens",
+        "sampling_rate")
+  }
+
+  /** Curriculum phase assignment: rank every document by
+    * (quality score, id) and split the ranking into `nBins` equal-count
+    * bins — `bin = floor((rank-1) · nBins / n)`, 0 = lowest quality.
+    * Integer rank arithmetic, not ntile (whose remainder distribution is
+    * engine-specific) and not threshold interpolation (whose float
+    * semantics are engine-specific).
+    *
+    * 100 TB design: ranking uses the distributed range-exchange +
+    * zipWithIndex numbering (no single-partition window); the total count
+    * joins in as a broadcast single row. */
+  def curriculumBins(docs: DataFrame, idCol: String, textCol: String,
+                     nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val scored = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val ranked = graft.ops.Materialize.withDistributedRowNumber(
+      scored, Seq(col("quality"), col("doc_id")))
+    ranked
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+      .select(col("doc_id"), col("quality"),
+        floor((col("row_number") - 1) * nBins / col("__n")).as("bin"))
+  }
+}

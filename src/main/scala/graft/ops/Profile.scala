@@ -42,4 +42,34 @@ object Profile {
     }
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
+
+  /** Per-group percentile profile of a numeric column by NEAREST RANK:
+    * `p_q` = the value at sorted rank `ceil(q·n)` within the group — pure
+    * integer rank selection, deterministic in every engine, unlike
+    * interpolating percentiles whose float blend is implementation-defined.
+    * Output: `(group, n_rows, min/p25/p50/p90/p99/max as double)`; pass a
+    * DECIMAL-typed value column so the doubles are exact in both engines.
+    *
+    * 100 TB design: one hash exchange to `(group)` granularity for the
+    * count, one range-free sort window partitioned BY GROUP for the ranks
+    * (scales with groups × group size, no global sort), and the rank
+    * filter drops all but 4 rows per group before the final pivot. */
+  def numericProfile(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(0.25 -> "p25", 0.50 -> "p50", 0.90 -> "p90", 0.99 -> "p99")
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val picks = qs.map { case (q, name) =>
+      max(when(col("__rk") === ceil(lit(q) * col("__n")), col("v")))
+        .cast("double").as(name)
+    }
+    ranked.groupBy(col("grp"))
+      .agg(max(col("__n")).as("n_rows"),
+        (min(col("v")).cast("double").as("min_value") +: picks :+
+          max(col("v")).cast("double").as("max_value")): _*)
+  }
 }

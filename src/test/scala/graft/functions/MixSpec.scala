@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("temperatureMix: sqrt weights normalize, budget splits, rates follow") {
+    val docs = Seq(
+      ("a", Seq.fill(100)("x").mkString(" ")),  // 100 tokens
+      ("a", Seq.fill(300)("x").mkString(" ")),  // a: 400 total
+      ("b", Seq.fill(100)("x").mkString(" "))   // b: 100 total
+    ).toDF("source", "text")
+    val plan = Mix.temperatureMix(docs, "source", "text", budgetTokens = 1000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // sqrt(400)=20, sqrt(100)=10 → weights 2/3, 1/3
+    assert(plan("a")._1 == 400L && plan("b")._1 == 100L)
+    assert(math.abs(plan("a")._2 - 0.666667) < 1e-6)
+    assert(math.abs(plan("b")._2 - 0.333333) < 1e-6)
+    // planned tokens = round(weight · 1000); sqrt-weighting up-samples the
+    // small source relative to its 20% token share
+    assert(plan("a")._3 == 667L && plan("b")._3 == 333L)
+    assert(plan("b")._4 > plan("a")._4)
+  }
+
+  test("curriculumBins: equal-count bins, monotone in quality rank") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = Mix.curriculumBins(docs, "doc_id", "text", nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length == 500)
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.forall(_ == 125)) // 500 divides evenly
+    // bins respect the (quality, doc_id) order
+    val sorted = out.sortBy(t => (t._2, t._1)).map(_._3)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("crossSourceDups rolls near-dup pairs up by unordered source pair") {
+    val base = Seq.tabulate(60)(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", base),
+      (2L, "s2", base + " tail"),       // near-dup of 1, different source
+      (3L, "s1", "completely different text " + Seq.tabulate(50)(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.crossSourceDups(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("s1", "s2", 1L)))
+  }
+}

@@ -26,4 +26,28 @@ class ProfileSpec extends SparkSpec {
     val names = Profile.columnProfile(df, Seq("y", "x")).collect().map(_.getString(0))
     assert(names.toSeq == Seq("y", "x"))
   }
+
+  test("numericProfile: nearest-rank percentiles per group") {
+    import org.apache.spark.sql.functions._
+    // group g: values 1..100 → rank ceil(q·100): p25=25, p50=50, p90=90, p99=99
+    val df = (1 to 100).map(i => ("g", i)).toDF("grp0", "v0")
+      .select(col("grp0"), col("v0").cast("decimal(18,2)").as("v"))
+    val r = Profile.numericProfile(df, "grp0", "v").collect().head
+    assert(r.getString(0) == "g")
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 1.0)   // min
+    assert(r.getDouble(3) == 25.0)  // p25
+    assert(r.getDouble(4) == 50.0)  // p50
+    assert(r.getDouble(5) == 90.0)  // p90
+    assert(r.getDouble(6) == 99.0)  // p99
+    assert(r.getDouble(7) == 100.0) // max
+  }
+
+  test("numericProfile: singleton group collapses every percentile to it") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", 7)).toDF("grp0", "v0")
+      .select(col("grp0"), col("v0").cast("decimal(18,2)").as("v"))
+    val r = Profile.numericProfile(df, "grp0", "v").collect().head
+    assert((2 to 7).forall(i => r.getDouble(i) == 7.0))
+  }
 }
