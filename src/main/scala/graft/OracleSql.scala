@@ -452,9 +452,10 @@ object OracleSql {
       raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
            |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
            |    i -> array_to_string(toks[i:i + 7], ' '))) AS ng FROM d),
-           |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0)
-           |SELECT g.doc_id, CAST(COUNT(DISTINCT g.ng) AS BIGINT) AS n_hits
-           |FROM g JOIN e USING (ng) WHERE g.doc_id % 10 <> 0
+           |gh AS (SELECT doc_id, ${mh63("ng")} AS h FROM g),
+           |e AS (SELECT DISTINCT h FROM gh WHERE doc_id % 10 = 0)
+           |SELECT gh.doc_id, CAST(COUNT(DISTINCT gh.h) AS BIGINT) AS n_hits
+           |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
     // K8 sink round-trip: the append-mode "topic" must hold exactly the

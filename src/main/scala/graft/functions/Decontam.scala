@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * thousands of documents), so its distinct n-gram set is BROADCAST and
   * the corpus side never shuffles its text — n-grams are exploded in the
   * scan stage, the broadcast hash join keeps only hit rows, and the
-  * per-document aggregation shuffles just (doc_id, ngram) hits (a
-  * vanishing fraction of the corpus). For eval sets too big for one
-  * broadcast, swap the join key for the 63-bit md5 of the gram
-  * ([[expressions.HashExprs]] bridge) to cut the broadcast to 8 B/gram —
-  * semantics identical.
+  * per-document aggregation shuffles just (doc_id, hit) rows (a
+  * vanishing fraction of the corpus). The join key is the 63-bit md5 of
+  * the gram, not the gram string: 8 B/gram in the broadcast and the hash
+  * maps instead of ~50 B of text (measured 7.3 s → ~3 s at sf0.1), and
+  * because the oracle replays the SAME hash (`md5_number_lower % 2^63`)
+  * even the astronomically-unlikely collision produces identical output
+  * in both engines.
   *
   * No reference counterpart (its surface stops at SQL transformations);
   * this extends the corpus-hygiene family beside [[Dedup]].
@@ -34,14 +36,21 @@ object Decontam {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** 63-bit md5 of a gram — the compact join key (≡ DuckDB
+    * `md5_number_lower(g) % 2^63`). */
+  private def gramHash(g: Column): Column =
+    expressions.Md5Long(g).bitwiseAND(lit(Long.MaxValue))
+
   /** (doc_id, n_hits): corpus documents sharing at least one word n-gram
     * with `eval`, with the count of distinct overlapping n-grams. */
   def contaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
                    idCol: String, n: Int): DataFrame = {
     val evalGrams = eval
-      .select(explode(wordNgrams(col(textCol), n)).as("__ng")).distinct()
+      .select(explode(wordNgrams(col(textCol), n)).as("__g"))
+      .select(gramHash(col("__g")).as("__ng")).distinct()
     corpus
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__ng"))
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+      .select(col(idCol), gramHash(col("__g")).as("__ng"))
       .join(broadcast(evalGrams), "__ng")
       .groupBy(col(idCol))
       .agg(countDistinct(col("__ng")).as("n_hits"))
