@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** `spark.sql.extensions=graft.GraftExtensions` — the library's Spark
+  * extension entry point (reference analogue: the engine registration a
+  * provider performs on connect; here it is Catalyst-native).
+  *
+  * Injects:
+  *  - [[graft.plans.TextStatsOncePerRow]]: physical planning of repeated
+  *    TextStats filter gates into a one-walk-per-row Project∘Filter∘Project
+  *    split (see its scaladoc for why this cannot be a logical rule);
+  *  - the custom SQL function surface ([[functions.Registry]] names:
+  *    `minhash_sig`, `simhash64`, `kgram_jaccard`, `fvec_dot`) so a session
+  *    configured with the extension alone — no Scala call — can use them in
+  *    SQL transformations. Session-level `Registry.registerAll` remains for
+  *    sessions built without the extension.
+  *
+  * Everything here is optional: results are bit-identical with or without
+  * the extension (the driver's plain-session smoke test runs unextended).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TextStatsOncePerRow)
+    GraftExtensions.functionBuilders.foreach { case (name, info, builder) =>
+      ext.injectFunction((name, info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions.expressions.{FloatVectorDot, KgramJaccard, MinHashSig, SimHash64}
+
+  private def intLit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
+
+  /** Same builders as [[functions.Registry]], in the injectFunction shape. */
+  private[graft] val functionBuilders: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "minhash_sig(text, shingleK, numHashes)")
+        MinHashSig(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64(array<string>)")
+        SimHash64(exprs.head)
+      }),
+    (FunctionIdentifier("kgram_jaccard"),
+      new ExpressionInfo(classOf[KgramJaccard].getName, "kgram_jaccard"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "kgram_jaccard(a, b, shingleK)")
+        KgramJaccard(exprs.head, exprs(1), intLit(exprs(2)))
+      }),
+    (FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "fvec_dot(a, b)")
+        FloatVectorDot(exprs.head, exprs(1))
+      }))
+}

@@ -20,6 +20,7 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     try {
       for (r <- 1 to reps; name <- names) {
