@@ -42,6 +42,25 @@ object OracleSql {
   /** 2^63 — DuckDB parses it as HUGEINT/UBIGINT. */
   private val M63 = "9223372036854775808"
 
+  /** `base` + `q`: per-document quality score (TextFunctions.qualityScore's
+    * declarative definition) as CTEs — `q(doc_id, quality)`. */
+  private lazy val QUALITY_CTES =
+    raw"""base AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($TOKS_LOWER, t -> list_contains($EN, t))) AS BIGINT) AS n_hits
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(length(text) * 1.0 / 500.0, 1.0) * 0.25 +
+         |      (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END) * 0.35 +
+         |      least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_hits * 1.0 / n_tokens END) * 4.0, 1.0) * 0.2 +
+         |      greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END) * 5.0) * 0.2,
+         |      6) AS quality
+         |  FROM base)""".stripMargin
+
   /** 63-bit md5 hash of a VARCHAR expression ≡ Md5Hash64.lowerMasked. */
   private def mh63(x: String): String =
     s"CAST(md5_number_lower($x) % $M63 AS BIGINT)"
@@ -896,6 +915,24 @@ object OracleSql {
          |FROM tok JOIN f USING (token)
          |GROUP BY doc_id""".stripMargin,
 
+    // order-2 corpus-frequency score: bigram table + per-doc integer sums
+    "bigram_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM tok),
+         |f AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq FROM bg GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(freq) AS BIGINT) AS sum_freq,
+         |  CAST(SUM(CASE WHEN freq < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  round(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS mean_freq,
+         |  round(CAST(SUM(CASE WHEN freq < 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         |    AS rare_ratio
+         |FROM bg JOIN f USING (bigram)
+         |GROUP BY doc_id""".stripMargin,
+
     // frequency-ranked top-200 vocabulary, deterministic (freq DESC, token)
     // tie-break, dense ids from 0
     "vocab_topk" ->
@@ -972,21 +1009,7 @@ object OracleSql {
     // equal-count curriculum bins: bin = floor((rank-1)·4/n) over the
     // (quality, doc_id) total order — integer rank arithmetic, no ntile
     "curriculum_bins" ->
-      raw"""WITH base AS (
-           |  SELECT doc_id, text,
-           |    CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
-           |    CAST(len(list_filter($TOKS_LOWER, t -> list_contains($EN, t))) AS BIGINT) AS n_hits
-           |  FROM documents),
-           |q AS (
-           |  SELECT doc_id,
-           |    round(least(length(text) * 1.0 / 500.0, 1.0) * 0.25 +
-           |      (CASE WHEN length(text) = 0 THEN 0.0
-           |        ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END) * 0.35 +
-           |      least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_hits * 1.0 / n_tokens END) * 4.0, 1.0) * 0.2 +
-           |      greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-           |        ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END) * 5.0) * 0.2,
-           |      6) AS quality
-           |  FROM base),
+      raw"""WITH $QUALITY_CTES,
            |r AS (
            |  SELECT doc_id, quality,
            |    row_number() OVER (ORDER BY quality, doc_id) AS rk,
@@ -995,6 +1018,34 @@ object OracleSql {
            |SELECT doc_id, quality,
            |  CAST(floor((rk - 1) * 4 / n) AS BIGINT) AS bin
            |FROM r""".stripMargin,
+
+    // end-to-end corpus curation: near-dup clusters (full LSH replay +
+    // recursive closure) → best-quality doc per cluster → quality gate
+    "corpus_curate" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |e AS (SELECT idA AS s, idB AS d FROM p
+         |      UNION SELECT idB, idA FROM p),
+         |n AS (SELECT DISTINCT s AS id FROM e),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT r.a, e.d FROM reach r JOIN e ON r.b = e.s),
+         |cl AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |$QUALITY_CTES,
+         |wc AS (
+         |  SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+         |    q.quality
+         |  FROM q LEFT JOIN cl USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, cluster_id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |  FROM wc)
+         |SELECT doc_id, cluster_id, n_members, quality
+         |FROM r WHERE rn = 1 AND quality >= 0.5""".stripMargin,
 
     // cross-source duplicate provenance: the full MinHash LSH pipeline
     // replayed, pairs rolled up per unordered source pair

@@ -1151,6 +1151,12 @@ object SparkEntry {
   private def vocabTopK(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLM.vocab(t(s, dir, "documents"), "text", topK = 200)
 
+  /** Order-2 corpus-frequency score: rare-bigram ratios catch word salad a
+    * unigram gate cannot see. Same integer-exact shape as the unigram row. */
+  private def bigramLmScore(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLM.bigramScore(
+      t(s, dir, "documents"), "doc_id", "text", rareBelow = 5)
+
   // --------------------- per-source corpus statistics (training-mix table)
 
   /** The per-source rollup a training-mix decision reads: doc counts,
@@ -1270,6 +1276,33 @@ object SparkEntry {
     graft.functions.Dedup.crossSourceDups(t(s, dir, "documents"), "text",
       "doc_id", "source", threshold = 0.5)
 
+  /** End-to-end corpus curation — the "v2" of corpus_clean composing the
+    * whole family: MinHash near-dup pairs → connected-component clusters →
+    * keep the best-quality document per cluster (singletons keep
+    * themselves) → quality gate. Output `(doc_id, cluster_id, n_members,
+    * quality)` of the survivors. All heavy stages are the already-bucketed
+    * LSH pipeline + one cluster-keyed window; the oracle replays pairs,
+    * closure, quality, and the keep-best window end-to-end. */
+  private def corpusCurate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashNearDups(s, dir).select(col("idA"), col("idB"))
+    val clusters = Dedup.clusterPairs(pairs)
+    val st = TF.textStats(col("text"))
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScoreFrom(st).as("quality"))
+    val withCluster = scored.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("quality"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    withCluster
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .where(col("__rn") === 1 && col("quality") >= 0.5)
+      .select("doc_id", "cluster_id", "n_members", "quality")
+  }
+
   /** Nearest-rank percentile profile of order totals per priority class —
     * the numeric-column catalog profile (p_q = value at rank ceil(q·n);
     * rank selection, never interpolation). */
@@ -1353,6 +1386,8 @@ object SparkEntry {
     "curriculum_bins"   -> (curriculumBinsQ _),
     "cross_source_dups" -> (crossSourceDupsQ _),
     "numeric_profile"   -> (numericProfileQ _),
+    "corpus_curate"     -> (corpusCurate _),
+    "bigram_lm_score"   -> (bigramLmScore _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -70,6 +70,48 @@ object UnigramLM {
       .agg((-sum(log(2.0, col("freq") / total)) / count(lit(1))).as("surprisal"))
   }
 
+  /** Space-joined word bigrams of the lowercased token stream (tokens
+    * contain no spaces, so the join is collision-free — the Decontam
+    * n-gram trick at n=2). Empty for sub-2-token docs. */
+  def bigrams(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus bigram frequencies: `(bigram, freq)`. Same single-shuffle
+    * shape as [[tokenFrequencies]]; the table is larger (bigram vocab
+    * grows faster than unigram) so `minCount` truncation matters sooner
+    * at corpus scale. */
+  def bigramFrequencies(docs: DataFrame, textCol: String,
+                        minCount: Long = 1): DataFrame =
+    docs.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+
+  /** Per-document bigram-frequency score — the order-2 sharpening of
+    * [[corpusFreqScore]]: a document whose unigrams are common but whose
+    * bigrams are rare is word salad, which a unigram gate cannot see.
+    * Same integer-exact output shape: `(doc_id, n_bigrams, sum_freq,
+    * n_rare, mean_freq, rare_ratio)`. */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+                  rareBelow: Long = 5): DataFrame = {
+    val freqs = broadcast(bigramFrequencies(docs, textCol))
+    docs.select(col(idCol).as("doc_id"),
+        explode(bigrams(col(textCol))).as("bigram"))
+      .join(freqs, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("freq")).as("sum_freq"),
+        sum(when(col("freq") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"), col("n_rare"),
+        round(col("sum_freq").cast("double") / col("n_bigrams"), 6).as("mean_freq"),
+        round(col("n_rare").cast("double") / col("n_bigrams"), 6).as("rare_ratio"))
+  }
+
   /** Frequency-ranked vocabulary: top `topK` tokens as `(vocab_id, token,
     * freq)`, ids dense from 0 in (freq DESC, token ASC) order — the
     * deterministic tie-break makes the table identical on every run and

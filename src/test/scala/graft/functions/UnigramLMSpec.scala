@@ -3,6 +3,22 @@ package graft.functions
 import graft.SparkSpec
 
 class UnigramLMSpec extends SparkSpec {
+
+  test("bigramScore counts the doc's bigram multiset against the corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),     // bigrams: "a b", "b c"
+      (2L, "a b a b"),   // "a b", "b a", "a b"
+      (3L, "x")          // sub-2 tokens: no bigrams, absent from output
+    ).toDF("doc_id", "text")
+    val out = UnigramLM.bigramScore(docs, "doc_id", "text", rareBelow = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // corpus freqs: "a b"=3, "b c"=1, "b a"=1
+    assert(out(1L) == ((2L, 4L, 1L)))  // 3+1, one rare ("b c")
+    assert(out(2L) == ((3L, 7L, 1L)))  // 3+1+3, one rare ("b a")
+    assert(!out.contains(3L))
+  }
   import spark.implicits._
 
   // corpus frequencies: the=3, cat=2, sat=1, dog=1, ran=1
