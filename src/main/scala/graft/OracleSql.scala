@@ -933,6 +933,34 @@ object OracleSql {
          |FROM bg JOIN f USING (bigram)
          |GROUP BY doc_id""".stripMargin,
 
+    // md5-HLL register replay: same 63-bit hash, same bucket/rho bit math
+    // (rho = 54 - bitlength(w), via bin()), exact HUGEINT register sum,
+    // same estimator constants, portable round-half-up
+    "hll_profile" ->
+      s"""WITH h AS (
+         |  SELECT source, ${mh63("text")} AS hv FROM documents),
+         |b AS (SELECT source, hv & 1023 AS bucket, hv >> 10 AS w FROM h),
+         |r AS (SELECT source, bucket,
+         |    max(CASE WHEN w = 0 THEN 54 ELSE 54 - length(bin(w)) END) AS m_j
+         |  FROM b GROUP BY 1, 2),
+         |agg AS (SELECT source,
+         |    SUM(CAST(CAST(1 AS BIGINT) << (54 - m_j) AS HUGEINT)) AS n_present,
+         |    CAST(1024 - COUNT(*) AS BIGINT) AS v
+         |  FROM r GROUP BY 1),
+         |est AS (SELECT source, v,
+         |    0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * (2.0 ** 54) /
+         |      CAST(n_present + CAST(v AS HUGEINT) * (CAST(1 AS HUGEINT) << 54)
+         |        AS DOUBLE) AS e_raw
+         |  FROM agg),
+         |fin AS (SELECT source,
+         |    CASE WHEN e_raw <= 2.5 * 1024 AND v > 0
+         |         THEN 1024 * ln(1024.0 / v) ELSE e_raw END AS e
+         |  FROM est)
+         |SELECT f.source, x.n_exact, CAST(floor(e + 0.5) AS BIGINT) AS n_hll
+         |FROM fin f JOIN (
+         |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+         |  FROM documents GROUP BY 1) x USING (source)""".stripMargin,
+
     // frequency-ranked top-200 vocabulary, deterministic (freq DESC, token)
     // tie-break, dense ids from 0
     "vocab_topk" ->

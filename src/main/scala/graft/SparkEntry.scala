@@ -1157,6 +1157,16 @@ object SparkEntry {
     graft.functions.UnigramLM.bigramScore(
       t(s, dir, "documents"), "doc_id", "text", rareBelow = 5)
 
+  /** Exact NDV next to the md5-HLL estimate per source — the custom
+    * TypedImperativeAggregate under the gate: the oracle rebuilds the
+    * registers with a GROUP BY and replays the estimator, so even the
+    * approximate path is hash-checked, not trusted. */
+  private def hllProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("source")
+      .agg(
+        countDistinct(col("text")).as("n_exact"),
+        graft.functions.expressions.Sketches.hllNdv(col("text")).as("n_hll"))
+
   // --------------------- per-source corpus statistics (training-mix table)
 
   /** The per-source rollup a training-mix decision reads: doc counts,
@@ -1388,6 +1398,7 @@ object SparkEntry {
     "numeric_profile"   -> (numericProfileQ _),
     "corpus_curate"     -> (corpusCurate _),
     "bigram_lm_score"   -> (bigramLmScore _),
+    "hll_profile"       -> (hllProfile _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
