@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.expressions.{FloatVectorDot, KgramJaccard, MinHashSig, SimHash64}
+  import graft.functions.expressions.{FloatVectorDot, KgramJaccard, Md5Hll, MinHashSig, SimHash64}
 
   private def intLit(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -66,5 +66,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "fvec_dot(a, b)")
         FloatVectorDot(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("md5_hll"),
+      new ExpressionInfo(classOf[Md5Hll].getName, "md5_hll"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "md5_hll(string_col)")
+        Md5Hll(exprs.head).toAggregateExpression()
       }))
 }

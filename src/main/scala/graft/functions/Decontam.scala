@@ -27,14 +27,10 @@ object Decontam {
   /** Space-joined word n-grams of `lower(text)` (whitespace tokens, the
     * TOKS_LOWER contract; tokens contain no spaces, so the join is
     * collision-free). Empty array when the document has fewer than n
-    * tokens — `sequence(1, 0)` would count DOWN, not produce empty. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(lower(text))
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * tokens. Single-walk [[expressions.WordNgrams]]; see its scaladoc for
+    * why not the declarative transform/slice/array_join chain. */
+  def wordNgrams(text: Column, n: Int): Column =
+    expressions.NgramExprs.wordNgrams(lower(text), n)
 
   /** 63-bit md5 of a gram — the compact join key (≡ DuckDB
     * `md5_number_lower(g) % 2^63`). */

@@ -72,14 +72,12 @@ object UnigramLM {
 
   /** Space-joined word bigrams of the lowercased token stream (tokens
     * contain no spaces, so the join is collision-free — the Decontam
-    * n-gram trick at n=2). Empty for sub-2-token docs. */
-  def bigrams(text: Column): Column = {
-    val t = toks(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * n-gram trick at n=2). Empty for sub-2-token docs. Single-walk
+    * [[expressions.WordNgrams]] expression — the declarative
+    * transform/concat_ws chain was interpreted per element and held the
+    * bigram queries at ~13 s at sf0.1. */
+  def bigrams(text: Column): Column =
+    expressions.NgramExprs.wordNgrams(lower(trim(text)), 2)
 
   /** Corpus bigram frequencies: `(bigram, freq)`. Same single-shuffle
     * shape as [[tokenFrequencies]]; the table is larger (bigram vocab
