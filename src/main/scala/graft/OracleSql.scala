@@ -933,6 +933,27 @@ object OracleSql {
          |FROM bg JOIN f USING (bigram)
          |GROUP BY doc_id""".stripMargin,
 
+    // gap-based sessionization: gaps-and-islands replay of session_window
+    // (break when diff > gap — Spark MERGES touching sessions: an event at
+    // exactly prev+gap extends, probed in SessionizeSpec)
+    "session_stats" ->
+      s"""WITH $EV,
+         |l AS (SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM l)
+         |SELECT user_id,
+         |  min(epoch_ms(ts)) AS session_start_ms,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  max(epoch_ms(ts)) AS last_ts_ms
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+
     // md5-HLL register replay: same 63-bit hash, same bucket/rho bit math
     // (rho = 54 - bitlength(w), via bin()), exact HUGEINT register sum,
     // same estimator constants, portable round-half-up

@@ -1157,6 +1157,14 @@ object SparkEntry {
     graft.functions.UnigramLM.bigramScore(
       t(s, dir, "documents"), "doc_id", "text", rareBelow = 5)
 
+  /** Gap-based sessionization of the events stream (30-minute inactivity
+    * gap): per (user, session) counts, value totals, and bounds via
+    * Spark's native session_window; the oracle replays the same boundary
+    * rule with a gaps-and-islands LAG. */
+  private def sessionStats(s: SparkSession, dir: String): DataFrame =
+    ops.Sessionize.sessionStats(
+      events(s, dir), "user_id", "ts", "value", gap = "30 minutes")
+
   /** Exact NDV next to the md5-HLL estimate per source — the custom
     * TypedImperativeAggregate under the gate: the oracle rebuilds the
     * registers with a GROUP BY and replays the estimator, so even the
@@ -1399,6 +1407,7 @@ object SparkEntry {
     "corpus_curate"     -> (corpusCurate _),
     "bigram_lm_score"   -> (bigramLmScore _),
     "hll_profile"       -> (hllProfile _),
+    "session_stats"     -> (sessionStats _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
