@@ -42,6 +42,27 @@ object OracleSql {
   /** 2^63 — DuckDB parses it as HUGEINT/UBIGINT. */
   private val M63 = "9223372036854775808"
 
+  /** Gaps-and-islands sessionization of events (break when diff > gap —
+    * Spark merges touching sessions); shared by the batch and streaming
+    * session queries. */
+  private lazy val sessionStatsSql =
+    s"""WITH $EV,
+       |l AS (SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (SELECT user_id, ts, value,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM l)
+       |SELECT user_id,
+       |  min(epoch_ms(ts)) AS session_start_ms,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       |  max(epoch_ms(ts)) AS last_ts_ms
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
   /** `base` + `q`: per-document quality score (TextFunctions.qualityScore's
     * declarative definition) as CTEs — `q(doc_id, quality)`. */
   private lazy val QUALITY_CTES =
@@ -936,23 +957,11 @@ object OracleSql {
     // gap-based sessionization: gaps-and-islands replay of session_window
     // (break when diff > gap — Spark MERGES touching sessions: an event at
     // exactly prev+gap extends, probed in SessionizeSpec)
-    "session_stats" ->
-      s"""WITH $EV,
-         |l AS (SELECT user_id, ts, value,
-         |    CASE WHEN lag(ts) OVER w IS NULL
-         |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-         |         THEN 1 ELSE 0 END AS brk
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-         |s AS (SELECT user_id, ts, value,
-         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-         |      ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM l)
-         |SELECT user_id,
-         |  min(epoch_ms(ts)) AS session_start_ms,
-         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-         |  max(epoch_ms(ts)) AS last_ts_ms
-         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "session_stats" -> sessionStatsSql,
+
+    // the streaming sessionization must converge to the batch result
+    // (append-mode watermark finalization changes nothing but timing)
+    "streaming_sessions" -> sessionStatsSql,
 
     // md5-HLL register replay: same 63-bit hash, same bucket/rho bit math
     // (rho = 54 - bitlength(w), via bin()), exact HUGEINT register sum,

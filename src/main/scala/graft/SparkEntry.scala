@@ -1165,6 +1165,50 @@ object SparkEntry {
     ops.Sessionize.sessionStats(
       events(s, dir), "user_id", "ts", "value", gap = "30 minutes")
 
+  /** Streaming counterpart of session_stats: the events table delivered
+    * through a watermarked file-source stream, sessionized with the same
+    * native session_window in APPEND mode (sessions emit only when the
+    * watermark passes their end — the correct-by-construction finalization
+    * rule), flushed by a far-future sentinel row that advances the
+    * watermark past every real session. Output must equal the batch
+    * sessionization, which the oracle computes. */
+  private def streamingSessions(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssess").toString
+    val ev = events(s, dir).select(col("user_id"), col("value"), col("ts"))
+    ev.repartition(4).write.parquet(s"$tmp/in")
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0) // scalar sentinel anchor
+    import s.implicits._
+    Seq((-1L, 0.0, new java.sql.Timestamp(maxTs.getTime + 86400000L)))
+      .toDF("user_id", "value", "ts")
+      .write.mode("append").parquet(s"$tmp/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // 150-user state
+    val q = try s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(s"$tmp/in")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max(unix_millis(col("ts"))).as("last_ts_ms"))
+      .select(col("user_id"),
+        unix_millis(col("__w.start")).as("session_start_ms"),
+        col("n_events"), col("sum_value"), col("last_ts_ms"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+      .start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
+  }
+
   /** Exact NDV next to the md5-HLL estimate per source — the custom
     * TypedImperativeAggregate under the gate: the oracle rebuilds the
     * registers with a GROUP BY and replays the estimator, so even the
@@ -1408,6 +1452,7 @@ object SparkEntry {
     "bigram_lm_score"   -> (bigramLmScore _),
     "hll_profile"       -> (hllProfile _),
     "session_stats"     -> (sessionStats _),
+    "streaming_sessions" -> (streamingSessions _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
