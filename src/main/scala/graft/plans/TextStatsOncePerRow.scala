@@ -51,6 +51,9 @@ object TextStatsOncePerRow extends SparkStrategy with PredicateHelper {
     * predicate holds no repeated TextStats. Output carries the extra
     * stats column — callers wrap in a pruning ProjectExec. */
   private def planFilter(f: LogicalFilter): Option[SparkPlan] = {
+    // splitting reorders conjunct evaluation; only safe when the whole
+    // predicate is deterministic (same rule Spark's own pushdown applies)
+    if (!f.condition.deterministic) return None
     val conjuncts = splitConjunctivePredicates(f.condition)
     val (tsConjuncts, plainConjuncts) =
       conjuncts.partition(_.exists(_.isInstanceOf[TextStats]))
