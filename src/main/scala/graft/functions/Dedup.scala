@@ -337,26 +337,40 @@ object Dedup {
     *
     * Input columns `idA`/`idB` (long); output (doc_id, cluster_id). */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = barrier(
-      pairs.select(col("idA").as("src"), col("idB").as("dst"))
-        .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
-        .distinct(), checkpoint = false)
+    val spark = pairs.sparkSession
+    val edges0 = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      .distinct()
+    // The near-dup pair graph is a small fraction of the corpus (dups are
+    // the exception), so the iterations run over a table orders of magnitude
+    // smaller than the input. Size the per-iteration shuffle to the graph,
+    // not to the session default: the edge count is known anyway (the
+    // barrier materializes it), and ~200k edges/partition keeps tiny graphs
+    // on one task while a billion-edge graph still fans out.
+    val edgesB = barrier(edges0, checkpoint = false)
+    val nEdges = edgesB.count()
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (nEdges / 200000L).toInt + 1))
+    val edges = edgesB.repartition(parts, col("src"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // candidate label per node: min over its own and its neighbors' comps
+      // candidate label per node: min over its own and its neighbors' comps;
+      // the changed flag rides along so convergence is a filter on the
+      // checkpointed result, not an extra join against the previous labels
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src").withColumnRenamed("comp", "__nc"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("__nc")).as("__nm"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("__nm"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("__nm"), col("comp"))).as("comp"),
+          (col("__nm").isNotNull && col("__nm") < col("comp")).as("__chg"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .where(col("comp") =!= col("__old")).isEmpty
-      labels = next
+      converged = next.where(col("__chg")).isEmpty
+      labels = next.drop("__chg")
       iter += 1
     }
     if (!converged)
