@@ -959,6 +959,22 @@ object OracleSql {
     // exactly prev+gap extends, probed in SessionizeSpec)
     "session_stats" -> sessionStatsSql,
 
+    // keyless interval containment (DuckDB IEJoin replays it exactly):
+    // high-severity errors open [ts, ts+30min) windows; every event inside
+    // rolls up to the incident. Half-open end, DECIMAL value sum.
+    "range_join_blast" ->
+      s"""WITH $EV,
+         |inc AS (SELECT event_id AS incident_id, ts AS w_start,
+         |    ts + INTERVAL 30 MINUTE AS w_end
+         |  FROM ev WHERE event_type = 'error' AND value > 200)
+         |SELECT incident_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_purchases,
+         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM inc JOIN ev e ON e.ts >= inc.w_start AND e.ts < inc.w_end
+         |GROUP BY incident_id""".stripMargin,
+
     // the streaming sessionization must converge to the batch result
     // (append-mode watermark finalization changes nothing but timing)
     "streaming_sessions" -> sessionStatsSql,

@@ -1165,6 +1165,28 @@ object SparkEntry {
     ops.Sessionize.sessionStats(
       events(s, dir), "user_id", "ts", "value", gap = "30 minutes")
 
+  /** Keyless interval join through the bucketized RangeJoin: high-severity
+    * errors open a 30-minute incident window; every event inside a window
+    * (any user — there is no equality key to lean on) rolls up to the
+    * incident's blast radius. Spark alone plans the inequality join as a
+    * nested loop; the operator turns it into one bucket equi-join. */
+  private def rangeJoinBlast(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val incidents = ev
+      .where(col("event_type") === "error" && col("value") > 200)
+      .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    ops.RangeJoin.pointsInIntervals(
+        ev.select(col("ts"), col("event_type"), col("value")), "ts",
+        incidents, "w_start", "w_end", bucketMicros = 30L * 60 * 1000000)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** Streaming counterpart of session_stats: the events table delivered
     * through a watermarked file-source stream, sessionized with the same
     * native session_window in APPEND mode (sessions emit only when the
@@ -1452,6 +1474,7 @@ object SparkEntry {
     "bigram_lm_score"   -> (bigramLmScore _),
     "hll_profile"       -> (hllProfile _),
     "session_stats"     -> (sessionStats _),
+    "range_join_blast"  -> (rangeJoinBlast _),
     "streaming_sessions" -> (streamingSessions _),
   )
 
