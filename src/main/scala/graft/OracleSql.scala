@@ -959,6 +959,43 @@ object OracleSql {
     // exactly prev+gap extends, probed in SessionizeSpec)
     "session_stats" -> sessionStatsSql,
 
+    // BM25 top-50 for terms (join, vector, stream): tf/dl/df/N are exact
+    // integers; idf and the length norm reuse the Spark expression SHAPE
+    // verbatim (incl. (1.2 + 1.0) for k1+1, which differs from the literal
+    // 2.2 by one ulp), summed in declared term order, round(…,6) at the end
+    "bm25_topk" -> {
+      val terms = Seq("join", "vector", "stream")
+      val tfs = terms.zipWithIndex.map { case (tm, i) =>
+        s"CAST(len(list_filter($TOKS_LOWER, t -> t = '$tm')) AS BIGINT) AS tf$i"
+      }.mkString(",\n|    ")
+      val dfs = terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(",\n|    ")
+      val contribs = terms.indices.map { i =>
+        s"""(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) *
+           |     (CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) /
+           |     (CAST(tf$i AS DOUBLE) +
+           |      1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"""
+          .stripMargin
+      }.mkString(" +\n|  ")
+      val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""WITH base AS (SELECT doc_id,
+         |    CAST(len($TOKS_LOWER) AS BIGINT) AS dl,
+         |    $tfs
+         |  FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dl) AS BIGINT) AS sumdl,
+         |    $dfs
+         |  FROM base),
+         |scored AS (SELECT doc_id, round($contribs, 6) AS bm25
+         |  FROM (SELECT b.*, s.*, CAST(s.sumdl AS DOUBLE) / s.n AS avgdl
+         |        FROM base b CROSS JOIN stats s)
+         |  WHERE $anyHit)
+         |SELECT doc_id, bm25 FROM scored
+         |QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 50"""
+        .stripMargin
+    },
+
     // keyless interval containment (DuckDB IEJoin replays it exactly):
     // high-severity errors open [ts, ts+30min) windows; every event inside
     // rolls up to the incident. Half-open end, DECIMAL value sum.

@@ -1165,6 +1165,16 @@ object SparkEntry {
     ops.Sessionize.sessionStats(
       events(s, dir), "user_id", "ts", "value", gap = "30 minutes")
 
+  /** BM25 top-k keyword retrieval ("the 50 documents most about
+    * join/vector/stream") — per-term tf/df/idf with exact integer corpus
+    * statistics and fixed-order double arithmetic, so the oracle replays
+    * the score bit-for-bit; top-k is TakeOrderedAndProject (partial top-k
+    * per partition, never a global sort). */
+  private def bm25TopKQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Retrieval.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("join", "vector", "stream"), k = 50)
+
   /** Keyless interval join through the bucketized RangeJoin: high-severity
     * errors open a 30-minute incident window; every event inside a window
     * (any user — there is no equality key to lean on) rolls up to the
@@ -1475,6 +1485,7 @@ object SparkEntry {
     "hll_profile"       -> (hllProfile _),
     "session_stats"     -> (sessionStats _),
     "range_join_blast"  -> (rangeJoinBlast _),
+    "bm25_topk"         -> (bm25TopKQ _),
     "streaming_sessions" -> (streamingSessions _),
   )
 

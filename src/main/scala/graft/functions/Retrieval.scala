@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus: BM25 (Robertson et al., the
+  * TREC-3 Okapi formulation) scoring of a bag-of-terms query, returning the
+  * top-k documents. The reference has no search surface (its text coverage
+  * is nil — SURVEY.md §2.9); this is a training-data-pipeline extension:
+  * "pull the k documents most about X" is the standard seed step for
+  * targeted corpus slices and eval-set curation.
+  *
+  * Scale design: everything is a scan-stage projection over the token
+  * array — per-term tf via `filter(...)`+`size` (codegen'd, no UDF, no
+  * explode: a query of q terms costs q array walks, not a tokens-table
+  * shuffle). Corpus statistics (N, Σdl, per-term df) are ONE single-row
+  * aggregate broadcast back to the scan; the top-k is `orderBy(...).limit(k)`
+  * which Spark executes as TakeOrderedAndProject — per-partition partial
+  * top-k, then a k-row merge on the driver, never a global sort. The token
+  * projection is evaluated twice (stats pass + scoring pass) — two parquet
+  * scans beat persisting a corpus-size frame at 100 TB.
+  *
+  * Float discipline (oracle-exact): tf/dl/df/N are exact integers; the
+  * doubles (idf, length norm) derive from them with ONE fixed expression
+  * shape, and the per-term contributions are added in declared term order
+  * (left-associated `+`), so the sum is bit-reproducible in any engine that
+  * evaluates the same shape — no AVG, no float SUM over groups.
+  */
+object Retrieval {
+
+  /** Lowercased whitespace tokens — the tokenization the DuckDB oracle
+    * mirrors as string_split_regex(lower(trim(text)), '\s+'). */
+  private def toks(text: Column): Column =
+    TextFunctions.tokens(lower(text))
+
+  /** Top-k documents by BM25 over `terms`. Output (idCol, bm25) with the
+    * score rounded to 6 dp (ordering uses the rounded value so engine ulp
+    * differences cannot flip near-ties; doc id breaks exact ties). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    require(k > 0, "k must be positive")
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      size(filter(toks(col(textCol)), t => t === lit(term)))
+        .cast("long").as(s"__tf$i")
+    }
+    val base = docs.select(
+      (col(idCol) +: size(toks(col(textCol))).cast("long").as("__dl") +:
+        tfCols): _*)
+    val statAggs = count(lit(1)).as("__n") +: sum(col("__dl")).as("__sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    def contrib(i: Int): Column = {
+      val tf = col(s"__tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      val norm = lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl)
+      idf * (tf * lit(k1 + 1.0)) / (tf + lit(k1) * norm)
+    }
+    val score = terms.indices.map(contrib).reduceLeft(_ + _)
+    val anyHit = terms.indices.map(i => col(s"__tf$i") > 0).reduceLeft(_ || _)
+    base.join(broadcast(stats))
+      .where(anyHit)
+      .select(col(idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+}

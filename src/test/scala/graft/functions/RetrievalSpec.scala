@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark join join shuffle"),
+    (2L, "vector index scan"),
+    (3L, "join vector join join spark"),
+    (4L, "filter filter filter"),
+    (5L, "JOIN Spark")
+  ).toDF("doc_id", "text")
+
+  test("matches a hand-rolled BM25 on a tiny corpus") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("join", "vector"), k = 10)
+      .as[(Long, Double)].collect().toMap
+
+    // reference computation, same fixed-shape arithmetic
+    val docs = Map(
+      1L -> Seq("spark", "join", "join", "shuffle"),
+      2L -> Seq("vector", "index", "scan"),
+      3L -> Seq("join", "vector", "join", "join", "spark"),
+      4L -> Seq("filter", "filter", "filter"),
+      5L -> Seq("join", "spark"))
+    val n = docs.size
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    def score(toks: Seq[String]): Double = {
+      val contribs = Seq("join", "vector").map { term =>
+        val tf = toks.count(_ == term).toDouble
+        val df = docs.values.count(_.contains(term))
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val norm = 0.25 + 0.75 * (toks.size.toDouble / avgdl)
+        idf * (tf * 2.2) / (tf + 1.2 * norm)
+      }
+      BigDecimal(contribs.reduceLeft(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = docs.collect {
+      case (id, toks) if toks.contains("join") || toks.contains("vector") =>
+        id -> score(toks)
+    }
+    assert(got == want)
+    assert(!got.contains(4L)) // no query term -> excluded
+  }
+
+  test("k truncates by (score desc, doc_id) deterministically") {
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("join"), k = 2).as[(Long, Double)].collect()
+    assert(top.length == 2)
+    assert(top.map(_._2).sorted.reverse.toSeq == top.map(_._2).toSeq)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, stats join broadcast") {
+    // k must stay below the folded LocalRelation's maxRows (3 'join' docs),
+    // or EliminateLimits removes the limit before planning
+    val df = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("join"), k = 2)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+}
