@@ -959,6 +959,37 @@ object OracleSql {
     // exactly prev+gap extends, probed in SessionizeSpec)
     "session_stats" -> sessionStatsSql,
 
+    // DSIR importance weights: md5-bucketed uni+bigram counts (integers),
+    // add-1-smoothed log ratios rounded to 9 dp and FIXED as DECIMAL(18,9),
+    // then an exact decimal dot product rounded in decimal space — the
+    // operand precisions mirror the Spark side so neither engine loses scale
+    "dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_concat(toks,
+         |    list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+         |  FROM tok),
+         |db AS (SELECT doc_id, ${mh63("gram")} % 4096 AS b FROM g),
+         |dc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM db GROUP BY 1, 2),
+         |raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS r FROM dc GROUP BY 1),
+         |tg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+         |  FROM db JOIN (SELECT doc_id FROM documents WHERE lang = 'en')
+         |    USING (doc_id)
+         |  GROUP BY b),
+         |tot AS (SELECT (SELECT SUM(r) FROM raw) AS rtot,
+         |    (SELECT COALESCE(SUM(tc), 0) FROM tg) AS ttot),
+         |lam AS (SELECT raw.b,
+         |    CAST(round(ln((COALESCE(tc, 0) + 1.0) / (ttot + 4096)) -
+         |               ln((r + 1.0) / (rtot + 4096)), 9)
+         |      AS DECIMAL(18,9)) AS lam
+         |  FROM raw LEFT JOIN tg USING (b) CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |  CAST(round(SUM(CAST(c AS DECIMAL(12,0)) * lam), 6) AS DOUBLE)
+         |    AS dsir_weight
+         |FROM dc JOIN lam USING (b)
+         |GROUP BY doc_id""".stripMargin,
+
     // BM25 top-50 for terms (join, vector, stream): tf/dl/df/N are exact
     // integers; idf and the length norm reuse the Spark expression SHAPE
     // verbatim (incl. (1.2 + 1.0) for k1+1, which differs from the literal

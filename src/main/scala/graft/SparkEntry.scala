@@ -1165,6 +1165,18 @@ object SparkEntry {
     ops.Sessionize.sessionStats(
       events(s, dir), "user_id", "ts", "value", gap = "30 minutes")
 
+  /** DSIR importance weights (hashed uni+bigram model, 4096 buckets):
+    * every document scored by how much more target-like (English docs)
+    * than corpus-average its n-gram bag is. One corpus-size shuffle
+    * (doc×bucket partial agg); distributions and the log-ratio table are
+    * bucket-bounded and broadcast; the dot product is exact DECIMAL. */
+  private def dsirWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.functions.Importance.dsirWeights(
+      docs, docs.where(col("lang") === "en"), "text", "doc_id",
+      buckets = 4096)
+  }
+
   /** BM25 top-k keyword retrieval ("the 50 documents most about
     * join/vector/stream") — per-term tf/df/idf with exact integer corpus
     * statistics and fixed-order double arithmetic, so the oracle replays
@@ -1486,6 +1498,7 @@ object SparkEntry {
     "session_stats"     -> (sessionStats _),
     "range_join_blast"  -> (rangeJoinBlast _),
     "bm25_topk"         -> (bm25TopKQ _),
+    "dsir_weights"      -> (dsirWeightsQ _),
     "streaming_sessions" -> (streamingSessions _),
   )
 
