@@ -959,6 +959,32 @@ object OracleSql {
     // exactly prev+gap extends, probed in SessionizeSpec)
     "session_stats" -> sessionStatsSql,
 
+    // JL random projection 64->16: the Achlioptas matrix re-derived from the
+    // same md5 stream (sqrt(3.0/16) is correctly-rounded IEEE in both
+    // engines); projected components and norms are sequential
+    // list_dot_product folds ≡ Spark's zip_with/aggregate
+    "embedding_project" -> {
+      val comp = "CASE (" + mh63(
+        "'rp|' || CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)") +
+        " % 6) WHEN 0 THEN sqrt(3.0/16) WHEN 1 THEN -sqrt(3.0/16) " +
+        "ELSE 0.0 END"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, v,
+         |    list_transform(generate_series(0, 15), j ->
+         |      list_dot_product(v,
+         |        list_transform(generate_series(0, len(v) - 1),
+         |          i -> $comp))) AS proj
+         |  FROM e)
+         |SELECT vec_id,
+         |  round(proj[1], 6) AS y0,
+         |  round(list_dot_product(proj, proj), 6) AS proj_norm2,
+         |  round(list_dot_product(v, v), 6) AS orig_norm2,
+         |  round(list_dot_product(proj, proj) / list_dot_product(v, v), 6)
+         |    AS distortion
+         |FROM p""".stripMargin
+    },
+
     // DSIR importance weights: md5-bucketed uni+bigram counts (integers),
     // add-1-smoothed log ratios rounded to 9 dp and FIXED as DECIMAL(18,9),
     // then an exact decimal dot product rounded in decimal space — the

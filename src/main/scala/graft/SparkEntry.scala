@@ -1165,6 +1165,24 @@ object SparkEntry {
     ops.Sessionize.sessionStats(
       events(s, dir), "user_id", "ts", "value", gap = "30 minutes")
 
+  /** JL random projection of the embedding corpus 64 → 16 dims
+    * (md5-derived Achlioptas matrix, inlined as literals): per vector the
+    * first projected component, projected/original squared norms, and the
+    * norm distortion the JL lemma bounds. Array outputs are reduced to
+    * these scalars for the hash compare (the quantize-query convention). */
+  private def embeddingProject(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "embeddings")
+    val proj = Vectors.randomProjection(col("embedding"), 64, 16)
+    df.select(col("vec_id"), proj.as("__p"),
+        Vectors.dot(col("embedding"), col("embedding")).as("__n2"))
+      .select(col("vec_id"),
+        round(element_at(col("__p"), 1), 6).as("y0"),
+        round(Vectors.dotDouble(col("__p"), col("__p")), 6).as("proj_norm2"),
+        round(col("__n2"), 6).as("orig_norm2"),
+        round(Vectors.dotDouble(col("__p"), col("__p")) / col("__n2"), 6)
+          .as("distortion"))
+  }
+
   /** DSIR importance weights (hashed uni+bigram model, 4096 buckets):
     * every document scored by how much more target-like (English docs)
     * than corpus-average its n-gram bag is. One corpus-size shuffle
@@ -1499,6 +1517,7 @@ object SparkEntry {
     "range_join_blast"  -> (rangeJoinBlast _),
     "bm25_topk"         -> (bm25TopKQ _),
     "dsir_weights"      -> (dsirWeightsQ _),
+    "embedding_project" -> (embeddingProject _),
     "streaming_sessions" -> (streamingSessions _),
   )
 
