@@ -28,19 +28,20 @@ object Vectors {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sequential double dot product for `array<double>` columns (the
-    * declarative twin of [[dot]], which reads float arrays): zip_with
-    * products folded left-to-right from 0.0 ≡ DuckDB list_dot_product. */
+    * `array<double>` twin of [[dot]]): products folded left-to-right from
+    * 0.0 ≡ DuckDB list_dot_product. */
   def dotDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.VectorExprs.dotDouble(a, b)
 
   /** Johnson-Lindenstrauss random projection `inDim → outDim` with the
     * Achlioptas (2003) sparse matrix: entries √(3/outDim)·{+1, −1, 0} with
     * probabilities {1/6, 1/6, 2/3}, drawn from md5("rp|row|col") — no RNG
     * state, so the SAME matrix materializes on every executor, every run,
-    * and in the DuckDB oracle. The matrix is built driver-side and inlined
-    * as literals (the IVF-centroid pattern): the projection is outDim
-    * codegen'd sequential dot products in the scan projection, zero
-    * shuffles, and 2/3 of the multiplies are against literal zeros.
+    * and in the DuckDB oracle. The matrix is built driver-side and shipped
+    * once per task inside a [[expressions.MatVec]] reference object (the
+    * IVF-centroid pattern, minus per-row lambda interpretation): the
+    * projection is one compiled pass over the vector in the scan
+    * projection, zero shuffles.
     *
     * At 100 TB this is the embedding-compression primitive: 64→16 dims is
     * 4× less shuffle/storage for ANN bucketing and near-dup banding, with
@@ -48,18 +49,15 @@ object Vectors {
   def randomProjection(vec: Column, inDim: Int, outDim: Int): Column = {
     require(inDim > 0 && outDim > 0, "dims must be positive")
     val s = math.sqrt(3.0 / outDim)
-    val rows: Seq[Seq[Double]] = (0 until outDim).map { j =>
-      (0 until inDim).map { i =>
-        ((graft.functions.expressions.Md5Hash64.lower(s"rp|$j|$i")
-          & Long.MaxValue) % 6) match {
-          case 0L => s
-          case 1L => -s
-          case _  => 0.0
-        }
+    val rows: Array[Array[Double]] = Array.tabulate(outDim, inDim) { (j, i) =>
+      ((graft.functions.expressions.Md5Hash64.lower(s"rp|$j|$i")
+        & Long.MaxValue) % 6) match {
+        case 0L => s
+        case 1L => -s
+        case _  => 0.0
       }
     }
-    val vd = transform(vec, x => x.cast("double"))
-    array(rows.map(r => dotDouble(vd, typedlit(r))): _*)
+    graft.functions.expressions.VectorExprs.matVec(vec, rows)
   }
 
   // ------------------------------------------------- int8 quantization

@@ -131,10 +131,118 @@ final case class HyperplaneSig(child: Expression, numPlanes: Int)
     copy(child = newChild)
 }
 
+/** Dot product of two double-array columns — the `array<double>` sibling of
+  * [[FloatVectorDot]], same sequential accumulation ≡ DuckDB
+  * list_dot_product. */
+final case class DoubleVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dvec_dot"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |  else { $acc += $a.getDouble($i) * $b.getDouble($i); }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = va.numElements()
+    if (n != vb.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null
+      acc += va.getDouble(i) * vb.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleVectorDot =
+    copy(left = l, right = r)
+}
+
+/** Literal-matrix × float-vector product → array<double>: one expression
+  * computing all `matrix.length` projected components in a single pass,
+  * with the matrix held as a reference object (serialized once per task,
+  * never per row). Each component is the sequential double fold
+  * `Σ_i (double) v[i] · m[j][i]` — bit-identical to
+  * `aggregate(zip_with(cast(v), typedlit(m[j]), *), 0d, +)`, the form the
+  * DuckDB oracle replays with list_dot_product, but without per-row lambda
+  * interpretation or the three intermediate arrays per component.
+  * Null if the vector is null, has a null element, or its length differs
+  * from the matrix row length. */
+final case class MatVec(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+  require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
+    "matrix must be non-empty and rectangular")
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  // call-out codegen (HyperplaneSig pattern): loop in compiled Scala, the
+  // surrounding stage keeps whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVec", this, classOf[MatVec].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+       |  $ref.compute($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(vec: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dim = matrix.head.length
+    if (vec.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (vec.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Any](matrix.length)
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      var acc = 0.0
+      i = 0
+      while (i < dim) { acc += vec.getFloat(i).toDouble * row(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotDouble(a: Column, b: Column): Column =
+    ColumnBridge.column(DoubleVectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def hyperplaneSig(vec: Column, numPlanes: Int): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), numPlanes))
+  def matVec(vec: Column, matrix: Array[Array[Double]]): Column =
+    ColumnBridge.column(MatVec(ColumnBridge.expression(vec), matrix))
 }
