@@ -959,6 +959,26 @@ object OracleSql {
     // exactly prev+gap extends, probed in SessionizeSpec)
     "session_stats" -> sessionStatsSql,
 
+    // count-min sketch (depth 4 × width 16) rebuilt from the same md5 cells;
+    // pure integer arithmetic — estimates are MIN over rebuilt counters
+    "cms_heavy_hitters" -> {
+      val bkt = mh63("'cms|' || CAST(r AS VARCHAR) || '|' || token") + " % 16"
+      s"""WITH tok AS (SELECT unnest($TOKS_LOWER) AS token FROM documents),
+         |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |cells AS (SELECT token, r, $bkt AS bucket FROM tok CROSS JOIN rs),
+         |sketch AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM tok GROUP BY 1),
+         |pc AS (SELECT DISTINCT token, r, $bkt AS bucket
+         |  FROM tok CROSS JOIN rs),
+         |est AS (SELECT token,
+         |    CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_est
+         |  FROM pc LEFT JOIN sketch USING (r, bucket) GROUP BY 1)
+         |SELECT token, exact_cnt, cms_est FROM exact JOIN est USING (token)"""
+        .stripMargin
+    },
+
     // JL random projection 64->16: the Achlioptas matrix re-derived from the
     // same md5 stream (sqrt(3.0/16) is correctly-rounded IEEE in both
     // engines); projected components and norms are sequential

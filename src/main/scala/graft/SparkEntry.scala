@@ -1165,6 +1165,20 @@ object SparkEntry {
     ops.Sessionize.sessionStats(
       events(s, dir), "user_id", "ts", "value", gap = "30 minutes")
 
+  /** Count-min heavy hitters over the token stream (depth 4 × width 16 —
+    * deliberately narrow so collisions are visible): every distinct token's
+    * exact count beside its sketch estimate. One-sided error (est ≥ exact)
+    * shows up in the data; the oracle rebuilds the identical md5 sketch. */
+  private def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(TF.tokens(lower(trim(col("text"))))).as("token"))
+    val sketch = graft.functions.CountMin.build(toks, "token", 4, 16)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    val est = graft.functions.CountMin.estimate(
+      sketch, toks.distinct(), "token", 4, 16)
+    exact.join(est, Seq("token"))
+  }
+
   /** JL random projection of the embedding corpus 64 → 16 dims
     * (md5-derived Achlioptas matrix, inlined as literals): per vector the
     * first projected component, projected/original squared norms, and the
@@ -1518,6 +1532,7 @@ object SparkEntry {
     "bm25_topk"         -> (bm25TopKQ _),
     "dsir_weights"      -> (dsirWeightsQ _),
     "embedding_project" -> (embeddingProject _),
+    "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "streaming_sessions" -> (streamingSessions _),
   )
 
