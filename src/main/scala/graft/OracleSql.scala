@@ -15,6 +15,16 @@ package graft
   *    row_number()=1 filters; tie-break is always (ts DESC, value DESC).
   *  - similarity math: elementwise double products sequentially folded
   *    (list_dot_product over DOUBLE[] ≡ Spark aggregate over zip_with).
+  *  - float dot products that feed a SUM over a group (e.g. dsir_weights)
+  *    are quantized FIRST — round(…, 9) pinned as DECIMAL — so the group
+  *    sum is exact and order-independent; the final round(…, 6) happens in
+  *    DECIMAL space (`round` on DECIMAL is half-away-from-zero in both
+  *    engines; a double-space round lets a 9-dp midpoint land on either
+  *    side, and a DuckDB decimal CAST truncates — never use it to round).
+  *  - decimal operand precisions are pinned to fit Spark's 38-digit cap:
+  *    a long × DECIMAL(28,9) product overflows it and Spark silently drops
+  *    the scale to 6 (cast the count to DECIMAL(12,0) and the ratio to
+  *    DECIMAL(18,9) so both engines keep scale 9 exactly).
   */
 object OracleSql {
 
