@@ -66,6 +66,34 @@ object SparkEntry {
   private def q1(s: SparkSession, dir: String): DataFrame =
     SqlTransform.runWith(s, q1Sql, Map(ResourceId("lineitem") -> t(s, dir, "lineitem")))
 
+  /** TPC-H Q5 shape (local-supplier revenue): the classic 6-table
+    * snowflake join — region/nation dims broadcast, the lineitem fact
+    * never shuffles more than its pruned columns, and the date filter
+    * pushes to the orders scan. Exercises Catalyst's join ordering over
+    * the full dim/fact schema through the same T1 SQL surface users get. */
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM {{customer}} c
+      |JOIN {{orders}} o   ON c.c_custkey = o.o_custkey
+      |JOIN {{lineitem}} l ON l.l_orderkey = o.o_orderkey
+      |JOIN {{supplier}} s ON l.l_suppkey = s.s_suppkey
+      |                   AND c.c_nationkey = s.s_nationkey
+      |JOIN {{nation}} n   ON s.s_nationkey = n.n_nationkey
+      |JOIN {{region}} r   ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  private def q5(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s, q5Sql,
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .map(n => ResourceId(n) -> t(s, dir, n)).toMap)
+
   // Chained transformations (T4): t1 = enriched orders, t2 = agg over {{t1}}.
   private def q3(s: SparkSession, dir: String): DataFrame = {
     val cat = new Catalog(s)
@@ -1453,6 +1481,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
+    "q5_local_supplier" -> (q5 _),
     "q_rollup"          -> (qRollup _),
     "q_window_running"  -> (qWindowRunning _),
     "q_clicks_no_purchase" -> (qClicksNoPurchase _),
