@@ -52,17 +52,26 @@ object Importance {
     require(buckets > 0, "buckets must be positive")
     val b = lit(buckets)
 
-    val docBkt = corpus
+    // barriers: docBkt feeds the raw distribution AND the final dot product,
+    // raw feeds the ratio table AND its own total, tgt likewise — without
+    // them every consumer re-derives its input from the parquet scan (plan
+    // showed 10 corpus scans; with the barriers the corpus is read once,
+    // the target once). docBkt is the one corpus-order table — persist is
+    // MEMORY_AND_DISK; prefer checkpoint at cluster scale (Dedup.barrier
+    // note).
+    val docBkt = Dedup.barrier(corpus
       .select(col(idCol), explode(grams(col(textCol))).as("__g"))
       .select(col(idCol), bucketOf(col("__g"), buckets).as("__b"))
       .groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")), checkpoint = false)
 
-    val raw = docBkt.groupBy(col("__b")).agg(sum(col("__c")).as("__r"))
-    val tgt = target
+    val raw = Dedup.barrier(
+      docBkt.groupBy(col("__b")).agg(sum(col("__c")).as("__r")),
+      checkpoint = false)
+    val tgt = Dedup.barrier(target
       .select(explode(grams(col(textCol))).as("__g"))
       .select(bucketOf(col("__g"), buckets).as("__b"))
-      .groupBy(col("__b")).agg(count(lit(1)).as("__t"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__t")), checkpoint = false)
 
     // per-bucket log ratio λ_b, pinned to 9 dp DECIMAL so the downstream
     // dot product is exact integer·decimal arithmetic in any engine.
