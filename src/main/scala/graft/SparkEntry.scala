@@ -1198,12 +1198,18 @@ object SparkEntry {
     * exact count beside its sketch estimate. One-sided error (est ≥ exact)
     * shows up in the data; the oracle rebuilds the identical md5 sketch. */
   private def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(explode(TF.tokens(lower(trim(col("text"))))).as("token"))
-    val sketch = graft.functions.CountMin.build(toks, "token", 4, 16)
-    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    // ONE corpus pass: the exact frequency table (vocabulary-size) is the
+    // barrier; the sketch builds weighted from it and the probes are its
+    // keys, so nothing re-reads the token stream
+    val exact = graft.functions.Dedup.barrier(
+      t(s, dir, "documents")
+        .select(explode(TF.tokens(lower(trim(col("text"))))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt")),
+      checkpoint = false)
+    val sketch = graft.functions.CountMin.buildWeighted(
+      exact, "token", "exact_cnt", 4, 16)
     val est = graft.functions.CountMin.estimate(
-      sketch, toks.distinct(), "token", 4, 16)
+      sketch, exact.select("token"), "token", 4, 16)
     exact.join(est, Seq("token"))
   }
 

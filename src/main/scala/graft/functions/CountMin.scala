@@ -30,14 +30,25 @@ object CountMin {
   /** Build the sketch: one row per non-empty cell, `(cms_row, bucket, cnt)`.
     * Absent cells are zero by construction. */
   def build(items: DataFrame, itemCol: String, depth: Int,
-            width: Int): DataFrame = {
+            width: Int): DataFrame =
+    buildWeighted(items.withColumn("__w", lit(1L)), itemCol, "__w",
+      depth, width)
+
+  /** Build from pre-aggregated `(item, weight)` rows — cell = Σ weights.
+    * The cheap path when a frequency table already exists: the sketch
+    * derives from vocabulary-size input instead of re-reading every
+    * occurrence. `build` over raw occurrences ≡ `buildWeighted` over their
+    * exact counts. */
+  def buildWeighted(items: DataFrame, itemCol: String, weightCol: String,
+                    depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, "depth and width must be positive")
     items
-      .select(explode(array((0 until depth).map(r =>
-        struct(lit(r).as("cms_row"),
-          bucketOf(col(itemCol), r, width).as("bucket"))): _*)).as("__c"))
+      .select(col(weightCol),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("cms_row"),
+            bucketOf(col(itemCol), r, width).as("bucket"))): _*)).as("__c"))
       .groupBy(col("__c.cms_row").as("cms_row"), col("__c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col(weightCol)).as("cnt"))
   }
 
   /** Point-estimate the frequency of every row of `probes`: min over the

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * shuffle). Corpus statistics (N, Σdl, per-term df) are ONE single-row
   * aggregate broadcast back to the scan; the top-k is `orderBy(...).limit(k)`
   * which Spark executes as TakeOrderedAndProject — per-partition partial
-  * top-k, then a k-row merge on the driver, never a global sort. The token
-  * projection is evaluated twice (stats pass + scoring pass) — two parquet
-  * scans beat persisting a corpus-size frame at 100 TB.
+  * top-k, then a k-row merge on the driver, never a global sort. The tf
+  * projection feeds both the stats pass and the scoring pass, so it is
+  * persisted: a few dozen bytes per document (id + dl + q tf longs, the
+  * text column already dropped) versus re-walking every token array q+1
+  * times per pass.
   *
   * Float discipline (oracle-exact): tf/dl/df/N are exact integers; the
   * doubles (idf, length norm) derive from them with ONE fixed expression
@@ -45,9 +47,9 @@ object Retrieval {
       size(filter(toks(col(textCol)), t => t === lit(term)))
         .cast("long").as(s"__tf$i")
     }
-    val base = docs.select(
+    val base = Dedup.barrier(docs.select(
       (col(idCol) +: size(toks(col(textCol))).cast("long").as("__dl") +:
-        tfCols): _*)
+        tfCols): _*), checkpoint = false)
     val statAggs = count(lit(1)).as("__n") +: sum(col("__dl")).as("__sumdl") +:
       terms.indices.map(i =>
         sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
