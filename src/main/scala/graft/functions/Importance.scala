@@ -73,19 +73,24 @@ object Importance {
       .select(bucketOf(col("__g"), buckets).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__t")), checkpoint = false)
 
+    // distribution totals as literals: single-row aggregates over the
+    // already-cached bucket tables (metadata-scale collect, the IVF-centroid
+    // pattern) — cheaper than two broadcast cross-joins per λ row
+    val rtot = raw.agg(sum(col("__r"))).head.getLong(0)
+    val ttot = Option(tgt.agg(sum(col("__t"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
     // per-bucket log ratio λ_b, pinned to 9 dp DECIMAL so the downstream
     // dot product is exact integer·decimal arithmetic in any engine.
     // Buckets outside the corpus never matter (c_b = 0), so raw LEFT JOIN
     // target covers the support.
     val lam = raw
       .join(tgt, Seq("__b"), "left")
-      .crossJoin(broadcast(raw.agg(sum(col("__r")).as("__rtot"))))
-      .crossJoin(broadcast(tgt.agg(sum(col("__t")).as("__ttot"))))
       .select(col("__b"),
         round(
           log((coalesce(col("__t"), lit(0L)) + lit(1.0)) /
-              (coalesce(col("__ttot"), lit(0L)) + b)) -
-            log((col("__r") + lit(1.0)) / (col("__rtot") + b)),
+              (lit(ttot) + b)) -
+            log((col("__r") + lit(1.0)) / (lit(rtot) + b)),
           9).cast("decimal(18,9)").as("__lam"))
 
     docBkt
