@@ -988,6 +988,44 @@ object OracleSql {
     // exactly prev+gap extends, probed in SessionizeSpec)
     "session_stats" -> sessionStatsSql,
 
+    // perceptual image near-dups: the aHash is an arithmetic function of
+    // the synthetic pixels (PNG is lossless, so the Spark side's REAL
+    // decode yields exactly these integers); banding/verify replays the
+    // shared Hamming core (quarter pigeonhole, bit_count ≤ 4)
+    "image_near_dups" ->
+      s"""WITH img AS (SELECT doc_id AS media_id, 8 + doc_id % 24 AS w,
+         |    8 + (doc_id * 7) % 24 AS h
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |px AS (SELECT media_id, w, h,
+         |    unnest(generate_series(0, w * h - 1)) AS i
+         |  FROM img),
+         |pl AS (SELECT media_id, w, h, i % w AS x, i // w AS y FROM px),
+         |lum AS (SELECT media_id,
+         |    (299 * ((((x * 31 + y * 17 + media_id * 131) & 16777215) >> 16) & 255)
+         |   + 587 * ((((x * 31 + y * 17 + media_id * 131) & 16777215) >> 8) & 255)
+         |   + 114 * (((x * 31 + y * 17 + media_id * 131) & 16777215) & 255))
+         |      // 1000 AS l,
+         |    ((y * 8) // h) * 8 + ((x * 8) // w) AS p
+         |  FROM pl),
+         |cells AS (SELECT media_id, p, SUM(l) AS cs, COUNT(*) AS cc
+         |  FROM lum GROUP BY 1, 2),
+         |tots AS (SELECT media_id, SUM(cs) AS ts, SUM(cc) AS n
+         |  FROM cells GROUP BY 1),
+         |ah AS (SELECT c.media_id,
+         |    CAST(SUM(CASE WHEN c.cs * t.n > t.ts * c.cc
+         |      THEN (CAST(1 AS UBIGINT) << c.p) ELSE CAST(0 AS UBIGINT) END)
+         |      AS UBIGINT) AS hsh
+         |  FROM cells c JOIN tots t USING (media_id) GROUP BY c.media_id),
+         |qk AS (SELECT media_id, hsh, qi,
+         |    CAST((hsh >> (qi * 16)) & 65535 AS BIGINT) AS qv
+         |  FROM (SELECT media_id, hsh, unnest([0, 1, 2, 3]) AS qi FROM ah)),
+         |cand AS (SELECT DISTINCT x.media_id AS idA, y.media_id AS idB,
+         |    x.hsh AS ha, y.hsh AS hb
+         |  FROM qk x JOIN qk y ON x.qi = y.qi AND x.qv = y.qv
+         |    AND x.media_id < y.media_id)
+         |SELECT idA, idB, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin,
+
     // count-min sketch (depth 4 × width 16) rebuilt from the same md5 cells;
     // pure integer arithmetic — estimates are MIN over rebuilt counters
     "cms_heavy_hitters" -> {

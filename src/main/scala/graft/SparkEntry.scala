@@ -1193,6 +1193,27 @@ object SparkEntry {
     ops.Sessionize.sessionStats(
       events(s, dir), "user_id", "ts", "value", gap = "30 minutes")
 
+  /** Image near-duplicates by perceptual average-hash: the synthetic PNG
+    * corpus (media_pipeline's even-id images) decoded with the REAL codec,
+    * aHash computed from the decoded pixels (exact integer
+    * cross-multiplication — PNG is lossless, so the oracle re-derives the
+    * hash from the generator formula), then the shared Hamming-banding
+    * near-dup core (quarter pigeonhole, capped bands, bit_count verify). */
+  private def imageNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Codecs
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long"))
+      .where(col("doc_id") % 2 === 0)
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
+    val hashed = ids.map { id =>
+      val png = Codecs.syntheticPng(
+        (8 + id % 24).toInt, (8 + (id * 7) % 24).toInt, id)
+      (id, Codecs.averageHash(Codecs.decodeImage(png).get))
+    }.toDF("media_id", "ahash")
+    Dedup.hammingNearDups(hashed, "media_id", "ahash", maxHamming = 4,
+      maxBandFreq = 2000, what = "imageNearDups")
+  }
+
   /** Count-min heavy hitters over the token stream (depth 4 × width 16 —
     * deliberately narrow so collisions are visible): every distinct token's
     * exact count beside its sketch estimate. One-sided error (est ≥ exact)
@@ -1568,6 +1589,7 @@ object SparkEntry {
     "dsir_weights"      -> (dsirWeightsQ _),
     "embedding_project" -> (embeddingProject _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "image_near_dups"   -> (imageNearDups _),
     "streaming_sessions" -> (streamingSessions _),
   )
 

@@ -298,16 +298,29 @@ object Dedup {
     * (any pair within Hamming distance ≤ 3 of a 64-bit hash shares at least
     * one exact quarter — pigeonhole), verify with full Hamming distance. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, maxBandFreq: Int = 2000): DataFrame = {
+                      maxHamming: Int = 3, maxBandFreq: Int = 2000): DataFrame =
+    hammingNearDups(
+      df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h")),
+      "__id", "__h", maxHamming, maxBandFreq, "simhashNearDups")
+
+  /** Near-dup pairs among 64-bit fingerprints by Hamming distance — the
+    * banding core shared by SimHash (text) and perceptual image hashes:
+    * quarter-band pigeonhole candidates (Hamming ≤ 3 pairs MUST agree on a
+    * 16-bit quarter; larger thresholds trade a little recall for never
+    * going all-pairs), hot bands capped, exact bit_count verify on
+    * candidates only. Output (idA < idB, hamming ≤ maxHamming). */
+  def hammingNearDups(hashed: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int = 3, maxBandFreq: Int = 2000,
+                      what: String = "hammingNearDups"): DataFrame = {
     // barrier: the hash table feeds both self-join legs AND the cap's
-    // frequency scan — persist so the simhash pass runs once
+    // frequency scan — persist so the fingerprint pass runs once
     val withH = capHotKeys(
-      barrier(df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h")),
+      barrier(hashed.select(col(idCol).as("__id"), col(hashCol).as("__h")),
         checkpoint = false)
         .withColumn("__q", explode(array((0 until 4).map(q =>
           struct(lit(q).as("qi"),
             shiftright(col("__h"), q * 16).bitwiseAND(0xFFFFL).as("qv"))): _*))),
-      "__q", maxBandFreq, "simhashNearDups")
+      "__q", maxBandFreq, what)
     val a = withH.select(col("__q"), col("__id").as("idA"), col("__h").as("__ha"))
     val b = withH.select(col("__q"), col("__id").as("idB"), col("__h").as("__hb"))
     a.join(b, Seq("__q")).where(col("idA") < col("idB"))

@@ -115,6 +115,48 @@ object Codecs {
     encodePng(img)
   }
 
+  /** 64-bit average-hash (aHash) — the standard perceptual fingerprint for
+    * image near-duplicate detection: pixels map to an 8×8 cell grid
+    * (`cx = x·8/w`, `cy = y·8/h`, integer division), bit `cy·8+cx` is set
+    * iff the cell's mean luminance exceeds the image mean. The comparison
+    * is exact integer cross-multiplication (`cellSum·nTotal >
+    * totalSum·nCell` — no float means), so the hash of a losslessly-decoded
+    * image is an arithmetic function of its pixels that SQL can replay.
+    * Images narrower/shorter than 8 px leave their empty cells' bits 0.
+    * (Sum products stay far below Long range for any image under ~2^31
+    * luminance total — i.e. anything smaller than ~90k×90k.) */
+  def averageHash(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        val p = (y * 8 / h) * 8 + (x * 8 / w)
+        cellSum(p) += lum
+        cellCnt(p) += 1
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    var p = 0
+    while (p < 64) {
+      if (cellCnt(p) > 0 && cellSum(p) * n > total * cellCnt(p))
+        hash |= (1L << p)
+      p += 1
+    }
+    hash
+  }
+
   // ---------------------------------------------------------------- audio
 
   case class AudioMeta(sampleRate: Int, channels: Int, frames: Long)
