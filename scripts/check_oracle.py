@@ -16,12 +16,23 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# queries_run.json (written by Verify) lists the queries the run SELECTED.
+# A selected query with no dump means it crashed — that must fail, not skip.
+# Without the manifest (older dump dirs), every oracle query is expected.
+try:
+    expected = set(json.load(open(f"{outdir}/queries_run.json")))
+except FileNotFoundError:
+    expected = set(oracle)
 fails = []
 skipped = 0
 for name, sql in sorted(oracle.items()):
     if not glob.glob(f"{outdir}/{name}/*.parquet"):
-        # subset Verify run: only judge what was dumped
-        skipped += 1
+        if name in expected:
+            fails.append(name)
+            print(f"[{name}] SPARK RESULT MISSING: selected but no parquet dumped")
+        else:
+            # explicit subset run: only judge what was selected
+            skipped += 1
         continue
     try:
         spark_df = con.execute(

@@ -127,8 +127,10 @@ object OracleSql {
        |    $minExprs
        |  FROM sh GROUP BY doc_id),
        |sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
-       |banded AS (
+       |banded0 AS (
        |  $bandSelects),
+       |banded AS (SELECT * FROM banded0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, bk) <= 2000),
        |cand AS (SELECT DISTINCT x.doc_id AS idA, y.doc_id AS idB
        |  FROM banded x JOIN banded y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
        |est AS (SELECT c.idA, c.idB FROM cand c
@@ -166,7 +168,9 @@ object OracleSql {
   private def simhashNearDupsSql: String =
     s"""WITH $simhashCtes,
        |qk AS (SELECT doc_id, h, qi, CAST((h >> (qi * 16)) & 65535 AS BIGINT) AS qv
-       |  FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS qi FROM sims)),
+       |  FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS qi FROM sims)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY qi,
+       |    CAST((h >> (qi * 16)) & 65535 AS BIGINT)) <= 2000),
        |cand AS (SELECT DISTINCT x.doc_id AS idA, y.doc_id AS idB, x.h AS ha, y.h AS hb
        |  FROM qk x JOIN qk y ON x.qi = y.qi AND x.qv = y.qv AND x.doc_id < y.doc_id)
        |SELECT idA, idB, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
@@ -201,9 +205,11 @@ object OracleSql {
        |  THEN (1 << p) ELSE 0 END AS bit FROM ep),
        |sigt AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
        |sv AS (SELECT e.vec_id, e.v, sigt.sig FROM e JOIN sigt ON e.vec_id = sigt.vec_id),
-       |banded AS (
+       |banded0 AS (
        |  SELECT vec_id, v, 0 AS b, sig & 255 AS bv FROM sv
        |  UNION ALL SELECT vec_id, v, 1 AS b, sig >> 8 AS bv FROM sv),
+       |banded AS (SELECT * FROM banded0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, bv) <= 2000),
        |cand AS (SELECT DISTINCT x.vec_id AS idA, y.vec_id AS idB, x.v AS va, y.v AS vb
        |  FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
        |c2 AS (SELECT idA, idB, list_dot_product(va, vb) /
@@ -829,7 +835,9 @@ object OracleSql {
          |wh AS (SELECT doc_id, m, i, ${mh63("substr(nt, i, 20)")} AS h FROM pos),
          |wm AS (SELECT doc_id, m, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
          |    ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS mh FROM wh),
-         |sel AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= greatest(m - 24, 0) + 1)
+         |sel0 AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= greatest(m - 24, 0) + 1),
+         |sel AS (SELECT * FROM sel0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY mh) <= 2000)
          |SELECT a.doc_id AS idA, b.doc_id AS idB, CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
@@ -1018,7 +1026,9 @@ object OracleSql {
          |  FROM cells c JOIN tots t USING (media_id) GROUP BY c.media_id),
          |qk AS (SELECT media_id, hsh, qi,
          |    CAST((hsh >> (qi * 16)) & 65535 AS BIGINT) AS qv
-         |  FROM (SELECT media_id, hsh, unnest([0, 1, 2, 3]) AS qi FROM ah)),
+         |  FROM (SELECT media_id, hsh, unnest([0, 1, 2, 3]) AS qi FROM ah)
+         |  QUALIFY COUNT(*) OVER (PARTITION BY qi,
+         |    CAST((hsh >> (qi * 16)) & 65535 AS BIGINT)) <= 2000),
          |cand AS (SELECT DISTINCT x.media_id AS idA, y.media_id AS idB,
          |    x.hsh AS ha, y.hsh AS hb
          |  FROM qk x JOIN qk y ON x.qi = y.qi AND x.qv = y.qv

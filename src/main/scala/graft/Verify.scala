@@ -60,6 +60,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Record which queries this run SELECTED, so the oracle compare can
+    // distinguish "intentionally-subset run" from "query crashed and left no
+    // dump" — a missing dump for a selected query must fail the gate.
+    Files.writeString(Paths.get(s"$outDir/queries_run.json"),
+      selected.map(s => q(s._1)).sorted.mkString("[", ",", "]"))
     spark.stop()
   }
 }

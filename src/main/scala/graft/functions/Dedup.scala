@@ -48,21 +48,23 @@ object Dedup {
   private[graft] def capHotKeys(df: DataFrame, keyCol: String, cap: Int,
                                 what: String): DataFrame = {
     require(cap > 0, s"$what: frequency cap must be positive")
-    // hot-key list collected to the driver: bounded by rows/cap keys (each
-    // covers > cap rows), i.e. metadata-scale for any sane cap
-    val hotRows = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__freq"))
-      .where(col("__freq") > cap).collect()
-    if (hotRows.isEmpty) df
+    // The hot-key table stays distributed end-to-end: aggregated (map-side
+    // partial, column-pruned), persisted at metadata scale (≤ rows/cap keys
+    // — each covers > cap rows), and consumed directly as the broadcast
+    // build side of the anti-join. The key VALUES never ride through the
+    // driver; only a two-long (n_keys, n_rows) summary does, for the log.
+    val hotDf = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__freq"))
+      .where(col("__freq") > cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = hotDf
+      .agg(count(lit(1)).as("k"), coalesce(sum(col("__freq")), lit(0L)).as("r"))
+      .head()
+    if (stats.getLong(0) == 0L) { hotDf.unpersist(); df }
     else {
-      log.warn(s"$what: dropping ${hotRows.length} bucket key(s) with more " +
-        s"than $cap occurrences (${hotRows.map(_.getLong(1)).sum} rows) " +
+      log.warn(s"$what: dropping ${stats.getLong(0)} bucket key(s) with more " +
+        s"than $cap occurrences (${stats.getLong(1)} rows) " +
         "before candidate generation")
-      val keyField = df.schema(keyCol)
-      val hotDf = df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(hotRows.map(r =>
-          org.apache.spark.sql.Row(r.get(0))): _*),
-        org.apache.spark.sql.types.StructType(Seq(keyField)))
-      df.join(broadcast(hotDf), Seq(keyCol), "left_anti")
+      df.join(broadcast(hotDf.select(col(keyCol))), Seq(keyCol), "left_anti")
     }
   }
 
@@ -338,19 +340,25 @@ object Dedup {
     * Each iteration is one join + one min-aggregation, and the loop runs
     * until a fixpoint (#iterations = graph diameter, single digits for
     * near-dup clusters in practice — chains of borderline-similar docs,
-    * not arbitrary graphs). Every round `localCheckpoint`s its labels:
-    * a cached barrier alone is NOT enough — the logical plan references
-    * the previous round's labels several times per round, so lineage
-    * grows exponentially with the diameter (measured: a 13-node chain
-    * OOMed the driver building the plan string). On a cluster prefer
-    * reliable `checkpoint` for fault tolerance; for adversarial
-    * diameters at planet scale the same loop takes the large-star/
-    * small-star step (Kiveris et al. 2014) — noted, not needed for dup
-    * clusters.
+    * not arbitrary graphs). Every round CHECKPOINTS its labels: a cached
+    * barrier alone is NOT enough — the logical plan references the
+    * previous round's labels several times per round, so lineage grows
+    * exponentially with the diameter (measured: a 13-node chain OOMed the
+    * driver building the plan string). `checkpoint = false` (default)
+    * uses `localCheckpoint` — fine single-node, but local checkpoints pin
+    * blocks to executors and die with them; on a cluster pass
+    * `checkpoint = true` for a reliable checkpoint (requires
+    * `SparkContext.setCheckpointDir`) so a lost executor re-reads labels
+    * instead of failing the whole loop. For adversarial diameters at
+    * planet scale the same loop takes the large-star/small-star step
+    * (Kiveris et al. 2014) — noted, not needed for dup clusters.
     *
     * Input columns `idA`/`idB` (long); output (doc_id, cluster_id). */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 25,
+                   checkpoint: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
+    def ckpt(d: DataFrame): DataFrame =
+      if (checkpoint) d.checkpoint() else d.localCheckpoint()
     val edges0 = pairs.select(col("idA").as("src"), col("idB").as("dst"))
       .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .distinct()
@@ -366,8 +374,8 @@ object Dedup {
       spark.sessionState.conf.numShufflePartitions,
       (nEdges / 200000L).toInt + 1))
     val edges = edgesB.repartition(parts, col("src"))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -377,11 +385,10 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src").withColumnRenamed("comp", "__nc"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("__nc")).as("__nm"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = ckpt(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nm"), col("comp"))).as("comp"),
-          (col("__nm").isNotNull && col("__nm") < col("comp")).as("__chg"))
-        .localCheckpoint()
+          (col("__nm").isNotNull && col("__nm") < col("comp")).as("__chg")))
       converged = next.where(col("__chg")).isEmpty
       labels = next.drop("__chg")
       iter += 1

@@ -1,11 +1,29 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
+
+/** Shared input-type guards: these expressions read array elements with
+  * `getFloat`/`getDouble`, which silently reinterprets bytes if handed the
+  * wrong element type — so reject mismatches at analysis time instead. */
+private[expressions] object VecTypeCheck {
+  def arrayOf(elem: DataType, dt: DataType, name: String, arg: String): TypeCheckResult =
+    dt match {
+      case ArrayType(`elem`, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires $arg of type array<${elem.simpleString}>, got ${other.simpleString}")
+    }
+  def bothArraysOf(elem: DataType, l: DataType, r: DataType, name: String): TypeCheckResult =
+    arrayOf(elem, l, name, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => arrayOf(elem, r, name, "right")
+      case fail => fail
+    }
+}
 
 /** Dot product of two float-array columns, accumulated sequentially in
   * double — bit-identical to `aggregate(zip_with(a, b, (x,y) -> double(x)*
@@ -18,6 +36,9 @@ final case class FloatVectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fvec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.bothArraysOf(FloatType, left.dataType, right.dataType, prettyName)
 
   // true codegen (inline loop) so surrounding stages stay whole-stage compiled
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -76,6 +97,9 @@ final case class HyperplaneSig(child: Expression, numPlanes: Int)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(FloatType, child.dataType, prettyName, "input")
 
   // call-out codegen: the loop stays in compiled Scala, the surrounding
   // stage keeps whole-stage codegen.
@@ -140,6 +164,9 @@ final case class DoubleVectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dvec_dot"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.bothArraysOf(DoubleType, left.dataType, right.dataType, prettyName)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
@@ -187,14 +214,19 @@ final case class DoubleVectorDot(left: Expression, right: Expression)
   * interpretation or the three intermediate arrays per component.
   * Null if the vector is null, has a null element, or its length differs
   * from the matrix row length. */
-final case class MatVec(child: Expression, matrix: Array[Array[Double]])
+final case class MatVec(child: Expression, matrix: Seq[Seq[Double]])
     extends UnaryExpression {
+  // Seq (not Array) so case-class equality is by value — Array fields compare
+  // by reference and would defeat canonicalization / subexpression elimination
   require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
     "matrix must be non-empty and rectangular")
 
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "mat_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(FloatType, child.dataType, prettyName, "input")
 
   // call-out codegen (HyperplaneSig pattern): loop in compiled Scala, the
   // surrounding stage keeps whole-stage codegen
@@ -212,18 +244,24 @@ final case class MatVec(child: Expression, matrix: Array[Array[Double]])
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
+  // hot-loop copy of the matrix: rows flattened to a primitive array once
+  // per task (the Seq field stays authoritative for equality/serialization)
+  @transient private lazy val flat: Array[Double] = matrix.flatten.toArray
+  @transient private lazy val nRows: Int = matrix.length
+  @transient private lazy val dim: Int = matrix.head.length
+
   def compute(vec: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val dim = matrix.head.length
     if (vec.numElements() != dim) return null
     var i = 0
     while (i < dim) { if (vec.isNullAt(i)) return null; i += 1 }
-    val out = new Array[Any](matrix.length)
+    val m = flat
+    val out = new Array[Any](nRows)
     var j = 0
-    while (j < matrix.length) {
-      val row = matrix(j)
+    while (j < nRows) {
+      val base = j * dim
       var acc = 0.0
       i = 0
-      while (i < dim) { acc += vec.getFloat(i).toDouble * row(i); i += 1 }
+      while (i < dim) { acc += vec.getFloat(i).toDouble * m(base + i); i += 1 }
       out(j) = acc
       j += 1
     }
@@ -244,5 +282,6 @@ object VectorExprs {
   def hyperplaneSig(vec: Column, numPlanes: Int): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), numPlanes))
   def matVec(vec: Column, matrix: Array[Array[Double]]): Column =
-    ColumnBridge.column(MatVec(ColumnBridge.expression(vec), matrix))
+    ColumnBridge.column(MatVec(ColumnBridge.expression(vec),
+      matrix.toSeq.map(_.toSeq)))
 }

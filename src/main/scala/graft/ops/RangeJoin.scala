@@ -40,14 +40,23 @@ object RangeJoin {
                         bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, "bucket width must be positive")
     val w = lit(bucketMicros)
-    val pts = points.withColumn("__bkt",
-      floor(unix_micros(col(tsCol)) / w))
+    // exact floor division on longs: pmod is non-negative, so the numerator
+    // is the largest multiple of w <= micros and integral `div` is exact —
+    // no double rounding at any timestamp magnitude
+    def bkt(micros: Column): Column =
+      call_function("div", micros - pmod(micros, w), w)
+    val pts = points.withColumn("__bkt", bkt(unix_micros(col(tsCol))))
+    // Degenerate/inverted intervals (end <= start) match nothing under the
+    // half-open predicate, but sequence(hi, lo) would DESCEND — a badly
+    // inverted interval explodes into a huge bucket array. Drop them first.
     // end is exclusive: a window ending exactly on a bucket boundary does
     // not reach into that bucket, hence the -1 on the last covered bucket
-    val ivs = intervals.withColumn("__bkt",
-      explode(sequence(
-        floor(unix_micros(col(startCol)) / w),
-        floor((unix_micros(col(endCol)) - 1) / w))))
+    val ivs = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__bkt",
+        explode(sequence(
+          bkt(unix_micros(col(startCol))),
+          bkt(unix_micros(col(endCol)) - 1))))
     pts.join(ivs, Seq("__bkt"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bkt")

@@ -1,5 +1,7 @@
 package graft.serving
 
+import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.DataFrame
 
@@ -17,22 +19,39 @@ import org.apache.spark.sql.DataFrame
   *    `putBatch` is the per-chunk write the K9 chunk-addressed export
   *    ([[graft.ops.Materialize]] chunks) streams EXECUTOR-side via
   *    [[OnlineBulkLoad.bulkLoad]] — no driver materialization at any scale;
+  *  - backends that also implement [[ExecutorBackend]] advertise a
+  *    serializable client factory, which routes [[OnlineStore.load]]
+  *    through that executor-side path automatically;
   *  - `get` backs the request-path handler (the gRPC FeatureServe body is
   *    `store.features(names, entity)` verbatim);
   *  - the training-set stream ([[TrainingSetIterator]]) is what a Flight
   *    `do_get` would wrap record-batch-wise.
   *
-  * [[InProcessKv]] is the single-JVM default behind [[OnlineStore]].
+  * [[DiskKv]] is the partition-backed default behind [[OnlineStore]] — loads
+  * stream per-partition, the driver never holds the materialization.
+  * [[InProcessKv]] is the explicit small-corpus special case.
   */
 trait KvBackend {
   def createTable(feature: String): Unit
   def putBatch(feature: String, rows: Iterator[(Any, Any)]): Unit
   def get(feature: String, entity: Any): Option[Any]
+  /** Full-table iteration (Redis SCAN role) — backs the serving-side vector
+    * scan and index build. */
+  def scan(feature: String): Iterator[(Any, Any)]
+}
+
+/** A backend whose clients can be constructed executor-side: `clientFactory`
+  * must be serializable and capture no JVM-local state (a connection string,
+  * a shared filesystem path). [[OnlineStore.load]] streams partitions
+  * through it instead of collecting to the driver. */
+trait ExecutorBackend { this: KvBackend =>
+  def clientFactory: () => KvBackend
 }
 
 /** TrieMap-backed in-process store — the honest single-JVM equivalent of
-  * the reference's Redis copy. Loads go through the driver (`collect`),
-  * which is exactly why the external path exists on the trait instead. */
+  * the reference's Redis copy for corpora that fit driver memory. Loads go
+  * through the driver (`collect`); anything bigger belongs on [[DiskKv]] or
+  * a network [[ExecutorBackend]]. */
 final class InProcessKv extends KvBackend {
   private val tables = TrieMap.empty[String, TrieMap[Any, Any]]
   override def createTable(feature: String): Unit =
@@ -44,14 +63,131 @@ final class InProcessKv extends KvBackend {
   }
   override def get(feature: String, entity: Any): Option[Any] =
     tables.get(feature).flatMap(_.get(entity))
+  override def scan(feature: String): Iterator[(Any, Any)] =
+    tables.get(feature).iterator.flatMap(_.iterator)
+}
+
+/** Hash-bucketed segment store on a filesystem path — the partition-backed
+  * [[KvBackend]] that makes the DEFAULT serving load path streaming:
+  *
+  *  - `putBatch` groups its rows by `hash(key) % buckets` and appends one
+  *    immutable segment file per touched bucket (unique name per call — no
+  *    coordination between concurrent writers, so every Spark partition
+  *    writes independently);
+  *  - `get`/`scan` read through a per-bucket map cache keyed by the
+  *    bucket's segment-file set, so lookups are map-speed after first touch
+  *    and new segments are picked up automatically;
+  *  - `clientFactory` captures only the root path string: on local mode
+  *    and any shared filesystem (NFS/EFS/fuse-mounted object store) the
+  *    executor-written segments are immediately servable. On a cluster
+  *    without a shared FS this backend is the wrong choice — implement
+  *    [[ExecutorBackend]] over the network KV instead (same seam).
+  *
+  * This is the engine-side realization of the reference's chunked online
+  * copy (runner/materialize.go:101-230): each partition = one chunk, each
+  * segment file = one chunk write.
+  */
+final class DiskKv(rootDir: String, buckets: Int = 64)
+    extends KvBackend with ExecutorBackend {
+  require(buckets > 0, "buckets must be positive")
+  private val root: Path = Paths.get(rootDir)
+
+  private def tableDir(feature: String): Path = {
+    // filesystem-safe table name (feature names are caller-controlled)
+    val safe = feature.map(c =>
+      if (c.isLetterOrDigit || c == '_' || c == '-') c else '%')
+    root.resolve(safe + "-" + Integer.toHexString(feature.hashCode))
+  }
+  private def bucketDir(feature: String, b: Int): Path =
+    tableDir(feature).resolve(f"b$b%03d")
+  private def bucketOf(key: Any): Int = Math.floorMod(key.hashCode, buckets)
+
+  override def createTable(feature: String): Unit =
+    Files.createDirectories(tableDir(feature))
+
+  override def putBatch(feature: String, rows: Iterator[(Any, Any)]): Unit = {
+    val grouped = rows.foldLeft(
+      scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Any, Any)]]) {
+      case (acc, kv) =>
+        acc.getOrElseUpdate(bucketOf(kv._1),
+          scala.collection.mutable.ArrayBuffer.empty) += kv
+        acc
+    }
+    grouped.foreach { case (b, pairs) =>
+      val dir = bucketDir(feature, b)
+      Files.createDirectories(dir)
+      val seg = dir.resolve(s"seg-${java.util.UUID.randomUUID().toString}")
+      val out = new ObjectOutputStream(new BufferedOutputStream(
+        Files.newOutputStream(seg)))
+      try {
+        out.writeInt(pairs.length)
+        pairs.foreach { case (k, v) => out.writeObject(k); out.writeObject(v) }
+      } finally out.close()
+    }
+  }
+
+  // (feature, bucket) -> (segment-file set, merged map); rebuilt whenever
+  // the segment set changes (a re-list per access — local-FS cheap, and the
+  // price of lock-free multi-writer ingestion)
+  private val cache =
+    TrieMap.empty[(String, Int), (Set[String], Map[Any, Any])]
+
+  private def bucketMap(feature: String, b: Int): Map[Any, Any] = {
+    val dir = bucketDir(feature, b)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val segs = {
+      val s = Files.list(dir)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]]
+        .asScala.map(_.getFileName.toString).toList.sorted
+      finally s.close()
+    }
+    val key = (feature, b)
+    cache.get(key) match {
+      case Some((cached, m)) if cached == segs.toSet => m
+      case _ =>
+        val m = Map.newBuilder[Any, Any]
+        segs.foreach { name =>
+          val in = new ObjectInputStream(new BufferedInputStream(
+            Files.newInputStream(dir.resolve(name))))
+          try {
+            val n = in.readInt()
+            var i = 0
+            while (i < n) { m += (in.readObject() -> in.readObject()); i += 1 }
+          } finally in.close()
+        }
+        val built = m.result()
+        cache.put(key, (segs.toSet, built))
+        built
+    }
+  }
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  override def get(feature: String, entity: Any): Option[Any] =
+    bucketMap(feature, bucketOf(entity)).get(entity)
+
+  override def scan(feature: String): Iterator[(Any, Any)] =
+    Iterator.range(0, buckets).flatMap(b => bucketMap(feature, b).iterator)
+
+  override def clientFactory: () => KvBackend = {
+    val r = rootDir
+    val nb = buckets
+    () => new DiskKv(r, nb)
+  }
 }
 
 object OnlineBulkLoad {
   /** The 100 TB load path: every partition opens ITS OWN backend client
     * (`backendFactory` runs executor-side) and streams its rows — the
-    * driver never sees the data. Use with a network-backed [[KvBackend]];
-    * an [[InProcessKv]] would scatter state across executor JVMs on a real
-    * cluster, which is why [[OnlineStore.load]] collects instead. */
+    * driver never sees the data. [[OnlineStore.load]] takes this path
+    * automatically for [[ExecutorBackend]]s; an [[InProcessKv]] would
+    * scatter state across executor JVMs on a real cluster, which is why it
+    * loads through the driver instead. */
   def bulkLoad(backendFactory: () => KvBackend, feature: String,
                materialized: DataFrame, entityCol: String = "entity",
                valueCol: String = "value"): Unit =

@@ -8,38 +8,55 @@ import org.apache.spark.sql.{DataFrame, Row}
   * (O1-O6, serving/serving.go, provider/online.go:43-54) collapsed into one
   * JVM:
   *
-  *  - O1 point lookup: per-feature entity→value maps loaded from a
-  *    materialization (one row per entity by construction — the whole table
-  *    IS the snapshot, so a driver-side map is the honest equivalent of the
-  *    reference's Redis/Dynamo copy; at 100 TB the map lives in an external
-  *    KV store and `load` becomes the K9 chunked copy, same interface).
+  *  - O1 point lookup over a [[KvBackend]]. The default backend is the
+  *    partition-backed [[DiskKv]], so the DEFAULT load path is the K9
+  *    chunked copy: each partition streams its rows executor-side and the
+  *    driver never holds the materialization. [[InProcessKv]] remains the
+  *    explicit small-corpus special case (collect-loaded driver map).
   *  - O2 row assembly across features, O3 on-demand (request-time) Scala
   *    closures, O4 vector nearest-neighbor, O5 training-set iterator with
   *    repeat/shuffle/batch, O6 source preview.
   */
-final class OnlineStore(backend: KvBackend = new InProcessKv) {
+final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
 
   private val onDemand = TrieMap.empty[String, (Map[String, Any], Seq[Any]) => Any]
-  private val vectors = TrieMap.empty[String, Map[Any, Array[Float]]]
 
   /** K9/K10 equivalent: copy a materialization (entity, value) into the
-    * online table for `feature`. Driver-side collect is correct ONLY for
-    * the in-process backend; network-backed [[KvBackend]]s load
-    * executor-side via [[OnlineBulkLoad.bulkLoad]] instead. */
+    * online table for `feature`. [[ExecutorBackend]]s (the default
+    * [[DiskKv]], any network KV) load partition-streamed via
+    * [[OnlineBulkLoad.bulkLoad]] — no driver materialization at any scale.
+    * Backends without an executor-side client (the in-process map) take
+    * the driver `collect` path, correct only for corpora that fit. */
   def load(feature: String, materialized: DataFrame,
            entityCol: String = "entity", valueCol: String = "value"): Unit = {
-    val rows = materialized.select(entityCol, valueCol).collect()
-      .iterator.map(r => r.get(0) -> r.get(1))
     backend.createTable(feature)
-    backend.putBatch(feature, rows)
+    backend match {
+      case eb: ExecutorBackend =>
+        OnlineBulkLoad.bulkLoad(eb.clientFactory, feature, materialized,
+          entityCol, valueCol)
+      case _ =>
+        backend.putBatch(feature, materialized.select(entityCol, valueCol)
+          .collect().iterator.map(r => r.get(0) -> r.get(1)))
+    }
   }
 
+  /** Vector tables ride the same backend path (same streaming-load rule);
+    * values are stored as the row's array payload and decoded on scan. */
   def loadVectors(feature: String, df: DataFrame,
-                  entityCol: String = "entity", vecCol: String = "vector"): Unit = {
-    val m = df.select(entityCol, vecCol).collect().map { r =>
-      r.get(0) -> r.getSeq[Float](1).toArray
-    }.toMap
-    vectors.put(feature, m)
+                  entityCol: String = "entity", vecCol: String = "vector"): Unit =
+    load(vecTable(feature), df, entityCol, vecCol)
+
+  private def vecTable(feature: String): String = "__vec__" + feature
+
+  private def toFloats(v: Any): Array[Float] = v match {
+    case a: Array[Float] => a
+    case s: scala.collection.Seq[_] =>
+      val out = new Array[Float](s.length)
+      var i = 0
+      s.foreach { x => out(i) = x.asInstanceOf[Float]; i += 1 }
+      out
+    case other => throw new IllegalArgumentException(
+      s"not a float vector: ${other.getClass}")
   }
 
   def registerOnDemand(feature: String,
@@ -74,7 +91,9 @@ final class OnlineStore(backend: KvBackend = new InProcessKv) {
     * `nearest` automatically uses it once built. */
   def buildIndex(feature: String, numPlanes: Int = 16): Unit = {
     val idx = new VectorIndex(numPlanes)
-    vectors.getOrElse(feature, Map.empty).foreach { case (id, v) => idx.add(id, v) }
+    backend.scan(vecTable(feature)).foreach { case (id, v) =>
+      idx.add(id, toFloats(v))
+    }
     indexes.put(feature, idx)
   }
 
@@ -88,15 +107,24 @@ final class OnlineStore(backend: KvBackend = new InProcessKv) {
     }
 
   private def nearestScan(feature: String, query: Array[Float], k: Int): Seq[(Any, Double)] = {
-    val tab = vectors.getOrElse(feature, Map.empty)
     val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
-    tab.iterator.map { case (e, v) =>
+    backend.scan(vecTable(feature)).map { case (e, raw) =>
+      val v = toFloats(raw)
       var dot = 0.0; var nv = 0.0
       var i = 0
       while (i < v.length) { dot += v(i).toDouble * query(i); nv += v(i).toDouble * v(i); i += 1 }
       e -> (if (nv == 0 || qn == 0) 0.0 else dot / (math.sqrt(nv) * qn))
     }.toSeq.sortBy { case (e, s) => (-s, e.toString) }.take(k)
   }
+}
+
+object OnlineStore {
+  /** Default backend: a fresh [[DiskKv]] under the JVM temp dir — the
+    * partition-streamed load path with no configuration. Pass an
+    * [[InProcessKv]] for tiny corpora or a network [[ExecutorBackend]] for
+    * a real online store. */
+  def defaultBackend(): KvBackend = new DiskKv(
+    java.nio.file.Files.createTempDirectory("graft-kv").toString)
 }
 
 /** O5: training-set consumption combinators (reference client Dataset

@@ -3,7 +3,8 @@ package graft.serving
 import graft.SparkSpec
 
 /** A custom [[KvBackend]] substitutes transparently behind [[OnlineStore]],
-  * and the executor-side bulk load streams every row without the driver. */
+  * the executor-side bulk load streams every row without the driver, and the
+  * default [[DiskKv]] serves what partitions wrote. */
 class BackendSpec extends SparkSpec {
   import spark.implicits._
 
@@ -16,6 +17,7 @@ class BackendSpec extends SparkSpec {
         calls += s"put:$f"; inner.putBatch(f, rows)
       }
       def get(f: String, e: Any): Option[Any] = inner.get(f, e)
+      def scan(f: String): Iterator[(Any, Any)] = inner.scan(f)
     }
     val store = new OnlineStore(stub)
     store.load("f1", Seq((1L, 2.0), (2L, 3.0)).toDF("entity", "value"))
@@ -30,6 +32,38 @@ class BackendSpec extends SparkSpec {
       (0L until 100L).map(i => (i, i * 0.5)).toDF("entity", "value"))
     assert(BackendSpec.shared.get("f2", 40L).contains(20.0))
     assert((0L until 100L).forall(i => BackendSpec.shared.get("f2", i).isDefined))
+  }
+
+  test("DiskKv: put/get/scan round-trip, segments merge across writers") {
+    val root = java.nio.file.Files.createTempDirectory("diskkv").toString
+    val a = new DiskKv(root, buckets = 8)
+    a.createTable("t")
+    a.putBatch("t", Iterator(1L -> "one", 2L -> "two"))
+    // a SECOND client on the same root (the executor-side shape)
+    val b = new DiskKv(root, buckets = 8)
+    b.putBatch("t", Iterator(3L -> "three"))
+    assert(a.get("t", 1L).contains("one"))
+    assert(a.get("t", 3L).contains("three")) // a sees b's segment
+    assert(a.get("t", 9L).isEmpty)
+    assert(a.scan("t").toMap == Map(1L -> "one", 2L -> "two", 3L -> "three"))
+    // a fresh client (≡ restarted server) reads the same state from disk
+    assert(new DiskKv(root, buckets = 8).scan("t").size == 3)
+  }
+
+  test("default OnlineStore streams the load: no driver collect path") {
+    // default backend is DiskKv => ExecutorBackend => bulkLoad route; the
+    // materialization has enough rows to span several partitions
+    val store = new OnlineStore
+    store.load("f3",
+      (0L until 500L).map(i => (i, i * 2.0)).toDF("entity", "value")
+        .repartition(7))
+    assert((0L until 500L).forall(i => store.get("f3", i).contains(i * 2.0)))
+    // vectors take the identical route and decode on scan
+    store.loadVectors("v3", Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("entity", "vector"))
+    assert(store.nearest("v3", Array(1.0f, 0.0f), 1).head._1 == 1L)
+    store.buildIndex("v3")
+    assert(store.nearest("v3", Array(0.0f, 1.0f), 1).head._1 == 2L)
   }
 }
 
