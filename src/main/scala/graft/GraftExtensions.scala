@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TextStatsOncePerRow)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
     GraftExtensions.functionBuilders.foreach { case (name, info, builder) =>
       ext.injectFunction((name, info, builder))
     }

@@ -22,15 +22,24 @@ final case class FeatureSide(
     lagSeconds: Option[Long] = None)
 
 sealed trait AsOfStrategy
-/** Scale path: union feature+label events, one window pass per feature source.
-  * One shuffle on the entity key, no join explosion on entities with long
+/** Union feature+label events, one window pass per feature source. One
+  * shuffle on the entity key, no join explosion on entities with long
   * histories (the join-then-filter shape materializes |label| × |history|
-  * intermediate rows; this shape is O(|label| + |history|) with a single sort).
-  */
+  * intermediate rows; this shape is O(|label| + |history|) with a single
+  * sort) — but `WindowExec` still buffers each entity partition, so a hot
+  * entity's history pays a spill cycle. */
 case object UnionWindow extends AsOfStrategy
 /** Reference-shaped plan (P2: tsquery.go:191-350): left join on
   * entity ∧ f.ts ≤ l.ts, then ROW_NUMBER()=1. Kept for cross-checking. */
 case object JoinWindow extends AsOfStrategy
+/** Scale path (default): the custom [[graft.plans.AsOfMerge]] operator —
+  * children co-clustered on entity and sorted once, then a streaming merge
+  * holding ONE buffered value per entity regardless of history length. No
+  * window buffer (UnionWindow's weakness on skewed entities), no join
+  * explosion, and no re-join: the picked values append to the label rows
+  * in the same pass. Semantics agreement-tested against both other
+  * strategies. */
+case object SortMergeAsOf extends AsOfStrategy
 
 /** Point-in-time (as-of) training-set join — reference §2.5 (P1-P9).
   *
@@ -62,7 +71,7 @@ object AsOfJoin {
       labelValueCol: String,
       labelTsCol: Option[String],
       features: Seq[FeatureSide],
-      strategy: AsOfStrategy = UnionWindow): DataFrame = {
+      strategy: AsOfStrategy = SortMergeAsOf): DataFrame = {
 
     require(features.map(_.outputName).distinct.size == features.size,
       "feature output names must be unique")
@@ -99,16 +108,22 @@ object AsOfJoin {
     groups.zipWithIndex.foreach { case ((_, fs), gi) =>
       val g = fs.head
       val labelEntity = mappings(g.entityName)
-      val result = strategy match {
-        case UnionWindow => unionWindowGroup(base, labelEntity, fs)
-        case JoinWindow  => joinWindowGroup(base, labelEntity, fs)
+      strategy match {
+        case SortMergeAsOf =>
+          // appends the picked columns in the merge itself — no re-join
+          base = sortMergeGroup(base, labelEntity, fs)
+        case UnionWindow | JoinWindow =>
+          val result = strategy match {
+            case UnionWindow => unionWindowGroup(base, labelEntity, fs)
+            case _           => joinWindowGroup(base, labelEntity, fs)
+          }
+          val renamed = result
+            .withColumnRenamed("__e", s"__ge_$gi").withColumnRenamed("__t", s"__gt_$gi")
+          base = base.join(renamed,
+            base(labelEntity) === renamed(s"__ge_$gi") &&
+              base("__lts") === renamed(s"__gt_$gi"), "left")
+            .drop(s"__ge_$gi", s"__gt_$gi")
       }
-      val renamed = result
-        .withColumnRenamed("__e", s"__ge_$gi").withColumnRenamed("__t", s"__gt_$gi")
-      base = base.join(renamed,
-        base(labelEntity) === renamed(s"__ge_$gi") &&
-          base("__lts") === renamed(s"__gt_$gi"), "left")
-        .drop(s"__ge_$gi", s"__gt_$gi")
     }
 
     val outCols: Seq[Column] =
@@ -154,6 +169,44 @@ object AsOfJoin {
     picked.select(
       (col("__e") +: col("__t") +:
         fs.map(f => col(s"__pick.${f.outputName}").as(f.outputName))): _*)
+  }
+
+  /** SortMergeAsOf: plan the group through [[graft.plans.AsOfMerge]].
+    * `base` rides the merge directly (every label row, all its columns) and
+    * comes back with the group's value struct appended — the `__lts` key is
+    * the merge's ts, so the UnionWindow distinct+re-join disappears. */
+  private def sortMergeGroup(base: DataFrame, labelEntity: String,
+                             fs: Seq[FeatureSide]): DataFrame = {
+    val spark = base.sparkSession
+    ensureStrategy(spark)
+    val fev = featureEvents(fs)
+    val lPlan = base.queryExecution.analyzed
+    val rPlan = fev.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${plan.output}"))
+    val merged = graft.plans.AsOfMerge(lPlan, rPlan,
+      attr(lPlan, labelEntity), attr(lPlan, "__lts"),
+      attr(rPlan, "__e"), attr(rPlan, "__t"), attr(rPlan, "__v"))
+    val out = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, merged)
+    // NULL label entity / NULL label ts keep NULL features — the reference's
+    // equi-join semantics (f.ts <= NULL is false; NULL entity joins nothing),
+    // which the other strategies get from their re-join's null rejection
+    val pickable = col(labelEntity).isNotNull && col("__lts").isNotNull
+    fs.foldLeft(out) { (acc, f) =>
+      acc.withColumn(f.outputName,
+        when(pickable, col(s"__v.${f.outputName}")))
+    }.drop("__v")
+  }
+
+  /** Idempotently registers [[graft.plans.AsOfMergeStrategy]] on the
+    * session so the operator plans in sessions built WITHOUT
+    * `spark.sql.extensions=graft.GraftExtensions` (which also injects it). */
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(graft.plans.AsOfMergeStrategy))
+      spark.experimental.extraStrategies = cur :+ graft.plans.AsOfMergeStrategy
   }
 
   /** JoinWindow (reference P2 shape): join + ROW_NUMBER()=1. */

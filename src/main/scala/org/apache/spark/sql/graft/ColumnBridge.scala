@@ -20,4 +20,13 @@ object ColumnBridge {
       schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Build a DataFrame over a custom logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — how library-defined LogicalPlan nodes (e.g.
+    * [[graft.plans.AsOfMerge]]) enter the DataFrame API. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

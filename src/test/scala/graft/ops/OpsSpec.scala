@@ -75,6 +75,11 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(UnionWindow) == run(JoinWindow))
   }
 
+  test("SortMergeAsOf agrees with both declarative strategies") {
+    assert(run(SortMergeAsOf) == run(UnionWindow))
+    assert(run(SortMergeAsOf) == run(JoinWindow))
+  }
+
   test("strategies agree on real events data") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -85,6 +90,39 @@ class AsOfJoinSpec extends SparkSpec {
       Seq(FeatureSide(clk, "user_id", "value", Some("ts"), "f")), st)
     assert(result(UnionWindow).except(result(JoinWindow)).count() == 0)
     assert(result(JoinWindow).except(result(UnionWindow)).count() == 0)
+    // the custom merge operator on the same self-source inputs
+    assert(result(SortMergeAsOf).except(result(UnionWindow)).count() == 0)
+    assert(result(UnionWindow).except(result(SortMergeAsOf)).count() == 0)
+  }
+
+  test("SortMergeAsOf plans the custom operator: no window, no join") {
+    val ts = AsOfJoin.trainingSet(label, Map("entity" -> "uid"), "lval",
+      Some("lts"), Seq(FeatureSide(feat, "fe", "fv", Some("fts"), "f1")),
+      SortMergeAsOf)
+    val plan = ts.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMerge"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+
+  test("SortMergeAsOf NULL semantics: null entity and null label ts pad NULL") {
+    val lblN = Seq(
+      (Option(1L), Option(ts("2024-01-05 00:00:00")), 1.0),
+      (Option.empty[Long], Option(ts("2024-01-05 00:00:00")), 2.0),
+      (Option(1L), Option.empty[Timestamp], 3.0)
+    ).toDF("uid", "lts", "lval")
+    def vals(st: AsOfStrategy) = AsOfJoin.trainingSet(lblN,
+        Map("entity" -> "uid"), "lval", Some("lts"),
+        Seq(FeatureSide(feat, "fe", "fv", Some("fts"), "f1")), st)
+      .collect().map(r => r.getDouble(r.fieldIndex("label")) ->
+        (if (r.isNullAt(r.fieldIndex("f1"))) None
+         else Some(r.getDouble(r.fieldIndex("f1"))))).toMap
+    val got = vals(SortMergeAsOf)
+    assert(got == vals(UnionWindow))
+    assert(got(1.0).contains(2.0)) // normal pick
+    assert(got(2.0).isEmpty)       // null entity
+    assert(got(3.0).isEmpty)       // null label ts
   }
 
   test("lag shifts feature availability") {
