@@ -1345,6 +1345,34 @@ object OracleSql {
          |  CAST(max(v) AS DOUBLE) AS max_value
          |FROM rk GROUP BY grp""".stripMargin,
 
+    // mergeable-sketch percentiles: the bottom-k md5-order sample replayed
+    // verbatim (QUALIFY over hash order == the aggregate's retained set —
+    // order-independent, so Spark's partial-agg tree can't change it),
+    // then nearest-rank WITHIN the sample
+    "sketch_quantiles" ->
+      s"""WITH src AS (SELECT o_orderkey AS id, o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+         |  FROM orders),
+         |h AS (SELECT grp, v,
+         |    substr(md5(CAST(id AS VARCHAR) || '|' || 'qsk'), 1, 16) AS hk
+         |  FROM src),
+         |samp AS (SELECT grp, v FROM h
+         |  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY hk, v) <= 1024),
+         |rk AS (SELECT grp, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rk,
+         |    COUNT(*) OVER (PARTITION BY grp) AS sn
+         |  FROM samp),
+         |tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM src GROUP BY 1)
+         |SELECT rk.grp, tot.n_rows,
+         |  CAST(max(sn) AS BIGINT) AS sample_n,
+         |  max(CASE WHEN rk = ceil(0.25 * sn) THEN v END) AS p25,
+         |  max(CASE WHEN rk = ceil(0.50 * sn) THEN v END) AS p50,
+         |  max(CASE WHEN rk = ceil(0.90 * sn) THEN v END) AS p90,
+         |  max(CASE WHEN rk = ceil(0.99 * sn) THEN v END) AS p99
+         |FROM rk JOIN tot ON rk.grp = tot.grp
+         |GROUP BY rk.grp, tot.n_rows""".stripMargin,
+
     // streaming exact dedup: the doubled delivery must collapse back to the
     // single-copy per-user rollup
     "streaming_dedup" ->

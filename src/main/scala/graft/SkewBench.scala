@@ -1,0 +1,273 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial scale/skew harness — converts the engine's yes-by-design
+  * 100 TB claims into measured evidence (round-3 verdict, next-round #1).
+  *
+  * From the sf0.1 tables it derives two structurally-identical corpora, 1×
+  * and 10×, with PLANTED hazards whose proportions are constant but whose
+  * absolute sizes cross the engine's guard thresholds only at 10×:
+  *
+  *  - one entity owns 30% of all events (hot as-of history, hot join key);
+  *  - those hot-entity events collapse into a single hour (hot range-join
+  *    time bucket → AQE skew-split territory);
+  *  - 20% of documents share an appended boilerplate sentence (hot
+  *    winnowing fingerprints);
+  *  - 5% of documents are byte-identical clones of that sentence (hot
+  *    MinHash bands + SimHash quarters: 250 clones at 1× sit under the
+  *    2000-doc frequency cap, 2500 at 10× trip it);
+  *  - 12.5% of embeddings are one fixed vector (hot LSH signature bucket:
+  *    250 at 1× sit under the cap, 2500 at 10× trip it).
+  *
+  * It then times the dedup / as-of / range / salted-join families at both
+  * scales and ASSERTS, not just reports:
+  *  (a) every capped LSH family actually fired its hot-key cap at 10×
+  *      ([[graft.functions.Dedup.capStats]]);
+  *  (b) AQE's skew-join split activated on the 10× range join;
+  *  (c) wall-clock grew ≤ 30× for the linear-by-design families (a
+  *      quadratic blow-up would be ~100×). The hyperplane-LSH cosine
+  *      family is reported but not bounded: with a FIXED plane count its
+  *      per-bucket density — hence candidate count — grows with corpus
+  *      size by construction; the 100 TB remedy is more planes, and the
+  *      cap keeps the worst bucket bounded either way.
+  *
+  * Output: one JSON line + `BENCH_skew_r4.json` in the repo root.
+  * Exit code != 0 when any assertion fails.
+  */
+object SkewBench {
+
+  private val Boiler =
+    "all rights reserved unsubscribe from this newsletter terms of service " +
+      "apply contact support for help privacy policy cookie settings"
+
+  private def genDocs(spark: SparkSession, sfDir: String, mult: Int,
+                      out: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    docs.withColumn("copy", explode(sequence(lit(0), lit(mult - 1))))
+      .withColumn("id", col("doc_id") + col("copy") * 5000L)
+      .withColumn("text",
+        when(pmod(col("id"), lit(20)) === 0, lit(Boiler)) // 5% identical clones
+          .when(pmod(col("id"), lit(5)) === 0,            // 20% boilerplate'd
+            concat(col("text"), lit(" variant "), col("copy"),
+              lit(" "), col("doc_id"), lit(". "), lit(Boiler)))
+          .otherwise(concat(col("text"), lit(" variant "), col("copy"),
+            lit(" "), col("doc_id"))))
+      .select("id", "text")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  private def genEvents(spark: SparkSession, sfDir: String, mult: Int,
+                        out: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.withColumn("copy", explode(sequence(lit(0), lit(mult - 1))))
+      .withColumn("id", col("event_id") + col("copy") * 10000000L)
+      // 30% of all events: one entity, one hour (hot history + hot bucket)
+      .withColumn("hot", pmod(col("id"), lit(10)) < 3)
+      .withColumn("user_id",
+        when(col("hot"), lit(77L)).otherwise(col("user_id")))
+      .withColumn("ts",
+        when(col("hot"), expr(
+          "timestamp '2024-01-15 12:00:00' + make_interval(0,0,0,0,0,0, id % 3600)"))
+          .otherwise(expr("ts + make_interval(0,0,0,0,0,0, copy)")))
+      .select("id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  private def genEmbeddings(spark: SparkSession, sfDir: String, mult: Int,
+                            out: String): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.withColumn("copy", explode(sequence(lit(0), lit(mult - 1))))
+      .withColumn("id", col("vec_id") + col("copy") * 2000L)
+      // 12.5% one fixed direction (hot signature bucket); the rest get a
+      // direction-changing per-copy perturbation so copies spread
+      .withColumn("embedding",
+        when(pmod(col("id"), lit(8)) === 0,
+          expr("transform(sequence(0, size(embedding) - 1), " +
+            "i -> cast(1.0 + i * 0.01 as float))"))
+          .otherwise(expr(
+            "transform(embedding, (x, i) -> cast(x * (1.0 + " +
+              "((id * 31 + i) % 13 - 6) * 0.02) as float))")))
+      .select("id", "embedding")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  private def time[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_skew"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // AQE skew thresholds sized to this corpus (the defaults target
+      // multi-GB partitions): same knobs a real cluster job would tune
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.{Dedup, Vectors}
+
+    // untimed warm-up of the shared expression stack (same rationale as
+    // graft.Bench): the first family otherwise absorbs codegen + JIT
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(2000).select(col("doc_id"), col("text"))
+      docs.select(
+          graft.functions.TextFunctions.fingerprintMd5(col("text")),
+          Dedup.minhashSignature(col("text"), 5, 64),
+          Dedup.simhash64(col("text")),
+          Dedup.winnowFingerprints(col("text"), 20, 24))
+        .queryExecution.toRdd.count()
+      spark.catalog.clearCache()
+      System.gc()
+    } catch { case e: Throwable => System.err.println(s"[skew] warmup: $e") }
+
+    // ---------------------------------------------------------- generate
+    for (m <- Seq(1, 10)) {
+      genDocs(spark, sfDir, m, s"$work/docs_x$m")
+      genEvents(spark, sfDir, m, s"$work/events_x$m")
+      genEmbeddings(spark, sfDir, m, s"$work/emb_x$m")
+    }
+
+    // fixed 45-minute intervals tiling the event span + the hot hour
+    spark.range(0, 2000)
+      .withColumn("iv_id", col("id"))
+      .withColumn("start", expr(
+        "timestamp '2024-01-15 00:00:00' + make_interval(0,0,0,0,0, id * 30, 0)"))
+      .withColumn("end", expr("start + interval 45 minutes"))
+      .select("iv_id", "start", "end")
+      .write.mode("overwrite").parquet(s"$work/intervals")
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Double]]
+    def rec(scale: String, name: String, sec: Double): Unit = {
+      results.getOrElseUpdate(scale,
+        scala.collection.mutable.LinkedHashMap.empty) += (name -> sec)
+      System.err.println(f"[skew] $scale%-4s $name%-18s $sec%7.2f s")
+    }
+    var aqeSkewHit = false
+    val capsFired = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+    // ---------------------------------------------------------- run
+    for (m <- Seq(1, 10)) {
+      val scale = s"x$m"
+      val docs = spark.read.parquet(s"$work/docs_x$m")
+      val events = spark.read.parquet(s"$work/events_x$m")
+      val emb = spark.read.parquet(s"$work/emb_x$m")
+      val intervals = spark.read.parquet(s"$work/intervals")
+
+      rec(scale, "exact_dedup",
+        time(force(Dedup.exact(docs, "text", "id")))._1)
+
+      Dedup.capStats.clear()
+      rec(scale, "minhash_near_dups",
+        time(force(Dedup.minhashNearDups(docs, "text", "id",
+          shingleK = 5, numHashes = 64, bands = 16, threshold = 0.8)))._1)
+      rec(scale, "simhash_near_dups",
+        time(force(Dedup.simhashNearDups(docs, "text", "id", maxHamming = 6)))._1)
+      rec(scale, "winnow_near_dups",
+        time(force(Dedup.winnowNearDups(docs, "text", "id",
+          shingleK = 20, window = 24, minShared = 3)))._1)
+      rec(scale, "cosine_near_dups",
+        time(force(Vectors.cosineNearDups(emb, "id", "embedding",
+          numPlanes = 16, threshold = 0.4)))._1)
+      if (m == 10) Dedup.capStats.foreach { case (what, (k, _)) =>
+        capsFired += (what -> k)
+      }
+      spark.catalog.clearCache()
+
+      // as-of: purchase labels get latest click value; entity 77 carries
+      // 30% of the whole corpus as its history
+      val labels = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("lts"), col("value").as("lval"))
+      val clicks = events.filter(col("event_type") === "click")
+      def asof(st: graft.ops.AsOfStrategy) = graft.ops.AsOfJoin.trainingSet(
+        labels, Map("entity" -> "user_id"), "lval", Some("lts"),
+        Seq(graft.ops.FeatureSide(clicks, "user_id", "value", Some("ts"), "f_click")),
+        st)
+      rec(scale, "asof_sortmerge", time(force(asof(graft.ops.SortMergeAsOf)))._1)
+      rec(scale, "asof_unionwindow", time(force(asof(graft.ops.UnionWindow)))._1)
+
+      // bucketized range join; at 10× the hot hour must trip AQE skew split
+      val rj = graft.ops.RangeJoin.pointsInIntervals(
+        events.select("id", "ts"), "ts", intervals, "start", "end",
+        bucketMicros = 30L * 60 * 1000000)
+      rec(scale, "range_join", time(force(rj))._1)
+      if (m == 10)
+        aqeSkewHit = rj.queryExecution.executedPlan.toString
+          .toLowerCase.contains("skew")
+
+      // salted join of the skewed fact against a small dim
+      val dim = events.select("user_id").distinct()
+        .withColumn("segment", pmod(col("user_id"), lit(7)))
+      rec(scale, "salted_join",
+        time(force(graft.ops.Skew.saltedJoin(events, dim, "user_id", 16)
+          .groupBy("segment").count()))._1)
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    // ---------------------------------------------------------- assert
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (what <- Seq("minhashNearDups", "simhashNearDups", "winnowNearDups",
+        "cosineNearDups"))
+      if (!capsFired.contains(what))
+        errs += s"hot-key cap did NOT fire for $what at 10x"
+    if (!aqeSkewHit)
+      errs += "AQE skew-join split did NOT activate on the 10x range join"
+    val linearFamilies = Seq("exact_dedup", "minhash_near_dups",
+      "simhash_near_dups", "winnow_near_dups", "asof_sortmerge",
+      "asof_unionwindow", "range_join", "salted_join")
+    val ratios = linearFamilies.map { f =>
+      f -> results("x10")(f) / math.max(results("x1")(f), 1e-9)
+    }
+    ratios.foreach { case (f, r) =>
+      if (r > 30.0) errs += f"$f scaled superlinearly: x10/x1 = $r%.1f (> 30)"
+    }
+    val cosRatio = results("x10")("cosine_near_dups") /
+      math.max(results("x1")("cosine_near_dups"), 1e-9)
+
+    def jm(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"skew_harness","x1":${jm(results("x1"))},""" +
+        s""""x10":${jm(results("x10"))},""" +
+        s""""ratio_x10_over_x1":${jm(ratios.toMap)},""" +
+        f""""cosine_ratio_reported":$cosRatio%.1f,""" +
+        s""""caps_fired_at_x10":${
+          capsFired.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        },""" +
+        s""""aqe_skew_split_range_join":$aqeSkewHit,""" +
+        s""""asof_sortmerge_vs_window_x10":${
+          f"${results("x10")("asof_unionwindow") / results("x10")("asof_sortmerge")}%.2f"
+        },""" +
+        s""""assertions_failed":${errs.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_skew_r4.json"), json + "\n")
+    spark.stop()
+    if (errs.nonEmpty) {
+      errs.foreach(e => System.err.println(s"[skew] ASSERTION FAILED: $e"))
+      sys.exit(1)
+    }
+  }
+}

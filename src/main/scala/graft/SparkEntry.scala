@@ -1505,6 +1505,16 @@ object SparkEntry {
         col("o_totalprice").cast("decimal(18,2)").as("price")),
       "o_orderpriority", "price")
 
+  /** Sketch-path percentiles beside numeric_profile's exact nearest-rank:
+    * the mergeable bottom-k sample aggregate (k-bounded partial buffers —
+    * the 100 TB path where the exact per-group sort window doesn't hold),
+    * fully replayed by the oracle via the md5-order QUALIFY. */
+  private def sketchQuantilesQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.sketchQuantiles(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price")),
+      "o_orderpriority", "price", "o_orderkey", k = 1024)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -1580,6 +1590,7 @@ object SparkEntry {
     "curriculum_bins"   -> (curriculumBinsQ _),
     "cross_source_dups" -> (crossSourceDupsQ _),
     "numeric_profile"   -> (numericProfileQ _),
+    "sketch_quantiles"  -> (sketchQuantilesQ _),
     "corpus_curate"     -> (corpusCurate _),
     "bigram_lm_score"   -> (bigramLmScore _),
     "hll_profile"       -> (hllProfile _),

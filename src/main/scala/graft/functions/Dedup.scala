@@ -33,6 +33,12 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
 
+  /** Cap activity of the LAST run per `what` tag: (hot keys dropped, rows
+    * dropped). Log lines aren't assertable; the skew harness and specs read
+    * this to prove the guard actually fired on a planted-hot corpus. */
+  private[graft] val capStats =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
   /** Document-frequency cap on bucket keys before an LSH self-join — the
     * standard guard against the n² blow-up of a "hot" bucket (template-heavy
     * web corpora put boilerplate headers/footers in millions of documents; a
@@ -59,11 +65,12 @@ object Dedup {
     val stats = hotDf
       .agg(count(lit(1)).as("k"), coalesce(sum(col("__freq")), lit(0L)).as("r"))
       .head()
-    if (stats.getLong(0) == 0L) { hotDf.unpersist(); df }
+    if (stats.getLong(0) == 0L) { hotDf.unpersist(); capStats.remove(what); df }
     else {
       log.warn(s"$what: dropping ${stats.getLong(0)} bucket key(s) with more " +
         s"than $cap occurrences (${stats.getLong(1)} rows) " +
         "before candidate generation")
+      capStats.put(what, (stats.getLong(0), stats.getLong(1)))
       df.join(broadcast(hotDf.select(col(keyCol))), Seq(keyCol), "left_anti")
     }
   }

@@ -72,4 +72,38 @@ object Profile {
         (min(col("v")).cast("double").as("min_value") +: picks :+
           max(col("v")).cast("double").as("max_value")): _*)
   }
+
+  /** Sketch-path percentiles beside [[numericProfile]]'s exact nearest-rank:
+    * one mergeable bottom-k sample aggregate per group
+    * ([[graft.functions.expressions.Md5BottomK]] — see its scaladoc for why
+    * the order-independent bottom-k sample replaces the verdict-suggested
+    * KLL), quantiles read at nearest rank WITHIN the sample.
+    *
+    * 100 TB design vs the exact path: no per-group sort window — ONE hash
+    * aggregation whose partial buffers are k-bounded (k × 24 B), so the
+    * shuffle carries ≤ k rows per partition per group instead of the
+    * group's whole history. `idCol` must be row-unique (the sample
+    * selector). Output: (grp, n_rows, sample_n, p25/p50/p90/p99 doubles).
+    */
+  def sketchQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                      idCol: String, k: Int = 1024,
+                      seed: String = "qsk"): DataFrame = {
+    val keyHex = substring(
+      md5(concat_ws("|", col(idCol).cast("string"), lit(seed))), 1, 16)
+    val qs = Seq(0.25 -> "p25", 0.50 -> "p50", 0.90 -> "p90", 0.99 -> "p99")
+    val agged = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast("double").as("v"),
+        keyHex.as("__hk"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.expressions.BottomK.sample(col("__hk"), col("v"), k)
+          .as("__s"))
+    val picks = qs.map { case (q, name) =>
+      element_at(col("__s"), ceil(lit(q) * size(col("__s"))).cast("int"))
+        .as(name)
+    }
+    agged.select(
+      (col("grp") +: col("n_rows") +:
+        size(col("__s")).cast("long").as("sample_n") +: picks): _*)
+  }
 }
