@@ -218,6 +218,77 @@ object OracleSql {
        |SELECT idA, idB, round(cosine, 6) AS cosine FROM c2 WHERE cosine >= 0.4""".stripMargin
   }
 
+  /** Perceptual image near-dup replay: aHash re-derived from the synthetic
+    * pixel formula (PNG is lossless — the Spark side's REAL decode yields
+    * exactly these integers), quarter banding with the 2000-per-band hot
+    * cap, bit_count ≤ 4 verify. `pairFilter` restricts the reported pairs
+    * (the incremental query keeps only batch-touching ones). */
+  private def imageNearDupsSql(pairFilter: String): String =
+    s"""WITH img AS (SELECT doc_id AS media_id, 8 + doc_id % 24 AS w,
+       |    8 + (doc_id * 7) % 24 AS h
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |px AS (SELECT media_id, w, h,
+       |    unnest(generate_series(0, w * h - 1)) AS i
+       |  FROM img),
+       |pl AS (SELECT media_id, w, h, i % w AS x, i // w AS y FROM px),
+       |lum AS (SELECT media_id,
+       |    (299 * ((((x * 31 + y * 17 + media_id * 131) & 16777215) >> 16) & 255)
+       |   + 587 * ((((x * 31 + y * 17 + media_id * 131) & 16777215) >> 8) & 255)
+       |   + 114 * (((x * 31 + y * 17 + media_id * 131) & 16777215) & 255))
+       |      // 1000 AS l,
+       |    ((y * 8) // h) * 8 + ((x * 8) // w) AS p
+       |  FROM pl),
+       |cells AS (SELECT media_id, p, SUM(l) AS cs, COUNT(*) AS cc
+       |  FROM lum GROUP BY 1, 2),
+       |tots AS (SELECT media_id, SUM(cs) AS ts, SUM(cc) AS n
+       |  FROM cells GROUP BY 1),
+       |ah AS (SELECT c.media_id,
+       |    CAST(SUM(CASE WHEN c.cs * t.n > t.ts * c.cc
+       |      THEN (CAST(1 AS UBIGINT) << c.p) ELSE CAST(0 AS UBIGINT) END)
+       |      AS UBIGINT) AS hsh
+       |  FROM cells c JOIN tots t USING (media_id) GROUP BY c.media_id),
+       |qk AS (SELECT media_id, hsh, qi,
+       |    CAST((hsh >> (qi * 16)) & 65535 AS BIGINT) AS qv
+       |  FROM (SELECT media_id, hsh, unnest([0, 1, 2, 3]) AS qi FROM ah)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY qi,
+       |    CAST((hsh >> (qi * 16)) & 65535 AS BIGINT)) <= 2000),
+       |cand AS (SELECT DISTINCT x.media_id AS idA, y.media_id AS idB,
+       |    x.hsh AS ha, y.hsh AS hb
+       |  FROM qk x JOIN qk y ON x.qi = y.qi AND x.qv = y.qv
+       |    AND x.media_id < y.media_id)
+       |SELECT idA, idB, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 4 AND $pairFilter""".stripMargin
+
+  /** BPE training replay: v rounds of (pair-count, argmax, merge) as a
+    * generated CTE chain — ≡ [[graft.functions.BpeTrain.train]]. Words are
+    * `(a)(b)(c)` wrapped-symbol strings so `replace` applies merges
+    * left-to-right without adjacent sites sharing characters. */
+  private def bpeTrainSql(v: Int): String = {
+    val rounds = (1 to v).map { r =>
+      s"""p$r AS (SELECT sy[i] AS lhs, sy[i + 1] AS rhs, SUM(freq) AS cnt
+         |  FROM (SELECT sy, freq, unnest(generate_series(1, len(sy) - 1)) AS i
+         |        FROM (SELECT string_split(substr(w, 2, length(w) - 2), ')(') AS sy,
+         |                     freq FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$r AS (SELECT replace(w, '(' || lhs || ')(' || rhs || ')',
+         |    '(' || lhs || rhs || ')') AS w, freq
+         |  FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to v).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |w0 AS (SELECT array_to_string(list_transform(generate_series(1, length(word)),
+       |    i -> '(' || substr(word, i, 1) || ')'), '') AS w, freq FROM wf),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   private val EN = sqlList(graft.functions.TextFunctions.EnglishStopwords)
   private val DE = sqlList(graft.functions.TextFunctions.GermanStopwords)
   private val ES = sqlList(graft.functions.TextFunctions.SpanishStopwords)
@@ -1000,41 +1071,14 @@ object OracleSql {
     // the synthetic pixels (PNG is lossless, so the Spark side's REAL
     // decode yields exactly these integers); banding/verify replays the
     // shared Hamming core (quarter pigeonhole, bit_count ≤ 4)
-    "image_near_dups" ->
-      s"""WITH img AS (SELECT doc_id AS media_id, 8 + doc_id % 24 AS w,
-         |    8 + (doc_id * 7) % 24 AS h
-         |  FROM documents WHERE doc_id % 2 = 0),
-         |px AS (SELECT media_id, w, h,
-         |    unnest(generate_series(0, w * h - 1)) AS i
-         |  FROM img),
-         |pl AS (SELECT media_id, w, h, i % w AS x, i // w AS y FROM px),
-         |lum AS (SELECT media_id,
-         |    (299 * ((((x * 31 + y * 17 + media_id * 131) & 16777215) >> 16) & 255)
-         |   + 587 * ((((x * 31 + y * 17 + media_id * 131) & 16777215) >> 8) & 255)
-         |   + 114 * (((x * 31 + y * 17 + media_id * 131) & 16777215) & 255))
-         |      // 1000 AS l,
-         |    ((y * 8) // h) * 8 + ((x * 8) // w) AS p
-         |  FROM pl),
-         |cells AS (SELECT media_id, p, SUM(l) AS cs, COUNT(*) AS cc
-         |  FROM lum GROUP BY 1, 2),
-         |tots AS (SELECT media_id, SUM(cs) AS ts, SUM(cc) AS n
-         |  FROM cells GROUP BY 1),
-         |ah AS (SELECT c.media_id,
-         |    CAST(SUM(CASE WHEN c.cs * t.n > t.ts * c.cc
-         |      THEN (CAST(1 AS UBIGINT) << c.p) ELSE CAST(0 AS UBIGINT) END)
-         |      AS UBIGINT) AS hsh
-         |  FROM cells c JOIN tots t USING (media_id) GROUP BY c.media_id),
-         |qk AS (SELECT media_id, hsh, qi,
-         |    CAST((hsh >> (qi * 16)) & 65535 AS BIGINT) AS qv
-         |  FROM (SELECT media_id, hsh, unnest([0, 1, 2, 3]) AS qi FROM ah)
-         |  QUALIFY COUNT(*) OVER (PARTITION BY qi,
-         |    CAST((hsh >> (qi * 16)) & 65535 AS BIGINT)) <= 2000),
-         |cand AS (SELECT DISTINCT x.media_id AS idA, y.media_id AS idB,
-         |    x.hsh AS ha, y.hsh AS hb
-         |  FROM qk x JOIN qk y ON x.qi = y.qi AND x.qv = y.qv
-         |    AND x.media_id < y.media_id)
-         |SELECT idA, idB, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin,
+    "image_near_dups" -> imageNearDupsSql("TRUE"),
+
+    // incremental image dedup: full-corpus replay restricted to pairs
+    // touching the new batch (old–old pairs are excluded by construction
+    // on the Spark side; the union-table cap equals the full-corpus cap)
+    "incremental_image_dedup" ->
+      imageNearDupsSql("(idA % 10 = 8 OR idB % 10 = 8)"),
+
 
     // count-min sketch (depth 4 × width 16) rebuilt from the same md5 cells;
     // pure integer arithmetic — estimates are MIN over rebuilt counters
@@ -1197,6 +1241,12 @@ object OracleSql {
          |FROM fin f JOIN (
          |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
          |  FROM documents GROUP BY 1) x USING (source)""".stripMargin,
+
+    // BPE vocabulary training: every round (adjacent-pair count over the
+    // distinct-word table, argmax with lexicographic tie-break, left-to-
+    // right non-overlapping merge) replayed as a generated CTE chain over
+    // the same (a)(b)(c) wrapped-symbol representation as the Spark loop
+    "bpe_train" -> bpeTrainSql(12),
 
     // frequency-ranked top-200 vocabulary, deterministic (freq DESC, token)
     // tie-break, dense ids from 0

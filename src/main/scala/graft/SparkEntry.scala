@@ -1179,6 +1179,13 @@ object SparkEntry {
   private def vocabTopK(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLM.vocab(t(s, dir, "documents"), "text", topK = 200)
 
+  /** BPE vocabulary TRAINING on the corpus (12 merges), the oracle
+    * replaying every pair-count + argmax + merge round — closes the loop
+    * with bpe application (text_stats n_subwords) and vocab_topk. */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.BpeTrain.train(t(s, dir, "documents"), "text",
+      numMerges = 12)
+
   /** Order-2 corpus-frequency score: rare-bigram ratios catch word salad a
     * unigram gate cannot see. Same integer-exact shape as the unigram row. */
   private def bigramLmScore(s: SparkSession, dir: String): DataFrame =
@@ -1199,19 +1206,44 @@ object SparkEntry {
     * cross-multiplication — PNG is lossless, so the oracle re-derives the
     * hash from the generator formula), then the shared Hamming-banding
     * near-dup core (quarter pigeonhole, capped bands, bit_count verify). */
-  private def imageNearDups(s: SparkSession, dir: String): DataFrame = {
+  /** Decoded-pixel aHash table for the synthetic PNG corpus (even doc ids),
+    * optionally restricted — the real-codec work both image dedup queries
+    * share. */
+  private def imageAHashes(s: SparkSession, dir: String,
+                           keep: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
     import graft.multimodal.Codecs
     val ids = t(s, dir, "documents").select(col("doc_id").cast("long"))
-      .where(col("doc_id") % 2 === 0)
+      .where(col("doc_id") % 2 === 0).where(keep)
       .repartition(s.sparkContext.defaultParallelism).as[Long]
-    val hashed = ids.map { id =>
+    ids.map { id =>
       val png = Codecs.syntheticPng(
         (8 + id % 24).toInt, (8 + (id * 7) % 24).toInt, id)
       (id, Codecs.averageHash(Codecs.decodeImage(png).get))
     }.toDF("media_id", "ahash")
-    Dedup.hammingNearDups(hashed, "media_id", "ahash", maxHamming = 4,
+  }
+
+  private def imageNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingNearDups(imageAHashes(s, dir, lit(true)),
+      "media_id", "ahash", maxHamming = 4,
       maxBandFreq = 2000, what = "imageNearDups")
+
+  /** Incremental image dedup — the Hamming-family steady state: corpus
+    * aHashes (media_id % 10 != 8) persisted as a versioned table and READ
+    * BACK (8 B/image of reusable state, no re-decode), then the "new
+    * batch" (media_id % 10 == 8) is decoded, hashed, and banded against
+    * the union; only pairs touching the batch are reported. Oracle = the
+    * full-corpus aHash replay filtered to those pairs. */
+  private def incrementalImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 8
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ahash").toString
+    graft.sources.Writers.writeVersioned(
+      imageAHashes(s, dir, !isNew), s"$tmp/ahash")
+    Dedup.hammingNearDupsIncremental(
+      graft.sources.Writers.readLatest(s, s"$tmp/ahash"),
+      imageAHashes(s, dir, isNew),
+      "media_id", "ahash", maxHamming = 4,
+      what = "incrementalImageDedup")
   }
 
   /** Count-min heavy hitters over the token stream (depth 4 × width 16 —
@@ -1582,6 +1614,7 @@ object SparkEntry {
     "seq_pack_greedy"   -> (seqPackGreedy _),
     "unigram_lm_score"  -> (unigramLmScore _),
     "vocab_topk"        -> (vocabTopK _),
+    "bpe_train"         -> (bpeTrainQ _),
     "domain_stats"      -> (domainStats _),
     "column_profile"    -> (columnProfile _),
     "shuffle_export"    -> (shuffleExport _),
@@ -1601,6 +1634,7 @@ object SparkEntry {
     "embedding_project" -> (embeddingProject _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "image_near_dups"   -> (imageNearDups _),
+    "incremental_image_dedup" -> (incrementalImageDedup _),
     "streaming_sessions" -> (streamingSessions _),
   )
 

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE vocabulary TRAINING (Sennrich et al. 2016) — learns the merge table
+  * [[graft.functions.expressions.BpeVocab]]-style tables come from, closing
+  * the loop with [[TextFunctions.bpeTokenCount]] (application) and
+  * `vocab_topk` (frequency vocabulary).
+  *
+  * Algorithm, exactly as published: words (lowercase whitespace tokens,
+  * restricted to `[a-z]+` so the symbol alphabet is closed) start as
+  * character sequences; each round counts adjacent symbol pairs weighted by
+  * word frequency, picks the most frequent pair (ties: lexicographic — the
+  * paper leaves this unspecified, we pin it for reproducibility), and
+  * merges its non-overlapping occurrences left-to-right in every word.
+  *
+  * Scale design: the training corpus collapses to the DISTINCT-WORD
+  * frequency table in one aggregation — at 100 TB that is ~10⁷-10⁸ rows
+  * (vocabulary growth is sublinear in corpus size), and every round is one
+  * column-pruned aggregation over it plus ONE collected row (the argmax —
+  * the merge table IS the model and is metadata-sized by definition).
+  * Words are carried with each symbol individually wrapped — `(a)(b)(c)`
+  * — so a merge is a plain non-overlapping `replace(w, '(a)(b)', '(ab)')`:
+  * adjacent merge sites never share characters (a `|`-separated encoding
+  * WOULD share its boundary pipe, silently skipping every other site in a
+  * run — probed in the spec). This keeps each round a scan-stage
+  * projection and makes the whole loop replayable verbatim in the DuckDB
+  * oracle (same single-source trick as the BpeCount application oracle).
+  * Per-round `persist` + unpersist keeps round r from recomputing rounds
+  * 0..r-1 (the same barrier rationale as Dedup.minhashNearDups).
+  *
+  * Output: (merge_rank, lhs, rhs, pair_count) — rank 1 = first-learned.
+  */
+object BpeTrain {
+
+  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    val wf = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var words = wf
+      .select(expr(
+        "array_join(transform(split(word, ''), x -> concat('(', x, ')')), '')")
+        .as("w"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      // adjacent-pair counts, weighted by word frequency; zip_with over the
+      // symbol array and its shift (slice of length 0 → no pairs — safe for
+      // single-symbol words, where sequence() would descend)
+      val best = words
+        .select(expr("split(substring(w, 2, length(w) - 2), '\\\\)\\\\(')")
+          .as("sy"), col("freq"))
+        .select(explode(zip_with(
+          slice(col("sy"), lit(1), greatest(size(col("sy")) - 1, lit(0))),
+          slice(col("sy"), lit(2), greatest(size(col("sy")) - 1, lit(0))),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"), col("freq"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += Row(r.toLong, a, b, cnt)
+        // non-overlapping left-to-right merge: explicit per-symbol wrappers
+        val merged = words.select(
+            expr(s"replace(w, '($a)($b)', '(${a}${b})')").as("w"), col("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        merged.count() // materialize before dropping the parent
+        words.unpersist()
+        words = merged
+        r += 1
+      }
+    }
+    words.unpersist()
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(merges.toSeq).asJava),
+      StructType(Seq(
+        StructField("merge_rank", LongType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+}

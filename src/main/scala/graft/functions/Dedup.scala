@@ -339,6 +339,41 @@ object Dedup {
       .select("idA", "idB", "hamming")
   }
 
+  /** Incremental Hamming-family near-dups — the image/simhash sibling of
+    * [[minhashNearDupsIncremental]], same steady state: `corpusHashes` is
+    * the persisted (id, hash64) table (8 B/doc of state — e.g. aHashes via
+    * [[graft.sources.Writers.writeVersioned]]); only the NEW batch is
+    * hashed/decoded, banded against the union, and reported. Old–old pairs
+    * are excluded by construction; new–new pairs appear once. The
+    * frequency cap is taken on the UNION table, so a quarter that goes hot
+    * as the corpus grows starts being dropped exactly when the full-corpus
+    * run would drop it. */
+  def hammingNearDupsIncremental(corpusHashes: DataFrame, newHashes: DataFrame,
+                                 idCol: String, hashCol: String,
+                                 maxHamming: Int = 3, maxBandFreq: Int = 2000,
+                                 what: String = "hammingNearDupsIncremental"): DataFrame = {
+    val newH = barrier(
+      newHashes.select(col(idCol).as("__id"), col(hashCol).as("__h")),
+      checkpoint = false)
+    val allH = corpusHashes.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .unionByName(newH)
+    def quarters(df: DataFrame) = df.withColumn("__q",
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("qi"),
+          shiftright(col("__h"), q * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)))
+    val bandedAll = capHotKeys(quarters(allH), "__q", maxBandFreq, what)
+    val n = quarters(newH)
+      .select(col("__q"), col("__id").as("__idN"), col("__h").as("__hn"))
+    val o = bandedAll
+      .select(col("__q"), col("__id").as("__idO"), col("__h").as("__ho"))
+    n.join(o, Seq("__q")).where(col("__idN") =!= col("__idO"))
+      .select(least(col("__idN"), col("__idO")).as("idA"),
+        greatest(col("__idN"), col("__idO")).as("idB"),
+        hamming64(col("__hn"), col("__ho")).cast("long").as("hamming"))
+      .dropDuplicates("idA", "idB")
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Resolve near-dup PAIRS into clusters: connected components by min-id
     * label propagation, so each document maps to the smallest id reachable
     * through the pair graph (`cluster_id == doc_id` marks the canonical
