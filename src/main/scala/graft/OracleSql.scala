@@ -972,6 +972,25 @@ object OracleSql {
         |  ('registered_user', 'alice', '-')
         |) AS t(query, subject, related)""".stripMargin,
 
+    // free-text catalog search over the same fixture: prefix-match token
+    // scoring, rank = (score desc, kind, id) — expected ranking pinned
+    // (hand-derived from the fixture's token bags)
+    "catalog_search" ->
+      """SELECT * FROM (VALUES
+        |  ('rev', CAST(1 AS BIGINT), 'FEATURE', 'f_rev.default', CAST(1 AS BIGINT)),
+        |  ('rev', CAST(2 AS BIGINT), 'SOURCE', 'cust_rev.default', CAST(1 AS BIGINT)),
+        |  ('core pii', CAST(1 AS BIGINT), 'FEATURE', 'f_rev.default', CAST(2 AS BIGINT)),
+        |  ('core pii', CAST(2 AS BIGINT), 'SOURCE', 'cust_rev.default', CAST(1 AS BIGINT)),
+        |  ('spark data', CAST(1 AS BIGINT), 'PROVIDER', 'local_spark', CAST(2 AS BIGINT)),
+        |  ('churn', CAST(1 AS BIGINT), 'MODEL', 'churn_model', CAST(1 AS BIGINT)),
+        |  ('churn', CAST(2 AS BIGINT), 'TRAINING_SET', 'ts_churn.default', CAST(1 AS BIGINT)),
+        |  ('cust', CAST(1 AS BIGINT), 'ENTITY', 'customer', CAST(1 AS BIGINT)),
+        |  ('cust', CAST(2 AS BIGINT), 'FEATURE', 'f_cnt.default', CAST(1 AS BIGINT)),
+        |  ('cust', CAST(3 AS BIGINT), 'FEATURE', 'f_rev.default', CAST(1 AS BIGINT)),
+        |  ('cust', CAST(4 AS BIGINT), 'LABEL', 'l_big.default', CAST(1 AS BIGINT)),
+        |  ('cust', CAST(5 AS BIGINT), 'SOURCE', 'cust_rev.default', CAST(1 AS BIGINT))
+        |) AS t(query, rank, kind, id, score)""".stripMargin,
+
     // cron-driven two-tick orchestrated refresh == full recompute, with
     // exactly two successful runs in the ledger
     "orchestrated_refresh" ->

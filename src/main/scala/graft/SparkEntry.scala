@@ -1052,8 +1052,9 @@ object SparkEntry {
     * directly or through its training sets — and "which models consume
     * feature F"), all persisted and answered from a RELOADED catalog so the
     * round-trip itself is part of the check. */
-  private def catalogLineage(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The lineage/search fixture catalog: built, persisted, and RELOADED
+    * (≡ restarted process) — shared by catalog_lineage and catalog_search. */
+  private def lineageFixtureCatalog(s: SparkSession, dir: String): Catalog = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lin").toString
     val cat = new Catalog(s)
     cat.registerEntity(EntityDef("customer"))
@@ -1083,7 +1084,12 @@ object SparkEntry {
     cat.setProperties(ResourceKey("PROVIDER", "local_spark"), Map("team" -> "data"))
 
     CatalogStore.save(cat, s, tmp)
-    val re = CatalogStore.load(s, tmp) // fresh catalog ≡ restarted process
+    CatalogStore.load(s, tmp) // fresh catalog ≡ restarted process
+  }
+
+  private def catalogLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val re = lineageFixtureCatalog(s, dir)
     val rows =
       re.featuresConsumedBy("churn_model").map(f =>
         ("features_of_model", "churn_model", f.toString)) ++
@@ -1097,6 +1103,22 @@ object SparkEntry {
         re.properties(ResourceKey("PROVIDER", p.name)).getOrElse("team", "-"))) ++
       re.allUsers.map(u => ("registered_user", u.name, "-"))
     rows.toDF("query", "subject", "related")
+  }
+
+  /** Free-text resource search over the reloaded fixture catalog — the
+    * reference dashboard's metadata search (typesense role) with
+    * deterministic prefix-match scoring; multi-term, tag, property, and
+    * prefix cases all exercised. Oracle pins the expected ranking. */
+  private def catalogSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val re = lineageFixtureCatalog(s, dir)
+    val rows = Seq("rev", "core pii", "spark data", "churn", "cust")
+      .flatMap { q =>
+        re.search(q).zipWithIndex.map { case ((k, score), i) =>
+          (q, (i + 1).toLong, k.kind, k.id, score.toLong)
+        }
+      }
+    rows.toDF("query", "rank", "kind", "id", "score")
   }
 
   // ----------------- orchestrated refresh: cron + task runner + incremental
@@ -1602,6 +1624,7 @@ object SparkEntry {
     "vector_index_serve" -> (vectorIndexServe _),
     "orchestrated_refresh" -> (orchestratedRefresh _),
     "catalog_lineage"   -> (catalogLineage _),
+    "catalog_search"    -> (catalogSearch _),
     "repetition_stats"  -> (repetitionStats _),
     "decontaminate"     -> (decontaminate _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),

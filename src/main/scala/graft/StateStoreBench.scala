@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming state-store envelope (round-3 verdict stretch #10): measures
+  * the stateful latest-value pipeline ([[streaming.StreamingLatest]]) under
+  * 10× state growth on both bundled state store providers —
+  *
+  *  - HDFSBackedStateStoreProvider (default): whole state map resident in
+  *    executor memory per partition, snapshot files on checkpoint;
+  *  - RocksDBStateStoreProvider: state off-heap in RocksDB, bounded memory,
+  *    changelog checkpointing.
+  *
+  * Workload: N entities × 5 micro-batches, every batch advancing every
+  * entity (worst-case churn: each batch reads and rewrites the entire
+  * state). The interesting number is the scaling RATIO per provider, not
+  * the absolute times — the default store should degrade when state
+  * outgrows executor memory, which local[16]×128 GiB cannot reach, so
+  * this records the in-memory envelope and documents where the crossover
+  * sits rather than claiming one. Output: one JSON line +
+  * `BENCH_statestore_r4.json`.
+  */
+object StateStoreBench {
+
+  private def gen(spark: SparkSession, dir: String, nEnt: Long,
+                  batches: Int): Unit = {
+    (0 until batches).foreach { b =>
+      spark.range(0, nEnt)
+        .select(col("id").as("entity"),
+          (col("id") % 1000 + b).cast("double").as("value"),
+          expr(s"timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, $b)")
+            .as("ts"))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val work = "/tmp/graft_statestore"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val providers = Seq(
+      "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val scales = Seq(100000L, 1000000L)
+
+    // inputs once per scale; 5 single-file batches -> 5 micro-batches
+    scales.foreach(n => gen(spark, s"$work/in_$n", n, batches = 5))
+
+    def run(providerCls: String, inDir: String, ckpt: String): Double = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", providerCls)
+      val stream = graft.streaming.StreamingLatest.latestValueStream(spark,
+        graft.streaming.StreamingLatest.readTripleStream(spark, inDir,
+          maxFilesPerTrigger = 1))
+      val t0 = System.nanoTime()
+      val q = stream.writeStream
+        .format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // untimed warm-up (stream machinery + codegen)
+    run(providers.head._2, s"$work/in_${scales.head}", s"$work/ckpt_warm")
+
+    val results = for {
+      (pname, pcls) <- providers
+      n <- scales
+    } yield {
+      val sec = run(pcls, s"$work/in_$n", s"$work/ckpt_${pname}_$n")
+      System.err.println(f"[statestore] $pname%-8s n=$n%8d  $sec%7.2f s")
+      (s"${pname}_n$n", sec)
+    }
+    val m = results.toMap
+    val hdfsRatio = m(s"hdfs_n${scales(1)}") / m(s"hdfs_n${scales.head}")
+    val rocksRatio = m(s"rocksdb_n${scales(1)}") / m(s"rocksdb_n${scales.head}")
+    val json =
+      s"""{"metric":"statestore_envelope","batches":5,""" +
+        results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",") +
+        f""","hdfs_scale_ratio":$hdfsRatio%.2f,"rocksdb_scale_ratio":$rocksRatio%.2f,""" +
+        s""""note":"10x entities, every batch rewrites all state; both providers in-memory-feasible at this scale - crossover to RocksDB is when per-partition state exceeds executor heap (HDFS store holds the full map resident; RocksDB stays bounded)"}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_statestore_r4.json"), json + "\n")
+    spark.stop()
+  }
+}

@@ -257,4 +257,61 @@ final class Catalog(spark: SparkSession) {
     val f = feature(id)
     graft.ops.Materialize.toTriple(resolve(f.source), f.schema)
   }
+
+  // ------------------------------------------------------------- search
+
+  /** Free-text resource search — the reference dashboard's typesense-backed
+    * metadata search (metadata/search) in-process: every resource gets a
+    * token bag from its kind, name, variant, entity, tags, and property
+    * keys/values; a query term hits a resource when it PREFIX-matches any
+    * token (the useful half of typo tolerance, deterministic); score =
+    * number of distinct query terms that hit. Rank: score desc, then
+    * (kind, id) — fully deterministic and metadata-scale (the catalog is
+    * small by definition; a 10⁶-resource deployment would hand this same
+    * token table to a search service). */
+  def search(query: String, limit: Int = 20): Seq[(ResourceKey, Int)] = {
+    val terms = tokenize(Seq(query)).toSeq.distinct
+    if (terms.isEmpty) Nil
+    else searchTokens
+      .map { case (k, toks) =>
+        k -> terms.count(t => toks.exists(_.startsWith(t)))
+      }
+      .filter(_._2 > 0)
+      .sortBy { case (k, score) => (-score, k.kind, k.id) }
+      .take(limit)
+  }
+
+  private def tokenize(parts: Seq[String]): Set[String] =
+    parts.flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty).toSet
+
+  /** (resource, token bag) for every registered resource. */
+  private def searchTokens: Seq[(ResourceKey, Set[String])] = synchronized {
+    def idToks(id: ResourceId) = Seq(id.name, id.variant)
+    val base: Seq[(ResourceKey, Seq[String])] =
+      sources.values.map(s =>
+        ResourceKey("SOURCE", s.id.toString) -> idToks(s.id)).toSeq ++
+      features.values.map(f =>
+        ResourceKey("FEATURE", f.id.toString) ->
+          (idToks(f.id) :+ f.entity)).toSeq ++
+      labels.values.map(l =>
+        ResourceKey("LABEL", l.id.toString) ->
+          (idToks(l.id) ++ l.mappings.map(_.entityName))).toSeq ++
+      tsets.values.map(t =>
+        ResourceKey("TRAINING_SET", t.id.toString) -> idToks(t.id)).toSeq ++
+      entities.values.map(e =>
+        ResourceKey("ENTITY", e.name) -> Seq(e.name)).toSeq ++
+      onDemands.values.map(o =>
+        ResourceKey("ON_DEMAND", o.id.toString) -> idToks(o.id)).toSeq ++
+      providers.values.map(p =>
+        ResourceKey("PROVIDER", p.name) ->
+          Seq(p.name, p.providerType, p.description)).toSeq ++
+      users.values.map(u => ResourceKey("USER", u.name) -> Seq(u.name)).toSeq ++
+      models.values.map(m => ResourceKey("MODEL", m.name) -> Seq(m.name)).toSeq
+    base.map { case (k, parts) =>
+      k -> (tokenize(parts) ++
+        tokenize(tagMap.getOrElse(k, Nil)) ++
+        tokenize(propMap.getOrElse(k, Map.empty)
+          .flatMap { case (a, b) => Seq(a, b) }.toSeq))
+    }
+  }
 }

@@ -49,6 +49,10 @@ object BpeTrain {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // previous round's table: unpersisted only after the CURRENT round's
+    // argmax has materialized the current table from it — the argmax pass
+    // doubles as the cache fill, so no extra per-round count() pass
+    var prev: DataFrame = null
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
@@ -66,6 +70,7 @@ object BpeTrain {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, cnt) =
@@ -75,13 +80,13 @@ object BpeTrain {
         val merged = words.select(
             expr(s"replace(w, '($a)($b)', '(${a}${b})')").as("w"), col("freq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        merged.count() // materialize before dropping the parent
-        words.unpersist()
+        prev = words
         words = merged
         r += 1
       }
     }
     words.unpersist()
+    if (prev != null) prev.unpersist()
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(merges.toSeq).asJava),
