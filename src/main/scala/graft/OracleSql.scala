@@ -259,6 +259,43 @@ object OracleSql {
        |SELECT idA, idB, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4 AND $pairFilter""".stripMargin
 
+  /** Spherical k-means replay ≡ [[graft.functions.Vectors.kmeansAssign]]:
+    * md5-order init (cells 0..k-1), assignment by
+    * `list_dot_product(v, pre-normalized centroid)` with (sim DESC, cell
+    * DESC) tie rule, centroid update from order-independent integer sums
+    * `floor(x·2²⁰+0.5)`, emptied cells keeping their centroid. Returns the
+    * CTE chain ending at `a$iters` (vec_id, v, cell). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val initOrd = "substr(md5(CAST(vec_id AS VARCHAR) || '|km'), 1, 16), vec_id"
+    def assignCte(r: Int): String =
+      s"""a$r AS (SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      list_dot_product(CAST(e.v AS DOUBLE[]), list_transform(c.cv,
+         |        y -> y / sqrt(list_dot_product(c.cv, c.cv)))) AS sim
+         |    FROM e CROSS JOIN c$r c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cell DESC) = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""s$r AS (SELECT cell, i - 1 AS pos,
+         |    SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS sx,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cell, v, unnest(generate_series(1, len(v))) AS i
+         |        FROM a${r - 1})
+         |  GROUP BY 1, 2),
+         |u$r AS (SELECT cell, list(CAST(sx AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS cv
+         |  FROM s$r GROUP BY cell),
+         |c$r AS (SELECT p.cell, COALESCE(x.cv, p.cv) AS cv
+         |  FROM c${r - 1} p LEFT JOIN u$r x USING (cell)),
+         |${assignCte(r)}""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cell,
+       |    CAST(v AS DOUBLE[]) AS cv
+       |  FROM e QUALIFY row_number() OVER (ORDER BY $initOrd) <= $k),
+       |${assignCte(0)},
+       |$rounds""".stripMargin
+  }
+
   /** BPE training replay: v rounds of (pair-count, argmax, merge) as a
     * generated CTE chain — ≡ [[graft.functions.BpeTrain.train]]. Words are
     * `(a)(b)(c)` wrapped-symbol strings so `replace` applies merges
@@ -1260,6 +1297,38 @@ object OracleSql {
          |FROM fin f JOIN (
          |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
          |  FROM documents GROUP BY 1) x USING (source)""".stripMargin,
+
+    // fixed-window chunking: chunk i = substr at i*(size-overlap), last
+    // chunk short, no fully-covered trailing fragment (size 120, overlap 20)
+    "doc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |n AS (SELECT doc_id, text,
+        |    1 + greatest(len - 20 - 1, 0) // 100 AS nc FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(i * 100 AS BIGINT) AS chunk_start,
+        |  substr(text, i * 100 + 1, 120) AS chunk_text
+        |FROM (SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS i
+        |      FROM n)""".stripMargin,
+
+    // spherical k-means: the full Lloyd's loop replayed (2 refinement
+    // rounds), final assignment + per-cell size
+    "kmeans_clusters" ->
+      s"""WITH ${kmeansCtes(8, 2)}
+         |SELECT vec_id, cell,
+         |  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cluster_size
+         |FROM a2""".stripMargin,
+
+    // cluster-balanced diversity sample: 10 md5-picked members per cell of
+    // the 1-round k-means
+    "diversity_sample" ->
+      s"""WITH ${kmeansCtes(8, 1)}
+         |SELECT vec_id, cell, CAST(rn AS BIGINT) AS pick_rank FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || '|ds'), 1, 16),
+         |      vec_id) AS rn
+         |  FROM a1)
+         |WHERE rn <= 10""".stripMargin,
 
     // BPE vocabulary training: every round (adjacent-pair count over the
     // distinct-word table, argmax with lexicographic tie-break, left-to-

@@ -1250,6 +1250,30 @@ object SparkEntry {
       "media_id", "ahash", maxHamming = 4,
       maxBandFreq = 2000, what = "imageNearDups")
 
+  /** Fixed-window chunking of the documents (size 120, overlap 20) — the
+    * embedding-pipeline splitter, pure scan-stage arithmetic. */
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.chunkDocs(
+      t(s, dir, "documents"), "doc_id", "text", size = 120, overlap = 20)
+
+  /** Deterministic spherical k-means over the embeddings (k=8, 2 Lloyd's
+    * rounds) — every refinement round replayed by the oracle (md5-order
+    * init, integer-scaled centroid sums, pre-normalized dot assignment). */
+  private def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Vectors.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cell"))).cast("long"))
+  }
+
+  /** Cluster-balanced diversity sample: 10 md5-picked members per k-means
+    * cell — the cluster-then-sample spread primitive. */
+  private def diversitySampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Vectors.diversitySample(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 1, perCluster = 10)
+
   /** Incremental image dedup — the Hamming-family steady state: corpus
     * aHashes (media_id % 10 != 8) persisted as a versioned table and READ
     * BACK (8 B/image of reusable state, no re-decode), then the "new
@@ -1658,6 +1682,9 @@ object SparkEntry {
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "image_near_dups"   -> (imageNearDups _),
     "incremental_image_dedup" -> (incrementalImageDedup _),
+    "kmeans_clusters"   -> (kmeansClusters _),
+    "diversity_sample"  -> (diversitySampleQ _),
+    "doc_chunks"        -> (docChunks _),
     "streaming_sessions" -> (streamingSessions _),
   )
 

@@ -186,11 +186,41 @@ object TextFunctions {
   /** Stable content fingerprint: md5 of the canonical form. */
   def fingerprintMd5(text: Column): Column = md5(normalizedText(text))
 
-  /** Character k-gram (shingle) set of the canonical form. */
+  /** Character k-gram (shingle) set of the canonical form. Sub-k texts
+    * yield an EMPTY set — guarded because Spark's `sequence(1, 0)` DESCENDS
+    * (returns [1, 0]) where SQL generate_series is empty. */
   def shingles(text: Column, k: Int): Column = {
     val t = normalizedText(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(0))),
-      i => t.substr(i, lit(k))))
+    val n = greatest(length(t) - (k - 1), lit(0))
+    when(n >= 1,
+      array_distinct(transform(sequence(lit(1), n), i => t.substr(i, lit(k)))))
+      .otherwise(typedlit(Array.empty[String]))
+  }
+
+  /** Fixed-window document chunking with overlap — the embedding-pipeline
+    * splitter: chunk i covers characters [i·(size−overlap), i·(size−overlap)
+    * + size), 0-based; the last chunk may be shorter; a chunk starts only
+    * while the previous one didn't already reach the end (no fully-covered
+    * trailing fragment); empty docs yield no chunks. Pure scan-stage
+    * arithmetic (`sequence` + `substring`) — zero shuffle, and the chunk
+    * count is known per row up front (bounded fan-out, the same explode
+    * discipline as the range-join bucketing).
+    * Output: idCol, chunk_id, chunk_start, chunk_text. */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > overlap >= 0")
+    val step = size - overlap
+    df.select(col(idCol), col(textCol).as("__t"))
+      .where(char_length(col("__t")) > 0)
+      .withColumn("__nc",
+        lit(1) + floor(greatest(char_length(col("__t")) - overlap - 1, lit(0))
+          / step).cast("int"))
+      .withColumn("chunk_id", explode(sequence(lit(0), col("__nc") - 1)))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * step).cast("long").as("chunk_start"),
+        col("__t").substr(col("chunk_id") * step + 1, lit(size))
+          .as("chunk_text"))
   }
 }

@@ -239,4 +239,109 @@ object Vectors {
       .where(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---------------------------------------------------------------- kmeans
+
+  /** Deterministic spherical k-means (Lloyd's, cosine assignment) — the
+    * clustering primitive behind cluster-balanced diversity sampling and
+    * mix planning over embedding corpora.
+    *
+    * Every source of nondeterminism is pinned so the whole refinement loop
+    * replays in the DuckDB oracle:
+    *  - init = the k corpus vectors with the smallest
+    *    `md5(id || '|km')` 16-hex prefix (cells numbered 0..k-1 in that
+    *    order) — no RNG, unlike the xxhash64 IVF sample the oracle can't
+    *    compute;
+    *  - assignment = argmax over [[expressions.MatVec]] dots against
+    *    PRE-normalized centroid rows (each component divided by the norm
+    *    BEFORE the fold, so the sequential double accumulation is
+    *    bit-identical to `list_dot_product(v, list_transform(c, y->y/n))`);
+    *    ties (measure-zero) go to the larger cell id;
+    *  - centroid update sums `floor(x·2²⁰ + 0.5)` INTEGERS per component —
+    *    an order-independent BIGINT sum where a double sum would depend on
+    *    the partial-aggregation tree — then divides once in double. The
+    *    2⁻²⁰ quantization is far below float32 input precision;
+    *  - an emptied cluster keeps its previous centroid.
+    *
+    * Scale: each round is ONE aggregation over (cell, component) — dim×
+    * rows of 20 B through a map-side-combined shuffle collapsing to k×dim
+    * — plus a k×dim driver collect (the model, metadata-sized by
+    * definition; same rationale as BpeTrain's argmax). Assignment is a
+    * scan-stage compiled expression, zero shuffle.
+    *
+    * Output: (id, cell) for `iters` refinement rounds (iters=0 assigns to
+    * the init vectors). */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, seed: String = "km"): DataFrame = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashOrd = substring(
+      md5(concat_ws("|", col("__id").cast("string"), lit(seed))), 1, 16)
+    // init: k vectors by md5 order (metadata-scale collect — the model)
+    var cents: Array[Array[Double]] = e
+      .withColumn("__h", hashOrd).orderBy(col("__h").asc, col("__id").asc)
+      .limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+    def normalized(c: Array[Array[Double]]): Array[Array[Double]] =
+      c.map { row =>
+        var n2 = 0.0
+        var i = 0
+        while (i < row.length) { n2 += row(i) * row(i); i += 1 } // l-to-r fold
+        val n = math.sqrt(n2)
+        if (n == 0) row else row.map(_ / n)
+      }
+    def assigned(c: Array[Array[Double]]): DataFrame = {
+      val dots = graft.functions.expressions.VectorExprs
+        .matVec(col("__v"), normalized(c))
+      e.withColumn("__dots", dots)
+        .withColumn("cell", array_max(transform(
+            sequence(lit(0), lit(c.length - 1)),
+            i => struct(element_at(col("__dots"), i + 1).as("s"), i.as("c"))))
+          .getField("c").cast("long"))
+        .drop("__dots")
+    }
+
+    var a = assigned(cents)
+    for (_ <- 1 to iters) {
+      // order-independent integer sums per (cell, component)
+      val sums = a.select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("x").cast("double") * 1048576.0 + 0.5).cast("long"))
+          .as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (prev, cell) =>
+        byCell.get(cell.toLong) match {
+          case Some(rows) =>
+            val row = prev.clone()
+            rows.foreach { r =>
+              row(r.getInt(1)) =
+                r.getLong(2).toDouble / r.getLong(3) / 1048576.0
+            }
+            row
+          case None => prev // emptied cluster keeps its centroid
+        }
+      }
+      a = assigned(cents)
+    }
+    a.select(col("__id").as(idCol), col("cell"))
+  }
+
+  /** Cluster-balanced diversity sample: k-means the corpus, keep the
+    * `perCluster` members of each cluster with the smallest
+    * `md5(id || '|ds')` — the "spread the sample across embedding space"
+    * primitive (cluster-then-sample), deterministic end to end. */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, perCluster: Int): DataFrame = {
+    val a = kmeansAssign(df, idCol, vecCol, k, iters)
+    val h = substring(
+      md5(concat_ws("|", col(idCol).cast("string"), lit("ds"))), 1, 16)
+    a.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("__h").asc, col(idCol).asc)))
+      .where(col("__rn") <= perCluster)
+      .select(col(idCol), col("cell"), col("__rn").cast("long").as("pick_rank"))
+  }
 }

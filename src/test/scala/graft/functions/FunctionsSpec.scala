@@ -35,6 +35,21 @@ class TextFunctionsSpec extends SparkSpec {
     val got = one(TextFunctions.shingles($"t", 3), "abcabc")
       .asInstanceOf[scala.collection.Seq[String]]
     assert(got.toSet == Set("abc", "bca", "cab"))
+    // sub-k text: EMPTY, not a descending-sequence artifact
+    val tiny = one(TextFunctions.shingles($"t", 3), "ab")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(tiny.isEmpty)
+  }
+
+  test("chunkDocs: overlap windows, short last chunk, no covered fragment") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("id", "t")
+    val got = TextFunctions.chunkDocs(df, "id", "t", size = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, "abcdefgh"),
+      (1L, 1L, 4L, "efghij"), // short last chunk; chars 8-9 covered HERE
+      (2L, 0L, 0L, "abc")))   // single sub-size chunk; empty doc -> none
   }
 
   test("qualityScore in [0,1], higher for clean prose than symbol soup") {
