@@ -218,6 +218,29 @@ object OracleSql {
        |SELECT idA, idB, round(cosine, 6) AS cosine FROM c2 WHERE cosine >= 0.4""".stripMargin
   }
 
+  /** pit_purchases replay (window-join reference shape) — shared by the
+    * default-strategy query and the broadcast-strategy twin. */
+  private def pitPurchasesSql: String =
+      s"""WITH $EV,
+         |lbl AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+         |lkey AS (SELECT DISTINCT user_id, ts FROM lbl),
+         |fc AS (SELECT user_id AS e, ts AS fts, value AS v FROM ev WHERE event_type = 'click'),
+         |pc AS (
+         |  SELECT l.user_id, l.ts, f.v FROM lkey l
+         |  LEFT JOIN fc f ON l.user_id = f.e AND f.fts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1),
+         |fo AS (SELECT o_custkey AS e, o_orderdate AS fts, o_totalprice AS v FROM orders),
+         |po AS (
+         |  SELECT l.user_id, l.ts, f.v FROM lkey l
+         |  LEFT JOIN fo f ON l.user_id = f.e AND f.fts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1)
+         |SELECT l.user_id, epoch_ms(l.ts) AS ts_ms, pc.v AS f_click, c.c_acctbal AS f_bal,
+         |  po.v AS f_orders, l.value AS label
+         |FROM lbl l
+         |LEFT JOIN pc ON l.user_id = pc.user_id AND l.ts = pc.ts
+         |LEFT JOIN customer c ON l.user_id = c.c_custkey
+         |LEFT JOIN po ON l.user_id = po.user_id AND l.ts = po.ts""".stripMargin
+
   /** Perceptual image near-dup replay: aHash re-derived from the synthetic
     * pixel formula (PNG is lossless — the Spark side's REAL decode yields
     * exactly these integers), quarter banding with the 2000-per-band hot
@@ -454,26 +477,10 @@ object OracleSql {
          |  ascii(substr(md5(CAST(entity AS VARCHAR)), 1, 1)) AS chunk_id
          |FROM numbered WHERE row_number > 0 AND row_number <= 100""".stripMargin,
 
-    "pit_purchases" ->
-      s"""WITH $EV,
-         |lbl AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'),
-         |lkey AS (SELECT DISTINCT user_id, ts FROM lbl),
-         |fc AS (SELECT user_id AS e, ts AS fts, value AS v FROM ev WHERE event_type = 'click'),
-         |pc AS (
-         |  SELECT l.user_id, l.ts, f.v FROM lkey l
-         |  LEFT JOIN fc f ON l.user_id = f.e AND f.fts <= l.ts
-         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1),
-         |fo AS (SELECT o_custkey AS e, o_orderdate AS fts, o_totalprice AS v FROM orders),
-         |po AS (
-         |  SELECT l.user_id, l.ts, f.v FROM lkey l
-         |  LEFT JOIN fo f ON l.user_id = f.e AND f.fts <= l.ts
-         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1)
-         |SELECT l.user_id, epoch_ms(l.ts) AS ts_ms, pc.v AS f_click, c.c_acctbal AS f_bal,
-         |  po.v AS f_orders, l.value AS label
-         |FROM lbl l
-         |LEFT JOIN pc ON l.user_id = pc.user_id AND l.ts = pc.ts
-         |LEFT JOIN customer c ON l.user_id = c.c_custkey
-         |LEFT JOIN po ON l.user_id = po.user_id AND l.ts = po.ts""".stripMargin,
+    "pit_purchases" -> pitPurchasesSql,
+
+    // identical result through the zero-exchange broadcast as-of strategy
+    "pit_broadcast" -> pitPurchasesSql,
 
     "pit_no_label_ts" ->
       s"""WITH $EV,

@@ -196,7 +196,8 @@ object SparkEntry {
 
   // --------------------------------------------------- P: point-in-time joins
 
-  private def pitPurchases(s: SparkSession, dir: String): DataFrame = {
+  private def pitPurchases(s: SparkSession, dir: String,
+                           strategy: AsOfStrategy = SortMergeAsOf): DataFrame = {
     val ev = events(s, dir)
     val label = ev.filter(col("event_type") === "purchase")
     val clicks = ev.filter(col("event_type") === "click")
@@ -205,10 +206,16 @@ object SparkEntry {
       FeatureSide(t(s, dir, "customer"), "c_custkey", "c_acctbal", None, "f_bal"),
       FeatureSide(t(s, dir, "orders"), "o_custkey", "o_totalprice",
         Some("o_orderdate"), "f_orders"))
-    AsOfJoin.trainingSet(label, Map("entity" -> "user_id"), "value", Some("ts"), feats)
+    AsOfJoin.trainingSet(label, Map("entity" -> "user_id"), "value", Some("ts"),
+        feats, strategy)
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("f_click"), col("f_bal"), col("f_orders"), col("label"))
   }
+
+  /** Same training set through the zero-exchange broadcast binary-search
+    * strategy — the dimension-sized-feature-table plan, under the gate. */
+  private def pitBroadcast(s: SparkSession, dir: String): DataFrame =
+    pitPurchases(s, dir, BroadcastAsOf())
 
   private def pitNoLabelTs(s: SparkSession, dir: String): DataFrame = {
     val feats = Seq(
@@ -1605,7 +1612,8 @@ object SparkEntry {
     "feat_latest_ts"    -> (featLatestTs _),
     "feat_latest_no_ts" -> (featLatestNoTs _),
     "chunked_export"    -> (chunkedExport _),
-    "pit_purchases"     -> (pitPurchases _),
+    "pit_purchases"     -> ((s: SparkSession, d: String) => pitPurchases(s, d)),
+    "pit_broadcast"     -> (pitBroadcast _),
     "pit_no_label_ts"   -> (pitNoLabelTs _),
     "pit_lag"           -> (pitLag _),
     "pit_multi_entity"  -> (pitMultiEntity _),

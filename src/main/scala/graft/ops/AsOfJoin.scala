@@ -40,6 +40,12 @@ case object JoinWindow extends AsOfStrategy
   * in the same pass. Semantics agreement-tested against both other
   * strategies. */
 case object SortMergeAsOf extends AsOfStrategy
+/** Broadcast-side as-of: the feature group collected, sorted per entity,
+  * broadcast, and resolved per label row by a scan-stage binary search
+  * ([[graft.plans.AsOfBroadcastLookup]]) — ZERO exchanges anywhere; the
+  * as-of analogue of a broadcast hash join, for dimension-sized feature
+  * tables under a huge label scan. `maxRows` guards the small side. */
+final case class BroadcastAsOf(maxRows: Int = 4000000) extends AsOfStrategy
 
 /** Point-in-time (as-of) training-set join — reference §2.5 (P1-P9).
   *
@@ -112,6 +118,8 @@ object AsOfJoin {
         case SortMergeAsOf =>
           // appends the picked columns in the merge itself — no re-join
           base = sortMergeGroup(base, labelEntity, fs)
+        case BroadcastAsOf(maxRows) =>
+          base = broadcastGroup(base, labelEntity, fs, maxRows)
         case UnionWindow | JoinWindow =>
           val result = strategy match {
             case UnionWindow => unionWindowGroup(base, labelEntity, fs)
@@ -195,6 +203,26 @@ object AsOfJoin {
     // which the other strategies get from their re-join's null rejection
     val pickable = col(labelEntity).isNotNull && col("__lts").isNotNull
     fs.foldLeft(out) { (acc, f) =>
+      acc.withColumn(f.outputName,
+        when(pickable, col(s"__v.${f.outputName}")))
+    }.drop("__v")
+  }
+
+  /** BroadcastAsOf: per label row, a binary search into the broadcast
+    * per-entity (ts, value) arrays — the label table never shuffles. Same
+    * NULL masking as [[sortMergeGroup]]. */
+  private def broadcastGroup(base: DataFrame, labelEntity: String,
+                             fs: Seq[FeatureSide], maxRows: Int): DataFrame = {
+    val (table, valueType) =
+      graft.plans.AsOfBroadcast.buildTable(featureEvents(fs), maxRows)
+    val lookup = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.AsOfBroadcastLookup(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(labelEntity)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__lts")),
+        table, valueType))
+    val pickable = col(labelEntity).isNotNull && col("__lts").isNotNull
+    val withPick = base.withColumn("__v", lookup)
+    fs.foldLeft(withPick) { (acc, f) =>
       acc.withColumn(f.outputName,
         when(pickable, col(s"__v.${f.outputName}")))
     }.drop("__v")

@@ -80,6 +80,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(SortMergeAsOf) == run(JoinWindow))
   }
 
+  test("BroadcastAsOf agrees, with ZERO exchanges in the plan") {
+    assert(run(BroadcastAsOf()) == run(UnionWindow))
+    val ts = AsOfJoin.trainingSet(label, Map("entity" -> "uid"), "lval",
+      Some("lts"), Seq(FeatureSide(feat, "fe", "fv", Some("fts"), "f1")),
+      BroadcastAsOf())
+    val plan = ts.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // small-side guard refuses oversized feature tables
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.trainingSet(label, Map("entity" -> "uid"), "lval", Some("lts"),
+        Seq(FeatureSide(feat, "fe", "fv", Some("fts"), "f1")),
+        BroadcastAsOf(maxRows = 2))
+    }
+    assert(e.getMessage.contains("exceeds"))
+  }
+
   test("strategies agree on real events data") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -93,6 +109,9 @@ class AsOfJoinSpec extends SparkSpec {
     // the custom merge operator on the same self-source inputs
     assert(result(SortMergeAsOf).except(result(UnionWindow)).count() == 0)
     assert(result(UnionWindow).except(result(SortMergeAsOf)).count() == 0)
+    // the broadcast binary-search strategy on real data
+    assert(result(BroadcastAsOf()).except(result(UnionWindow)).count() == 0)
+    assert(result(UnionWindow).except(result(BroadcastAsOf())).count() == 0)
   }
 
   test("SortMergeAsOf plans the custom operator: no window, no join") {
