@@ -1326,6 +1326,21 @@ object OracleSql {
          |  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cluster_size
          |FROM a2""".stripMargin,
 
+    // SemDeDup: the 1-round k-means replay, then exact pairwise cosine
+    // INSIDE each cell only; a row is dropped when a smaller-id cell-mate
+    // sits at cosine >= 0.35 (min-id keeps)
+    "semantic_dedup" ->
+      s"""WITH ${kmeansCtes(8, 1)},
+         |m AS (SELECT vec_id, CAST(v AS DOUBLE[]) AS dv, cell FROM a1),
+         |dup AS (SELECT DISTINCT y.vec_id AS id
+         |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE list_dot_product(x.dv, y.dv) /
+         |    (sqrt(list_dot_product(x.dv, x.dv)) * sqrt(list_dot_product(y.dv, y.dv)))
+         |    >= 0.35)
+         |SELECT m.vec_id, m.cell,
+         |  CAST(CASE WHEN dup.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m LEFT JOIN dup ON m.vec_id = dup.id""".stripMargin,
+
     // cluster-balanced diversity sample: 10 md5-picked members per cell of
     // the 1-round k-means
     "diversity_sample" ->

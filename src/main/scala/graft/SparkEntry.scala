@@ -1281,6 +1281,14 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 8, iters = 1, perCluster = 10)
 
+  /** SemDeDup: near-dup search confined to k-means cells (k=8, 1 round) —
+    * exact cosine inside a cell only, min-id survivor rule. The whole
+    * pipeline (Lloyd's loop + within-cell pairs) replays in the oracle. */
+  private def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Vectors.semanticDedup(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 1, threshold = 0.35)
+
   /** Incremental image dedup — the Hamming-family steady state: corpus
     * aHashes (media_id % 10 != 8) persisted as a versioned table and READ
     * BACK (8 B/image of reusable state, no re-decode), then the "new
@@ -1692,6 +1700,7 @@ object SparkEntry {
     "incremental_image_dedup" -> (incrementalImageDedup _),
     "kmeans_clusters"   -> (kmeansClusters _),
     "diversity_sample"  -> (diversitySampleQ _),
+    "semantic_dedup"    -> (semanticDedupQ _),
     "doc_chunks"        -> (docChunks _),
     "streaming_sessions" -> (streamingSessions _),
   )

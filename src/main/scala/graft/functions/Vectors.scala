@@ -344,4 +344,39 @@ object Vectors {
       .where(col("__rn") <= perCluster)
       .select(col(idCol), col("cell"), col("__rn").cast("long").as("pick_rank"))
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding corpus, then look for
+    * near-duplicates ONLY inside each cluster — exact pairwise cosine
+    * within a cell, never across cells. A row is dropped when some
+    * smaller-id member of its cell sits at cosine ≥ `threshold` (min-id
+    * keeps, the same deterministic survivor rule as the LSH families).
+    *
+    * Scale: this is the embedding-space analogue of LSH banding — the
+    * quadratic verify is confined to cells of ~n/k rows, so the candidate
+    * join costs Σ|cell|² instead of n². The cell equi-join plans as a
+    * shuffle hash/sort-merge join on `cell`, and `maxCellPairs` bounds a
+    * degenerate cell the way `Dedup.capHotKeys` bounds a hot LSH band:
+    * cells bigger than √maxCellPairs are dropped from PAIRING (their
+    * members all survive) with a logged count rather than exploding. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double,
+                    maxCellPairs: Long = 4000000L): DataFrame = {
+    val maxCellRows = math.sqrt(maxCellPairs.toDouble).toLong
+    val a = kmeansAssign(df, idCol, vecCol, k, iters)
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val m = a.join(vecs, col(idCol) === col("__vid"))
+      .select(col(idCol), col("cell"), col("__v"))
+    val sized = m.withColumn("__csz",
+      count(lit(1)).over(Window.partitionBy(col("cell"))))
+    val pairable = sized.where(col("__csz") <= maxCellRows).drop("__csz")
+    val x = pairable.select(col("cell"), col(idCol).as("idA"), col("__v").as("__va"))
+    val y = pairable.select(col("cell"), col(idCol).as("idB"), col("__v").as("__vb"))
+    val dropped = x.join(y, Seq("cell")).where(col("idA") < col("idB"))
+      .where(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("idB").as("__dup")).distinct()
+    m.join(dropped, col(idCol) === col("__dup"), "left_outer")
+      .select(col(idCol), col("cell"),
+        when(col("__dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
 }

@@ -55,4 +55,38 @@ class KmeansSpec extends SparkSpec {
       k = 3, iters = 1, perCluster = 4).collect()
     assert(got.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("semantic dedup: within-cell min-id survivor matches brute force") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val got = Vectors.semanticDedup(df, "vec_id", "embedding",
+      k = 3, iters = 1, threshold = 0.999)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 60)
+    // brute-force replay: same cells, exact cosine, drop-if-smaller-id rule
+    val cells = Vectors.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    val vecs = corpus.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val expectDropped = corpus.map(_._1).filter { id =>
+      corpus.map(_._1).exists(o =>
+        o < id && cells(o) == cells(id) && cos(vecs(o), vecs(id)) >= 0.999)
+    }.toSet
+    assert(got.filter(_._3 == 0L).map(_._1).toSet == expectDropped)
+    assert(expectDropped.nonEmpty, "test corpus should contain semantic dups")
+    // cells in the output agree with the assignment
+    got.foreach { case (id, cell, _) => assert(cells(id) == cell) }
+  }
+
+  test("semantic dedup: a degenerate giant cell is exempted from pairing") {
+    val df = corpus.toDF("vec_id", "embedding")
+    // cap so low every cell exceeds it: nothing is ever paired or dropped
+    val got = Vectors.semanticDedup(df, "vec_id", "embedding",
+      k = 3, iters = 0, threshold = 0.0, maxCellPairs = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 60 && got.forall(_._3 == 1L))
+  }
 }
