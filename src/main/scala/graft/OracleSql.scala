@@ -319,6 +319,45 @@ object OracleSql {
        |$rounds""".stripMargin
   }
 
+  /** Linear-classifier training replay ≡
+    * [[graft.functions.Classifier.trainLinearScores]]: md5-bucketed token
+    * counts + intercept in a fixed-order vector, per-round
+    * `list_dot_product` prediction, gradient summed as
+    * `floor(err·x·2²⁰ + 0.5)` BIGINTs (order-independent), update
+    * `w − lr·((Σ/2²⁰)/n)` — every double op in the same sequence as the
+    * Spark side, so the MODEL matches bit-for-bit, not just the scores. */
+  private def classifierSql(dim: Int, iters: Int, lrInv: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""p$r AS (SELECT x.doc_id, list_dot_product(x.xv, w.w) AS pred
+         |  FROM x CROSS JOIN w${r - 1} w),
+         |e$r AS (SELECT p.doc_id, p.pred - l.y AS err
+         |  FROM p$r p JOIN lab l USING (doc_id)),
+         |g$r AS (SELECT t.j,
+         |    SUM(CAST(floor(e.err * t.c * 1048576.0 + 0.5) AS BIGINT)) AS sx
+         |  FROM xall t JOIN e$r e USING (doc_id) GROUP BY t.j),
+         |w$r AS (SELECT list(w.w[g.j + 1] -
+         |      (1.0 / $lrInv.0) * ((CAST(g.sx AS DOUBLE) / 1048576.0) / n.n)
+         |      ORDER BY g.j) AS w
+         |  FROM g$r g CROSS JOIN w${r - 1} w CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (SELECT doc_id, unnest($TOKS_LOWER) AS token FROM documents),
+       |cnt AS (SELECT doc_id, CAST(${mh63("token")} % $dim AS INT) AS j,
+       |    COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |xs AS (SELECT d.doc_id, g.j, CAST(COALESCE(c.c, 0) AS DOUBLE) AS c
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS j) g
+       |  LEFT JOIN cnt c ON d.doc_id = c.doc_id AND g.j = c.j),
+       |xall AS (SELECT doc_id, j, c FROM xs
+       |  UNION ALL SELECT doc_id, $dim AS j, 1.0 FROM documents),
+       |x AS (SELECT doc_id, list(c ORDER BY j) || [1.0] AS xv
+       |  FROM xs GROUP BY doc_id),
+       |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |w0 AS (SELECT list_transform(generate_series(0, $dim), i -> 0.0) AS w),
+       |$rounds""".stripMargin
+  }
+
   /** BPE training replay: v rounds of (pair-count, argmax, merge) as a
     * generated CTE chain — ≡ [[graft.functions.BpeTrain.train]]. Words are
     * `(a)(b)(c)` wrapped-symbol strings so `replace` applies merges
@@ -1325,6 +1364,15 @@ object OracleSql {
          |SELECT vec_id, cell,
          |  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cluster_size
          |FROM a2""".stripMargin,
+
+    // in-engine classifier training: all 3 GD rounds replayed (hashed
+    // features, quantized gradient sums, exact update arithmetic), scores
+    // from the bit-identical final model
+    "quality_classifier" ->
+      s"""WITH ${classifierSql(32, 3, 1024)}
+         |SELECT x.doc_id, CAST(l.y AS BIGINT) AS label,
+         |  round(list_dot_product(x.xv, w3.w), 6) AS score
+         |FROM x JOIN lab l USING (doc_id) CROSS JOIN w3""".stripMargin,
 
     // SemDeDup: the 1-round k-means replay, then exact pairwise cosine
     // INSIDE each cell only; a row is dropped when a smaller-id cell-mate

@@ -1289,6 +1289,15 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 8, iters = 1, threshold = 0.35)
 
+  /** In-engine classifier training: 3 full-batch GD rounds of a hashed
+    * bag-of-words linear model on the is-English label — the trained
+    * model AND its scores replay exactly in the oracle (order-independent
+    * quantized gradient sums). */
+  private def qualityClassifierQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Classifier.trainLinearScores(
+      t(s, dir, "documents"), "doc_id", "text",
+      (col("lang") === "en").cast("int"), dim = 32, iters = 3)
+
   /** Incremental image dedup — the Hamming-family steady state: corpus
     * aHashes (media_id % 10 != 8) persisted as a versioned table and READ
     * BACK (8 B/image of reusable state, no re-decode), then the "new
@@ -1701,6 +1710,7 @@ object SparkEntry {
     "kmeans_clusters"   -> (kmeansClusters _),
     "diversity_sample"  -> (diversitySampleQ _),
     "semantic_dedup"    -> (semanticDedupQ _),
+    "quality_classifier" -> (qualityClassifierQ _),
     "doc_chunks"        -> (docChunks _),
     "streaming_sessions" -> (streamingSessions _),
   )
