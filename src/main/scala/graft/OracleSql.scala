@@ -1365,6 +1365,23 @@ object OracleSql {
          |  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cluster_size
          |FROM a2""".stripMargin,
 
+    // z-order layout: result is layout-invariant (plain box filter); the
+    // Morton interleave itself is replayed bit-for-bit in SQL
+    "zorder_layout" -> {
+      def zi(a: String, b: String, bits: Int): String =
+        (0 until bits).flatMap(i => Seq(
+          s"((($a >> $i) & 1) << ${2 * i})",
+          s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders)
+         |SELECT o_orderkey, o_custkey, cents,
+         |  CAST(${zi("o_custkey", "cents", 26)} AS BIGINT) AS zkey
+         |FROM o
+         |WHERE o_custkey BETWEEN 100 AND 400
+         |  AND cents BETWEEN 2000000 AND 6000000""".stripMargin
+    },
+
     // in-engine classifier training: all 3 GD rounds replayed (hashed
     // features, quantized gradient sums, exact update arithmetic), scores
     // from the bit-identical final model

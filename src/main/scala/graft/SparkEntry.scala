@@ -1298,6 +1298,22 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text",
       (col("lang") === "en").cast("int"), dim = 32, iters = 3)
 
+  /** Z-order layout: orders written Morton-ordered on (custkey, cents),
+    * read back through the z-range pre-filter (pushed to row-group stats)
+    * plus the exact 2-D box. The result is layout-invariant — the oracle
+    * is the plain box filter, with the curve arithmetic replayed in SQL. */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    graft.functions.ZOrder.writeZOrdered(
+      t(s, dir, "orders").withColumn("__cents", cents),
+      col("o_custkey"), col("__cents"), bits = 26, numFiles = 8, s"$tmp/z")
+    graft.functions.ZOrder.readBox(s, s"$tmp/z", "o_custkey", "__cents",
+        bits = 26, aLo = 100, aHi = 400, bLo = 2000000, bHi = 6000000)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("__cents").as("cents"), col("zkey"))
+  }
+
   /** Incremental image dedup — the Hamming-family steady state: corpus
     * aHashes (media_id % 10 != 8) persisted as a versioned table and READ
     * BACK (8 B/image of reusable state, no re-decode), then the "new
@@ -1711,6 +1727,7 @@ object SparkEntry {
     "diversity_sample"  -> (diversitySampleQ _),
     "semantic_dedup"    -> (semanticDedupQ _),
     "quality_classifier" -> (qualityClassifierQ _),
+    "zorder_layout"     -> (zorderLayout _),
     "doc_chunks"        -> (docChunks _),
     "streaming_sessions" -> (streamingSessions _),
   )
