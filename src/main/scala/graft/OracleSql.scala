@@ -1365,6 +1365,20 @@ object OracleSql {
          |  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cluster_size
          |FROM a2""".stripMargin,
 
+    // version-dir CDF: the planted mutation rules replayed directly —
+    // deletes carry pre-image values, updates the post-image, inserts the
+    // cloned rows
+    "version_diff" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+        |SELECT c_custkey, 'delete' AS change_type, c_acctbal, c_mktsegment
+        |  FROM c WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, 'update_postimage', c_acctbal + 100.0, c_mktsegment
+        |  FROM c WHERE c_custkey % 10 = 4
+        |UNION ALL
+        |SELECT c_custkey + 100000, 'insert', c_acctbal, c_mktsegment
+        |  FROM c WHERE c_custkey % 10 = 5""".stripMargin,
+
     // z-order layout: result is layout-invariant (plain box filter); the
     // Morton interleave itself is replayed bit-for-bit in SQL
     "zorder_layout" -> {

@@ -1298,6 +1298,24 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text",
       (col("lang") === "en").cast("int"), dim = 32, iters = 3)
 
+  /** S5/CDF: write customer v1, then a v2 with planted deletes (%10==3),
+    * updates (%10==4, +100) and inserts (%10==5 clones at key+100000);
+    * `versionDiff` recovers exactly the change feed. Oracle = the planted
+    * mutation rules replayed directly on the base table. */
+  private def versionDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val v2 = base.filter(col("c_custkey") % 10 =!= 3)
+      .withColumn("c_acctbal", when(col("c_custkey") % 10 === 4,
+        col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+      .unionByName(base.filter(col("c_custkey") % 10 === 5)
+        .withColumn("c_custkey", col("c_custkey") + 100000))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vdiff").toString
+    val d1 = graft.sources.Writers.writeVersioned(base, s"$tmp/t")
+    val d2 = graft.sources.Writers.writeVersioned(v2, s"$tmp/t")
+    graft.sources.Writers.versionDiff(s, d1, d2, "c_custkey")
+  }
+
   /** Z-order layout: orders written Morton-ordered on (custkey, cents),
     * read back through the z-range pre-filter (pushed to row-group stats)
     * plus the exact 2-D box. The result is layout-invariant — the oracle
@@ -1728,6 +1746,7 @@ object SparkEntry {
     "semantic_dedup"    -> (semanticDedupQ _),
     "quality_classifier" -> (qualityClassifierQ _),
     "zorder_layout"     -> (zorderLayout _),
+    "version_diff"      -> (versionDiffQ _),
     "doc_chunks"        -> (docChunks _),
     "streaming_sessions" -> (streamingSessions _),
   )

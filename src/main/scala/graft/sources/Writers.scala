@@ -138,4 +138,43 @@ object Writers {
     fs.rename(tmp, ptr)
     out
   }
+
+  /** S5: row-level change feed between two committed versions — the
+    * version-dir analogue of Delta's `table_changes()` / Iceberg's
+    * changelog scan (reference offline_store_spark_runner.py:385-407 reads
+    * CDF for incremental sources; the version-dir store derives it by
+    * diffing): keyed full-outer join classifying each key as `insert`,
+    * `delete`, or `update_postimage` (unchanged rows are dropped). Deletes
+    * carry the pre-image values, everything else the post-image.
+    *
+    * Scale: one equi-join on the key — SMJ/shuffle-hash over the two
+    * version scans, no window, no driver state; change detection is a
+    * per-row hash of the non-key columns computed in the scan stage. */
+  def versionDiff(spark: SparkSession, prevDir: String, curDir: String,
+                  keyCol: String): DataFrame = {
+    val prev = spark.read.parquet(prevDir)
+    val cur = spark.read.parquet(curDir)
+    require(prev.columns.sameElements(cur.columns),
+      "versionDiff expects identical schemas; use mergeUpsertWide for evolution")
+    val nonKey = prev.columns.filterNot(_ == keyCol).toSeq
+    // NULLs become a sentinel BEFORE concat_ws (which would silently skip
+    // them, making (null, x) and (x, null) hash identically)
+    def rh(df: DataFrame, as: String) = df.withColumn(as,
+      md5(concat_ws("\u0001",
+        nonKey.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    val p = rh(prev, "__rhp").select(
+      col(keyCol).as("__k") +: col("__rhp") +:
+        nonKey.map(c => col(c).as(s"__p_$c")): _*)
+    val c = rh(cur, "__rhc")
+    val joined = c.join(p, col(keyCol) === col("__k"), "full_outer")
+    val changeType = when(col("__k").isNull, lit("insert"))
+      .when(col(keyCol).isNull, lit("delete"))
+      .when(col("__rhc") =!= col("__rhp"), lit("update_postimage"))
+    joined.withColumn("change_type", changeType)
+      .where(col("change_type").isNotNull)
+      .select(coalesce(col(keyCol), col("__k")).as(keyCol) +:
+        col("change_type") +:
+        nonKey.map(cn => when(col("change_type") === "delete",
+          col(s"__p_$cn")).otherwise(col(cn)).as(cn)): _*)
+  }
 }
