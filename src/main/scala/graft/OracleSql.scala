@@ -521,6 +521,31 @@ object OracleSql {
     // identical result through the zero-exchange broadcast as-of strategy
     "pit_broadcast" -> pitPurchasesSql,
 
+    // feature TTLs: the as-of pick is unchanged; the picked value is masked
+    // when its ts is older than the TTL (mask-after-pick ≡ filter-then-pick
+    // since older rows are older still)
+    "pit_max_age" ->
+      s"""WITH $EV,
+         |lbl AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+         |lkey AS (SELECT DISTINCT user_id, ts FROM lbl),
+         |fc AS (SELECT user_id AS e, ts AS fts, value AS v FROM ev WHERE event_type = 'click'),
+         |pc AS (
+         |  SELECT l.user_id, l.ts, f.v, f.fts FROM lkey l
+         |  LEFT JOIN fc f ON l.user_id = f.e AND f.fts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1),
+         |fo AS (SELECT o_custkey AS e, o_orderdate AS fts, o_totalprice AS v FROM orders),
+         |po AS (
+         |  SELECT l.user_id, l.ts, f.v, f.fts FROM lkey l
+         |  LEFT JOIN fo f ON l.user_id = f.e AND f.fts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts ORDER BY f.fts DESC, f.v DESC) = 1)
+         |SELECT l.user_id, epoch_ms(l.ts) AS ts_ms,
+         |  CASE WHEN pc.fts >= l.ts - INTERVAL 259200 SECOND THEN pc.v END AS f_click,
+         |  CASE WHEN po.fts >= l.ts - INTERVAL 788940000 SECOND THEN po.v END AS f_orders,
+         |  l.value AS label
+         |FROM lbl l
+         |LEFT JOIN pc ON l.user_id = pc.user_id AND l.ts = pc.ts
+         |LEFT JOIN po ON l.user_id = po.user_id AND l.ts = po.ts""".stripMargin,
+
     "pit_no_label_ts" ->
       s"""WITH $EV,
          |fe AS (SELECT user_id, value FROM ev

@@ -217,6 +217,26 @@ object SparkEntry {
   private def pitBroadcast(s: SparkSession, dir: String): DataFrame =
     pitPurchases(s, dir, BroadcastAsOf())
 
+  /** Feature TTLs (Feast `ttl` role): clicks stale after 3 days, orders
+    * after 25 years (the synthetic orders sit 1995-2001 against 2024
+    * labels — 25y keeps post-1999 picks and masks older, so BOTH mask
+    * outcomes are exercised). Replayed by the oracle as a CASE over the
+    * picked feature ts. */
+  private def pitMaxAge(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val label = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    val feats = Seq(
+      FeatureSide(clicks, "user_id", "value", Some("ts"), "f_click",
+        maxAgeSeconds = Some(3L * 86400)),
+      FeatureSide(t(s, dir, "orders"), "o_custkey", "o_totalprice",
+        Some("o_orderdate"), "f_orders", maxAgeSeconds = Some(788940000L)))
+    AsOfJoin.trainingSet(label, Map("entity" -> "user_id"), "value",
+        Some("ts"), feats)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("f_click"), col("f_orders"), col("label"))
+  }
+
   private def pitNoLabelTs(s: SparkSession, dir: String): DataFrame = {
     val feats = Seq(
       FeatureSide(events(s, dir), "user_id", "value", Some("ts"), "f_ev"),
@@ -1665,6 +1685,7 @@ object SparkEntry {
     "chunked_export"    -> (chunkedExport _),
     "pit_purchases"     -> ((s: SparkSession, d: String) => pitPurchases(s, d)),
     "pit_broadcast"     -> (pitBroadcast _),
+    "pit_max_age"       -> (pitMaxAge _),
     "pit_no_label_ts"   -> (pitNoLabelTs _),
     "pit_lag"           -> (pitLag _),
     "pit_multi_entity"  -> (pitMultiEntity _),

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * @param lagSeconds P7 lag features: value becomes visible `lag` after its ts
   *                   (reference provider/spark.go:152-207 —
   *                   `ON entity AND (t.ts + INTERVAL lag) <= label_ts`).
+  * @param maxAgeSeconds feature TTL (staleness bound, the Feast `ttl` role):
+  *                   the picked value must satisfy
+  *                   `label_ts - feature_ts <= maxAge`, else NULL. Because
+  *                   rows older than the latest qualifying one are older
+  *                   still, mask-after-pick ≡ filter-then-pick — so every
+  *                   strategy implements it as a post-pick mask on the
+  *                   picked ts carried through the value struct.
   */
 final case class FeatureSide(
     df: DataFrame,
@@ -19,7 +26,8 @@ final case class FeatureSide(
     tsCol: Option[String],
     outputName: String,
     entityName: String = "entity",
-    lagSeconds: Option[Long] = None)
+    lagSeconds: Option[Long] = None,
+    maxAgeSeconds: Option[Long] = None)
 
 sealed trait AsOfStrategy
 /** Union feature+label events, one window pass per feature source. One
@@ -125,12 +133,21 @@ object AsOfJoin {
             case UnionWindow => unionWindowGroup(base, labelEntity, fs)
             case _           => joinWindowGroup(base, labelEntity, fs)
           }
+          val hasTtl = fs.exists(_.maxAgeSeconds.isDefined)
           val renamed = result
             .withColumnRenamed("__e", s"__ge_$gi").withColumnRenamed("__t", s"__gt_$gi")
+            .withColumnRenamed("__gt", s"__gpt_$gi") // picked ts (TTL groups)
           base = base.join(renamed,
             base(labelEntity) === renamed(s"__ge_$gi") &&
               base("__lts") === renamed(s"__gt_$gi"), "left")
             .drop(s"__ge_$gi", s"__gt_$gi")
+          if (hasTtl) {
+            fs.filter(_.maxAgeSeconds.isDefined).foreach { f =>
+              base = base.withColumn(f.outputName,
+                when(freshEnough(f, col(s"__gpt_$gi")), col(f.outputName)))
+            }
+            base = base.drop(s"__gpt_$gi")
+          }
       }
     }
 
@@ -143,7 +160,10 @@ object AsOfJoin {
   }
 
   /** Shifted, canonicalized feature event stream (one struct col for the
-    * group's values so one window pass serves all of them). */
+    * group's values so one window pass serves all of them). When any group
+    * member has a TTL, the (shifted) event ts rides along as the LAST
+    * struct field `__gt` — last so tie-break struct comparisons (which only
+    * ever compare rows at EQUAL ts, hence equal `__gt`) are unchanged. */
   private def featureEvents(fs: Seq[FeatureSide]): DataFrame = {
     val g = fs.head
     val ts0 = col(g.tsCol.get)
@@ -151,11 +171,23 @@ object AsOfJoin {
       case Some(s) => ts0 + expr(s"INTERVAL '$s' SECOND")
       case None    => ts0
     }
+    val valueFields = fs.map(f => col(f.valueCol).as(f.outputName)) ++
+      (if (fs.exists(_.maxAgeSeconds.isDefined)) Seq(shifted.as("__gt"))
+       else Nil)
     g.df.select(
       col(g.entityCol).as("__e"),
       shifted.as("__t"),
-      struct(fs.map(f => col(f.valueCol).as(f.outputName)): _*).as("__v"))
+      struct(valueFields: _*).as("__v"))
   }
+
+  /** TTL mask: true when the picked (shifted) feature ts is within
+    * `maxAgeSeconds` of the label ts; features without a TTL are always
+    * fresh. `pickedTs` must resolve to the group's `__gt` field. */
+  private def freshEnough(f: FeatureSide, pickedTs: => Column): Column =
+    f.maxAgeSeconds match {
+      case Some(a) => pickedTs >= col("__lts") - expr(s"INTERVAL '$a' SECOND")
+      case None    => lit(true)
+    }
 
   /** UnionWindow: tag label keys, union with feature events, one
     * partitionBy(entity) sort, running `last(value ignoring nulls)`. */
@@ -174,9 +206,11 @@ object AsOfJoin {
     val picked = fev.unionByName(lkeys)
       .withColumn("__pick", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__lbl") === 1)
+    val gt = if (fs.exists(_.maxAgeSeconds.isDefined))
+      Seq(col("__pick.__gt").as("__gt")) else Nil
     picked.select(
       (col("__e") +: col("__t") +:
-        fs.map(f => col(s"__pick.${f.outputName}").as(f.outputName))): _*)
+        (fs.map(f => col(s"__pick.${f.outputName}").as(f.outputName)) ++ gt)): _*)
   }
 
   /** SortMergeAsOf: plan the group through [[graft.plans.AsOfMerge]].
@@ -204,7 +238,8 @@ object AsOfJoin {
     val pickable = col(labelEntity).isNotNull && col("__lts").isNotNull
     fs.foldLeft(out) { (acc, f) =>
       acc.withColumn(f.outputName,
-        when(pickable, col(s"__v.${f.outputName}")))
+        when(pickable && freshEnough(f, col("__v.__gt")),
+          col(s"__v.${f.outputName}")))
     }.drop("__v")
   }
 
@@ -224,7 +259,8 @@ object AsOfJoin {
     val withPick = base.withColumn("__v", lookup)
     fs.foldLeft(withPick) { (acc, f) =>
       acc.withColumn(f.outputName,
-        when(pickable, col(s"__v.${f.outputName}")))
+        when(pickable && freshEnough(f, col("__v.__gt")),
+          col(s"__v.${f.outputName}")))
     }.drop("__v")
   }
 
@@ -247,9 +283,11 @@ object AsOfJoin {
       lkeys("__le") === fev("__e") && fev("__t") <= lkeys("__lt"), "left")
     val w = Window.partitionBy(col("__le"), col("__lt"))
       .orderBy(col("__t").desc, col("__v").desc)
+    val gt = if (fs.exists(_.maxAgeSeconds.isDefined))
+      Seq(col("__v.__gt").as("__gt")) else Nil
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(
         (col("__le").as("__e") +: col("__lt").as("__t") +:
-          fs.map(f => col(s"__v.${f.outputName}").as(f.outputName))): _*)
+          (fs.map(f => col(s"__v.${f.outputName}").as(f.outputName)) ++ gt)): _*)
   }
 }

@@ -80,6 +80,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(SortMergeAsOf) == run(JoinWindow))
   }
 
+  test("feature TTL masks stale picks identically in all four strategies") {
+    // label (2, 01-10) picked feature is (01-03, 9.0): 7 days stale.
+    // TTL 4 days -> NULL; label (1, 01-05) pick (01-05, 2.0) age 0 -> kept.
+    def runTtl(strategy: AsOfStrategy) =
+      AsOfJoin.trainingSet(label, Map("entity" -> "uid"), "lval", Some("lts"),
+          Seq(FeatureSide(feat, "fe", "fv", Some("fts"), "f1",
+            maxAgeSeconds = Some(4L * 86400))), strategy)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val want = Map(
+      (1L, ts("2024-01-05 00:00:00")) -> Some(2.0),
+      (1L, ts("2024-01-01 00:00:00")) -> None,
+      (2L, ts("2024-01-10 00:00:00")) -> None) // stale -> masked
+    assert(runTtl(UnionWindow) == want)
+    assert(runTtl(JoinWindow) == want)
+    assert(runTtl(SortMergeAsOf) == want)
+    assert(runTtl(BroadcastAsOf()) == want)
+    // boundary: exactly maxAge old is still fresh (inclusive)
+    def runEdge(strategy: AsOfStrategy) =
+      AsOfJoin.trainingSet(label, Map("entity" -> "uid"), "lval", Some("lts"),
+          Seq(FeatureSide(feat, "fe", "fv", Some("fts"), "f1",
+            maxAgeSeconds = Some(7L * 86400))), strategy)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(runEdge(SortMergeAsOf)((2L, ts("2024-01-10 00:00:00"))) == Some(9.0))
+  }
+
   test("BroadcastAsOf agrees, with ZERO exchanges in the plan") {
     assert(run(BroadcastAsOf()) == run(UnionWindow))
     val ts = AsOfJoin.trainingSet(label, Map("entity" -> "uid"), "lval",
