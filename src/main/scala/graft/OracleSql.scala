@@ -1390,6 +1390,19 @@ object OracleSql {
          |  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cluster_size
          |FROM a2""".stripMargin,
 
+    // fuzzy (Levenshtein) near-dups: prefix blocking with the 2000 hot-block
+    // cap, exact edit-distance verify at 20% relative distance
+    "edit_near_dups" ->
+      """WITH b AS (SELECT doc_id, text, md5(substr(text, 1, 24)) AS blk
+        |  FROM documents
+        |  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 2000),
+        |p AS (SELECT x.doc_id AS idA, y.doc_id AS idB,
+        |    levenshtein(x.text, y.text) AS ed,
+        |    greatest(length(x.text), length(y.text)) AS ml
+        |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+        |SELECT idA, idB, CAST(ed AS BIGINT) AS edit_dist
+        |FROM p WHERE ed <= 0.2 * ml""".stripMargin,
+
     // version-dir CDF: the planted mutation rules replayed directly —
     // deletes carry pre-image values, updates the post-image, inserts the
     // cloned rows

@@ -1318,6 +1318,13 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text",
       (col("lang") === "en").cast("int"), dim = 32, iters = 3)
 
+  /** Record-linkage fuzzy dedup: prefix blocking + Levenshtein verify at
+    * 20% relative distance — the in-place-edit near-dup family, distinct
+    * from the shingle pipelines. */
+  private def editNearDupsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.editNearDups(
+      t(s, dir, "documents"), "text", "doc_id")
+
   /** S5/CDF: write customer v1, then a v2 with planted deletes (%10==3),
     * updates (%10==4, +100) and inserts (%10==5 clones at key+100000);
     * `versionDiff` recovers exactly the change feed. Oracle = the planted
@@ -1768,6 +1775,7 @@ object SparkEntry {
     "quality_classifier" -> (qualityClassifierQ _),
     "zorder_layout"     -> (zorderLayout _),
     "version_diff"      -> (versionDiffQ _),
+    "edit_near_dups"    -> (editNearDupsQ _),
     "doc_chunks"        -> (docChunks _),
     "streaming_sessions" -> (streamingSessions _),
   )

@@ -77,6 +77,34 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
+  /** Edit-distance (Levenshtein) near-dup pairs: prefix blocking — docs
+    * sharing their first `prefixLen` chars land in one block — then an
+    * exact `levenshtein` verify at `dist <= maxRel · max(len)` on the
+    * block-local pairs. The record-linkage companion to the shingle
+    * families: catches small in-place edits that keep the head intact
+    * (common for template/boilerplate corpora) with a much cheaper
+    * candidate step than MinHash, at the cost of missing head edits.
+    *
+    * Scale: blocks join on a 32-byte md5 block key; a degenerate block
+    * (every doc opening with the same boilerplate) is dropped with a
+    * logged count by the same [[capHotKeys]] gate as every LSH band. The
+    * O(len²) Levenshtein runs only on block-surviving pairs. */
+  def editNearDups(df: DataFrame, textCol: String, idCol: String,
+                   prefixLen: Int = 24, maxRel: Double = 0.2,
+                   maxBlockFreq: Int = 2000): DataFrame = {
+    val blocked = capHotKeys(
+      df.select(col(idCol).as("__id"), col(textCol).as("__txt"))
+        .withColumn("__blk", md5(substring(col("__txt"), 1, prefixLen))),
+      "__blk", maxBlockFreq, "editNearDups")
+    val a = blocked.select(col("__blk"), col("__id").as("idA"), col("__txt").as("__ta"))
+    val b = blocked.select(col("__blk"), col("__id").as("idB"), col("__txt").as("__tb"))
+    a.join(b, Seq("__blk")).where(col("idA") < col("idB"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .where(col("edit_dist") <=
+        lit(maxRel) * greatest(length(col("__ta")), length(col("__tb"))))
+      .select(col("idA"), col("idB"), col("edit_dist"))
+  }
+
   /** Exact dedup on canonicalized content: keeps the row with the smallest
     * `idCol` per distinct normalized text. Group key is the md5 digest, not
     * the text itself — 32 bytes/row through the shuffle regardless of doc
