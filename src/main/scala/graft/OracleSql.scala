@@ -362,30 +362,65 @@ object OracleSql {
     * generated CTE chain — ≡ [[graft.functions.BpeTrain.train]]. Words are
     * `(a)(b)(c)` wrapped-symbol strings so `replace` applies merges
     * left-to-right without adjacent sites sharing characters. */
-  private def bpeTrainSql(v: Int): String = {
+  /** The training CTE chain alone (tok, wf, w0, p/b/w per round) — shared
+    * by the bpe_train replay and the bpe_encode merge-map replay. */
+  private def bpeTrainCtes(v: Int): String = {
     val rounds = (1 to v).map { r =>
-      s"""p$r AS (SELECT sy[i] AS lhs, sy[i + 1] AS rhs, SUM(freq) AS cnt
+      s"""p$r AS MATERIALIZED (SELECT sy[i] AS lhs, sy[i + 1] AS rhs, SUM(freq) AS cnt
          |  FROM (SELECT sy, freq, unnest(generate_series(1, len(sy) - 1)) AS i
          |        FROM (SELECT string_split(substr(w, 2, length(w) - 2), ')(') AS sy,
          |                     freq FROM w${r - 1}))
          |  GROUP BY 1, 2),
-         |b$r AS (SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM p$r
+         |b$r AS MATERIALIZED (SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM p$r
          |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |w$r AS (SELECT replace(w, '(' || lhs || ')(' || rhs || ')',
+         |w$r AS MATERIALIZED (SELECT replace(w, '(' || lhs || ')(' || rhs || ')',
          |    '(' || lhs || rhs || ')') AS w, freq
          |  FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
+    s"""tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT array_to_string(list_transform(generate_series(1, length(word)),
+       |    i -> '(' || substr(word, i, 1) || ')'), '') AS w, freq FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainSql(v: Int): String = {
     val sel = (1 to v).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, cnt AS pair_count FROM b$r")
       .mkString("\nUNION ALL ")
-    s"""WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
-       |  FROM documents),
-       |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
-       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
-       |w0 AS (SELECT array_to_string(list_transform(generate_series(1, length(word)),
-       |    i -> '(' || substr(word, i, 1) || ')'), '') AS w, freq FROM wf),
-       |$rounds
+    s"""WITH ${bpeTrainCtes(v)}
        |$sel""".stripMargin
+  }
+
+  /** bpe_encode replay: the same training rounds rebuild the merge table,
+    * then a word → final-segmentation map (m0..mV) applies them in rank
+    * order and every document re-aggregates its words in order. */
+  private def bpeEncodeSql(v: Int): String = {
+    val maps = (1 to v).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT word, replace(w, '(' || lhs || ')(' || rhs || ')',
+         |    '(' || lhs || rhs || ')') AS w
+         |  FROM m${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(v)},
+       |dwx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       |  FROM (SELECT doc_id, $TOKS_LOWER AS toks FROM documents)),
+       |dw AS (SELECT doc_id, i, toks[i] AS word FROM dwx),
+       |uw AS (SELECT DISTINCT word FROM dw),
+       |m0 AS MATERIALIZED (SELECT word,
+       |    CASE WHEN regexp_matches(word, '^[a-z]+$$')
+       |      THEN array_to_string(list_transform(generate_series(1, length(word)),
+       |        j -> '(' || substr(word, j, 1) || ')'), '')
+       |      ELSE '(' || word || ')' END AS w
+       |  FROM uw),
+       |$maps,
+       |seg AS (SELECT dw.doc_id, dw.i, m.w FROM dw JOIN m$v m ON dw.word = m.word)
+       |SELECT doc_id,
+       |  CAST(SUM((length(w) - length(replace(w, ')(', ''))) // 2 + 1) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  md5(string_agg(w, ' ' ORDER BY i)) AS seg_digest
+       |FROM seg GROUP BY doc_id""".stripMargin
   }
 
   private val EN = sqlList(graft.functions.TextFunctions.EnglishStopwords)
@@ -1474,6 +1509,10 @@ object OracleSql {
     // right non-overlapping merge) replayed as a generated CTE chain over
     // the same (a)(b)(c) wrapped-symbol representation as the Spark loop
     "bpe_train" -> bpeTrainSql(12),
+
+    // tokenizer-faithful encode with the learned merges: per-doc BPE token
+    // count + an md5 digest of the in-order segmentations
+    "bpe_encode" -> bpeEncodeSql(12),
 
     // frequency-ranked top-200 vocabulary, deterministic (freq DESC, token)
     // tie-break, dense ids from 0

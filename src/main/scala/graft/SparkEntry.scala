@@ -1318,6 +1318,17 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text",
       (col("lang") === "en").cast("int"), dim = 32, iters = 3)
 
+  /** Tokenizer train → encode loop closed: learn 12 merges, then encode
+    * every document with them — per-doc BPE token count + an order-pinned
+    * segmentation digest, both replayed from scratch by the oracle. */
+  private def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.functions.BpeTrain.train(docs, "text", 12)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.functions.BpeTrain.encodeDigest(docs, "doc_id", "text", merges)
+  }
+
   /** Record-linkage fuzzy dedup: prefix blocking + Levenshtein verify at
     * 20% relative distance — the in-place-edit near-dup family, distinct
     * from the shingle pipelines. */
@@ -1776,6 +1787,7 @@ object SparkEntry {
     "zorder_layout"     -> (zorderLayout _),
     "version_diff"      -> (versionDiffQ _),
     "edit_near_dups"    -> (editNearDupsQ _),
+    "bpe_encode"        -> (bpeEncodeQ _),
     "doc_chunks"        -> (docChunks _),
     "streaming_sessions" -> (streamingSessions _),
   )

@@ -96,4 +96,42 @@ object BpeTrain {
         StructField("rhs", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
   }
+
+  /** Tokenizer-faithful ENCODE with a learned merge table — the apply half
+    * of the train → encode loop (what a training-data pipeline actually
+    * ships to the trainer). Every document's words are wrapped
+    * `(a)(b)(c)`-style and the merges replayed IN RANK ORDER as the same
+    * non-overlapping left-to-right `replace` the trainer used, so
+    * segmentations match training exactly. Words outside `[a-z]+` (the
+    * closed training alphabet) pass through as single OOV symbols.
+    *
+    * Output per document: the BPE token count and an md5 digest of the
+    * space-joined segmentations in word order — compact, order-pinned
+    * evidence of the exact segmentation, replayable in the oracle.
+    *
+    * Scale: merges are a metadata-sized broadcast (literals in the plan);
+    * the encode itself is a scan-stage projection over exploded words plus
+    * one (doc, position)-light aggregation back to documents. */
+  def encodeDigest(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
+      .where(length(col("__w")) > 0)
+    val wrapped0 = when(col("__w").rlike("^[a-z]+$"),
+        expr("array_join(transform(split(__w, ''), x -> concat('(', x, ')')), '')"))
+      .otherwise(concat(lit("("), col("__w"), lit(")")))
+    val seg = merges.foldLeft(wrapped0) { case (acc, (l, r)) =>
+      replace(acc, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    val nTok = ((length(col("__seg")) -
+      length(replace(col("__seg"), lit(")("), lit("")))) / 2 + 1).cast("long")
+    words.withColumn("__seg", seg).withColumn("__nt", nTok)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__nt")).as("n_bpe_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__seg")))),
+          s => s.getField("__seg")), " ")).as("seg_digest"))
+  }
 }
