@@ -44,4 +44,25 @@ class BpeTrainSpec extends SparkSpec {
       .collect().toSeq
     assert(run(1) == run(7))
   }
+
+  test("encode applies the learned merges; counts and digests are exact") {
+    // merges learned above: th, the(th+e), an, and(an+d)
+    val train = Seq(Tuple1("the the the that band and")).toDF("text")
+    val merges = BpeTrain.train(train, "text", 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = Seq(
+      (1L, "the band"),   // the→(the)=1 tok; band→(b)(an)(d)→(b)(and)=2
+      (2L, "that and x9") // that→(th)(a)(t)=3; and→(and)=1; x9 OOV→1
+    ).toDF("doc_id", "text")
+    val got = BpeTrain.encodeDigest(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L)._1 == 3L)
+    assert(got(2L)._1 == 5L)
+    // digest = md5 of space-joined wrapped segmentations in word order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._2 == md5hex("(the) (b)(and)"))
+    assert(got(2L)._2 == md5hex("(th)(a)(t) (and) (x9)"))
+  }
 }
