@@ -67,6 +67,33 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
   def get(feature: String, entity: Any): Option[Any] =
     backend.get(feature, entity)
 
+  /** Load a materialization WITH its event timestamps, so reads can apply
+    * a serving-side TTL — the online twin of the training-side
+    * `FeatureSide.maxAgeSeconds` staleness bound (Feast online-expiry
+    * role): online and offline freshness rules agree by construction.
+    * Values are stored as (value, epoch-ms) structs through the normal
+    * (partition-streamed) load path. */
+  def loadWithTs(feature: String, materialized: DataFrame,
+                 entityCol: String = "entity", valueCol: String = "value",
+                 tsCol: String = "ts"): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, unix_millis}
+    load(feature, materialized.select(col(entityCol),
+      struct(col(valueCol).as("v"), unix_millis(col(tsCol)).as("t"))
+        .as("value")), entityCol, "value")
+  }
+
+  /** TTL point lookup over a [[loadWithTs]] table: None when the stored
+    * value is older than `maxAgeMs` as of `asOfMs`. `asOfMs` is
+    * caller-supplied (the request handler's clock) — the store itself
+    * stays deterministic and testable. Boundary is inclusive, matching
+    * the as-of join's TTL mask. */
+  def getFresh(feature: String, entity: Any, maxAgeMs: Long,
+               asOfMs: Long): Option[Any] =
+    backend.get(feature, entity).flatMap { raw =>
+      val r = raw.asInstanceOf[Row]
+      if (asOfMs - r.getLong(1) <= maxAgeMs) Some(r.get(0)) else None
+    }
+
   /** O2/O3: assemble a serving row; on-demand features are computed at
     * request time from params + the already-resolved precomputed values
     * (passed in `names` order — NOT map order, which is hash-dependent

@@ -26,6 +26,24 @@ class BackendSpec extends SparkSpec {
     assert(calls.toList == List("create:f1", "put:f1"))
   }
 
+  test("serving TTL: getFresh masks stale values, inclusive boundary") {
+    import java.sql.Timestamp
+    // both backends: the driver-map special case and the streamed default
+    for (backend <- Seq(new InProcessKv, OnlineStore.defaultBackend())) {
+      val store = new OnlineStore(backend)
+      store.loadWithTs("f_ts", Seq(
+        (1L, 10.0, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, 20.0, Timestamp.valueOf("2024-01-05 00:00:00"))
+      ).toDF("entity", "value", "ts"))
+      val asOf = Timestamp.valueOf("2024-01-06 00:00:00").getTime
+      val day = 86400000L
+      assert(store.getFresh("f_ts", 2L, 2 * day, asOf).contains(20.0))
+      assert(store.getFresh("f_ts", 1L, 2 * day, asOf).isEmpty)  // 5d stale
+      assert(store.getFresh("f_ts", 1L, 5 * day, asOf).contains(10.0)) // == bound
+      assert(store.getFresh("f_ts", 99L, day, asOf).isEmpty)
+    }
+  }
+
   test("bulkLoad writes executor-side through the factory") {
     BackendSpec.shared = new InProcessKv
     OnlineBulkLoad.bulkLoad(() => BackendSpec.shared, "f2",
