@@ -110,8 +110,12 @@ object BpeTrain {
     * evidence of the exact segmentation, replayable in the oracle.
     *
     * Scale: merges are a metadata-sized broadcast (literals in the plan);
-    * the encode itself is a scan-stage projection over exploded words plus
-    * one (doc, position)-light aggregation back to documents. */
+    * each DISTINCT word is segmented ONCE (the vocabulary is sublinear in
+    * corpus size — the same collapse `train` rides) and the (word → seg)
+    * table broadcast back over the word-instance stream, so the per-merge
+    * replace chain runs vocabulary-many times, not token-many; the only
+    * corpus-sized work is the explode and one (doc, position)-light
+    * aggregation back to documents. */
   def encodeDigest(docs: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
     val words = docs
@@ -126,7 +130,9 @@ object BpeTrain {
     }
     val nTok = ((length(col("__seg")) -
       length(replace(col("__seg"), lit(")("), lit("")))) / 2 + 1).cast("long")
-    words.withColumn("__seg", seg).withColumn("__nt", nTok)
+    val segTable = words.select(col("__w")).distinct()
+      .withColumn("__seg", seg).withColumn("__nt", nTok)
+    words.join(broadcast(segTable), "__w")
       .groupBy(col(idCol))
       .agg(
         sum(col("__nt")).as("n_bpe_tokens"),
