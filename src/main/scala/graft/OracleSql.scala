@@ -747,6 +747,41 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // Bloom-filter decontamination: the filter is REBUILT in SQL — eval
+    // grams probe 5 positions (md5 of gram||'#'||i mod 2^20), bits pack 63
+    // per BIGINT word (shift 0..62 only — never the sign bit), corpus grams
+    // hit when all 5 bits are set. Exact counts ride beside, bloom ⊇ exact.
+    "bloom_decontam" ->
+      raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+           |    i -> array_to_string(toks[i:i + 7], ' '))) AS ng FROM d),
+           |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+           |pos AS (SELECT ${mh63("ng || '#' || CAST(i AS VARCHAR)")} % 1048576 AS p
+           |  FROM (SELECT ng, unnest([1, 2, 3, 4, 5]) AS i FROM e)),
+           |bloom AS (SELECT p // 63 AS w,
+           |    bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+           |  FROM pos GROUP BY 1),
+           |cg AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 10 <> 0),
+           |cp AS (SELECT doc_id, ng,
+           |    ${mh63("ng || '#' || CAST(i AS VARCHAR)")} % 1048576 AS p
+           |  FROM (SELECT doc_id, ng, unnest([1, 2, 3, 4, 5]) AS i FROM cg)),
+           |hits AS (SELECT doc_id, ng
+           |  FROM cp LEFT JOIN bloom ON cp.p // 63 = bloom.w
+           |  GROUP BY doc_id, ng
+           |  HAVING bool_and((COALESCE(bits, 0)
+           |    & (1::BIGINT << CAST(p % 63 AS INTEGER))) <> 0)),
+           |bl AS (SELECT doc_id,
+           |    CAST(COUNT(DISTINCT ${mh63("ng")}) AS BIGINT) AS n_bloom_hits
+           |  FROM hits GROUP BY 1),
+           |gh AS (SELECT doc_id, ${mh63("ng")} AS h FROM g),
+           |eh AS (SELECT DISTINCT h FROM gh WHERE doc_id % 10 = 0),
+           |ex AS (SELECT gh.doc_id,
+           |    CAST(COUNT(DISTINCT gh.h) AS BIGINT) AS n_exact_hits
+           |  FROM gh JOIN eh USING (h) WHERE gh.doc_id % 10 <> 0 GROUP BY 1)
+           |SELECT bl.doc_id, n_bloom_hits,
+           |  COALESCE(n_exact_hits, 0) AS n_exact_hits
+           |FROM bl LEFT JOIN ex ON bl.doc_id = ex.doc_id""".stripMargin,
+
     // K8 sink round-trip: the append-mode "topic" must hold exactly the
     // input stream — order-independent per-entity stats vs the batch table
     "kafka_write_roundtrip" ->

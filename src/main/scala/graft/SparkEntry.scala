@@ -448,6 +448,20 @@ object SparkEntry {
       "text", "doc_id", n = 8)
   }
 
+  /** Bloom-filter decontamination — the 100 TB shape of `decontaminate`:
+    * the same eval set collapsed to a 2^20-bit / 5-probe Bloom filter
+    * (~130 KB regardless of gram count), corpus membership as a scan-stage
+    * expression with no gram explode and no join. The exact count rides
+    * beside the bloom count, so `bloom >= exact` (one-sided error) is
+    * visible in the output itself. */
+  private def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.functions.Decontam.contaminatedBloom(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", n = 8, numProbes = 5, mBits = 1 << 20)
+  }
+
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Vectors.annTopK(emb, "vec_id", "embedding",
@@ -1749,6 +1763,7 @@ object SparkEntry {
     "catalog_search"    -> (catalogSearch _),
     "repetition_stats"  -> (repetitionStats _),
     "decontaminate"     -> (decontaminate _),
+    "bloom_decontam"    -> (bloomDecontam _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

@@ -51,4 +51,56 @@ object Decontam {
       .groupBy(col(idCol))
       .agg(countDistinct(col("__ng")).as("n_hits"))
   }
+
+  /** Dense Bloom filter words (63 bits per long, ceil(mBits/63) longs) over
+    * the distinct word n-grams of `eval` — probe scheme documented on
+    * [[expressions.BloomHits]]. Built distributed (explode → k probe
+    * positions → per-word `bit_or`), then collected: the collect is the
+    * FILTER, not the gram set — ceil(mBits/63) rows regardless of how many
+    * grams went in (~130 KB at the 2^20-bit default; a 2^30-bit production
+    * filter is ~17 MB, still driver-safe, built once per eval-set
+    * version). */
+  def bloomFilter(eval: DataFrame, textCol: String, n: Int,
+                  numProbes: Int, mBits: Int): Array[Long] = {
+    val probes = (1 to numProbes).map { i =>
+      (expressions.Md5Long(concat(col("__g"), lit("#" + i)))
+        .bitwiseAND(lit(Long.MaxValue)) % mBits).as(s"__p$i")
+    }
+    val sparse = eval
+      .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
+      .select(explode(array(probes: _*)).as("__p"))
+      .select(expr("__p DIV 63").as("__w"),
+        expr("shiftleft(1L, CAST(__p % 63 AS INT))").as("__m"))
+      .groupBy(col("__w")).agg(expr("bit_or(__m)").as("__bits"))
+      .collect()
+    val words = new Array[Long]((mBits + 62) / 63)
+    sparse.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Bloom-filter decontamination — the 100 TB shape of [[contaminated]]:
+    * the eval set collapses to a fixed-size bit array and the corpus-side
+    * membership test is a single scan-stage expression (no gram explode, no
+    * join; only flagged docs reach the output). One-sided by construction:
+    * every exactly-contaminated doc is flagged with `n_bloom_hits >=
+    * n_hits`, and any surplus rows/counts are false positives at the
+    * filter's ~(1-e^(-kn/m))^k rate. Output (doc_id, n_bloom_hits,
+    * n_exact_hits) keeps the exact count alongside so the error is visible
+    * (0 n_exact_hits = a purely-false-positive doc). */
+  def contaminatedBloom(corpus: DataFrame, eval: DataFrame, textCol: String,
+                        idCol: String, n: Int, numProbes: Int,
+                        mBits: Int): DataFrame = {
+    val filt = bloomFilter(eval, textCol, n, numProbes, mBits)
+    val flagged = corpus
+      .select(col(idCol),
+        expressions.BloomHits(wordNgrams(col(textCol), n),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(filt),
+          numProbes, mBits).as("n_bloom_hits"))
+      .where(col("n_bloom_hits") > 0)
+    flagged
+      .join(contaminated(corpus, eval, textCol, idCol, n)
+        .withColumnRenamed("n_hits", "n_exact_hits"), Seq(idCol), "left")
+      .select(col(idCol), col("n_bloom_hits"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"))
+  }
 }
