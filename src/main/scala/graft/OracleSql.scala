@@ -747,6 +747,34 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // Span-level exact duplication: 10-grams in >= 2 docs, per-doc hit
+    // positions merged into islands (merge when start <= accumulated end —
+    // half-open, adjacency merges), covered tokens summed. Window chain
+    // replays Dedup.dupSpans verbatim.
+    "dup_spans" ->
+      raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+           |g AS (SELECT doc_id, i - 1 AS pos,
+           |    ${mh63("array_to_string(toks[i:i + 9], ' ')")} AS h
+           |  FROM d, unnest(generate_series(1, len(toks) - 9)) AS u(i)),
+           |hot AS (SELECT h FROM g GROUP BY h
+           |  HAVING COUNT(DISTINCT doc_id) >= 2),
+           |p AS (SELECT doc_id, pos FROM g JOIN hot USING (h)),
+           |w AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(
+           |    MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           |    THEN 1 ELSE 0 END AS st FROM p),
+           |isl AS (SELECT doc_id, pos,
+           |    SUM(st) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w),
+           |cov AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos + 10) AS e
+           |  FROM isl GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           |    CAST(SUM(e - s) AS BIGINT) AS n_dup_tokens
+           |  FROM cov GROUP BY 1)
+           |SELECT agg.doc_id, n_dup_spans, n_dup_tokens,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  round(CAST(n_dup_tokens AS DOUBLE) / len(toks), 6) AS dup_span_frac
+           |FROM agg JOIN d ON agg.doc_id = d.doc_id""".stripMargin,
+
     // Bloom-filter decontamination: the filter is REBUILT in SQL — eval
     // grams probe 5 positions (md5 of gram||'#'||i mod 2^20), bits pack 63
     // per BIGINT word (shift 0..62 only — never the sign bit), corpus grams

@@ -462,6 +462,12 @@ object SparkEntry {
       "text", "doc_id", n = 8, numProbes = 5, mBits = 1 << 20)
   }
 
+  /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
+    * by >= 2 documents, merged per doc into islands with covered-token
+    * fractions — catches boilerplate stitched into otherwise-unique docs. */
+  private def dupSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(t(s, dir, "documents"), "text", "doc_id", n = 10)
+
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Vectors.annTopK(emb, "vec_id", "embedding",
@@ -1764,6 +1770,7 @@ object SparkEntry {
     "repetition_stats"  -> (repetitionStats _),
     "decontaminate"     -> (decontaminate _),
     "bloom_decontam"    -> (bloomDecontam _),
+    "dup_spans"         -> (dupSpansQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

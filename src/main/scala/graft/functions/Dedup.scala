@@ -493,4 +493,60 @@ object Dedup {
         greatest(col("__sa"), col("__sb")).as("source_b"))
       .agg(count(lit(1)).as("n_near_dup_pairs"))
   }
+
+  /** SPAN-level exact duplication (Lee et al. 2021 §4 "ExactSubstr"): token
+    * n-grams occurring in >= minDocFreq documents are "duplicated spans";
+    * per document, overlapping/adjacent hit spans merge into islands and
+    * the output reports island count, covered-token count, and the covered
+    * fraction. The span-granular complement of document-level MinHash: it
+    * finds boilerplate stitched INTO otherwise-unique documents, which no
+    * whole-document or shingle-set signature flags.
+    *
+    * Scale shape: grams are exploded in the scan stage (hashed to 63-bit
+    * md5 keys, the text never leaves the scan) — twice, once per consumer
+    * (df count and hit positions): materializing the exploded gram table
+    * (corpus x n rows) would dwarf the second parquet read, so
+    * recomputation is the deliberate trade. Doc-frequency is one
+    * partial-aggregated shuffle on the gram key (the exact-dedup shape);
+    * the hot-gram set joins back by gram key (sort-merge — the hot side is
+    * NOT assumed broadcast-small: on web corpora boilerplate grams are a
+    * sizable fraction); island merging is two doc-keyed window/agg passes
+    * bounded by per-document hit counts. Merge rule pinned: spans merge
+    * when start <= accumulated end (half-open intervals — adjacency
+    * merges), replayed verbatim by the oracle's window chain. */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String, n: Int,
+               minDocFreq: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        posexplode(Decontam.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"),
+        expressions.Md5Long(col("__g")).bitwiseAND(lit(Long.MaxValue)).as("__h"))
+    val hot = grams
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("__h"))
+    val hits = grams.join(hot, "__h").select(col(idCol), col("__pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val runEnd = max(col("__pos") + n)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("__st",
+        when(col("__pos") > coalesce(runEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__st")).over(byDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("__s"), max(col("__pos") + n).as("__e"))
+    val toks = docs.select(col(idCol),
+      size(filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0)).cast("long").as("n_tokens"))
+    islands
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s")).as("n_dup_tokens"))
+      .join(toks, Seq(idCol))
+      .select(col(idCol), col("n_dup_spans"), col("n_dup_tokens"),
+        col("n_tokens"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_span_frac"))
+  }
 }
