@@ -775,6 +775,41 @@ object OracleSql {
            |  round(CAST(n_dup_tokens AS DOUBLE) / len(toks), 6) AS dup_span_frac
            |FROM agg JOIN d ON agg.doc_id = d.doc_id""".stripMargin,
 
+    // Exact-substring removal: same island chain as dup_spans, then each
+    // doc's tokens outside every island re-join with single spaces.
+    // Islands are disjoint per doc (merged), so the left-join cut cannot
+    // duplicate a token. Docs with everything removed keep '' (COALESCE —
+    // string_agg over zero rows is NULL).
+    "scrub_dup_spans" ->
+      raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+           |g AS (SELECT doc_id, i - 1 AS pos,
+           |    ${mh63("array_to_string(toks[i:i + 9], ' ')")} AS h
+           |  FROM d, unnest(generate_series(1, len(toks) - 9)) AS u(i)),
+           |hot AS (SELECT h FROM g GROUP BY h
+           |  HAVING COUNT(DISTINCT doc_id) >= 2),
+           |p AS (SELECT doc_id, pos FROM g JOIN hot USING (h)),
+           |w AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(
+           |    MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           |    THEN 1 ELSE 0 END AS st FROM p),
+           |isl AS (SELECT doc_id, pos,
+           |    SUM(st) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w),
+           |cov AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos + 10) AS e
+           |  FROM isl GROUP BY 1, 2),
+           |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+           |  FROM d, unnest(generate_series(1, len(toks))) AS u(i)),
+           |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+           |  LEFT JOIN cov c ON t.doc_id = c.doc_id
+           |    AND t.pos >= c.s AND t.pos < c.e
+           |  WHERE c.doc_id IS NULL),
+           |agg AS (SELECT doc_id,
+           |    string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           |    CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(clean_text, '') AS clean_text,
+           |  COALESCE(n_kept, 0) AS n_kept,
+           |  CAST(len(toks) AS BIGINT) - COALESCE(n_kept, 0) AS n_removed
+           |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+
     // Bloom-filter decontamination: the filter is REBUILT in SQL — eval
     // grams probe 5 positions (md5 of gram||'#'||i mod 2^20), bits pack 63
     // per BIGINT word (shift 0..62 only — never the sign bit), corpus grams

@@ -468,6 +468,11 @@ object SparkEntry {
   private def dupSpansQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(t(s, dir, "documents"), "text", "doc_id", n = 10)
 
+  /** Exact-substring removal: every duplicated-span island cut out of the
+    * text (the destructive half of Lee et al. ExactSubstr). */
+  private def scrubDupSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.scrubDupSpans(t(s, dir, "documents"), "text", "doc_id", n = 10)
+
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Vectors.annTopK(emb, "vec_id", "embedding",
@@ -1771,6 +1776,7 @@ object SparkEntry {
     "decontaminate"     -> (decontaminate _),
     "bloom_decontam"    -> (bloomDecontam _),
     "dup_spans"         -> (dupSpansQ _),
+    "scrub_dup_spans"   -> (scrubDupSpansQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

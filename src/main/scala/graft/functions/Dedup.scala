@@ -516,6 +516,25 @@ object Dedup {
     * merges), replayed verbatim by the oracle's window chain. */
   def dupSpans(docs: DataFrame, textCol: String, idCol: String, n: Int,
                minDocFreq: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol),
+      size(filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0)).cast("long").as("n_tokens"))
+    dupIslands(docs, textCol, idCol, n, minDocFreq)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s")).as("n_dup_tokens"))
+      .join(toks, Seq(idCol))
+      .select(col(idCol), col("n_dup_spans"), col("n_dup_tokens"),
+        col("n_tokens"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_span_frac"))
+  }
+
+  /** The merged (idCol, __s, __e) duplicated-span islands behind
+    * [[dupSpans]] and [[scrubDupSpans]] — half-open token intervals,
+    * disjoint per document by construction (the merge pass). */
+  private def dupIslands(docs: DataFrame, textCol: String, idCol: String,
+                         n: Int, minDocFreq: Int): DataFrame = {
     val grams = docs
       .select(col(idCol),
         posexplode(Decontam.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
@@ -530,23 +549,48 @@ object Dedup {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val runEnd = max(col("__pos") + n)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = hits
+    hits
       .withColumn("__st",
         when(col("__pos") > coalesce(runEnd, lit(-1L)), 1L).otherwise(0L))
       .withColumn("__isl", sum(col("__st")).over(byDoc))
       .groupBy(col(idCol), col("__isl"))
       .agg(min(col("__pos")).as("__s"), max(col("__pos") + n).as("__e"))
-    val toks = docs.select(col(idCol),
-      size(filter(split(lower(trim(col(textCol))), "\\s+"),
-        x => length(x) > 0)).cast("long").as("n_tokens"))
-    islands
+  }
+
+  /** Exact-substring REMOVAL (the second half of Lee et al. ExactSubstr):
+    * rebuilds each document's text with every duplicated-span island cut
+    * out. Tokens are the TOKS_LOWER contract (lowercase, \s+ split,
+    * empties dropped) so positions line up with [[dupSpans]] exactly;
+    * kept tokens re-join with single spaces.
+    *
+    * Scale shape: the island table (bounded by per-doc hit counts, NOT
+    * corpus x n) is collected into one array per document and LEFT-joined
+    * back on the doc key — one shuffle; the token-level cut is then a
+    * per-row higher-order filter (`exists` over the doc's own islands),
+    * zero extra shuffles and no token-level join. Islands are disjoint per
+    * doc, so no token can be cut twice. */
+  def scrubDupSpans(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                    minDocFreq: Int = 2): DataFrame = {
+    val islands = dupIslands(docs, textCol, idCol, n, minDocFreq)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("__e") - col("__s")).as("n_dup_tokens"))
-      .join(toks, Seq(idCol))
-      .select(col(idCol), col("n_dup_spans"), col("n_dup_tokens"),
-        col("n_tokens"),
-        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)
-          .as("dup_span_frac"))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__isl"))
+    val noIslands = array().cast("array<struct<__s:bigint,__e:bigint>>")
+    docs
+      .select(col(idCol),
+        filter(split(lower(trim(col(textCol))), "\\s+"),
+          x => length(x) > 0).as("__toks"))
+      .join(islands, Seq(idCol), "left")
+      .withColumn("__kept",
+        filter(
+          transform(col("__toks"),
+            (t, i) => struct(t.as("t"), i.cast("long").as("p"))),
+          tp => !exists(coalesce(col("__isl"), noIslands),
+            isl => tp("p") >= isl("__s") && tp("p") < isl("__e"))))
+      .select(col(idCol),
+        array_join(transform(col("__kept"), tp => tp("t")), " ")
+          .as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
   }
 }

@@ -48,6 +48,34 @@ class DupSpansSpec extends SparkSpec {
       2L -> ((1L, 2L, 5L, 0.4))))
   }
 
+  test("scrub cuts exactly the island tokens and keeps clean docs whole") {
+    // same corpus as the first test: docA loses [0,3) and [6,9) (all 9
+    // tokens gone -> ''), docB loses [2,5), docC is untouched.
+    val out = Dedup.scrubDupSpans(Seq(
+        (1L, "a b c x y z a b c"),
+        (2L, "q q a b c q q q"),
+        (3L, "m n o p r s t u")).toDF("doc_id", "text"),
+        "text", "doc_id", n = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> (("x y z", 3L, 6L)),
+      2L -> (("q q q q q", 5L, 3L)),
+      3L -> (("m n o p r s t u", 8L, 0L))))
+  }
+
+  test("scrub lowercases via the TOKS contract and handles empty text") {
+    val out = Dedup.scrubDupSpans(Seq(
+        (1L, "  The   QUICK fox  "),
+        (2L, "")).toDF("doc_id", "text"),
+        "text", "doc_id", n = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> (("the quick fox", 3L, 0L)),
+      2L -> (("", 0L, 0L))))
+  }
+
   test("result is partitioning-independent") {
     val docs = (0L until 40L).map(i =>
       (i, if (i % 3 == 0) s"common boiler plate text here unique$i tail"
