@@ -1083,6 +1083,14 @@ object OracleSql {
          |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev
          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1""".stripMargin,
 
+    // the online store fed BY the stream must hold exactly the batch
+    // materialization — same oracle as streaming_latest, now asserted on
+    // the serving store's own state rather than the emission log
+    "stream_online_serve" ->
+      s"""WITH $EV
+         |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1""".stripMargin,
+
     // deterministic orchestration ledger: flaky task retried to success,
     // resume skips (not recorded), doomed task exhausts attempts
     "task_runs" ->

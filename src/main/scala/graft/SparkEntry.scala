@@ -819,6 +819,34 @@ object SparkEntry {
       .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
   }
 
+  /** The stream-to-serving loop under the gate: the same micro-batched
+    * latest-value stream, but sunk through StreamingOnline.onlineSink into
+    * a DiskKv (partition-side upserts, time-ordered segments) and then
+    * read BACK from the serving store. The store's final state must equal
+    * the batch materialization — the streaming_latest oracle. The scan
+    * readback is driver-side serving-state fixture access (store-sized,
+    * not corpus-sized), not an engine path. */
+  private def streamOnlineServe(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_so").toString
+    events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts"))
+      .repartition(4).write.parquet(s"$tmp/in")
+    val stream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/in",
+      maxFilesPerTrigger = 2)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val kvDir = s"$tmp/kv"
+    val q = try graft.streaming.StreamingOnline.onlineSink(
+      graft.streaming.StreamingLatest.latestValueStream(s, stream).toDF(),
+      "so_feat", () => new graft.serving.DiskKv(kvDir), s"$tmp/ckpt")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    import s.implicits._
+    new graft.serving.DiskKv(kvDir).scan("so_feat").map { case (e, v) =>
+      val r = v.asInstanceOf[org.apache.spark.sql.Row]
+      (e.asInstanceOf[Long], r.getDouble(0), r.getLong(1))
+    }.toSeq.toDF("entity", "value", "ts_ms")
+  }
+
   // ----------------------------- orchestration: task runs, retry, resume
 
   /** TaskRunner lifecycle under the gate: a flaky materialization (fails
@@ -1759,6 +1787,7 @@ object SparkEntry {
     "media_pipeline"    -> (mediaPipeline _),
     "skew_salted_join"  -> (skewSaltedJoin _),
     "streaming_latest"  -> (streamingLatest _),
+    "stream_online_serve" -> (streamOnlineServe _),
     "task_runs"         -> (taskRuns _),
     "windowed_counts"   -> (windowedCounts _),
     "stream_asof"       -> (streamAsOf _),

@@ -116,7 +116,14 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
     grouped.foreach { case (b, pairs) =>
       val dir = bucketDir(feature, b)
       Files.createDirectories(dir)
-      val seg = dir.resolve(s"seg-${java.util.UUID.randomUUID().toString}")
+      // time-ordered names: bucketMap merges segments in sorted order, so a
+      // monotonic prefix makes repeated puts of the same key last-write-wins
+      // (streaming upserts depend on this). The prefix is wall-clock-anchored
+      // but per-JVM monotonic (same-millisecond sequential batches must not
+      // reorder); cross-JVM writers order by wall clock, and within one
+      // putBatch a key appears at most once so the UUID tiebreak is safe.
+      val seg = dir.resolve(f"seg-${DiskKv.nextSegTime()}%019d-" +
+        java.util.UUID.randomUUID().toString)
       val out = new ObjectOutputStream(new BufferedOutputStream(
         Files.newOutputStream(seg)))
       try {
@@ -179,6 +186,12 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
     val nb = buckets
     () => new DiskKv(r, nb)
   }
+}
+
+object DiskKv {
+  private val segClock = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[serving] def nextSegTime(): Long =
+    segClock.updateAndGet(p => math.max(p + 1, System.currentTimeMillis()))
 }
 
 object OnlineBulkLoad {

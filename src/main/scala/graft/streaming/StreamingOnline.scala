@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.serving.KvBackend
+
+/** Streaming online materialization — the stream-to-serving loop closed
+  * (reference: `ComputationMode.STREAMING` features flowing through the
+  * materializer into the online store; metadata.proto:228-232 +
+  * runner/materialize.go's chunk writer, fed by a stream instead of a
+  * table scan).
+  *
+  * Each micro-batch upserts partition-side: `foreachBatch` hands the batch
+  * DataFrame to per-partition backend clients (`backendFactory` runs
+  * EXECUTOR-side, the [[graft.serving.OnlineBulkLoad]] rule) — the driver
+  * never holds the rows, so a 1000-executor stream writes 1000 ways
+  * concurrently. KV upsert ≡ the K6 MERGE: within a batch each entity
+  * appears at most once (feed this from
+  * [[StreamingLatest.latestValueStream]], which emits only changed latest
+  * rows); across batches [[graft.serving.DiskKv]]'s time-ordered segment
+  * merge makes the newest write win.
+  *
+  * Values are stored as (v, t) epoch-ms structs — the
+  * [[graft.serving.OnlineStore.loadWithTs]] shape — so TTL reads
+  * (`getFresh`) work identically for batch-loaded and stream-fed features.
+  */
+object StreamingOnline {
+
+  /** Start the sink over (entity, value, ts) update rows. Exactly-once is
+    * the usual foreachBatch contract: replayed batches rewrite the same
+    * (entity -> newest value) state, so the upsert is idempotent at the
+    * value level. */
+  def onlineSink(updates: DataFrame, feature: String,
+                 backendFactory: () => KvBackend,
+                 checkpointDir: String): StreamingQuery = {
+    backendFactory().createTable(feature)
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(col("entity"),
+            struct(col("value").as("v"), unix_millis(col("ts")).as("t"))
+              .as("value"))
+          .foreachPartition { rows: Iterator[Row] =>
+            backendFactory().putBatch(feature,
+              rows.map(r => r.get(0) -> r.get(1)))
+          }
+      }
+      .start()
+  }
+}
