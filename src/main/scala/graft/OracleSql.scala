@@ -747,6 +747,23 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // Token-budget selection: per source, (quality DESC, doc_id) order,
+    // keep while the running total BEFORE the doc is under budget (the
+    // crossing doc is included). SUM(BIGINT) is HUGEINT in DuckDB — cast.
+    "token_budget_select" ->
+      raw"""WITH $QUALITY_CTES,
+           |s AS (SELECT b.doc_id, d.source, q.quality, b.n_tokens
+           |  FROM base b JOIN q USING (doc_id)
+           |  JOIN documents d ON b.doc_id = d.doc_id),
+           |c AS (SELECT source, doc_id, quality, n_tokens,
+           |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cum_before FROM s)
+           |SELECT source, doc_id, quality, n_tokens,
+           |  CAST(cum_before AS BIGINT) AS cum_before
+           |FROM c WHERE cum_before < 600""".stripMargin,
+
     // Span-level exact duplication: 10-grams in >= 2 docs, per-doc hit
     // positions merged into islands (merge when start <= accumulated end —
     // half-open, adjacency merges), covered tokens summed. Window chain

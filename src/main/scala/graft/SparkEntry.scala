@@ -465,6 +465,12 @@ object SparkEntry {
   /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
     * by >= 2 documents, merged per doc into islands with covered-token
     * fractions — catches boilerplate stitched into otherwise-unique docs. */
+  /** Token-budget selection: best-quality docs per source until the running
+    * token total crosses the budget (first-fit greedy). */
+  private def tokenBudgetSelectQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Mix.tokenBudgetSelect(t(s, dir, "documents"), "source",
+      "doc_id", "text", budgetTokens = 600L)
+
   private def dupSpansQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(t(s, dir, "documents"), "text", "doc_id", n = 10)
 
@@ -1806,6 +1812,7 @@ object SparkEntry {
     "bloom_decontam"    -> (bloomDecontam _),
     "dup_spans"         -> (dupSpansQ _),
     "scrub_dup_spans"   -> (scrubDupSpansQ _),
+    "token_budget_select" -> (tokenBudgetSelectQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

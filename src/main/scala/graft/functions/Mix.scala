@@ -47,6 +47,36 @@ object Mix {
         "sampling_rate")
   }
 
+  /** Token-budget corpus selection: per source, documents ranked by
+    * (quality DESC, id ASC) are kept while the running token total BEFORE
+    * the document stays under the budget — first-fit greedy, so the
+    * boundary-crossing document is included, every non-empty budget
+    * selects at least one document, and overshoot is bounded by one
+    * document. The selection rule a mix plan's `planned_tokens` feeds.
+    *
+    * 100 TB design: one per-source window (range exchange on the source
+    * key + in-partition sort). A single source bigger than a partition is
+    * the skew hazard; the scale path is a two-phase cut — take the
+    * approximate quality threshold at the budget from a mergeable
+    * quantile sketch ([[graft.ops.Profile.sketchQuantiles]]), keep
+    * everything clearly above, and run this exact window only on the
+    * boundary band. Same rule, sort sized to the band. */
+  def tokenBudgetSelect(docs: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    docs
+      .select(col(sourceCol).as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        TextFunctions.qualityScore(col(textCol)).as("quality"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("cum_before") < budgetTokens)
+  }
+
   /** Curriculum phase assignment: rank every document by
     * (quality score, id) and split the ranking into `nBins` equal-count
     * bins — `bin = floor((rank-1) · nBins / n)`, 0 = lowest quality.

@@ -38,6 +38,34 @@ class MixSpec extends SparkSpec {
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
   }
 
+  test("tokenBudgetSelect: top-quality prefix per source, crossing doc kept") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val budget = 300L
+    val sel = Mix.tokenBudgetSelect(docs, "source", "doc_id", "text", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(sel.nonEmpty)
+    val bySrc = sel.groupBy(_._1)
+    val all = Mix.tokenBudgetSelect(docs, "source", "doc_id", "text",
+      Long.MaxValue).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    bySrc.foreach { case (src, rows) =>
+      // every selected doc started under budget...
+      assert(rows.forall(_._5 < budget))
+      // ...and the selection ran TO the budget: either it crossed it or the
+      // source is exhausted
+      val total = rows.map(_._4).sum
+      assert(total >= budget || rows.length == all(src).length)
+      // the selection is the (quality DESC, doc_id ASC) prefix: every
+      // unselected doc ranks strictly after every selected one
+      val selKeys = rows.map(r => (-r._3, r._2)).toSet
+      val worstSel = rows.map(r => (-r._3, r._2)).max
+      val unsel = all(src).filterNot(r => selKeys.contains((-r._3, r._2)))
+      assert(unsel.forall(r => Ordering[(Double, Long)].gt((-r._3, r._2), worstSel)))
+    }
+  }
+
   test("crossSourceDups rolls near-dup pairs up by unordered source pair") {
     val base = Seq.tabulate(60)(i => s"tok$i").mkString(" ")
     val docs = Seq(
