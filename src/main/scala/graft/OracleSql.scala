@@ -747,6 +747,13 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // JSONL export roundtrip: the read-back must be the table itself plus
+    // the deterministic md5 shard assignment
+    "jsonl_export" ->
+      s"""SELECT doc_id, source, text,
+         |  ${mh63("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |FROM documents""".stripMargin,
+
     // Token-budget selection: per source, (quality DESC, doc_id) order,
     // keep while the running total BEFORE the doc is under budget (the
     // crossing doc is included). SUM(BIGINT) is HUGEINT in DuckDB — cast.

@@ -465,6 +465,21 @@ object SparkEntry {
   /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
     * by >= 2 documents, merged per doc into islands with covered-token
     * fractions — catches boilerplate stitched into otherwise-unique docs. */
+  /** JSONL export roundtrip: documents → md5-sharded shard=N/ jsonl dirs →
+    * read back with a pinned schema. The read-back rows (incl. the
+    * recovered shard partition column) must equal the table + the shard
+    * rule — write/read fidelity and sharding determinism in one gate. */
+  private def jsonlExport(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    graft.sources.Writers.exportJsonl(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+      tmp, "doc_id", shards = 8)
+    graft.sources.Writers.readJsonl(s, tmp,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, text STRING, shard BIGINT"))
+      .select(col("doc_id"), col("source"), col("text"), col("shard"))
+  }
+
   /** Token-budget selection: best-quality docs per source until the running
     * token total crosses the budget (first-fit greedy). */
   private def tokenBudgetSelectQ(s: SparkSession, dir: String): DataFrame =
@@ -1813,6 +1828,7 @@ object SparkEntry {
     "dup_spans"         -> (dupSpansQ _),
     "scrub_dup_spans"   -> (scrubDupSpansQ _),
     "token_budget_select" -> (tokenBudgetSelectQ _),
+    "jsonl_export"      -> (jsonlExport _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

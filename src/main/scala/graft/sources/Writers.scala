@@ -177,4 +177,34 @@ object Writers {
         nonKey.map(cn => when(col("change_type") === "delete",
           col(s"__p_$cn")).otherwise(col(cn)).as(cn)): _*)
   }
+
+  /** JSONL training-data export — the text format tokenizer pipelines
+    * consume. Rows shard deterministically by the 63-bit md5 of the id
+    * (`shard = md5(id) % shards`, the stratified-sampling hash bridge, so
+    * shard membership is stable across runs and engines); `partitionBy`
+    * lays one `shard=N/` directory per shard, and the pre-write
+    * `repartition` on the shard key makes each directory a small number
+    * of whole files — the layout a downstream loader streams shard-by-
+    * shard. Readers recover `shard` as a partition column.
+    *
+    * 100 TB design: the repartition is the one shuffle and it IS the
+    * export contract (co-locate a shard's rows); JSON encoding is
+    * scan-stage. More shards than executors just means multiple dirs per
+    * task — shards need not fit anywhere. */
+  def exportJsonl(df: DataFrame, outDir: String, idCol: String,
+                  shards: Int): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    df.withColumn("shard",
+        pmod(graft.functions.expressions.Md5Long(col(idCol).cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(shards.toLong)))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").json(outDir)
+  }
+
+  /** Read a JSONL export back with an explicit schema (inference would
+    * type-drift: int64 vs double on empty shards). `shard` comes back as
+    * the partition column. */
+  def readJsonl(spark: SparkSession, dir: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("basePath", dir).json(dir)
 }
