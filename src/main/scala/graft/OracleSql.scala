@@ -747,6 +747,23 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // Top-5 TF-IDF keywords per doc: tf and df exact integers, the one
+    // double is tf * ln(N/df) (the ln bridge), token breaks exact ties
+    "tfidf_keywords" ->
+      raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+           |t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+           |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM t GROUP BY 1, 2),
+           |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM tf GROUP BY 1),
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |s AS (SELECT doc_id, token, tf, df,
+           |    tf * ln(CAST(n AS DOUBLE) / df) AS score
+           |  FROM tf JOIN df USING (token), n)
+           |SELECT doc_id, token, tf, df, round(score, 6) AS tfidf FROM s
+           |QUALIFY row_number() OVER (PARTITION BY doc_id
+           |  ORDER BY score DESC, token) <= 5""".stripMargin,
+
     // JSONL export roundtrip: the read-back must be the table itself plus
     // the deterministic md5 shard assignment
     "jsonl_export" ->

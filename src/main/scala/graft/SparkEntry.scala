@@ -465,6 +465,11 @@ object SparkEntry {
   /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
     * by >= 2 documents, merged per doc into islands with covered-token
     * fractions — catches boilerplate stitched into otherwise-unique docs. */
+  /** Top-5 TF-IDF keywords per document (tagging / topic seeding). */
+  private def tfidfKeywordsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Retrieval.tfidfKeywords(
+      t(s, dir, "documents"), "doc_id", "text", k = 5)
+
   /** JSONL export roundtrip: documents → md5-sharded shard=N/ jsonl dirs →
     * read back with a pinned schema. The read-back rows (incl. the
     * recovered shard partition column) must equal the table + the shard
@@ -1829,6 +1834,7 @@ object SparkEntry {
     "scrub_dup_spans"   -> (scrubDupSpansQ _),
     "token_budget_select" -> (tokenBudgetSelectQ _),
     "jsonl_export"      -> (jsonlExport _),
+    "tfidf_keywords"    -> (tfidfKeywordsQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

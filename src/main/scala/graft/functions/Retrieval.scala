@@ -71,4 +71,42 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  /** Top-k TF-IDF keywords per document — the per-doc complement of
+    * [[bm25TopK]]'s per-query scoring (keyword tagging / topic seeding for
+    * corpus slices). `score = tf · ln(N/df)`; common words get idf → 0 and
+    * fall out of the top-k naturally.
+    *
+    * Scale shape: term frequencies are one (doc, token)-keyed partial-agg
+    * shuffle of the exploded scan; document frequencies re-aggregate THAT
+    * result token-keyed (vocab-sized input, not corpus-sized); the df
+    * table joins back on the token key sort-merge — vocab is NOT assumed
+    * broadcast-small. N broadcasts as a single row. The per-doc top-k is
+    * a rank-filtered doc-keyed window (WindowGroupLimit: map-side top-k
+    * before the exchange).
+    *
+    * Float discipline: tf/df/N exact integers; the one double expression
+    * is `tf * ln(N/df)`, ordered DESC with the token as the exact-tie
+    * break; output rounds to 6 dp (the ln bridge, the dsir/bm25
+    * convention). */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val score = col("tf").cast("double") *
+      log(col("__n").cast("double") / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(score.desc, col("token"))
+    tf.join(df, "token").crossJoin(n)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        round(score, 6).as("tfidf"))
+  }
 }

@@ -46,6 +46,29 @@ class RetrievalSpec extends SparkSpec {
     assert(!got.contains(4L)) // no query term -> excluded
   }
 
+  test("tfidfKeywords: hand-checked scores, rare terms outrank common") {
+    val got = Retrieval.tfidfKeywords(corpus, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(-_._5).map(_._2).toSeq).toMap
+    // d1: shuffle (1*ln5=1.609) > join (2*ln(5/3)=1.022) > spark (0.511)
+    assert(got(1L) == Seq("shuffle", "join"))
+    // d4 has a single distinct token
+    assert(got(4L) == Seq("filter"))
+    // d2: index/scan tie at ln5 -> token ASC breaks: index before scan
+    assert(got(2L) == Seq("index", "scan"))
+    val d1 = Retrieval.tfidfKeywords(corpus, "doc_id", "text", k = 5)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .filter(r => r._1 == 1L && r._2 == "join").head
+    assert(d1._3 == 2L && d1._4 == 3L &&
+      math.abs(d1._5 - 2.0 * math.log(5.0 / 3.0)) < 1e-6)
+  }
+
+  test("tfidfKeywords plans the rank filter as WindowGroupLimit") {
+    val plan = Retrieval.tfidfKeywords(corpus, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("k truncates by (score desc, doc_id) deterministically") {
     val top = Retrieval.bm25TopK(corpus, "doc_id", "text",
       Seq("join"), k = 2).as[(Long, Double)].collect()
