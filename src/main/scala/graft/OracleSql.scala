@@ -747,6 +747,23 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // PIT trailing-window aggregates: per distinct purchase (user, ts),
+    // clicks in [ts - 1h, ts) — half-open, label instant excluded; sums in
+    // DECIMAL(18,2), zero-event labels keep (0, 0.0)
+    "pit_window_agg" ->
+      s"""WITH $EV,
+         |l AS (SELECT DISTINCT user_id, ts FROM ev
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, value FROM ev
+         |  WHERE event_type = 'click')
+         |SELECT l.user_id, epoch_ms(l.ts) AS label_ts_ms,
+         |  CAST(COUNT(c.value) AS BIGINT) AS n_events,
+         |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+         |    AS sum_value
+         |FROM l LEFT JOIN c ON c.user_id = l.user_id
+         |  AND c.ts >= l.ts - INTERVAL 1 HOUR AND c.ts < l.ts
+         |GROUP BY 1, 2""".stripMargin,
+
     // Top-5 TF-IDF keywords per doc: tf and df exact integers, the one
     // double is tf * ln(N/df) (the ln bridge), token breaks exact ties
     "tfidf_keywords" ->

@@ -465,6 +465,17 @@ object SparkEntry {
   /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
     * by >= 2 documents, merged per doc into islands with covered-token
     * fractions — catches boilerplate stitched into otherwise-unique docs. */
+  /** PIT trailing-window aggregate features: per purchase label, the count
+    * and sum of the user's clicks in the preceding hour (half-open — the
+    * label instant excluded, as-of no-leakage discipline). */
+  private def pitWindowAggQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    PitWindowAgg.trailingAgg(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "value", windowSec = 3600L)
+  }
+
   /** Top-5 TF-IDF keywords per document (tagging / topic seeding). */
   private def tfidfKeywordsQ(s: SparkSession, dir: String): DataFrame =
     graft.functions.Retrieval.tfidfKeywords(
@@ -1835,6 +1846,7 @@ object SparkEntry {
     "token_budget_select" -> (tokenBudgetSelectQ _),
     "jsonl_export"      -> (jsonlExport _),
     "tfidf_keywords"    -> (tfidfKeywordsQ _),
+    "pit_window_agg"    -> (pitWindowAggQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-time TRAILING-WINDOW aggregation features — the Feast/Tecton
+  * "windowed aggregate feature" role the reference's latest-value
+  * materialization doesn't cover (its features are point lookups,
+  * provider/offline.go materialization; this is the aggregate counterpart):
+  * for every label row (entity, ts), aggregate the entity's feature events
+  * with event_ts in the half-open [ts − window, ts) — the label instant
+  * itself EXCLUDED, the as-of join's no-leakage "<" discipline.
+  *
+  * Scale shape: with bucket width = the window length W, every event lands
+  * in exactly ONE (entity, floor(ts/W)) bucket and every label probes TWO
+  * consecutive buckets — the label side duplicates 2×, the (big) event
+  * side never replicates. One shuffle per side on the (entity, bucket)
+  * key, exact range predicate inside the join, partial-agg before the
+  * final (entity, label_ts) rollup. No per-entity sort, no window
+  * function over event history — a skewed entity costs a fat join key
+  * (AQE skew-split territory), not a fat sort. (The RangeJoin
+  * bucketization argument specialized to fixed-width trailing windows.)
+  *
+  * Float discipline: value sums run in DECIMAL(18,2) and cast to DOUBLE
+  * at the end (the oracle's money-math rule); zero-event labels emit
+  * (n_events = 0, sum_value = 0.0) via the left join-back, not dropped
+  * rows.
+  */
+object PitWindowAgg {
+
+  /** (entity, label_ts_ms, n_events, sum_value) per label row. */
+  def trailingAgg(labels: DataFrame, events: DataFrame, entityCol: String,
+                  labelTsCol: String, eventTsCol: String, valueCol: String,
+                  windowSec: Long): DataFrame = {
+    require(windowSec > 0, "window must be positive")
+    val w = lit(windowSec * 1000000L)
+    def bkt(micros: org.apache.spark.sql.Column) =
+      call_function("div", micros - pmod(micros, w), w)
+
+    val ev = events.select(col(entityCol).as("__e"),
+        unix_micros(col(eventTsCol)).as("__et"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .withColumn("__bkt", bkt(col("__et")))
+    // distinct BEFORE the bucket explode: duplicate label rows would
+    // otherwise double-join and double-count
+    val labelKeys = labels.select(col(entityCol).as("__e"),
+      unix_micros(col(labelTsCol)).as("__lt")).distinct()
+    // [lt-W, lt): covered buckets are floor((lt-W)/W) and floor((lt-1)/W)
+    // — two consecutive values (one when the window sits inside a bucket)
+    val lb = labelKeys.withColumn("__bkt", explode(array_distinct(array(
+      bkt(col("__lt") - w), bkt(col("__lt") - 1)))))
+    val agg = lb.join(ev, Seq("__e", "__bkt"))
+      .where(col("__et") >= col("__lt") - w && col("__et") < col("__lt"))
+      .groupBy(col("__e"), col("__lt"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__v")).as("__sum"))
+    labelKeys
+      .join(agg, Seq("__e", "__lt"), "left")
+      .select(col("__e").as(entityCol),
+        call_function("div", col("__lt"), lit(1000L)).as("label_ts_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("__sum").cast("double"), lit(0.0)).as("sum_value"))
+  }
+}
