@@ -747,6 +747,36 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // Expectation-suite validation report: per-rule violation counts.
+    // rlike/regexp_matches are both unanchored-search semantics; the FK
+    // rule counts NULL fks as dangling (NOT EXISTS with = NULL never
+    // matches) — same convention as the Spark anti-join.
+    "validate_gate" ->
+      """WITH u AS (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |SELECT rule, target, n_violations, n_rows,
+        |  n_violations = 0 AS pass FROM (
+        |  SELECT 'not_null' AS rule, 'o_custkey' AS target,
+        |    CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice',
+        |    CAST(COUNT(*) FILTER (o_totalprice IS NULL OR o_totalprice < 0
+        |      OR o_totalprice > 200000) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'matches', 'o_orderpriority',
+        |    CAST(COUNT(*) FILTER (o_orderpriority IS NOT NULL AND
+        |      NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey',
+        |    CAST(SUM(c - 1) AS BIGINT), CAST(SUM(c) AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT 'ref_integrity', 'o_custkey',
+        |    CAST(COUNT(*) FILTER (NOT EXISTS (SELECT 1 FROM customer
+        |      WHERE c_custkey = o_custkey)) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM orders)""".stripMargin,
+
     // PIT trailing-window aggregates: per distinct purchase (user, ts),
     // clicks in [ts - 1h, ts) — half-open, label instant excluded; sums in
     // DECIMAL(18,2), zero-event labels keep (0, 0.0)

@@ -465,6 +465,19 @@ object SparkEntry {
   /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
     * by >= 2 documents, merged per doc into islands with covered-token
     * fractions — catches boilerplate stitched into otherwise-unique docs. */
+  /** Expectation-suite validation over orders: one full-scan aggregate for
+    * the scalar rules + a uniqueness groupBy + an FK anti-join. The range
+    * rule is deliberately tight so the report shows non-zero violations. */
+  private def validateGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Validate._
+    validate(t(s, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 200000.0),
+      Matches("o_orderpriority", "^[1-5]-"),
+      Unique(Seq("o_orderkey")),
+      RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+  }
+
   /** PIT trailing-window aggregate features: per purchase label, the count
     * and sum of the user's clicks in the preceding hour (half-open — the
     * label instant excluded, as-of no-leakage discipline). */
@@ -1847,6 +1860,7 @@ object SparkEntry {
     "jsonl_export"      -> (jsonlExport _),
     "tfidf_keywords"    -> (tfidfKeywordsQ _),
     "pit_window_agg"    -> (pitWindowAggQ _),
+    "validate_gate"     -> (validateGate _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),
