@@ -747,6 +747,32 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // Window-ladder PIT aggregates: one 24h join, each rung a conditional
+    // filter aggregate; DECIMAL sums per rung, zero rows kept
+    "pit_window_ladder" ->
+      s"""WITH $EV,
+         |l AS (SELECT DISTINCT user_id, ts FROM ev
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, value FROM ev
+         |  WHERE event_type = 'click')
+         |SELECT l.user_id, epoch_ms(l.ts) AS label_ts_ms,
+         |  CAST(COUNT(c.value) FILTER (c.ts >= l.ts - INTERVAL 1 HOUR)
+         |    AS BIGINT) AS n_3600,
+         |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2)))
+         |    FILTER (c.ts >= l.ts - INTERVAL 1 HOUR) AS DOUBLE), 0.0)
+         |    AS sum_3600,
+         |  CAST(COUNT(c.value) FILTER (c.ts >= l.ts - INTERVAL 6 HOUR)
+         |    AS BIGINT) AS n_21600,
+         |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2)))
+         |    FILTER (c.ts >= l.ts - INTERVAL 6 HOUR) AS DOUBLE), 0.0)
+         |    AS sum_21600,
+         |  CAST(COUNT(c.value) AS BIGINT) AS n_86400,
+         |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+         |    AS sum_86400
+         |FROM l LEFT JOIN c ON c.user_id = l.user_id
+         |  AND c.ts >= l.ts - INTERVAL 24 HOUR AND c.ts < l.ts
+         |GROUP BY 1, 2""".stripMargin,
+
     // Expectation-suite validation report: per-rule violation counts.
     // rlike/regexp_matches are both unanchored-search semantics; the FK
     // rule counts NULL fks as dangling (NOT EXISTS with = NULL never

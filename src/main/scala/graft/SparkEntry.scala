@@ -465,6 +465,17 @@ object SparkEntry {
   /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
     * by >= 2 documents, merged per doc into islands with covered-token
     * fractions — catches boilerplate stitched into otherwise-unique docs. */
+  /** The window LADDER (1h/6h/24h) in one join: count+sum of clicks per
+    * purchase label across all three trailing windows. */
+  private def pitWindowLadderQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    PitWindowAgg.trailingAggLadder(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "value",
+      windowsSec = Seq(3600L, 21600L, 86400L))
+  }
+
   /** Expectation-suite validation over orders: one full-scan aggregate for
     * the scalar rules + a uniqueness groupBy + an FK anti-join. The range
     * rule is deliberately tight so the report shows non-zero violations. */
@@ -1861,6 +1872,7 @@ object SparkEntry {
     "tfidf_keywords"    -> (tfidfKeywordsQ _),
     "pit_window_agg"    -> (pitWindowAggQ _),
     "validate_gate"     -> (validateGate _),
+    "pit_window_ladder" -> (pitWindowLadderQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

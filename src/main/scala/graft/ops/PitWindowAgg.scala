@@ -61,4 +61,52 @@ object PitWindowAgg {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("__sum").cast("double"), lit(0.0)).as("sum_value"))
   }
+
+  /** The multi-window variant — feature sets ship as window LADDERS
+    * (1h/6h/24h/7d), and running [[trailingAgg]] per window would re-join
+    * per rung. Here the bucketing uses the LARGEST window once, each
+    * (label, event) pair inside it materializes once, and every rung is a
+    * conditional aggregate over that one join (`sum(when(et >= lt−Wᵢ))`)
+    * — one shuffle for the whole ladder, k windows = k extra agg
+    * expressions, zero extra joins. Output columns are suffixed by the
+    * window seconds: n_<w>, sum_<w>. */
+  def trailingAggLadder(labels: DataFrame, events: DataFrame,
+                        entityCol: String, labelTsCol: String,
+                        eventTsCol: String, valueCol: String,
+                        windowsSec: Seq[Long]): DataFrame = {
+    require(windowsSec.nonEmpty && windowsSec.forall(_ > 0),
+      "windows must be positive")
+    require(windowsSec.distinct.size == windowsSec.size,
+      "duplicate window lengths")
+    val wMax = lit(windowsSec.max * 1000000L)
+    def bkt(micros: org.apache.spark.sql.Column) =
+      call_function("div", micros - pmod(micros, wMax), wMax)
+
+    val ev = events.select(col(entityCol).as("__e"),
+        unix_micros(col(eventTsCol)).as("__et"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .withColumn("__bkt", bkt(col("__et")))
+    val labelKeys = labels.select(col(entityCol).as("__e"),
+      unix_micros(col(labelTsCol)).as("__lt")).distinct()
+    val lb = labelKeys.withColumn("__bkt", explode(array_distinct(array(
+      bkt(col("__lt") - wMax), bkt(col("__lt") - 1)))))
+    val aggs = windowsSec.sorted.flatMap { ws =>
+      val inW = col("__et") >= col("__lt") - lit(ws * 1000000L)
+      Seq(sum(when(inW, 1L).otherwise(0L)).as(s"__n_$ws"),
+        sum(when(inW, col("__v"))).as(s"__s_$ws"))
+    }
+    val agg = lb.join(ev, Seq("__e", "__bkt"))
+      .where(col("__et") >= col("__lt") - wMax && col("__et") < col("__lt"))
+      .groupBy(col("__e"), col("__lt"))
+      .agg(aggs.head, aggs.tail: _*)
+    val outCols = windowsSec.sorted.flatMap { ws =>
+      Seq(coalesce(col(s"__n_$ws"), lit(0L)).as(s"n_$ws"),
+        coalesce(col(s"__s_$ws").cast("double"), lit(0.0)).as(s"sum_$ws"))
+    }
+    labelKeys
+      .join(agg, Seq("__e", "__lt"), "left")
+      .select((col("__e").as(entityCol) +:
+        call_function("div", col("__lt"), lit(1000L)).as("label_ts_ms") +:
+        outCols): _*)
+  }
 }

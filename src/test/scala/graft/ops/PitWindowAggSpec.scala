@@ -33,6 +33,28 @@ class PitWindowAggSpec extends SparkSpec {
       (3L, 150000L)  -> ((2L, 48.0))))
   }
 
+  test("ladder rungs equal independent single-window runs") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val labels = ev.filter($"event_type" === "purchase")
+    val clicks = ev.filter($"event_type" === "click")
+    val ladder = PitWindowAgg.trailingAggLadder(labels, clicks, "user_id",
+        "ts", "ts", "value", Seq(1800L, 7200L))
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    for (w <- Seq(1800L, 7200L)) {
+      val single = PitWindowAgg.trailingAgg(labels, clicks, "user_id", "ts",
+          "ts", "value", w)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(single.nonEmpty)
+      single.foreach { case (e, t, n, sum) =>
+        val l = ladder((e, t))
+        if (w == 1800L) assert((l._3, l._4) == ((n, sum)))
+        else assert((l._5, l._6) == ((n, sum)))
+      }
+    }
+  }
+
   test("agrees with the brute-force range join on real events") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
