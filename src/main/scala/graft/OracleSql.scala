@@ -747,6 +747,38 @@ object OracleSql {
            |FROM gh JOIN e USING (h) WHERE gh.doc_id % 10 <> 0
            |GROUP BY 1""".stripMargin,
 
+    // PSI drift: baseline-decile edges by nearest rank (value at
+    // ceil(k*n/10)), bin = #edges strictly below, additive-0.5 smoothing,
+    // one ln per bin (the ln bridge)
+    "drift_psi" ->
+      s"""WITH $EV,
+         |b AS (SELECT CAST(value AS DECIMAL(18,2)) AS v FROM ev
+         |  WHERE event_type = 'click'),
+         |cur AS (SELECT CAST(value AS DECIMAL(18,2)) AS v FROM ev
+         |  WHERE event_type = 'purchase'),
+         |rb AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM b),
+         |n AS (SELECT COUNT(*) AS n FROM b),
+         |ed AS (SELECT rb.v FROM rb, n, unnest(generate_series(1, 9)) AS g(k)
+         |  WHERE rk = CAST(ceil(k * n / 10.0) AS BIGINT)),
+         |arr AS (SELECT list_sort(list(v)) AS edges FROM ed),
+         |nb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_base FROM
+         |  (SELECT len(list_filter(edges, e -> b.v > e)) AS bin FROM b, arr)
+         |  GROUP BY 1),
+         |nc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM
+         |  (SELECT len(list_filter(edges, e -> cur.v > e)) AS bin
+         |   FROM cur, arr) GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM b) AS tb,
+         |  (SELECT COUNT(*) FROM cur) AS tc),
+         |bins AS (SELECT unnest(generate_series(0, 9)) AS bin)
+         |SELECT CAST(bins.bin AS BIGINT) AS bin,
+         |  COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur,
+         |  round(((COALESCE(n_base, 0) + 0.5) / (tb + 5.0) -
+         |         (COALESCE(n_cur, 0) + 0.5) / (tc + 5.0)) *
+         |    ln(((COALESCE(n_base, 0) + 0.5) / (tb + 5.0)) /
+         |       ((COALESCE(n_cur, 0) + 0.5) / (tc + 5.0))), 6) AS psi_term
+         |FROM bins LEFT JOIN nb ON bins.bin = nb.bin
+         |  LEFT JOIN nc ON bins.bin = nc.bin, tot""".stripMargin,
+
     // Window-ladder PIT aggregates: one 24h join, each rung a conditional
     // filter aggregate; DECIMAL sums per rung, zero rows kept
     "pit_window_ladder" ->

@@ -465,6 +465,14 @@ object SparkEntry {
   /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
     * by >= 2 documents, merged per doc into islands with covered-token
     * fractions — catches boilerplate stitched into otherwise-unique docs. */
+  /** Feature drift: PSI of purchase values against the click-value
+    * baseline's deciles (the train-vs-serve distribution check). */
+  private def driftPsiQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    Drift.psi(ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), "value", nBins = 10)
+  }
+
   /** The window LADDER (1h/6h/24h) in one join: count+sum of clicks per
     * purchase label across all three trailing windows. */
   private def pitWindowLadderQ(s: SparkSession, dir: String): DataFrame = {
@@ -1873,6 +1881,7 @@ object SparkEntry {
     "pit_window_agg"    -> (pitWindowAggQ _),
     "validate_gate"     -> (validateGate _),
     "pit_window_ladder" -> (pitWindowLadderQ _),
+    "drift_psi"         -> (driftPsiQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),
