@@ -779,6 +779,28 @@ object OracleSql {
          |FROM bins LEFT JOIN nb ON bins.bin = nb.bin
          |  LEFT JOIN nc ON bins.bin = nc.bin, tot""".stripMargin,
 
+    // categorical PSI: observed-category union, same smoothing/ln rule;
+    // K = category count in the denominator
+    "drift_categorical" ->
+      s"""WITH $EV,
+         |b AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT)
+         |    AS n_base FROM ev WHERE ts < TIMESTAMP '2024-01-16'
+         |  GROUP BY 1),
+         |c AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT)
+         |    AS n_cur FROM ev WHERE ts >= TIMESTAMP '2024-01-16'
+         |  GROUP BY 1),
+         |j AS (SELECT COALESCE(b.category, c.category) AS category,
+         |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+         |  FROM b FULL OUTER JOIN c ON b.category = c.category),
+         |t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc,
+         |    COUNT(*) AS k FROM j)
+         |SELECT category, n_base, n_cur,
+         |  round(((n_base + 0.5) / (tb + 0.5 * k) -
+         |         (n_cur + 0.5) / (tc + 0.5 * k)) *
+         |    ln(((n_base + 0.5) / (tb + 0.5 * k)) /
+         |       ((n_cur + 0.5) / (tc + 0.5 * k))), 6) AS psi_term
+         |FROM j, t""".stripMargin,
+
     // Window-ladder PIT aggregates: one 24h join, each rung a conditional
     // filter aggregate; DECIMAL sums per rung, zero rows kept
     "pit_window_ladder" ->

@@ -473,6 +473,15 @@ object SparkEntry {
       ev.filter(col("event_type") === "purchase"), "value", nBins = 10)
   }
 
+  /** Categorical drift: event-type mix of the second half of the month
+    * against the first half. */
+  private def driftCatQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cut = lit("2024-01-16").cast("timestamp")
+    Drift.psiCategorical(ev.filter(col("ts") < cut),
+      ev.filter(col("ts") >= cut), "event_type")
+  }
+
   /** The window LADDER (1h/6h/24h) in one join: count+sum of clicks per
     * purchase label across all three trailing windows. */
   private def pitWindowLadderQ(s: SparkSession, dir: String): DataFrame = {
@@ -1882,6 +1891,7 @@ object SparkEntry {
     "validate_gate"     -> (validateGate _),
     "pit_window_ladder" -> (pitWindowLadderQ _),
     "drift_psi"         -> (driftPsiQ _),
+    "drift_categorical" -> (driftCatQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

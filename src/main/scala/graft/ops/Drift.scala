@@ -70,4 +70,29 @@ object Drift {
       .select(col("bin"), col("n_base"), col("n_cur"),
         round((p - q) * log(p / q), 6).as("psi_term"))
   }
+
+  /** Categorical PSI — same smoothing and ln discipline over the observed
+    * category union (full-outer of two partial-agg group-bys; a category
+    * present on one side only gets the ½-smoothed zero, never a blowup).
+    * The denominator counts K = |category union|, derived from the joined
+    * frame itself (one extra metadata-scale aggregate, no collect). */
+  def psiCategorical(baseline: DataFrame, current: DataFrame,
+                     catCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(col(catCol).cast("string").as("category"))
+        .groupBy("category").agg(count(lit(1)).as(as))
+    val joined = counts(baseline, "n_base")
+      .join(counts(current, "n_cur"), Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val tot = broadcast(joined.agg(
+      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"),
+      count(lit(1)).as("__k")))
+    val p = (col("n_base") + lit(0.5)) /
+      (col("__tb") + lit(0.5) * col("__k"))
+    val q = (col("n_cur") + lit(0.5)) /
+      (col("__tc") + lit(0.5) * col("__k"))
+    joined.crossJoin(tot)
+      .select(col("category"), col("n_base"), col("n_cur"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+  }
 }

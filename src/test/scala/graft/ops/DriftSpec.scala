@@ -30,6 +30,21 @@ class DriftSpec extends SparkSpec {
     assert(shifted.map(_._4).sum > same.map(_._4).sum + 1.0)
   }
 
+  test("categorical PSI: union of categories, one-sided categories smoothed") {
+    val base = Seq("a", "a", "a", "b").toDF("cat")
+    val cur = Seq("a", "b", "b", "c").toDF("cat")
+    val out = Drift.psiCategorical(base, cur, "cat")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map("a" -> ((3L, 1L)), "b" -> ((1L, 2L)), "c" -> ((0L, 1L))))
+    // hand-check one term: K=3, tb=tc=4 -> denom 5.5
+    val pa = 3.5 / 5.5; val qa = 1.5 / 5.5
+    val term = Drift.psiCategorical(base, cur, "cat")
+      .filter($"category" === "a").as[(String, Long, Long, Double)]
+      .collect().head._4
+    assert(math.abs(term - (pa - qa) * math.log(pa / qa)) < 1e-6)
+  }
+
   test("empty bins from heavy ties stay deterministic") {
     // baseline is one repeated value: all edges equal, everything in bin 0
     val base = Seq.fill(20)(7.0).toDF("value")
