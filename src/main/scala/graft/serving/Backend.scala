@@ -186,6 +186,45 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
     val nb = buckets
     () => new DiskKv(r, nb)
   }
+
+  /** Merge every bucket's segment chain into one segment — the maintenance
+    * pass a long-running streaming sink needs (each micro-batch appends a
+    * segment per touched bucket; reads re-merge the whole chain on every
+    * cache refresh). The merged segment takes a fresh monotonic name, so
+    * it sorts AFTER everything it merged: a reader that lists mid-swap
+    * (merged + not-yet-deleted originals) still resolves every key to the
+    * merged value — last-write-wins is preserved at every instant. Run
+    * from ONE maintenance process per table; concurrent readers are safe,
+    * concurrent writers to the same bucket are not (their segment could be
+    * merged-then-overshadowed or deleted mid-write). */
+  def compact(feature: String): Unit = {
+    var b = 0
+    while (b < buckets) {
+      val dir = bucketDir(feature, b)
+      if (Files.isDirectory(dir)) {
+        val segs = {
+          val s = Files.list(dir)
+          try s.iterator().asInstanceOf[java.util.Iterator[Path]]
+            .asScala.map(_.getFileName.toString).toList.sorted
+          finally s.close()
+        }
+        if (segs.length > 1) {
+          val merged = bucketMap(feature, b)
+          val seg = dir.resolve(f"seg-${DiskKv.nextSegTime()}%019d-" +
+            java.util.UUID.randomUUID().toString)
+          val out = new ObjectOutputStream(new BufferedOutputStream(
+            Files.newOutputStream(seg)))
+          try {
+            out.writeInt(merged.size)
+            merged.foreach { case (k, v) =>
+              out.writeObject(k); out.writeObject(v) }
+          } finally out.close()
+          segs.foreach(name => Files.deleteIfExists(dir.resolve(name)))
+        }
+      }
+      b += 1
+    }
+  }
 }
 
 object DiskKv {

@@ -68,6 +68,34 @@ class BackendSpec extends SparkSpec {
     assert(new DiskKv(root, buckets = 8).scan("t").size == 3)
   }
 
+  test("DiskKv compact: one segment per bucket, upsert history preserved") {
+    val root = java.nio.file.Files.createTempDirectory("diskkv-c").toString
+    val kv = new DiskKv(root, buckets = 4)
+    kv.createTable("t")
+    // three batches, key 1 overwritten twice — last write must win through
+    // the compaction
+    kv.putBatch("t", Iterator(1L -> "v1", 2L -> "a", 5L -> "x"))
+    kv.putBatch("t", Iterator(1L -> "v2", 3L -> "b"))
+    kv.putBatch("t", Iterator(1L -> "v3"))
+    def segsPerBucket: Seq[Int] = {
+      val d = new java.io.File(root).listFiles().filter(_.isDirectory).head
+      d.listFiles().filter(_.isDirectory).toSeq
+        .map(_.listFiles().count(_.getName.startsWith("seg-")))
+    }
+    val before = kv.scan("t").toMap
+    // key 1's bucket saw three batches -> a chain of >= 3 segments
+    assert(before(1L) == "v3" && segsPerBucket.max >= 3)
+    kv.compact("t")
+    assert(segsPerBucket.max == 1) // every chain collapsed
+    assert(kv.scan("t").toMap == before)
+    assert(kv.get("t", 1L).contains("v3"))
+    // a fresh client reads the compacted state identically
+    assert(new DiskKv(root, buckets = 4).scan("t").toMap == before)
+    // writes after compaction still win over the merged segment
+    kv.putBatch("t", Iterator(1L -> "v4"))
+    assert(kv.get("t", 1L).contains("v4"))
+  }
+
   test("default OnlineStore streams the load: no driver collect path") {
     // default backend is DiskKv => ExecutorBackend => bulkLoad route; the
     // materialization has enough rows to span several partitions
