@@ -779,6 +779,27 @@ object OracleSql {
          |FROM bins LEFT JOIN nb ON bins.bin = nb.bin
          |  LEFT JOIN nc ON bins.bin = nc.bin, tot""".stripMargin,
 
+    // top-50 PMI collocations: counts exact, one double expression
+    // ln(fab*T/(f1*f2)) with pinned casts; ORDER on the ROUNDED pmi so
+    // sub-6dp ulp differences collapse into the bigram tie-break
+    "pmi_collocations" ->
+      raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+           |t AS (SELECT unnest(toks) AS token FROM d),
+           |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+           |  FROM t GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS tt FROM uni),
+           |bg AS (SELECT array_to_string(toks[i:i + 1], ' ') AS bigram
+           |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+           |bi AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS fab
+           |  FROM bg GROUP BY 1 HAVING COUNT(*) >= 5),
+           |s AS (SELECT bigram, fab, u1.f AS f1, u2.f AS f2,
+           |    round(ln((CAST(fab AS DOUBLE) * CAST(tt AS DOUBLE)) /
+           |      (CAST(u1.f AS DOUBLE) * CAST(u2.f AS DOUBLE))), 6) AS pmi
+           |  FROM bi
+           |  JOIN uni u1 ON string_split(bigram, ' ')[1] = u1.token
+           |  JOIN uni u2 ON string_split(bigram, ' ')[2] = u2.token, tot)
+           |SELECT * FROM s ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
     // categorical PSI: observed-category union, same smoothing/ln rule;
     // K = category count in the denominator
     "drift_categorical" ->

@@ -473,6 +473,11 @@ object SparkEntry {
       ev.filter(col("event_type") === "purchase"), "value", nBins = 10)
   }
 
+  /** Top-50 PMI collocations (corpus phrase detection). */
+  private def pmiCollocationsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLM.pmiCollocations(
+      t(s, dir, "documents"), "text", minCount = 5L, k = 50)
+
   /** Categorical drift: event-type mix of the second half of the month
     * against the first half. */
   private def driftCatQ(s: SparkSession, dir: String): DataFrame = {
@@ -1892,6 +1897,7 @@ object SparkEntry {
     "pit_window_ladder" -> (pitWindowLadderQ _),
     "drift_psi"         -> (driftPsiQ _),
     "drift_categorical" -> (driftCatQ _),
+    "pmi_collocations"  -> (pmiCollocationsQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

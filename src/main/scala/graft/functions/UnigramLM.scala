@@ -110,6 +110,39 @@ object UnigramLM {
         round(col("n_rare").cast("double") / col("n_bigrams"), 6).as("rare_ratio"))
   }
 
+  /** Top-k collocations by pointwise mutual information:
+    * `pmi(a,b) = ln(f_ab·T / (f_a·f_b))` over bigrams with `f_ab >=
+    * minCount` (PMI at low counts is noise — the standard cutoff). The
+    * corpus-phrase detector (multi-word entities, idioms) beside the
+    * frequency-only [[vocab]].
+    *
+    * Scale shape: the unigram and bigram tables are the two existing
+    * single-shuffle aggregations; the bigram table joins the unigram
+    * table twice on the word key (sort-merge — vocab not assumed
+    * broadcast-small), T broadcasts as one row, and the top-k is
+    * TakeOrderedAndProject. Float discipline: counts exact; ONE double
+    * expression `ln((fab·T)/(f1·f2))` with every cast pinned, ties broken
+    * by the bigram string. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    require(k > 0 && minCount >= 1, "k and minCount must be positive")
+    val uni = tokenFrequencies(docs, textCol)
+    val tot = broadcast(uni.agg(sum(col("freq")).as("__t")))
+    val pmi = log((col("fab").cast("double") * col("__t").cast("double")) /
+      (col("f1").cast("double") * col("f2").cast("double")))
+    bigramFrequencies(docs, textCol, minCount)
+      .withColumnRenamed("freq", "fab")
+      .withColumn("w1", split(col("bigram"), " ")(0))
+      .withColumn("w2", split(col("bigram"), " ")(1))
+      .join(uni.select(col("token").as("w1"), col("freq").as("f1")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("freq").as("f2")), Seq("w2"))
+      .crossJoin(tot)
+      .select(col("bigram"), col("fab"), col("f1"), col("f2"),
+        round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Frequency-ranked vocabulary: top `topK` tokens as `(vocab_id, token,
     * freq)`, ids dense from 0 in (freq DESC, token ASC) order — the
     * deterministic tie-break makes the table identical on every run and

@@ -61,6 +61,20 @@ class UnigramLMSpec extends SparkSpec {
     assert(v.toSeq == Seq((0L, "the", 3L), (1L, "cat", 2L), (2L, "dog", 1L)))
   }
 
+  test("pmiCollocations: hand-checked PMI, minCount gates the noise") {
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "new car"),
+      (3L, "york minster")).toDF("doc_id", "text")
+    val out = UnigramLM.pmiCollocations(docs, "text", minCount = 2L, k = 5)
+      .as[(String, Long, Long, Long, Double)].collect()
+    // only "new york" survives minCount=2: fab=2, f_new=3, f_york=3, T=8
+    assert(out.length == 1)
+    val (bg, fab, f1, f2, pmi) = out.head
+    assert(bg == "new york" && fab == 2L && f1 == 3L && f2 == 3L)
+    assert(math.abs(pmi - math.log(16.0 / 9.0)) < 1e-6)
+  }
+
   test("minCount truncation drops the tail") {
     val f = UnigramLM.tokenFrequencies(docs, "text", minCount = 2).collect()
       .map(_.getString(0)).toSet
