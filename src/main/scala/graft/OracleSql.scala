@@ -459,7 +459,7 @@ object OracleSql {
          |  FROM bpe_w w JOIN bpe_wc c ON w.word = c.word GROUP BY w.doc_id)""".stripMargin
   }
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1993,4 +1993,9 @@ object OracleSql {
          |  max(epoch_ms(ts)) AS max_ts_ms
          |FROM ev GROUP BY 1""".stripMargin,
   )
+
+  // the prefix-sum skew path must give the bucket join's exact answer —
+  // one oracle SQL, two physical strategies under the same gate
+  val all: Map[String, String] =
+    base + ("pit_window_agg_prefix" -> base("pit_window_agg"))
 }

@@ -207,6 +207,14 @@ object SkewBench {
       rec(scale, "asof_sortmerge", time(force(asof(graft.ops.SortMergeAsOf)))._1)
       rec(scale, "asof_unionwindow", time(force(asof(graft.ops.UnionWindow)))._1)
 
+      // trailing-window aggregate on the SAME hot history: entity 77's
+      // labels and clicks share one hour, so the bucket join would
+      // materialize |labels77| x |clicks77| pairs — the prefix-sum path
+      // must stay sort-bounded (this is exactly the case it exists for)
+      rec(scale, "pit_window_prefix",
+        time(force(graft.ops.PitWindowAgg.trailingAggPrefix(
+          labels, clicks, "user_id", "lts", "ts", "value", 3600L)))._1)
+
       // bucketized range join; at 10× the hot hour must trip AQE skew split
       val rj = graft.ops.RangeJoin.pointsInIntervals(
         events.select("id", "ts"), "ts", intervals, "start", "end",
@@ -236,7 +244,7 @@ object SkewBench {
       errs += "AQE skew-join split did NOT activate on the 10x range join"
     val linearFamilies = Seq("exact_dedup", "minhash_near_dups",
       "simhash_near_dups", "winnow_near_dups", "asof_sortmerge",
-      "asof_unionwindow", "range_join", "salted_join")
+      "asof_unionwindow", "pit_window_prefix", "range_join", "salted_join")
     val ratios = linearFamilies.map { f =>
       f -> results("x10")(f) / math.max(results("x1")(f), 1e-9)
     }

@@ -487,6 +487,16 @@ object SparkEntry {
       ev.filter(col("ts") >= cut), "event_type")
   }
 
+  /** The prefix-sum skew path must give bit-identical answers to the
+    * bucket join — same oracle SQL as pit_window_agg. */
+  private def pitWindowAggPrefixQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    PitWindowAgg.trailingAggPrefix(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "value", windowSec = 3600L)
+  }
+
   /** The window LADDER (1h/6h/24h) in one join: count+sum of clicks per
     * purchase label across all three trailing windows. */
   private def pitWindowLadderQ(s: SparkSession, dir: String): DataFrame = {
@@ -1895,6 +1905,7 @@ object SparkEntry {
     "pit_window_agg"    -> (pitWindowAggQ _),
     "validate_gate"     -> (validateGate _),
     "pit_window_ladder" -> (pitWindowLadderQ _),
+    "pit_window_agg_prefix" -> (pitWindowAggPrefixQ _),
     "drift_psi"         -> (driftPsiQ _),
     "drift_categorical" -> (driftCatQ _),
     "pmi_collocations"  -> (pmiCollocationsQ _),

@@ -62,6 +62,58 @@ object PitWindowAgg {
         coalesce(col("__sum").cast("double"), lit(0.0)).as("sum_value"))
   }
 
+  /** The SKEW-PATH variant of [[trailingAgg]] — same answer, different
+    * complexity class. The bucket join materializes (label × window-event)
+    * pairs, which is quadratic in a hot entity's window mass (one entity,
+    * 30% of events, one hour: the SkewBench scenario). COUNT/SUM are
+    * prefix-summable, so here each label needs only TWO cumulative
+    * lookups: union the event rows with two query points per label (at
+    * lt−1 and lt−W−1, integer-micro inclusive ≡ the half-open [lt−W, lt)),
+    * run ONE per-entity cumulative window over the union (events sort
+    * before points at the same instant), and subtract. Cost is the
+    * per-entity sort — n·log n for the hottest entity, no pair blowup.
+    * Prefer this when windows are long relative to event spacing or
+    * entities are skewed; the bucket join wins when windows are sparse. */
+  def trailingAggPrefix(labels: DataFrame, events: DataFrame,
+                        entityCol: String, labelTsCol: String,
+                        eventTsCol: String, valueCol: String,
+                        windowSec: Long): DataFrame = {
+    require(windowSec > 0, "window must be positive")
+    val w = windowSec * 1000000L
+    val labelKeys = labels.select(col(entityCol).as("__e"),
+      unix_micros(col(labelTsCol)).as("__lt")).distinct()
+    val pts = labelKeys
+      .select(col("__e"), col("__lt"), explode(array(
+        struct((col("__lt") - 1).as("t"), lit(1).as("sign")),
+        struct((col("__lt") - w - 1).as("t"), lit(-1).as("sign")))).as("__p"))
+      .select(col("__e"), col("__lt"), col("__p.t").as("__t"),
+        col("__p.sign").as("__sign"), lit(0L).as("__c"),
+        lit(null).cast("decimal(18,2)").as("__v"), lit(1).as("__kind"))
+    val ev = events.select(col(entityCol).as("__e"),
+      lit(null).cast("long").as("__lt"),
+      unix_micros(col(eventTsCol)).as("__t"), lit(0).as("__sign"),
+      lit(1L).as("__c"), col(valueCol).cast("decimal(18,2)").as("__v"),
+      lit(0).as("__kind"))
+    // events sort before points at the same __t (kind 0 < 1), so a point
+    // at lt-1 includes every event with et <= lt-1; point rows contribute
+    // nothing to either running total (__c = 0, __v = NULL)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__e")).orderBy(col("__t"), col("__kind"))
+      .rowsBetween(Long.MinValue, 0)
+    pts.unionByName(ev.select(pts.columns.map(col): _*))
+      .withColumn("__cc", sum(col("__c")).over(win))
+      .withColumn("__cv", sum(col("__v")).over(win))
+      .where(col("__kind") === 1)
+      .groupBy(col("__e"), col("__lt"))
+      .agg(sum(col("__sign") * col("__cc")).as("n_events"),
+        sum(when(col("__sign") === 1, coalesce(col("__cv"), lit(0)))
+          .otherwise(-coalesce(col("__cv"), lit(0)))).as("__sum"))
+      .select(col("__e").as(entityCol),
+        call_function("div", col("__lt"), lit(1000L)).as("label_ts_ms"),
+        col("n_events"),
+        coalesce(col("__sum").cast("double"), lit(0.0)).as("sum_value"))
+  }
+
   /** The multi-window variant — feature sets ship as window LADDERS
     * (1h/6h/24h/7d), and running [[trailingAgg]] per window would re-join
     * per rung. Here the bucketing uses the LARGEST window once, each

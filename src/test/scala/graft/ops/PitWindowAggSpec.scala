@@ -33,6 +33,30 @@ class PitWindowAggSpec extends SparkSpec {
       (3L, 150000L)  -> ((2L, 48.0))))
   }
 
+  test("prefix-sum path equals the bucket join, boundaries included") {
+    val labels = Seq((1L, ts(1000)), (2L, ts(1000)), (3L, ts(150)))
+      .toDF("entity", "ts")
+    val events = Seq(
+      (1L, 1.0, ts(900)), (1L, 2.0, ts(999)), (1L, 4.0, ts(1000)),
+      (1L, 8.0, ts(899)), (3L, 16.0, ts(50)), (3L, 32.0, ts(149)),
+      (3L, 64.0, ts(150))).toDF("entity", "value", "ts")
+    val a = PitWindowAgg.trailingAgg(labels, events, "entity", "ts", "ts",
+      "value", 100L).as[(Long, Long, Long, Double)].collect().toSet
+    val b = PitWindowAgg.trailingAggPrefix(labels, events, "entity", "ts",
+      "ts", "value", 100L).as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // and on real data
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val l2 = ev.filter($"event_type" === "purchase")
+    val c2 = ev.filter($"event_type" === "click")
+    val fast = PitWindowAgg.trailingAgg(l2, c2, "user_id", "ts", "ts",
+      "value", 7200L).as[(Long, Long, Long, Double)].collect().toSet
+    val pre = PitWindowAgg.trailingAggPrefix(l2, c2, "user_id", "ts", "ts",
+      "value", 7200L).as[(Long, Long, Long, Double)].collect().toSet
+    assert(fast == pre)
+  }
+
   test("ladder rungs equal independent single-window runs") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
