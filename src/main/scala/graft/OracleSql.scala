@@ -779,6 +779,26 @@ object OracleSql {
          |FROM bins LEFT JOIN nb ON bins.bin = nb.bin
          |  LEFT JOIN nc ON bins.bin = nc.bin, tot""".stripMargin,
 
+    // negative sampling: slot s of user u -> item md5(u|s|seed) % nItems,
+    // lowest slot wins hash collisions, anti-join positives, first 5
+    "negative_sample" ->
+      s"""WITH inter AS (SELECT DISTINCT o_custkey AS u,
+         |    CAST(l_partkey AS BIGINT) AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |users AS (SELECT DISTINCT u FROM inter),
+         |cand0 AS (SELECT u, s,
+         |    ${mh63("CAST(u AS VARCHAR) || '|' || CAST(s AS VARCHAR) || '|neg'")}
+         |      % 2000 AS item
+         |  FROM users, unnest(generate_series(0, 14)) AS g(s)),
+         |cand AS (SELECT u, item, MIN(s) AS slot FROM cand0 GROUP BY 1, 2),
+         |neg AS (SELECT c.u, c.item, slot FROM cand c
+         |  LEFT JOIN inter i ON c.u = i.u AND c.item = i.item
+         |  WHERE i.u IS NULL)
+         |SELECT u AS "user", item,
+         |  CAST(row_number() OVER (PARTITION BY u ORDER BY slot) AS BIGINT)
+         |    AS "rank"
+         |FROM neg QUALIFY "rank" <= 5""".stripMargin,
+
     // top-50 PMI collocations: counts exact, one double expression
     // ln(fab*T/(f1*f2)) with pinned casts; ORDER on the ROUNDED pmi so
     // sub-6dp ulp differences collapse into the bigram tie-break

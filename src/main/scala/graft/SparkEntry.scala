@@ -473,6 +473,17 @@ object SparkEntry {
       ev.filter(col("event_type") === "purchase"), "value", nBins = 10)
   }
 
+  /** Deterministic negative sampling: 5 never-purchased parts per customer
+    * from the dense part-key space (md5 slot hashing, anti-join positives). */
+  private def negativeSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val inter = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.functions.Sampling.negativeSample(inter, "o_custkey", "l_partkey",
+      nItems = 2000L, k = 5, seed = "neg")
+  }
+
   /** Top-50 PMI collocations (corpus phrase detection). */
   private def pmiCollocationsQ(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLM.pmiCollocations(
@@ -1909,6 +1920,7 @@ object SparkEntry {
     "drift_psi"         -> (driftPsiQ _),
     "drift_categorical" -> (driftCatQ _),
     "pmi_collocations"  -> (pmiCollocationsQ _),
+    "negative_sample"   -> (negativeSampleQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

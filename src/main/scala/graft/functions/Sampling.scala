@@ -38,4 +38,44 @@ object Sampling {
                        rates: Map[String, Double], defaultRate: Double,
                        seed: String): DataFrame =
     df.where(keep(col(idCol), col(stratumCol), rates, defaultRate, seed))
+
+  /** Deterministic NEGATIVE sampling — the recommender-training primitive:
+    * for every user, `k` items they did NOT interact with, drawn from a
+    * dense item-id space [0, nItems). No RNG state: candidate slot `s` of
+    * user `u` maps to item `md5(u|s|seed) % nItems`, so the sample is
+    * reproducible in any engine (the md5 bridge).
+    *
+    * Drawing k·oversample slots, deduping, anti-joining the positives, and
+    * ranking by slot keeps the first k survivors — a user interacting with
+    * nearly everything can come up short (reported honestly, not padded;
+    * raise `oversample` for dense users). Scale shape: candidates are
+    * |users|·k·oversample rows built scan-stage from the user list (no
+    * cross join with the item table — the item space is arithmetic); one
+    * anti-join on (user, item) against the positives; the per-user window
+    * ranks ≤ k·oversample rows. */
+  def negativeSample(interactions: DataFrame, userCol: String,
+                     itemCol: String, nItems: Long, k: Int,
+                     seed: String, oversample: Int = 3): DataFrame = {
+    require(nItems > 0 && k > 0 && oversample >= 1, "bad sampling params")
+    val users = interactions.select(col(userCol).as("user")).distinct()
+    val cand = users
+      .select(col("user"),
+        explode(sequence(lit(0), lit(k * oversample - 1))).as("slot"))
+      .withColumn("item",
+        pmod(expressions.Md5Long(concat_ws("|", col("user").cast("string"),
+            col("slot").cast("string"), lit(seed)))
+          .bitwiseAND(lit(Long.MaxValue)), lit(nItems)))
+      // two slots can hash to the same item: keep the LOWEST slot so the
+      // final rank order is well-defined
+      .groupBy(col("user"), col("item"))
+      .agg(min(col("slot")).as("slot"))
+    val pos = interactions.select(col(userCol).as("user"),
+      col(itemCol).cast("long").as("item")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("slot"))
+    cand.join(pos, Seq("user", "item"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("user"), col("item"), col("rank").cast("long").as("rank"))
+  }
 }
