@@ -851,17 +851,17 @@ object OracleSql {
          |c AS (SELECT user_id, ts, value FROM ev
          |  WHERE event_type = 'click')
          |SELECT l.user_id, epoch_ms(l.ts) AS label_ts_ms,
-         |  CAST(COUNT(c.value) FILTER (c.ts >= l.ts - INTERVAL 1 HOUR)
+         |  CAST(COUNT(c.user_id) FILTER (c.ts >= l.ts - INTERVAL 1 HOUR)
          |    AS BIGINT) AS n_3600,
          |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2)))
          |    FILTER (c.ts >= l.ts - INTERVAL 1 HOUR) AS DOUBLE), 0.0)
          |    AS sum_3600,
-         |  CAST(COUNT(c.value) FILTER (c.ts >= l.ts - INTERVAL 6 HOUR)
+         |  CAST(COUNT(c.user_id) FILTER (c.ts >= l.ts - INTERVAL 6 HOUR)
          |    AS BIGINT) AS n_21600,
          |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2)))
          |    FILTER (c.ts >= l.ts - INTERVAL 6 HOUR) AS DOUBLE), 0.0)
          |    AS sum_21600,
-         |  CAST(COUNT(c.value) AS BIGINT) AS n_86400,
+         |  CAST(COUNT(c.user_id) AS BIGINT) AS n_86400,
          |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
          |    AS sum_86400
          |FROM l LEFT JOIN c ON c.user_id = l.user_id
@@ -900,7 +900,9 @@ object OracleSql {
 
     // PIT trailing-window aggregates: per distinct purchase (user, ts),
     // clicks in [ts - 1h, ts) — half-open, label instant excluded; sums in
-    // DECIMAL(18,2), zero-event labels keep (0, 0.0)
+    // DECIMAL(18,2), zero-event labels keep (0, 0.0). n_events counts the
+    // JOIN KEY (c.user_id), not c.value: Spark counts joined rows, so an
+    // event with a NULL value must still count
     "pit_window_agg" ->
       s"""WITH $EV,
          |l AS (SELECT DISTINCT user_id, ts FROM ev
@@ -908,7 +910,7 @@ object OracleSql {
          |c AS (SELECT user_id, ts, value FROM ev
          |  WHERE event_type = 'click')
          |SELECT l.user_id, epoch_ms(l.ts) AS label_ts_ms,
-         |  CAST(COUNT(c.value) AS BIGINT) AS n_events,
+         |  CAST(COUNT(c.user_id) AS BIGINT) AS n_events,
          |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
          |    AS sum_value
          |FROM l LEFT JOIN c ON c.user_id = l.user_id
@@ -930,7 +932,7 @@ object OracleSql {
            |  FROM tf JOIN df USING (token), n)
            |SELECT doc_id, token, tf, df, round(score, 6) AS tfidf FROM s
            |QUALIFY row_number() OVER (PARTITION BY doc_id
-           |  ORDER BY score DESC, token) <= 5""".stripMargin,
+           |  ORDER BY round(score, 6) DESC, token) <= 5""".stripMargin,
 
     // JSONL export roundtrip: the read-back must be the table itself plus
     // the deterministic md5 shard assignment

@@ -462,9 +462,6 @@ object SparkEntry {
       "text", "doc_id", n = 8, numProbes = 5, mBits = 1 << 20)
   }
 
-  /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
-    * by >= 2 documents, merged per doc into islands with covered-token
-    * fractions — catches boilerplate stitched into otherwise-unique docs. */
   /** Feature drift: PSI of purchase values against the click-value
     * baseline's deciles (the train-vs-serve distribution check). */
   private def driftPsiQ(s: SparkSession, dir: String): DataFrame = {
@@ -569,6 +566,9 @@ object SparkEntry {
     graft.functions.Mix.tokenBudgetSelect(t(s, dir, "documents"), "source",
       "doc_id", "text", budgetTokens = 600L)
 
+  /** Span-level exact duplication (Lee et al. ExactSubstr): 10-grams shared
+    * by >= 2 documents, merged per doc into islands with covered-token
+    * fractions — catches boilerplate stitched into otherwise-unique docs. */
   private def dupSpansQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(t(s, dir, "documents"), "text", "doc_id", n = 10)
 

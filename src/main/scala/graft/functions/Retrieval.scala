@@ -86,9 +86,10 @@ object Retrieval {
     * before the exchange).
     *
     * Float discipline: tf/df/N exact integers; the one double expression
-    * is `tf * ln(N/df)`, ordered DESC with the token as the exact-tie
-    * break; output rounds to 6 dp (the ln bridge, the dsir/bm25
-    * convention). */
+    * is `tf * ln(N/df)`; the window orders on the ROUNDED score (6 dp)
+    * with the token as the tie break, so sub-rounding ln ulp differences
+    * between engines collapse into the deterministic tie-break — the
+    * bm25/pmi ordering convention. */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -98,8 +99,8 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = broadcast(docs.agg(count(lit(1)).as("__n")))
-    val score = col("tf").cast("double") *
-      log(col("__n").cast("double") / col("df").cast("double"))
+    val score = round(col("tf").cast("double") *
+      log(col("__n").cast("double") / col("df").cast("double")), 6)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(score.desc, col("token"))

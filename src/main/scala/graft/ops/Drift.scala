@@ -60,13 +60,18 @@ object Drift {
     val bins = spark.range(nBins).select(col("id").as("bin"))
     val nb = binned(vals(baseline), "n_base")
     val nc = binned(vals(current), "n_cur")
-    val nBase = vals(baseline).count().toDouble
-    val nCur = vals(current).count().toDouble
+    // totals stay lazy: the baseline total is the nRow aggregate already
+    // built for the edge ranks; the current total is one more 1-row
+    // broadcast — no eager .count() jobs at construction time
+    val nCurRow = broadcast(vals(current).agg(count(lit(1)).as("__nc")))
     val half = lit(0.5)
-    val p = (col("n_base") + half) / lit(nBase + 0.5 * nBins)
-    val q = (col("n_cur") + half) / lit(nCur + 0.5 * nBins)
+    val p = (col("n_base") + half) /
+      (col("__n").cast("double") + 0.5 * nBins)
+    val q = (col("n_cur") + half) /
+      (col("__nc").cast("double") + 0.5 * nBins)
     bins.join(nb, Seq("bin"), "left").join(nc, Seq("bin"), "left")
       .na.fill(0L, Seq("n_base", "n_cur"))
+      .crossJoin(nRow).crossJoin(nCurRow)
       .select(col("bin"), col("n_base"), col("n_cur"),
         round((p - q) * log(p / q), 6).as("psi_term"))
   }

@@ -76,6 +76,9 @@ object Validate {
         }: _*)).as("__r")).select(col("__r.*")))
       }
 
+    // ONE shared total-rows frame for every FK rule (lazy; without it each
+    // RefIntegrity paid its own full count scan for n_rows)
+    lazy val nRowsDf = df.agg(count(lit(1)).as("n_rows"))
     val others = rules.collect {
       case Unique(cols0) =>
         val keyed = df.groupBy(cols0.map(col): _*)
@@ -90,7 +93,7 @@ object Validate {
           .join(dim.select(col(dimCol).as("__fk")).distinct(),
             Seq("__fk"), "left_anti")
           .agg(count(lit(1)).as("n_violations"))
-        dangling.crossJoin(df.agg(count(lit(1)).as("n_rows")))
+        dangling.crossJoin(nRowsDf)
           .select(lit("ref_integrity").as("rule"), lit(c).as("target"),
             col("n_violations"), col("n_rows"))
     }

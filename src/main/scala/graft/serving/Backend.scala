@@ -34,6 +34,15 @@ import org.apache.spark.sql.DataFrame
 trait KvBackend {
   def createTable(feature: String): Unit
   def putBatch(feature: String, rows: Iterator[(Any, Any)]): Unit
+  /** Upsert with an EXPLICIT global version (a streaming batchId): when
+    * writers span JVMs, per-writer clocks cannot order conflicting puts —
+    * the caller's version can. Higher version wins; within one version a
+    * key must appear in at most one call (the micro-batch contract).
+    * Default delegates to [[putBatch]] for backends with their own
+    * conflict resolution (a network KV's server-side ordering). */
+  def putBatchVersioned(feature: String, version: Long,
+                        rows: Iterator[(Any, Any)]): Unit =
+    putBatch(feature, rows)
   def get(feature: String, entity: Any): Option[Any]
   /** Full-table iteration (Redis SCAN role) — backs the serving-side vector
     * scan and index build. */
@@ -105,7 +114,31 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
   override def createTable(feature: String): Unit =
     Files.createDirectories(tableDir(feature))
 
-  override def putBatch(feature: String, rows: Iterator[(Any, Any)]): Unit = {
+  // time-ordered names: bucketMap merges segments in sorted order, so a
+  // monotonic prefix makes repeated puts of the same key last-write-wins
+  // (streaming upserts depend on this). The prefix is wall-clock-anchored
+  // but per-JVM monotonic (same-millisecond sequential batches must not
+  // reorder); cross-JVM writers need putBatchVersioned — per-writer clocks
+  // cannot order conflicting puts across JVMs. Within one putBatch a key
+  // appears at most once, so the UUID tiebreak is safe either way.
+  override def putBatch(feature: String, rows: Iterator[(Any, Any)]): Unit =
+    writeGrouped(feature, rows,
+      f"seg-${DiskKv.nextSegTime()}%019d-")
+
+  /** Versioned segments carry a `seg-v` prefix: 'v' sorts after every
+    * digit, so ALL versioned (streaming) segments overlay the whole
+    * unversioned (bulk-load) base, and among themselves order by the
+    * caller's global version — cross-JVM last-write-wins without clocks.
+    * Lifecycle contract: bulk-load the base first, stream versions on top;
+    * a bulk re-load under live versioned writers needs a fresh table. */
+  override def putBatchVersioned(feature: String, version: Long,
+                                 rows: Iterator[(Any, Any)]): Unit = {
+    require(version >= 0, "version must be non-negative")
+    writeGrouped(feature, rows, f"seg-v$version%019d-")
+  }
+
+  private def writeGrouped(feature: String, rows: Iterator[(Any, Any)],
+                           prefix: String): Unit = {
     val grouped = rows.foldLeft(
       scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Any, Any)]]) {
       case (acc, kv) =>
@@ -116,14 +149,7 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
     grouped.foreach { case (b, pairs) =>
       val dir = bucketDir(feature, b)
       Files.createDirectories(dir)
-      // time-ordered names: bucketMap merges segments in sorted order, so a
-      // monotonic prefix makes repeated puts of the same key last-write-wins
-      // (streaming upserts depend on this). The prefix is wall-clock-anchored
-      // but per-JVM monotonic (same-millisecond sequential batches must not
-      // reorder); cross-JVM writers order by wall clock, and within one
-      // putBatch a key appears at most once so the UUID tiebreak is safe.
-      val seg = dir.resolve(f"seg-${DiskKv.nextSegTime()}%019d-" +
-        java.util.UUID.randomUUID().toString)
+      val seg = dir.resolve(prefix + java.util.UUID.randomUUID().toString)
       val out = new ObjectOutputStream(new BufferedOutputStream(
         Files.newOutputStream(seg)))
       try {

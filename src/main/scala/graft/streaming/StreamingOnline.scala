@@ -18,8 +18,10 @@ import graft.serving.KvBackend
   * concurrently. KV upsert ≡ the K6 MERGE: within a batch each entity
   * appears at most once (feed this from
   * [[StreamingLatest.latestValueStream]], which emits only changed latest
-  * rows); across batches [[graft.serving.DiskKv]]'s time-ordered segment
-  * merge makes the newest write win.
+  * rows); across batches the write carries the GLOBAL streaming batchId as
+  * the version (`putBatchVersioned`), so the newest batch wins on every
+  * backend regardless of which executor JVM wrote it — per-writer clocks
+  * never order conflicting puts.
   *
   * Values are stored as (v, t) epoch-ms structs — the
   * [[graft.serving.OnlineStore.loadWithTs]] shape — so TTL reads
@@ -38,13 +40,13 @@ object StreamingOnline {
     updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
           .select(col("entity"),
             struct(col("value").as("v"), unix_millis(col("ts")).as("t"))
               .as("value"))
           .foreachPartition { rows: Iterator[Row] =>
-            backendFactory().putBatch(feature,
+            backendFactory().putBatchVersioned(feature, batchId,
               rows.map(r => r.get(0) -> r.get(1)))
           }
       }

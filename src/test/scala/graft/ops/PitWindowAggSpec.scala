@@ -95,7 +95,7 @@ class PitWindowAggSpec extends SparkSpec {
           $"cts" >= ($"lts" - expr("INTERVAL 2 HOURS")) &&
           $"cts" < $"lts", "left")
       .groupBy($"lu", $"lts")
-      .agg(count($"cv").as("n"),
+      .agg(count($"cu").as("n"),
         coalesce(sum($"cv".cast("decimal(18,2)")).cast("double"),
           lit(0.0)).as("s"))
       .select($"lu", unix_millis($"lts"), $"n", $"s")

@@ -96,6 +96,24 @@ class BackendSpec extends SparkSpec {
     assert(kv.get("t", 1L).contains("v4"))
   }
 
+  test("putBatchVersioned: version order beats clock order across clients") {
+    val root = java.nio.file.Files.createTempDirectory("diskkv-v").toString
+    val a = new DiskKv(root, buckets = 4)
+    a.createTable("t")
+    // the LATER version is written FIRST (a fast JVM whose segment clock
+    // ran ahead) — version must still win
+    a.putBatchVersioned("t", 7L, Iterator(1L -> "v7"))
+    new DiskKv(root, buckets = 4)
+      .putBatchVersioned("t", 3L, Iterator(1L -> "v3"))
+    assert(a.get("t", 1L).contains("v7"))
+    // versioned writes overlay the unversioned bulk base even when the
+    // base is written afterwards (the documented lifecycle)
+    a.putBatch("t", Iterator(1L -> "base", 2L -> "b2"))
+    assert(a.get("t", 1L).contains("v7") && a.get("t", 2L).contains("b2"))
+    a.compact("t")
+    assert(a.get("t", 1L).contains("v7") && a.get("t", 2L).contains("b2"))
+  }
+
   test("default OnlineStore streams the load: no driver collect path") {
     // default backend is DiskKv => ExecutorBackend => bulkLoad route; the
     // materialization has enough rows to span several partitions
