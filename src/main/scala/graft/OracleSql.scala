@@ -1889,6 +1889,32 @@ object OracleSql {
 
     // temperature-1/2 training mix: sqrt weights (IEEE-exact), round(…,6),
     // integer budget split — window runs over n_sources rows
+    // mix plan EXECUTION: floor(rate) full epochs + one fractional epoch
+    // behind the md5-prefix gate (printf('%08x') ≡ format_string)
+    "mix_execute" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(SUM(len($TOKS_RAW)) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT source, total_tokens,
+         |    round(sqrt(CAST(total_tokens AS DOUBLE)) /
+         |      SUM(sqrt(CAST(total_tokens AS DOUBLE))) OVER (), 6) AS weight
+         |  FROM s),
+         |p AS (SELECT source,
+         |    round(CAST(round(weight * 1000000) AS BIGINT) /
+         |      CAST(total_tokens AS DOUBLE), 6) AS rate FROM w),
+         |x AS (SELECT d.doc_id, d.source, e.epoch,
+         |    CAST(floor(rate) AS BIGINT) AS copies,
+         |    rate - floor(rate) AS frac
+         |  FROM documents d JOIN p ON d.source = p.source,
+         |    unnest(generate_series(0, CAST(floor(rate) AS BIGINT)))
+         |      AS e(epoch))
+         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM x
+         |WHERE epoch < copies OR
+         |  substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+         |    CAST(epoch AS VARCHAR) || '|mix'), 1, 8) <
+         |  printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT))""".stripMargin,
+
     "mix_plan" ->
       s"""WITH s AS (
          |  SELECT source, CAST(SUM(len($TOKS_RAW)) AS BIGINT) AS total_tokens

@@ -470,6 +470,15 @@ object SparkEntry {
       ev.filter(col("event_type") === "purchase"), "value", nBins = 10)
   }
 
+  /** Mix plan EXECUTION: the corpus the 1M-token temperature plan
+    * describes, with multi-epoch repetition + fractional-epoch sampling. */
+  private def mixExecuteQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val plan = graft.functions.Mix.temperatureMix(docs, "source", "text",
+      budgetTokens = 1000000L)
+    graft.functions.Mix.materializeMix(docs, "source", "doc_id", plan, "mix")
+  }
+
   /** Deterministic negative sampling: 5 never-purchased parts per customer
     * from the dense part-key space (md5 slot hashing, anti-join positives). */
   private def negativeSampleQ(s: SparkSession, dir: String): DataFrame = {
@@ -1921,6 +1930,7 @@ object SparkEntry {
     "drift_categorical" -> (driftCatQ _),
     "pmi_collocations"  -> (pmiCollocationsQ _),
     "negative_sample"   -> (negativeSampleQ _),
+    "mix_execute"       -> (mixExecuteQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),

@@ -47,6 +47,34 @@ object Mix {
         "sampling_rate")
   }
 
+  /** EXECUTE a mix plan: materialize the sampled/repeated corpus the plan
+    * describes. A source with `sampling_rate` r contributes ⌊r⌋ full
+    * epochs of every document plus one fractional epoch kept at rate
+    * r−⌊r⌋ by the md5-prefix gate (the [[Sampling]] hash-gate, per-copy
+    * seeded) — multi-epoch repetition and sub-sampling in one rule, fully
+    * deterministic. Output: (doc_id, source, epoch).
+    *
+    * 100 TB design: the plan is n_sources rows broadcast; the epoch
+    * explode and the keep gate are scan-stage (fanout = per-source rate,
+    * which IS the output size — no overdraw); zero shuffles. */
+  def materializeMix(docs: DataFrame, sourceCol: String, idCol: String,
+                     plan: DataFrame, seed: String): DataFrame = {
+    val copies = floor(col("sampling_rate")).cast("long")
+    val frac = col("sampling_rate") - floor(col("sampling_rate"))
+    val thresholdHex = format_string("%08x",
+      floor(frac * 4294967296.0).cast("long"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"))
+      .join(broadcast(plan.select(col("source"), col("sampling_rate"))),
+        Seq("source"))
+      .withColumn("epoch", explode(sequence(lit(0L), copies)))
+      .where(col("epoch") < copies ||
+        substring(md5(concat_ws("|", col("doc_id").cast("string"),
+          col("epoch").cast("string"), lit(seed))), 1, 8) < thresholdHex)
+      .select(col("doc_id"), col("source"), col("epoch"))
+  }
+
   /** Token-budget corpus selection: per source, documents ranked by
     * (quality DESC, id ASC) are kept while the running token total BEFORE
     * the document stays under the budget — first-fit greedy, so the

@@ -38,6 +38,25 @@ class MixSpec extends SparkSpec {
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
   }
 
+  test("materializeMix: floor(rate) full epochs + gated fractional epoch") {
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 50) "a" else "b", s"tok$i words here")).toDF("doc_id", "source", "text")
+    val plan = Seq(("a", 2.5), ("b", 0.4)).toDF("source", "sampling_rate")
+    val out = Mix.materializeMix(docs, "source", "doc_id", plan, "s1")
+      .as[(Long, String, Long)].collect()
+    val a = out.filter(_._2 == "a"); val b = out.filter(_._2 == "b")
+    // source a: epochs 0 and 1 complete (50 docs each), epoch 2 ~half
+    assert(a.count(_._3 == 0L) == 50 && a.count(_._3 == 1L) == 50)
+    val a2 = a.count(_._3 == 2L)
+    assert(a2 > 10 && a2 < 40)
+    // source b: no full epoch, only the gated epoch 0 at ~0.4
+    assert(b.forall(_._3 == 0L) && b.length > 8 && b.length < 32)
+    // deterministic
+    val again = Mix.materializeMix(docs.repartition(7), "source", "doc_id",
+      plan, "s1").as[(Long, String, Long)].collect()
+    assert(again.toSet == out.toSet)
+  }
+
   test("tokenBudgetSelect: top-quality prefix per source, crossing doc kept") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val budget = 300L
