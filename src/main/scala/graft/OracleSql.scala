@@ -917,6 +917,27 @@ object OracleSql {
          |  AND c.ts >= l.ts - INTERVAL 1 HOUR AND c.ts < l.ts
          |GROUP BY 1, 2""".stripMargin,
 
+    // Forward label windows: per distinct click anchor (user, ts),
+    // purchases in (ts, ts + 1h] — strict start, inclusive end; label is
+    // existence, first_outcome_ms NULL when none. Same COUNT-the-join-key
+    // and DECIMAL-sum rules as pit_window_agg
+    "label_window" ->
+      s"""WITH $EV,
+         |a AS (SELECT DISTINCT user_id, ts FROM ev
+         |  WHERE event_type = 'click'),
+         |o AS (SELECT user_id, ts, value FROM ev
+         |  WHERE event_type = 'purchase')
+         |SELECT a.user_id, epoch_ms(a.ts) AS anchor_ts_ms,
+         |  CAST(CASE WHEN COUNT(o.user_id) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS label,
+         |  CAST(COUNT(o.user_id) AS BIGINT) AS n_outcomes,
+         |  COALESCE(CAST(SUM(CAST(o.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+         |    AS sum_value,
+         |  epoch_ms(MIN(o.ts)) AS first_outcome_ms
+         |FROM a LEFT JOIN o ON o.user_id = a.user_id
+         |  AND o.ts > a.ts AND o.ts <= a.ts + INTERVAL 1 HOUR
+         |GROUP BY 1, 2""".stripMargin,
+
     // Top-5 TF-IDF keywords per doc: tf and df exact integers, the one
     // double is tf * ln(N/df) (the ln bridge), token breaks exact ties
     "tfidf_keywords" ->

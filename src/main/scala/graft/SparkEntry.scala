@@ -549,6 +549,18 @@ object SparkEntry {
       "user_id", "ts", "ts", "value", windowSec = 3600L)
   }
 
+  /** FORWARD label windows — the mirror of pit_window_agg: per click
+    * anchor, did the user purchase within the NEXT hour (label), how many
+    * times, for how much, and when first — training labels minted from
+    * future outcomes, strict "> anchor" start. */
+  private def labelWindowQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.ops.LabelWindow.forwardLabel(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      "user_id", "ts", "ts", "value", horizonSec = 3600L)
+  }
+
   /** Top-5 TF-IDF keywords per document (tagging / topic seeding). */
   private def tfidfKeywordsQ(s: SparkSession, dir: String): DataFrame =
     graft.functions.Retrieval.tfidfKeywords(
@@ -1923,6 +1935,7 @@ object SparkEntry {
     "jsonl_export"      -> (jsonlExport _),
     "tfidf_keywords"    -> (tfidfKeywordsQ _),
     "pit_window_agg"    -> (pitWindowAggQ _),
+    "label_window"      -> (labelWindowQ _),
     "validate_gate"     -> (validateGate _),
     "pit_window_ladder" -> (pitWindowLadderQ _),
     "pit_window_agg_prefix" -> (pitWindowAggPrefixQ _),
