@@ -1196,6 +1196,69 @@ object OracleSql {
            |SELECT doc_id, md5($NORM_TEXT) AS fp, n_tokens FROM kept
            |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin,
 
+    // Filter funnel: every doc binned at its FIRST failing rule (quality →
+    // language → repetition → exact-dup → kept); n_entered is the reverse
+    // cumulative sum over the stage rollup. Quality/lang replay = the
+    // corpus_clean CTEs; repetition = repetition_stats' rounded
+    // dup_token_frac; dedup survivor = lowest passing doc_id per
+    // normalized-text md5
+    "filter_funnel" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, text,
+           |    CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
+           |    $TOKS_LOWER AS ltoks,
+           |    list_distinct($TOKS_LOWER) AS dtoks,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) * 1.0 / length(text) END AS cjk,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS alpha_r,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END AS punct_r,
+           |    CAST(len(list_filter($TOKS_LOWER, t -> list_contains($EN, t))) AS BIGINT) AS en_hits
+           |  FROM documents),
+           |flags AS (
+           |  SELECT doc_id, md5($NORM_TEXT) AS fp,
+           |    (round(least(length(text) * 1.0 / 500.0, 1.0) * 0.25 + alpha_r * 0.35 +
+           |      least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE en_hits * 1.0 / n_tokens END) * 4.0, 1.0) * 0.2 +
+           |      greatest(0.0, 1.0 - punct_r * 5.0) * 0.2, 6) >= 0.5) AS pq,
+           |    ((CASE WHEN cjk >= 0.2 THEN 'zh'
+           |         WHEN len(list_intersect(dtoks, $EN)) = 0 AND len(list_intersect(dtoks, $DE)) = 0
+           |          AND len(list_intersect(dtoks, $ES)) = 0 AND len(list_intersect(dtoks, $FR)) = 0 THEN 'und'
+           |         WHEN len(list_intersect(dtoks, $EN)) >= len(list_intersect(dtoks, $DE))
+           |          AND len(list_intersect(dtoks, $EN)) >= len(list_intersect(dtoks, $ES))
+           |          AND len(list_intersect(dtoks, $FR)) <= len(list_intersect(dtoks, $EN)) THEN 'en'
+           |         WHEN len(list_intersect(dtoks, $DE)) >= len(list_intersect(dtoks, $ES))
+           |          AND len(list_intersect(dtoks, $DE)) >= len(list_intersect(dtoks, $FR)) THEN 'de'
+           |         WHEN len(list_intersect(dtoks, $ES)) >= len(list_intersect(dtoks, $FR)) THEN 'es'
+           |         ELSE 'fr' END) = 'en') AS pl,
+           |    (round(CASE WHEN len(ltoks) = 0 THEN 0.0
+           |      ELSE 1.0 - len(dtoks) * 1.0 / len(ltoks) END, 6) <= 0.6) AS pr
+           |  FROM d),
+           |staged AS (
+           |  SELECT doc_id, pq, pl, pr,
+           |    min(CASE WHEN pq AND pl AND pr THEN doc_id END)
+           |      OVER (PARTITION BY fp) AS minpass
+           |  FROM flags),
+           |binned AS (
+           |  SELECT CASE WHEN NOT pq THEN '1_quality'
+           |              WHEN NOT pl THEN '2_language'
+           |              WHEN NOT pr THEN '3_repetition'
+           |              WHEN doc_id <> minpass THEN '4_exact_dup'
+           |              ELSE '5_kept' END AS stage
+           |  FROM staged),
+           |c AS (SELECT stage, COUNT(*) AS n FROM binned GROUP BY 1),
+           |st AS (SELECT unnest(['1_quality', '2_language', '3_repetition',
+           |    '4_exact_dup', '5_kept']) AS stage),
+           |j AS (SELECT st.stage, COALESCE(c.n, 0) AS n
+           |  FROM st LEFT JOIN c USING (stage))
+           |SELECT stage,
+           |  CAST(SUM(n) OVER (ORDER BY stage
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           |    AS n_entered,
+           |  CAST(CASE WHEN stage = '5_kept' THEN 0 ELSE n END AS BIGINT)
+           |    AS n_dropped
+           |FROM j""".stripMargin,
+
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -368,6 +368,12 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TF.langId(col("text")).as("pred_lang"))
 
+  /** Filter-funnel attrition report over the corpus_clean rules plus a
+    * repetition gate — see [[graft.ops.Funnel]]. */
+  private def filterFunnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.filterFunnel(t(s, dir, "documents"), "doc_id", "text",
+      qualityMin = 0.5, lang = "en", maxDupFrac = 0.6)
+
   /** Gopher-family repetition signals: one RepStats struct per row (single
     * document walk in the scan projection), fractions derived as arithmetic
     * over its integer fields so the oracle replays them exactly. */
@@ -1894,6 +1900,7 @@ object SparkEntry {
     "text_stats"        -> (textStats _),
     "lang_id"           -> (langIdQ _),
     "corpus_clean"      -> (corpusClean _),
+    "filter_funnel"     -> (filterFunnelQ _),
     "ann_topk"          -> (annTopK _),
     "minhash_near_dups" -> (minhashNearDups _),
     "simhash_near_dups" -> (simhashNearDups _),
