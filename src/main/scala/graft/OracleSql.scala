@@ -2124,6 +2124,197 @@ object OracleSql {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          |  max(epoch_ms(ts)) AS max_ts_ms
          |FROM ev GROUP BY 1""".stripMargin,
+
+    // windowFunnel greedy earliest-chain: t1 = first view; each later step
+    // the MIN ts strictly after the previous step's pick, within t1 + 24h
+    "event_funnel" ->
+      s"""WITH $EV,
+         |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1
+         |  FROM ev e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND e.ts > t1
+         |    AND e.ts <= t1 + INTERVAL 86400 SECOND GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+         |  FROM ev e JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND e.ts > t2
+         |    AND e.ts <= t1 + INTERVAL 86400 SECOND GROUP BY 1)
+         |SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+         |UNION ALL SELECT CAST(2 AS INTEGER), 'click',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)""".stripMargin,
+
+    // daily cohort retention: cohort = first active day per user, offset
+    // in whole days (both sides day-truncated, so the diff is exact)
+    "retention_cohorts" ->
+      s"""WITH $EV,
+         |c AS (SELECT user_id, min(date_trunc('day', ts)) AS cd
+         |  FROM ev GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM ev)
+         |SELECT epoch_ms(cd) AS cohort_ms,
+         |  CAST(date_diff('day', cd, d) AS INTEGER) AS bucket_offset,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // SCD2 build: run-length compress per-user event_type over the
+    // (ts, event_id) total order, LEAD closes each interval
+    "scd2_build" ->
+      s"""WITH $EV,
+         |l AS (SELECT user_id, event_type, ts, event_id,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS pe
+         |  FROM ev),
+         |s AS (SELECT user_id, event_type, ts AS vf, event_id FROM l
+         |  WHERE pe IS NULL OR pe <> event_type),
+         |w AS (SELECT user_id, event_type, vf,
+         |    lead(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id)
+         |      AS vt
+         |  FROM s)
+         |SELECT user_id, event_type, epoch_ms(vf) AS valid_from_ms,
+         |  epoch_ms(vt) AS valid_to_ms, vt IS NULL AS is_current
+         |FROM w""".stripMargin,
+
+    // market-basket lift: exact BIGINT support counts, ONE double division
+    // rounded; ORDER on the rounded lift with the pair tie-break
+    "item_cooccur" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+        |  FROM lineitem),
+        |sz AS (SELECT bk, COUNT(*) AS s FROM b GROUP BY 1
+        |  HAVING COUNT(*) <= 1000),
+        |cb AS (SELECT b.bk, b.item FROM b JOIN sz USING (bk)),
+        |itn AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM cb
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM sz),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM cb x JOIN cb y ON x.bk = y.bk AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item_a, item_b, n_ab, na.n AS n_a, nbn.n AS n_b,
+        |  round(CAST(n_ab * nb AS DOUBLE) /
+        |    CAST(na.n * nbn.n AS DOUBLE), 6) AS lift
+        |FROM p JOIN itn na ON item_a = na.item
+        |  JOIN itn nbn ON item_b = nbn.item, tot
+        |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    // smoothed target encoding: DECIMAL sums, the prior pinned FIRST
+    // (one rounded double), then the encoding uses the pinned prior
+    "target_encode" ->
+      """WITH j AS (SELECT c_mktsegment AS category,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pc AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s
+        |  FROM j GROUP BY 1),
+        |g AS (SELECT SUM(y) AS gs, CAST(COUNT(*) AS BIGINT) AS gn FROM j)
+        |SELECT category, n,
+        |  round((CAST(s AS DOUBLE) + 20 * round(CAST(gs AS DOUBLE) / gn, 6))
+        |    / (n + 20), 6) AS enc,
+        |  round(CAST(gs AS DOUBLE) / gn, 6) AS prior
+        |FROM pc, g""".stripMargin,
+
+    // per-column Shannon entropy: per-category terms rounded to 9 dp and
+    // pinned to DECIMAL BEFORE the sum (exact, order-independent)
+    "column_entropy" ->
+      """WITH m AS (
+        |  SELECT 'c_name' AS col_,
+        |    COALESCE(CAST(c_name AS VARCHAR), '__null__') AS v FROM customer
+        |  UNION ALL SELECT 'c_nationkey',
+        |    COALESCE(CAST(c_nationkey AS VARCHAR), '__null__') FROM customer
+        |  UNION ALL SELECT 'c_mktsegment',
+        |    COALESCE(CAST(c_mktsegment AS VARCHAR), '__null__') FROM customer
+        |  UNION ALL SELECT 'c_acctbal',
+        |    COALESCE(CAST(c_acctbal AS VARCHAR), '__null__') FROM customer),
+        |c AS (SELECT col_, v, CAST(COUNT(*) AS BIGINT) AS n FROM m
+        |  GROUP BY 1, 2),
+        |t AS (SELECT col_, SUM(n) AS tot, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM c GROUP BY 1)
+        |SELECT c.col_ AS "column", min(k) AS n_categories,
+        |  CAST(SUM(CAST(round(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) *
+        |    ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats
+        |FROM c JOIN t USING (col_) GROUP BY 1""".stripMargin,
+
+    // mutual information: contingency counts exact; marginals re-derived
+    // from the pair table; one ln per cell, 9-dp pinned
+    "mutual_info" ->
+      """WITH p AS (SELECT
+        |    COALESCE(CAST(c_mktsegment AS VARCHAR), '__null__') AS x,
+        |    COALESCE(CAST(c_nationkey AS VARCHAR), '__null__') AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM customer GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM p GROUP BY 1),
+        |ny AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM p GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM p)
+        |SELECT x, y, n_xy, n_x, n_y,
+        |  CAST(CAST(round((CAST(n_xy AS DOUBLE) / n) *
+        |    ln(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 9)
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS mi_term
+        |FROM p JOIN nx USING (x) JOIN ny USING (y), t""".stripMargin,
+
+    // weighted PageRank, 3 rounds replayed: contributions and updates are
+    // single rounded double expressions pinned to DECIMAL(18,12); (1.0 -
+    // 0.85) written as the SUBTRACTION so both engines use the same double
+    "pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT d, SUM(CAST(round(CAST(r AS DOUBLE) * w / ow, 12)
+           |    AS DECIMAL(18,12))) AS m
+           |  FROM e JOIN ow USING (s) JOIN $prev ON $prev.v = e.s
+           |  GROUP BY 1),
+           |r$i AS (SELECT v.v, CAST(round((1.0 - 0.85) / n +
+           |    0.85 * CAST(COALESCE(m, 0) AS DOUBLE), 12)
+           |    AS DECIMAL(18,12)) AS r
+           |  FROM v LEFT JOIN c$i ON v.v = c$i.d, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT c_nationkey AS s, s_nationkey AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |    JOIN lineitem ON o_orderkey = l_orderkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2),
+         |ow AS (SELECT s, SUM(w) AS ow FROM e GROUP BY 1),
+         |v AS (SELECT DISTINCT v FROM
+         |  (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         |r0 AS (SELECT v, CAST(round(1.0 / n, 12) AS DECIMAL(18,12)) AS r
+         |  FROM v, nn),
+         |$rounds
+         |SELECT v AS node, CAST(r AS DOUBLE) AS "rank" FROM r3""".stripMargin
+    },
+
+    // group-leak-safe 5-fold: fold = md5_63(user|seed) % 5, rolled up
+    "kfold_split" ->
+      s"""WITH $EV
+         |SELECT CAST(${mh63("CAST(user_id AS VARCHAR) || '|' || '7'")} % 5
+         |    AS INTEGER) AS fold,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM ev GROUP BY 1""".stripMargin,
+
+    // Efraimidis-Spirakis: u = (md5_63 + 1)/2^63 (never 0), key =
+    // round(-ln(u)/w, 9); ORDER on the rounded key + id tie-break
+    "weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |  round(-ln((CAST(${mh63("CAST(doc_id AS VARCHAR) || '|' || 'ws1'")}
+         |      AS DOUBLE) + 1.0) / 9223372036854775808.0)
+         |    / CAST(n_chars AS DOUBLE), 9) AS es_key
+         |FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+         |ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
+
+    // deterministic word dropout: token at 0-based position p survives iff
+    // md5_63(id|p|seed) % 100 >= 15 (DuckDB lambda index is 1-based: i-1)
+    "augment_dropout" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS_RAW AS toks FROM documents),
+         |a AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    array_to_string(list_filter(toks, (t, i) ->
+         |      ${mh63("CAST(doc_id AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR) || '|' || 'aug1'")}
+         |        % 100 >= 15), ' ') AS text_aug
+         |  FROM d)
+         |SELECT doc_id, n_tokens, text_aug,
+         |  CAST(len(list_filter(string_split_regex(trim(text_aug), '\\s+'),
+         |    t -> length(t) > 0)) AS BIGINT) AS n_kept
+         |FROM a""".stripMargin,
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

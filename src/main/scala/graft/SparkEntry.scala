@@ -1873,6 +1873,97 @@ object SparkEntry {
         col("o_totalprice").cast("decimal(18,2)").as("price")),
       "o_orderpriority", "price", "o_orderkey", k = 1024)
 
+  // --------------------- behavioral analytics + tabular-ML feature ops
+
+  /** view → click → purchase funnel, 24 h horizon anchored at the first
+    * view: the windowFunnel greedy earliest-chain rule, replayed by the
+    * oracle as the same K−1 min-aggregate CTE chain. */
+  private def eventFunnelQ(s: SparkSession, dir: String): DataFrame =
+    ops.EventFunnel.funnel(events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), horizonSeconds = 86400)
+
+  /** Daily cohort retention matrix over the events table (cohort = a
+    * user's first active day, offset in days). */
+  private def retentionQ(s: SparkSession, dir: String): DataFrame =
+    ops.Cohorts.retention(events(s, dir), "user_id", "ts", bucket = "day")
+
+  /** SCD2 dimension build from the event stream: per-user `event_type`
+    * run-length compressed into `[valid_from, valid_to)` validity
+    * intervals (NULL-open current run). */
+  private def scd2Q(s: SparkSession, dir: String): DataFrame =
+    ops.Scd2.build(events(s, dir), "user_id", Seq("event_type"), "ts",
+        "event_id")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("valid_from")).as("valid_from_ms"),
+        unix_millis(col("valid_to")).as("valid_to_ms"),
+        col("is_current"))
+
+  /** Market-basket pairs over lineitem (basket = order, item = part):
+    * top-100 by lift at support ≥ 2. */
+  private def itemCooccurQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Basket.cooccurrence(t(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2, topK = 100)
+
+  /** Smoothed target encoding of the customer market segment against
+    * order totals (m = 20 pseudo-counts toward the global prior). */
+  private def targetEncodeQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Encoding.targetEncode(
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", col("o_totalprice"), smoothing = 20)
+
+  /** Shannon entropy per customer column (one melted scan for all four;
+    * per-category terms pinned to DECIMAL before the exact sum). */
+  private def columnEntropyQ(s: SparkSession, dir: String): DataFrame =
+    ops.InfoTheory.entropyProfile(t(s, dir, "customer"),
+      Seq("c_name", "c_nationkey", "c_mktsegment", "c_acctbal"))
+
+  /** Mutual-information contingency table between market segment and
+    * nation — the categorical feature-relevance audit. */
+  private def mutualInfoQ(s: SparkSession, dir: String): DataFrame =
+    ops.InfoTheory.mutualInfo(t(s, dir, "customer"),
+      "c_mktsegment", "c_nationkey")
+
+  /** Weighted PageRank (3 rounds, d = 0.85) over the nation trade graph
+    * (customer nation → supplier nation, weight = lineitem count); every
+    * round replays in the oracle via the pinned DECIMAL rank chain. */
+  private def pagerankQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.functions.Graph.pageRank(edges, "src", "dst", "w", iters = 3)
+  }
+
+  /** Group-leak-safe 5-fold assignment over events (group = user):
+    * per-fold row and user counts; Σ n_users = 150 proves no user
+    * straddles folds. */
+  private def kfoldSplitQ(s: SparkSession, dir: String): DataFrame =
+    ops.Split.withKFold(events(s, dir), Seq("user_id"), k = 5, seed = 7)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"))
+
+  /** Efraimidis–Spirakis weighted sample: 100 documents drawn
+    * length-proportionally (weight = n_chars) via the md5-exponential
+    * sort key. */
+  private def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.weightedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", col("n_chars"), k = 100, seed = "ws1")
+
+  /** Deterministic word-dropout augmentation (15% at seed aug1): per doc
+    * the kept-token text plus before/after token counts. */
+  private def augmentDropoutQ(s: SparkSession, dir: String): DataFrame = {
+    val aug = TF.dropoutTokens(col("doc_id"), col("text"), 15, "aug1")
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        aug.as("text_aug"))
+      .withColumn("n_kept", TF.tokenCount(col("text_aug")).cast("long"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -1992,6 +2083,17 @@ object SparkEntry {
     "bpe_encode"        -> (bpeEncodeQ _),
     "doc_chunks"        -> (docChunks _),
     "streaming_sessions" -> (streamingSessions _),
+    "event_funnel"      -> (eventFunnelQ _),
+    "retention_cohorts" -> (retentionQ _),
+    "scd2_build"        -> (scd2Q _),
+    "item_cooccur"      -> (itemCooccurQ _),
+    "target_encode"     -> (targetEncodeQ _),
+    "column_entropy"    -> (columnEntropyQ _),
+    "mutual_info"       -> (mutualInfoQ _),
+    "pagerank"          -> (pagerankQ _),
+    "kfold_split"       -> (kfoldSplitQ _),
+    "weighted_sample"   -> (weightedSampleQ _),
+    "augment_dropout"   -> (augmentDropoutQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

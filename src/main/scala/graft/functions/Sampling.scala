@@ -39,6 +39,32 @@ object Sampling {
                        seed: String): DataFrame =
     df.where(keep(col(idCol), col(stratumCol), rates, defaultRate, seed))
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): item i survives with probability
+    * proportional to `weight`, via the exponential sort key
+    * `e_i = -ln(u_i)/w_i` with `u_i` a deterministic md5 uniform — the
+    * k smallest keys ARE the weighted sample. No RNG state, reproducible
+    * in any engine.
+    *
+    * Float discipline: `u_i = (md5₆₃(id|seed) + 1) / 2⁶³` (never 0, so ln
+    * is finite) and the key is ONE double expression rounded to 9 dp; the
+    * ORDER is on the rounded key with the id tie-break, the
+    * pmi_collocations convention. Scale shape: the key is scan-stage
+    * arithmetic; selection is a TakeOrderedAndProject top-k (per-partition
+    * heaps, no global sort). Weights must be > 0 (filtered). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, seed: String): DataFrame = {
+    val u = (expressions.Md5Long(
+        concat_ws("|", col(idCol).cast("string"), lit(seed)))
+      .bitwiseAND(lit(Long.MaxValue)).cast("double") + 1.0) /
+      lit(9.223372036854776e18)
+    val key = round(-log(u) / weightCol.cast("double"), 9)
+    df.where(weightCol.cast("double") > 0)
+      .withColumn("es_key", key)
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic NEGATIVE sampling — the recommender-training primitive:
     * for every user, `k` items they did NOT interact with, drawn from a
     * dense item-id space [0, nItems). No RNG state: candidate slot `s` of

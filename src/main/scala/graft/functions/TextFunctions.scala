@@ -35,6 +35,25 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     graft.functions.expressions.BpeExprs.bpeCount(text)
 
+  /** Deterministic word-dropout augmentation: token at 0-based position
+    * `p` survives iff `md5₆₃(id|p|seed) % 100 >= dropPct` — the
+    * paraphrase-free augmentation (and robustness-eval perturbation) used
+    * to multiply scarce training text. Pure scan-stage array arithmetic
+    * (tokenize → indexed higher-order filter with the md5 gate →
+    * re-join); no shuffle, no RNG state, and the gate replays exactly in
+    * the oracle (DuckDB's indexed list_filter is 1-based — the replay
+    * uses `i-1`). */
+  def dropoutTokens(idCol: Column, text: Column, dropPct: Int,
+                    seed: String): Column = {
+    require(dropPct >= 0 && dropPct < 100, s"dropPct $dropPct out of [0,100)")
+    val toks = tokens(text)
+    val kept = filter(toks, (t, i) =>
+      pmod(expressions.Md5Long(concat_ws("|", idCol.cast("string"),
+          i.cast("string"), lit(seed)))
+        .bitwiseAND(lit(Long.MaxValue)), lit(100L)) >= dropPct)
+    array_join(kept, " ")
+  }
+
   def charCount(text: Column): Column = length(text)
 
   def alphaRatio(text: Column): Column =

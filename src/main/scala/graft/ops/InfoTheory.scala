@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic profiling — Shannon entropy per column and
+  * pairwise mutual information, the feature-selection / data-audit layer
+  * beside [[Profile]] (moments and quantiles) and [[Drift]] (PSI). MI is
+  * exactly the quantity a feature platform reports as "how much does this
+  * categorical feature know about the label".
+  *
+  * Float discipline (the dsir ln-bridge): every per-category term is ONE
+  * double expression over exact BIGINT counts, rounded to 9 dp and pinned
+  * to DECIMAL(18,9) BEFORE any sum — decimal sums are exact and
+  * order-independent, so totals replay bit-for-bit in the oracle no
+  * matter how Spark partitions the aggregation.
+  *
+  * Scale shape: entropy melts k columns into (column, value) pairs in the
+  * scan projection (one corpus read for ALL columns, the
+  * [[Validate.validate]] single-scan rule), partial-aggregates to
+  * per-(column, value) counts — map-side combine collapses rows to
+  * category cardinality before the one shuffle — and derives per-column
+  * totals by RE-aggregating that counts table, never rescanning. MI reads
+  * the corpus once into the (x, y) contingency table; both marginals are
+  * re-aggregations of the contingency table itself (cardinality-sized,
+  * three metadata-scale shuffles after the one corpus-sized one). */
+object InfoTheory {
+
+  private val NULLCAT = "__null__"
+
+  /** (column, n_categories, entropy_nats) — NULL is its own category. */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"),
+        coalesce(col(c).cast("string"), lit(NULLCAT)).as("value"))): _*))
+      .as("kv"))
+      .select(col("kv.column").as("column"), col("kv.value").as("value"))
+    val counts = melted.groupBy("column", "value")
+      .agg(count(lit(1)).as("__n"))
+    val totals = counts.groupBy("column")
+      .agg(sum(col("__n")).as("__tot"), count(lit(1)).as("n_categories"))
+    val p = col("__n").cast("double") / col("__tot").cast("double")
+    counts.join(totals, "column")
+      .select(col("column"), col("n_categories"),
+        round(-p * log(p), 9).cast("decimal(18,9)").as("__term"))
+      .groupBy("column")
+      .agg(min(col("n_categories")).as("n_categories"),
+        sum(col("__term")).cast("double").as("entropy_nats"))
+  }
+
+  /** Contingency table with per-pair MI terms:
+    * (x, y, n_xy, n_x, n_y, mi_term); Σ mi_term = I(X;Y) in nats. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pairs = df.select(
+        coalesce(col(xCol).cast("string"), lit(NULLCAT)).as("x"),
+        coalesce(col(yCol).cast("string"), lit(NULLCAT)).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val nx = pairs.groupBy("x").agg(sum(col("n_xy")).as("n_x"))
+    val ny = pairs.groupBy("y").agg(sum(col("n_xy")).as("n_y"))
+    val tot = broadcast(pairs.agg(sum(col("n_xy")).as("__n")))
+    pairs.join(nx, "x").join(ny, "y").crossJoin(tot)
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        round((col("n_xy").cast("double") / col("__n")) *
+          log((col("n_xy") * col("__n")).cast("double") /
+              (col("n_x") * col("n_y")).cast("double")), 9)
+          .cast("decimal(18,9)").cast("double").as("mi_term"))
+  }
+
+  /** One-row I(X;Y): the DECIMAL-exact sum of [[mutualInfo]] terms. */
+  def mutualInfoTotal(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    mutualInfo(df, xCol, yCol)
+      .select(col("mi_term").cast("decimal(18,9)").as("__t"))
+      .agg(sum(col("__t")).cast("double").as("mi_nats"))
+      .select(lit(xCol).as("x_col"), lit(yCol).as("y_col"), col("mi_nats"))
+}

@@ -32,6 +32,20 @@ object Split {
                 seed: Long): DataFrame =
     df.withColumn("is_test", isTestCol(keyCols.map(col), seed, testSize))
 
+  /** Group-leak-safe k-fold assignment: `fold = md5₆₃(group || seed) % k`,
+    * so every row of a group (all events of a user, all chunks of a
+    * document) lands in ONE fold — the GroupKFold cross-validation
+    * contract. Scan-stage arithmetic like [[isTestCol]]: no shuffle, no
+    * global ordering, reproducible in any engine via the md5 bridge. */
+  def withKFold(df: DataFrame, groupCols: Seq[String], k: Int,
+                seed: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val h = graft.functions.expressions.Md5Long(
+      concat_ws("|", (groupCols.map(col) :+ lit(seed.toString)): _*))
+    df.withColumn("fold",
+      pmod(h.bitwiseAND(lit(Long.MaxValue)), lit(k.toLong)).cast("int"))
+  }
+
   def train(df: DataFrame, keyCols: Seq[String], testSize: Double, seed: Long): DataFrame =
     withSplit(df, keyCols, testSize, seed).filter(col("is_test") === 0).drop("is_test")
 

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Weighted PageRank: closed-form fixed points, a driver-side exact replay
+  * of the pinned-decimal recurrence, and partitioning independence. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The operator's arithmetic, replayed exactly: round-to-12dp pins via
+    * BigDecimal.valueOf (Spark's own round path), decimal sums. */
+  private def replay(edges: Seq[(Int, Int, Long)],
+                     iters: Int): Map[Int, Double] = {
+    def pin(x: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val e = edges.groupBy(x => (x._1, x._2))
+      .map { case ((s, d), xs) => (s, d, xs.map(_._3).sum) }.toSeq
+    val ow = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size
+    var r = nodes.map(v => v -> pin(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map { case (s, _, w) =>
+          pin(r(s).toDouble * w / ow(s)) }.sum
+      }
+      r = nodes.map(v => v -> pin((1.0 - 0.85) / n +
+        0.85 * in.getOrElse(v, BigDecimal(0)).toDouble)).toMap
+    }
+    r.map { case (k, v) => k -> v.toDouble }
+  }
+
+  test("symmetric 2-cycle stays uniform") {
+    val edges = Seq((1, 2, 1L), (2, 1, 1L)).toDF("s", "d", "w")
+    val out = Graph.pageRank(edges, "s", "d", "w", iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1 -> 0.5, 2 -> 0.5))
+  }
+
+  test("agrees with the driver-side exact replay on a weighted digraph") {
+    val es = Seq((1, 2, 3L), (1, 3, 1L), (2, 3, 2L), (3, 1, 5L),
+      (2, 1, 1L), (4, 1, 2L)) // 4 is a source; no edges INTO 4
+    val out = Graph.pageRank(es.toDF("s", "d", "w"), "s", "d", "w", 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out === replay(es, 3))
+  }
+
+  test("partitioning-independent (decimal-pinned contributions)") {
+    val es = Seq((1, 2, 3L), (1, 3, 1L), (2, 3, 2L), (3, 1, 5L),
+      (2, 1, 1L), (4, 2, 7L), (4, 3, 7L))
+    val df1 = es.toDF("s", "d", "w").repartition(1)
+    val df7 = es.toDF("s", "d", "w").repartition(7)
+    val a = Graph.pageRank(df1, "s", "d", "w", 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(df7, "s", "d", "w", 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
+  test("dangling sink keeps a rank row; pure source decays to base") {
+    // 1 -> 2 only: 2 is dangling (drops its mass), 1 gets no inflow
+    val out = Graph.pageRank(Seq((1, 2, 1L)).toDF("s", "d", "w"),
+        "s", "d", "w", iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1, 2))
+    val base = 0.15000000000000002 / 2 // lit(1.0 - 0.85) / n, pinned
+    assert(math.abs(out(1) - BigDecimal(java.math.BigDecimal.valueOf(base))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-15)
+    assert(out(2) > out(1)) // sink still receives 1's mass
+  }
+}
