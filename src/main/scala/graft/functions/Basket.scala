@@ -31,13 +31,17 @@ object Basket {
     * (item_a, item_b, n_ab, n_a, n_b, lift), item_a < item_b. */
   def cooccurrence(lines: DataFrame, basketCol: String, itemCol: String,
                    minSupport: Long = 2, maxBasketSize: Int = 1000,
-                   topK: Int = 100): DataFrame = {
-    val b = lines.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+                   topK: Int = 100, checkpoint: Boolean = false): DataFrame = {
+    // barrier: the distinct (basket, item) table feeds the size filter,
+    // both item-frequency legs and both self-join legs — without it the
+    // corpus-sized distinct shuffle replays once per leg (the DSIR lesson)
+    val b = Dedup.barrier(
+      lines.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .distinct(), checkpoint)
     // hot-basket cap: size via one partial agg, oversized baskets dropped
     val sized = b.groupBy("__b").agg(count(lit(1)).as("__sz"))
       .where(col("__sz") <= maxBasketSize)
-    val capped = b.join(sized, "__b")
+    val capped = Dedup.barrier(b.join(sized, "__b"), checkpoint)
     val itemN = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val nBaskets = broadcast(sized.agg(count(lit(1)).as("__nb")))
     val pairs = capped.as("x").join(capped.as("y"), "__b")

@@ -31,7 +31,7 @@ object EventFunnel {
     * every step they reached. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
-             horizonSeconds: Long): DataFrame = {
+             horizonSeconds: Long, checkpoint: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val u = col(userCol).as("__u")
     def stepEvents(name: String) =
@@ -49,7 +49,7 @@ object EventFunnel {
           .groupBy("__u")
           .agg(min(col("__ts")).as("__mints"), min(col("__t1")).as("__t1"))
           .select(col("__u"), col("__t1"), col("__mints").as("__tk"))
-    }
+    }.map(graft.functions.Dedup.barrier(_, checkpoint))
     reached.zip(steps).zipWithIndex.map { case ((df, name), i) =>
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).cast("int").as("step_idx"),
@@ -61,7 +61,8 @@ object EventFunnel {
     * step-1 event are absent) — the row-level view [[funnel]] rolls up. */
   def funnelDepth(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, steps: Seq[String],
-                  horizonSeconds: Long): DataFrame = {
+                  horizonSeconds: Long,
+                  checkpoint: Boolean = false): DataFrame = {
     val u = col(userCol).as("__u")
     def stepEvents(name: String) =
       events.where(col(typeCol) === name).select(u, col(tsCol).as("__ts"))
@@ -76,7 +77,7 @@ object EventFunnel {
           .groupBy("__u")
           .agg(min(col("__ts")).as("__mints"), min(col("__t1")).as("__t1"))
           .select(col("__u"), col("__t1"), col("__mints").as("__tk"))
-    }
+    }.map(graft.functions.Dedup.barrier(_, checkpoint))
     // depth = count of reach-frames containing the user: left-join flags
     val flagged = chain.zipWithIndex.map { case (df, i) =>
       df.select(col("__u"), lit(i + 1).as(s"__d${i + 1}"))

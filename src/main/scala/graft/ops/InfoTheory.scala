@@ -29,14 +29,18 @@ object InfoTheory {
   private val NULLCAT = "__null__"
 
   /** (column, n_categories, entropy_nats) — NULL is its own category. */
-  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def entropyProfile(df: DataFrame, cols: Seq[String],
+                     checkpoint: Boolean = false): DataFrame = {
     val melted = df.select(explode(array(cols.map(c =>
       struct(lit(c).as("column"),
         coalesce(col(c).cast("string"), lit(NULLCAT)).as("value"))): _*))
       .as("kv"))
       .select(col("kv.column").as("column"), col("kv.value").as("value"))
-    val counts = melted.groupBy("column", "value")
-      .agg(count(lit(1)).as("__n"))
+    // barrier: the category-count table feeds the totals leg and the term
+    // join — without it the melted corpus scan replays per leg
+    val counts = graft.functions.Dedup.barrier(
+      melted.groupBy("column", "value").agg(count(lit(1)).as("__n")),
+      checkpoint)
     val totals = counts.groupBy("column")
       .agg(sum(col("__n")).as("__tot"), count(lit(1)).as("n_categories"))
     val p = col("__n").cast("double") / col("__tot").cast("double")
@@ -50,11 +54,15 @@ object InfoTheory {
 
   /** Contingency table with per-pair MI terms:
     * (x, y, n_xy, n_x, n_y, mi_term); Σ mi_term = I(X;Y) in nats. */
-  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val pairs = df.select(
-        coalesce(col(xCol).cast("string"), lit(NULLCAT)).as("x"),
-        coalesce(col(yCol).cast("string"), lit(NULLCAT)).as("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String,
+                 checkpoint: Boolean = false): DataFrame = {
+    // barrier: the contingency table feeds both marginals, the total and
+    // the output join — one corpus scan, four cardinality-sized reuses
+    val pairs = graft.functions.Dedup.barrier(
+      df.select(
+          coalesce(col(xCol).cast("string"), lit(NULLCAT)).as("x"),
+          coalesce(col(yCol).cast("string"), lit(NULLCAT)).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n_xy")), checkpoint)
     val nx = pairs.groupBy("x").agg(sum(col("n_xy")).as("n_x"))
     val ny = pairs.groupBy("y").agg(sum(col("n_xy")).as("n_y"))
     val tot = broadcast(pairs.agg(sum(col("n_xy")).as("__n")))
