@@ -2315,6 +2315,77 @@ object OracleSql {
          |  CAST(len(list_filter(string_split_regex(trim(text_aug), '\\s+'),
          |    t -> length(t) > 0)) AS BIGINT) AS n_kept
          |FROM a""".stripMargin,
+
+    // SCD2 lookup: state dimension from the non-purchase stream, each
+    // purchase joined to the interval live at its ts (open runs closed
+    // with a far-future sentinel)
+    "scd2_lookup" ->
+      s"""WITH $EV,
+         |st AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+         |l AS (SELECT user_id, event_type, ts, event_id,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS pe
+         |  FROM st),
+         |s AS (SELECT user_id, event_type, ts AS vf, event_id FROM l
+         |  WHERE pe IS NULL OR pe <> event_type),
+         |w AS (SELECT user_id, event_type AS state, vf,
+         |    COALESCE(lead(vf) OVER (PARTITION BY user_id
+         |        ORDER BY vf, event_id),
+         |      TIMESTAMP '9999-01-01 00:00:00') AS vt
+         |  FROM s),
+         |pt AS (SELECT user_id, event_id, ts FROM ev
+         |  WHERE event_type = 'purchase')
+         |SELECT pt.user_id, pt.event_id, epoch_ms(pt.ts) AS ts_ms, state,
+         |  epoch_ms(vf) AS state_since_ms
+         |FROM pt JOIN w ON pt.user_id = w.user_id
+         |  AND pt.ts >= vf AND pt.ts < vt""".stripMargin,
+
+    // Markov transitions: LEAD over the per-user (ts, event_id) order;
+    // marginal re-derived from the transition table
+    "transition_matrix" ->
+      s"""WITH $EV,
+         |tr AS (SELECT event_type AS from_state,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_state
+         |  FROM ev),
+         |pp AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tr WHERE to_state IS NOT NULL GROUP BY 1, 2),
+         |f AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
+         |  FROM pp GROUP BY 1)
+         |SELECT from_state, to_state, n, n_from,
+         |  round(CAST(n AS DOUBLE) / n_from, 6) AS p
+         |FROM pp JOIN f USING (from_state)""".stripMargin,
+
+    // deterministic A/B readout: arm = md5_63(unit|experiment) % 2,
+    // DECIMAL-exact totals, SUM/COUNT mean
+    "experiment_readout" ->
+      s"""SELECT CAST(${mh63("CAST(o_custkey AS VARCHAR) || '|' || 'exp1'")}
+         |    % 2 AS INTEGER) AS arm,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_units,
+         |  CAST(COUNT(*) AS BIGINT) AS n_obs,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    // z-score outliers: DECIMAL-exact sums/sumsq, pinned mean and sd,
+    // fixed-shape z expression on both sides of the gate
+    "outlier_zscore" ->
+      s"""WITH $EV,
+         |o AS (SELECT event_type AS g, event_id,
+         |    CAST(value AS DECIMAL(18,2)) AS y FROM ev
+         |  WHERE value IS NOT NULL),
+         |st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s,
+         |    SUM(y * y) AS ss FROM o GROUP BY 1),
+         |m AS (SELECT g, round(CAST(s AS DOUBLE) / n, 6) AS mean,
+         |    round(sqrt((CAST(ss AS DOUBLE) -
+         |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 6) AS sd
+         |  FROM st)
+         |SELECT o.g, event_id, CAST(y AS DOUBLE) AS value, mean, sd,
+         |  round((CAST(y AS DOUBLE) - mean) / sd, 6) AS z
+         |FROM o JOIN m USING (g)
+         |WHERE sd > 0
+         |  AND abs(round((CAST(y AS DOUBLE) - mean) / sd, 6)) > 3.0""".stripMargin,
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

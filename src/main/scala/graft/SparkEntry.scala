@@ -1964,6 +1964,48 @@ object SparkEntry {
       .withColumn("n_kept", TF.tokenCount(col("text_aug")).cast("long"))
   }
 
+  /** SCD2 intervals consumed: the user's non-purchase activity stream
+    * becomes a state dimension, and each purchase looks up the state that
+    * was live at its timestamp via the keyed interval join — the classic
+    * warehouse "dimension at event time" pattern (open current intervals
+    * closed with a far-future sentinel for the join). */
+  private def scd2LookupQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val iv = ops.Scd2.build(ev.where(col("event_type") =!= "purchase"),
+        "user_id", Seq("event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from"),
+        coalesce(col("valid_to"),
+          lit("9999-01-01 00:00:00").cast("timestamp")).as("valid_to_c"))
+    val pts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    ops.RangeJoin.pointsInIntervalsKeyed(pts, "ts", "user_id",
+        iv, "valid_from", "valid_to_c")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("state"),
+        unix_millis(col("valid_from")).as("state_since_ms"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences
+    * (25 cells for the 5-state alphabet). */
+  private def transitionMatrixQ(s: SparkSession, dir: String): DataFrame =
+    ops.Markov.transitions(events(s, dir), "user_id", "ts", "event_id",
+      "event_type")
+
+  /** Deterministic A/B readout: customers hash-assigned to 2 arms at
+    * experiment exp1, order totals aggregated per arm. */
+  private def experimentReadoutQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Experiment.readout(t(s, dir, "orders"), "o_custkey",
+      col("o_totalprice"), experiment = "exp1", nArms = 2)
+
+  /** Per-event-type z-score outliers of event values (|z| > 3 — the
+    * heavy-tailed column; order totals are near-uniform and never reach
+    * 2σ), pinned mean/sd arithmetic replayed by the oracle. */
+  private def outlierZscoreQ(s: SparkSession, dir: String): DataFrame =
+    ops.Outliers.zscore(events(s, dir).where(col("value").isNotNull),
+        "event_type", "event_id", col("value"), zMax = 3.0)
+      .withColumnRenamed("event_type", "g")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -2094,6 +2136,10 @@ object SparkEntry {
     "kfold_split"       -> (kfoldSplitQ _),
     "weighted_sample"   -> (weightedSampleQ _),
     "augment_dropout"   -> (augmentDropoutQ _),
+    "scd2_lookup"       -> (scd2LookupQ _),
+    "transition_matrix" -> (transitionMatrixQ _),
+    "experiment_readout" -> (experimentReadoutQ _),
+    "outlier_zscore"    -> (outlierZscoreQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

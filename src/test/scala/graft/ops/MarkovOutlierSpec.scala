@@ -1,0 +1,92 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Markov transitions, experiment readout, z-score outliers, and the
+  * SCD2 interval lookup composition. */
+class MarkovOutlierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  test("transitions: hand-counted matrix, rows sum to n_from") {
+    // user 1: A B A B ; user 2: A B B
+    val ev = Seq((1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "B"),
+      (1L, ts(2), 3L, "A"), (1L, ts(3), 4L, "B"),
+      (2L, ts(0), 5L, "A"), (2L, ts(1), 6L, "B"), (2L, ts(2), 7L, "B"))
+      .toDF("u", "t", "eid", "st")
+    val out = Markov.transitions(ev, "u", "t", "eid", "st")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // A->B x3; B->A x1; B->B x1
+    assert(out(("A", "B")) === ((3L, 3L, 1.0)))
+    assert(out(("B", "A")) === ((1L, 2L, 0.5)))
+    assert(out(("B", "B")) === ((1L, 2L, 0.5)))
+    assert(out.size === 3)
+  }
+
+  test("transitions: tie order broken by the tie column") {
+    val ev = Seq((1L, ts(0), 2L, "B"), (1L, ts(0), 1L, "A"))
+      .toDF("u", "t", "eid", "st")
+    val out = Markov.transitions(ev, "u", "t", "eid", "st").collect()
+    assert(out.length === 1)
+    assert((out(0).getString(0), out(0).getString(1)) === (("A", "B")))
+  }
+
+  test("experiment: assignment is deterministic, partitions units, " +
+    "readout sums exactly") {
+    val df = (1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("unit", "y")
+    val arms = df.select(col("unit"),
+      graft.functions.Experiment.armCol(col("unit"), "e1", 2).as("arm"))
+    // same unit -> same arm on recompute
+    val a2 = df.select(col("unit"),
+      graft.functions.Experiment.armCol(col("unit"), "e1", 2).as("arm"))
+    assert(arms.collect().toSeq === a2.collect().toSeq)
+    // different experiment name reassigns
+    val b = df.select(
+      graft.functions.Experiment.armCol(col("unit"), "e2", 2).as("arm"))
+    assert(arms.select("arm").collect().map(_.getInt(0)).toSeq !==
+      b.collect().map(_.getInt(0)).toSeq)
+    val out = graft.functions.Experiment.readout(df, "unit", col("y"), "e1")
+      .collect()
+    assert(out.map(_.getLong(1)).sum === 1000L) // every unit in one arm
+    assert(out.map(_.getDouble(3)).sum === (1 to 1000).map(_ * 1.0).sum)
+    // roughly balanced halves
+    assert(out.forall(r => r.getLong(1) > 400 && r.getLong(1) < 600))
+  }
+
+  test("zscore: plants an outlier, leaves tight groups alone") {
+    val base = (1 to 99).map(i => ("g1", i.toLong, 100.0 + (i % 3))) :+
+      (("g1", 999L, 500.0)) // the planted spike
+    val tight = (1 to 50).map(i => ("g2", 2000L + i, 7.0))
+    val df = (base ++ tight).toDF("g", "id", "v")
+    val out = Outliers.zscore(df, "g", "id", col("v"), zMax = 3.0)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(999L))
+    // zero-variance g2 emitted nothing (sd = 0 guard)
+    assert(!out.exists(_.getString(0) == "g2"))
+  }
+
+  test("scd2 lookup: purchase sees the state live at its timestamp") {
+    val ev = Seq(
+      (1L, "view", ts(0), 1L), (1L, "click", ts(10), 2L),
+      (1L, "purchase", ts(15), 3L), (1L, "error", ts(20), 4L),
+      (1L, "purchase", ts(25), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val iv = Scd2.build(ev.where(col("event_type") =!= "purchase"),
+        "user_id", Seq("event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from"),
+        coalesce(col("valid_to"),
+          lit("9999-01-01 00:00:00").cast("timestamp")).as("vt"))
+    val pts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val out = RangeJoin.pointsInIntervalsKeyed(pts, "ts", "user_id",
+        iv, "valid_from", "vt")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("state")).toMap
+    assert(out === Map(3L -> "click", 5L -> "error"))
+  }
+}
