@@ -2386,6 +2386,44 @@ object OracleSql {
          |FROM o JOIN m USING (g)
          |WHERE sd > 0
          |  AND abs(round((CAST(y AS DOUBLE) - mean) / sd, 6)) > 3.0""".stripMargin,
+
+    // sparse TF-IDF cosine neighbors: weights pinned to DECIMAL(18,9) so
+    // dots and norm sums are exact; df > 50 tokens dropped before pairing
+    "tfidf_neighbors" ->
+      s"""WITH tf AS (SELECT doc_id AS id, t AS token,
+         |    CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS_LOWER) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY 1 HAVING COUNT(*) <= 50),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |wt AS (SELECT id, token,
+         |    CAST(round(CAST(tf AS DOUBLE) *
+         |      ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS w
+         |  FROM tf JOIN dft USING (token), nn),
+         |nrm AS (SELECT id, round(sqrt(CAST(SUM(w * w) AS DOUBLE)), 9)
+         |    AS nrm
+         |  FROM wt GROUP BY 1),
+         |dots AS (SELECT a.id AS id, b.id AS neighbor, SUM(a.w * b.w) AS dot
+         |  FROM wt a JOIN wt b ON a.token = b.token AND a.id <> b.id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT d.id, d.neighbor,
+         |    round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+         |  FROM dots d JOIN nrm na ON d.id = na.id
+         |    JOIN nrm nb ON d.neighbor = nb.id)
+         |SELECT id, neighbor, cosine, CAST(rk AS INTEGER) AS "rank" FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY id
+         |     ORDER BY cosine DESC, neighbor) AS rk FROM sc)
+         |WHERE rk <= 5""".stripMargin,
+
+    // percent_rank shares tie semantics across engines: (rank-1)/(n-1)
+    // over integer ranks — the same double in both, rounded at 6 dp
+    "percentile_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice AS value,
+        |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice), 6) AS pr
+        |FROM orders""".stripMargin,
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

@@ -2006,6 +2006,19 @@ object SparkEntry {
         "event_type", "event_id", col("value"), zMax = 3.0)
       .withColumnRenamed("event_type", "g")
 
+  /** Sparse lexical similarity search: top-5 TF-IDF-cosine neighbors per
+    * document (tokens in > 50 docs dropped before pairing — the hot-key
+    * cap; weights pinned to DECIMAL so dots/norms are exact). */
+  private def tfidfNeighborsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Retrieval.tfidfNeighbors(
+      t(s, dir, "documents"), "doc_id", "text", k = 5, maxDf = 50)
+
+  /** Percentile-rank transform of order totals within each priority
+    * class — the rank normalization beside the z-score screen. */
+  private def percentileRankQ(s: SparkSession, dir: String): DataFrame =
+    ops.Profile.percentileRank(t(s, dir, "orders"), "o_orderpriority",
+      "o_orderkey", col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -2140,6 +2153,8 @@ object SparkEntry {
     "transition_matrix" -> (transitionMatrixQ _),
     "experiment_readout" -> (experimentReadoutQ _),
     "outlier_zscore"    -> (outlierZscoreQ _),
+    "tfidf_neighbors"   -> (tfidfNeighborsQ _),
+    "percentile_rank"   -> (percentileRankQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -90,6 +90,60 @@ object Retrieval {
     * with the token as the tie break, so sub-rounding ln ulp differences
     * between engines collapse into the deterministic tie-break — the
     * bm25/pmi ordering convention. */
+  /** Top-k most-similar documents per document by sparse TF-IDF cosine —
+    * lexical similarity search, the sparse complement of the dense
+    * embedding ANN family ([[Vectors.annTopK]]/IVF): near-dup mining and
+    * "more like this" retrieval with no embedding model in the loop.
+    *
+    * Scale shape: the (doc, token, tf) table shuffles once; tokens with
+    * `df > maxDf` are DROPPED before pairing (stopword-frequency terms
+    * carry ~zero idf but quadratic join mass — the hot-key cap rule, same
+    * role as [[Dedup.capHotKeys]]), so the token self-join is bounded by
+    * Σ df² over capped tokens; pair scores partial-aggregate to the
+    * observed pair set; per-doc top-k is a WindowGroupLimit rank filter.
+    *
+    * Float discipline: weights `round(tf·ln(N/df), 9)` pinned to
+    * DECIMAL(18,9), so pair dot products and per-doc norm sums are EXACT
+    * decimal arithmetic; the norm takes one sqrt (correctly rounded in
+    * both engines) pinned to 9 dp; the cosine is one double division
+    * rounded to 6 dp, ordered with the neighbor-id tie-break. */
+  def tfidfNeighbors(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, maxDf: Long,
+                     checkpoint: Boolean = false): DataFrame = {
+    require(k > 0 && maxDf > 0, "k and maxDf must be positive")
+    val tf = Dedup.barrier(docs
+      .select(col(idCol).as("__id"), explode(toks(col(textCol))).as("__t"))
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__tf")), checkpoint)
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+    val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val weighted = Dedup.barrier(tf.join(dfT, "__t").crossJoin(n)
+      .select(col("__id"), col("__t"),
+        round(col("__tf").cast("double") *
+            log(col("__n").cast("double") / col("__df").cast("double")), 9)
+          .cast("decimal(18,9)").as("__w")), checkpoint)
+    val norms = weighted.groupBy("__id")
+      .agg(round(sqrt(sum(col("__w") * col("__w")).cast("double")), 9)
+        .as("__nrm"))
+    val dots = weighted.as("a")
+      .join(weighted.as("b"), col("a.__t") === col("b.__t") &&
+        col("a.__id") =!= col("b.__id"))
+      .groupBy(col("a.__id").as("id"), col("b.__id").as("neighbor"))
+      .agg(sum(col("a.__w") * col("b.__w")).as("__dot"))
+    val cos = round(col("__dot").cast("double") /
+      (col("__na") * col("__nb")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(cos.desc, col("neighbor"))
+    dots
+      .join(norms.select(col("__id").as("id"), col("__nrm").as("__na")), "id")
+      .join(norms.select(col("__id").as("neighbor"),
+        col("__nrm").as("__nb")), "neighbor")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("id"), col("neighbor"), cos.as("cosine"),
+        col("__rk").cast("int").as("rank"))
+  }
+
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")

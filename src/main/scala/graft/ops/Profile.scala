@@ -22,6 +22,22 @@ import org.apache.spark.sql.types._
   * not. */
 object Profile {
 
+  /** Percentile-rank feature transform: each row's value mapped to its
+    * within-group percent rank `(rank − 1)/(n − 1)` (SQL `percent_rank`,
+    * identical tie semantics in Spark and DuckDB: ties share the min
+    * rank, so the result is deterministic under any tie order). The
+    * rank-based normalization that survives heavy tails where z-scores
+    * don't ([[Outliers.zscore]] is the parametric sibling). One
+    * group-keyed window sort; the rounded (6 dp) double replays exactly. */
+  def percentileRank(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     idCol: String,
+                     value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(value)
+    df.select(col(groupCol), col(idCol), value.as("value"),
+      round(percent_rank().over(w), 6).as("pr"))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     val aggs = cols.flatMap { c =>
