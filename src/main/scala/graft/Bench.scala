@@ -41,6 +41,16 @@ object Bench {
           graft.functions.Dedup.simhash64(col("text")),
           graft.functions.Dedup.winnowFingerprints(col("text")))
         .queryExecution.toRdd.count()
+      // the BPE train/encode path JITs a different expression stack than
+      // bpeTokenCount (generated merge replays); warm it too, or
+      // bpe_encode absorbs ~7 s of codegen in its own timer (measured
+      // 10.1 s cold vs 3.1 s steady-state at sf0.1)
+      val mini = docs.limit(300)
+      val merges = graft.functions.BpeTrain.train(mini, "text", 2)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.BpeTrain.encodeDigest(mini, "doc_id", "text", merges)
+        .queryExecution.toRdd.count()
       spark.catalog.clearCache()
       System.gc()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }

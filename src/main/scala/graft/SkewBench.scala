@@ -230,6 +230,23 @@ object SkewBench {
       rec(scale, "salted_join",
         time(force(graft.ops.Skew.saltedJoin(events, dim, "user_id", 16)
           .groupBy("segment").count()))._1)
+
+      // behavioral family on the same hot entity: the funnel holds ONE
+      // timestamp per (user, step) — user 77's 30% share must cost only
+      // its own partial aggregates; markov/scd2 pay one keyed window sort
+      // of the hot history (the per-entity bound, same as asof_unionwindow)
+      rec(scale, "event_funnel",
+        time(force(graft.ops.EventFunnel.funnel(events, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), 86400)))._1)
+      rec(scale, "markov_transitions",
+        time(force(graft.ops.Markov.transitions(events, "user_id", "ts",
+          "id", "event_type")))._1)
+      rec(scale, "scd2_build",
+        time(force(graft.ops.Scd2.build(events, "user_id",
+          Seq("event_type"), "ts", "id")))._1)
+      rec(scale, "retention",
+        time(force(graft.ops.Cohorts.retention(events, "user_id", "ts",
+          bucket = "day")))._1)
       spark.catalog.clearCache()
       System.gc()
     }
@@ -244,7 +261,8 @@ object SkewBench {
       errs += "AQE skew-join split did NOT activate on the 10x range join"
     val linearFamilies = Seq("exact_dedup", "minhash_near_dups",
       "simhash_near_dups", "winnow_near_dups", "asof_sortmerge",
-      "asof_unionwindow", "pit_window_prefix", "range_join", "salted_join")
+      "asof_unionwindow", "pit_window_prefix", "range_join", "salted_join",
+      "event_funnel", "markov_transitions", "scd2_build", "retention")
     val ratios = linearFamilies.map { f =>
       f -> results("x10")(f) / math.max(results("x1")(f), 1e-9)
     }
