@@ -2424,6 +2424,69 @@ object OracleSql {
         |  round(percent_rank() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice), 6) AS pr
         |FROM orders""".stripMargin,
+
+    // inverted index: per token the id-sorted posting + tf lists;
+    // df > 200 tokens dropped (the hot-key cap)
+    "posting_index" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+         |tf AS (SELECT token, CAST(doc_id AS BIGINT) AS id,
+         |    CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, array_to_string(toks[i:i + 1], ' ')
+         |      AS token
+         |    FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i))
+         |  GROUP BY 1, 2)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         |  CAST(COUNT(*) AS BIGINT) AS n_postings,
+         |  array_to_string(list(id ORDER BY id), ',') AS doc_ids_csv,
+         |  array_to_string(list(tf ORDER BY id), ',') AS tfs_csv
+         |FROM tf GROUP BY token HAVING COUNT(*) <= 100""".stripMargin,
+
+    // hour-of-day profile: 24 exact counters; entropy terms pinned to
+    // DECIMAL before the (<= 24-term) exact sum; one rounded night share
+    "behavior_profile" -> {
+      val hs = (0 until 24).map(k =>
+        s"CAST(COUNT(*) FILTER (EXTRACT(hour FROM ts) = $k) AS BIGINT) AS h$k")
+        .mkString(",\n|    ")
+      val terms = (0 until 24).map { k =>
+        s"""CASE WHEN h$k = 0 THEN CAST(0 AS DECIMAL(18,9))
+           |    ELSE CAST(round(-(CAST(h$k AS DOUBLE) /
+           |      CAST(n_events AS DOUBLE)) * ln(CAST(h$k AS DOUBLE) /
+           |      CAST(n_events AS DOUBLE)), 9) AS DECIMAL(18,9)) END"""
+          .stripMargin
+      }.mkString(" +\n|  ")
+      val arr = "concat_ws(',', " +
+        (0 until 24).map(k => s"h$k").mkString(", ") + ")"
+      val night = (0 until 6).map(k => s"h$k").mkString(" + ")
+      s"""WITH $EV,
+         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    $hs
+         |  FROM ev GROUP BY 1)
+         |SELECT user_id, n_events,
+         |  $arr AS hour_counts_csv,
+         |  CAST($terms AS DOUBLE) AS activity_entropy,
+         |  round(CAST($night AS DOUBLE) / n_events, 6) AS night_frac
+         |FROM a""".stripMargin
+    },
+
+    // activity trend: OLS slope over (day index, daily count) — exact
+    // BIGINT sums, one rounded double division, NULL on a degenerate fit
+    "activity_trend" ->
+      s"""WITH $EV,
+         |d AS (SELECT user_id,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      date_trunc('day', ts)) AS BIGINT) AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM ev GROUP BY 1, 2),
+         |s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM d GROUP BY 1)
+         |SELECT user_id, n_days,
+         |  CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+         |    ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+         |      CAST(n_days * sxx - sx * sx AS DOUBLE), 6) END AS slope
+         |FROM s""".stripMargin,
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

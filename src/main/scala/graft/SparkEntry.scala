@@ -2019,6 +2019,24 @@ object SparkEntry {
     ops.Profile.percentileRank(t(s, dir, "orders"), "o_orderpriority",
       "o_orderkey", col("o_totalprice"))
 
+  /** Inverted PHRASE-index build over the documents (bigram terms — the
+    * unigram vocab of the synthetic corpus is 31 near-stopwords, all
+    * above any useful df cap; bigrams spread 916 ways): per phrase the
+    * sorted doc ids + aligned tfs, df > 100 phrases dropped. */
+  private def postingIndexQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Postings.buildFlat(t(s, dir, "documents"), "doc_id",
+      "text", maxDf = 100, ngram = 2)
+
+  /** Per-user hour-of-day activity profile: 24-bin histogram, activity
+    * entropy (pinned-decimal sum), night share. */
+  private def behaviorProfileQ(s: SparkSession, dir: String): DataFrame =
+    ops.Behavior.hourProfile(events(s, dir), "user_id", "ts")
+
+  /** Per-user activity-trend slope: OLS over (day index, daily event
+    * count) with exact integer sums. */
+  private def activityTrendQ(s: SparkSession, dir: String): DataFrame =
+    ops.Behavior.activityTrend(events(s, dir), "user_id", "ts")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -2155,6 +2173,9 @@ object SparkEntry {
     "outlier_zscore"    -> (outlierZscoreQ _),
     "tfidf_neighbors"   -> (tfidfNeighborsQ _),
     "percentile_rank"   -> (percentileRankQ _),
+    "posting_index"     -> (postingIndexQ _),
+    "behavior_profile"  -> (behaviorProfileQ _),
+    "activity_trend"    -> (activityTrendQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
