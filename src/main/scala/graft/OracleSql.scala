@@ -2487,6 +2487,44 @@ object OracleSql {
          |    ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
          |      CAST(n_days * sxx - sx * sx AS DOUBLE), 6) END AS slope
          |FROM s""".stripMargin,
+
+    // quantile normalization: within-source percent_rank mapped to the
+    // global value at rank 1 + floor(pr*(N-1) + 0.5) — rank selection
+    "quantile_normalize" ->
+      """WITH r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS value,
+        |    round(percent_rank() OVER (PARTITION BY source
+        |      ORDER BY n_chars), 6) AS pr
+        |  FROM documents),
+        |g AS (SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |      AS BIGINT) AS grank,
+        |    CAST(n_chars AS BIGINT) AS gv
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, source, value, pr, gv AS mapped
+        |FROM r, nn
+        |JOIN g ON g.grank =
+        |  CAST(floor(pr * (n - 1) + 0.5) AS BIGINT) + 1""".stripMargin,
+
+    // k-anonymity audit: QI-group sizes, risk flag below k
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  COUNT(*) < 10 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // seeded Laplace release: u from the md5 bridge, inverse-CDF noise in
+    // one fixed-shape double expression
+    "dp_counts" ->
+      s"""WITH $EV,
+         |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+         |  GROUP BY 1),
+         |uu AS (SELECT event_type, n,
+         |    (CAST(${mh63("event_type || '|' || 'dp1'")} AS DOUBLE) + 1.0)
+         |      / 9223372036854775808.0 AS u
+         |  FROM c)
+         |SELECT event_type, n,
+         |  round(n + (-2.0) * sign(u - 0.5) *
+         |    ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+         |FROM uu""".stripMargin,
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

@@ -2037,6 +2037,24 @@ object SparkEntry {
   private def activityTrendQ(s: SparkSession, dir: String): DataFrame =
     ops.Behavior.activityTrend(events(s, dir), "user_id", "ts")
 
+  /** Quantile-normalize per-source document lengths onto the global
+    * length distribution (rank selection, never interpolation). */
+  private def quantileNormalizeQ(s: SparkSession, dir: String): DataFrame =
+    ops.Normalize.quantileNormalize(t(s, dir, "documents"), "doc_id",
+      "source", col("n_chars"), "doc_id")
+
+  /** k-anonymity audit of the (nation, segment) quasi-identifier pair at
+    * k = 10: per-group sizes with the at-risk flag. */
+  private def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
+    ops.Privacy.kAnonymity(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+
+  /** Seeded-Laplace private release of event-type counts (b = 2 ≙ ε = ½
+    * for a count query): reproducible given the seed. */
+  private def dpCountsQ(s: SparkSession, dir: String): DataFrame =
+    ops.Privacy.dpNoisyCounts(events(s, dir), "event_type", b = 2.0,
+      seed = "dp1")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -2176,6 +2194,9 @@ object SparkEntry {
     "posting_index"     -> (postingIndexQ _),
     "behavior_profile"  -> (behaviorProfileQ _),
     "activity_trend"    -> (activityTrendQ _),
+    "quantile_normalize" -> (quantileNormalizeQ _),
+    "k_anonymity"       -> (kAnonymityQ _),
+    "dp_counts"         -> (dpCountsQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
