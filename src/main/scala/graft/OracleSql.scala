@@ -2525,6 +2525,72 @@ object OracleSql {
          |  round(n + (-2.0) * sign(u - 0.5) *
          |    ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
          |FROM uu""".stripMargin,
+
+    // Kaplan-Meier: exact at-risk/death counts; each ln factor pinned to
+    // DECIMAL, ordered cumulative sum, one exp at the end
+    "survival_km" ->
+      s"""WITH $EV,
+         |st AS (SELECT user_id, min(ts) AS s FROM ev
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |de AS (SELECT e.user_id, min(e.ts) AS d FROM ev e
+         |  JOIN st USING (user_id)
+         |  WHERE event_type = 'purchase' AND e.ts > s GROUP BY 1),
+         |dur AS (SELECT st.user_id,
+         |    CAST(CASE WHEN d IS NOT NULL THEN
+         |        date_diff('day', date_trunc('day', s), date_trunc('day', d))
+         |      ELSE date_diff('day', date_trunc('day', s),
+         |        date_trunc('day', TIMESTAMP '2024-01-31 00:00:00')) END
+         |      AS BIGINT) AS t_,
+         |    d IS NOT NULL AS obs
+         |  FROM st LEFT JOIN de ON st.user_id = de.user_id),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dur),
+         |byt AS (SELECT t_ AS t,
+         |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS lv
+         |  FROM dur GROUP BY 1),
+         |cur AS (SELECT t, d,
+         |    CAST(n - COALESCE(SUM(lv) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS n_at_risk
+         |  FROM byt, tot),
+         |cc AS (SELECT t, d, n_at_risk,
+         |    SUM(CASE WHEN d = n_at_risk THEN CAST(0 AS DECIMAL(18,9))
+         |      ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), 9)
+         |        AS DECIMAL(18,9)) END)
+         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
+         |    MAX(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zeroed
+         |  FROM cur WHERE d > 0)
+         |SELECT t, d, n_at_risk,
+         |  CASE WHEN zeroed = 1 THEN 0.0
+         |    ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS km
+         |FROM cc""".stripMargin,
+
+    // Pearson matrix: every Σ DECIMAL-exact in one scan; r is one
+    // fixed-shape double expression per pair
+    "feature_corr" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def dc(c: String) = s"CAST($c AS DECIMAL(18,2))"
+      val sums = cs.flatMap(c => Seq(
+        s"SUM(${dc(c)}) AS s_$c", s"SUM(${dc(c)} * ${dc(c)}) AS ss_$c")) ++
+        (for { i <- cs.indices; j <- cs.indices if i < j }
+          yield s"SUM(${dc(cs(i))} * ${dc(cs(j))}) AS sp_${cs(i)}_${cs(j)}")
+      val rows = (for { i <- cs.indices; j <- cs.indices if i < j } yield {
+        val (a, b) = (cs(i), cs(j))
+        def d(x: String) = s"CAST($x AS DOUBLE)"
+        val va = s"(${d("n")} * ${d(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})"
+        val vb = s"(${d("n")} * ${d(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})"
+        s"""SELECT '$a' AS x_col, '$b' AS y_col, n,
+           |  CASE WHEN $va = 0 OR $vb = 0 THEN NULL
+           |    ELSE round((${d("n")} * ${d(s"sp_${a}_$b")} -
+           |      ${d(s"s_$a")} * ${d(s"s_$b")}) / sqrt($va * $vb), 6) END
+           |    AS r FROM s""".stripMargin
+      }).mkString("\nUNION ALL ")
+      s"""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${sums.mkString(",\n|    ")}
+         |  FROM lineitem)
+         |$rows""".stripMargin
+    },
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

@@ -2055,6 +2055,20 @@ object SparkEntry {
     ops.Privacy.dpNoisyCounts(events(s, dir), "event_type", b = 2.0,
       seed = "dp1")
 
+  /** Kaplan–Meier time-to-conversion: first signup → first later
+    * purchase, right-censored at 2024-01-31; ln-sum cumulative product
+    * over the pinned-decimal running sum. */
+  private def survivalKmQ(s: SparkSession, dir: String): DataFrame =
+    ops.Survival.kaplanMeier(ops.Survival.durations(events(s, dir),
+      "user_id", "ts", "event_type", "signup", "purchase",
+      lit("2024-01-31 00:00:00").cast("timestamp")))
+
+  /** Pearson correlation matrix of the four lineitem numerics — one
+    * full-scan aggregate, six pair rows. */
+  private def featureCorrQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.corrMatrix(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -2197,6 +2211,8 @@ object SparkEntry {
     "quantile_normalize" -> (quantileNormalizeQ _),
     "k_anonymity"       -> (kAnonymityQ _),
     "dp_counts"         -> (dpCountsQ _),
+    "survival_km"       -> (survivalKmQ _),
+    "feature_corr"      -> (featureCorrQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
