@@ -2594,7 +2594,9 @@ object OracleSql {
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —
-  // one oracle SQL, two physical strategies under the same gate
+  // one oracle SQL, two physical strategies under the same gate; the
+  // streaming funnel likewise answers to the batch funnel's oracle
   val all: Map[String, String] =
-    base + ("pit_window_agg_prefix" -> base("pit_window_agg"))
+    base + ("pit_window_agg_prefix" -> base("pit_window_agg")) +
+      ("streaming_funnel" -> base("event_funnel"))
 }

@@ -2055,6 +2055,56 @@ object SparkEntry {
     ops.Privacy.dpNoisyCounts(events(s, dir), "event_type", b = 2.0,
       seed = "dp1")
 
+  /** Streaming funnel under the gate: the same view→click→purchase
+    * funnel as event_funnel, computed by the watermark-finalized
+    * streaming state machine over a file stream, rolled up to the SAME
+    * per-step counts — one oracle, two execution models (the
+    * stream_asof convention, incl. the watermark-push sentinel and the
+    * 2-stateful-batch lifecycle). */
+  private def streamingFunnelQ(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sfun").toString
+    val ev = events(s, dir)
+      .select(col("user_id").as("user"), col("event_type").as("typ"),
+        col("ts"))
+      .where(col("typ").isin("view", "click", "purchase"))
+    ev.coalesce(1).write.parquet(s"$tmp/in")
+    val maxTs = events(s, dir).agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0)
+    locally { // sentinel pushes the final watermark past anchor + horizon
+      import s.implicits._
+      Seq((-1L, "view", new java.sql.Timestamp(
+        maxTs.getTime + 3652L * 86400000L)))
+        .toDF("user", "typ", "ts")
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("typ",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8).parquet(s"$tmp/in")
+    val depths = graft.streaming.StreamingFunnel.funnelStream(
+      s, stream, Seq("view", "click", "purchase"), horizonSeconds = 86400,
+      delayThreshold = "3650 days")
+    val table = s"stream_funnel_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val q = try depths.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    val d = s.table(table).where(col("user") >= 0)
+    Seq(("view", 1), ("click", 2), ("purchase", 3)).map { case (name, k) =>
+      d.agg(sum(when(col("depth") >= k, 1L).otherwise(0L)).as("__n"))
+        .select(lit(k).cast("int").as("step_idx"), lit(name).as("step"),
+          coalesce(col("__n"), lit(0L)).as("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Kaplan–Meier time-to-conversion: first signup → first later
     * purchase, right-censored at 2024-01-31; ln-sum cumulative product
     * over the pinned-decimal running sum. */
@@ -2213,6 +2263,7 @@ object SparkEntry {
     "dp_counts"         -> (dpCountsQ _),
     "survival_km"       -> (survivalKmQ _),
     "feature_corr"      -> (featureCorrQ _),
+    "streaming_funnel"  -> (streamingFunnelQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
