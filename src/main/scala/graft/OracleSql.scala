@@ -2566,6 +2566,18 @@ object OracleSql {
          |    ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS km
          |FROM cc""".stripMargin,
 
+    // JSON property extraction: same '$.k' path semantics, exact ints
+    "json_props_rollup" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY 1""".stripMargin,
+
     // Pearson matrix: every Σ DECIMAL-exact in one scan; r is one
     // fixed-shape double expression per pair
     "feature_corr" -> {
@@ -2598,5 +2610,6 @@ object OracleSql {
   // streaming funnel likewise answers to the batch funnel's oracle
   val all: Map[String, String] =
     base + ("pit_window_agg_prefix" -> base("pit_window_agg")) +
-      ("streaming_funnel" -> base("event_funnel"))
+      ("streaming_funnel" -> base("event_funnel")) +
+      ("streaming_dedup_wm" -> base("streaming_dedup"))
 }

@@ -1806,6 +1806,61 @@ object SparkEntry {
         max(unix_millis(col("ts"))).as("max_ts_ms"))
   }
 
+  /** The production-bounded form of streaming_dedup:
+    * `dropDuplicatesWithinWatermark` keys state by event_id but EVICTS
+    * entries once the watermark passes their event time + delay — state
+    * is time-bounded instead of id-domain-bounded. The doubled delivery
+    * lands within one watermark window here, so the result must equal
+    * the unbounded dedup (and the same batch oracle). */
+  private def streamingDedupWm(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdw").toString
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+    ev.repartition(4).write.parquet(s"$tmp/in")
+    ev.repartition(4).write.mode("append").parquet(s"$tmp/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(s"$tmp/in")
+      // delay >= the whole corpus span: every duplicate arrives while its
+      // first copy's state is still live (the correctness precondition
+      // the operator's docs pin; shrink the delay to trade memory for a
+      // duplicate-horizon bound)
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+      .start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max(unix_millis(col("ts"))).as("max_ts_ms"))
+  }
+
+  /** Semi-structured JSON properties: extract `$.k` from the events
+    * props column in the scan projection (codegen'd path expression, no
+    * UDF) and roll up exact integer stats per event type. */
+  private def jsonPropsRollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count_distinct(col("k")).as("ndv_k"))
+
   // --------------------- training-mix planning + corpus diagnostics
 
   /** Temperature-1/2 mix plan over the documents table: per-source token
@@ -2264,6 +2319,8 @@ object SparkEntry {
     "survival_km"       -> (survivalKmQ _),
     "feature_corr"      -> (featureCorrQ _),
     "streaming_funnel"  -> (streamingFunnelQ _),
+    "streaming_dedup_wm" -> (streamingDedupWm _),
+    "json_props_rollup" -> (jsonPropsRollup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
