@@ -54,8 +54,7 @@ object LibrarySmoke {
 
     // 5. streaming latest-value upkeep converging with batch
     val stDir = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Readers.eventsNormalized(spark, dir)
       .select($"user_id".as("entity"), $"value", $"ts")
       .write.mode("overwrite").parquet(stDir)
     val q = graft.streaming.StreamingLatest.latestValueStream(spark,

@@ -2603,6 +2603,214 @@ object OracleSql {
          |  FROM lineitem)
          |$rows""".stripMargin
     },
+
+    // ---------------------------------------------- round-5 additions
+
+    // interval union coverage: gaps-and-islands running-max merge +
+    // sweep-line depth (ends before starts at equal time; half-open)
+    "interval_coverage" ->
+      s"""WITH $EV,
+         |iv AS (SELECT user_id, epoch_ms(ts) AS s_ms,
+         |    epoch_ms(ts) + CAST(floor(value * 60000) AS BIGINT) AS e_ms
+         |  FROM ev),
+         |m AS (SELECT user_id, s_ms, e_ms,
+         |    MAX(e_ms) OVER (PARTITION BY user_id ORDER BY s_ms, e_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM iv),
+         |isl AS (SELECT user_id, s_ms, e_ms,
+         |    SUM(CASE WHEN pmax IS NULL OR s_ms > pmax THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY s_ms, e_ms
+         |        ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM m),
+         |gg AS (SELECT user_id, g, COUNT(*) AS n_iv, MIN(s_ms) AS a,
+         |    MAX(e_ms) AS b
+         |  FROM isl GROUP BY 1, 2),
+         |cov AS (SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+         |    CAST(COUNT(*) AS BIGINT) AS n_islands,
+         |    CAST(SUM(b - a) AS BIGINT) AS covered_ms
+         |  FROM gg GROUP BY 1),
+         |pts AS (SELECT user_id, s_ms AS t, 1 AS d FROM iv
+         |  UNION ALL SELECT user_id, e_ms, -1 FROM iv),
+         |dep AS (SELECT user_id, CAST(MAX(rs) AS BIGINT) AS max_depth
+         |  FROM (SELECT user_id, SUM(d) OVER (PARTITION BY user_id
+         |      ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS rs FROM pts)
+         |  GROUP BY 1)
+         |SELECT cov.user_id, n_intervals, n_islands, covered_ms, max_depth
+         |FROM cov JOIN dep USING (user_id)""".stripMargin,
+
+    // nearest-event join: union-window scan, backward/forward running
+    // candidates, distance compare in micros; ties prefer backward
+    "nearest_join" ->
+      s"""WITH $EV,
+         |p AS (SELECT user_id, ts, event_id, value FROM ev
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click'),
+         |u AS (SELECT user_id, ts, event_id, value AS lval, 1 AS isl,
+         |    CAST(NULL AS DOUBLE) AS rval FROM p
+         |  UNION ALL SELECT user_id, ts, NULL, NULL, 0, value FROM c),
+         |sc AS (SELECT user_id, ts, event_id, lval, isl,
+         |    last_value(CASE WHEN isl = 0 THEN ts END IGNORE NULLS)
+         |      OVER wb AS b_ts,
+         |    last_value(CASE WHEN isl = 0 THEN rval END IGNORE NULLS)
+         |      OVER wb AS b_v,
+         |    last_value(CASE WHEN isl = 0 THEN ts END IGNORE NULLS)
+         |      OVER wf AS f_ts,
+         |    last_value(CASE WHEN isl = 0 THEN rval END IGNORE NULLS)
+         |      OVER wf AS f_v
+         |  FROM u
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, isl, rval
+         |      ROWS UNBOUNDED PRECEDING),
+         |    wf AS (PARTITION BY user_id ORDER BY ts DESC, isl DESC, rval ASC
+         |      ROWS UNBOUNDED PRECEDING))
+         |SELECT user_id AS entity, event_id, epoch_ms(ts) AS ts_ms,
+         |  lval AS label,
+         |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         |    WHEN f_ts IS NULL THEN epoch_ms(b_ts)
+         |    WHEN b_ts IS NULL THEN epoch_ms(f_ts)
+         |    WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)
+         |      THEN epoch_ms(b_ts) ELSE epoch_ms(f_ts) END AS near_ts_ms,
+         |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         |    WHEN f_ts IS NULL THEN b_v
+         |    WHEN b_ts IS NULL THEN f_v
+         |    WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)
+         |      THEN b_v ELSE f_v END AS near_value,
+         |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         |    WHEN f_ts IS NULL THEN 'b'
+         |    WHEN b_ts IS NULL THEN 'f'
+         |    WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)
+         |      THEN 'b' ELSE 'f' END AS near_dir
+         |FROM sc WHERE isl = 1""".stripMargin,
+
+    // closed-form OLS: DECIMAL-exact sums, Cramer minors as the IDENTICAL
+    // fixed-shape double expressions the Spark side evaluates
+    "linreg_fit" -> {
+      def dc(c: String) = s"CAST($c AS DECIMAL(18,2))"
+      s"""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |    SUM(${dc("l_quantity")}) AS rs1, SUM(${dc("l_discount")}) AS rs2,
+         |    SUM(${dc("l_extendedprice")}) AS rsy,
+         |    SUM(${dc("l_quantity")} * ${dc("l_quantity")}) AS rs11,
+         |    SUM(${dc("l_quantity")} * ${dc("l_discount")}) AS rs12,
+         |    SUM(${dc("l_discount")} * ${dc("l_discount")}) AS rs22,
+         |    SUM(${dc("l_quantity")} * ${dc("l_extendedprice")}) AS rs1y,
+         |    SUM(${dc("l_discount")} * ${dc("l_extendedprice")}) AS rs2y,
+         |    SUM(${dc("l_extendedprice")} * ${dc("l_extendedprice")}) AS rsyy
+         |  FROM lineitem),
+         |d AS (SELECT n_raw, CAST(n_raw AS DOUBLE) AS n,
+         |    CAST(rs1 AS DOUBLE) AS s1, CAST(rs2 AS DOUBLE) AS s2,
+         |    CAST(rsy AS DOUBLE) AS sy, CAST(rs11 AS DOUBLE) AS s11,
+         |    CAST(rs12 AS DOUBLE) AS s12, CAST(rs22 AS DOUBLE) AS s22,
+         |    CAST(rs1y AS DOUBLE) AS s1y, CAST(rs2y AS DOUBLE) AS s2y,
+         |    CAST(rsyy AS DOUBLE) AS syy
+         |  FROM s),
+         |m AS (SELECT *,
+         |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+         |      s2 * (s1 * s12 - s11 * s2) AS det,
+         |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s2y * s12) +
+         |      s2 * (s1y * s12 - s2y * s11) AS det0,
+         |    n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+         |      s2 * (s1 * s2y - s1y * s2) AS det1,
+         |    n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y) +
+         |      sy * (s1 * s12 - s11 * s2) AS det2
+         |  FROM d),
+         |b AS (SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+         |  FROM m)
+         |SELECT n_raw AS n,
+         |  CASE WHEN det = 0 THEN NULL ELSE round(b0, 6) END AS b0,
+         |  CASE WHEN det = 0 THEN NULL ELSE round(b1, 6) END AS b1,
+         |  CASE WHEN det = 0 THEN NULL ELSE round(b2, 6) END AS b2,
+         |  CASE WHEN (syy - sy * sy / n) = 0 OR det = 0 THEN NULL
+         |    ELSE round(1.0 - (syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y) +
+         |      (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22 +
+         |        2.0 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12))) /
+         |      (syy - sy * sy / n), 6) END AS r2
+         |FROM b""".stripMargin
+    },
+
+    // multinomial naive Bayes: every ln pinned round(·,9) DECIMAL before
+    // exact summation; argmax ties to the smallest class
+    "naive_bayes_lang" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($TOKS_LOWER) AS t
+         |  FROM documents),
+         |tc AS (SELECT lang, t, COUNT(*) AS ntc FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT lang, COUNT(*) AS totc FROM tok GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT t) AS v FROM tok),
+         |nd AS (SELECT COUNT(*) AS nn FROM documents),
+         |dl AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+         |pr AS (SELECT dl.lang, ct.totc, vv.v,
+         |    CAST(round(ln(CAST(dl.cnt AS DOUBLE) / nd.nn), 9)
+         |      AS DECIMAL(18,9)) AS prior
+         |  FROM dl, nd, vv, ct WHERE ct.lang = dl.lang),
+         |dt AS (SELECT doc_id, t, COUNT(*) AS cdt FROM tok GROUP BY 1, 2),
+         |grid AS (SELECT dt.doc_id, pr.lang,
+         |    CAST(dt.cdt AS DECIMAL(12,0)) *
+         |      CAST(round(ln(CAST(COALESCE(tc.ntc, 0) + 1 AS DOUBLE) /
+         |        CAST(pr.totc + pr.v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS term
+         |  FROM dt CROSS JOIN pr
+         |  LEFT JOIN tc ON tc.lang = pr.lang AND tc.t = dt.t),
+         |sc AS (SELECT doc_id, lang, SUM(term) AS lk FROM grid GROUP BY 1, 2),
+         |fin AS (SELECT sc.doc_id, sc.lang, sc.lk + pr.prior AS score
+         |  FROM sc JOIN pr ON pr.lang = sc.lang),
+         |p AS (SELECT doc_id, lang AS pred FROM fin
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, lang) = 1)
+         |SELECT d.doc_id, d.lang AS actual, p.pred,
+         |  CAST(CASE WHEN d.lang = p.pred THEN 1 ELSE 0 END AS BIGINT) AS hit
+         |FROM documents d JOIN p USING (doc_id)""".stripMargin,
+
+    // triangle participation in the co-order part graph: plain a<b<c
+    // 3-way join (the oracle shape; Spark runs the degree-ordered
+    // orientation — same triangle set by construction)
+    "triangle_count" ->
+      """WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |vc AS (SELECT vx, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT u AS vx FROM tri UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri)
+        |  GROUP BY 1)
+        |SELECT CAST(vx AS BIGINT) AS part, n_triangles FROM vc
+        |ORDER BY n_triangles DESC, part LIMIT 25""".stripMargin,
+
+    // EWMA left fold replayed exactly by a per-key recursive CTE
+    // (α = 1/4 — exact binary fraction, identical IEEE sequence)
+    "ewma_smooth" ->
+      s"""WITH RECURSIVE $EV,
+         |x AS (SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM ev),
+         |r AS (SELECT user_id, rn, value AS e FROM x WHERE rn = 1
+         |  UNION ALL
+         |  SELECT x.user_id, x.rn, 0.25 * x.value + 0.75 * r.e
+         |  FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1),
+         |f AS (SELECT user_id, MAX(rn) AS mx FROM x GROUP BY 1)
+         |SELECT r.user_id, CAST(f.mx AS BIGINT) AS n_events,
+         |  round(r.e, 6) AS ewma
+         |FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.mx""".stripMargin,
+
+    // hashing-trick features: md5 bucket + md5 sign bit, BIGINT counts,
+    // fixed-order 16-dim list
+    "feature_hash" ->
+      s"""WITH $EV,
+         |tok AS (SELECT user_id, unnest([event_type,
+         |    'vb' || CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR)])
+         |    AS tk FROM ev),
+         |ht AS (SELECT user_id,
+         |    CAST(${mh63("tk")} % 16 AS INT) AS j,
+         |    CASE WHEN md5_number_lower(tk || '|s') % 2 = 1 THEN 1 ELSE -1 END
+         |      AS sgn
+         |  FROM tok),
+         |g AS (SELECT user_id, j, CAST(SUM(sgn) AS BIGINT) AS c
+         |  FROM ht GROUP BY 1, 2),
+         |grid AS (SELECT u.user_id, CAST(t.j AS INT) AS j
+         |  FROM (SELECT DISTINCT user_id FROM g) u
+         |  CROSS JOIN range(16) t(j)),
+         |fz AS (SELECT grid.user_id, grid.j, COALESCE(g.c, 0) AS c
+         |  FROM grid LEFT JOIN g ON g.user_id = grid.user_id AND g.j = grid.j)
+         |SELECT user_id, j, CAST(c AS BIGINT) AS c FROM fz""".stripMargin,
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

@@ -61,9 +61,7 @@ object SkewBench {
 
   private def genEvents(spark: SparkSession, sfDir: String, mult: Int,
                         out: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     ev.withColumn("copy", explode(sequence(lit(0), lit(mult - 1))))
       .withColumn("id", col("event_id") + col("copy") * 10000000L)

@@ -39,15 +39,11 @@ object SparkEntry {
     }
   }
 
-  /** events.ts is nanosecond parquet, which Spark 4 refuses as a timestamp;
-    * read it as raw int64 nanos and integer-divide to micros — exactly the
-    * truncation DuckDB's CAST(ts_ns AS TIMESTAMP) applies, keeping both
-    * engines on identical micros. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** events.ts normalized to micros TIMESTAMP whatever the file encodes
+    * (nanos int64 or micros NTZ — testdata has shipped both); see
+    * [[graft.sources.Readers.normalizeTs]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Readers.eventsNormalized(s, dir)
 
   // ------------------------------------------------------------------ T1/T2
   // SQL transformation with {{source}} templating, full SparkSQL passthrough.
@@ -2174,6 +2170,84 @@ object SparkEntry {
     ops.Stats.corrMatrix(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  // ------------------------------------------------- round-5 additions
+
+  /** Interval union coverage + max concurrency per user: each event opens
+    * a `value`-minute activity window; overlaps merge (gaps-and-islands),
+    * depth by sweep-line — both per-key window scans. */
+  private def intervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val iv = ev.select(col("user_id"),
+      unix_millis(col("ts")).as("s_ms"),
+      (unix_millis(col("ts")) + floor(col("value") * 60000).cast("long"))
+        .as("e_ms"))
+    ops.Intervals.coverage(iv, "user_id", "s_ms", "e_ms")
+      .select(col("key").as("user_id"), col("n_intervals"),
+        col("n_islands"), col("covered_ms"), col("max_depth"))
+  }
+
+  /** Nearest-event join: every purchase matched to the time-closest click
+    * (either direction; ties prefer the earlier click). */
+  private def nearestJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    ops.NearestJoin.nearest(purchases, clicks, "user_id", "ts",
+        "event_id", "value", "value")
+      .select(col("key").as("entity"), col("left_id").as("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("left_value").as("label"),
+        unix_millis(col("near_ts")).as("near_ts_ms"),
+        col("near_value"), col("near_dir"))
+  }
+
+  /** Closed-form OLS: l_extendedprice ~ l_quantity + l_discount, one
+    * aggregate + Cramer solve. */
+  private def linregFit(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.ols2(t(s, dir, "lineitem"),
+      "l_extendedprice", "l_quantity", "l_discount")
+
+  /** Multinomial naive Bayes language model trained and applied on the
+    * documents corpus (self-classification diagnostics). */
+  private def naiveBayesLang(s: SparkSession, dir: String): DataFrame =
+    functions.Bayes.classifySelf(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+      .select(col("id").as("doc_id"), col("actual"), col("pred"), col("hit"))
+
+  /** Top-25 triangle-participating parts in the co-order graph (parts
+    * appearing on the same order are connected). */
+  private def triangleCountQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("x").join(li.as("y"), "l_orderkey")
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+    functions.Graph.triangleCounts(pairs, "a", "b")
+      .select(col("v").cast("long").as("part"), col("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part").asc)
+      .limit(25)
+  }
+
+  /** Per-user EWMA of event values (α = 1/4) — the sorted-fold smoother. */
+  private def ewmaSmooth(s: SparkSession, dir: String): DataFrame =
+    ops.Smooth.ewma(events(s, dir), "user_id", "ts", "event_id", "value")
+      .select(col("key").as("user_id"), col("n_events"),
+        round(col("ewma"), 6).as("ewma"))
+
+  /** Hashing-trick featurization of user behavior (event type + value
+    * bucket tokens → 16 signed-count dims). */
+  private def featureHashQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val toks = ev.select(col("user_id"), explode(array(
+      col("event_type"),
+      concat(lit("vb"), floor(col("value") / 50).cast("long").cast("string"))))
+      .as("tok"))
+    // long format (one row per dim) — every vector cell oracle-checked
+    functions.Hashing.hashFeatures(toks, "user_id", "tok", 16)
+      .select(col("id").as("user_id"),
+        posexplode(col("fvec")).as(Seq("j", "c")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -2318,6 +2392,13 @@ object SparkEntry {
     "dp_counts"         -> (dpCountsQ _),
     "survival_km"       -> (survivalKmQ _),
     "feature_corr"      -> (featureCorrQ _),
+    "interval_coverage" -> (intervalCoverage _),
+    "nearest_join"      -> (nearestJoinQ _),
+    "linreg_fit"        -> (linregFit _),
+    "naive_bayes_lang"  -> (naiveBayesLang _),
+    "triangle_count"    -> (triangleCountQ _),
+    "ewma_smooth"       -> (ewmaSmooth _),
+    "feature_hash"      -> (featureHashQ _),
     "streaming_funnel"  -> (streamingFunnelQ _),
     "streaming_dedup_wm" -> (streamingDedupWm _),
     "json_props_rollup" -> (jsonPropsRollup _),

@@ -71,4 +71,48 @@ object Graph {
     ranks.select(col("__v").as("node"),
       col("__r").cast("double").as("rank"))
   }
+
+  /** Per-vertex triangle participation counts over an undirected simple
+    * graph (`edges(aCol, bCol)`, self-loops and duplicates tolerated).
+    *
+    * Degree-ordered wedge enumeration — the standard distributed triangle
+    * algorithm: orient every edge from the lower-(degree, id) endpoint to
+    * the higher, enumerate wedges only from each vertex's OUT-edges, and
+    * close them against the oriented edge set. Each triangle is produced
+    * exactly once, and out-degrees are bounded by ~√m on any graph — the
+    * wedge count is O(Σ out-deg²) ≤ O(m^1.5) instead of Σ deg² (which a
+    * hub vertex makes quadratic). Three shuffles total (degree join,
+    * wedge self-join, closing semi-join); no iteration.
+    *
+    * Returns `(v, n_triangles)` for vertices in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .distinct()
+    val deg = und.select(col("__a").as("__v"))
+      .unionAll(und.select(col("__b").as("__v")))
+      .groupBy("__v").agg(count(lit(1)).as("__deg"))
+    // orient low-(deg, id) → high-(deg, id)
+    val d = und
+      .join(deg.withColumnRenamed("__v", "__a").withColumnRenamed("__deg", "__da"), "__a")
+      .join(deg.withColumnRenamed("__v", "__b").withColumnRenamed("__deg", "__db"), "__b")
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("__a") < col("__b")),
+          struct(col("__a").as("s"), col("__b").as("t")))
+          .otherwise(struct(col("__b").as("s"), col("__a").as("t"))).as("__e"))
+      .select(col("__e.s").as("__s"), col("__e.t").as("__t"))
+    // wedges (s; u < v by id) from common source, closed by oriented edge
+    val e1 = d.select(col("__s"), col("__t").as("__u"))
+    val e2 = d.select(col("__s"), col("__t").as("__v"))
+    val wedges = e1.join(e2, "__s").filter(col("__u") < col("__v"))
+    val closing = d.select(col("__s").as("__cu"), col("__t").as("__cv"))
+      .unionAll(d.select(col("__t").as("__cu"), col("__s").as("__cv")))
+    val tris = wedges.join(closing,
+      col("__u") === col("__cu") && col("__v") === col("__cv"), "leftsemi")
+    tris.select(explode(array(col("__s"), col("__u"), col("__v"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exponentially-weighted moving averages per key — the inherently
+  * sequential per-entity smoother (feature freshness decay, rate
+  * estimation), computed the same way [[graft.functions.Pack.packGreedy]]
+  * packs: repartition by key, sort within partitions, ONE pass of O(1)
+  * fold state per key in `mapPartitions`. No window buffer, no
+  * exponent-of-n arithmetic (pow-based window forms overflow at long
+  * histories); each key's chain is a strict left fold
+  * `e_n = α·x_n + (1−α)·e_{n−1}`, `e_1 = x_1`, in document order.
+  *
+  * Determinism: α must be an exact binary fraction (default 1/4) so the
+  * fold is the same IEEE sequence everywhere; the DuckDB oracle replays
+  * it with a recursive CTE over the identical (ts, id) order.
+  *
+  * 100 TB: one shuffle (repartition on key), then linear scan;
+  * per-key sequential work is unavoidable by definition of the operator
+  * and parallelizes across keys. */
+object Smooth {
+
+  /** `(key, n_events, ewma)` — final smoothed value per key over `valCol`
+    * ordered by (`tsCol`, `idCol`). */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valCol: String, alpha: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val base = df.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).as("__ts"), col(idCol).cast("long").as("__id"),
+        col(valCol).cast("double").as("__x"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("__ts"), col("__id"))
+    val outSchema = StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("ewma", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val it = rows.buffered
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          val k = it.head.getLong(0)
+          var n = 0L
+          var e = 0.0
+          while (it.hasNext && it.head.getLong(0) == k) {
+            val x = it.next().getDouble(3)
+            e = if (n == 0L) x else alpha * x + (1.0 - alpha) * e
+            n += 1L
+          }
+          Row(k, n, e)
+        }
+      }
+    }(enc)
+  }
+}

@@ -48,6 +48,12 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   private val mapper = new ObjectMapper()
   private val file = new Path(s"$stateDir/task_runs.jsonl")
   private def fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // Successes recorded BY THIS INSTANCE, mirrored in memory so the resume
+  // check can never miss a record this process just wrote (the durable file
+  // stays the cross-restart source of truth; append() fails loudly if the
+  // rewrite cannot be made durable).
+  private val localSuccesses =
+    scala.collection.mutable.Set.empty[(String, String)]
 
   def runs(): Seq[TaskRun] = {
     if (!fs.exists(file)) return Nil
@@ -85,12 +91,19 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     val tmp = new Path(s"$stateDir/.task_runs.jsonl.tmp")
     val out = fs.create(tmp, true)
     out.write((existing + line).getBytes("UTF-8")); out.close()
-    fs.delete(file, false)
-    fs.rename(tmp, file)
+    // A silently failed delete or rename would drop this record from the
+    // durable ledger — succeeded() would then miss the resume check and a
+    // re-run would append a duplicate success. Fail loudly instead.
+    if (fs.exists(file) && !fs.delete(file, false))
+      sys.error(s"TaskRunner: could not delete $file during ledger rewrite")
+    if (!fs.rename(tmp, file))
+      sys.error(s"TaskRunner: could not rename $tmp -> $file during ledger rewrite")
+    if (r.status == "success") localSuccesses += ((r.task, r.runKey))
   }
 
   def succeeded(task: String, runKey: String): Boolean =
-    runs().exists(r => r.task == task && r.runKey == runKey && r.status == "success")
+    synchronized(localSuccesses.contains((task, runKey))) ||
+      runs().exists(r => r.task == task && r.runKey == runKey && r.status == "success")
 
   /** Run `body` with retry/backoff/timeout, recording every attempt.
     * Returns the final record; a previously-succeeded (task, runKey) is

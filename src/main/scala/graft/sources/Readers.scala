@@ -33,4 +33,31 @@ object Readers {
   /** Convenience: read one of the harness tables from an sf directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize a parquet timestamp column to session-TZ (UTC) micros
+    * TIMESTAMP regardless of how the file encodes it:
+    *  - INT64 NANOS (read as raw long under `nanosAsLong`): integer-divide
+    *    to micros — the truncation DuckDB's `CAST(ts_ns AS TIMESTAMP)`
+    *    applies;
+    *  - micros TIMESTAMP_NTZ (plain parquet timestamp, NTZ inference on):
+    *    cast — identity on the instant in a UTC session, matching DuckDB's
+    *    epoch-UTC reading of naive parquet timestamps;
+    *  - already TIMESTAMP: untouched. */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c,
+          org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp"))
+      case _ => df
+    }
+
+  /** The harness `events` table with `ts` normalized via [[normalizeTs]].
+    * Encoding-agnostic: testdata snapshots have shipped both nanos and
+    * micros timestamps across rounds. */
+  def eventsNormalized(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"), "ts")
+  }
 }

@@ -59,6 +59,28 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("triangles: K4 has four, each vertex in three; path graphs have none") {
+    // K4 on {1,2,3,4}
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val out = Graph.triangleCounts(k4, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a path 1-2-3-4 has no triangle → empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCounts(path, "a", "b").count() == 0)
+  }
+
+  test("triangles: duplicate/reversed edges and self-loops are cleaned; hub wedge bound") {
+    // triangle {1,2,3} written redundantly + self loop + hub 9 (star, no closure)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 4L),
+      (9L, 1L), (9L, 2L), (9L, 5L), (9L, 6L)).toDF("a", "b")
+    val out = Graph.triangleCounts(e, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3} is one triangle; 9's star closes 9-1-2 into a second one
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 9L -> 1L))
+  }
+
   test("dangling sink keeps a rank row; pure source decays to base") {
     // 1 -> 2 only: 2 is dangling (drops its mass), 1 gets no inflow
     val out = Graph.pageRank(Seq((1, 2, 1L)).toDF("s", "d", "w"),

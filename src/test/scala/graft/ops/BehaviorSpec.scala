@@ -77,8 +77,7 @@ class BehaviorSpec extends SparkSpec {
   }
 
   test("scd2: intervals tile each key's history (no gaps, no overlaps)") {
-    val ev = graft.sources.Readers.parquet(spark, s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
     val iv = Scd2.build(ev, "user_id", Seq("event_type"), "ts", "event_id")
     // each interval's valid_to equals the NEXT interval's valid_from
     val w = org.apache.spark.sql.expressions.Window

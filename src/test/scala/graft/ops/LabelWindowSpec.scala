@@ -37,8 +37,7 @@ class LabelWindowSpec extends SparkSpec {
     // forwardLabel(anchor, H) counts outcomes in (t, t+H]; trailingAgg at
     // label time t+H counts events in [t, t+H) — not directly comparable,
     // so cross-check against a plain join replay instead.
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
     val a = ev.filter($"event_type" === "click")
     val o = ev.filter($"event_type" === "purchase")
     val got = LabelWindow.forwardLabel(a, o, "user_id", "ts", "ts",

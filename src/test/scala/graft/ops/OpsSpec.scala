@@ -124,8 +124,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("strategies agree on real events data") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
     val lbl = ev.filter($"event_type" === "purchase")
     val clk = ev.filter($"event_type" === "click")
     def result(st: AsOfStrategy) = AsOfJoin.trainingSet(

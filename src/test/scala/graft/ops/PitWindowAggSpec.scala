@@ -46,8 +46,7 @@ class PitWindowAggSpec extends SparkSpec {
       "ts", "value", 100L).as[(Long, Long, Long, Double)].collect().toSet
     assert(a == b && a.nonEmpty)
     // and on real data
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
     val l2 = ev.filter($"event_type" === "purchase")
     val c2 = ev.filter($"event_type" === "click")
     val fast = PitWindowAgg.trailingAgg(l2, c2, "user_id", "ts", "ts",
@@ -58,8 +57,7 @@ class PitWindowAggSpec extends SparkSpec {
   }
 
   test("ladder rungs equal independent single-window runs") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
     val labels = ev.filter($"event_type" === "purchase")
     val clicks = ev.filter($"event_type" === "click")
     val ladder = PitWindowAgg.trailingAggLadder(labels, clicks, "user_id",
@@ -80,8 +78,7 @@ class PitWindowAggSpec extends SparkSpec {
   }
 
   test("agrees with the brute-force range join on real events") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
     val labels = ev.filter($"event_type" === "purchase")
     val clicks = ev.filter($"event_type" === "click")
     val fast = PitWindowAgg.trailingAgg(labels, clicks, "user_id", "ts",

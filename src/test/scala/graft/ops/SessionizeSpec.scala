@@ -19,8 +19,7 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("matches a hand gaps-and-islands fold on real events") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
       .select(col("user_id"), col("ts"), col("value"))
     val got = Sessionize.sessionStats(ev, "user_id", "ts", "value", "30 minutes")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SmoothStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("ewma is the exact left fold in (ts, id) order, per key") {
+    val df = Seq(
+      (1L, ts(3), 3L, 8.0), (1L, ts(1), 1L, 4.0), (1L, ts(2), 2L, 0.0),
+      (2L, ts(1), 4L, 2.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = Smooth.ewma(df, "k", "ts", "id", "v", alpha = 0.25)
+      .orderBy("key").collect()
+    // key 1 ordered values: 4, 0, 8 → e = 4; .25*0+.75*4 = 3; .25*8+.75*3 = 4.25
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == 4.25)
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(2) == 2.0)
+  }
+
+  test("ewma handles many keys across partitions deterministically") {
+    val df = (1L to 500L).flatMap(k =>
+      Seq((k, ts(1), 1L, 1.0), (k, ts(2), 2L, 3.0)))
+      .toDF("k", "ts", "id", "v")
+    val out = Smooth.ewma(df, "k", "ts", "id", "v", alpha = 0.25)
+    assert(out.count() == 500)
+    // every key: .25*3 + .75*1 = 1.5
+    assert(out.filter(col("ewma") =!= 1.5).count() == 0)
+  }
+
+  test("ols2 recovers exact coefficients on noise-free linear data, r2 = 1") {
+    val rows = for { x1 <- 1 to 20; x2 <- 1 to 5 }
+      yield (x1.toDouble, x2.toDouble, 3.0 + 2.0 * x1 - 4.0 * x2)
+    val df = rows.toDF("x1", "x2", "y")
+    val r = Stats.ols2(df, "y", "x1", "x2").collect()(0)
+    assert(r.getLong(0) == 100L)
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 2.0 &&
+      r.getDouble(3) == -4.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("ols2 degenerate design (constant predictor) yields NULL coefficients") {
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 2.0, 5.0), (3.0, 2.0, 7.0))
+      .toDF("x1", "x2", "y")
+    val r = Stats.ols2(df, "y", "x1", "x2").collect()(0)
+    assert(r.isNullAt(1) && r.isNullAt(4))
+  }
+}

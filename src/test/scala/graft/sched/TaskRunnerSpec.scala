@@ -35,6 +35,25 @@ class TaskRunnerSpec extends SparkSpec {
     assert(fr.status == "failed" && fr.attempt == 2 && fo.isEmpty)
   }
 
+  test("ledger shape is deterministic: never a duplicate success row") {
+    // the driver's task_runs fixture, repeated — guards the 7-vs-6 regression
+    // (CORRECTNESS_r04: a resumed run recorded an extra success)
+    for (_ <- 1 to 25) {
+      val runner = new TaskRunner(spark, freshDir(), maxAttempts = 3, backoffMs = 1)
+      val calls = new AtomicInteger(0)
+      runner.run("materialize", "v1") {
+        if (calls.incrementAndGet() < 3) sys.error("flaky"); 1L
+      }
+      runner.run("materialize", "v1") { 0L } // resumed → skipped, not recorded
+      runner.run("doomed", "v1") { sys.error("always") }
+      val rows = runner.runs().map(r => (r.task, r.attempt, r.status))
+      assert(rows == Seq(
+        ("materialize", 1, "failed"), ("materialize", 2, "failed"),
+        ("materialize", 3, "success"),
+        ("doomed", 1, "failed"), ("doomed", 2, "failed"), ("doomed", 3, "failed")))
+    }
+  }
+
   test("maxJobDuration cancels the job group and records timeout") {
     val runner = new TaskRunner(spark, freshDir(), maxAttempts = 1,
       maxJobDuration = java.time.Duration.ofMillis(800))

@@ -77,8 +77,7 @@ class StreamingAsOfSpec extends SparkSpec {
 
   test("streaming as-of equals the batch as-of join on replayed event data") {
     implicit val sq = spark.sqlContext
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
     val feats = ev.filter($"event_type" === "click")
       .select($"user_id".as("entity"), $"value", $"ts")
       .as[(Long, Double, Timestamp)].collect().sortBy(_._3.getTime)

@@ -9,8 +9,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private def writeTriples(dir: String): Unit = {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Readers.eventsNormalized(spark, sf001)
       .select($"user_id".as("entity"), $"value", $"ts")
     ev.write.mode("overwrite").parquet(dir)
   }
