@@ -2811,6 +2811,82 @@ object OracleSql {
          |fz AS (SELECT grid.user_id, grid.j, COALESCE(g.c, 0) AS c
          |  FROM grid LEFT JOIN g ON g.user_id = grid.user_id AND g.j = grid.j)
          |SELECT user_id, j, CAST(c AS BIGINT) AS c FROM fz""".stripMargin,
+
+    // streaming interval join emits exactly the batch interval join
+    "stream_interval_join" ->
+      s"""WITH $EV,
+         |l AS (SELECT user_id, value AS lv, ts AS lts FROM ev
+         |  WHERE event_type = 'click'),
+         |r AS (SELECT user_id, value AS rv, ts AS rts FROM ev
+         |  WHERE event_type = 'purchase')
+         |SELECT l.user_id AS entity, epoch_ms(lts) AS l_ts_ms, lv AS l_value,
+         |  epoch_ms(rts) AS r_ts_ms, rv AS r_value
+         |FROM l JOIN r ON l.user_id = r.user_id
+         |  AND rts >= lts AND rts < lts + INTERVAL 7200 SECOND""".stripMargin,
+
+    // NDCG@10 + MRR per BM25 query: the bm25_topk replay, then pinned
+    // discounted gains (1/(ln(r+1)/ln 2) rounded to 9dp DECIMAL) summed
+    // exactly; contains-all binary relevance
+    "retrieval_ndcg" -> {
+      val queries = Seq(Seq("join", "vector"), Seq("stream"),
+        Seq("shuffle", "partition"))
+      val gain = (r: String) =>
+        s"CAST(round(1.0 / (ln(CAST($r + 1 AS DOUBLE)) / ln(2.0)), 9) " +
+          "AS DECIMAL(18,9))"
+      val blocks = queries.zipWithIndex.map { case (terms, qi) =>
+        val name = terms.mkString(" ")
+        val tfs = terms.zipWithIndex.map { case (tm, i) =>
+          s"CAST(len(list_filter($TOKS_LOWER, t -> t = '$tm')) AS BIGINT) AS tf$i"
+        }.mkString(",\n|      ")
+        val dfs = terms.indices.map(i =>
+          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(",\n|      ")
+        val contribs = terms.indices.map { i =>
+          s"""(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) *
+             |       (CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) /
+             |       (CAST(tf$i AS DOUBLE) +
+             |        1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"""
+            .stripMargin
+        }.mkString(" +\n|    ")
+        val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+        val allHit = terms.indices.map(i => s"tf$i > 0").mkString(" AND ")
+        s"""b$qi AS (SELECT doc_id,
+           |      CAST(len($TOKS_LOWER) AS BIGINT) AS dl,
+           |      $tfs
+           |    FROM documents),
+           |  s$qi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |      CAST(SUM(dl) AS BIGINT) AS sumdl,
+           |      $dfs
+           |    FROM b$qi),
+           |  sc$qi AS (SELECT doc_id, round($contribs, 6) AS bm25
+           |    FROM (SELECT b.*, s.*, CAST(s.sumdl AS DOUBLE) / s.n AS avgdl
+           |          FROM b$qi b CROSS JOIN s$qi s)
+           |    WHERE $anyHit),
+           |  top$qi AS (SELECT doc_id,
+           |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+           |    FROM sc$qi QUALIFY rnk <= 10),
+           |  rel$qi AS (SELECT doc_id,
+           |      CASE WHEN $allHit THEN 1 ELSE 0 END AS rel FROM b$qi),
+           |  nr$qi AS (SELECT CAST(SUM(rel) AS BIGINT) AS nrel FROM rel$qi),
+           |  dc$qi AS (SELECT
+           |      SUM(CAST(rel AS DECIMAL(12,0)) * ${gain("rnk")}) AS dcg,
+           |      MIN(CASE WHEN rel = 1 THEN rnk END) AS frst
+           |    FROM top$qi JOIN rel$qi USING (doc_id)),
+           |  id$qi AS (SELECT SUM(${gain("rnk")}) AS idcg
+           |    FROM (SELECT CAST(t.r AS BIGINT) AS rnk
+           |          FROM range(1, 11) t(r)) x CROSS JOIN nr$qi
+           |    WHERE rnk <= nrel)""".stripMargin ->
+          s"""SELECT '$name' AS query, nrel AS n_rel,
+             |  CASE WHEN idcg IS NULL THEN 0.0
+             |    ELSE round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+             |    END AS ndcg,
+             |  CASE WHEN frst IS NULL THEN 0.0
+             |    ELSE round(1.0 / frst, 9) END AS mrr
+             |FROM dc$qi CROSS JOIN id$qi CROSS JOIN nr$qi""".stripMargin
+      }
+      s"""WITH ${blocks.map(_._1).mkString(",\n  ")}
+         |${blocks.map(_._2).mkString("\nUNION ALL\n")}""".stripMargin
+    },
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

@@ -2248,6 +2248,44 @@ object SparkEntry {
         posexplode(col("fvec")).as(Seq("j", "c")))
   }
 
+  /** Stream-stream time-interval join under the gate: purchases within
+    * two hours after a click, replayed through two file-source streams;
+    * inner-join pairs emit as matches arrive (watermarks bound state, not
+    * emission), so the emitted set must equal the batch interval join —
+    * which the oracle computes. */
+  private def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sij").toString
+    val ev = events(s, dir)
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+      .coalesce(1).write.parquet(s"$tmp/l")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+      .coalesce(1).write.parquet(s"$tmp/r")
+    val lStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/l", 8)
+    val rStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/r", 8)
+    val joined = graft.streaming.StreamingJoin.intervalJoin(
+      lStream, rStream, delayThreshold = "3650 days", lenSeconds = 7200L)
+    val table = s"stream_ij_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try joined.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.table(table).select(col("entity"),
+      unix_millis(col("l_ts")).as("l_ts_ms"), col("l_value"),
+      unix_millis(col("r_ts")).as("r_ts_ms"), col("r_value"))
+  }
+
+  /** NDCG@10 + MRR for three BM25 term queries against contains-all
+    * relevance. */
+  private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
+    functions.Retrieval.rankingMetrics(t(s, dir, "documents"),
+      "doc_id", "text",
+      Seq(Seq("join", "vector"), Seq("stream"), Seq("shuffle", "partition")),
+      k = 10)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1 _),
     "q3_chained_sql"    -> (q3 _),
@@ -2399,6 +2437,8 @@ object SparkEntry {
     "triangle_count"    -> (triangleCountQ _),
     "ewma_smooth"       -> (ewmaSmooth _),
     "feature_hash"      -> (featureHashQ _),
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "retrieval_ndcg"    -> (retrievalNdcg _),
     "streaming_funnel"  -> (streamingFunnelQ _),
     "streaming_dedup_wm" -> (streamingDedupWm _),
     "json_props_rollup" -> (jsonPropsRollup _),

@@ -72,6 +72,59 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Ranking-quality metrics for a batch of term queries — NDCG@k and
+    * MRR@k of the [[bm25TopK]] ranking against binary relevance
+    * ("document contains EVERY query term"): the eval loop a retrieval
+    * pipeline runs after every index or scorer change.
+    *
+    * Float discipline: each rank's discounted gain is ONE fixed double
+    * expression `1 / (ln(rank+1)/ln 2)` pinned `round(·,9) → DECIMAL`
+    * before summation (order-independent); NDCG divides the two exact
+    * decimal sums in one double op, rounded to 6 dp. MRR is
+    * `round(1/first_rel_rank, 9)`; queries with no relevant document in
+    * the top-k score 0 for both.
+    *
+    * Scale: per query, one bm25 pass (scan + single-row stats broadcast +
+    * TakeOrderedAndProject) plus arithmetic over the k-row result; the
+    * relevant-document count is a 1-row aggregate. Queries are
+    * independent — a q-query eval is q parallel scans, not a cross
+    * join. */
+  def rankingMetrics(docs: DataFrame, idCol: String, textCol: String,
+                     queries: Seq[Seq[String]], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    queries.map { terms =>
+      val name = terms.mkString(" ")
+      val ranked = bm25TopK(docs, idCol, textCol, terms, k)
+      val hasAll = terms.map(tm =>
+        size(filter(toks(col(textCol)), t => t === lit(tm))) > 0)
+        .reduceLeft(_ && _)
+      val rel = docs.select(col(idCol),
+        when(hasAll, 1L).otherwise(0L).as("__rel"))
+      val nRel = rel.agg(sum(col("__rel")).as("__nrel"))
+      // k rows — the no-partition window is bounded by construction
+      val w = Window.orderBy(col("bm25").desc, col(idCol))
+      val gain = round(lit(1.0) /
+        (log(col("__rank") + 1) / log(lit(2.0))), 9).cast("decimal(18,9)")
+      val scored = ranked.join(rel, idCol)
+        .withColumn("__rank", row_number().over(w))
+        .select((col("__rel").cast("decimal(12,0)") * gain).as("__g"),
+          when(col("__rel") === 1, col("__rank")).as("__rr"))
+        .agg(sum(col("__g")).as("__dcg"), min(col("__rr")).as("__first"))
+      // ideal DCG over ranks 1..min(k, n_rel)
+      val ideal = docs.sparkSession.range(1, k + 1).toDF("__rank")
+        .crossJoin(broadcast(nRel))
+        .filter(col("__rank") <= col("__nrel"))
+        .agg(sum(gain).as("__idcg"))
+      scored.crossJoin(broadcast(ideal)).crossJoin(broadcast(nRel))
+        .select(lit(name).as("query"), col("__nrel").as("n_rel"),
+          when(col("__idcg").isNull, lit(0.0))
+            .otherwise(round(col("__dcg").cast("double") /
+              col("__idcg").cast("double"), 6)).as("ndcg"),
+          when(col("__first").isNull, lit(0.0))
+            .otherwise(round(lit(1.0) / col("__first"), 9)).as("mrr"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Top-k TF-IDF keywords per document — the per-doc complement of
     * [[bm25TopK]]'s per-query scoring (keyword tagging / topic seeding for
     * corpus slices). `score = tf · ln(N/df)`; common words get idf → 0 and

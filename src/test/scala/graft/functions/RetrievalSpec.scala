@@ -63,6 +63,28 @@ class RetrievalSpec extends SparkSpec {
       math.abs(d1._5 - 2.0 * math.log(5.0 / 3.0)) < 1e-6)
   }
 
+  test("rankingMetrics: perfect ranking gives ndcg 1, mrr 1; miss gives 0") {
+    // query "vector": relevant docs {2, 3} (contain it); bm25 must rank
+    // them in the top-10, so dcg == idcg → ndcg exactly 1.0
+    val out = Retrieval.rankingMetrics(corpus, "doc_id", "text",
+      Seq(Seq("vector"), Seq("absent_term")), k = 10)
+      .as[(String, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out("vector") == ((2L, 1.0, 1.0)))
+    assert(out("absent_term") == ((0L, 0.0, 0.0)))
+  }
+
+  test("rankingMetrics: single relevant doc bounds ndcg by its rank discount") {
+    // "join vector": only doc 3 has BOTH; n_rel = 1 so idcg = gain(1) = 1
+    // and ndcg = round(1/log2(rank+1)) for doc 3's rank; mrr = 1/rank
+    val out = Retrieval.rankingMetrics(corpus, "doc_id", "text",
+      Seq(Seq("join", "vector")), k = 10)
+      .as[(String, Long, Double, Double)].collect()(0)
+    assert(out._2 == 1L)
+    assert(out._3 > 0.0 && out._3 <= 1.0)
+    assert(out._4 > 0.0 && out._4 <= 1.0)
+  }
+
   test("tfidfKeywords plans the rank filter as WindowGroupLimit") {
     val plan = Retrieval.tfidfKeywords(corpus, "doc_id", "text", k = 2)
       .queryExecution.executedPlan.toString
