@@ -288,33 +288,41 @@ object OracleSql {
     * DESC) tie rule, centroid update from order-independent integer sums
     * `floor(x·2²⁰+0.5)`, emptied cells keeping their centroid. Returns the
     * CTE chain ending at `a$iters` (vec_id, v, cell). */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    val initOrd = "substr(md5(CAST(vec_id AS VARCHAR) || '|km'), 1, 16), vec_id"
+  /** k-means replay CTEs ≡ [[graft.functions.Vectors.kmeansAssign]].
+    * `p` prefixes every CTE name (so several independent runs — e.g. the
+    * PQ subspace codebooks — can coexist in one WITH), `vecExpr` is the
+    * per-row vector (a list_slice for PQ subspaces), `seed` matches the
+    * Spark side's init-hash seed. Final assignment CTE: `${p}a$iters`. */
+  private def kmeansCtes(k: Int, iters: Int, p: String = "",
+                         vecExpr: String = "embedding",
+                         seed: String = "km"): String = {
+    val initOrd =
+      s"substr(md5(CAST(vec_id AS VARCHAR) || '|$seed'), 1, 16), vec_id"
     def assignCte(r: Int): String =
-      s"""a$r AS (SELECT vec_id, v, cell FROM (
+      s"""${p}a$r AS (SELECT vec_id, v, cell FROM (
          |    SELECT e.vec_id, e.v, c.cell,
          |      list_dot_product(CAST(e.v AS DOUBLE[]), list_transform(c.cv,
          |        y -> y / sqrt(list_dot_product(c.cv, c.cv)))) AS sim
-         |    FROM e CROSS JOIN c$r c)
+         |    FROM ${p}e e CROSS JOIN ${p}c$r c)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id
          |    ORDER BY sim DESC, cell DESC) = 1)""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""s$r AS (SELECT cell, i - 1 AS pos,
+      s"""${p}s$r AS (SELECT cell, i - 1 AS pos,
          |    SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS sx,
          |    COUNT(*) AS n
          |  FROM (SELECT cell, v, unnest(generate_series(1, len(v))) AS i
-         |        FROM a${r - 1})
+         |        FROM ${p}a${r - 1})
          |  GROUP BY 1, 2),
-         |u$r AS (SELECT cell, list(CAST(sx AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS cv
-         |  FROM s$r GROUP BY cell),
-         |c$r AS (SELECT p.cell, COALESCE(x.cv, p.cv) AS cv
-         |  FROM c${r - 1} p LEFT JOIN u$r x USING (cell)),
+         |${p}u$r AS (SELECT cell, list(CAST(sx AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS cv
+         |  FROM ${p}s$r GROUP BY cell),
+         |${p}c$r AS (SELECT p.cell, COALESCE(x.cv, p.cv) AS cv
+         |  FROM ${p}c${r - 1} p LEFT JOIN ${p}u$r x USING (cell)),
          |${assignCte(r)}""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
-       |c0 AS (SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cell,
+    s"""${p}e AS (SELECT vec_id, $vecExpr AS v FROM embeddings),
+       |${p}c0 AS (SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cell,
        |    CAST(v AS DOUBLE[]) AS cv
-       |  FROM e QUALIFY row_number() OVER (ORDER BY $initOrd) <= $k),
+       |  FROM ${p}e QUALIFY row_number() OVER (ORDER BY $initOrd) <= $k),
        |${assignCte(0)},
        |$rounds""".stripMargin
   }
@@ -2886,6 +2894,19 @@ object OracleSql {
       }
       s"""WITH ${blocks.map(_._1).mkString(",\n  ")}
          |${blocks.map(_._2).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // product quantization: four independent 16-dim subspace codebooks
+    // (kmeans replay each, seeded pq0..pq3), codes joined on vec_id
+    "pq_codes" -> {
+      val subs = (0 until 4).map(m =>
+        kmeansCtes(16, 1, p = s"q$m", vecExpr = s"embedding[${m * 16 + 1}:${m * 16 + 16}]",
+          seed = s"pq$m")).mkString(",\n")
+      s"""WITH $subs
+         |SELECT q0a1.vec_id, q0a1.cell AS code0, q1a1.cell AS code1,
+         |  q2a1.cell AS code2, q3a1.cell AS code3
+         |FROM q0a1 JOIN q1a1 USING (vec_id) JOIN q2a1 USING (vec_id)
+         |JOIN q3a1 USING (vec_id)""".stripMargin
     },
   )
 

@@ -2278,6 +2278,13 @@ object SparkEntry {
       unix_millis(col("r_ts")).as("r_ts_ms"), col("r_value"))
   }
 
+  /** Product-quantization codes over the embeddings corpus: 4 subspaces
+    * of 16 dims, 16 centroids each, 1 Lloyd round — every codebook and
+    * code replayed by the oracle. */
+  private def pqCodesQ(s: SparkSession, dir: String): DataFrame =
+    functions.Vectors.pqCodes(t(s, dir, "embeddings"),
+      "vec_id", "embedding", m = 4, subDim = 16, k = 16, iters = 1)
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -2439,6 +2446,7 @@ object SparkEntry {
     "feature_hash"      -> (featureHashQ _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "retrieval_ndcg"    -> (retrievalNdcg _),
+    "pq_codes"          -> (pqCodesQ _),
     "streaming_funnel"  -> (streamingFunnelQ _),
     "streaming_dedup_wm" -> (streamingDedupWm _),
     "json_props_rollup" -> (jsonPropsRollup _),

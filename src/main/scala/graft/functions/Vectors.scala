@@ -379,4 +379,29 @@ object Vectors {
       .select(col(idCol), col("cell"),
         when(col("__dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
+
+  /** Product-quantization codes (Jégou et al. 2011): split each vector
+    * into `m` contiguous `subDim`-wide subspaces and learn an independent
+    * `k`-centroid codebook per subspace with [[kmeansAssign]] (seeded
+    * `pq0..pq{m-1}` so the codebooks differ); a vector's code is its m
+    * nearest-centroid cells — `m·log2(k)` bits instead of `dim·32`,
+    * the storage layout IVF-PQ search decodes with ADC lookups.
+    *
+    * Scale: m independent kmeans passes over sliced columns (the slice is
+    * a scan-stage projection) joined back on id — each pass has
+    * kmeansAssign's one-aggregation-per-round budget; the join keys are
+    * the corpus ids, AQE-planned. Determinism inherits from
+    * kmeansAssign's md5 init + pinned arithmetic, so the DuckDB oracle
+    * replays every codebook and every code. */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    require(m > 0 && subDim > 0, "m and subDim must be positive")
+    (0 until m).map { s =>
+      kmeansAssign(
+        df.select(col(idCol),
+          slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub", k, iters, seed = s"pq$s")
+        .withColumnRenamed("cell", s"code$s")
+    }.reduce(_.join(_, idCol))
+  }
 }
