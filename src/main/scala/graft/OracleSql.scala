@@ -2908,6 +2908,60 @@ object OracleSql {
          |FROM q0a1 JOIN q1a1 USING (vec_id) JOIN q2a1 USING (vec_id)
          |JOIN q3a1 USING (vec_id)""".stripMargin
     },
+
+    // PAV isotonic fit via the minimax identity
+    // fit_i = max_{j<=i} min_{k>=i} mean(y[j..k]) — same integers, same
+    // final double division as the Spark fold
+    "isotonic_calibration" ->
+      s"""WITH $EV,
+         |b AS (SELECT user_id % 4 AS key, CAST(floor(value / 25) AS BIGINT) AS x,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ys,
+         |    COUNT(*) AS n
+         |  FROM ev GROUP BY 1, 2),
+         |pairs AS (SELECT j.key, j.x AS jx, k.x AS kx
+         |  FROM b j JOIN b k ON j.key = k.key AND j.x <= k.x),
+         |rng AS (SELECT p.key, p.jx, p.kx,
+         |    SUM(m.ys) AS s, SUM(m.n) AS cnt
+         |  FROM pairs p JOIN b m ON m.key = p.key
+         |    AND m.x BETWEEN p.jx AND p.kx
+         |  GROUP BY 1, 2, 3),
+         |inr AS (SELECT b.key, b.x AS i, r.jx,
+         |    MIN(CAST(r.s AS DOUBLE) / r.cnt) AS mn
+         |  FROM b JOIN rng r ON r.key = b.key AND r.jx <= b.x AND r.kx >= b.x
+         |  GROUP BY 1, 2, 3),
+         |ft AS (SELECT key, i, MAX(mn) AS f FROM inr GROUP BY 1, 2)
+         |SELECT ft.key, ft.i AS x, b.n, round(ft.f, 9) AS fit
+         |FROM ft JOIN b ON b.key = ft.key AND b.x = ft.i""".stripMargin,
+
+    // first/last-touch attribution: clicks in [p.ts - 7d, p.ts) per
+    // purchase, purchases with no click keep NULL/0
+    "attribution_touch" ->
+      s"""WITH $EV,
+         |c AS (SELECT user_id, ts AS c_ts FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev
+         |  WHERE event_type = 'purchase'),
+         |j AS (SELECT p.p_id, MIN(c.c_ts) AS frst, MAX(c.c_ts) AS lst,
+         |    COUNT(*) AS n
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND c.c_ts >= p.p_ts - INTERVAL 7 DAY AND c.c_ts < p.p_ts
+         |  GROUP BY 1)
+         |SELECT p.p_id, p.user_id AS entity, epoch_ms(p.p_ts) AS p_ts_ms,
+         |  epoch_ms(j.frst) AS first_click_ms, epoch_ms(j.lst) AS last_click_ms,
+         |  CAST(COALESCE(j.n, 0) AS BIGINT) AS n_clicks
+         |FROM p LEFT JOIN j USING (p_id)""".stripMargin,
+
+    // temporal split with per-entity embargo before the first test row
+    "time_split_embargo" ->
+      s"""WITH $EV,
+         |w AS (SELECT event_id, user_id, ts,
+         |    MIN(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN ts END)
+         |      OVER (PARTITION BY user_id) AS ft
+         |  FROM ev)
+         |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         |  CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+         |    WHEN ft IS NOT NULL AND ts >= ft - INTERVAL 2 DAY THEN 'embargo'
+         |    ELSE 'train' END AS split
+         |FROM w""".stripMargin,
   )
 
   // the prefix-sum skew path must give the bucket join's exact answer —

@@ -2285,6 +2285,57 @@ object SparkEntry {
     functions.Vectors.pqCodes(t(s, dir, "embeddings"),
       "vec_id", "embedding", m = 4, subDim = 16, k = 16, iters = 1)
 
+  /** Isotonic (PAV) calibration: purchase rate vs value bucket per user
+    * cohort, fitted nondecreasing. Oracle = the minimax identity over
+    * prefix ranges (no fold replay needed). */
+  private def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val bins = ev.select((col("user_id") % 4).as("key"),
+        floor(col("value") / 25).cast("long").as("x"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("key"), col("x"))
+      .agg(sum(col("y")).as("ys"), count(lit(1)).as("n"))
+    ops.Isotonic.pavFit(bins, "key", "x", "ys", "n")
+  }
+
+  /** Marketing attribution: for every purchase, the first/last click in
+    * the preceding 7 days — the bucketless keyed range join feeding a
+    * per-purchase rollup. */
+  private def attributionTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("entity"), col("ts").as("c_ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("entity"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val iv = purch.withColumn("w_start", col("p_ts") - expr("interval 7 days"))
+    val joined = ops.RangeJoin.pointsInIntervalsKeyed(
+      clicks, "c_ts", "entity", iv, "w_start", "p_ts")
+    val agg = joined.groupBy(col("p_id").as("__pid"))
+      .agg(min(col("c_ts")).as("__first"), max(col("c_ts")).as("__last"),
+        count(lit(1)).as("__n"))
+    purch.join(agg, col("p_id") === col("__pid"), "left")
+      .select(col("p_id"), col("entity"), unix_millis(col("p_ts")).as("p_ts_ms"),
+        unix_millis(col("__first")).as("first_click_ms"),
+        unix_millis(col("__last")).as("last_click_ms"),
+        coalesce(col("__n"), lit(0L)).as("n_clicks"))
+  }
+
+  /** Leakage-safe temporal split with a per-entity embargo: test is
+    * everything from the cut; each entity's train rows inside the 2-day
+    * embargo before its OWN first test row are quarantined. */
+  private def timeSplitEmbargo(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cut = lit("2024-01-22 00:00:00").cast("timestamp")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val firstTest = min(when(col("ts") >= cut, col("ts"))).over(w)
+    ev.select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+      when(col("ts") >= cut, lit("test"))
+        .when(firstTest.isNotNull &&
+          col("ts") >= firstTest - expr("interval 2 days"), lit("embargo"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -2447,6 +2498,9 @@ object SparkEntry {
     "stream_interval_join" -> (streamIntervalJoin _),
     "retrieval_ndcg"    -> (retrievalNdcg _),
     "pq_codes"          -> (pqCodesQ _),
+    "isotonic_calibration" -> (isotonicCalibration _),
+    "attribution_touch" -> (attributionTouch _),
+    "time_split_embargo" -> (timeSplitEmbargo _),
     "streaming_funnel"  -> (streamingFunnelQ _),
     "streaming_dedup_wm" -> (streamingDedupWm _),
     "json_props_rollup" -> (jsonPropsRollup _),
