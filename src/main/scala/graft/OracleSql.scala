@@ -299,7 +299,7 @@ object OracleSql {
     val initOrd =
       s"substr(md5(CAST(vec_id AS VARCHAR) || '|$seed'), 1, 16), vec_id"
     def assignCte(r: Int): String =
-      s"""${p}a$r AS (SELECT vec_id, v, cell FROM (
+      s"""${p}a$r AS MATERIALIZED (SELECT vec_id, v, cell FROM (
          |    SELECT e.vec_id, e.v, c.cell,
          |      list_dot_product(CAST(e.v AS DOUBLE[]), list_transform(c.cv,
          |        y -> y / sqrt(list_dot_product(c.cv, c.cv)))) AS sim
@@ -307,20 +307,20 @@ object OracleSql {
          |  QUALIFY row_number() OVER (PARTITION BY vec_id
          |    ORDER BY sim DESC, cell DESC) = 1)""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""${p}s$r AS (SELECT cell, i - 1 AS pos,
+      s"""${p}s$r AS MATERIALIZED (SELECT cell, i - 1 AS pos,
          |    SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS sx,
          |    COUNT(*) AS n
          |  FROM (SELECT cell, v, unnest(generate_series(1, len(v))) AS i
          |        FROM ${p}a${r - 1})
          |  GROUP BY 1, 2),
-         |${p}u$r AS (SELECT cell, list(CAST(sx AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS cv
+         |${p}u$r AS MATERIALIZED (SELECT cell, list(CAST(sx AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS cv
          |  FROM ${p}s$r GROUP BY cell),
-         |${p}c$r AS (SELECT p.cell, COALESCE(x.cv, p.cv) AS cv
+         |${p}c$r AS MATERIALIZED (SELECT p.cell, COALESCE(x.cv, p.cv) AS cv
          |  FROM ${p}c${r - 1} p LEFT JOIN ${p}u$r x USING (cell)),
          |${assignCte(r)}""".stripMargin
     }.mkString(",\n")
-    s"""${p}e AS (SELECT vec_id, $vecExpr AS v FROM embeddings),
-       |${p}c0 AS (SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cell,
+    s"""${p}e AS MATERIALIZED (SELECT vec_id, $vecExpr AS v FROM embeddings),
+       |${p}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cell,
        |    CAST(v AS DOUBLE[]) AS cv
        |  FROM ${p}e QUALIFY row_number() OVER (ORDER BY $initOrd) <= $k),
        |${assignCte(0)},
@@ -2907,6 +2907,55 @@ object OracleSql {
          |  q2a1.cell AS code2, q3a1.cell AS code3
          |FROM q0a1 JOIN q1a1 USING (vec_id) JOIN q2a1 USING (vec_id)
          |JOIN q3a1 USING (vec_id)""".stripMargin
+    },
+
+    // ADC search replay: LUT entries are list_dot_product of the query
+    // subvector against the normalized kmeans centroid (≡ the driver's
+    // left-to-right fold), scores the 4 lookups added in subspace order
+    "pq_search" -> {
+      val M = 8
+      val sd = 8
+      val subs = (0 until M).map(m =>
+        kmeansCtes(16, 3, p = s"q$m",
+          vecExpr = s"embedding[${m * sd + 1}:${m * sd + sd}]",
+          seed = s"pq$m")).mkString(",\n")
+      val luts = (0 until M).map { m =>
+        val lo = m * sd + 1
+        val hi = m * sd + sd
+        s"""lut$m AS (SELECT q.qid, c.cell,
+           |    list_dot_product(q.qv[$lo:$hi], c.cv) AS d
+           |  FROM qq q CROSS JOIN q${m}c3 c)""".stripMargin
+      }.mkString(",\n")
+      val codeJoins = (1 until M).map(m => s"JOIN q${m}a3 USING (vec_id)")
+        .mkString(" ")
+      val lutJoins = (1 until M).map(m =>
+        s"JOIN lut$m l$m ON l$m.qid = l0.qid AND l$m.cell = q${m}a3.cell")
+        .mkString("\n|  ")
+      val scoreSum = (0 until M).map(m => s"l$m.d").mkString(" + ")
+      s"""WITH $subs,
+         |qq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |$luts,
+         |sc AS (SELECT l0.qid, q0a3.vec_id,
+         |    round($scoreSum, 6) AS adc
+         |  FROM q0a3 $codeJoins
+         |  JOIN lut0 l0 ON l0.cell = q0a3.cell
+         |  $lutJoins),
+         |short AS (SELECT qid, vec_id FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc DESC, vec_id) <= 50),
+         |ex AS (SELECT s.qid, s.vec_id,
+         |    round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /
+         |      (sqrt(list_dot_product(q.qv, q.qv)) *
+         |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |         CAST(e.embedding AS DOUBLE[])))), 6) AS cosine
+         |  FROM short s JOIN qq q ON q.qid = s.qid
+         |  JOIN embeddings e ON e.vec_id = s.vec_id)
+         |SELECT qid AS query_id, vec_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         |FROM ex
+         |QUALIFY rank <= 10""".stripMargin
     },
 
     // PAV isotonic fit via the minimax identity

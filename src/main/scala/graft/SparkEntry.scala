@@ -2285,6 +2285,22 @@ object SparkEntry {
     functions.Vectors.pqCodes(t(s, dir, "embeddings"),
       "vec_id", "embedding", m = 4, subDim = 16, k = 16, iters = 1)
 
+  /** ADC search over the PQ codes: every corpus vector whose id is a
+    * multiple of 100 queries the code table via per-subspace lookup
+    * tables; every LUT entry and every score replayed by the oracle. */
+  private def pqSearchQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // driver-side query fixture (like vectorIndexServe): a handful of
+    // corpus vectors, metadata-scale collect
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq.sortBy(_._1)
+    functions.Vectors.pqSearch(emb, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 16, iters = 3, queries = qs, topK = 10,
+      rerank = 50)
+  }
+
   /** Isotonic (PAV) calibration: purchase rate vs value bucket per user
     * cohort, fitted nondecreasing. Oracle = the minimax identity over
     * prefix ranges (no fold replay needed). */
@@ -2498,6 +2514,7 @@ object SparkEntry {
     "stream_interval_join" -> (streamIntervalJoin _),
     "retrieval_ndcg"    -> (retrievalNdcg _),
     "pq_codes"          -> (pqCodesQ _),
+    "pq_search"         -> (pqSearchQ _),
     "isotonic_calibration" -> (isotonicCalibration _),
     "attribution_touch" -> (attributionTouch _),
     "time_split_embargo" -> (timeSplitEmbargo _),

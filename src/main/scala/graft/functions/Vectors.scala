@@ -272,7 +272,16 @@ object Vectors {
     * Output: (id, cell) for `iters` refinement rounds (iters=0 assigns to
     * the init vectors). */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int, seed: String = "km"): DataFrame = {
+                   k: Int, iters: Int, seed: String = "km"): DataFrame =
+    kmeansModel(df, idCol, vecCol, k, iters, seed)._1
+
+  /** [[kmeansAssign]] plus the trained centroids (the codebook — needed
+    * by ADC search, which scores against centroids rather than members).
+    * The centroid matrix is the model: k x dim doubles, metadata-scale
+    * by definition. */
+  def kmeansModel(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, seed: String = "km")
+      : (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iters >= 0, "k > 0, iters >= 0")
     val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -326,7 +335,7 @@ object Vectors {
       }
       a = assigned(cents)
     }
-    a.select(col("__id").as(idCol), col("cell"))
+    (a.select(col("__id").as(idCol), col("cell")), cents)
   }
 
   /** Cluster-balanced diversity sample: k-means the corpus, keep the
@@ -403,5 +412,86 @@ object Vectors {
         idCol, "__sub", k, iters, seed = s"pq$s")
         .withColumnRenamed("cell", s"code$s")
     }.reduce(_.join(_, idCol))
+  }
+
+  /** ADC (asymmetric distance computation) search over PQ codes — the
+    * query half of IVF-PQ: each query builds an m×k LOOKUP TABLE of
+    * query-subvector · normalized-centroid dots (driver-side, model×query
+    * scale), and every document scores as m table lookups on its codes —
+    * `element_at` over literal arrays in the scan projection: ZERO
+    * per-document float math beyond m adds, zero shuffle, top-k as
+    * TakeOrderedAndProject. This is why PQ wins at 100 TB: the corpus
+    * pass touches only the code columns (m bytes/doc), never the vectors.
+    *
+    * Scores are INNER products against the reconstruction: LUT entry =
+    * query-subvector · RAW centroid (the subspace mean — normalizing per
+    * subspace would inflate tight clusters' magnitudes and wreck the
+    * ranking; probed in PqSpec), so `Σ_m lut_m[code_m] = q · v̂`.
+    * Determinism: left-to-right double dots ≡ `list_dot_product`; per-doc
+    * score adds the m lookups in subspace order; ties break on id.
+    * Output: (query_id, vec_id, adc, rank) per query, `topK` rows. */
+  /** With `rerank > 0`, the ADC pass only SHORTLISTS `rerank` candidates
+    * per query and the final `topK` comes from exact cosine on the
+    * shortlist — the production IVF-PQ + rerank topology: the full-corpus
+    * pass reads m bytes/doc, the exact math touches `rerank` vectors per
+    * query. Output cols then carry `cosine` instead of `adc`. */
+  def pqSearch(df: DataFrame, idCol: String, vecCol: String,
+               m: Int, subDim: Int, k: Int, iters: Int,
+               queries: Seq[(Long, Array[Double])], topK: Int,
+               rerank: Int = 0): DataFrame = {
+    require(queries.nonEmpty, "at least one query")
+    // train the m codebooks + code the corpus (same seeds as pqCodes)
+    val parts = (0 until m).map { s =>
+      kmeansModel(
+        df.select(col(idCol),
+          slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub", k, iters, seed = s"pq$s")
+    }
+    val codes = parts.zipWithIndex.map { case ((a, _), s) =>
+      a.withColumnRenamed("cell", s"code$s")
+    }.reduce(_.join(_, idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    queries.map { case (qid, qv) =>
+      // m LUTs: query subvector · raw centroid, k entries each
+      val score = (0 until m).map { s =>
+        val sub = qv.slice(s * subDim, (s + 1) * subDim)
+        val lut = parts(s)._2.map(c => dotLR(sub, c))
+        element_at(array(lut.map(lit): _*), col(s"code$s").cast("int") + 1)
+      }.reduceLeft(_ + _)
+      if (rerank <= 0) {
+        codes.select(lit(qid).as("query_id"), col(idCol),
+            round(score, 6).as("adc"))
+          .orderBy(col("adc").desc, col(idCol))
+          .limit(topK)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("adc").desc, col(idCol))).cast("long"))
+      } else {
+        val short = codes.select(lit(qid).as("query_id"), col(idCol),
+            round(score, 6).as("__adc"))
+          .orderBy(col("__adc").desc, col(idCol))
+          .limit(rerank)
+        val qn = math.sqrt(dotLR(qv, qv))
+        val qLit = array(qv.map(lit): _*)
+        val exact = short
+          .join(df.select(col(idCol),
+            col(vecCol).cast("array<double>").as("__dv")), idCol)
+          .withColumn("cosine", round(
+            dotDouble(qLit, col("__dv")) /
+              (lit(qn) * sqrt(dotDouble(col("__dv"), col("__dv")))), 6))
+        exact
+          .orderBy(col("cosine").desc, col(idCol))
+          .limit(topK)
+          .select(col("query_id"), col(idCol), col("cosine"),
+            row_number().over(Window.partitionBy(col("query_id"))
+              .orderBy(col("cosine").desc, col(idCol))).cast("long").as("rank"))
+      }
+    }.reduce(_.unionByName(_))
   }
 }
