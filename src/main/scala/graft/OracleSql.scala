@@ -2958,6 +2958,60 @@ object OracleSql {
          |QUALIFY rank <= 10""".stripMargin
     },
 
+    // CUSUM recurrence replayed per key: s1 recomputed identically in
+    // each CASE arm (same IEEE expression), reset-on-alarm, running max
+    // tracked pre-reset
+    "cusum_drift" ->
+      s"""WITH RECURSIVE $EV,
+         |x AS (SELECT user_id, value, epoch_ms(ts) AS ms,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM ev),
+         |r AS (
+         |  SELECT user_id, rn,
+         |    CASE WHEN s1 > 500.0 THEN 0.0 ELSE s1 END AS s,
+         |    s1 AS mx,
+         |    CASE WHEN s1 > 500.0 THEN 1 ELSE 0 END AS alarms,
+         |    CASE WHEN s1 > 500.0 THEN ms END AS first_ms
+         |  FROM (SELECT user_id, rn, ms,
+         |      greatest(0.0, 0.0 + (value - 250.0 - 25.0)) AS s1
+         |    FROM x WHERE rn = 1)
+         |  UNION ALL
+         |  SELECT user_id, rn,
+         |    CASE WHEN s1 > 500.0 THEN 0.0 ELSE s1 END,
+         |    greatest(mx, s1),
+         |    alarms + CASE WHEN s1 > 500.0 THEN 1 ELSE 0 END,
+         |    COALESCE(first_ms, CASE WHEN s1 > 500.0 THEN ms END)
+         |  FROM (SELECT x.user_id, x.rn, x.ms, r.mx, r.alarms, r.first_ms,
+         |      greatest(0.0, r.s + (x.value - 250.0 - 25.0)) AS s1
+         |    FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)),
+         |f AS (SELECT user_id, MAX(rn) AS mxrn FROM x GROUP BY 1)
+         |SELECT r.user_id, CAST(f.mxrn AS BIGINT) AS n_events,
+         |  CAST(r.alarms AS BIGINT) AS n_alarms,
+         |  CAST(r.first_ms AS BIGINT) AS first_alarm_ms,
+         |  round(r.mx, 6) AS max_stat
+         |FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.mxrn""".stripMargin,
+
+    // l-diversity audit: distinct sensitive values per QI group
+    "l_diversity" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  CAST(CAST(date_trunc('month', o.o_orderdate) AS DATE) AS VARCHAR)
+        |    AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_sensitive,
+        |  CAST(CASE WHEN COUNT(DISTINCT o.o_orderpriority) < 3 THEN 1 ELSE 0
+        |    END AS BIGINT) AS at_risk
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // stream-static broadcast enrichment == the batch join
+    "stream_static_join" ->
+      s"""WITH $EV
+         |SELECT e.user_id AS entity, epoch_ms(e.ts) AS ts_ms, e.value,
+         |  c.c_mktsegment AS segment
+         |FROM ev e LEFT JOIN customer c ON e.user_id + 1 = c.c_custkey"""
+        .stripMargin,
+
     // PAV isotonic fit via the minimax identity
     // fit_i = max_{j<=i} min_{k>=i} mean(y[j..k]) — same integers, same
     // final double division as the Spark fold

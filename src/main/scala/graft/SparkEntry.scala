@@ -2285,6 +2285,49 @@ object SparkEntry {
     functions.Vectors.pqCodes(t(s, dir, "embeddings"),
       "vec_id", "embedding", m = 4, subDim = 16, k = 16, iters = 1)
 
+  /** Per-user CUSUM drift monitor over event values (target 250, slack
+    * 25, threshold 500): alarms, first alarm time, peak statistic. */
+  private def cusumDrift(s: SparkSession, dir: String): DataFrame =
+    ops.Smooth.cusum(events(s, dir), "user_id", "ts", "event_id", "value",
+        target = 250.0, slack = 25.0, h = 500.0)
+      .select(col("key").as("user_id"), col("n_events"), col("n_alarms"),
+        col("first_alarm_ms"), col("max_stat"))
+
+  /** l-diversity audit beside k_anonymity: distinct sensitive values
+    * (order priority) per quasi-identifier group (segment, order month),
+    * groups below l = 3 flagged. */
+  private def lDiversityQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").join(t(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    o.groupBy(col("c_mktsegment").as("segment"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("o_orderpriority")).as("l_sensitive"))
+      .select(col("segment"), col("month").cast("string").as("month"),
+        col("n"), col("l_sensitive"),
+        when(col("l_sensitive") < 3, 1L).otherwise(0L).as("at_risk"))
+  }
+
+  /** Stream enriched by a STATIC dimension (broadcast join inside the
+    * micro-batch): the event stream joined to customer market segments;
+    * emitted rows must equal the batch join. */
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts"))
+      .coalesce(2).write.parquet(s"$tmp/in")
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/in", 1)
+      .join(broadcast(dim), col("entity") + 1 === col("c_custkey"), "left")
+      .select(col("entity"), unix_millis(col("ts")).as("ts_ms"), col("value"),
+        col("c_mktsegment").as("segment"))
+    val table = s"stream_ssj_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(table)
+  }
+
   /** ADC search over the PQ codes: every corpus vector whose id is a
     * multiple of 100 queries the code table via per-subspace lookup
     * tables; every LUT entry and every score replayed by the oracle. */
@@ -2518,6 +2561,9 @@ object SparkEntry {
     "isotonic_calibration" -> (isotonicCalibration _),
     "attribution_touch" -> (attributionTouch _),
     "time_split_embargo" -> (timeSplitEmbargo _),
+    "cusum_drift"       -> (cusumDrift _),
+    "l_diversity"       -> (lDiversityQ _),
+    "stream_static_join" -> (streamStaticJoin _),
     "streaming_funnel"  -> (streamingFunnelQ _),
     "streaming_dedup_wm" -> (streamingDedupWm _),
     "json_props_rollup" -> (jsonPropsRollup _),

@@ -22,6 +22,63 @@ import org.apache.spark.sql.types._
   * and parallelizes across keys. */
 object Smooth {
 
+  /** Tabular CUSUM drift detection per key (Page 1954): the one-sided
+    * statistic `s = max(0, s + (x − target − slack))` over (`tsCol`,
+    * `idCol`) order; an alarm fires when `s > h` and the statistic
+    * resets — the per-entity mean-shift monitor. Same sorted-fold shape
+    * as [[ewma]]; all params are plain doubles applied in one fixed
+    * expression per step, so the DuckDB oracle replays the exact IEEE
+    * sequence with a recursive CTE.
+    *
+    * Returns `(key, n_events, n_alarms, first_alarm_ms, max_stat)` —
+    * `first_alarm_ms` NULL when no alarm fired; `max_stat` rounded 6. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+            valCol: String, target: Double, slack: Double,
+            h: Double): DataFrame = {
+    val base = df.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).as("__ts"), col(idCol).cast("long").as("__id"),
+        col(valCol).cast("double").as("__x"),
+        unix_millis(col(tsCol)).as("__ms"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("__ts"), col("__id"))
+    val outSchema = StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("n_alarms", LongType, nullable = false),
+      StructField("first_alarm_ms", LongType, nullable = true),
+      StructField("max_stat", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          val k = it.head.getLong(0)
+          var n = 0L
+          var s = 0.0
+          var mx = 0.0
+          var alarms = 0L
+          var firstMs: java.lang.Long = null
+          while (it.hasNext && it.head.getLong(0) == k) {
+            val r = it.next()
+            val x = r.getDouble(3)
+            s = math.max(0.0, s + (x - target - slack))
+            if (s > mx) mx = s
+            if (s > h) {
+              alarms += 1L
+              if (firstMs == null) firstMs = r.getLong(4)
+              s = 0.0
+            }
+            n += 1L
+          }
+          val mxr = BigDecimal(java.math.BigDecimal.valueOf(mx))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(k, n, alarms, firstMs, mxr)
+        }
+      }
+    }(enc)
+  }
+
   /** `(key, n_events, ewma)` — final smoothed value per key over `valCol`
     * ordered by (`tsCol`, `idCol`). */
   def ewma(df: DataFrame, keyCol: String, tsCol: String, idCol: String,

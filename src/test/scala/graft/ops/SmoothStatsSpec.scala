@@ -30,6 +30,26 @@ class SmoothStatsSpec extends SparkSpec {
     assert(out.filter(col("ewma") =!= 1.5).count() == 0)
   }
 
+  test("cusum: accumulation, alarm + reset, first-alarm time, peak stat") {
+    // target+slack = 10; h = 15. xs: 20 (s=10), 18 (s=18 > 15 → alarm,
+    // reset), 5 (s=0), 30 (s=20 > 15 → alarm), 2 (s=0) ⇒ 2 alarms,
+    // first at the SECOND event (ts=2s), peak 20
+    val df = Seq(
+      (1L, ts(1), 1L, 20.0), (1L, ts(2), 2L, 18.0), (1L, ts(3), 3L, 5.0),
+      (1L, ts(4), 4L, 30.0), (1L, ts(5), 5L, 2.0),
+      (2L, ts(1), 6L, 1.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = Smooth.cusum(df, "k", "ts", "id", "v",
+        target = 8.0, slack = 2.0, h = 15.0)
+      .orderBy("key").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 2L)
+    assert(r1.getLong(3) == 2000L) // second event's ts in ms
+    assert(r1.getDouble(4) == 20.0)
+    val r2 = out(1)
+    assert(r2.getLong(2) == 0L && r2.isNullAt(3) && r2.getDouble(4) == 0.0)
+  }
+
   test("ols2 recovers exact coefficients on noise-free linear data, r2 = 1") {
     val rows = for { x1 <- 1 to 20; x2 <- 1 to 5 }
       yield (x1.toDouble, x2.toDouble, 3.0 + 2.0 * x1 - 4.0 * x2)
