@@ -2958,6 +2958,38 @@ object OracleSql {
          |QUALIFY rank <= 10""".stripMargin
     },
 
+    // rolling 7-day actives: bounded explode to window ends, exact
+    // distinct beside the full HLL sketch replay (hll_profile bridge)
+    "rolling_active" ->
+      s"""WITH $EV,
+         |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM ev),
+         |uw AS (SELECT user_id, d + CAST(t.k AS INTEGER) AS w
+         |  FROM ud CROSS JOIN range(0, 7) t(k)),
+         |h AS (SELECT w, ${mh63("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM (SELECT DISTINCT user_id, w FROM uw)),
+         |b AS (SELECT w, hv & 1023 AS bucket, hv >> 10 AS wd FROM h),
+         |r AS (SELECT w, bucket,
+         |    max(CASE WHEN wd = 0 THEN 54 ELSE 54 - length(bin(wd)) END) AS m_j
+         |  FROM b GROUP BY 1, 2),
+         |agg AS (SELECT w,
+         |    SUM(CAST(CAST(1 AS BIGINT) << (54 - m_j) AS HUGEINT)) AS n_present,
+         |    CAST(1024 - COUNT(*) AS BIGINT) AS v
+         |  FROM r GROUP BY 1),
+         |est AS (SELECT w, v,
+         |    0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * (2.0 ** 54) /
+         |      CAST(n_present + CAST(v AS HUGEINT) * (CAST(1 AS HUGEINT) << 54)
+         |        AS DOUBLE) AS e_raw
+         |  FROM agg),
+         |fin AS (SELECT w,
+         |    CASE WHEN e_raw <= 2.5 * 1024 AND v > 0
+         |         THEN 1024 * ln(1024.0 / v) ELSE e_raw END AS e
+         |  FROM est)
+         |SELECT CAST(f.w AS VARCHAR) AS window_end, x.n_exact,
+         |  CAST(floor(e + 0.5) AS BIGINT) AS n_hll
+         |FROM fin f JOIN (
+         |  SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM uw GROUP BY 1) x USING (w)""".stripMargin,
+
     // CUSUM recurrence replayed per key: s1 recomputed identically in
     // each CASE arm (same IEEE expression), reset-on-alarm, running max
     // tracked pre-reset

@@ -2285,6 +2285,25 @@ object SparkEntry {
     functions.Vectors.pqCodes(t(s, dir, "embeddings"),
       "vec_id", "embedding", m = 4, subDim = 16, k = 16, iters = 1)
 
+  /** Rolling 7-day active users per window-end day — the mergeable-sketch
+    * window pattern: each (user, day) fans out to the ≤7 window ends it
+    * feeds (bounded fanout, one shuffle), exact distinct beside the
+    * deterministic md5-HLL estimate so the sketch's error is visible
+    * data. */
+  private def rollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    ev.select(col("user_id"), explode(sequence(lit(0), lit(6))).as("k"),
+        col("d"))
+      .select(col("user_id"), date_add(col("d"), col("k")).as("w"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        graft.functions.expressions.Sketches
+          .hllNdv(col("user_id").cast("string")).as("n_hll"))
+      .select(col("w").cast("string").as("window_end"),
+        col("n_exact"), col("n_hll"))
+  }
+
   /** Per-user CUSUM drift monitor over event values (target 250, slack
     * 25, threshold 500): alarms, first alarm time, peak statistic. */
   private def cusumDrift(s: SparkSession, dir: String): DataFrame =
@@ -2562,6 +2581,7 @@ object SparkEntry {
     "attribution_touch" -> (attributionTouch _),
     "time_split_embargo" -> (timeSplitEmbargo _),
     "cusum_drift"       -> (cusumDrift _),
+    "rolling_active"    -> (rollingActive _),
     "l_diversity"       -> (lDiversityQ _),
     "stream_static_join" -> (streamStaticJoin _),
     "streaming_funnel"  -> (streamingFunnelQ _),

@@ -441,11 +441,18 @@ object Vectors {
                rerank: Int = 0): DataFrame = {
     require(queries.nonEmpty, "at least one query")
     // train the m codebooks + code the corpus (same seeds as pqCodes)
-    val parts = (0 until m).map { s =>
-      kmeansModel(
-        df.select(col(idCol),
-          slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
-        idCol, "__sub", k, iters, seed = s"pq$s")
+    // the m codebook trainings are independent chains of small jobs —
+    // run them concurrently so their per-round driver round-trips overlap
+    // (results are deterministic regardless of completion order)
+    val parts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).toList.map { s =>
+        Future(kmeansModel(
+          df.select(col(idCol),
+            slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
+          idCol, "__sub", k, iters, seed = s"pq$s"))
+      }), scala.concurrent.duration.Duration.Inf)
     }
     val codes = parts.zipWithIndex.map { case ((a, _), s) =>
       a.withColumnRenamed("cell", s"code$s")
@@ -457,41 +464,47 @@ object Vectors {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    queries.map { case (qid, qv) =>
-      // m LUTs: query subvector · raw centroid, k entries each
-      val score = (0 until m).map { s =>
+    // ALL queries in one plan: the LUTs ride a broadcast queries frame
+    // (one array column per subspace), so the corpus pass is a single
+    // broadcast join + per-query WindowGroupLimit — job count is O(1) in
+    // the number of queries, not O(queries).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qRows = queries.map { case (qid, qv) =>
+      val luts = (0 until m).map { s =>
         val sub = qv.slice(s * subDim, (s + 1) * subDim)
-        val lut = parts(s)._2.map(c => dotLR(sub, c))
-        element_at(array(lut.map(lit): _*), col(s"code$s").cast("int") + 1)
-      }.reduceLeft(_ + _)
-      if (rerank <= 0) {
-        codes.select(lit(qid).as("query_id"), col(idCol),
-            round(score, 6).as("adc"))
-          .orderBy(col("adc").desc, col(idCol))
-          .limit(topK)
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("adc").desc, col(idCol))).cast("long"))
-      } else {
-        val short = codes.select(lit(qid).as("query_id"), col(idCol),
-            round(score, 6).as("__adc"))
-          .orderBy(col("__adc").desc, col(idCol))
-          .limit(rerank)
-        val qn = math.sqrt(dotLR(qv, qv))
-        val qLit = array(qv.map(lit): _*)
-        val exact = short
-          .join(df.select(col(idCol),
-            col(vecCol).cast("array<double>").as("__dv")), idCol)
-          .withColumn("cosine", round(
-            dotDouble(qLit, col("__dv")) /
-              (lit(qn) * sqrt(dotDouble(col("__dv"), col("__dv")))), 6))
-        exact
-          .orderBy(col("cosine").desc, col(idCol))
-          .limit(topK)
-          .select(col("query_id"), col(idCol), col("cosine"),
-            row_number().over(Window.partitionBy(col("query_id"))
-              .orderBy(col("cosine").desc, col(idCol))).cast("long").as("rank"))
+        parts(s)._2.map(c => dotLR(sub, c)).toSeq
       }
-    }.reduce(_.unionByName(_))
+      (qid, qv.toSeq, math.sqrt(dotLR(qv, qv)), luts)
+    }.toDF("query_id", "__qv", "__qn", "__luts")
+    val score = (0 until m).map { s =>
+      element_at(element_at(col("__luts"), s + 1),
+        col(s"code$s").cast("int") + 1)
+    }.reduceLeft(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col(idCol))
+    val scored = codes.join(broadcast(qRows))
+      .withColumn("__adc", round(score, 6))
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(wAdc).cast("long"))
+        .where(col("rank") <= topK)
+        .select(col("query_id"), col(idCol), col("__adc").as("adc"),
+          col("rank"))
+    } else {
+      val short = scored.withColumn("__rn", row_number().over(wAdc))
+        .where(col("__rn") <= rerank)
+        .select(col("query_id"), col(idCol), col("__qv"), col("__qn"))
+      val wCos = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col(idCol))
+      short
+        .join(df.select(col(idCol),
+          col(vecCol).cast("array<double>").as("__dv")), idCol)
+        .withColumn("cosine", round(
+          dotDouble(col("__qv"), col("__dv")) /
+            (col("__qn") * sqrt(dotDouble(col("__dv"), col("__dv")))), 6))
+        .withColumn("rank", row_number().over(wCos).cast("long"))
+        .where(col("rank") <= topK)
+        .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+    }
   }
 }
