@@ -2832,6 +2832,18 @@ object OracleSql {
          |FROM l JOIN r ON l.user_id = r.user_id
          |  AND rts >= lts AND rts < lts + INTERVAL 7200 SECOND""".stripMargin,
 
+    // watermark-flushed LEFT OUTER interval join == the batch left join
+    "stream_interval_join_outer" ->
+      s"""WITH $EV,
+         |l AS (SELECT user_id, value AS lv, ts AS lts FROM ev
+         |  WHERE event_type = 'click'),
+         |r AS (SELECT user_id, value AS rv, ts AS rts FROM ev
+         |  WHERE event_type = 'purchase')
+         |SELECT l.user_id AS entity, epoch_ms(lts) AS l_ts_ms, lv AS l_value,
+         |  epoch_ms(rts) AS r_ts_ms, rv AS r_value
+         |FROM l LEFT JOIN r ON l.user_id = r.user_id
+         |  AND rts >= lts AND rts < lts + INTERVAL 7200 SECOND""".stripMargin,
+
     // NDCG@10 + MRR per BM25 query: the bm25_topk replay, then pinned
     // discounted gains (1/(ln(r+1)/ln 2) rounded to 9dp DECIMAL) summed
     // exactly; contains-all binary relevance

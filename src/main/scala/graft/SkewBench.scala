@@ -245,6 +245,32 @@ object SkewBench {
       rec(scale, "retention",
         time(force(graft.ops.Cohorts.retention(events, "user_id", "ts",
           bucket = "day")))._1)
+
+      // round-5 families on the same hot entity: nearest join pays one
+      // per-entity window sort (UnionWindow bound); interval coverage two
+      // window scans — user 77's one-hour 30% share collapses to a few
+      // islands but must sort only its own rows; the sequential folds
+      // (EWMA + CUSUM) pay one repartition + the hot key's own chain
+      val pur = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("id"), col("value"))
+      rec(scale, "nearest_join",
+        time(force(graft.ops.NearestJoin.nearest(pur,
+          clicks.select(col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", "id", "value", "value")))._1)
+      rec(scale, "interval_coverage",
+        time(force(graft.ops.Intervals.coverage(
+          events.select(col("user_id"),
+            unix_millis(col("ts")).as("s_ms"),
+            (unix_millis(col("ts")) +
+              floor(col("value") * 60000).cast("long")).as("e_ms")),
+          "user_id", "s_ms", "e_ms")))._1)
+      rec(scale, "ewma_cusum", {
+        val t1 = time(force(graft.ops.Smooth.ewma(
+          events, "user_id", "ts", "id", "value")))._1
+        val t2 = time(force(graft.ops.Smooth.cusum(
+          events, "user_id", "ts", "id", "value", 250.0, 25.0, 500.0)))._1
+        t1 + t2
+      })
       spark.catalog.clearCache()
       System.gc()
     }
@@ -260,7 +286,8 @@ object SkewBench {
     val linearFamilies = Seq("exact_dedup", "minhash_near_dups",
       "simhash_near_dups", "winnow_near_dups", "asof_sortmerge",
       "asof_unionwindow", "pit_window_prefix", "range_join", "salted_join",
-      "event_funnel", "markov_transitions", "scd2_build", "retention")
+      "event_funnel", "markov_transitions", "scd2_build", "retention",
+      "nearest_join", "interval_coverage", "ewma_cusum")
     val ratios = linearFamilies.map { f =>
       f -> results("x10")(f) / math.max(results("x1")(f), 1e-9)
     }
@@ -287,7 +314,7 @@ object SkewBench {
         s""""assertions_failed":${errs.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_skew_r4.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_skew_r5.json"), json + "\n")
     spark.stop()
     if (errs.nonEmpty) {
       errs.foreach(e => System.err.println(s"[skew] ASSERTION FAILED: $e"))

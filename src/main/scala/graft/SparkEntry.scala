@@ -2414,6 +2414,47 @@ object SparkEntry {
         .otherwise(lit("train")).as("split"))
   }
 
+  /** LEFT OUTER stream-stream interval join: clicks with no purchase in
+    * the following 2 hours must emit their NULL row — but only after the
+    * watermark proves no late match can arrive (sentinels push it past
+    * the data; one no-data batch flushes). Oracle = the batch left
+    * join. */
+  private def streamIntervalJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sijo").toString
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+    clicks.coalesce(1).write.parquet(s"$tmp/l")
+    purch.coalesce(1).write.parquet(s"$tmp/r")
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def sentinel: DataFrame = {
+      import s.implicits._
+      Seq((-1L, 0.0, new java.sql.Timestamp(
+        maxTs.getTime + 3651L * 86400000L))).toDF("entity", "value", "ts")
+    }
+    sentinel.write.mode("append").parquet(s"$tmp/l")
+    sentinel.write.mode("append").parquet(s"$tmp/r")
+    val lStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/l", 8)
+    val rStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/r", 8)
+    val joined = graft.streaming.StreamingJoin.intervalJoin(
+      lStream, rStream, delayThreshold = "3650 days", lenSeconds = 7200L,
+      joinType = "leftOuter")
+    val table = s"stream_ijo_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val q = try joined.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.table(table).filter(col("entity") >= 0)
+      .select(col("entity"), unix_millis(col("l_ts")).as("l_ts_ms"),
+        col("l_value"), unix_millis(col("r_ts")).as("r_ts_ms"),
+        col("r_value"))
+  }
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -2574,6 +2615,7 @@ object SparkEntry {
     "ewma_smooth"       -> (ewmaSmooth _),
     "feature_hash"      -> (featureHashQ _),
     "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_interval_join_outer" -> (streamIntervalJoinOuter _),
     "retrieval_ndcg"    -> (retrievalNdcg _),
     "pq_codes"          -> (pqCodesQ _),
     "pq_search"         -> (pqSearchQ _),

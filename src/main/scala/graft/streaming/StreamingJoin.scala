@@ -24,9 +24,17 @@ object StreamingJoin {
 
   /** Inner interval join of two (entity, value, ts) streams:
     * right rows with `l.ts <= r.ts < l.ts + lenSeconds` per entity.
-    * Emits `(entity, l_ts, l_value, r_ts, r_value)`. */
+    * Emits `(entity, l_ts, l_value, r_ts, r_value)`.
+    *
+    * `joinType = "leftOuter"` adds the WATERMARK-DRIVEN null emission:
+    * a left row with no in-window match emits `(…, NULL, NULL)` only
+    * once the watermark passes `l.ts + len` — the engine must prove no
+    * late match can still arrive, which is exactly the state-eviction
+    * bound. Inner joins emit eagerly; outer results are inherently
+    * watermark-paced. */
   def intervalJoin(left: DataFrame, right: DataFrame,
-                   delayThreshold: String, lenSeconds: Long): DataFrame = {
+                   delayThreshold: String, lenSeconds: Long,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", delayThreshold)
       .select(col("entity").as("l_entity"), col("value").as("l_value"),
         col("ts").as("l_ts"))
@@ -36,7 +44,8 @@ object StreamingJoin {
     l.join(r,
       col("l_entity") === col("r_entity") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") < col("l_ts") + expr(s"interval $lenSeconds seconds"))
+        col("r_ts") < col("l_ts") + expr(s"interval $lenSeconds seconds"),
+      joinType)
       .select(col("l_entity").as("entity"), col("l_ts"), col("l_value"),
         col("r_ts"), col("r_value"))
   }

@@ -38,6 +38,38 @@ class StreamingJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer: unmatched left emits NULLs only after the watermark proves it") {
+    implicit val sq = spark.sqlContext
+    val lIn = MemoryStream[(Long, Double, Timestamp)]
+    val rIn = MemoryStream[(Long, Double, Timestamp)]
+    val joined = StreamingJoin.intervalJoin(
+      lIn.toDF().toDF("entity", "value", "ts"),
+      rIn.toDF().toDF("entity", "value", "ts"),
+      delayThreshold = "10 minutes", lenSeconds = 600L,
+      joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ijo_out").start()
+    try {
+      // left @100 with a match; left @200 with none
+      lIn.addData((1L, 1.0, ts(100)), (1L, 2.0, ts(200)))
+      rIn.addData((1L, 10.0, ts(105)))
+      q.processAllAvailable()
+      // the unmatched row must NOT have emitted yet: watermark still below
+      // 200 + 10min + delay
+      val early = spark.table("ijo_out")
+        .filter($"l_value" === 2.0).count()
+      assert(early == 0, "outer null emitted before the watermark allowed it")
+      // push the watermark far past l.ts + len on BOTH streams
+      lIn.addData((99L, 0.0, ts(1000)))
+      rIn.addData((99L, 0.0, ts(1000)))
+      q.processAllAvailable()
+      val got = spark.table("ijo_out").filter($"entity" === 1L)
+        .select("l_value", "r_value").as[(Double, Option[Double])]
+        .collect().toSet
+      assert(got == Set((1.0, Some(10.0)), (2.0, None)))
+    } finally q.stop()
+  }
+
   test("every pair emits once across multi-batch replay (no dup, no loss)") {
     implicit val sq = spark.sqlContext
     val lIn = MemoryStream[(Long, Double, Timestamp)]
