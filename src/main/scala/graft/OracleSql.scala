@@ -3002,6 +3002,57 @@ object OracleSql {
          |  SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
          |  FROM uw GROUP BY 1) x USING (w)""".stripMargin,
 
+    // Flesch reading ease from the same three regexp counters
+    "flesch_readability" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len($TOKS_RAW) AS BIGINT) AS w,
+         |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |      AS BIGINT)) AS sents,
+         |    greatest(1, CAST(len(regexp_extract_all(lower(text),
+         |      '[aeiouy]+')) AS BIGINT)) AS syl
+         |  FROM documents)
+         |SELECT doc_id, w AS n_words, sents AS n_sentences,
+         |  syl AS n_syllables,
+         |  round(206.835 -
+         |    1.015 * (CAST(w AS DOUBLE) / CAST(sents AS DOUBLE)) -
+         |    84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS flesch
+         |FROM d WHERE w > 0""".stripMargin,
+
+    // order-independent xor checksums over md5 row keys
+    "audit_checksum" -> {
+      def chk(name: String, tbl: String, key: String) =
+        s"""SELECT '$name' AS table_name, CAST(COUNT(*) AS BIGINT) AS n,
+           |  bit_xor(${mh63(key)}) AS checksum FROM $tbl""".stripMargin
+      chk("orders", "orders",
+        "concat_ws('|', o_orderkey, o_custkey)") +
+        "\nUNION ALL\n" +
+        chk("lineitem", "lineitem",
+          "concat_ws('|', l_orderkey, l_partkey, l_linenumber)") +
+        "\nUNION ALL\n" +
+        chk("customer", "customer",
+          "concat_ws('|', c_custkey, c_nationkey)")
+    },
+
+    // 50 md5-gated half-sample means, nearest-rank p5/p95
+    "bootstrap_ci" ->
+      s"""WITH li AS (SELECT
+         |    concat_ws('|', l_orderkey, l_linenumber) AS rid,
+         |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+         |  FROM lineitem),
+         |bs AS (SELECT t.b, SUM(q) AS sq, COUNT(*) AS c
+         |  FROM li CROSS JOIN range(0, 50) t(b)
+         |  WHERE ${mh63("rid || '|' || CAST(t.b AS VARCHAR)")} % 2 = 0
+         |  GROUP BY 1),
+         |m AS (SELECT b, CAST(sq AS DOUBLE) / c AS mean_b FROM bs),
+         |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rn
+         |  FROM m),
+         |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_full FROM li)
+         |SELECT f.n, round(f.mean_full, 6) AS mean_full,
+         |  round((SELECT mean_b FROM r WHERE rn = 3), 6) AS ci_lo,
+         |  round((SELECT mean_b FROM r WHERE rn = 48), 6) AS ci_hi
+         |FROM f""".stripMargin,
+
     // CUSUM recurrence replayed per key: s1 recomputed identically in
     // each CASE arm (same IEEE expression), reset-on-alarm, running max
     // tracked pre-reset

@@ -2304,6 +2304,69 @@ object SparkEntry {
         col("n_exact"), col("n_hll"))
   }
 
+  /** Flesch reading-ease per document from three regexp counters (vowel
+    * runs ≈ syllables, [.!?]+ runs ≈ sentences, whitespace tokens) — one
+    * scan-stage projection, one fixed double expression. */
+  private def fleschReadability(s: SparkSession, dir: String): DataFrame = {
+    val words = TF.tokenCount(col("text")).cast("long")
+    val sentences = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val syllables = greatest(lit(1L),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long"))
+    t(s, dir, "documents")
+      .where(words > 0)
+      .select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (words.cast("double") / sentences.cast("double")) -
+          lit(84.6) * (syllables.cast("double") / words.cast("double")), 6)
+          .as("flesch"))
+  }
+
+  /** Order-independent reconciliation checksums: per table, row count +
+    * bit_xor of 63-bit md5 row keys over integer columns — the
+    * source-vs-sink audit any export pipeline runs. */
+  private def auditChecksum(s: SparkSession, dir: String): DataFrame = {
+    def chk(name: String, df: DataFrame, key: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n"),
+          bit_xor(functions.expressions.Md5Long(key)
+            .bitwiseAND(lit(Long.MaxValue))).as("checksum"))
+        .select(lit(name).as("table_name"), col("n"), col("checksum"))
+    chk("orders", t(s, dir, "orders"),
+      concat_ws("|", col("o_orderkey"), col("o_custkey")))
+      .unionByName(chk("lineitem", t(s, dir, "lineitem"),
+        concat_ws("|", col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber"))))
+      .unionByName(chk("customer", t(s, dir, "customer"),
+        concat_ws("|", col("c_custkey"), col("c_nationkey"))))
+  }
+
+  /** Deterministic subsample bootstrap: 50 md5-gated half-samples of
+    * l_quantity, DECIMAL-exact means, nearest-rank p5/p95 of the 50
+    * means — a distribution-free CI with zero RNG state. */
+  private def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber")).as("rid"),
+      col("l_quantity").cast("decimal(18,2)").as("q"))
+    val b = li.crossJoin(
+        s.range(0, 50).toDF("b").hint("broadcast"))
+      .where(functions.expressions.Md5Long(
+        concat_ws("|", col("rid"), col("b"))).bitwiseAND(lit(Long.MaxValue))
+        % 2 === 0)
+      .groupBy(col("b"))
+      .agg((sum(col("q")).cast("double") / count(lit(1))).as("mean_b"))
+    // nearest-rank p5/p95 over the 50 means (rank ceil(p*n))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("mean_b"))
+    val ranked = b.withColumn("__r", row_number().over(w))
+    val lo = ranked.where(col("__r") === 3).select(col("mean_b").as("lo"))
+    val hi = ranked.where(col("__r") === 48).select(col("mean_b").as("hi"))
+    val full = li.agg((sum(col("q")).cast("double") / count(lit(1)))
+      .as("mean_full"), count(lit(1)).as("n"))
+    full.crossJoin(lo).crossJoin(hi)
+      .select(col("n"), round(col("mean_full"), 6).as("mean_full"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
   /** Per-user CUSUM drift monitor over event values (target 250, slack
     * 25, threshold 500): alarms, first alarm time, peak statistic. */
   private def cusumDrift(s: SparkSession, dir: String): DataFrame =
@@ -2624,6 +2687,9 @@ object SparkEntry {
     "time_split_embargo" -> (timeSplitEmbargo _),
     "cusum_drift"       -> (cusumDrift _),
     "rolling_active"    -> (rollingActive _),
+    "flesch_readability" -> (fleschReadability _),
+    "audit_checksum"    -> (auditChecksum _),
+    "bootstrap_ci"      -> (bootstrapCi _),
     "l_diversity"       -> (lDiversityQ _),
     "stream_static_join" -> (streamStaticJoin _),
     "streaming_funnel"  -> (streamingFunnelQ _),
