@@ -3002,6 +3002,28 @@ object OracleSql {
          |  SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
          |  FROM uw GROUP BY 1) x USING (w)""".stripMargin,
 
+    // Markov argmax next-event prediction scored on the post-cut tail
+    "markov_accuracy" ->
+      s"""WITH $EV,
+         |nx AS (SELECT user_id, ts, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_type,
+         |    lead(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_ts
+         |  FROM ev),
+         |wn AS (SELECT * FROM nx WHERE next_type IS NOT NULL),
+         |tr AS (SELECT event_type, next_type, COUNT(*) AS n FROM wn
+         |  WHERE next_ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1, 2),
+         |p AS (SELECT event_type, next_type AS pred FROM tr
+         |  QUALIFY row_number() OVER (PARTITION BY event_type
+         |    ORDER BY n DESC, next_type) = 1),
+         |te AS (SELECT wn.event_type, wn.next_type FROM wn
+         |  WHERE next_ts >= TIMESTAMP '2024-01-22 00:00:00')
+         |SELECT te.event_type, p.pred, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(CASE WHEN te.next_type = p.pred THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit
+         |FROM te JOIN p USING (event_type) GROUP BY 1, 2""".stripMargin,
+
     // Flesch reading ease from the same three regexp counters
     "flesch_readability" ->
       s"""WITH d AS (SELECT doc_id,
@@ -3033,25 +3055,28 @@ object OracleSql {
           "concat_ws('|', c_custkey, c_nationkey)")
     },
 
-    // 50 md5-gated half-sample means, nearest-rank p5/p95
-    "bootstrap_ci" ->
+    // 50 half-sample means gated by one md5's bit-plane, one scan,
+    // nearest-rank p5/p95 via list_sort
+    "bootstrap_ci" -> {
+      val sums = (0 until 50).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 0 THEN qc END) AS s$b,\n" +
+          s"|    SUM(CASE WHEN (h >> $b) & 1 = 0 THEN 1 END) AS c$b")
+        .mkString(",\n|    ")
+      val lst = (0 until 50).map(b => s"CAST(s$b AS DOUBLE) / 100.0 / c$b")
+        .mkString("[", ", ", "]")
       s"""WITH li AS (SELECT
-         |    concat_ws('|', l_orderkey, l_linenumber) AS rid,
-         |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+         |    ${mh63("concat_ws('|', l_orderkey, l_linenumber)")} AS h,
+         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
          |  FROM lineitem),
-         |bs AS (SELECT t.b, SUM(q) AS sq, COUNT(*) AS c
-         |  FROM li CROSS JOIN range(0, 50) t(b)
-         |  WHERE ${mh63("rid || '|' || CAST(t.b AS VARCHAR)")} % 2 = 0
-         |  GROUP BY 1),
-         |m AS (SELECT b, CAST(sq AS DOUBLE) / c AS mean_b FROM bs),
-         |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rn
-         |  FROM m),
-         |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_full FROM li)
-         |SELECT f.n, round(f.mean_full, 6) AS mean_full,
-         |  round((SELECT mean_b FROM r WHERE rn = 3), 6) AS ci_lo,
-         |  round((SELECT mean_b FROM r WHERE rn = 48), 6) AS ci_hi
-         |FROM f""".stripMargin,
+         |agg AS (SELECT SUM(qc) AS tot, COUNT(*) AS n,
+         |    $sums
+         |  FROM li),
+         |srt AS (SELECT *, list_sort($lst) AS l FROM agg)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round(CAST(tot AS DOUBLE) / 100.0 / n, 6) AS mean_full,
+         |  round(l[3], 6) AS ci_lo, round(l[48], 6) AS ci_hi
+         |FROM srt""".stripMargin
+    },
 
     // CUSUM recurrence replayed per key: s1 recomputed identically in
     // each CASE arm (same IEEE expression), reset-on-alarm, running max

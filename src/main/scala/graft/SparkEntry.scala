@@ -2285,6 +2285,35 @@ object SparkEntry {
     functions.Vectors.pqCodes(t(s, dir, "embeddings"),
       "vec_id", "embedding", m = 4, subDim = 16, k = 16, iters = 1)
 
+  /** Next-event prediction eval: the Markov transition matrix trained on
+    * the first three weeks, argmax prediction scored on the rest — the
+    * model-quality loop over [[ops.Markov]]. */
+  private def markovAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cut = lit("2024-01-22 00:00:00").cast("timestamp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withNext = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .where(col("next_type").isNotNull)
+    val train = withNext.where(col("next_ts") < cut)
+    val test = withNext.where(col("next_ts") >= cut)
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("next_type").asc)
+    val pred = train.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__rn", row_number().over(wm))
+      .where(col("__rn") === 1)
+      .select(col("event_type"), col("next_type").as("pred"))
+    test.join(pred, "event_type")
+      .groupBy(col("event_type"), col("pred"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("next_type") === col("pred"), 1L).otherwise(0L))
+          .as("n_hit"))
+  }
+
   /** Rolling 7-day active users per window-end day — the mergeable-sketch
     * window pattern: each (user, day) fans out to the ≤7 window ends it
     * feeds (bounded fanout, one shuffle), exact distinct beside the
@@ -2341,30 +2370,36 @@ object SparkEntry {
         concat_ws("|", col("c_custkey"), col("c_nationkey"))))
   }
 
-  /** Deterministic subsample bootstrap: 50 md5-gated half-samples of
-    * l_quantity, DECIMAL-exact means, nearest-rank p5/p95 of the 50
-    * means — a distribution-free CI with zero RNG state. */
+  /** Deterministic subsample bootstrap: 50 half-samples gated by the 50
+    * low bits of ONE md5 per row, all resample sums as conditional
+    * aggregates in a SINGLE scan (map-side combined to one row — no
+    * explode, no join, no window), DECIMAL-exact means, nearest-rank
+    * p5/p95 via array_sort. A distribution-free CI with zero RNG state
+    * at one-scan cost. */
   private def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(
-      concat_ws("|", col("l_orderkey"), col("l_linenumber")).as("rid"),
-      col("l_quantity").cast("decimal(18,2)").as("q"))
-    val b = li.crossJoin(
-        s.range(0, 50).toDF("b").hint("broadcast"))
-      .where(functions.expressions.Md5Long(
-        concat_ws("|", col("rid"), col("b"))).bitwiseAND(lit(Long.MaxValue))
-        % 2 === 0)
-      .groupBy(col("b"))
-      .agg((sum(col("q")).cast("double") / count(lit(1))).as("mean_b"))
-    // nearest-rank p5/p95 over the 50 means (rank ceil(p*n))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("mean_b"))
-    val ranked = b.withColumn("__r", row_number().over(w))
-    val lo = ranked.where(col("__r") === 3).select(col("mean_b").as("lo"))
-    val hi = ranked.where(col("__r") === 48).select(col("mean_b").as("hi"))
-    val full = li.agg((sum(col("q")).cast("double") / count(lit(1)))
-      .as("mean_full"), count(lit(1)).as("n"))
-    full.crossJoin(lo).crossJoin(hi)
-      .select(col("n"), round(col("mean_full"), 6).as("mean_full"),
-        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+    val h = functions.expressions.Md5Long(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      .bitwiseAND(lit(Long.MaxValue))
+    // exact integer CENTS keep all 102 aggregation buffers on the
+    // primitive-long fast path (decimal buffers drop the aggregate off
+    // whole-stage codegen); a 100 TB run would move the cents sums to
+    // DECIMAL — same oracle, slower buffers
+    val li = t(s, dir, "lineitem").select(h.as("__h"),
+      (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qc"))
+    def in(b: Int) = shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 0
+    val aggs =
+      (sum(col("qc")).as("__tot") +: count(lit(1)).as("__n") +:
+        (0 until 50).flatMap(b => Seq(
+          sum(when(in(b), col("qc"))).as(s"__s$b"),
+          sum(when(in(b), 1L)).as(s"__c$b"))))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val means = array_sort(array((0 until 50).map(b =>
+      col(s"__s$b").cast("double") / lit(100.0) / col(s"__c$b")): _*))
+    one.select(col("__n").as("n"),
+      round(col("__tot").cast("double") / lit(100.0) / col("__n"), 6)
+        .as("mean_full"),
+      round(element_at(means, 3), 6).as("ci_lo"),
+      round(element_at(means, 48), 6).as("ci_hi"))
   }
 
   /** Per-user CUSUM drift monitor over event values (target 250, slack
@@ -2688,6 +2723,7 @@ object SparkEntry {
     "cusum_drift"       -> (cusumDrift _),
     "rolling_active"    -> (rollingActive _),
     "flesch_readability" -> (fleschReadability _),
+    "markov_accuracy"   -> (markovAccuracy _),
     "audit_checksum"    -> (auditChecksum _),
     "bootstrap_ci"      -> (bootstrapCi _),
     "l_diversity"       -> (lDiversityQ _),
