@@ -3002,6 +3002,15 @@ object OracleSql {
          |  SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
          |  FROM uw GROUP BY 1) x USING (w)""".stripMargin,
 
+    // incremental partial-aggregate maintenance must equal the recompute
+    "incremental_rollup" ->
+      s"""WITH $EV
+         |SELECT user_id AS entity, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+         |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+         |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+         |FROM ev GROUP BY 1""".stripMargin,
+
     // Markov argmax next-event prediction scored on the post-cut tail
     "markov_accuracy" ->
       s"""WITH $EV,

@@ -2314,6 +2314,30 @@ object SparkEntry {
           .as("n_hit"))
   }
 
+  /** Lifetime aggregate features maintained INCREMENTALLY: three
+    * chronological batches folded through partial-aggregate merges; the
+    * oracle recomputes from scratch — merge ≡ recompute is the gate. */
+  private def incrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+    def slice(lo: Option[String], hi: Option[String]) = {
+      val conds =
+        lo.map(l => col("ts") >= lit(l).cast("timestamp")).toSeq ++
+          hi.map(h => col("ts") < lit(h).cast("timestamp"))
+      conds.foldLeft(ev)((d, c) => d.where(c))
+    }
+    var state = ops.Materialize.rollupOf(
+      slice(None, Some("2024-01-11 00:00:00")))
+    state = ops.Materialize.rollupIncrement(state,
+      slice(Some("2024-01-11 00:00:00"), Some("2024-01-21 00:00:00")))
+    state = ops.Materialize.rollupIncrement(state,
+      slice(Some("2024-01-21 00:00:00"), None))
+    state.select(col("entity"), col("n"),
+      col("sum_v").cast("double").as("sum_v"),
+      col("min_v").cast("double").as("min_v"),
+      col("max_v").cast("double").as("max_v"))
+  }
+
   /** Rolling 7-day active users per window-end day — the mergeable-sketch
     * window pattern: each (user, day) fans out to the ≤7 window ends it
     * feeds (bounded fanout, one shuffle), exact distinct beside the
@@ -2724,6 +2748,7 @@ object SparkEntry {
     "rolling_active"    -> (rollingActive _),
     "flesch_readability" -> (fleschReadability _),
     "markov_accuracy"   -> (markovAccuracy _),
+    "incremental_rollup" -> (incrementalRollup _),
     "audit_checksum"    -> (auditChecksum _),
     "bootstrap_ci"      -> (bootstrapCi _),
     "l_diversity"       -> (lDiversityQ _),

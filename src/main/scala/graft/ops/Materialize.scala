@@ -68,6 +68,32 @@ object Materialize {
     latestTriple(snapshot.select("entity", "value", "ts")
       .unionByName(updates.select("entity", "value", "ts")))
 
+  /** Incremental ADDITIVE rollup maintenance — the aggregate-feature twin
+    * of [[upsert]] (which keeps latest values): the maintained table holds
+    * per-entity partial aggregates `(entity, n, sum, min_v, max_v)`, and a
+    * new batch folds in as a MERGE of partials — count/sum add, min/max
+    * combine — never a recompute over history. This is the windowless
+    * "lifetime aggregate feature" pattern (Feast-style count/sum
+    * features): refresh cost is O(batch + touched entities), and the
+    * result provably equals the full recompute (the driver query's
+    * oracle). Sums ride DECIMAL for exactness. */
+  def rollupIncrement(state: DataFrame, batch: DataFrame): DataFrame = {
+    val b = rollupOf(batch)
+    state.unionByName(b)
+      .groupBy(col("entity"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+
+  /** The per-entity partial-aggregate shape [[rollupIncrement]] maintains,
+    * computed from raw (entity, value) rows. */
+  def rollupOf(rows: DataFrame): DataFrame =
+    rows.groupBy(col("entity"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_v"),
+        min(col("value").cast("decimal(18,2)")).as("min_v"),
+        max(col("value").cast("decimal(18,2)")).as("max_v"))
+
   /** K6 with schema evolution — the multi-feature online table. The reference
     * evolves the wide feature table with `ALTER TABLE ADD COLUMNS` per new
     * feature and MERGEs each feature's updates into its column
