@@ -3182,6 +3182,78 @@ object OracleSql {
          |  CAST(COALESCE(j.n, 0) AS BIGINT) AS n_clicks
          |FROM p LEFT JOIN j USING (p_id)""".stripMargin,
 
+    // Jaro-Winkler record linkage on 40-char doc-name prefixes, first-token
+    // blocking; duckdb's jaro_winkler_similarity is bit-identical to the
+    // graft.functions.expressions.JaroWinkler textbook pinning (boost
+    // threshold 0.7, prefix cap 4, scale 0.1), so the >= 0.9 gate agrees
+    "fuzzy_link" ->
+      """WITH names AS (
+        |  SELECT doc_id, substr(trim(text), 1, 40) AS nm,
+        |    split_part(substr(trim(text), 1, 40), ' ', 1) AS blk
+        |  FROM documents WHERE length(trim(text)) >= 10)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9""".stripMargin,
+
+    // exact Mann-Whitney AUC over the distinct-score histogram; every term
+    // integer until the final division (both engines round doubles
+    // half-away-from-zero)
+    "binary_auc" ->
+      s"""WITH $EV,
+         |g AS (SELECT round(value, 2) AS s,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
+         |  FROM ev GROUP BY 1),
+         |c AS (SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+         |  FROM g)
+         |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |  round(CAST(SUM(pos * (2 * nb + neg)) AS DOUBLE) /
+         |    CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 6) AS auc
+         |FROM c""".stripMargin,
+
+    // GDPR delete-propagation audit: the erased cohort's row counts in the
+    // event log and the latest-features materialization (one row per entity)
+    "forget_user" ->
+      s"""WITH $EV
+         |SELECT 'events' AS table_name,
+         |  CAST(COUNT(*) AS BIGINT) AS rows_before,
+         |  CAST(SUM(CASE WHEN user_id % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS rows_deleted,
+         |  CAST(COUNT(*) - SUM(CASE WHEN user_id % 97 = 13 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS rows_after
+         |FROM ev
+         |UNION ALL
+         |SELECT 'features_latest',
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT),
+         |  CAST(COUNT(DISTINCT CASE WHEN user_id % 97 = 13 THEN user_id END)
+         |    AS BIGINT),
+         |  CAST(COUNT(DISTINCT user_id) -
+         |    COUNT(DISTINCT CASE WHEN user_id % 97 = 13 THEN user_id END)
+         |    AS BIGINT)
+         |FROM ev""".stripMargin,
+
+    // per-doc OOV rate against the top-500 corpus vocab (freq DESC, token
+    // ASC tie-break — the vocab_topk discipline)
+    "oov_rate" ->
+      s"""WITH tok AS (SELECT unnest($TOKS_LOWER) AS token FROM documents),
+         |f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+         |v AS (SELECT list(token) AS vl FROM (
+         |  SELECT token FROM f ORDER BY freq DESC, token LIMIT 500) q),
+         |d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(len(d.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(d.toks, t -> NOT list_contains(v.vl, t)))
+         |    AS BIGINT) AS n_oov,
+         |  CASE WHEN len(d.toks) = 0 THEN 0.0
+         |    ELSE round(CAST(len(list_filter(d.toks,
+         |        t -> NOT list_contains(v.vl, t))) AS DOUBLE) /
+         |      CAST(len(d.toks) AS DOUBLE), 6) END AS oov_rate
+         |FROM d CROSS JOIN v""".stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

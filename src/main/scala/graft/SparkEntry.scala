@@ -2395,32 +2395,28 @@ object SparkEntry {
   }
 
   /** Deterministic subsample bootstrap: 50 half-samples gated by the 50
-    * low bits of ONE md5 per row, all resample sums as conditional
-    * aggregates in a SINGLE scan (map-side combined to one row — no
-    * explode, no join, no window), DECIMAL-exact means, nearest-rank
-    * p5/p95 via array_sort. A distribution-free CI with zero RNG state
-    * at one-scan cost. */
+    * low bits of ONE md5 per row, ALL resample sums accumulated by a single
+    * [[graft.functions.expressions.BitPlaneSum]] aggregate buffer in ONE
+    * scan (no explode, no join, no window; the 102-separate-aggregates
+    * formulation was semantically identical but its whole-stage codegen
+    * took ~8 s to compile), integer-cents-exact sums, nearest-rank p5/p95
+    * via array_sort. A distribution-free CI with zero RNG state at
+    * one-scan cost. */
   private def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
     val h = functions.expressions.Md5Long(
       concat_ws("|", col("l_orderkey"), col("l_linenumber")))
       .bitwiseAND(lit(Long.MaxValue))
-    // exact integer CENTS keep all 102 aggregation buffers on the
-    // primitive-long fast path (decimal buffers drop the aggregate off
-    // whole-stage codegen); a 100 TB run would move the cents sums to
-    // DECIMAL — same oracle, slower buffers
+    // exact integer CENTS keep the accumulator on primitive longs; a
+    // 100 TB run would move the cents sums to DECIMAL — same oracle
     val li = t(s, dir, "lineitem").select(h.as("__h"),
       (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qc"))
-    def in(b: Int) = shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 0
-    val aggs =
-      (sum(col("qc")).as("__tot") +: count(lit(1)).as("__n") +:
-        (0 until 50).flatMap(b => Seq(
-          sum(when(in(b), col("qc"))).as(s"__s$b"),
-          sum(when(in(b), 1L)).as(s"__c$b"))))
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    val means = array_sort(array((0 until 50).map(b =>
-      col(s"__s$b").cast("double") / lit(100.0) / col(s"__c$b")): _*))
-    one.select(col("__n").as("n"),
-      round(col("__tot").cast("double") / lit(100.0) / col("__n"), 6)
+    val one = li.agg(functions.expressions.BitPlane
+      .bitPlaneSum(col("__h"), col("qc"), 50).as("__bp"))
+    val means = array_sort(zip_with(
+      col("__bp.sums"), col("__bp.counts"),
+      (sv, cv) => sv.cast("double") / lit(100.0) / cv))
+    one.select(col("__bp.n").as("n"),
+      round(col("__bp.tot").cast("double") / lit(100.0) / col("__bp.n"), 6)
         .as("mean_full"),
       round(element_at(means, 3), 6).as("ci_lo"),
       round(element_at(means, 48), 6).as("ci_hi"))
@@ -2576,6 +2572,50 @@ object SparkEntry {
         col("l_value"), unix_millis(col("r_ts")).as("r_ts_ms"),
         col("r_value"))
   }
+
+  /** Jaro-Winkler record linkage over 40-char document-name prefixes,
+    * blocked on the first token — finds the planted near-dup families the
+    * shingle pipelines find, via the name-variant comparator instead. */
+  private def fuzzyLink(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) >= 10)
+      .select(col("doc_id"), substring(trim(col("text")), 1, 40).as("nm"))
+    Dedup.fuzzyLink(names, "nm", "doc_id", minSim = 0.9)
+      .select(col("idA").as("id_a"), col("idB").as("id_b"), col("jw"))
+  }
+
+  /** Exact ROC AUC of event value against the is-purchase label — the
+    * Mann-Whitney rank form over the distinct-score histogram. */
+  private def binaryAuc(s: SparkSession, dir: String): DataFrame =
+    functions.EvalMetrics.binaryAuc(events(s, dir),
+      round(col("value"), 2), (col("event_type") === "purchase").cast("long"))
+
+  /** GDPR delete propagation: erase a deterministic user cohort
+    * (user_id % 97 == 13) from the event log AND its downstream
+    * latest-features materialization, emitting the per-table audit the
+    * compliance run files. The deletes are key-predicate anti-joins — on a
+    * partitioned lake only partitions containing hits are rewritten
+    * (the version-dir writers' partition pruning); nothing here scans more
+    * than once. */
+  private def forgetUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val gone = col("user_id") % 97 === 13
+    val mv = Materialize.latestTriple(
+      ev.select(col("user_id").as("entity"), col("value"), col("ts")))
+    def audit(name: String, df: DataFrame, hit: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("rows_before"),
+          sum(hit.cast("long")).as("rows_deleted"))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    audit("events", ev, gone)
+      .unionByName(audit("features_latest", mv, col("entity") % 97 === 13))
+  }
+
+  /** Vocabulary-coverage audit: per-document OOV rate against the corpus
+    * top-500 vocab. */
+  private def oovRate(s: SparkSession, dir: String): DataFrame =
+    functions.UnigramLM.oovRate(t(s, dir, "documents"), "doc_id", "text", 500)
 
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
@@ -2756,6 +2796,10 @@ object SparkEntry {
     "streaming_funnel"  -> (streamingFunnelQ _),
     "streaming_dedup_wm" -> (streamingDedupWm _),
     "json_props_rollup" -> (jsonPropsRollup _),
+    "fuzzy_link"        -> (fuzzyLink _),
+    "binary_auc"        -> (binaryAuc _),
+    "forget_user"       -> (forgetUser _),
+    "oov_rate"          -> (oovRate _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -105,6 +105,32 @@ object Dedup {
       .select(col("idA"), col("idB"), col("edit_dist"))
   }
 
+  /** Jaro-Winkler record linkage: first-token blocking + JW verify —
+    * the name-variant linkage family ([[editNearDups]] covers in-place
+    * edits via Levenshtein; JW favors shared prefixes/transpositions, the
+    * shape of human-entered variants). Returns `(idA, idB, jw)` with
+    * idA < idB and jw ≥ `minSim` (rounded 6 dp AFTER the unrounded gate,
+    * so the gate decision is bit-identical to the oracle's).
+    *
+    * Scale shape: the comparator is O(|a|·|b|) per pair, so the block
+    * structure bounds the work — pair cost is Σ block_size², and
+    * [[capHotKeys]] drops degenerate hot blocks (a stop-word first token)
+    * with the logged-drop convention shared by every LSH family here. */
+  def fuzzyLink(df: DataFrame, nameCol: String, idCol: String,
+                minSim: Double = 0.9, maxBlockFreq: Int = 2000): DataFrame = {
+    val blocked = capHotKeys(
+      df.select(col(idCol).as("__id"), col(nameCol).as("__nm"))
+        .withColumn("__blk", split_part(col("__nm"), lit(" "), lit(1))),
+      "__blk", maxBlockFreq, "fuzzyLink")
+    val a = blocked.select(col("__blk"), col("__id").as("idA"), col("__nm").as("__na"))
+    val b = blocked.select(col("__blk"), col("__id").as("idB"), col("__nm").as("__nb"))
+    a.join(b, Seq("__blk")).where(col("idA") < col("idB"))
+      .withColumn("__jw", graft.functions.expressions.StringSim
+        .jaroWinkler(col("__na"), col("__nb")))
+      .where(col("__jw") >= minSim)
+      .select(col("idA"), col("idB"), round(col("__jw"), 6).as("jw"))
+  }
+
   /** Exact dedup on canonicalized content: keeps the row with the smallest
     * `idCol` per distinct normalized text. Group key is the md5 digest, not
     * the text itself — 32 bytes/row through the shuffle regardless of doc

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline model-evaluation metrics computed as relational plans — the
+  * eval half of the training-data pipeline (retrieval ranking metrics live
+  * in [[Retrieval.rankingMetrics]], next-event accuracy in
+  * [[graft.ops.Markov]]).
+  */
+object EvalMetrics {
+
+  /** Exact ROC AUC of `score` against binary `label` via the Mann-Whitney
+    * U statistic, with the standard 0.5 credit for score ties:
+    *
+    *   AUC = [ Σ_s pos_s · (2·negBelow_s + neg_s) ] / (2 · nPos · nNeg)
+    *
+    * summed over DISTINCT scores s — every term an exact integer; the one
+    * double division happens at the end (round 6 dp).
+    *
+    * Scale shape: one groupBy collapses the corpus to its distinct-score
+    * histogram (map-side combined), and only that histogram flows into the
+    * cumulative window. Scores MUST be quantized to a fixed grid first
+    * (`round(score, p)` — the caller's contract, standard for at-scale AUC)
+    * so the histogram, not the corpus, bounds the window input; the window
+    * itself is the unavoidable global prefix over the score axis.
+    */
+  def binaryAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.select(score.as("__s"), label.cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"),
+        sum(lit(1L) - col("__y")).as("__neg"))
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("__nb", coalesce(sum(col("__neg")).over(below), lit(0L)))
+    cum.agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"),
+        sum(col("__pos") * (col("__nb") * 2 + col("__neg"))).as("__num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("__num2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
+  }
+}

@@ -157,4 +157,29 @@ object UnigramLM {
         (row_number().over(Window.orderBy(order: _*)) - 1).cast("long"))
       .select("vocab_id", "token", "freq")
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus top-`topK`
+    * vocabulary: `(id, n_tokens, n_oov, oov_rate)` — the tokenizer-fit /
+    * domain-shift audit run before committing a vocab to a training mix.
+    *
+    * Scale shape: the vocab is a K-row broadcast (TakeOrderedAndProject
+    * partial top-K builds it, same as [[vocab]]); membership is a hash
+    * lookup inside the per-doc token walk — one corpus scan, no shuffle
+    * beyond the K-row build. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              topK: Int): DataFrame = {
+    val vocabToks = vocab(docs, textCol, topK).select(col("token"))
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    docs.select(col(idCol), explode_outer(toks).as("__t"))
+      .join(broadcast(vocabToks.withColumn("__in", lit(1L))),
+        col("__t") === col("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__t")).as("n_tokens"),
+        sum(when(col("__t").isNotNull && col("__in").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("oov_rate"))
+  }
 }
