@@ -3254,6 +3254,91 @@ object OracleSql {
          |      CAST(len(d.toks) AS DOUBLE), 6) END AS oov_rate
          |FROM d CROSS JOIN v""".stripMargin,
 
+    // CM-sketch join-size estimate: both key histograms sketched with the
+    // cms|row| md5 bucketing (≡ CountMin.buildWeighted), est = min over
+    // rows of the counter inner product, beside the exact Σ fa·fb
+    "join_size_est" -> {
+      val bkt = mh63("'cms|' || CAST(r AS VARCHAR) || '|' || k") + " % 1024"
+      s"""WITH fa AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS f
+         |  FROM orders GROUP BY 1),
+         |fb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS f
+         |  FROM lineitem GROUP BY 1),
+         |ex AS (SELECT CAST(COALESCE(SUM(fa.f * fb.f), 0) AS BIGINT)
+         |    AS exact_rows FROM fa JOIN fb USING (k)),
+         |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |sa AS (SELECT r, $bkt AS bucket, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM fa CROSS JOIN rs GROUP BY 1, 2),
+         |sb AS (SELECT r, $bkt AS bucket, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM fb CROSS JOIN rs GROUP BY 1, 2),
+         |est AS (SELECT CAST(MIN(e) AS BIGINT) AS cms_est FROM (
+         |  SELECT sa.r, SUM(sa.cnt * sb.cnt) AS e
+         |  FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket
+         |  GROUP BY 1) t)
+         |SELECT exact_rows, cms_est,
+         |  round(CAST(cms_est - exact_rows AS DOUBLE) /
+         |    CAST(exact_rows AS DOUBLE), 6) AS rel_err
+         |FROM ex CROSS JOIN est""".stripMargin
+    },
+
+    // join-key skew diagnostic: exact integer arithmetic throughout; p99
+    // frequency by nearest rank over the key table
+    "skew_report" ->
+      s"""WITH $EV,
+         |freq AS (SELECT user_id, COUNT(*) AS f FROM ev GROUP BY 1),
+         |base AS (SELECT CAST(SUM(f) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(MAX(f) AS BIGINT) AS max_freq FROM freq),
+         |rk AS (SELECT f, row_number() OVER (ORDER BY f, user_id) AS r
+         |  FROM freq),
+         |p99 AS (SELECT CAST(f AS BIGINT) AS p99_freq FROM rk, base
+         |  WHERE r = CAST(ceil(n_keys * 0.99) AS BIGINT)),
+         |hot AS (SELECT CAST(SUM(CASE WHEN f * n_keys > n_rows * 10
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+         |  FROM freq CROSS JOIN base)
+         |SELECT n_rows, n_keys, max_freq,
+         |  round(CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         |    AS top1_share,
+         |  p99_freq, n_hot_keys,
+         |  CAST((max_freq * n_keys + n_rows - 1) // n_rows AS BIGINT)
+         |    AS salt_factor
+         |FROM base CROSS JOIN p99 CROSS JOIN hot""".stripMargin,
+
+    // per-doc distinct-trigram novelty (63-bit md5 gram keys, df = 1 ⇒
+    // novel), gram-less docs pinned to 0.0
+    "gram_novelty" ->
+      raw"""WITH d AS (SELECT doc_id, $TOKS_LOWER AS toks FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |    ${mh63("ng")} AS h FROM (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, len(toks) - 2),
+           |    i -> array_to_string(toks[i:i + 2], ' '))) AS ng FROM d) t),
+           |df AS (SELECT h, COUNT(*) AS c FROM g GROUP BY 1),
+           |per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_novel
+           |  FROM g JOIN df USING (h) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  COALESCE(per.n_grams, 0) AS n_grams,
+           |  COALESCE(per.n_novel, 0) AS n_novel,
+           |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+           |    ELSE round(CAST(per.n_novel AS DOUBLE) /
+           |      CAST(per.n_grams AS DOUBLE), 6) END AS novelty
+           |FROM d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // equal-width 20-bin histogram; bin arithmetic in doubles identical to
+    // Spark's (same min/max, same width division), top edge clamped to 19
+    "value_histogram" ->
+      """WITH mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM orders),
+        |b AS (SELECT CAST(least(floor((o_totalprice - lo) /
+        |    ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bin, lo, hi
+        |  FROM orders CROSS JOIN mm)
+        |SELECT bin,
+        |  round(lo + bin * ((hi - lo) / 20.0), 6) AS bin_lo,
+        |  round(lo + (bin + 1) * ((hi - lo) / 20.0), 6) AS bin_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

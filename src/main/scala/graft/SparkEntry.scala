@@ -2617,6 +2617,70 @@ object SparkEntry {
   private def oovRate(s: SparkSession, dir: String): DataFrame =
     functions.UnigramLM.oovRate(t(s, dir, "documents"), "doc_id", "text", 500)
 
+  /** Planner-style join-cardinality estimate: |orders ⋈ lineitem| on
+    * orderkey from two count-min sketches vs the exact histogram product —
+    * the size-before-you-run check a 100 TB join plan starts with. */
+  private def joinSizeEst(s: SparkSession, dir: String): DataFrame =
+    functions.CountMin.joinSizeEstimate(
+      t(s, dir, "orders"), "o_orderkey",
+      t(s, dir, "lineitem"), "l_orderkey", depth = 4, width = 1024)
+
+  /** Join-key skew report for events.user_id: row/key counts, hottest-key
+    * share, nearest-rank p99 frequency, hot-key count (>10× mean), and the
+    * integer salt factor a salted join of this key would need — the
+    * pre-flight diagnostic behind skew_salted_join. All exact integer
+    * arithmetic; the one ranking window runs over the KEY table (bounded
+    * by key cardinality, not row count). */
+  private def skewReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f"))
+    val base = freq.agg(sum(col("f")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("f")).as("max_freq"))
+    val ranked = freq.withColumn("rk",
+      row_number().over(Window.orderBy(col("f").asc, col("user_id").asc)))
+    val withTotals = freq.crossJoin(broadcast(base))
+    val hot = withTotals
+      .agg(sum(when(col("f") * col("n_keys") > col("n_rows") * 10, 1L)
+        .otherwise(0L)).as("n_hot_keys"))
+    val p99 = ranked.crossJoin(broadcast(base))
+      .where(col("rk") === ceil(col("n_keys") * 0.99).cast("long"))
+      .select(col("f").as("p99_freq"))
+    base.crossJoin(p99).crossJoin(hot)
+      .select(col("n_rows"), col("n_keys"), col("max_freq"),
+        round(col("max_freq").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top1_share"),
+        col("p99_freq"), col("n_hot_keys"),
+        ((col("max_freq") * col("n_keys") + col("n_rows") - 1) / col("n_rows"))
+          .cast("long").as("salt_factor"))
+  }
+
+  /** Per-document trigram novelty: share of a doc's distinct word 3-grams
+    * found nowhere else in the corpus — the memorization/boilerplate
+    * audit. */
+  private def gramNovelty(s: SparkSession, dir: String): DataFrame =
+    functions.Decontam.gramNovelty(t(s, dir, "documents"), "doc_id", "text",
+      n = 3)
+
+  /** Equal-width 20-bin histogram of order totals — the catalog's numeric
+    * distribution profile beside numeric_profile's percentiles. */
+  private def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_totalprice").as("v"))
+    val mm = o.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    o.crossJoin(broadcast(mm))
+      .select(least(floor((col("v") - col("lo")) /
+        ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("long").as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(col("lo") + col("bin") * ((col("hi") - col("lo")) / 20.0), 6)
+          .as("bin_lo"),
+        round(col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / 20.0), 6)
+          .as("bin_hi"),
+        col("n"))
+  }
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -2800,6 +2864,10 @@ object SparkEntry {
     "binary_auc"        -> (binaryAuc _),
     "forget_user"       -> (forgetUser _),
     "oov_rate"          -> (oovRate _),
+    "join_size_est"     -> (joinSizeEst _),
+    "skew_report"       -> (skewReport _),
+    "gram_novelty"      -> (gramNovelty _),
+    "value_histogram"   -> (valueHistogram _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -69,4 +69,34 @@ object CountMin {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** Join-cardinality estimation from two count-min sketches — the
+    * planner-style |A ⋈ B| estimate (Σ_k f_A(k)·f_B(k) ≈ min over sketch
+    * rows of the row-wise counter inner product; one-sided like the point
+    * estimate: never undercounts). The sketches are depth·width rows, so
+    * the estimate costs a metadata-scale join no matter how large either
+    * input — the point of estimating before running a 100 TB join.
+    *
+    * Returns one row `(exact_rows, cms_est, rel_err)`; the exact side is
+    * computed from the two key histograms (group-count each input, join,
+    * Σ product — itself cheaper than the join it sizes). */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+                       bKey: String, depth: Int, width: Int): DataFrame = {
+    val fa = a.select(col(aKey).cast("string").as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("__fa"))
+    val fb = b.select(col(bKey).cast("string").as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("__fb"))
+    val exact = fa.join(fb, "__k")
+      .agg(coalesce(sum(col("__fa") * col("__fb")), lit(0L)).as("exact_rows"))
+    val sa = buildWeighted(fa, "__k", "__fa", depth, width)
+    val sb = buildWeighted(fb, "__k", "__fb", depth, width)
+    val est = sa.as("a").join(sb.as("b"), Seq("cms_row", "bucket"))
+      .groupBy(col("cms_row"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("__e"))
+      .agg(min(col("__e")).as("cms_est"))
+    exact.crossJoin(est)
+      .select(col("exact_rows"), col("cms_est"),
+        round((col("cms_est") - col("exact_rows")).cast("double") /
+          col("exact_rows").cast("double"), 6).as("rel_err"))
+  }
 }

@@ -103,4 +103,37 @@ object Decontam {
       .select(col(idCol), col("n_bloom_hits"),
         coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams that occur in no other document — the memorization /
+    * boilerplate-share audit (low novelty = the doc is assembled from
+    * corpus-common n-grams; the complement of [[Dedup]]'s near-dup view).
+    *
+    * Returns `(id, n_grams, n_novel, novelty)`, one row per input doc
+    * (gram-less docs score 0.0). Scale shape: grams ride as 63-bit md5
+    * keys (8 B through both shuffles, same bridge as [[contaminated]]);
+    * the document-frequency table is map-side combined, and the join back
+    * is gram-keyed — everything linear in corpus gram count. */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    // array_distinct prunes locally; the (id, hash) distinct pins parity
+    // with the oracle's DISTINCT-on-hash even under a 63-bit collision
+    val grams = docs
+      .select(col(idCol),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("__g"))
+      .select(col(idCol), gramHash(col("__g")).as("__h"))
+      .distinct()
+    val df = grams.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val per = grams.join(df, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_novel").cast("double") /
+            col("n_grams").cast("double"), 6)).as("novelty"))
+  }
 }

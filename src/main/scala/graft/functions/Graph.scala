@@ -86,6 +86,10 @@ object Graph {
     *
     * Returns `(v, n_triangles)` for vertices in ≥1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // NOTE: no persist() barrier here although the edge set feeds four
+    // consumers — AQE's ReusedExchange already deduplicates the identical
+    // scan+distinct subtrees, and a persist() disables AQE inside the
+    // cached subtree (measured 9 s → 13 s WORSE at sf0.1)
     val und = edges.select(
         least(col(aCol), col(bCol)).as("__a"),
         greatest(col(aCol), col(bCol)).as("__b"))
