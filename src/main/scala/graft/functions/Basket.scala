@@ -32,16 +32,21 @@ object Basket {
   def cooccurrence(lines: DataFrame, basketCol: String, itemCol: String,
                    minSupport: Long = 2, maxBasketSize: Int = 1000,
                    topK: Int = 100, checkpoint: Boolean = false): DataFrame = {
-    // barrier: the distinct (basket, item) table feeds the size filter,
-    // both item-frequency legs and both self-join legs — without it the
-    // corpus-sized distinct shuffle replays once per leg (the DSIR lesson)
-    val b = Dedup.barrier(
+    // The distinct (basket, item) table feeds the size filter, both
+    // item-frequency legs and both self-join legs. In-process, AQE's
+    // exchange reuse already deduplicates the identical subtrees and a
+    // persist() would DISABLE AQE inside the cached subtree (measured
+    // 3.5 s -> 6.7 s WORSE at sf0.1 — the triangle-count lesson); a real
+    // checkpoint remains the cluster-scale lineage cut when requested.
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) Dedup.barrier(df, checkpoint = true) else df
+    val b = cut(
       lines.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-        .distinct(), checkpoint)
+        .distinct())
     // hot-basket cap: size via one partial agg, oversized baskets dropped
     val sized = b.groupBy("__b").agg(count(lit(1)).as("__sz"))
       .where(col("__sz") <= maxBasketSize)
-    val capped = Dedup.barrier(b.join(sized, "__b"), checkpoint)
+    val capped = cut(b.join(sized, "__b"))
     val itemN = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val nBaskets = broadcast(sized.agg(count(lit(1)).as("__nb")))
     val pairs = capped.as("x").join(capped.as("y"), "__b")
