@@ -3359,5 +3359,6 @@ object OracleSql {
   val all: Map[String, String] =
     base + ("pit_window_agg_prefix" -> base("pit_window_agg")) +
       ("streaming_funnel" -> base("event_funnel")) +
-      ("streaming_dedup_wm" -> base("streaming_dedup"))
+      ("streaming_dedup_wm" -> base("streaming_dedup")) +
+      ("streaming_cusum" -> base("cusum_drift"))
 }

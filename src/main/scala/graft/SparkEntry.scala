@@ -2156,6 +2156,53 @@ object SparkEntry {
     }.reduce(_.unionByName(_))
   }
 
+  /** Streaming CUSUM under the gate: the same per-user drift monitor as
+    * cusum_drift, folded by the watermark-finalized streaming state
+    * machine ([[graft.streaming.StreamingCusum]]) over a file stream —
+    * one oracle, two execution models (the streaming_funnel
+    * convention). */
+  private def streamingCusumQ(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scus").toString
+    val ev = events(s, dir)
+      .select(col("user_id").as("key"), col("event_id").as("id"),
+        col("ts"), col("value").as("x"))
+    ev.coalesce(1).write.parquet(s"$tmp/in")
+    val maxTs = events(s, dir).agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0)
+    locally { // sentinel pushes the final watermark past every real row
+      import s.implicits._
+      Seq((-1L, -1L, new java.sql.Timestamp(
+        maxTs.getTime + 3652L * 86400000L), 0.0))
+        .toDF("key", "id", "ts", "x")
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8).parquet(s"$tmp/in")
+    val sums = graft.streaming.StreamingCusum.cusumStream(
+      s, stream, target = 250.0, slack = 25.0, h = 500.0,
+      delayThreshold = "3650 days")
+    val table = s"stream_cusum_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val q = try sums.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.table(table).where(col("key") >= 0)
+      .select(col("key").as("user_id"), col("n_events"), col("n_alarms"),
+        col("first_alarm_ms"), col("max_stat"))
+  }
+
   /** Kaplan–Meier time-to-conversion: first signup → first later
     * purchase, right-censored at 2024-01-31; ln-sum cumulative product
     * over the pinned-decimal running sum. */
@@ -2865,6 +2912,7 @@ object SparkEntry {
     "forget_user"       -> (forgetUser _),
     "oov_rate"          -> (oovRate _),
     "join_size_est"     -> (joinSizeEst _),
+    "streaming_cusum"   -> (streamingCusumQ _),
     "skew_report"       -> (skewReport _),
     "gram_novelty"      -> (gramNovelty _),
     "value_histogram"   -> (valueHistogram _),
