@@ -70,6 +70,21 @@ class HotBucketSpec extends SparkSpec {
     assert(got == Set((10L, 11L)))
   }
 
+  test("fuzzyLink: hot first-token block is dropped, distinct blocks survive") {
+    // 30 names sharing a stop-word-ish first token (one hot block), each
+    // pairwise dissimilar; plus a genuine variant pair in its own block
+    val names = ((0 until 30).map(i =>
+      (i.toLong, s"the ${uniqueTail(i)}")) ++
+      Seq((100L, "zenith labs incorporated"),
+          (101L, "zenith labs incorporatde"))).toDF("id", "name")
+    val capped = Dedup.fuzzyLink(names, "name", "id",
+      minSim = 0.9, maxBlockFreq = 10)
+    val got = capped.select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L)))
+    // the cap actually fired (logged-drop convention)
+    assert(Dedup.capStats.get("fuzzyLink").exists(_._1 >= 1L))
+  }
+
   test("cosineNearDups: hot-band cap bounds identical-vector floods") {
     val flood = ((0 until 30).map(i => (i.toLong, Array.fill(8)(1.0f))) ++
       Seq((100L, Array.tabulate(8)(j => if (j % 2 == 0) 0.9f else -1.0f)),
