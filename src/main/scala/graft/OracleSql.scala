@@ -3339,6 +3339,60 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
+    // hard-negative mining = ann_topk with a cosine band gate before the
+    // per-query rank (same arithmetic shape, so the unrounded band
+    // decisions agree)
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) *
+        |       sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM e CROSS JOIN q
+        |  WHERE q.query_id != e.vec_id),
+        |banded AS (SELECT * FROM scored WHERE sim >= 0.2 AND sim < 0.9),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        |  FROM banded)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
+        |  CAST(rnk AS BIGINT) AS rank
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // per-source-pair Jensen-Shannon divergence over the top-200 vocab +
+    // one pooled '' OOV bucket, Laplace +1 smoothing; every term pinned
+    // round(·,9) → DECIMAL before the exact sum (the ln bridge)
+    "vocab_js_div" ->
+      s"""WITH tok AS (SELECT source AS src, unnest($TOKS_LOWER) AS t
+         |  FROM documents),
+         |f AS (SELECT t AS token, COUNT(*) AS freq FROM tok GROUP BY 1),
+         |v AS (SELECT token FROM f ORDER BY freq DESC, token LIMIT 200),
+         |tagged AS (SELECT src,
+         |    CASE WHEN t IN (SELECT token FROM v) THEN t ELSE '' END AS tok
+         |  FROM tok),
+         |counts AS (SELECT src, tok, COUNT(*) AS c FROM tagged GROUP BY 1, 2),
+         |totals AS (SELECT src, SUM(c) AS n FROM counts GROUP BY 1),
+         |buckets AS (SELECT token AS tok FROM v UNION ALL SELECT ''),
+         |grid AS (SELECT t.src, b.tok, t.n, COALESCE(c.c, 0) AS c
+         |  FROM totals t CROSS JOIN buckets b
+         |  LEFT JOIN counts c ON c.src = t.src AND c.tok = b.tok),
+         |pairs AS (SELECT a.src AS src_a, b.src AS src_b,
+         |    (CAST(a.c AS DOUBLE) + 1.0) / (CAST(a.n AS DOUBLE) + 201.0) AS pa,
+         |    (CAST(b.c AS DOUBLE) + 1.0) / (CAST(b.n AS DOUBLE) + 201.0) AS pb
+         |  FROM grid a JOIN grid b ON a.tok = b.tok AND a.src < b.src),
+         |terms AS (SELECT src_a, src_b,
+         |    CAST(round(0.5 * (pa * ln(pa / ((pa + pb) / 2.0))) +
+         |      0.5 * (pb * ln(pb / ((pa + pb) / 2.0))), 9)
+         |      AS DECIMAL(18,9)) AS term
+         |  FROM pairs)
+         |SELECT src_a, src_b, CAST(round(SUM(term), 6) AS DOUBLE) AS js
+         |FROM terms GROUP BY 1, 2""".stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

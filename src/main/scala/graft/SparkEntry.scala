@@ -2728,6 +2728,22 @@ object SparkEntry {
         col("n"))
   }
 
+  /** Contrastive hard-negative mining: per sampled query vector, the
+    * top-5 corpus vectors in the cosine band [0.2, 0.9) — informative
+    * negatives below the near-duplicate band. */
+  private def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    functions.Vectors.hardNegatives(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+      lo = 0.2, hi = 0.9, k = 5)
+  }
+
+  /** Corpus-shift audit: Jensen-Shannon divergence of token
+    * distributions between every source pair over the top-200 vocab. */
+  private def vocabJsDiv(s: SparkSession, dir: String): DataFrame =
+    ops.Drift.vocabJsDivergence(t(s, dir, "documents"), "source", "text",
+      topK = 200)
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -2916,6 +2932,8 @@ object SparkEntry {
     "skew_report"       -> (skewReport _),
     "gram_novelty"      -> (gramNovelty _),
     "value_histogram"   -> (valueHistogram _),
+    "hard_negatives"    -> (hardNegativesQ _),
+    "vocab_js_div"      -> (vocabJsDiv _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -109,6 +109,34 @@ object Vectors {
         round(col("cosine"), 6).as("cosine"), col("__rn").cast("long").as("rank"))
   }
 
+  /** Contrastive hard-negative mining: per query, the top-`k` corpus
+    * vectors whose cosine falls in `[lo, hi)` — similar enough to be
+    * informative negatives, below the near-duplicate band that would make
+    * them false negatives (the standard retrieval-training sampling rule).
+    * Same broadcast-queries / one-corpus-scan shape as [[annTopK]]; the
+    * band filter runs BEFORE the per-query window, so ranking state holds
+    * band rows only. */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    lo: Double, hi: Double, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("__cv"), norm(col(corpusVec)).as("__cn"))
+      .crossJoin(q)
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("cosine") >= lo && col("cosine") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"),
+        col("__rn").cast("long").as("rank"))
+  }
+
   /** IVF-style approximate top-k — the scale path for corpus sizes where the
     * brute-force cross join is too wide. Classic inverted-file search
     * (Jégou et al. 2011) re-expressed relationally:

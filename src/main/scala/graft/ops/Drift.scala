@@ -100,4 +100,55 @@ object Drift {
       .select(col("category"), col("n_base"), col("n_cur"),
         round((p - q) * log(p / q), 6).as("psi_term"))
   }
+
+  /** Jensen-Shannon divergence between every source pair's token
+    * distribution over the global top-`topK` vocabulary (+ one pooled
+    * out-of-vocab bucket, keyed by the impossible-token ''), Laplace
+    * +1 smoothing — the corpus-shift audit run before mixing sources
+    * into one training set ([[psi]] is the numeric-feature analogue).
+    *
+    * Every JS term is pinned round(·, 9) → DECIMAL before the exact,
+    * order-independent sum (the ln-bridge discipline); final round 6.
+    *
+    * Scale shape: one corpus scan builds the (source, bucket) counts
+    * (map-side combined, ≤ sources·(topK+1) rows); everything after —
+    * the grid, the pair join, the term sums — is metadata-scale. */
+  def vocabJsDivergence(docs: DataFrame, srcCol: String, textCol: String,
+                        topK: Int): DataFrame = {
+    val toks = docs.select(col(srcCol).as("src"),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+        .as("t"))
+    val vocab = graft.functions.UnigramLM.vocab(docs, textCol, topK)
+      .select(col("token"))
+    val tagged = toks
+      .join(broadcast(vocab.withColumn("__v", lit(1))),
+        col("t") === col("token"), "left")
+      .select(col("src"),
+        when(col("__v").isNotNull, col("t")).otherwise(lit("")).as("tok"))
+    val counts = tagged.groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val buckets = vocab.select(col("token").as("tok"))
+      .unionAll(docs.sparkSession.range(1).select(lit("").as("tok")))
+    val grid = totals.crossJoin(buckets)
+      .join(counts, Seq("src", "tok"), "left")
+      .select(col("src"), col("tok"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val vSize = (topK + 1).toDouble
+    val a = grid.select(col("src").as("src_a"), col("tok"),
+      col("n").as("__na"), col("c").as("__ca"))
+    val b = grid.select(col("src").as("src_b"), col("tok"),
+      col("n").as("__nb"), col("c").as("__cb"))
+    val pa = (col("__ca").cast("double") + 1.0) /
+      (col("__na").cast("double") + vSize)
+    val pb = (col("__cb").cast("double") + 1.0) /
+      (col("__nb").cast("double") + vSize)
+    val m = (pa + pb) / 2.0
+    a.join(b, "tok").where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(lit(0.5) * (pa * log(pa / m)) + lit(0.5) * (pb * log(pb / m)), 9)
+          .cast("decimal(18,9)").as("__term"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum(col("__term")), 6).cast("double").as("js"))
+  }
 }

@@ -175,6 +175,34 @@ class VectorsSpec extends SparkSpec {
     assert(!got.exists(_.getAs[Long]("neighbor_id") == 0L))
   }
 
+  test("hardNegatives: band gate excludes near-dups and distant vectors") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val full = Vectors.annTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1000000).collect()
+    val banded = Vectors.hardNegatives(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", lo = 0.0, hi = 0.3, k = 5).collect()
+    // every mined negative's cosine is in [0, 0.3)
+    banded.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.0 && c < 0.3)
+    }
+    // and equals the top of the full ranking RESTRICTED to the band
+    val expect = full
+      .filter(r => r.getAs[Double]("cosine") >= 0.0 &&
+        r.getAs[Double]("cosine") < 0.3)
+      .groupBy(_.getAs[Long]("query_id"))
+      .toSeq
+      .flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r.getAs[Double]("cosine"),
+          r.getAs[Long]("neighbor_id"))).take(5).toSeq
+      }
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(banded.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet == expect)
+  }
+
   test("LSH near-dups are a subset of exact near-dups (precision 1.0)") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val lsh = Vectors.cosineNearDups(emb, "vec_id", "embedding",

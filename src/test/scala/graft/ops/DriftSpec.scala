@@ -45,6 +45,25 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(term - (pa - qa) * math.log(pa / qa)) < 1e-6)
   }
 
+  test("vocabJsDivergence: identical sources 0, disjoint sources high, symmetric grid") {
+    val docs = Seq(
+      ("a", 1L, "alpha beta gamma alpha beta"),
+      ("b", 2L, "alpha beta gamma alpha beta"), // identical distribution
+      ("c", 3L, "delta epsilon zeta delta epsilon zeta")) // disjoint
+      .toDF("source", "doc_id", "text")
+    val out = Drift.vocabJsDivergence(docs, "source", "text", topK = 10)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", "b")) == 0.0)
+    // Laplace +1 over these tiny counts flattens both distributions, so
+    // "high" is modest in absolute terms — but must clearly exceed 0
+    assert(out(("a", "c")) > 0.05)
+    assert(out(("b", "c")) == out(("a", "c"))) // a ≡ b ⇒ same divergence
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // JS with ln is bounded by ln 2
+    assert(out.values.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-9))
+  }
+
   test("empty bins from heavy ties stay deterministic") {
     // baseline is one repeated value: all edges equal, everything in bin 0
     val base = Seq.fill(20)(7.0).toDF("value")
