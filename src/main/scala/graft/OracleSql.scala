@@ -3393,6 +3393,53 @@ object OracleSql {
          |SELECT src_a, src_b, CAST(round(SUM(term), 6) AS DOUBLE) AS js
          |FROM terms GROUP BY 1, 2""".stripMargin,
 
+    // one-row corpus data card
+    "corpus_card" ->
+      s"""WITH d AS (SELECT source, lang,
+         |    CAST(len($TOKS_RAW) AS BIGINT) AS n_toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    md5(text) AS digest
+         |  FROM documents)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  round(CAST(COUNT(*) - COUNT(DISTINCT digest) AS DOUBLE) /
+         |    COUNT(*), 6) AS dup_rate,
+         |  round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS en_share
+         |FROM d""".stripMargin,
+
+    // segment-mean imputation audit over planted nulls; fill and
+    // post-fill total in double space, one fixed expression shape
+    "impute_missing" ->
+      """WITH c AS (SELECT c_mktsegment AS segment,
+        |    CAST(CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE c_acctbal END
+        |      AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |g AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_missing,
+        |    SUM(bal) AS s, COUNT(bal) AS cnt
+        |  FROM c GROUP BY 1)
+        |SELECT segment, n, n_missing,
+        |  round(CAST(s AS DOUBLE) / cnt, 2) AS fill_value,
+        |  round(CAST(s AS DOUBLE) +
+        |    CAST(n_missing AS DOUBLE) * round(CAST(s AS DOUBLE) / cnt, 2), 2)
+        |    AS total_after
+        |FROM g""".stripMargin,
+
+    // one-hot encoding of the market segment, fixed sorted column set
+    "one_hot" ->
+      """SELECT c_custkey,
+        |  CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS BIGINT) AS seg_automobile,
+        |  CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS seg_building,
+        |  CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS BIGINT) AS seg_furniture,
+        |  CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS BIGINT) AS seg_household,
+        |  CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery
+        |FROM customer""".stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

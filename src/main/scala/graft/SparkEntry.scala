@@ -2744,6 +2744,63 @@ object SparkEntry {
     ops.Drift.vocabJsDivergence(t(s, dir, "documents"), "source", "text",
       topK = 200)
 
+  /** One-row corpus data card: the overview a dataset release ships —
+    * doc/source/lang counts, token/char totals, exact-dup rate, English
+    * share. One scan, one partial-aggregated rollup. */
+  private def corpusCard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("__dups"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_tokens"), col("total_chars"),
+        round(col("__dups").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        round(col("__en").cast("double") / col("n_docs"), 6).as("en_share"))
+
+  /** Missing-value imputation audit: nulls planted deterministically
+    * (custkey % 7 == 3), filled with the per-segment mean of the
+    * surviving values (DECIMAL-exact SUM/COUNT, fill rounded to cents so
+    * post-imputation totals stay exact). Group stats broadcast back over
+    * the scan — the fact side never shuffles (the z-score shape). */
+  private def imputeMissing(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        when(col("c_custkey") % 7 === 3, lit(null))
+          .otherwise(col("c_acctbal")).cast("decimal(18,2)").as("bal"))
+    // fill + post-fill total both in DOUBLE space with one fixed
+    // expression shape (sum-of-cents doubles are exact; identical IEEE
+    // sequence in the oracle — the established double-round bridge)
+    val fill = round(col("__sum").cast("double") / col("__cnt"), 2)
+    c.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bal").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("bal")).as("__sum"), count(col("bal")).as("__cnt"))
+      .select(col("segment"), col("n"), col("n_missing"),
+        fill.as("fill_value"),
+        round(col("__sum").cast("double") +
+          col("n_missing").cast("double") * fill, 2).as("total_after"))
+  }
+
+  /** One-hot encoding of the customer market segment — fixed, sorted
+    * column set, pure scan projection (zero shuffle; the categorical
+    * counterpart of feature_hash's fixed-dim trick). */
+  private def oneHotQ(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val cols = segs.map(g =>
+      when(col("c_mktsegment") === g, 1L).otherwise(0L)
+        .as(s"seg_${g.toLowerCase}"))
+    t(s, dir, "customer").select((col("c_custkey") +: cols): _*)
+  }
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -2934,6 +2991,9 @@ object SparkEntry {
     "value_histogram"   -> (valueHistogram _),
     "hard_negatives"    -> (hardNegativesQ _),
     "vocab_js_div"      -> (vocabJsDiv _),
+    "corpus_card"       -> (corpusCard _),
+    "impute_missing"    -> (imputeMissing _),
+    "one_hot"           -> (oneHotQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
