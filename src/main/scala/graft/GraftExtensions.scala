@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   *  - [[graft.plans.TextStatsOncePerRow]]: physical planning of repeated
   *    TextStats filter gates into a one-walk-per-row Project∘Filter∘Project
   *    split (see its scaladoc for why this cannot be a logical rule);
+  *  - [[graft.plans.JaroWinklerLengthPrune]]: optimizer rule conjoining the
+  *    implied length-ratio prefilter ahead of Jaro-Winkler threshold gates;
   *  - the custom SQL function surface ([[functions.Registry]] names:
   *    `minhash_sig`, `simhash64`, `kgram_jaccard`, `fvec_dot`) so a session
   *    configured with the extension alone — no Scala call — can use them in
@@ -24,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TextStatsOncePerRow)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPrune)
     GraftExtensions.functionBuilders.foreach { case (name, info, builder) =>
       ext.injectFunction((name, info, builder))
     }
