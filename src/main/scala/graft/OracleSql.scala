@@ -3440,6 +3440,41 @@ object OracleSql {
         |  CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery
         |FROM customer""".stripMargin,
 
+    // Benford first-digit audit; chi-square contributions in fixed-shape
+    // doubles (log10/pow identical IEEE both engines)
+    "benford_audit" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, COUNT(*) AS n_obs FROM d
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        |t AS (SELECT SUM(n_obs) AS n FROM c)
+        |SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  round(CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit), 6)
+        |    AS n_expected,
+        |  round(pow(CAST(n_obs AS DOUBLE) -
+        |      CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit), 2) /
+        |    (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    // daily gap fill over the corpus date span for the sampled users
+    "gap_fill" ->
+      s"""WITH $EV,
+         |span AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+         |    MAX(CAST(ts AS DATE)) AS hi FROM ev),
+         |u AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 37 = 0),
+         |daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ev WHERE user_id % 37 = 0 GROUP BY 1, 2),
+         |spine AS (SELECT u.user_id,
+         |    CAST(unnest(generate_series(span.lo, span.hi,
+         |      INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM u CROSS JOIN span)
+         |SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+         |  COALESCE(d.n, 0) AS n
+         |FROM spine s LEFT JOIN daily d
+         |  ON d.user_id = s.user_id AND d.day = s.day""".stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

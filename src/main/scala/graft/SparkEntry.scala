@@ -2801,6 +2801,49 @@ object SparkEntry {
     t(s, dir, "customer").select((col("c_custkey") +: cols): _*)
   }
 
+  /** Benford first-digit audit of order totals — the fraud/data-quality
+    * screen: observed leading-digit counts vs Benford expectation
+    * n·log10(1+1/d), per-digit chi-square contribution (fixed-shape
+    * doubles, one scan + a 9-row rollup). */
+  private def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "orders")
+      .where(col("o_totalprice") > 0)
+      .select(substring(col("o_totalprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .where(col("digit").between(1, 9))
+    val counts = d.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = broadcast(counts.agg(sum(col("n_obs")).as("__n")))
+    counts.crossJoin(tot)
+      .select(col("digit").cast("long").as("digit"), col("n_obs"),
+        round(col("__n").cast("double") *
+          log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("n_expected"),
+        round(pow(col("n_obs").cast("double") -
+            col("__n").cast("double") * log10(lit(1.0) + lit(1.0) / col("digit")), 2) /
+          (col("__n").cast("double") * log10(lit(1.0) + lit(1.0) / col("digit"))), 6)
+          .as("chi2_term"))
+  }
+
+  /** Time-series gap fill: daily event counts per sampled user over the
+    * corpus date span, missing days zero-filled — the resample step before
+    * any per-entity time-series model. The day spine is a bounded
+    * `sequence()` explode per user (span × sample, never corpus²). */
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val span = broadcast(ev.agg(min(to_date(col("ts"))).as("__lo"),
+      max(to_date(col("ts"))).as("__hi")))
+    val users = ev.select(col("user_id")).distinct()
+      .where(col("user_id") % 37 === 0)
+    val daily = ev.where(col("user_id") % 37 === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    users.crossJoin(span)
+      .select(col("user_id"),
+        explode(sequence(col("__lo"), col("__hi"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -2994,6 +3037,8 @@ object SparkEntry {
     "corpus_card"       -> (corpusCard _),
     "impute_missing"    -> (imputeMissing _),
     "one_hot"           -> (oneHotQ _),
+    "benford_audit"     -> (benfordAudit _),
+    "gap_fill"          -> (gapFill _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
