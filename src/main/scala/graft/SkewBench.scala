@@ -188,6 +188,17 @@ object SkewBench {
       rec(scale, "cosine_near_dups",
         time(force(Vectors.cosineNearDups(emb, "id", "embedding",
           numPlanes = 16, threshold = 0.4)))._1)
+      // fuzzy linkage on 40-char prefixes: the 5% byte-identical clones
+      // share one first-token block (250 docs at 1× under the cap, 2500
+      // at 10× tripping it). Reported but, like cosine, not bounded by
+      // the 30× assert: sub-cap natural blocks grow ~quadratically with
+      // corpus size by construction — the cap bounds the worst block, and
+      // the production remedy is a finer blocking key.
+      rec(scale, "fuzzy_link",
+        time(force(Dedup.fuzzyLink(
+          docs.select(col("id"),
+            substring(trim(col("text")), 1, 40).as("nm")),
+          "nm", "id", minSim = 0.9)))._1)
       if (m == 10) Dedup.capStats.foreach { case (what, (k, _)) =>
         capsFired += (what -> k)
       }
@@ -278,7 +289,7 @@ object SkewBench {
     // ---------------------------------------------------------- assert
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     for (what <- Seq("minhashNearDups", "simhashNearDups", "winnowNearDups",
-        "cosineNearDups"))
+        "cosineNearDups", "fuzzyLink"))
       if (!capsFired.contains(what))
         errs += s"hot-key cap did NOT fire for $what at 10x"
     if (!aqeSkewHit)
