@@ -115,12 +115,22 @@ object Dedup {
     * Scale shape: the comparator is O(|a|·|b|) per pair, so the block
     * structure bounds the work — pair cost is Σ block_size², and
     * [[capHotKeys]] drops degenerate hot blocks (a stop-word first token)
-    * with the logged-drop convention shared by every LSH family here. */
+    * with the logged-drop convention shared by every LSH family here.
+    * `blockTokens` is the block-granularity knob: common first tokens make
+    * sub-cap blocks grow quadratically with corpus size (measured 2 s →
+    * 72 s at 1×→10× in SkewBench with blockTokens = 1); a 2-token key
+    * keeps the same clone detection with bounded blocks, at the standard
+    * recall trade (variants differing inside the key land in different
+    * blocks — production linkage runs multiple blocking passes). */
   def fuzzyLink(df: DataFrame, nameCol: String, idCol: String,
-                minSim: Double = 0.9, maxBlockFreq: Int = 2000): DataFrame = {
+                minSim: Double = 0.9, maxBlockFreq: Int = 2000,
+                blockTokens: Int = 1): DataFrame = {
+    require(blockTokens >= 1, "blockTokens must be >= 1")
+    val blockKey = concat_ws(" ", (1 to blockTokens).map(i =>
+      split_part(col("__nm"), lit(" "), lit(i))): _*)
     val blocked = capHotKeys(
       df.select(col(idCol).as("__id"), col(nameCol).as("__nm"))
-        .withColumn("__blk", split_part(col("__nm"), lit(" "), lit(1))),
+        .withColumn("__blk", blockKey),
       "__blk", maxBlockFreq, "fuzzyLink")
     val a = blocked.select(col("__blk"), col("__id").as("idA"), col("__nm").as("__na"))
     val b = blocked.select(col("__blk"), col("__id").as("idB"), col("__nm").as("__nb"))
