@@ -45,6 +45,13 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Readers.eventsNormalized(s, dir)
 
+  /** Max event time for the streaming sentinel fixtures; epoch on an
+    * EMPTY table so the replay harness still runs (to an empty result)
+    * instead of NPE-ing — the empty-input robustness contract. */
+  private def maxTsOrEpoch(df: DataFrame): java.sql.Timestamp =
+    Option(df.agg(max(col("ts"))).collect()(0).getTimestamp(0))
+      .getOrElse(new java.sql.Timestamp(0L))
+
   // ------------------------------------------------------------------ T1/T2
   // SQL transformation with {{source}} templating, full SparkSQL passthrough.
 
@@ -797,11 +804,20 @@ object SparkEntry {
     val snap = Materialize.wideSnapshot(
       batch1.select("entity", "feature", "value", "ts"),
       Seq("f_click", "f_purchase"))
-    Materialize.upsertWide(snap, batch2)
-      .select(col("entity"),
-        col("f_click"), unix_millis(col("f_click__ts")).as("f_click_ts_ms"),
-        col("f_purchase"), unix_millis(col("f_purchase__ts")).as("f_purchase_ts_ms"),
-        col("f_view"), unix_millis(col("f_view__ts")).as("f_view_ts_ms"))
+    val wide = Materialize.upsertWide(snap, batch2)
+    // schema stability under missing features (EMPTY update batches add no
+    // columns): absent features serve as typed NULL columns
+    val stable = Seq("f_click", "f_purchase", "f_view").foldLeft(wide) {
+      (d, f) =>
+        val d1 = if (d.columns.contains(f)) d
+          else d.withColumn(f, lit(null).cast("double"))
+        if (d1.columns.contains(s"${f}__ts")) d1
+        else d1.withColumn(s"${f}__ts", lit(null).cast("timestamp"))
+    }
+    stable.select(col("entity"),
+      col("f_click"), unix_millis(col("f_click__ts")).as("f_click_ts_ms"),
+      col("f_purchase"), unix_millis(col("f_purchase__ts")).as("f_purchase_ts_ms"),
+      col("f_view"), unix_millis(col("f_view__ts")).as("f_view_ts_ms"))
   }
 
   // ------------------------- catalog persistence + on-demand durability
@@ -851,7 +867,9 @@ object SparkEntry {
       .agg(count("*").as("hits"))
     val tot = exact.agg(count("*").as("total"))
     hit.crossJoin(tot).select(lit("recall_at_10_ge_0.5").as("metric"),
-      (col("hits").cast("double") / col("total") >= 0.5).cast("long").as("ok"))
+      when(col("total") === 0, 1L) // empty corpus: vacuously ok, no 0-div
+        .otherwise((col("hits").cast("double") / col("total") >= 0.5)
+          .cast("long")).as("ok"))
   }
 
   // ------------------------------- multimodal: real-codec round-trip
@@ -1029,7 +1047,7 @@ object SparkEntry {
       .select(col("user_id").as("entity"), col("value"), col("ts"))
     feats.coalesce(1).write.parquet(s"$tmp/f")
     lbls.coalesce(1).write.parquet(s"$tmp/l")
-    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val maxTs = maxTsOrEpoch(ev)
     def sentinel(offsetDays: Int): DataFrame = {
       import s.implicits._
       Seq((-1L, 0.0, new java.sql.Timestamp(
@@ -1224,6 +1242,8 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings").select(col("vec_id").cast("long"),
         col("embedding")).as[(Long, Array[Float])]
       .filter(_._1 < 330).collect().sortBy(_._1).toMap
+    // empty-input contract: nothing to index, nothing to assert
+    if (emb.isEmpty) return Seq.empty[(String, Long)].toDF("metric", "ok")
     val corpus: Seq[(Long, Array[Float])] =
       (0 until 30).flatMap { b =>
         val base = emb(b.toLong)
@@ -1661,7 +1681,7 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssess").toString
     val ev = events(s, dir).select(col("user_id"), col("value"), col("ts"))
     ev.repartition(4).write.parquet(s"$tmp/in")
-    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0) // scalar sentinel anchor
+    val maxTs = maxTsOrEpoch(ev) // scalar sentinel anchor
     import s.implicits._
     Seq((-1L, 0.0, new java.sql.Timestamp(maxTs.getTime + 86400000L)))
       .toDF("user_id", "value", "ts")
@@ -2119,8 +2139,7 @@ object SparkEntry {
         col("ts"))
       .where(col("typ").isin("view", "click", "purchase"))
     ev.coalesce(1).write.parquet(s"$tmp/in")
-    val maxTs = events(s, dir).agg(max(col("ts"))).collect()(0)
-      .getTimestamp(0)
+    val maxTs = maxTsOrEpoch(events(s, dir))
     locally { // sentinel pushes the final watermark past anchor + horizon
       import s.implicits._
       Seq((-1L, "view", new java.sql.Timestamp(
@@ -2167,8 +2186,7 @@ object SparkEntry {
       .select(col("user_id").as("key"), col("event_id").as("id"),
         col("ts"), col("value").as("x"))
     ev.coalesce(1).write.parquet(s"$tmp/in")
-    val maxTs = events(s, dir).agg(max(col("ts"))).collect()(0)
-      .getTimestamp(0)
+    val maxTs = maxTsOrEpoch(events(s, dir))
     locally { // sentinel pushes the final watermark past every real row
       import s.implicits._
       Seq((-1L, -1L, new java.sql.Timestamp(
@@ -2459,11 +2477,14 @@ object SparkEntry {
       (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qc"))
     val one = li.agg(functions.expressions.BitPlane
       .bitPlaneSum(col("__h"), col("qc"), 50).as("__bp"))
+    // zero-count guards: ANSI division faults on an EMPTY table otherwise
     val means = array_sort(zip_with(
       col("__bp.sums"), col("__bp.counts"),
-      (sv, cv) => sv.cast("double") / lit(100.0) / cv))
+      (sv, cv) => when(cv === 0, lit(null))
+        .otherwise(sv.cast("double") / lit(100.0) / cv)))
     one.select(col("__bp.n").as("n"),
-      round(col("__bp.tot").cast("double") / lit(100.0) / col("__bp.n"), 6)
+      when(col("__bp.n") === 0, lit(null)).otherwise(
+        round(col("__bp.tot").cast("double") / lit(100.0) / col("__bp.n"), 6))
         .as("mean_full"),
       round(element_at(means, 3), 6).as("ci_lo"),
       round(element_at(means, 48), 6).as("ci_hi"))
@@ -2593,7 +2614,7 @@ object SparkEntry {
       .select(col("user_id").as("entity"), col("value"), col("ts"))
     clicks.coalesce(1).write.parquet(s"$tmp/l")
     purch.coalesce(1).write.parquet(s"$tmp/r")
-    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val maxTs = maxTsOrEpoch(ev)
     def sentinel: DataFrame = {
       import s.implicits._
       Seq((-1L, 0.0, new java.sql.Timestamp(
@@ -2762,8 +2783,10 @@ object SparkEntry {
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"))
       .select(col("n_docs"), col("n_sources"), col("n_langs"),
         col("total_tokens"), col("total_chars"),
-        round(col("__dups").cast("double") / col("n_docs"), 6).as("dup_rate"),
-        round(col("__en").cast("double") / col("n_docs"), 6).as("en_share"))
+        when(col("n_docs") === 0, 0.0).otherwise(
+          round(col("__dups").cast("double") / col("n_docs"), 6)).as("dup_rate"),
+        when(col("n_docs") === 0, 0.0).otherwise(
+          round(col("__en").cast("double") / col("n_docs"), 6)).as("en_share"))
 
   /** Missing-value imputation audit: nulls planted deterministically
     * (custkey % 7 == 3), filled with the per-segment mean of the

@@ -76,7 +76,8 @@ object Importance {
     // distribution totals as literals: single-row aggregates over the
     // already-cached bucket tables (metadata-scale collect, the IVF-centroid
     // pattern) — cheaper than two broadcast cross-joins per λ row
-    val rtot = raw.agg(sum(col("__r"))).head.getLong(0)
+    val rtot = Option(raw.agg(sum(col("__r"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) // empty corpus → 0, not NPE
     val ttot = Option(tgt.agg(sum(col("__t"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
 

@@ -166,6 +166,11 @@ object Vectors {
     val cents = centRows.map { r =>
       (r.get(0), r.getSeq[Float](1).toArray, r.getDouble(2))
     }
+    // EMPTY corpus → no cells to probe; schema-correct empty result
+    if (cents.isEmpty)
+      return queries.select(col(queryId).as("query_id")).limit(0)
+        .crossJoin(corpus.select(col(corpusId).as("neighbor_id")).limit(0))
+        .withColumn("cosine", lit(0.0)).withColumn("rank", lit(0L))
     val centroids = broadcast(
       c.orderBy(xxhash64(col("__cid")).asc)
         .limit(nlist)
@@ -320,6 +325,11 @@ object Vectors {
       .withColumn("__h", hashOrd).orderBy(col("__h").asc, col("__id").asc)
       .limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // EMPTY corpus → no model; assignments are the (id, cell) empty frame
+    // (the empty-input robustness contract — don't fault in matVec)
+    if (cents.isEmpty)
+      return (e.select(col("__id").as(idCol))
+        .withColumn("cell", lit(0L)).limit(0), cents)
 
     def normalized(c: Array[Array[Double]]): Array[Array[Double]] =
       c.map { row =>
@@ -467,7 +477,14 @@ object Vectors {
                m: Int, subDim: Int, k: Int, iters: Int,
                queries: Seq[(Long, Array[Double])], topK: Int,
                rerank: Int = 0): DataFrame = {
-    require(queries.nonEmpty, "at least one query")
+    if (queries.isEmpty) { // empty-input contract: schema-correct no rows
+      val scoreCol = if (rerank <= 0) "adc" else "cosine"
+      return df.select(col(idCol)).limit(0)
+        .withColumn("query_id", lit(0L))
+        .withColumn(scoreCol, lit(0.0))
+        .withColumn("rank", lit(0L))
+        .select(col("query_id"), col(idCol), col(scoreCol), col("rank"))
+    }
     // train the m codebooks + code the corpus (same seeds as pqCodes)
     // the m codebook trainings are independent chains of small jobs —
     // run them concurrently so their per-round driver round-trips overlap

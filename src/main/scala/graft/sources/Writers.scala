@@ -25,6 +25,20 @@ object Writers {
   def writeVersioned(df: DataFrame, baseDir: String,
                      partition: Option[PartitionHint] = None): String = {
     val out = s"$baseDir/${newVersion()}"
+    // An EMPTY frame under partitionBy writes NO data files, leaving a
+    // version directory whose read-back cannot infer a schema. Write the
+    // empty frame flat instead (one schema-bearing empty part file) — the
+    // empty-input robustness contract; the limit-1 probe is trivial next
+    // to the write itself.
+    if (df.isEmpty) {
+      val flat = partition match {
+        case Some(DailyPartition(col0)) =>
+          df.withColumn("__date", date_format(col(col0), "yyyy-MM-dd"))
+        case _ => df
+      }
+      flat.write.mode(SaveMode.ErrorIfExists).parquet(out)
+      return out
+    }
     val w = partition match {
       case Some(HashPartition(col0, buckets)) =>
         df.repartition(buckets, col(col0)).write
