@@ -3475,6 +3475,39 @@ object OracleSql {
          |FROM spine s LEFT JOIN daily d
          |  ON d.user_id = s.user_id AND d.day = s.day""".stripMargin,
 
+    // flagship composition: SQL transform → as-of training set → hash
+    // split → per-split rollup, replayed as one CTE chain
+    "e2e_training_set" ->
+      s"""WITH $EV,
+         |c AS (SELECT user_id, ts, value * 2 AS fval FROM ev
+         |  WHERE event_type = 'click'),
+         |lbl AS (SELECT user_id, ts, value AS label FROM ev
+         |  WHERE event_type = 'purchase'),
+         |lkey AS (SELECT DISTINCT user_id, ts FROM lbl),
+         |pc AS (
+         |  SELECT l.user_id, l.ts, f.fval FROM lkey l
+         |  LEFT JOIN c f ON l.user_id = f.user_id AND f.ts <= l.ts
+         |  QUALIFY row_number() OVER (PARTITION BY l.user_id, l.ts
+         |    ORDER BY f.ts DESC, f.fval DESC) = 1),
+         |tset AS (SELECT l.user_id, epoch_ms(l.ts) AS ts_ms,
+         |    pc.fval AS f_click, l.label
+         |  FROM lbl l
+         |  LEFT JOIN pc ON l.user_id = pc.user_id AND l.ts = pc.ts),
+         |sp AS (SELECT *,
+         |    CASE WHEN substr(md5(concat_ws('|', CAST(user_id AS VARCHAR),
+         |      CAST(ts_ms AS VARCHAR), '42')), 1, 8) < '40000000'
+         |      THEN 1 ELSE 0 END AS is_test
+         |  FROM tset)
+         |SELECT CAST(is_test AS BIGINT) AS is_test,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  round(CAST(SUM(CAST(label AS DECIMAL(18,2))) AS DOUBLE) /
+         |    COUNT(*), 6) AS mean_label,
+         |  CAST(COUNT(f_click) AS BIGINT) AS n_feat,
+         |  CASE WHEN COUNT(f_click) = 0 THEN NULL
+         |    ELSE round(CAST(SUM(CAST(f_click AS DECIMAL(18,2))) AS DOUBLE) /
+         |      COUNT(f_click), 6) END AS mean_f_click
+         |FROM sp GROUP BY 1""".stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

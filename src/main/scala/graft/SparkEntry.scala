@@ -2867,6 +2867,39 @@ object SparkEntry {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** FLAGSHIP COMPOSITION — the reference's core user journey in one
+    * oracle-gated chain: a templated SQL transformation (T1/T2) feeds a
+    * point-in-time training set (P2), which is hash-split (X2) and rolled
+    * up per split. Every stage is an operator already individually gated;
+    * this query gates their COMPOSITION (column naming, null flow, split
+    * keys) end to end. */
+  private def e2eTrainingSet(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = graft.transform.SqlTransform.run(s,
+      """SELECT user_id, ts, value * 2 AS fval
+        |FROM {{events_norm}} WHERE event_type = 'click'""".stripMargin,
+      _ => ev)
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("lts"), col("value").as("lval"))
+    val ts = ops.AsOfJoin.trainingSet(labels, Map("entity" -> "user_id"),
+        "lval", Some("lts"),
+        Seq(ops.FeatureSide(clicks, "user_id", "fval", Some("ts"), "f_click")))
+      .withColumn("ts_ms", unix_millis(col("lts")))
+    val split = ops.Split.withSplit(ts, Seq("user_id", "ts_ms"),
+      testSize = 0.25, seed = 42)
+    split.groupBy(col("is_test"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label").cast("decimal(18,2)")).as("__sl"),
+        count(col("f_click")).as("n_feat"),
+        sum(col("f_click").cast("decimal(18,2)")).as("__sf"))
+      .select(col("is_test").cast("long").as("is_test"), col("n"),
+        round(col("__sl").cast("double") / col("n"), 6).as("mean_label"),
+        col("n_feat"),
+        when(col("n_feat") === 0, lit(null)).otherwise(
+          round(col("__sf").cast("double") / col("n_feat"), 6))
+          .as("mean_f_click"))
+  }
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -3062,6 +3095,7 @@ object SparkEntry {
     "one_hot"           -> (oneHotQ _),
     "benford_audit"     -> (benfordAudit _),
     "gap_fill"          -> (gapFill _),
+    "e2e_training_set"  -> (e2eTrainingSet _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
