@@ -3508,6 +3508,38 @@ object OracleSql {
          |      COUNT(f_click), 6) END AS mean_f_click
          |FROM sp GROUP BY 1""".stripMargin,
 
+    // conversion lag: last click in the 7 days before each purchase,
+    // nearest-rank median/p90 of the floored minute lag per cohort
+    "conversion_lag" ->
+      s"""WITH $EV,
+         |c AS (SELECT user_id, ts AS c_ts FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev
+         |  WHERE event_type = 'purchase'),
+         |lc AS (SELECT p.p_id, MAX(c.c_ts) AS lst
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND c.c_ts >= p.p_ts - INTERVAL 7 DAY AND c.c_ts < p.p_ts
+         |  GROUP BY 1),
+         |lagged AS (SELECT p.user_id % 4 AS cohort, p.p_id,
+         |    CAST(floor((epoch_ms(p.p_ts) - epoch_ms(lc.lst)) / 60000.0)
+         |      AS BIGINT) AS lag_min
+         |  FROM p LEFT JOIN lc USING (p_id)),
+         |conv AS (SELECT cohort, p_id, lag_min,
+         |    row_number() OVER (PARTITION BY cohort
+         |      ORDER BY lag_min, p_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY cohort) AS n
+         |  FROM lagged WHERE lag_min IS NOT NULL),
+         |med AS (SELECT cohort, lag_min AS median_lag_min FROM conv
+         |  WHERE rk = CAST(ceil(n * 0.5) AS BIGINT)),
+         |p90 AS (SELECT cohort, lag_min AS p90_lag_min FROM conv
+         |  WHERE rk = CAST(ceil(n * 0.9) AS BIGINT)),
+         |agg AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |    CAST(COUNT(lag_min) AS BIGINT) AS n_converted
+         |  FROM lagged GROUP BY 1)
+         |SELECT agg.cohort, agg.n_purchases, agg.n_converted,
+         |  med.median_lag_min, p90.p90_lag_min
+         |FROM agg LEFT JOIN med USING (cohort) LEFT JOIN p90 USING (cohort)"""
+        .stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

@@ -2900,6 +2900,45 @@ object SparkEntry {
           .as("mean_f_click"))
   }
 
+  /** Conversion-lag profile: per user cohort, minutes from each purchase
+    * back to its LAST click in the preceding 7 days (the attribution_touch
+    * interval join), with nearest-rank median and p90 over the converted
+    * set — the time-to-convert report marketing runs beside the funnel.
+    * The rank window is cohort-partitioned (bounded per cohort). */
+  private def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("entity"), col("ts").as("c_ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("entity"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val iv = purch.withColumn("w_start", col("p_ts") - expr("interval 7 days"))
+    val lastClick = ops.RangeJoin.pointsInIntervalsKeyed(
+        clicks, "c_ts", "entity", iv, "w_start", "p_ts")
+      .groupBy(col("p_id").as("__pid"))
+      .agg(max(col("c_ts")).as("__last"))
+    val lagged = purch.join(lastClick, col("p_id") === col("__pid"), "left")
+      .select((col("entity") % 4).as("cohort"), col("p_id"),
+        floor((unix_millis(col("p_ts")) - unix_millis(col("__last"))) /
+          lit(60000.0)).cast("long").as("lag_min"))
+    val conv = lagged.where(col("lag_min").isNotNull)
+    val w = Window.partitionBy(col("cohort"))
+      .orderBy(col("lag_min").asc, col("p_id").asc)
+    val ranked = conv
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cohort"))))
+    val med = ranked.where(col("__rk") === ceil(col("__n") * 0.5).cast("long"))
+      .select(col("cohort"), col("lag_min").as("median_lag_min"))
+    val p90 = ranked.where(col("__rk") === ceil(col("__n") * 0.9).cast("long"))
+      .select(col("cohort"), col("lag_min").as("p90_lag_min"))
+    lagged.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("lag_min")).as("n_converted"))
+      .join(med, Seq("cohort"), "left")
+      .join(p90, Seq("cohort"), "left")
+  }
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -3096,6 +3135,7 @@ object SparkEntry {
     "benford_audit"     -> (benfordAudit _),
     "gap_fill"          -> (gapFill _),
     "e2e_training_set"  -> (e2eTrainingSet _),
+    "conversion_lag"    -> (conversionLag _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
