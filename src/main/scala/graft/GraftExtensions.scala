@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.expressions.{FloatVectorDot, KgramJaccard, Md5Hll, MinHashSig, SimHash64}
+  import graft.functions.expressions.{FloatVectorDot, JaroWinkler, KgramJaccard, Md5Hll, MinHashSig, SimHash64, WordNgrams}
 
   private def intLit(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -70,6 +70,18 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "fvec_dot(a, b)")
         FloatVectorDot(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "jaro_winkler(a, b)")
+        JaroWinkler(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "word_ngrams(text, n)")
+        WordNgrams(exprs.head, intLit(exprs(1)))
       }),
     (FunctionIdentifier("md5_hll"),
       new ExpressionInfo(classOf[Md5Hll].getName, "md5_hll"),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.expressions.{FloatVectorDot, KgramJaccard, MinHashSig, SimHash64}
+import graft.functions.expressions.{FloatVectorDot, JaroWinkler, KgramJaccard, MinHashSig, SimHash64, WordNgrams}
 
 /** SQL registration of the engine's custom expressions, so SQL
   * transformations (T1) can call them alongside the built-in library —
@@ -33,6 +33,14 @@ object Registry {
     reg.createOrReplaceTempFunction("fvec_dot", exprs => {
       require(exprs.length == 2, "fvec_dot(a, b)")
       FloatVectorDot(exprs.head, exprs(1))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler", exprs => {
+      require(exprs.length == 2, "jaro_winkler(a, b)")
+      JaroWinkler(exprs.head, exprs(1))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams", exprs => {
+      require(exprs.length == 2, "word_ngrams(text, n)")
+      WordNgrams(exprs.head, intLit(exprs(1)))
     }, "scala_udf")
   }
 

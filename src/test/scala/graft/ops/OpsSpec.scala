@@ -263,6 +263,12 @@ class RegistrySpec extends graft.SparkSpec {
     assert(r.getDouble(0) == 1.0)
     assert(r.getSeq[Long](2).length == 16)
     assert(r.getDouble(3) == 11.0)
+    val r2 = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS jw,
+        |       word_ngrams('a b c d', 2) AS grams
+        |FROM reg_test""".stripMargin).collect().head
+    assert(math.abs(r2.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(r2.getSeq[String](1) == Seq("a b", "b c", "c d"))
   }
 }
 
