@@ -3540,6 +3540,21 @@ object OracleSql {
          |FROM agg LEFT JOIN med USING (cohort) LEFT JOIN p90 USING (cohort)"""
         .stripMargin,
 
+    // streaming gap alerts ≡ the batch LEAD formulation (>12 h pauses);
+    // comparisons and the floored second gap in exact micros
+    "streaming_gaps" ->
+      s"""WITH $EV,
+         |g AS (SELECT user_id, ts,
+         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS nxt
+         |  FROM ev)
+         |SELECT user_id, epoch_ms(ts) AS prev_ms, epoch_ms(nxt) AS next_ms,
+         |  CAST((epoch_us(nxt) - epoch_us(ts)) // 1000000 AS BIGINT)
+         |    AS gap_s
+         |FROM g
+         |WHERE nxt IS NOT NULL
+         |  AND epoch_us(nxt) - epoch_us(ts) > 43200000000""".stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

@@ -2221,6 +2221,46 @@ object SparkEntry {
         col("first_alarm_ms"), col("max_stat"))
   }
 
+  /** Streaming heartbeat-gap alerts under the gate: every >12 h pause
+    * between a user's consecutive events, emitted incrementally as the
+    * watermark finalizes each pair — must equal the batch LEAD
+    * formulation (the streaming_cusum fold pattern, alert-shaped). */
+  private def streamingGapsQ(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgap").toString
+    val ev = events(s, dir)
+      .select(col("user_id").as("key"), col("event_id").as("id"), col("ts"))
+    ev.coalesce(1).write.parquet(s"$tmp/in")
+    val maxTs = maxTsOrEpoch(events(s, dir))
+    locally {
+      import s.implicits._
+      Seq((-1L, -1L, new java.sql.Timestamp(
+        maxTs.getTime + 3652L * 86400000L)))
+        .toDF("key", "id", "ts").write.mode("append").parquet(s"$tmp/in")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8).parquet(s"$tmp/in")
+    val gaps = graft.streaming.StreamingGaps.gapStream(
+      s, stream, gapSeconds = 43200L, delayThreshold = "3650 days")
+    val table = s"stream_gaps_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val q = try gaps.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.table(table).where(col("key") >= 0)
+      .select(col("key").as("user_id"), col("prev_ms"), col("next_ms"),
+        col("gap_s"))
+  }
+
   /** Kaplan–Meier time-to-conversion: first signup → first later
     * purchase, right-censored at 2024-01-31; ln-sum cumulative product
     * over the pinned-decimal running sum. */
@@ -3136,6 +3176,7 @@ object SparkEntry {
     "gap_fill"          -> (gapFill _),
     "e2e_training_set"  -> (e2eTrainingSet _),
     "conversion_lag"    -> (conversionLag _),
+    "streaming_gaps"    -> (streamingGapsQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
