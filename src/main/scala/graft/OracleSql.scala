@@ -3555,6 +3555,39 @@ object OracleSql {
          |WHERE nxt IS NOT NULL
          |  AND epoch_us(nxt) - epoch_us(ts) > 43200000000""".stripMargin,
 
+    // two-arm Welch uplift from DECIMAL-exact Σy/Σy², fixed-shape doubles
+    "ab_uplift" -> {
+      val arm = s"CAST(${mh63("CAST(o_custkey AS VARCHAR) || '|' || 'exp1'")} % 2 AS INTEGER)"
+      s"""WITH g AS (SELECT $arm AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS q
+         |  FROM orders GROUP BY 1),
+         |a0 AS (SELECT n AS n_0, s AS s0, q AS q0 FROM g WHERE arm = 0),
+         |a1 AS (SELECT n AS n_1, s AS s1, q AS q1 FROM g WHERE arm = 1)
+         |SELECT n_0, n_1,
+         |  round(s0 / n_0, 6) AS mean_0,
+         |  round(s1 / n_1, 6) AS mean_1,
+         |  round(s1 / n_1 - s0 / n_0, 6) AS uplift,
+         |  round((s1 / n_1 - s0 / n_0) /
+         |    sqrt((q1 - s1 * s1 / n_1) / (n_1 - 1) / n_1 +
+         |         (q0 - s0 * s0 / n_0) / (n_0 - 1) / n_0), 6) AS t_stat
+         |FROM a0 CROSS JOIN a1""".stripMargin
+    },
+
+    // reliability diagram: equal-width score bins vs empirical positive
+    // rate; per-row scores pinned round(·,9) → DECIMAL before the sum
+    "reliability_bins" ->
+      s"""WITH $EV,
+         |b AS (SELECT CAST(least(floor(value / 60.0), 9.0) AS BIGINT) AS bin,
+         |    CAST(round(value / 600.0, 9) AS DECIMAL(18,9)) AS score,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM ev)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |  round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+         |  round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+         |FROM b GROUP BY 1""".stripMargin,
+
     // temporal split with per-entity embargo before the first test row
     "time_split_embargo" ->
       s"""WITH $EV,

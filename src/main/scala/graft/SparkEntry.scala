@@ -2979,6 +2979,53 @@ object SparkEntry {
       .join(p90, Seq("cohort"), "left")
   }
 
+  /** Two-arm uplift readout with Welch's t statistic: order totals under
+    * the deterministic exp1 hash assignment — means/variances from
+    * DECIMAL-exact Σy and Σy², one fixed-shape double expression each
+    * (the outlier_zscore discipline), so the t statistic replays
+    * bit-for-bit. */
+  private def abUplift(s: SparkSession, dir: String): DataFrame = {
+    val y = col("o_totalprice").cast("decimal(18,2)")
+    val g = t(s, dir, "orders")
+      .select(functions.Experiment.armCol(col("o_custkey"), "exp1", 2)
+        .as("arm"), y.as("__y"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__s"),
+        sum(col("__y") * col("__y")).as("__q"))
+    def side(a: Int, suffix: String) = g.where(col("arm") === a)
+      .select(col("n").as(s"n_$suffix"),
+        col("__s").cast("double").as(s"__s$suffix"),
+        col("__q").cast("double").as(s"__q$suffix"))
+    def mean(sfx: String) = col(s"__s$sfx") / col(s"n_$sfx")
+    def variance(sfx: String) =
+      (col(s"__q$sfx") - col(s"__s$sfx") * col(s"__s$sfx") / col(s"n_$sfx")) /
+        (col(s"n_$sfx") - 1)
+    side(0, "0").crossJoin(side(1, "1"))
+      .select(col("n_0"), col("n_1"),
+        round(mean("0"), 6).as("mean_0"),
+        round(mean("1"), 6).as("mean_1"),
+        round(mean("1") - mean("0"), 6).as("uplift"),
+        round((mean("1") - mean("0")) /
+          sqrt(variance("1") / col("n_1") + variance("0") / col("n_0")), 6)
+          .as("t_stat"))
+  }
+
+  /** Reliability diagram: the pseudo-score value/600 binned into 10
+    * equal-width buckets against the is-purchase rate — the calibration
+    * table isotonic_calibration's fit would consume. */
+  private def reliabilityBins(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(least(floor(col("value") / 60.0), lit(9.0)).cast("long")
+        .as("bin"),
+        (col("value") / 600.0).as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("score"), 9).cast("decimal(18,9)"))
+          .cast("double") / count(lit(1)), 6).as("mean_score"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"))
+
   /** NDCG@10 + MRR for three BM25 term queries against contains-all
     * relevance. */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame =
@@ -3177,6 +3224,8 @@ object SparkEntry {
     "e2e_training_set"  -> (e2eTrainingSet _),
     "conversion_lag"    -> (conversionLag _),
     "streaming_gaps"    -> (streamingGapsQ _),
+    "ab_uplift"         -> (abUplift _),
+    "reliability_bins"  -> (reliabilityBins _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
