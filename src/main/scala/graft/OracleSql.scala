@@ -2395,6 +2395,77 @@ object OracleSql {
          |WHERE sd > 0
          |  AND abs(round((CAST(y AS DOUBLE) - mean) / sd, 6)) > 3.0""".stripMargin,
 
+    // MAD robust outliers: lower-median rank selection, exact DECIMAL
+    // deviation compare (k=6) — zero float operations in the pipeline
+    "mad_outliers" ->
+      s"""WITH $EV,
+         |o AS (SELECT event_type AS g, event_id,
+         |    CAST(value AS DECIMAL(18,2)) AS y FROM ev
+         |  WHERE value IS NOT NULL),
+         |r1 AS (SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y)
+         |    AS rk, COUNT(*) OVER (PARTITION BY g) AS n FROM o),
+         |med AS (SELECT g, MIN(y) AS med FROM r1
+         |  WHERE rk = (n + 1) // 2 GROUP BY 1),
+         |d AS (SELECT o.g, event_id, y, med, abs(y - med) AS dev
+         |  FROM o JOIN med USING (g)),
+         |r2 AS (SELECT g, dev,
+         |    row_number() OVER (PARTITION BY g ORDER BY dev) AS rk,
+         |    COUNT(*) OVER (PARTITION BY g) AS n FROM d),
+         |mad AS (SELECT g, MIN(dev) AS mad FROM r2
+         |  WHERE rk = (n + 1) // 2 GROUP BY 1)
+         |SELECT d.g, event_id, CAST(y AS DOUBLE) AS value,
+         |  CAST(med AS DOUBLE) AS median, CAST(mad AS DOUBLE) AS mad,
+         |  CAST(dev AS DOUBLE) AS abs_dev
+         |FROM d JOIN mad USING (g)
+         |WHERE mad > 0 AND dev > 6 * mad""".stripMargin,
+
+    // winsorization: per-group nearest-rank p5/p95 clamp — integer
+    // ceil-div rank arithmetic, exact DECIMAL least/greatest
+    "winsorize_clip" ->
+      s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS g,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+         |r AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+         |    COUNT(*) OVER (PARTITION BY g) AS n FROM o),
+         |b AS (SELECT g,
+         |    MIN(CASE WHEN rk = (n * 5 + 99) // 100 THEN v END) AS lo,
+         |    MIN(CASE WHEN rk = (n * 95 + 99) // 100 THEN v END) AS hi
+         |  FROM r
+         |  WHERE rk = (n * 5 + 99) // 100 OR rk = (n * 95 + 99) // 100
+         |  GROUP BY 1)
+         |SELECT o_orderkey, o.g, CAST(v AS DOUBLE) AS value,
+         |  CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+         |  CAST(least(greatest(v, lo), hi) AS DOUBLE) AS clipped
+         |FROM o JOIN b USING (g)""".stripMargin,
+
+    // RFM segmentation: quintiles by integer rank arithmetic under the
+    // (metric, entity) total order; recency inverted so recent = 5
+    "rfm_segments" ->
+      s"""WITH base AS (SELECT o_custkey,
+         |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+         |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+         |      AS BIGINT) AS recency_days,
+         |    CAST(COUNT(*) AS BIGINT) AS frequency,
+         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+         |  FROM orders GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+         |rr AS (SELECT o_custkey, 1 + ((row_number()
+         |    OVER (ORDER BY recency_days, o_custkey) - 1) * 5) // n AS rb
+         |  FROM base, nn),
+         |fr AS (SELECT o_custkey, 1 + ((row_number()
+         |    OVER (ORDER BY frequency, o_custkey) - 1) * 5) // n AS f_score
+         |  FROM base, nn),
+         |mr AS (SELECT o_custkey, 1 + ((row_number()
+         |    OVER (ORDER BY m, o_custkey) - 1) * 5) // n AS m_score
+         |  FROM base, nn)
+         |SELECT base.o_custkey, recency_days, frequency,
+         |  CAST(m AS DOUBLE) AS monetary,
+         |  6 - rb AS r_score, f_score, m_score,
+         |  CAST(6 - rb AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+         |    CAST(m_score AS VARCHAR) AS segment
+         |FROM base JOIN rr USING (o_custkey) JOIN fr USING (o_custkey)
+         |  JOIN mr USING (o_custkey)""".stripMargin,
+
     // sparse TF-IDF cosine neighbors: weights pinned to DECIMAL(18,9) so
     // dots and norm sums are exact; df > 50 tokens dropped before pairing
     "tfidf_neighbors" ->

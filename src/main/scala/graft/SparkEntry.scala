@@ -2077,6 +2077,28 @@ object SparkEntry {
         "event_type", "event_id", col("value"), zMax = 3.0)
       .withColumnRenamed("event_type", "g")
 
+  /** Per-event-type MAD outlier screen over the same heavy-tailed value
+    * column as outlier_zscore — the robust (50% breakdown) variant; all
+    * comparisons exact DECIMAL, so the flagged set replays bit-for-bit. */
+  private def madOutliersQ(s: SparkSession, dir: String): DataFrame =
+    ops.Outliers.madOutliers(events(s, dir).where(col("value").isNotNull),
+        "event_type", "event_id", col("value"), k = 6)
+      .withColumnRenamed("event_type", "g")
+
+  /** Winsorized order totals within each priority class: nearest-rank
+    * p5/p95 clamp bounds per group, every row kept with its clipped
+    * value — the robust-tail treatment beside the outlier screens. */
+  private def winsorizeClip(s: SparkSession, dir: String): DataFrame =
+    ops.Normalize.winsorize(t(s, dir, "orders"), "o_orderkey",
+        "o_orderpriority", col("o_totalprice"), pctLo = 5, pctHi = 95)
+      .withColumnRenamed("o_orderpriority", "g")
+
+  /** RFM segmentation of customers from their orders (quintile scores
+    * by integer rank arithmetic; recency inverted so recent = 5). */
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame =
+    ops.Behavior.rfm(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+      col("o_totalprice"), nBins = 5)
+
   /** Sparse lexical similarity search: top-5 TF-IDF-cosine neighbors per
     * document (tokens in > 50 docs dropped before pairing — the hot-key
     * cap; weights pinned to DECIMAL so dots/norms are exact). */
@@ -3226,6 +3248,9 @@ object SparkEntry {
     "streaming_gaps"    -> (streamingGapsQ _),
     "ab_uplift"         -> (abUplift _),
     "reliability_bins"  -> (reliabilityBins _),
+    "mad_outliers"      -> (madOutliersQ _),
+    "winsorize_clip"    -> (winsorizeClip _),
+    "rfm_segments"      -> (rfmSegments _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -77,4 +77,61 @@ object Behavior {
               (col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
                 .cast("double"), 6)).as("slope"))
   }
+
+  /** RFM customer segmentation — per entity: Recency (days since last
+    * activity vs the table's own as-of date), Frequency (activity
+    * count), Monetary (DECIMAL-exact amount sum), each scored into
+    * `nBins` equal-count bins, plus the concatenated segment code
+    * ("555" = recent/frequent/big-spender) — the classic CRM/feature
+    * table beside [[hourProfile]].
+    *
+    * Bin rule (pinned for the oracle): rank entities under the total
+    * order (metric, entity) and score `1 + ((rank−1)·nBins) div n` —
+    * the [[graft.functions.Mix.curriculumBins]] integer-rank arithmetic,
+    * no ntile, no float thresholds. Higher frequency/monetary ⇒ higher
+    * score; recency is inverted (`nBins+1 − bin`) so MORE RECENT ⇒
+    * HIGHER score. Recency days are integer date arithmetic on
+    * truncated DATEs — no epoch-seconds rounding ambiguity.
+    *
+    * Scale shape: one entity-keyed partial aggregate (map-side combine
+    * → entities-sized table), then three distributed range-exchange
+    * ranks ([[Materialize.withDistributedRowNumber]] — no
+    * single-partition window) over that SAME aggregate (identical
+    * subtrees — AQE exchange reuse serves one aggregation to all three
+    * ranks), re-joined on the entity key. Everything after the first
+    * aggregate is entities-scale. */
+  def rfm(df: DataFrame, entityCol: String, tsCol: String,
+          amount: org.apache.spark.sql.Column, nBins: Int = 5): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val asOf = broadcast(df.agg(max(col(tsCol).cast("date")).as("__asof")))
+    val base = df
+      .groupBy(col(entityCol))
+      .agg(max(col(tsCol).cast("date")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(amount.cast("decimal(18,2)")).as("__m"))
+      .crossJoin(asOf)
+      .select(col(entityCol),
+        datediff(col("__asof"), col("__last")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("__m"))
+    val n = broadcast(base.agg(count(lit(1)).as("__n")))
+    def score(metric: String, as: String) =
+      Materialize.withDistributedRowNumber(
+          base.select(col(entityCol), col(metric)),
+          Seq(col(metric), col(entityCol)))
+        .crossJoin(n)
+        .select(col(entityCol),
+          expr(s"1 + ((row_number - 1) * $nBins) div __n").as(as))
+    val fS = score("frequency", "f_score")
+    val mS = score("__m", "m_score")
+    // recency ranks ascending (most recent first) then inverts
+    val rS = score("recency_days", "__rb")
+      .select(col(entityCol), (lit(nBins + 1) - col("__rb")).as("r_score"))
+    base.join(rS, entityCol).join(fS, entityCol).join(mS, entityCol)
+      .select(col(entityCol), col("recency_days"), col("frequency"),
+        col("__m").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
+  }
 }
