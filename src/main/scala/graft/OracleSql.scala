@@ -2438,6 +2438,96 @@ object OracleSql {
          |  CAST(least(greatest(v, lo), hi) AS DOUBLE) AS clipped
          |FROM o JOIN b USING (g)""".stripMargin,
 
+    // Adamic-Adar link prediction: per-center term round(1/ln(deg), 9)
+    // pinned DECIMAL before the exact pair sum; known edges anti-joined
+    // out; rank on the double cast with (a, b) tie-break
+    "link_prediction" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM li x JOIN li y USING (l_orderkey)
+         |  WHERE x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT a AS v, b AS n FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj
+         |  GROUP BY 1),
+         |ctr AS (SELECT adj.n, adj.v,
+         |    CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9) AS DECIMAL(18,9))
+         |      AS term
+         |  FROM adj JOIN deg USING (n) WHERE d <= 50),
+         |cand AS (SELECT x.v AS a, y.v AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         |    SUM(x.term) AS aa
+         |  FROM ctr x JOIN ctr y ON x.n = y.n AND x.v < y.v
+         |  GROUP BY 1, 2),
+         |nonedge AS (SELECT cand.* FROM cand
+         |  LEFT JOIN e ON cand.a = e.a AND cand.b = e.b
+         |  WHERE e.a IS NULL)
+         |SELECT a, b, common_neighbors, CAST(aa AS DOUBLE) AS aa_score
+         |FROM nonedge
+         |ORDER BY CAST(aa AS DOUBLE) DESC, a, b LIMIT 50""".stripMargin,
+
+    // HLL set overlap: per-source registers rebuilt, the pair union is an
+    // elementwise register MAX (no corpus rescan in the engine), the
+    // intersection estimate by inclusion-exclusion; exact counts beside
+    "hll_overlap" ->
+      s"""WITH h AS (SELECT source, ${mh63("text")} AS hv FROM documents),
+         |b AS (SELECT source, hv & 1023 AS bucket, hv >> 10 AS w FROM h),
+         |r AS (SELECT source, bucket,
+         |    max(CASE WHEN w = 0 THEN 54 ELSE 54 - length(bin(w)) END) AS m_j
+         |  FROM b GROUP BY 1, 2),
+         |agg AS (SELECT source,
+         |    SUM(CAST(CAST(1 AS BIGINT) << (54 - m_j) AS HUGEINT)) AS np,
+         |    CAST(1024 - COUNT(*) AS BIGINT) AS v
+         |  FROM r GROUP BY 1),
+         |est AS (SELECT source, CAST(floor(
+         |    CASE WHEN e_raw <= 2.5 * 1024 AND v > 0
+         |         THEN 1024 * ln(1024.0 / v) ELSE e_raw END + 0.5)
+         |    AS BIGINT) AS e
+         |  FROM (SELECT source, v,
+         |      0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * (2.0 ** 54) /
+         |        CAST(np + CAST(v AS HUGEINT) * (CAST(1 AS HUGEINT) << 54)
+         |          AS DOUBLE) AS e_raw
+         |    FROM agg)),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |ur AS (SELECT p.src_a, p.src_b, r.bucket, MAX(r.m_j) AS m_j
+         |  FROM p JOIN r ON r.source = p.src_a OR r.source = p.src_b
+         |  GROUP BY 1, 2, 3),
+         |uagg AS (SELECT src_a, src_b,
+         |    SUM(CAST(CAST(1 AS BIGINT) << (54 - m_j) AS HUGEINT)) AS np,
+         |    CAST(1024 - COUNT(*) AS BIGINT) AS v
+         |  FROM ur GROUP BY 1, 2),
+         |uest AS (SELECT src_a, src_b, CAST(floor(
+         |    CASE WHEN e_raw <= 2.5 * 1024 AND v > 0
+         |         THEN 1024 * ln(1024.0 / v) ELSE e_raw END + 0.5)
+         |    AS BIGINT) AS ue
+         |  FROM (SELECT src_a, src_b, v,
+         |      0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * (2.0 ** 54) /
+         |        CAST(np + CAST(v AS HUGEINT) * (CAST(1 AS HUGEINT) << 54)
+         |          AS DOUBLE) AS e_raw
+         |    FROM uagg)),
+         |ex AS (SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT)
+         |    AS n_exact FROM documents GROUP BY 1),
+         |dt AS (SELECT DISTINCT source, text FROM documents),
+         |xin AS (SELECT x.source AS src_a, y.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |  FROM dt x JOIN dt y ON x.text = y.text AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b,
+         |  ea.n_exact AS exact_a, eb.n_exact AS exact_b,
+         |  COALESCE(xin.exact_inter, 0) AS exact_inter,
+         |  sa.e AS est_a, sb.e AS est_b, ue.ue AS union_est,
+         |  sa.e + sb.e - ue.ue AS inter_est
+         |FROM p
+         |JOIN ex ea ON ea.source = p.src_a
+         |JOIN ex eb ON eb.source = p.src_b
+         |JOIN est sa ON sa.source = p.src_a
+         |JOIN est sb ON sb.source = p.src_b
+         |JOIN uest ue ON ue.src_a = p.src_a AND ue.src_b = p.src_b
+         |LEFT JOIN xin ON xin.src_a = p.src_a AND xin.src_b = p.src_b""".stripMargin,
+
     // RFM segmentation: quintiles by integer rank arithmetic under the
     // (metric, entity) total order; recency inverted so recent = 5
     "rfm_segments" ->

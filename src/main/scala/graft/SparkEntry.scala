@@ -2355,6 +2355,49 @@ object SparkEntry {
       .limit(25)
   }
 
+  /** Adamic–Adar link prediction over the thresholded co-order part
+    * graph (parts co-ordered in ≥ 2 orders): top-50 predicted non-edges
+    * by the pinned-DECIMAL AA score. */
+  private def linkPredictionQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.as("x").join(li.as("y"), "l_orderkey")
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+    functions.Graph.linkPrediction(e, "a", "b", k = 50, maxDeg = 50)
+  }
+
+  /** Cross-source audience overlap from MERGED persisted HLL sketches —
+    * per source pair: exact distinct texts each side, exact
+    * intersection, the per-source HLL estimates, the union estimate
+    * from an elementwise register max (NO corpus rescan), and the
+    * inclusion-exclusion intersection estimate. */
+  private def hllOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.Sketches
+    val docs = t(s, dir, "documents")
+    val sk = docs.groupBy(col("source"))
+      .agg(Sketches.hllSketch(col("text")).as("sk"),
+        Sketches.hllNdv(col("text")).as("est"),
+        countDistinct(col("text")).as("n_exact"))
+    val dt = docs.select(col("source"), col("text")).distinct()
+    val inter = dt.as("x").join(dt.as("y"), "text")
+      .filter(col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n_exact").as("exact_a"), col("b.n_exact").as("exact_b"),
+        col("a.est").as("est_a"), col("b.est").as("est_b"),
+        Sketches.hllUnionEst(col("a.sk"), col("b.sk")).as("union_est"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("exact_a"), col("exact_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        col("est_a"), col("est_b"), col("union_est"),
+        (col("est_a") + col("est_b") - col("union_est")).as("inter_est"))
+  }
+
   /** Per-user EWMA of event values (α = 1/4) — the sorted-fold smoother. */
   private def ewmaSmooth(s: SparkSession, dir: String): DataFrame =
     ops.Smooth.ewma(events(s, dir), "user_id", "ts", "event_id", "value")
@@ -3251,6 +3294,8 @@ object SparkEntry {
     "mad_outliers"      -> (madOutliersQ _),
     "winsorize_clip"    -> (winsorizeClip _),
     "rfm_segments"      -> (rfmSegments _),
+    "link_prediction"   -> (linkPredictionQ _),
+    "hll_overlap"       -> (hllOverlap _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

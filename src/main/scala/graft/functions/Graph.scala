@@ -128,4 +128,53 @@ object Graph {
     tris.select(explode(array(col("__s"), col("__u"), col("__v"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Adamic–Adar link prediction — rank NON-edges by
+    * `Σ_c 1/ln(deg(c))` over common neighbors c (plus the plain
+    * common-neighbor count): the classic "who should connect next"
+    * score where rare shared neighbors count more than hubs.
+    *
+    * Float discipline: each center's term is `round(1/ln(deg), 9)`
+    * pinned to DECIMAL(18,9) BEFORE the per-pair sum (the [[InfoTheory]]
+    * rule) — exact, order-independent totals; ranking is on the exact
+    * DECIMAL score with (a, b) tie-break. A wedge center has deg ≥ 2 by
+    * construction, so ln is never 0.
+    *
+    * Scale shape: wedge enumeration through each center costs deg², so
+    * centers with deg > maxDeg are DROPPED before pairing — the
+    * capHotKeys convention; a hub's 1/ln(deg) term is the smallest
+    * signal in the score, so the cap removes quadratic mass, not
+    * meaningful evidence (the [[graft.functions.Retrieval]] maxDf
+    * argument). Known edges leave via one anti-join against the
+    * canonical edge set; top-k plans as TakeOrderedAndProject. */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     k: Int, maxDeg: Int): DataFrame = {
+    require(k >= 1 && maxDeg >= 2, s"need k >= 1, maxDeg >= 2")
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .distinct()
+    val adj = und.select(col("__a").as("__v"), col("__b").as("__n"))
+      .unionAll(und.select(col("__b").as("__v"), col("__a").as("__n")))
+    val deg = adj.groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
+    // capped centers with their pinned AA term
+    val centers = adj.join(deg.where(col("__deg") <= maxDeg), "__n")
+      .select(col("__n"), col("__v"),
+        round(lit(1.0) / log(col("__deg")), 9).cast("decimal(18,9)")
+          .as("__term"))
+    val cand = centers.as("x").join(centers.as("y"),
+        col("x.__n") === col("y.__n") && col("x.__v") < col("y.__v"))
+      .select(col("x.__v").as("a"), col("y.__v").as("b"),
+        col("x.__term").as("__term"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("__term")).as("__aa"))
+    cand
+      .join(und.select(col("__a").as("a"), col("__b").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("__aa").cast("double").as("aa_score"))
+      .orderBy(col("aa_score").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
 }

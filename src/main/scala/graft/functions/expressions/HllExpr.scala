@@ -37,6 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Md5Hll(
     child: Expression,
     p: Int = 10,
+    emitRegisters: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
@@ -48,7 +49,8 @@ case class Md5Hll(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
+  override def dataType: DataType =
+    if (emitRegisters) org.apache.spark.sql.types.BinaryType else LongType
   override def prettyName: String = "md5_hll"
   // input contract: StringType child (callers cast; AbstractDataType is
   // private[sql] in Spark 4, so no ExpectsInputTypes here)
@@ -76,7 +78,30 @@ case class Md5Hll(
     b1
   }
 
-  override def eval(buffer: Array[Byte]): Any = {
+  override def eval(buffer: Array[Byte]): Any =
+    if (emitRegisters) buffer.clone()
+    else Md5Hll.estimate(buffer, p)
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storage: Array[Byte]): Array[Byte] = storage
+
+  override def withNewMutableAggBufferOffset(offset: Int): Md5Hll =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): Md5Hll =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Md5Hll =
+    copy(child = newChildren.head)
+}
+
+object Md5Hll {
+  /** The HLL estimator over a register array — shared by the aggregate's
+    * eval and [[HllUnionEst]]'s merged-register eval, so a sketch
+    * estimated directly and a sketch merged-then-estimated go through the
+    * IDENTICAL float path (the oracle replays this formula verbatim). */
+  def estimate(buffer: Array[Byte], p: Int): Long = {
+    val m = 1 << p
+    val rhoMax = 63 - p + 1
     var n = BigInt(0)
     var zeros = 0
     var i = 0
@@ -93,17 +118,51 @@ case class Md5Hll(
       else eRaw
     math.floor(est + 0.5).toLong // portable round-half-up (≡ oracle)
   }
+}
 
-  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
-  override def deserialize(storage: Array[Byte]): Array[Byte] = storage
+/** Estimate of |A ∪ B| from two persisted HLL register arrays — the
+  * mergeability that makes the sketch a 100 TB design: per-source (or
+  * per-day) sketches are tiny persisted artifacts, and any union is an
+  * elementwise register max + the standard estimator, with NO rescan of
+  * the underlying corpus. Intersection estimates follow by
+  * inclusion-exclusion on the caller side. */
+final case class HllUnionEst(left: Expression, right: Expression, p: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
-  override def withNewMutableAggBufferOffset(offset: Int): Md5Hll =
-    copy(mutableAggBufferOffset = offset)
-  override def withNewInputAggBufferOffset(offset: Int): Md5Hll =
-    copy(inputAggBufferOffset = offset)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_union_est"
+
+  // call-out codegen: merge+estimate stays compiled Scala, the stage keeps
+  // whole-stage codegen (the MinHashSig pattern)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("hllUnionEst", this,
+      classOf[HllUnionEst].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  /** Public entry point used by both interpreted eval and generated code. */
+  def compute(a: Array[Byte], b: Array[Byte]): Long = {
+    val m = 1 << p
+    require(a.length == m && b.length == m,
+      s"register arrays must have length $m, got ${a.length}/${b.length}")
+    val merged = new Array[Byte](m)
+    var i = 0
+    while (i < m) {
+      merged(i) = if (a(i) > b(i)) a(i) else b(i)
+      i += 1
+    }
+    Md5Hll.estimate(merged, p)
+  }
+
   override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Md5Hll =
-    copy(child = newChildren.head)
+      newLeft: Expression, newRight: Expression): HllUnionEst =
+    copy(left = newLeft, right = newRight)
 }
 
 object Sketches {
@@ -111,4 +170,14 @@ object Sketches {
   def hllNdv(c: Column, p: Int = 10): Column =
     ColumnBridge.column(Md5Hll(ColumnBridge.expression(c), p)
       .toAggregateExpression())
+
+  /** The sketch itself (register array) — persist it, merge it later. */
+  def hllSketch(c: Column, p: Int = 10): Column =
+    ColumnBridge.column(Md5Hll(ColumnBridge.expression(c), p,
+      emitRegisters = true).toAggregateExpression())
+
+  /** |A ∪ B| estimate from two sketches produced by [[hllSketch]]. */
+  def hllUnionEst(a: Column, b: Column, p: Int = 10): Column =
+    ColumnBridge.column(HllUnionEst(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), p))
 }

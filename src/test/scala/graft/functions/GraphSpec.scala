@@ -81,6 +81,40 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 9L -> 1L))
   }
 
+  test("linkPrediction: 4-cycle predicts the two diagonals, edges excluded") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val out = Graph.linkPrediction(e, "a", "b", k = 10, maxDeg = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // diagonals (1,3) and (2,4) share two deg-2 neighbors:
+    // aa = 2 * round(1/ln 2, 9) = 2.885390082
+    assert(out.keySet === Set((1L, 3L), (2L, 4L)))
+    out.values.foreach { case (cn, aa) =>
+      assert(cn === 2L); assert(aa === 2.885390082)
+    }
+  }
+
+  test("linkPrediction: existing edges never appear; rare neighbor " +
+    "outscores none") {
+    // triangle 1-2-3 plus pendant 3-4: (1,2) is an edge (excluded);
+    // (1,4)/(2,4) share deg-3 center 3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.linkPrediction(e, "a", "b", k = 10, maxDeg = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(out.keySet === Set((1L, 4L), (2L, 4L)))
+    out.values.foreach(aa => assert(aa === 0.910239227)) // round(1/ln3, 9)
+  }
+
+  test("linkPrediction: hub centers above maxDeg are dropped (cap rule)") {
+    val star = (1L to 5L).map(l => (0L, l)).toDF("a", "b")
+    assert(Graph.linkPrediction(star, "a", "b", k = 10, maxDeg = 4)
+      .count() === 0L)
+    // with the cap lifted the star yields all 10 leaf pairs
+    assert(Graph.linkPrediction(star, "a", "b", k = 100, maxDeg = 10)
+      .count() === 10L)
+  }
+
   test("dangling sink keeps a rank row; pure source decays to base") {
     // 1 -> 2 only: 2 is dangling (drops its mass), 1 gets no inflow
     val out = Graph.pageRank(Seq((1, 2, 1L)).toDF("s", "d", "w"),

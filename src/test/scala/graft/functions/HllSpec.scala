@@ -42,4 +42,33 @@ class HllSpec extends SparkSpec {
     val empty = Seq.empty[String].toDF("s")
     assert(empty.agg(Sketches.hllNdv(col("s"))).head.getLong(0) == 0L)
   }
+
+  test("union of persisted sketches == direct estimate over the union") {
+    val a = (1 to 800).map(i => ("a", s"v$i")).toDF("g", "s")
+    val b = (400 to 1200).map(i => ("b", s"v$i")).toDF("g", "s")
+    val sk = a.union(b).groupBy("g")
+      .agg(Sketches.hllSketch(col("s")).as("sk"))
+    val pair = sk.groupBy()
+      .agg(min(when(col("g") === "a", col("sk"))).as("ska"),
+        max(when(col("g") === "b", col("sk"))).as("skb"))
+      .select(Sketches.hllUnionEst(col("ska"), col("skb")).as("u"))
+      .head.getLong(0)
+    val direct = a.union(b)
+      .agg(Sketches.hllNdv(col("s"))).head.getLong(0)
+    assert(pair === direct) // identical registers -> identical estimate
+  }
+
+  test("inclusion-exclusion intersection estimate tracks the true overlap") {
+    val a = (1 to 1000).map(i => s"v$i").toDF("s")
+    val b = (501 to 1500).map(i => s"v$i").toDF("s")
+    val ea = a.agg(Sketches.hllNdv(col("s"))).head.getLong(0)
+    val eb = b.agg(Sketches.hllNdv(col("s"))).head.getLong(0)
+    val ska = a.agg(Sketches.hllSketch(col("s")).as("sk"))
+    val skb = b.agg(Sketches.hllSketch(col("s")).as("sk"))
+    val u = ska.crossJoin(skb.withColumnRenamed("sk", "sk2"))
+      .select(Sketches.hllUnionEst(col("sk"), col("sk2")))
+      .head.getLong(0)
+    val inter = ea + eb - u // true overlap = 500
+    assert(math.abs(inter - 500) <= 150, s"inter_est=$inter")
+  }
 }
