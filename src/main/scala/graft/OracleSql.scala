@@ -2960,6 +2960,45 @@ object OracleSql {
          |  round(r.e, 6) AS ewma
          |FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.mx""".stripMargin,
 
+    // Holt double-exponential smoothing: recursive-CTE replay of the
+    // IEEE fold; the b-update re-derives l_n textually (same doubles)
+    "holt_trend" ->
+      s"""WITH RECURSIVE $EV,
+         |x AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM ev),
+         |r AS (SELECT user_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM x WHERE rn = 1
+         |  UNION ALL
+         |  SELECT x.user_id, x.rn,
+         |    0.25 * x.v + 0.75 * (r.l + r.b),
+         |    0.25 * ((0.25 * x.v + 0.75 * (r.l + r.b)) - r.l) + 0.75 * r.b
+         |  FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1),
+         |f AS (SELECT user_id, MAX(rn) AS mx FROM x GROUP BY 1)
+         |SELECT r.user_id, CAST(f.mx AS BIGINT) AS n_events,
+         |  round(r.l, 6) AS level, round(r.b, 6) AS trend,
+         |  round(r.l + r.b, 6) AS forecast
+         |FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.mx""".stripMargin,
+
+    // day-of-week seasonality: dow = isodow-1 ≡ Spark weekday (0=Mon);
+    // observed-day means, factor = one rounded division of pinned means
+    "seasonal_dow" ->
+      s"""WITH $EV,
+         |daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2),
+         |bd AS (SELECT g, CAST(isodow(d) - 1 AS BIGINT) AS dow,
+         |    CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(cnt) AS BIGINT) AS total
+         |  FROM daily GROUP BY 1, 2),
+         |ov AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gn,
+         |    CAST(SUM(cnt) AS BIGINT) AS gt FROM daily GROUP BY 1)
+         |SELECT bd.g, dow, n_days, total,
+         |  round(CAST(total AS DOUBLE) / n_days, 6) AS mean_cnt,
+         |  round(round(CAST(total AS DOUBLE) / n_days, 6) /
+         |    round(CAST(gt AS DOUBLE) / gn, 6), 6) AS factor
+         |FROM bd JOIN ov USING (g)""".stripMargin,
+
     // hashing-trick features: md5 bucket + md5 sign bit, BIGINT counts,
     // fixed-order 16-dim list
     "feature_hash" ->

@@ -2404,6 +2404,18 @@ object SparkEntry {
       .select(col("key").as("user_id"), col("n_events"),
         round(col("ewma"), 6).as("ewma"))
 
+  /** Per-user Holt level+trend smoothing of event values (α = β = 1/4)
+    * with the one-step forecast — the trend-aware twin of ewma_smooth. */
+  private def holtTrend(s: SparkSession, dir: String): DataFrame =
+    ops.Smooth.holt(events(s, dir), "user_id", "ts", "event_id", "value")
+      .withColumnRenamed("key", "user_id")
+
+  /** Day-of-week seasonality factors per event type (dow 0 = Monday;
+    * observed-day means, one rounded division per output cell). */
+  private def seasonalDowQ(s: SparkSession, dir: String): DataFrame =
+    ops.Behavior.seasonalDow(events(s, dir), "event_type", "ts")
+      .withColumnRenamed("event_type", "g")
+
   /** Hashing-trick featurization of user behavior (event type + value
     * bucket tokens → 16 signed-count dims). */
   private def featureHashQ(s: SparkSession, dir: String): DataFrame = {
@@ -3296,6 +3308,8 @@ object SparkEntry {
     "rfm_segments"      -> (rfmSegments _),
     "link_prediction"   -> (linkPredictionQ _),
     "hll_overlap"       -> (hllOverlap _),
+    "holt_trend"        -> (holtTrend _),
+    "seasonal_dow"      -> (seasonalDowQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

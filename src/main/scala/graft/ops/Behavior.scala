@@ -100,6 +100,45 @@ object Behavior {
     * subtrees — AQE exchange reuse serves one aggregation to all three
     * ranks), re-joined on the entity key. Everything after the first
     * aggregate is entities-scale. */
+  /** Day-of-week seasonal profile per group — the multiplicative
+    * seasonality factors (Mon..Sun mean daily volume over the group's
+    * overall mean daily volume) that a naive seasonal forecast divides
+    * out before trend fitting ([[activityTrend]], [[Smooth.holt]]) and a
+    * monitoring gate multiplies back in before alarming on "low
+    * weekend traffic".
+    *
+    * dow is Spark `weekday` (0 = Monday .. 6 = Sunday) ≡ DuckDB
+    * `isodow − 1` — pinned because the engines' default `dayofweek`
+    * conventions differ. Means are one rounded double division over
+    * exact BIGINT day counts/totals; the factor is ONE more rounded
+    * division of the two pinned means. Days with zero events do not
+    * produce rows, so means are over OBSERVED days (pinned semantics —
+    * use [[graft.SparkEntry]]'s gap_fill spine upstream when zero days
+    * must count).
+    *
+    * Scale shape: one (group, day) partial aggregate (map-side combine
+    * collapses the event stream to group×days rows), a ≤ 7-rows-per-
+    * group rollup, and the per-group totals broadcast back — nothing
+    * beyond groups×7 after the first aggregate. */
+  def seasonalDow(events: DataFrame, groupCol: String,
+                  tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol), col(tsCol).cast("date").as("__d"))
+      .agg(count(lit(1)).as("__cnt"))
+    val byDow = daily
+      .groupBy(col(groupCol), weekday(col("__d")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__cnt")).as("total"))
+    val overall = broadcast(daily.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__gn"), sum(col("__cnt")).as("__gt")))
+    byDow.join(overall, groupCol)
+      .select(col(groupCol), col("dow"), col("n_days"), col("total"),
+        round(col("total").cast("double") / col("n_days"), 6)
+          .as("mean_cnt"),
+        round(round(col("total").cast("double") / col("n_days"), 6) /
+          round(col("__gt").cast("double") / col("__gn"), 6), 6)
+          .as("factor"))
+  }
+
   def rfm(df: DataFrame, entityCol: String, tsCol: String,
           amount: org.apache.spark.sql.Column, nBins: Int = 5): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")

@@ -112,4 +112,60 @@ object Smooth {
       }
     }(enc)
   }
+
+  /** Holt double-exponential smoothing per key — [[ewma]] plus a trend
+    * state, so a steadily rising series forecasts ABOVE its last level
+    * where a plain EWMA lags it: `l_n = α·x_n + (1−α)·(l+b)`,
+    * `b_n = β·(l_n − l) + (1−β)·b`, init `l_1 = x_1, b_1 = 0` (pinned).
+    * One-step forecast `l + b` rides along.
+    *
+    * Same sorted-fold scale shape as [[ewma]]; α and β must be exact
+    * binary fractions so the IEEE sequence replays in the oracle's
+    * recursive CTE (the b-update re-derives l_n with the textually
+    * identical expression — same ops, same order, same doubles).
+    *
+    * Returns `(key, n_events, level, trend, forecast)` rounded 6. */
+  def holt(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valCol: String, alpha: Double = 0.25,
+           beta: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"alpha/beta in (0,1], got ($alpha, $beta)")
+    val base = df.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).as("__ts"), col(idCol).cast("long").as("__id"),
+        col(valCol).cast("double").as("__x"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("__ts"), col("__id"))
+    val outSchema = StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false),
+      StructField("forecast", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    def r6(x: Double): Double = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    base.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val it = rows.buffered
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          val k = it.head.getLong(0)
+          var n = 0L
+          var l = 0.0
+          var b = 0.0
+          while (it.hasNext && it.head.getLong(0) == k) {
+            val x = it.next().getDouble(3)
+            if (n == 0L) { l = x; b = 0.0 }
+            else {
+              val lNew = alpha * x + (1.0 - alpha) * (l + b)
+              b = beta * (lNew - l) + (1.0 - beta) * b
+              l = lNew
+            }
+            n += 1L
+          }
+          Row(k, n, r6(l), r6(b), r6(l + b))
+        }
+      }
+    }(enc)
+  }
 }

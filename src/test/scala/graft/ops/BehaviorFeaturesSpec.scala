@@ -58,4 +58,36 @@ class BehaviorFeaturesSpec extends SparkSpec {
     assert(bi("alpha beta") === Seq(1L, 3L))
     assert(bi("beta alpha") === Seq(3L))
   }
+
+  test("seasonalDow: observed-day means and factors; dow 0 is Monday") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // Mondays 2024-01-01 (2 ev) + 2024-01-08 (4 ev); Tuesday 01-02 (3 ev)
+    val rows = Seq.fill(2)("2024-01-01 10:00:00") ++
+      Seq.fill(4)("2024-01-08 11:00:00") ++
+      Seq.fill(3)("2024-01-02 09:00:00")
+    val df = rows.map(("a", _)).toDF("g", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Behavior.seasonalDow(df, "g", "ts")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // dow 0 (Mon): 2 days, 6 events, mean 3; dow 1 (Tue): 1 day, 3, mean 3
+    // overall mean over 3 observed days = 3 → factors 1.0
+    assert(out(0L) === ((2L, 6L, 3.0, 1.0)))
+    assert(out(1L) === ((1L, 3L, 3.0, 1.0)))
+  }
+
+  test("seasonalDow: a heavy weekday lifts its factor above 1") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val rows = Seq.fill(9)("2024-01-01 10:00:00") ++ // Monday: 9
+      Seq.fill(1)("2024-01-02 10:00:00") ++          // Tuesday: 1
+      Seq.fill(2)("2024-01-03 10:00:00")             // Wednesday: 2
+    val df = rows.map(("a", _)).toDF("g", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Behavior.seasonalDow(df, "g", "ts")
+      .collect().map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(out(0L) === 2.25)   // 9 / 4
+    assert(out(1L) === 0.25)
+    assert(out(2L) === 0.5)
+  }
 }

@@ -30,6 +30,28 @@ class SmoothStatsSpec extends SparkSpec {
     assert(out.filter(col("ewma") =!= 1.5).count() == 0)
   }
 
+  test("holt: hand fold — level tracks, trend learns the slope") {
+    // key 1 values 1, 2, 3 in order; α=β=1/4, l1=1, b1=0:
+    // l2=.25*2+.75*1=1.25 ; b2=.25*(1.25-1)=0.0625
+    // l3=.25*3+.75*(1.25+.0625)=1.734375 ; b3=.25*(1.734375-1.25)+.75*.0625=0.16796875
+    val df = Seq((1L, ts(1), 1L, 1.0), (1L, ts(2), 2L, 2.0),
+      (1L, ts(3), 3L, 3.0)).toDF("k", "ts", "id", "v")
+    val r = Smooth.holt(df, "k", "ts", "id", "v").collect()(0)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.734375)
+    assert(r.getDouble(3) === 0.167969) // rounded 6
+    assert(r.getDouble(4) === 1.902344) // l + b rounded 6
+  }
+
+  test("holt: rising series forecasts above a plain ewma's level") {
+    val df = (1 to 20).map(i => (1L, ts(i.toLong), i.toLong, i.toDouble))
+      .toDF("k", "ts", "id", "v")
+    val h = Smooth.holt(df, "k", "ts", "id", "v").collect()(0)
+    val e = Smooth.ewma(df, "k", "ts", "id", "v").collect()(0)
+    assert(h.getDouble(3) > 0)                 // learned positive trend
+    assert(h.getDouble(4) > e.getDouble(2))    // forecast > lagging ewma
+  }
+
   test("cusum: accumulation, alarm + reset, first-alarm time, peak stat") {
     // target+slack = 10; h = 15. xs: 20 (s=10), 18 (s=18 > 15 → alarm,
     // reset), 5 (s=0), 30 (s=20 > 15 → alarm), 2 (s=0) ⇒ 2 alarms,
