@@ -3415,6 +3415,72 @@ object OracleSql {
          |    CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 6) AS auc
          |FROM c""".stripMargin,
 
+    // KS statistic: exact-integer CDF gap |cp*N - cn*P| maximized over the
+    // distinct-score grid, smallest attaining score as the cut point
+    "ks_statistic" ->
+      s"""WITH $EV,
+         |g AS (SELECT round(value, 2) AS s,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
+         |  FROM ev GROUP BY 1),
+         |c AS (SELECT s,
+         |    SUM(pos) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         |    SUM(neg) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+         |  FROM g),
+         |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+         |    CAST(SUM(neg) AS BIGINT) AS n FROM g),
+         |d AS (SELECT s,
+         |    abs(CAST(cp AS HUGEINT) * n - CAST(cn AS HUGEINT) * p) AS diff
+         |  FROM c, t)
+         |SELECT t.p AS n_pos, t.n AS n_neg,
+         |  round(CAST(diff AS DOUBLE) /
+         |    (CAST(t.p AS DOUBLE) * CAST(t.n AS DOUBLE)), 6) AS ks,
+         |  s AS ks_at_score
+         |FROM d, t ORDER BY diff DESC, s LIMIT 1""".stripMargin,
+
+    // chi-square token selection: AD-BC exact (HUGEINT ≡ Spark DECIMAL),
+    // one fixed-shape double statistic, top-15 per class on (chi2, token)
+    "chi2_tokens" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, lang AS cls, t AS token
+         |  FROM (SELECT doc_id, lang, unnest($TOKS_LOWER) AS t
+         |        FROM documents)),
+         |tc AS (SELECT token, cls, CAST(COUNT(*) AS BIGINT) AS a
+         |  FROM dt GROUP BY 1, 2),
+         |tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS df FROM tc
+         |  GROUP BY 1 HAVING SUM(a) >= 5),
+         |ct AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |sc AS (SELECT cls, token, df, a AS in_class,
+         |    round(CAST(n AS DOUBLE) *
+         |      CAST(CAST(a AS HUGEINT) * (n - df - c + a) -
+         |        CAST(df - a AS HUGEINT) * (c - a) AS DOUBLE) *
+         |      CAST(CAST(a AS HUGEINT) * (n - df - c + a) -
+         |        CAST(df - a AS HUGEINT) * (c - a) AS DOUBLE) /
+         |      (CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE) *
+         |       CAST(c AS DOUBLE) * CAST(n - c AS DOUBLE)), 6) AS chi2
+         |  FROM tc JOIN tt USING (token) JOIN ct USING (cls), nn
+         |  WHERE n - df > 0 AND n - c > 0)
+         |SELECT cls, token, df, in_class, chi2 FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY cls
+         |  ORDER BY chi2 DESC, token) <= 15""".stripMargin,
+
+    // order-2 path mining: two LEADs over the per-user (ts, id) order,
+    // top-50 trigram counts with the full lexicographic tie-break
+    "path_trigrams" ->
+      s"""WITH $EV,
+         |tri AS (SELECT event_type AS e1,
+         |    lead(event_type, 1) OVER w AS e2,
+         |    lead(event_type, 2) OVER w AS e3
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin,
+
     // GDPR delete-propagation audit: the erased cohort's row counts in the
     // event log and the latest-features materialization (one row per entity)
     "forget_user" ->

@@ -2775,6 +2775,24 @@ object SparkEntry {
     functions.EvalMetrics.binaryAuc(events(s, dir),
       round(col("value"), 2), (col("event_type") === "purchase").cast("long"))
 
+  /** KS statistic of the same score/label pair as binary_auc: max CDF
+    * gap in exact integer form, the attaining score as the cut point. */
+  private def ksStatistic(s: SparkSession, dir: String): DataFrame =
+    functions.EvalMetrics.ksStatistic(events(s, dir),
+      round(col("value"), 2), (col("event_type") === "purchase").cast("long"))
+
+  /** χ² token selection on documents: top-15 tokens per language by the
+    * presence × class chi-square (minDf 5). */
+  private def chi2Tokens(s: SparkSession, dir: String): DataFrame =
+    ops.InfoTheory.chi2Tokens(t(s, dir, "documents"), "doc_id", "text",
+      "lang", k = 15, minDf = 5L)
+
+  /** Top-50 per-user event-type trigram paths — order-2 sequence mining
+    * beside the Markov transition matrix. */
+  private def pathTrigrams(s: SparkSession, dir: String): DataFrame =
+    ops.Markov.pathTrigrams(events(s, dir), "user_id", "ts", "event_id",
+      "event_type", k = 50)
+
   /** GDPR delete propagation: erase a deterministic user cohort
     * (user_id % 97 == 13) from the event log AND its downstream
     * latest-features materialization, emitting the per-table audit the
@@ -3310,6 +3328,9 @@ object SparkEntry {
     "hll_overlap"       -> (hllOverlap _),
     "holt_trend"        -> (holtTrend _),
     "seasonal_dow"      -> (seasonalDowQ _),
+    "ks_statistic"      -> (ksStatistic _),
+    "chi2_tokens"       -> (chi2Tokens _),
+    "path_trigrams"     -> (pathTrigrams _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -42,4 +42,44 @@ object EvalMetrics {
         round(col("__num2").cast("double") /
           (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
   }
+
+  /** Kolmogorov–Smirnov statistic of a binary classifier — the maximum
+    * gap between the positive and negative score CDFs, with the score
+    * where it's attained (the classic credit-scoring separation metric
+    * beside [[binaryAuc]], and the natural cut point for a hard
+    * threshold).
+    *
+    * Same quantize-first contract as binaryAuc: the corpus collapses to
+    * the distinct-score grid in ONE partial aggregate, so the cumulative
+    * window is bounded by score cardinality, not corpus size. The gap is
+    * maximized in EXACT integer form — `|cumPos·N − cumNeg·P|` in
+    * DECIMAL (BIGINT products overflow at 10¹⁰-row scale) with the
+    * smallest attaining score as tie-break — and only the final
+    * normalization is one rounded double division.
+    *
+    * Returns one row `(n_pos, n_neg, ks, ks_at_score)`. */
+  def ksStatistic(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.select(score.as("__s"), label.cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"),
+        sum(lit(1L) - col("__y")).as("__neg"))
+    val upto = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.select(col("__s"),
+      sum(col("__pos")).over(upto).as("__cp"),
+      sum(col("__neg")).over(upto).as("__cn"))
+    val tot = broadcast(g.agg(sum(col("__pos")).as("__p"),
+      sum(col("__neg")).as("__n")))
+    cum.crossJoin(tot)
+      .select(col("__s"), col("__p"), col("__n"),
+        abs(col("__cp").cast("decimal(19,0)") * col("__n") -
+            col("__cn").cast("decimal(19,0)") * col("__p")).as("__diff"))
+      .orderBy(col("__diff").desc, col("__s").asc)
+      .limit(1)
+      .select(col("__p").as("n_pos"), col("__n").as("n_neg"),
+        round(col("__diff").cast("double") /
+          (col("__p").cast("double") * col("__n").cast("double")), 6)
+          .as("ks"),
+        col("__s").as("ks_at_score"))
+  }
 }

@@ -80,4 +80,66 @@ object InfoTheory {
       .select(col("mi_term").cast("decimal(18,9)").as("__t"))
       .agg(sum(col("__t")).cast("double").as("mi_nats"))
       .select(lit(xCol).as("x_col"), lit(yCol).as("y_col"), col("mi_nats"))
+
+  /** χ² token selection — per class, the top-k tokens by the chi-square
+    * of the token-presence × class contingency table (the classic
+    * supervised feature selector feeding
+    * [[graft.functions.Classifier]] / [[graft.functions.Bayes]]: MI's
+    * cousin with a sharper preference for rare-but-exclusive tokens).
+    *
+    * With A = in-class docs containing the token, B = out-of-class docs
+    * containing it, C/D their complements and n the corpus size:
+    * `χ² = n·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D))`. A·D−B·C is computed
+    * EXACTLY in DECIMAL (BIGINT products overflow at 10¹⁰-doc scale)
+    * and the statistic is ONE fixed-shape double expression over that
+    * exact integer and the four exact marginals, rounded 6 — both
+    * engines compute the identical doubles. Ranking is (χ², token)
+    * per class; the rank filter plans as WindowGroupLimit.
+    *
+    * Scale shape: one (token, class) partial aggregate over distinct
+    * doc-token pairs (map-side combine), token totals RE-aggregated
+    * from that table (never a rescan), class totals are
+    * classes-sized, the corpus count a 1-row broadcast. Tokens with
+    * doc frequency < minDf are dropped before scoring — noise, and at
+    * scale the long tail of hapaxes is most of the vocabulary. Only
+    * OBSERVED (token, class) cells are scored: a token ranks in the
+    * classes it occurs in, and pure-absence signals surface through the
+    * complementary class's list (pinned semantics, replayed verbatim). */
+  def chi2Tokens(docs: DataFrame, idCol: String, textCol: String,
+                 classCol: String, k: Int, minDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = docs.select(col(idCol).as("__id"), col(classCol).as("cls"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.tokens(lower(col(textCol)))))
+          .as("token"))
+    val tokCls = graft.functions.Dedup.barrier(
+      dt.groupBy("token", "cls").agg(count(lit(1)).as("__a")),
+      checkpoint = false)
+    val tokTot = tokCls.groupBy("token").agg(sum(col("__a")).as("__df"))
+      .where(col("__df") >= minDf)
+    val clsTot = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("__c"))
+    val nTot = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val scored = tokCls.join(tokTot, "token").join(clsTot, "cls")
+      .crossJoin(nTot)
+      .select(col("cls"), col("token"), col("__df").as("df"),
+        col("__a").as("in_class"),
+        // A=a, B=df-a, C=c-a, D=n-df-c+a ; AD-BC exact in DECIMAL
+        (col("__a").cast("decimal(19,0)") *
+          (col("__n") - col("__df") - col("__c") + col("__a")) -
+         (col("__df") - col("__a")).cast("decimal(19,0)") *
+          (col("__c") - col("__a"))).as("__num"),
+        col("__df"), col("__c"), col("__n"))
+      .where((col("__n") - col("__df")) > 0 && (col("__n") - col("__c")) > 0)
+      .select(col("cls"), col("token"), col("df"), col("in_class"),
+        round(col("__n").cast("double") *
+          col("__num").cast("double") * col("__num").cast("double") /
+          (col("__df").cast("double") * (col("__n") - col("__df"))
+            .cast("double") * col("__c").cast("double") *
+            (col("__n") - col("__c")).cast("double")), 6).as("chi2"))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2").desc, col("token").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
 }

@@ -40,4 +40,30 @@ object Markov {
       .select(col("from_state"), col("to_state"), col("n"), col("n_from"),
         round(col("n").cast("double") / col("n_from"), 6).as("p"))
   }
+
+  /** Top-k event-type trigrams over per-entity sequences — the order-2
+    * extension of [[transitions]]: the most common three-step paths
+    * ("view → cart → purchase"), the raw material for funnel discovery
+    * and bot-pattern screens (a high-frequency path no product flow
+    * explains is automation).
+    *
+    * Same keyed-window shape as [[transitions]] (two LEADs ride the SAME
+    * per-entity sort — one window shuffle, not two); counts partial-agg
+    * to ≤ states³ rows; top-k plans as TakeOrderedAndProject on
+    * (n DESC, e1, e2, e3). */
+  def pathTrigrams(events: DataFrame, entityCol: String, tsCol: String,
+                   tieCol: String, stateCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(stateCol).as("e1"),
+        lead(col(stateCol), 1).over(w).as("e2"),
+        lead(col(stateCol), 2).over(w).as("e3"))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(k)
+  }
 }

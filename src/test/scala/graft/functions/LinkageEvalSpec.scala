@@ -61,6 +61,28 @@ class LinkageEvalSpec extends SparkSpec {
       math.rint(brute * 1e6) / 1e6) < 1e-12)
   }
 
+  test("ksStatistic: perfect separation gives KS 1 at the last negative") {
+    val df = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L))
+      .toDF("score", "y")
+    val out = EvalMetrics.ksStatistic(df, col("score"), col("y"))
+      .collect()(0)
+    assert((out.getAs[Long]("n_pos"), out.getAs[Long]("n_neg")) ===
+      ((2L, 2L)))
+    assert(out.getAs[Double]("ks") === 1.0)
+    assert(out.getAs[Double]("ks_at_score") === 2.0)
+  }
+
+  test("ksStatistic: interleaved scores — max gap and smallest " +
+    "attaining score") {
+    // neg {1,3}, pos {2,4}: gaps 0.5, 0, 0.5, 0 → ks 0.5 at score 1
+    val df = Seq((1.0, 0L), (2.0, 1L), (3.0, 0L), (4.0, 1L))
+      .toDF("score", "y")
+    val out = EvalMetrics.ksStatistic(df, col("score"), col("y"))
+      .collect()(0)
+    assert(out.getAs[Double]("ks") === 0.5)
+    assert(out.getAs[Double]("ks_at_score") === 1.0)
+  }
+
   test("oovRate: full-vocab docs score 0, unknown-token docs score 1") {
     val docs = Seq((1L, "aa bb aa"), (2L, "aa zz"), (3L, "qq rr ss"))
       .toDF("doc_id", "text")

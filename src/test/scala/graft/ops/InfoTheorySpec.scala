@@ -48,6 +48,38 @@ class InfoTheorySpec extends SparkSpec {
     assert(rows(("b", "q")) === ((1L, 1L, 2L)))
   }
 
+  test("chi2Tokens: hand contingency — exclusive tokens score n, " +
+    "balanced tokens score 0") {
+    val docs = Seq(
+      (1L, "apple apple", "en"), (2L, "apple banana", "en"),
+      (3L, "cherry", "fr"), (4L, "banana cherry", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = InfoTheory.chi2Tokens(docs, "doc_id", "text", "lang",
+        k = 10, minDf = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // apple: en-exclusive, df 2 → chi2 = 4·(2·2)²/(2·2·2·2) = 4
+    assert(out(("en", "apple")) === ((2L, 2L, 4.0)))
+    assert(out(("fr", "cherry")) === ((2L, 2L, 4.0)))
+    // banana: one doc each side → AD − BC = 0
+    assert(out(("en", "banana")) === ((2L, 1L, 0.0)))
+    assert(out(("fr", "banana")) === ((2L, 1L, 0.0)))
+    assert(out.size === 4) // duplicate tokens in a doc count once
+  }
+
+  test("chi2Tokens: minDf drops rare tokens; k caps each class") {
+    val docs = Seq(
+      (1L, "aa aa bb", "x"), (2L, "aa cc", "x"),
+      (3L, "dd", "y"), (4L, "dd aa", "y"))
+      .toDF("doc_id", "text", "lang")
+    val out = InfoTheory.chi2Tokens(docs, "doc_id", "text", "lang",
+      k = 1, minDf = 2L).collect()
+    // bb/cc (df 1) gone; each class keeps exactly its top-1
+    assert(out.length === 2)
+    assert(out.map(_.getString(0)).toSet === Set("x", "y"))
+    assert(out.forall(r => Set("aa", "dd").contains(r.getString(1))))
+  }
+
   test("entropy is partitioning-independent (decimal-pinned sum)") {
     val docs = graft.sources.Readers.parquet(spark, s"$sf001/documents.parquet")
     val a = InfoTheory.entropyProfile(docs.repartition(1), Seq("lang", "source"))

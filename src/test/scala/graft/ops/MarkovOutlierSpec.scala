@@ -89,4 +89,30 @@ class MarkovOutlierSpec extends SparkSpec {
       .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("state")).toMap
     assert(out === Map(3L -> "click", 5L -> "error"))
   }
+
+  test("pathTrigrams: sliding trigrams per entity, counts and top-k order") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // two users both walk a→b→c→d; one also walks x→y→z
+    val rows = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),
+      (1L, ts(4), 4L, "d"),
+      (2L, ts(1), 5L, "a"), (2L, ts(2), 6L, "b"), (2L, ts(3), 7L, "c"),
+      (2L, ts(4), 8L, "d"),
+      (3L, ts(1), 9L, "x"), (3L, ts(2), 10L, "y"), (3L, ts(3), 11L, "z"))
+      .toDF("u", "ts", "id", "e")
+    val out = Markov.pathTrigrams(rows.toDF(), "u", "ts", "id", "e", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // (a,b,c) and (b,c,d) twice each; k=2 keeps them in tie-break order
+    assert(out.toSeq === Seq(("a", "b", "c", 2L), ("b", "c", "d", 2L)))
+  }
+
+  test("pathTrigrams: short sequences emit nothing; no cross-entity chains") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (2L, ts(3), 3L, "c"))
+      .toDF("u", "ts", "id", "e")
+    assert(Markov.pathTrigrams(rows.toDF(), "u", "ts", "id", "e", 10)
+      .count() === 0L)
+  }
 }
