@@ -3481,6 +3481,35 @@ object OracleSql {
          |GROUP BY 1, 2, 3
          |ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin,
 
+    // content-defined chunking: every rolling-cut boundary replayed
+    // (mh63(8-gram) % 64 = 0), chunk hashes from substr, exact BIGINT mass
+    "cdc_dedup" ->
+      s"""WITH d AS (SELECT doc_id, source AS g, text, length(text) AS len
+         |  FROM documents WHERE length(text) > 0),
+         |pos AS (SELECT doc_id, g, text, len,
+         |    unnest(range(2, len - 8 + 2)) AS i FROM d),
+         |bnd AS (SELECT doc_id, g, len, i FROM pos
+         |  WHERE ${mh63("substr(text, i, 8)")} % 64 = 0),
+         |st AS (SELECT doc_id, g, len, 1 AS s FROM d
+         |  UNION ALL SELECT doc_id, g, len, i FROM bnd),
+         |ck AS (SELECT doc_id, g, s,
+         |    COALESCE(LEAD(s) OVER (PARTITION BY doc_id ORDER BY s),
+         |      len + 1) - s AS clen
+         |  FROM st),
+         |ch AS (SELECT ck.g, clen,
+         |    ${mh63("substr(d.text, ck.s, ck.clen)")} AS h
+         |  FROM ck JOIN d USING (doc_id)),
+         |cd AS (SELECT g, h, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MIN(clen) AS BIGINT) AS cl
+         |  FROM ch GROUP BY 1, 2)
+         |SELECT g, CAST(SUM(n) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(n * cl) AS BIGINT) AS total_chars,
+         |  CAST(SUM(cl) AS BIGINT) AS distinct_chars,
+         |  round(1.0 - CAST(SUM(cl) AS DOUBLE) /
+         |    CAST(SUM(n * cl) AS DOUBLE), 6) AS dedup_ratio
+         |FROM cd GROUP BY 1""".stripMargin,
+
     // GDPR delete-propagation audit: the erased cohort's row counts in the
     // event log and the latest-features materialization (one row per entity)
     "forget_user" ->

@@ -2793,6 +2793,13 @@ object SparkEntry {
     ops.Markov.pathTrigrams(events(s, dir), "user_id", "ts", "event_id",
       "event_type", k = 50)
 
+  /** Content-defined-chunking dedup audit per source (8-gram rolling
+    * cut, modulus 64 — expected ~64-char chunks): total vs distinct
+    * chunk mass, the storage-dedup ratio. */
+  private def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    functions.Dedup.cdcDedupStats(t(s, dir, "documents"), "doc_id",
+      "text", "source", gramK = 8, modulus = 64)
+
   /** GDPR delete propagation: erase a deterministic user cohort
     * (user_id % 97 == 13) from the event log AND its downstream
     * latest-features materialization, emitting the per-table audit the
@@ -3331,6 +3338,7 @@ object SparkEntry {
     "ks_statistic"      -> (ksStatistic _),
     "chi2_tokens"       -> (chi2Tokens _),
     "path_trigrams"     -> (pathTrigrams _),
+    "cdc_dedup"         -> (cdcDedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -629,4 +629,48 @@ object Dedup {
         (size(col("__toks")) - size(col("__kept"))).cast("long")
           .as("n_removed"))
   }
+
+  /** Content-defined-chunking storage-dedup audit — per group, how much
+    * of the corpus is REDUNDANT at chunk granularity: texts are cut at
+    * [[expressions.CdcChunkStarts]] boundaries (rolling md5 cut ≡ 0 mod
+    * `modulus`, expected chunk ≈ modulus chars), chunks are keyed by
+    * their 63-bit md5, and the report compares total vs distinct chunk
+    * mass — the restic/borg dedup-ratio estimate, and the edit-stable
+    * complement of [[dupSpans]] (a shifted copy re-aligns at the next
+    * content cut instead of missing every fixed window).
+    *
+    * Scale shape: boundary detection is a scan-stage compiled
+    * expression; the explode fan-out is chunks-per-doc (≈ len/modulus);
+    * ONE (group, chunk-hash) partial aggregate — map-side combine
+    * collapses repeats — then a groups-sized rollup. All counts exact
+    * BIGINTs; the ratio is the single rounded double division. */
+  def cdcDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, gramK: Int = 8,
+                    modulus: Int = 64): DataFrame = {
+    val ch = docs.where(length(col(textCol)) > 0)
+      .select(col(groupCol).as("g"), col(textCol).as("__t"),
+        length(col(textCol)).as("__len"),
+        expressions.CdcChunkStarts(col(textCol), gramK, modulus)
+          .as("__starts"))
+      .select(col("g"), col("__t"), col("__len"), col("__starts"),
+        posexplode(col("__starts")).as(Seq("__idx", "__s")))
+      .select(col("g"),
+        (coalesce(try_element_at(col("__starts"), col("__idx") + lit(2)),
+          col("__len") + 1) - col("__s")).as("__clen"),
+        col("__s"), col("__t"))
+      .select(col("g"), col("__clen"),
+        expressions.Md5Long(expr("substring(__t, __s, __clen)"))
+          .bitwiseAND(lit(Long.MaxValue)).as("__h"))
+    val cd = ch.groupBy(col("g"), col("__h"))
+      .agg(count(lit(1)).as("__n"), min(col("__clen")).as("__cl"))
+    cd.groupBy(col("g"))
+      .agg(sum(col("__n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__n") * col("__cl")).as("total_chars"),
+        sum(col("__cl")).as("distinct_chars"))
+      .select(col("g"), col("n_chunks"), col("n_distinct"),
+        col("total_chars"), col("distinct_chars"),
+        round(lit(1.0) - col("distinct_chars").cast("double") /
+          col("total_chars").cast("double"), 6).as("dedup_ratio"))
+  }
 }

@@ -275,3 +275,60 @@ final case class WinnowFingerprint(child: Expression, shingleK: Int, window: Int
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)
 }
+
+/** Content-defined chunk boundaries — the rolling-cut primitive behind
+  * storage-level dedup (restic/borg/LBFS): a chunk starts at char
+  * position i (1-based) when the md5 hash of the k-gram STARTING at i is
+  * ≡ 0 mod `modulus` (expected chunk length ≈ modulus chars). Because a
+  * cut depends only on the k chars after it, an insertion early in a
+  * document shifts ONE boundary instead of re-aligning every fixed-width
+  * block — the property that makes chunk-hash dedup survive edits where
+  * fixed windows don't.
+  *
+  * Returns the sorted chunk-start positions, always beginning with 1.
+  * Char-based like SQL `substr`, hashes via [[Md5Hash64.lowerMasked]] ≡
+  * `md5_number_lower % 2^63` — the oracle replays every boundary with a
+  * positions-unnest + substr + mh63 filter. */
+final case class CdcChunkStarts(child: Expression, gramK: Int, modulus: Int)
+    extends UnaryExpression {
+
+  require(gramK >= 1 && modulus >= 2, s"need gramK >= 1, modulus >= 2")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_starts"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdc", this, classOf[CdcChunkStarts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val starts = Md5Hash64.charStarts(bytes, bytes.length)
+    val numChars = starts.length - 1
+    if (numChars == 0) return new GenericArrayData(Array.emptyIntArray)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](8)
+    buf += 1
+    // boundary at char i (1-based, i >= 2) when the full k-gram at i cuts
+    var i = 2
+    while (i <= numChars - gramK + 1) {
+      val from = starts(i - 1)
+      val h = Md5Hash64.lowerMasked(bytes, from, starts(i - 1 + gramK) - from)
+      if (h % modulus == 0L) buf += i
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkStarts =
+    copy(child = newChild)
+}
+
+object CdcChunkStarts {
+  def apply(text: Column, gramK: Int, modulus: Int): Column =
+    ColumnBridge.column(CdcChunkStarts(
+      ColumnBridge.expression(text), gramK, modulus))
+}
