@@ -3481,6 +3481,77 @@ object OracleSql {
          |GROUP BY 1, 2, 3
          |ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin,
 
+    // UCB1 bandit readout: DECIMAL-exact reward sums, mean pinned round 6
+    // first, one fixed-shape bonus expression
+    "bandit_ucb" ->
+      s"""WITH $EV,
+         |a AS (SELECT event_type AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(value AS DECIMAL(18,2))) AS s FROM ev GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM a)
+         |SELECT arm, n, round(CAST(s AS DOUBLE) / n, 6) AS mean_reward,
+         |  round(round(CAST(s AS DOUBLE) / n, 6) +
+         |    sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+         |    AS ucb
+         |FROM a, t""".stripMargin,
+
+    // incremental HLL: the merged batch sketches carry the SAME registers
+    // as a full rescan (max over a row partition = global max), so one
+    // register replay serves both columns — the maintenance identity
+    "incremental_hll" ->
+      s"""WITH h AS (SELECT source, ${mh63("text")} AS hv FROM documents),
+         |b AS (SELECT source, hv & 1023 AS bucket, hv >> 10 AS w FROM h),
+         |r AS (SELECT source, bucket,
+         |    max(CASE WHEN w = 0 THEN 54 ELSE 54 - length(bin(w)) END) AS m_j
+         |  FROM b GROUP BY 1, 2),
+         |agg AS (SELECT source,
+         |    SUM(CAST(CAST(1 AS BIGINT) << (54 - m_j) AS HUGEINT)) AS np,
+         |    CAST(1024 - COUNT(*) AS BIGINT) AS v
+         |  FROM r GROUP BY 1),
+         |est AS (SELECT source, CAST(floor(
+         |    CASE WHEN e_raw <= 2.5 * 1024 AND v > 0
+         |         THEN 1024 * ln(1024.0 / v) ELSE e_raw END + 0.5)
+         |    AS BIGINT) AS e
+         |  FROM (SELECT source, v,
+         |      0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * (2.0 ** 54) /
+         |        CAST(np + CAST(v AS HUGEINT) * (CAST(1 AS HUGEINT) << 54)
+         |          AS DOUBLE) AS e_raw
+         |    FROM agg)),
+         |ex AS (SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT)
+         |    AS n_exact FROM documents GROUP BY 1)
+         |SELECT est.source, e AS est_incremental, e AS est_full, n_exact
+         |FROM est JOIN ex USING (source)""".stripMargin,
+
+    // Zipf slope: top-300 vocab, log coordinates pinned round(·,9)→DECIMAL,
+    // products re-pinned to scale 9, final OLS in doubles over exact sums
+    "zipf_slope" ->
+      s"""WITH tf AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($TOKS_LOWER) AS t FROM documents)
+         |  GROUP BY 1),
+         |top AS (SELECT token, f,
+         |    row_number() OVER (ORDER BY f DESC, token) AS r
+         |  FROM tf ORDER BY f DESC, token LIMIT 300),
+         |terms AS (SELECT
+         |    CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         |    CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+         |  FROM top),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS sxy,
+         |    SUM(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS sxx
+         |  FROM terms)
+         |SELECT n AS n_terms,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) -
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+         |FROM agg""".stripMargin,
+
     // content-defined chunking: every rolling-cut boundary replayed
     // (mh63(8-gram) % 64 = 0), chunk hashes from substr, exact BIGINT mass
     "cdc_dedup" ->

@@ -2800,6 +2800,39 @@ object SparkEntry {
     functions.Dedup.cdcDedupStats(t(s, dir, "documents"), "doc_id",
       "text", "source", gramK = 8, modulus = 64)
 
+  /** UCB1 bandit readout over event types (reward = value): mean plus
+    * the sqrt(2 ln N / n) exploration bonus, fully pinned. */
+  private def banditUcb(s: SparkSession, dir: String): DataFrame =
+    functions.Experiment.ucb1(events(s, dir), "event_type", col("value"))
+
+  /** Incremental NDV maintenance: per-source HLL sketches built on two
+    * disjoint batches (doc_id % 5 splits), MERGED by register max — the
+    * estimate equals the full-rescan estimate exactly, which is the
+    * sketch-table maintenance contract at 100 TB. */
+  private def incrementalHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.Sketches
+    val docs = t(s, dir, "documents")
+    val sk = docs
+      .groupBy(col("source"), (col("doc_id") % 5 === 0).cast("int").as("__b"))
+      .agg(Sketches.hllSketch(col("text")).as("sk"))
+    val empty = lit(new Array[Byte](1024))
+    val merged = sk.groupBy("source")
+      .agg(max(when(col("__b") === 0, col("sk"))).as("sk0"),
+        max(when(col("__b") === 1, col("sk"))).as("sk1"))
+      .select(col("source"), Sketches.hllUnionEst(
+        coalesce(col("sk0"), empty), coalesce(col("sk1"), empty))
+        .as("est_incremental"))
+    val full = docs.groupBy("source")
+      .agg(Sketches.hllNdv(col("text")).as("est_full"),
+        countDistinct(col("text")).as("n_exact"))
+    merged.join(full, "source")
+  }
+
+  /** Zipf-slope audit of the top-300 vocabulary — log-log OLS of
+    * frequency on rank; natural text sits near −1. */
+  private def zipfSlope(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.zipfSlope(t(s, dir, "documents"), "text", topK = 300)
+
   /** GDPR delete propagation: erase a deterministic user cohort
     * (user_id % 97 == 13) from the event log AND its downstream
     * latest-features materialization, emitting the per-table audit the
@@ -3339,6 +3372,9 @@ object SparkEntry {
     "chi2_tokens"       -> (chi2Tokens _),
     "path_trigrams"     -> (pathTrigrams _),
     "cdc_dedup"         -> (cdcDedup _),
+    "bandit_ucb"        -> (banditUcb _),
+    "incremental_hll"   -> (incrementalHll _),
+    "zipf_slope"        -> (zipfSlope _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

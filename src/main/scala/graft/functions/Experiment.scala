@@ -41,4 +41,26 @@ object Experiment {
         col("__sum").cast("double").as("total"),
         round(col("__sum").cast("double") / col("n_obs"), 6).as("mean"))
   }
+
+  /** UCB1 bandit readout — per arm, the mean reward plus the
+    * `sqrt(2 ln N / n)` exploration bonus (Auer et al. 2002): the arm
+    * with the highest UCB is what a bandit allocator pulls next, so this
+    * table IS the allocation decision for an adaptive experiment, next
+    * to [[readout]]'s fixed-split A/B report.
+    *
+    * Reward sums are DECIMAL-exact; the mean is pinned round 6 FIRST and
+    * the bonus is one fixed-shape double expression over exact BIGINTs —
+    * the whole row replays. One arm-keyed partial aggregate plus a 1-row
+    * broadcast total; nothing beyond arms-scale after the scan. */
+  def ucb1(df: DataFrame, armCol: String, reward: Column): DataFrame = {
+    val arms = df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(reward.cast("decimal(18,2)")).as("__s"))
+    val tot = broadcast(arms.agg(sum(col("n")).as("__N")))
+    val mean = round(col("__s").cast("double") / col("n"), 6)
+    arms.crossJoin(tot).select(col("arm"), col("n"),
+      mean.as("mean_reward"),
+      round(mean + sqrt(lit(2.0) * log(col("__N").cast("double")) /
+        col("n").cast("double")), 6).as("ucb"))
+  }
 }

@@ -104,4 +104,55 @@ object Stats {
       when(sst === 0 || det === 0, lit(null).cast("double"))
         .otherwise(round(lit(1.0) - sse / sst, 6)).as("r2"))
   }
+
+  /** Zipf-slope vocabulary audit — the log-log OLS fit of frequency
+    * against rank over the top-k vocabulary: natural text sits near
+    * slope −1; a corpus whose slope is far off (template spam flattens
+    * it, dedup failures steepen it) fails the linguistic-shape check
+    * that token-count audits can't see.
+    *
+    * Float discipline: ranks and frequencies are exact integers; each
+    * log coordinate is `round(ln ·, 9)` pinned to DECIMAL(18,9), so
+    * Σx/Σy/Σxy/Σxx are EXACT decimal sums (order-independent); slope
+    * and intercept are each one fixed-shape double division rounded 6.
+    *
+    * Scale shape: one (token) partial aggregate over the corpus scan,
+    * TakeOrderedAndProject to k rows, then all arithmetic happens on
+    * the k-row table (the rank window is k-bounded by construction). */
+  def zipfSlope(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val freq = docs
+      .select(explode(graft.functions.TextFunctions.tokens(
+        lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("token").asc)
+      .limit(topK)
+    val ranked = freq.select(col("token"), col("__f"),
+      row_number().over(
+        Window.orderBy(col("__f").desc, col("token").asc)).as("__r"))
+    val terms = ranked.select(
+      round(log(col("__r").cast("double")), 9).cast("decimal(18,9)")
+        .as("__x"),
+      round(log(col("__f").cast("double")), 9).cast("decimal(18,9)")
+        .as("__y"))
+    // products re-pinned to scale 9 BEFORE summing so every sum's scaled
+    // integer stays < 2^53 and the decimal→double casts below are exact
+    // in both engines (a scale-18 sum would round differently per engine)
+    val agg = terms.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(round(col("__x") * col("__y"), 9).cast("decimal(18,9)"))
+        .as("__sxy"),
+      sum(round(col("__x") * col("__x"), 9).cast("decimal(18,9)"))
+        .as("__sxx"))
+    val nd = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    agg.select(col("__n").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / nd, 6).as("intercept"))
+  }
 }

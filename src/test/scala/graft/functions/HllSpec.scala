@@ -58,6 +58,15 @@ class HllSpec extends SparkSpec {
     assert(pair === direct) // identical registers -> identical estimate
   }
 
+  test("union with an all-zero sketch is the identity (missing batch)") {
+    val a = (1 to 700).map(i => s"v$i").toDF("s")
+    val direct = a.agg(Sketches.hllNdv(col("s"))).head.getLong(0)
+    val viaZero = a.agg(Sketches.hllSketch(col("s")).as("sk"))
+      .select(Sketches.hllUnionEst(col("sk"),
+        lit(new Array[Byte](1024)))).head.getLong(0)
+    assert(viaZero === direct)
+  }
+
   test("inclusion-exclusion intersection estimate tracks the true overlap") {
     val a = (1 to 1000).map(i => s"v$i").toDF("s")
     val b = (501 to 1500).map(i => s"v$i").toDF("s")

@@ -90,6 +90,31 @@ class MarkovOutlierSpec extends SparkSpec {
     assert(out === Map(3L -> "click", 5L -> "error"))
   }
 
+  test("ucb1: pinned mean plus exploration bonus; rare arm gets the " +
+    "bigger bonus") {
+    val df = (Seq.fill(90)(("a", 10.0)) ++ Seq.fill(10)(("b", 5.0)))
+      .toDF("arm", "v")
+    val out = graft.functions.Experiment.ucb1(df, "arm", col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val bonusA = math.sqrt(2.0 * math.log(100.0) / 90.0)
+    val bonusB = math.sqrt(2.0 * math.log(100.0) / 10.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out("a") === ((90L, 10.0, r6(10.0 + bonusA))))
+    assert(out("b") === ((10L, 5.0, r6(5.0 + bonusB))))
+    assert(out("b")._3 - 5.0 > out("a")._3 - 10.0) // rare arm explores more
+  }
+
+  test("zipfSlope: exact two-point log-log fit has slope -1") {
+    val docs = ((1 to 100).map(i => (i.toLong, "aa")) ++
+      (101 to 150).map(i => (i.toLong, "bb"))).toDF("doc_id", "text")
+    val r = Stats.zipfSlope(docs, "text", topK = 2).collect()(0)
+    assert(r.getLong(0) === 2L)
+    // freq 100 at rank 1, 50 at rank 2: slope = ln(50/100)/ln 2 = -1
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-5)
+    assert(math.abs(r.getDouble(2) - math.log(100.0)) < 1e-5)
+  }
+
   test("pathTrigrams: sliding trigrams per entity, counts and top-k order") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     // two users both walk a→b→c→d; one also walks x→y→z
