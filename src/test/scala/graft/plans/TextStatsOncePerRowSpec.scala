@@ -67,6 +67,7 @@ class TextStatsOncePerRowSpec extends SparkSpec {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
     assert(graft.GraftExtensions.functionBuilders.map(_._1.funcName) ==
-      Seq("minhash_sig", "simhash64", "kgram_jaccard", "fvec_dot", "md5_hll"))
+      Seq("minhash_sig", "simhash64", "kgram_jaccard", "fvec_dot",
+        "jaro_winkler", "word_ngrams", "md5_hll"))
   }
 }
