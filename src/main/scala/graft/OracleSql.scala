@@ -3481,6 +3481,63 @@ object OracleSql {
          |GROUP BY 1, 2, 3
          |ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin,
 
+    // CUBE grouping sets with GROUPING flags (same SQL text as the T1
+    // transform modulo the template placeholder)
+    "q_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    // decayed engagement: integer day ages, weights and weighted values
+    // pinned round(·,9)→DECIMAL before exact per-user sums
+    "decay_features" ->
+      s"""WITH $EV,
+         |ao AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM ev),
+         |aged AS (SELECT user_id,
+         |    CAST(date_diff('day', CAST(ts AS DATE), a) AS BIGINT) AS d,
+         |    CAST(value AS DECIMAL(18,2)) AS v
+         |  FROM ev, ao),
+         |ww AS (SELECT user_id,
+         |    CAST(round(exp(CAST(d AS DOUBLE) * (-ln(2.0) / 7)), 9)
+         |      AS DECIMAL(18,9)) AS w, v
+         |  FROM aged)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(w) AS DOUBLE) AS decayed_count,
+         |  CAST(SUM(CAST(round(w * v, 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) AS decayed_value
+         |FROM ww GROUP BY 1""".stripMargin,
+
+    // offline change point: exact prefix sums over the daily series, one
+    // rounded statistic per split, earliest-index argmax
+    "change_point" ->
+      s"""WITH $EV,
+         |daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+         |pre AS (SELECT g, day,
+         |    row_number() OVER (PARTITION BY g ORDER BY day) AS k,
+         |    SUM(c) OVER (PARTITION BY g ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+         |    COUNT(*) OVER (PARTITION BY g) AS n,
+         |    SUM(c) OVER (PARTITION BY g) AS s
+         |  FROM daily),
+         |cand AS (SELECT g, day, k, n,
+         |    round(CAST(sk AS DOUBLE) / k, 6) AS left_mean,
+         |    round(CAST(s - sk AS DOUBLE) / (n - k), 6) AS right_mean,
+         |    round(abs(CAST(sk AS DOUBLE) / k -
+         |      CAST(s - sk AS DOUBLE) / (n - k)), 9) AS stat
+         |  FROM pre WHERE k < n)
+         |SELECT g, CAST(n AS BIGINT) AS n_days,
+         |  CAST(day AS VARCHAR) AS split_day, left_mean, right_mean,
+         |  round(stat, 6) AS gap
+         |FROM cand
+         |QUALIFY row_number() OVER (PARTITION BY g
+         |  ORDER BY stat DESC, k) = 1""".stripMargin,
+
     // UCB1 bandit readout: DECIMAL-exact reward sums, mean pinned round 6
     // first, one fixed-shape bonus expression
     "bandit_ucb" ->

@@ -2833,6 +2833,35 @@ object SparkEntry {
   private def zipfSlope(s: SparkSession, dir: String): DataFrame =
     ops.Stats.zipfSlope(t(s, dir, "documents"), "text", topK = 300)
 
+  /** CUBE over priority × status through the T1 SQL surface — all four
+    * grouping-set combinations plus GROUPING flags in one pass. */
+  private val qCubeSql =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM {{orders}}
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s, qCubeSql,
+      Map(ResourceId("orders") -> t(s, dir, "orders")))
+
+  /** 7-day-half-life decayed engagement per user (weights and weighted
+    * values pinned round(·,9)→DECIMAL before the exact sums). */
+  private def decayFeaturesQ(s: SparkSession, dir: String): DataFrame =
+    ops.Behavior.decayFeatures(events(s, dir), "user_id", "ts",
+      col("value"), halfLifeDays = 7)
+
+  /** Per-event-type change point of the daily volume series — the split
+    * day maximizing the two-sample mean gap. */
+  private def changePointQ(s: SparkSession, dir: String): DataFrame =
+    ops.Smooth.changePoint(events(s, dir), "event_type", "ts")
+      .withColumnRenamed("key", "g")
+      .withColumn("split_day", col("split_day").cast("string"))
+
   /** GDPR delete propagation: erase a deterministic user cohort
     * (user_id % 97 == 13) from the event log AND its downstream
     * latest-features materialization, emitting the per-table audit the
@@ -3375,6 +3404,9 @@ object SparkEntry {
     "bandit_ucb"        -> (banditUcb _),
     "incremental_hll"   -> (incrementalHll _),
     "zipf_slope"        -> (zipfSlope _),
+    "q_cube"            -> (qCube _),
+    "decay_features"    -> (decayFeaturesQ _),
+    "change_point"      -> (changePointQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -139,6 +139,45 @@ object Behavior {
           .as("factor"))
   }
 
+  /** Exponential-decay recency features — per entity, event count and
+    * value mass where an event aged `d` days (vs the table's own as-of
+    * date) weighs `2^(−d/halfLife)`: the standard freshness-weighted
+    * engagement feature that a plain count can't express (yesterday's
+    * click ≫ last quarter's).
+    *
+    * Float discipline: ages are exact integer days on truncated DATEs
+    * (the [[rfm]] rule); each weight `round(exp(−ln2·d/h), 9)` and each
+    * weighted value `round(w·v, 9)` is pinned to DECIMAL(18,9) BEFORE
+    * the per-entity sum — exact, order-independent totals, one rounded
+    * double per output column. The 9-dp pin also absorbs any libm ulp
+    * difference between engines' `exp`.
+    *
+    * Scale shape: one entity-keyed partial aggregate over the scan (the
+    * weight is scan-stage arithmetic); the as-of date is a 1-row
+    * broadcast. */
+  def decayFeatures(df: DataFrame, entityCol: String, tsCol: String,
+                    value: org.apache.spark.sql.Column,
+                    halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1")
+    val asOf = broadcast(df.agg(max(col(tsCol).cast("date")).as("__asof")))
+    val aged = df.crossJoin(asOf)
+      .select(col(entityCol),
+        datediff(col("__asof"), col(tsCol).cast("date")).cast("long")
+          .as("__d"),
+        value.cast("decimal(18,2)").as("__v"))
+    val w = round(exp(col("__d").cast("double") *
+      (-math.log(2.0) / halfLifeDays)), 9).cast("decimal(18,9)")
+    aged
+      .select(col(entityCol), w.as("__w"),
+        // weight × value stays in DECIMAL — a double product here sits on
+        // 9-dp midpoints whenever the engines' exp differ by one ulp
+        round(w * col("__v"), 6).cast("decimal(18,6)").as("__wv"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).cast("double").as("decayed_count"),
+        sum(col("__wv")).cast("double").as("decayed_value"))
+  }
+
   def rfm(df: DataFrame, entityCol: String, tsCol: String,
           amount: org.apache.spark.sql.Column, nBins: Int = 5): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")

@@ -113,6 +113,51 @@ object Smooth {
     }(enc)
   }
 
+  /** Offline change-point detection per key — the retrospective cousin
+    * of [[cusum]]: over each key's daily count series, the split index
+    * maximizing the two-sample mean gap
+    * `|mean(days ≤ k) − mean(days > k)|` — where did the level shift?
+    *
+    * Exactness: daily counts and prefix sums are exact BIGINTs from one
+    * keyed window; each candidate's statistic is ONE double expression
+    * rounded 9 dp, and the argmax ties break on the earlier index — the
+    * selected split replays deterministically. The winning row also
+    * reports both side means (rounded 6).
+    *
+    * Scale shape: a (key, day) partial aggregate collapses the event
+    * stream to key×days rows; ONE key-partitioned window computes
+    * prefix sums and totals; the argmax is a WindowGroupLimit rank
+    * filter. Nothing beyond key×days after the first aggregate. */
+  def changePoint(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .groupBy(col(keyCol).as("key"), col(tsCol).cast("date").as("__day"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__day"))
+    val wAll = Window.partitionBy(col("key"))
+    val pre = daily.select(col("key"), col("__day"),
+      row_number().over(w).as("__k"),
+      sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("__sk"),
+      count(lit(1)).over(wAll).as("__n"), sum(col("__c")).over(wAll)
+        .as("__s"))
+    val cand = pre.where(col("__k") < col("__n"))
+      .select(col("key"), col("__day"), col("__k"), col("__n"),
+        round(col("__sk").cast("double") / col("__k"), 6).as("left_mean"),
+        round((col("__s") - col("__sk")).cast("double") /
+          (col("__n") - col("__k")), 6).as("right_mean"),
+        round(abs(col("__sk").cast("double") / col("__k") -
+          (col("__s") - col("__sk")).cast("double") /
+            (col("__n") - col("__k"))), 9).as("__stat"))
+    val pick = Window.partitionBy(col("key"))
+      .orderBy(col("__stat").desc, col("__k").asc)
+    cand.withColumn("__rk", row_number().over(pick))
+      .where(col("__rk") === 1)
+      .select(col("key"), col("__n").as("n_days"),
+        col("__day").as("split_day"), col("left_mean"), col("right_mean"),
+        round(col("__stat"), 6).as("gap"))
+  }
+
   /** Holt double-exponential smoothing per key — [[ewma]] plus a trend
     * state, so a steadily rising series forecasts ABOVE its last level
     * where a plain EWMA lags it: `l_n = α·x_n + (1−α)·(l+b)`,

@@ -59,6 +59,19 @@ class BehaviorFeaturesSpec extends SparkSpec {
     assert(bi("beta alpha") === Seq(3L))
   }
 
+  test("decayFeatures: half-life weights — today 1, one half-life 0.5") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val df = Seq((1L, "2024-01-08 12:00:00", 10.0),
+      (1L, "2024-01-01 09:00:00", 20.0))
+      .toDF("u", "tss", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val r = Behavior.decayFeatures(df, "u", "ts", col("v"),
+      halfLifeDays = 7).collect()(0)
+    assert(r.getAs[Long]("n_events") === 2L)
+    assert(r.getAs[Double]("decayed_count") === 1.5)
+    assert(r.getAs[Double]("decayed_value") === 20.0) // 10·1 + 20·0.5
+  }
+
   test("seasonalDow: observed-day means and factors; dow 0 is Monday") {
     import org.apache.spark.sql.functions.to_timestamp
     // Mondays 2024-01-01 (2 ev) + 2024-01-08 (4 ev); Tuesday 01-02 (3 ev)

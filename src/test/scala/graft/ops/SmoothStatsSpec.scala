@@ -30,6 +30,29 @@ class SmoothStatsSpec extends SparkSpec {
     assert(out.filter(col("ewma") =!= 1.5).count() == 0)
   }
 
+  test("changePoint: level shift found at the exact split day") {
+    // key a: days 1-3 have 1 event, days 4-6 have 9 → split after day 3
+    val rows = (1 to 3).flatMap(d => Seq((("a"), ts(d * 86400L)))) ++
+      (4 to 6).flatMap(d => Seq.fill(9)((("a"), ts(d * 86400L))))
+    val out = Smooth.changePoint(rows.toDF("k", "ts"), "k", "ts")
+      .collect()(0)
+    assert(out.getAs[Long]("n_days") === 6L)
+    assert(out.getAs[Double]("left_mean") === 1.0)
+    assert(out.getAs[Double]("right_mean") === 9.0)
+    assert(out.getAs[Double]("gap") === 8.0)
+    assert(out.getAs[java.sql.Date]("split_day").toString ===
+      new java.sql.Date(3 * 86400L * 1000L).toString)
+  }
+
+  test("changePoint: flat series picks the earliest split with gap 0") {
+    val rows = (1 to 4).map(d => ("a", ts(d * 86400L)))
+    val out = Smooth.changePoint(rows.toDF("k", "ts"), "k", "ts")
+      .collect()(0)
+    assert(out.getAs[Double]("gap") === 0.0)
+    assert(out.getAs[java.sql.Date]("split_day").toString ===
+      new java.sql.Date(86400L * 1000L).toString)
+  }
+
   test("holt: hand fold — level tracks, trend learns the slope") {
     // key 1 values 1, 2, 3 in order; α=β=1/4, l1=1, b1=0:
     // l2=.25*2+.75*1=1.25 ; b2=.25*(1.25-1)=0.0625
