@@ -334,6 +334,32 @@ object OracleSql {
     * `floor(err·x·2²⁰ + 0.5)` BIGINTs (order-independent), update
     * `w − lr·((Σ/2²⁰)/n)` — every double op in the same sequence as the
     * Spark side, so the MODEL matches bit-for-bit, not just the scores. */
+  /** Platt-scaling replay: every GD round's quantized gradient sums and
+    * (a, b) updates as a generated CTE chain ≡
+    * [[graft.functions.Classifier.plattScale]]. MATERIALIZED pins keep the
+    * doubly-referenced round chain from exponential inlining. */
+  private def plattSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""g$r AS MATERIALIZED (SELECT
+         |    SUM(CAST(floor((1.0 / (1.0 + exp(-(r.a * base.s + r.b)))
+         |      - base.y) * base.s * 1048576.0 + 0.5) AS BIGINT)) AS ga,
+         |    SUM(CAST(floor((1.0 / (1.0 + exp(-(r.a * base.s + r.b)))
+         |      - base.y) * 1048576.0 + 0.5) AS BIGINT)) AS gb
+         |  FROM base, r${r - 1} r),
+         |r$r AS MATERIALIZED (SELECT
+         |    r.a - 0.5 * ((CAST(g.ga AS DOUBLE) / 1048576.0) / n.n) AS a,
+         |    r.b - 0.5 * ((CAST(g.gb AS DOUBLE) / 1048576.0) / n.n) AS b
+         |  FROM r${r - 1} r, g$r g, n)""".stripMargin
+    }.mkString(",\n")
+    s"""$EV,
+       |base AS MATERIALIZED (SELECT round(value, 2) / 1000 AS s,
+       |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM ev),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+       |r0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
+       |$rounds""".stripMargin
+  }
+
   private def classifierSql(dim: Int, iters: Int, lrInv: Int): String = {
     val rounds = (1 to iters).map { r =>
       s"""p$r AS (SELECT x.doc_id, list_dot_product(x.xv, w.w) AS pred
@@ -3537,6 +3563,21 @@ object OracleSql {
          |FROM cand
          |QUALIFY row_number() OVER (PARTITION BY g
          |  ORDER BY stat DESC, k) = 1""".stripMargin,
+
+    // Platt scaling: all 5 GD rounds replayed (quantized gradient sums →
+    // identical (a, b) doubles), log-loss terms pinned round(·,9)→DECIMAL
+    "platt_scale" ->
+      s"""WITH ${plattSql(5)},
+         |ll AS (SELECT CAST(round(-(y *
+         |      ln(1.0 / (1.0 + exp(-(r.a * s + r.b)))) + (1.0 - y) *
+         |      ln(1.0 - 1.0 / (1.0 + exp(-(r.a * s + r.b))))), 9)
+         |    AS DECIMAL(18,9)) AS t
+         |  FROM base, r5 r)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n,
+         |  round(r.a, 6) AS a, round(r.b, 6) AS b,
+         |  round(CAST((SELECT SUM(t) FROM ll) AS DOUBLE) /
+         |    (SELECT COUNT(*) FROM base), 6) AS avg_logloss
+         |FROM r5 r""".stripMargin,
 
     // UCB1 bandit readout: DECIMAL-exact reward sums, mean pinned round 6
     // first, one fixed-shape bonus expression

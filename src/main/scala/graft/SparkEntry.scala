@@ -2862,6 +2862,13 @@ object SparkEntry {
       .withColumnRenamed("key", "g")
       .withColumn("split_day", col("split_day").cast("string"))
 
+  /** Platt calibration of the binary_auc score/label pair (5 GD rounds,
+    * quantized gradients — the model replays bit-for-bit). */
+  private def plattScaleQ(s: SparkSession, dir: String): DataFrame =
+    functions.Classifier.plattScale(events(s, dir),
+      round(col("value"), 2) / 1000,
+      (col("event_type") === "purchase").cast("long"))
+
   /** GDPR delete propagation: erase a deterministic user cohort
     * (user_id % 97 == 13) from the event log AND its downstream
     * latest-features materialization, emitting the per-table audit the
@@ -3407,6 +3414,7 @@ object SparkEntry {
     "q_cube"            -> (qCube _),
     "decay_features"    -> (decayFeaturesQ _),
     "change_point"      -> (changePointQ _),
+    "platt_scale"       -> (plattScaleQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

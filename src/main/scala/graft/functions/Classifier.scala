@@ -88,4 +88,49 @@ object Classifier {
     feats.select(col("__id").as(idCol), col("__y").cast("long").as("label"),
       round(predWith(w), 6).as("score"))
   }
+
+  /** Platt scaling — fit the logistic calibration `p = σ(a·s + b)` of an
+    * existing score against binary labels by full-batch gradient descent
+    * on the log-loss (Platt 1999), completing the calibration trio beside
+    * isotonic (shape-free, step output) and reliability bins
+    * (diagnostic): Platt gives the smooth two-parameter curve a serving
+    * layer can apply as one fused expression.
+    *
+    * Same determinism contract as [[trainLinearScores]]: per-row gradient
+    * terms are quantized `floor(g·2²⁰ + 0.5)` BIGINTs before summing
+    * (order-independent under any partitioning, replayable in SQL), the
+    * (a, b) updates are driver arithmetic over those exact sums, and the
+    * reported log-loss pins each row's term round(·,9)→DECIMAL before
+    * the exact sum. Each round is ONE scan + a 2-cell aggregate — model
+    * state is two doubles, metadata by definition.
+    *
+    * Returns one row `(n, a, b, avg_logloss)`. */
+  def plattScale(df: DataFrame, score: Column, label: Column,
+                 iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    require(iters >= 0, "iters >= 0")
+    val base = Dedup.barrier(
+      df.select(score.cast("double").as("__s"),
+        label.cast("double").as("__y")), checkpoint = false)
+    val n = base.count()
+    var a = 0.0
+    var b = 0.0
+    for (_ <- 1 to iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("__s") + lit(b))))
+      val g = base.agg(
+        sum(floor((p - col("__y")) * col("__s") * 1048576.0 + 0.5)
+          .cast("long")).as("__ga"),
+        sum(floor((p - col("__y")) * 1048576.0 + 0.5)
+          .cast("long")).as("__gb")).collect()(0)
+      a = a - lr * ((g.getLong(0).toDouble / 1048576.0) / n)
+      b = b - lr * ((g.getLong(1).toDouble / 1048576.0) / n)
+    }
+    val p = lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("__s") + lit(b))))
+    base
+      .select(round(-(col("__y") * log(p) +
+        (lit(1.0) - col("__y")) * log(lit(1.0) - p)), 9)
+        .cast("decimal(18,9)").as("__ll"))
+      .agg(count(lit(1)).as("n"), sum(col("__ll")).as("__sll"))
+      .select(col("n"), round(lit(a), 6).as("a"), round(lit(b), 6).as("b"),
+        round(col("__sll").cast("double") / col("n"), 6).as("avg_logloss"))
+  }
 }

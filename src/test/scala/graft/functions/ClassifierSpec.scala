@@ -57,4 +57,29 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(scores.head - 0.25) < 0.05,
       s"intercept should approach the base rate, got ${scores.head}")
   }
+
+  test("plattScale: learns a positive slope on score-aligned labels and " +
+    "beats the uninformed log-loss") {
+    val df = (1 to 200).map { i =>
+      val s = i / 200.0
+      (s, if (s > 0.5) 1L else 0L)
+    }.toDF("s", "y")
+    val r = Classifier.plattScale(df, col("s"), col("y"), iters = 50,
+      lr = 2.0).collect()(0)
+    assert(r.getAs[Long]("n") === 200L)
+    assert(r.getAs[Double]("a") > 0.0)     // higher score → higher p
+    assert(r.getAs[Double]("b") < 0.0)     // centered near s = 0.5
+    assert(r.getAs[Double]("avg_logloss") < math.log(2.0))
+  }
+
+  test("plattScale: partitioning cannot change the fitted model " +
+    "(quantized gradient sums)") {
+    val df = (1 to 300).map(i => (i / 300.0, (i % 3 == 0).compare(false)
+      .toLong)).toDF("s", "y")
+    val r1 = Classifier.plattScale(df.repartition(1), col("s"), col("y"),
+      iters = 5).collect()(0)
+    val r13 = Classifier.plattScale(df.repartition(13), col("s"), col("y"),
+      iters = 5).collect()(0)
+    assert(r1 === r13)
+  }
 }
