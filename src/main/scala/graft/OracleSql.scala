@@ -3579,6 +3579,35 @@ object OracleSql {
          |    (SELECT COUNT(*) FROM base), 6) AS avg_logloss
          |FROM r5 r""".stripMargin,
 
+    // weighted median: exact-decimal cumulative weights under the
+    // (value, id) order, lower-median half-weight rule
+    "weighted_median" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS w, l_orderkey AS id
+        |  FROM lineitem),
+        |c AS (SELECT g, v,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY g) AS tw,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM b)
+        |SELECT g, CAST(MIN(n) AS BIGINT) AS n,
+        |  CAST(MIN(tw) AS DOUBLE) AS total_w,
+        |  CAST(MIN(v) AS DOUBLE) AS wmedian
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
+
+    // bloom-prefiltered join ≡ the plain join (false positives die in the
+    // real join) — the oracle is the join itself
+    "bloom_join" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 490000
+        |GROUP BY 1""".stripMargin,
+
     // UCB1 bandit readout: DECIMAL-exact reward sums, mean pinned round 6
     // first, one fixed-shape bonus expression
     "bandit_ucb" ->

@@ -2869,6 +2869,27 @@ object SparkEntry {
       round(col("value"), 2) / 1000,
       (col("event_type") === "purchase").cast("long"))
 
+  /** Quantity-weighted median unit revenue per return flag — the lower
+    * weighted median under the exact decimal half-weight rule. */
+  private def weightedMedianQ(s: SparkSession, dir: String): DataFrame =
+    ops.Profile.weightedMedian(t(s, dir, "lineitem"), "l_returnflag",
+      col("l_extendedprice"), col("l_quantity"), "l_orderkey")
+
+  /** Bloom-prefiltered join: lineitems of the top-price order sliver —
+    * the scan-stage key filter keeps non-matching fact rows out of the
+    * shuffle; the result is row-identical to the plain join. */
+  private def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val small = t(s, dir, "orders").where(col("o_totalprice") > 490000)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    ops.Skew.bloomPrefilteredJoin(big, small, "l_orderkey")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+  }
+
   /** GDPR delete propagation: erase a deterministic user cohort
     * (user_id % 97 == 13) from the event log AND its downstream
     * latest-features materialization, emitting the per-table audit the
@@ -3415,6 +3436,8 @@ object SparkEntry {
     "decay_features"    -> (decayFeaturesQ _),
     "change_point"      -> (changePointQ _),
     "platt_scale"       -> (plattScaleQ _),
+    "weighted_median"   -> (weightedMedianQ _),
+    "bloom_join"        -> (bloomJoin _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

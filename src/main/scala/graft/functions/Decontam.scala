@@ -62,12 +62,28 @@ object Decontam {
     * version). */
   def bloomFilter(eval: DataFrame, textCol: String, n: Int,
                   numProbes: Int, mBits: Int): Array[Long] = {
+    bloomFilterOf(
+      eval.select(explode(wordNgrams(col(textCol), n)).as("__g")),
+      numProbes, mBits)
+  }
+
+  /** Bloom filter over arbitrary key strings (`__g` derived from
+    * `keyCol`) — the generic builder behind [[bloomFilter]] (n-gram
+    * decontamination) and [[graft.ops.Skew.bloomPrefilteredJoin]]
+    * (join-key pre-filtering). Same probe scheme as
+    * [[expressions.BloomHits]], replayable bit-for-bit. */
+  def bloomFilterKeys(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+                      numProbes: Int, mBits: Int): Array[Long] =
+    bloomFilterOf(df.select(keyCol.cast("string").as("__g")),
+      numProbes, mBits)
+
+  private def bloomFilterOf(grams: DataFrame, numProbes: Int,
+                            mBits: Int): Array[Long] = {
     val probes = (1 to numProbes).map { i =>
       (expressions.Md5Long(concat(col("__g"), lit("#" + i)))
         .bitwiseAND(lit(Long.MaxValue)) % mBits).as(s"__p$i")
     }
-    val sparse = eval
-      .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
+    val sparse = grams.distinct()
       .select(explode(array(probes: _*)).as("__p"))
       .select(expr("__p DIV 63").as("__w"),
         expr("shiftleft(1L, CAST(__p % 63 AS INT))").as("__m"))

@@ -122,4 +122,38 @@ object Profile {
       (col("grp") +: col("n_rows") +:
         size(col("__s")).cast("long").as("sample_n") +: picks): _*)
   }
+
+  /** Weighted median per group — the smallest value whose cumulative
+    * weight reaches half the group's total (lower weighted median,
+    * pinned): the importance-weighted center a plain median misses when
+    * rows carry mass (quantity-weighted unit price, token-weighted
+    * quality). Values and weights ride as DECIMAL(18,2), the
+    * half-weight test `2·cumw ≥ W` is an exact decimal comparison, and
+    * the qualifying rows collapse to `min(value)` — fully
+    * order-pinned under the (value, id) cumulative sort.
+    *
+    * Scale shape: one group-keyed window (the cumulative weight) and a
+    * groups-sized rollup; the fact side pays exactly one shuffle. */
+  def weightedMedian(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     value: org.apache.spark.sql.Column,
+                     weight: org.apache.spark.sql.Column,
+                     idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      value.cast("decimal(18,2)").as("__v"),
+      weight.cast("decimal(18,2)").as("__w"), col(idCol).as("__id"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("__v"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(col("g"))
+    base
+      .select(col("g"), col("__v"),
+        sum(col("__w")).over(cum).as("__cw"),
+        sum(col("__w")).over(all).as("__tw"),
+        count(lit(1)).over(all).as("__n"))
+      .where(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col("g"))
+      .agg(min(col("__n")).as("n"),
+        min(col("__tw")).cast("double").as("total_w"),
+        min(col("__v")).cast("double").as("wmedian"))
+  }
 }

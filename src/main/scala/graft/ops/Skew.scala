@@ -27,4 +27,33 @@ object Skew {
     saltedLarge.join(replicatedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Bloom-prefiltered inner join — when the small side is selective
+    * (most big-side rows have no partner), its key set collapses to a
+    * fixed-size Bloom filter and the big side is pre-filtered IN THE
+    * SCAN STAGE before anything shuffles: at 100 TB the shuffle carries
+    * only probable matches (~1.3 bytes/key of filter for a 0.25% FP
+    * rate) instead of the whole fact table — the explicit form of the
+    * runtime row-level-filtering Spark can only sometimes inject itself.
+    *
+    * Correctness is unconditional: Bloom false positives pass the
+    * pre-filter but are dropped by the real join, so the result is
+    * row-identical to the plain join (the one-sided-error contract of
+    * [[graft.functions.Decontam.contaminatedBloom]], applied to joins).
+    * The filter rides as a task-serialized reference object —
+    * [[graft.functions.expressions.BloomHits]] keeps whole-stage
+    * codegen. */
+  def bloomPrefilteredJoin(big: org.apache.spark.sql.DataFrame,
+                           small: org.apache.spark.sql.DataFrame,
+                           key: String, numProbes: Int = 5,
+                           mBits: Int = 1 << 20)
+      : org.apache.spark.sql.DataFrame = {
+    val filt = graft.functions.Decontam.bloomFilterKeys(
+      small, col(key), numProbes, mBits)
+    val pre = big.where(graft.functions.expressions.BloomHits(
+      array(col(key).cast("string")),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(filt),
+      numProbes, mBits) > 0)
+    pre.join(small, Seq(key))
+  }
 }

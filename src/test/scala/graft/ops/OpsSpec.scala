@@ -244,6 +244,19 @@ class SkewSpec extends graft.SparkSpec {
     assert(salted.select("k", "v", "name").except(plain.select("k", "v", "name")).count() == 0)
     assert(plain.select("k", "v", "name").except(salted.select("k", "v", "name")).count() == 0)
   }
+
+  test("bloomPrefilteredJoin is row-identical to the plain join") {
+    val big = (1L to 2000L).map(k => (k, s"p$k")).toDF("k", "payload")
+    val small = (1L to 2000L by 97L).map(k => (k, s"d$k")).toDF("k", "dim")
+    val viaBloom = Skew.bloomPrefilteredJoin(big, small, "k")
+      .orderBy("k").collect().toSeq
+    val plain = big.join(small, Seq("k")).orderBy("k").collect().toSeq
+    assert(viaBloom === plain)
+    assert(viaBloom.nonEmpty)
+    // empty small side filters everything out
+    assert(Skew.bloomPrefilteredJoin(big, small.where($"k" < 0), "k")
+      .count() === 0L)
+  }
 }
 
 class RegistrySpec extends graft.SparkSpec {

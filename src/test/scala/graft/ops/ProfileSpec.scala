@@ -50,4 +50,21 @@ class ProfileSpec extends SparkSpec {
     val r = Profile.numericProfile(df, "grp0", "v").collect().head
     assert((2 to 7).forall(i => r.getDouble(i) == 7.0))
   }
+
+  test("weightedMedian: heavy weight drags the median; unit weights " +
+    "reduce to the lower median") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a", 1.0, 1.0), (2L, "a", 2.0, 1.0),
+      (3L, "a", 3.0, 1.0), (4L, "a", 4.0, 10.0)).toDF("id", "g", "v", "w")
+    val r = Profile.weightedMedian(df, "g", col("v"), col("w"), "id")
+      .collect()(0)
+    // W = 13: cum 1,2,3,13 → first 2·cum ≥ 13 is v = 4
+    assert(r.getAs[Double]("wmedian") === 4.0)
+    assert(r.getAs[Double]("total_w") === 13.0)
+    val unit = Seq((1L, "a", 10.0, 1.0), (2L, "a", 20.0, 1.0),
+      (3L, "a", 30.0, 1.0), (4L, "a", 40.0, 1.0)).toDF("id", "g", "v", "w")
+    // even n: lower median = value at 2·cum ≥ 4 → 20
+    assert(Profile.weightedMedian(unit, "g", col("v"), col("w"), "id")
+      .collect()(0).getAs[Double]("wmedian") === 20.0)
+  }
 }
