@@ -2480,7 +2480,7 @@ object OracleSql {
          |ctr AS (SELECT adj.n, adj.v,
          |    CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9) AS DECIMAL(18,9))
          |      AS term
-         |  FROM adj JOIN deg USING (n) WHERE d <= 50),
+         |  FROM adj JOIN deg USING (n) WHERE d BETWEEN 2 AND 50),
          |cand AS (SELECT x.v AS a, y.v AS b,
          |    CAST(COUNT(*) AS BIGINT) AS common_neighbors,
          |    SUM(x.term) AS aa

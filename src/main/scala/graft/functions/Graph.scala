@@ -150,6 +150,10 @@ object Graph {
   def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
                      k: Int, maxDeg: Int): DataFrame = {
     require(k >= 1 && maxDeg >= 2, s"need k >= 1, maxDeg >= 2")
+    // NOTE: no barrier although the edge set fans into four consumers —
+    // AQE's ReusedExchange deduplicates the identical distinct subtrees
+    // (the triangleCounts finding holds here too: a localCheckpoint was
+    // measured ~1.5× SLOWER at sf0.1 than letting AQE reuse the exchange)
     val und = edges.select(
         least(col(aCol), col(bCol)).as("__a"),
         greatest(col(aCol), col(bCol)).as("__b"))
@@ -158,8 +162,11 @@ object Graph {
     val adj = und.select(col("__a").as("__v"), col("__b").as("__n"))
       .unionAll(und.select(col("__b").as("__v"), col("__a").as("__n")))
     val deg = adj.groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
-    // capped centers with their pinned AA term
-    val centers = adj.join(deg.where(col("__deg") <= maxDeg), "__n")
+    // capped centers with their pinned AA term; deg-1 vertices can't
+    // center a wedge AND would evaluate 1/ln(1) — excluded before the
+    // term projection (ANSI division-by-zero, not just dead rows)
+    val centers = adj.join(
+        deg.where(col("__deg") >= 2 && col("__deg") <= maxDeg), "__n")
       .select(col("__n"), col("__v"),
         round(lit(1.0) / log(col("__deg")), 9).cast("decimal(18,9)")
           .as("__term"))
