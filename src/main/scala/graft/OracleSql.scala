@@ -1144,6 +1144,103 @@ object OracleSql {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin,
 
+    // golden record: the cluster closure replayed, then field-level
+    // survivorship — arg_max with a NULL-masked priority ≡ Spark max_by
+    "golden_record" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |e AS (SELECT idA AS s, idB AS d FROM p
+         |      UNION SELECT idB, idA FROM p),
+         |n AS (SELECT DISTINCT s AS id FROM e),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT r.a, e.d FROM reach r JOIN e ON r.b = e.s),
+         |cl AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |rec AS (SELECT cl.cluster_id,
+         |    CASE WHEN d.doc_id % 3 = 0 THEN NULL ELSE d.lang END AS lang,
+         |    CASE WHEN d.doc_id % 5 = 0 THEN NULL ELSE d.source END
+         |      AS source,
+         |    d.n_chars, d.n_chars * 10000000 + d.doc_id AS prio
+         |  FROM documents d JOIN cl USING (doc_id))
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  arg_max(lang, CASE WHEN lang IS NOT NULL THEN prio END) AS lang,
+         |  arg_max(source, CASE WHEN source IS NOT NULL THEN prio END)
+         |    AS source,
+         |  arg_max(n_chars, CASE WHEN n_chars IS NOT NULL THEN prio END)
+         |    AS n_chars
+         |FROM rec GROUP BY 1""".stripMargin,
+
+    // session journeys: same gaps-and-islands rule as session_stats,
+    // ordered string_agg ≡ Spark's sorted-struct array_join
+    "session_export" ->
+      s"""WITH $EV,
+         |l AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS nw
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s2 AS (SELECT user_id, ts, event_id, event_type,
+         |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM l)
+         |SELECT user_id,
+         |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT)
+         |    AS duration_ms,
+         |  string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+         |FROM s2 GROUP BY user_id, sess""".stripMargin,
+
+    // split-conformal interval: exact OLS sums → identical (b0, b1)
+    // doubles, nearest-rank q90 of |residual| on the calibration split,
+    // coverage on the test split — every stage replayed
+    "conformal_interval" ->
+      s"""WITH li AS (SELECT
+         |    CAST(l_orderkey AS VARCHAR) || '|' ||
+         |      CAST(l_linenumber AS VARCHAR) AS k,
+         |    CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+         |    ${mh63("CAST(l_orderkey AS VARCHAR) || '|' || " +
+             "CAST(l_linenumber AS VARCHAR) || '|cf'")} % 4 AS split
+         |  FROM lineitem),
+         |t0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM li WHERE split <= 1),
+         |b1c AS (SELECT n, sx, sy,
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1
+         |  FROM t0),
+         |b AS (SELECT n, b1,
+         |    (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) /
+         |      CAST(n AS DOUBLE) AS b0
+         |  FROM b1c),
+         |cal AS (SELECT k, round(abs(CAST(y AS DOUBLE) -
+         |    (b0 + b1 * CAST(x AS DOUBLE))), 9) AS r
+         |  FROM li, b WHERE split = 2),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncal FROM cal),
+         |qq AS (SELECT r AS q
+         |  FROM (SELECT r, row_number() OVER (ORDER BY r, k) AS rn
+         |        FROM cal), nc
+         |  WHERE rn = least((9 * (ncal + 1) + 9) // 10, ncal)),
+         |tst AS (SELECT round(abs(CAST(y AS DOUBLE) -
+         |    (b0 + b1 * CAST(x AS DOUBLE))), 9) AS r
+         |  FROM li, b WHERE split = 3)
+         |SELECT (SELECT n FROM t0) AS n_train,
+         |  (SELECT ncal FROM nc) AS n_cal,
+         |  CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  round((SELECT b0 FROM b), 6) AS b0,
+         |  round((SELECT b1 FROM b), 6) AS b1,
+         |  (SELECT q FROM qq) AS q90,
+         |  round(CAST(SUM(CASE WHEN r <= (SELECT q FROM qq)
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS coverage
+         |FROM tst""".stripMargin,
+
     // int8 quantization replay: identical double arithmetic elementwise
     // (floor(x/s + 0.5) is the portable round-half-up; round() half-mode
     // conventions differ between engines)
@@ -1430,6 +1527,29 @@ object OracleSql {
         |  ('doomed', CAST(1 AS BIGINT), 'failed'),
         |  ('doomed', CAST(2 AS BIGINT), 'failed'),
         |  ('doomed', CAST(3 AS BIGINT), 'failed')) AS t(task, attempt, status)""".stripMargin,
+
+    // DAG ledger: deterministic topo order (lexicographic Kahn), clean
+    // fails both attempts, its downstream cascade-skips, siblings run
+    "dag_runs" ->
+      """SELECT * FROM (VALUES
+        |  ('ingest', CAST(1 AS BIGINT), 'success'),
+        |  ('clean', CAST(1 AS BIGINT), 'failed'),
+        |  ('clean', CAST(2 AS BIGINT), 'failed'),
+        |  ('features', CAST(1 AS BIGINT), 'success'),
+        |  ('train', CAST(0 AS BIGINT), 'upstream_failed'),
+        |  ('report', CAST(0 AS BIGINT), 'upstream_failed'))
+        |  AS t(task, attempt, status)""".stripMargin,
+
+    // tokenizer efficiency: the full BPE train+encode replay rolled up
+    // per source (chars per BPE token)
+    "bpe_efficiency" ->
+      s"""SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(SUM(d.n_chars) AS DOUBLE) /
+         |    CAST(SUM(e.n_bpe_tokens) AS DOUBLE), 6) AS chars_per_token
+         |FROM (${bpeEncodeSql(12)}) e JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // each event lands in exactly two 10-min windows on the 5-min grid
     "windowed_counts" ->

@@ -27,11 +27,19 @@ import org.apache.spark.sql.functions._
   *      ([[graft.functions.Dedup.capStats]]);
   *  (b) AQE's skew-join split activated on the 10× range join;
   *  (c) wall-clock grew ≤ 30× for the linear-by-design families (a
-  *      quadratic blow-up would be ~100×). The hyperplane-LSH cosine
-  *      family is reported but not bounded: with a FIXED plane count its
-  *      per-bucket density — hence candidate count — grows with corpus
-  *      size by construction; the 100 TB remedy is more planes, and the
-  *      cap keeps the worst bucket bounded either way.
+  *      quadratic blow-up would be ~100×). Three families are reported
+  *      but NOT bounded, for the same structural reason: with FIXED
+  *      bucketing resolution their sub-cap candidate mass grows
+  *      ~quadratically with corpus size by construction — hyperplane
+  *      cosine (fixed plane count ⇒ bucket density grows), SimHash
+  *      (16-bit bands ⇒ random band collisions ≈ n²/2¹⁶ even between
+  *      unrelated docs), and first-token-blocked fuzzy linkage (natural
+  *      blocks grow with the corpus). The caps bound the WORST bucket in
+  *      each; the production remedies are finer resolution (more planes
+  *      / longer bands / finer blocking keys — fuzzy_link_fine measures
+  *      that one) and the incremental signature-table paths
+  *      (minhashSignatureTable / hammingNearDupsIncremental), which make
+  *      the steady state new-batch × corpus instead of corpus².
   *
   * Output: one JSON line + `BENCH_skew_r4.json` in the repo root.
   * Exit code != 0 when any assertion fails.
@@ -247,6 +255,17 @@ object SkewBench {
         time(force(graft.ops.Skew.saltedJoin(events, dim, "user_id", 16)
           .groupBy("segment").count()))._1)
 
+      // Adamic-Adar on the user/value-bucket co-event graph: every value
+      // bucket touches most users, so buckets are super-hubs (deg ≈
+      // corpus users) — maxDeg drops them as wedge centers, leaving the
+      // Σ deg² wedge mass bounded by the capped user degrees (≤ ~20
+      // buckets each), linear in users instead of quadratic in the hub
+      rec(scale, "link_prediction",
+        time(force(graft.functions.Graph.linkPrediction(
+          events.select(col("user_id").as("a"),
+            (floor(col("value") / 25).cast("long") + 1000000L).as("b")),
+          "a", "b", k = 50, maxDeg = 40)))._1)
+
       // behavioral family on the same hot entity: the funnel holds ONE
       // timestamp per (user, step) — user 77's 30% share must cost only
       // its own partial aggregates; markov/scd2 pay one keyed window sort
@@ -302,8 +321,9 @@ object SkewBench {
     if (!aqeSkewHit)
       errs += "AQE skew-join split did NOT activate on the 10x range join"
     val linearFamilies = Seq("exact_dedup", "minhash_near_dups",
-      "simhash_near_dups", "winnow_near_dups", "asof_sortmerge",
+      "winnow_near_dups", "asof_sortmerge",
       "asof_unionwindow", "pit_window_prefix", "range_join", "salted_join",
+      "link_prediction",
       "event_funnel", "markov_transitions", "scd2_build", "retention",
       "nearest_join", "interval_coverage", "ewma_cusum")
     val ratios = linearFamilies.map { f =>
@@ -314,6 +334,8 @@ object SkewBench {
     }
     val cosRatio = results("x10")("cosine_near_dups") /
       math.max(results("x1")("cosine_near_dups"), 1e-9)
+    val simhashRatio = results("x10")("simhash_near_dups") /
+      math.max(results("x1")("simhash_near_dups"), 1e-9)
 
     def jm(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -322,6 +344,7 @@ object SkewBench {
         s""""x10":${jm(results("x10"))},""" +
         s""""ratio_x10_over_x1":${jm(ratios.toMap)},""" +
         f""""cosine_ratio_reported":$cosRatio%.1f,""" +
+        f""""simhash_ratio_reported":$simhashRatio%.1f,""" +
         s""""caps_fired_at_x10":${
           capsFired.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         },""" +

@@ -651,6 +651,79 @@ object SparkEntry {
     Vectors.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
       numPlanes = 16, threshold = 0.4)
 
+  /** Survivorship merge over the near-dup clusters: per cluster, each
+    * field independently from the highest-(n_chars, doc_id) member that
+    * has it non-null (lang/source deterministically nulled on some
+    * members to exercise cross-member completion). */
+  private def goldenRecordQ(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.clusterPairs(
+      minhashNearDups(s, dir).select(col("idA"), col("idB")))
+    val recs = t(s, dir, "documents").join(clusters, "doc_id")
+      .select(col("cluster_id"),
+        when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("source")).as("source"),
+        col("n_chars"),
+        (col("n_chars") * 10000000L + col("doc_id")).as("__prio"))
+    Dedup.goldenRecord(recs, "cluster_id", col("__prio"),
+      Seq("lang", "source", "n_chars"))
+  }
+
+  /** Per-session ordered event-type journeys (30-min gap) — the
+    * sequence-model export beside session_stats' scalar rollup. */
+  private def sessionExportQ(s: SparkSession, dir: String): DataFrame =
+    ops.Sessionize.sessionExport(events(s, dir), "user_id", "ts",
+      "event_id", "event_type", gapSec = 1800L)
+
+  /** Split-conformal regression interval: OLS price-from-quantity on the
+    * train split, |residual| q90 on the calibration split (nearest-rank
+    * at ⌈0.9·(n+1)⌉), coverage measured on the held-out test split —
+    * leakage-safe uncertainty the judged model never saw. */
+  private def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+          .as("__k"),
+        col("l_quantity").cast("long").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      .withColumn("__split",
+        functions.expressions.Md5Long(concat(col("__k"), lit("|cf")))
+          .bitwiseAND(lit(Long.MaxValue)) % 4)
+    val train = li.where(col("__split") <= 1)
+    val t0 = train.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx")).collect()(0)
+    val nD = t0.getLong(0).toDouble
+    val sxD = t0.getLong(1).toDouble
+    val syD = t0.getDecimal(2).doubleValue
+    val sxyD = t0.getDecimal(3).doubleValue
+    val sxxD = t0.getLong(4).toDouble
+    val b1 = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+    val b0 = (syD - b1 * sxD) / nD
+    val resid = round(abs(col("y").cast("double") -
+      (lit(b0) + lit(b1) * col("x").cast("double"))), 9)
+    val cal = li.where(col("__split") === 2)
+      .select(col("__k"), resid.as("__r"))
+    val nCal = broadcast(cal.agg(count(lit(1)).as("__nc")))
+    val q = broadcast(Materialize
+      .withDistributedRowNumber(cal, Seq(col("__r"), col("__k")))
+      .crossJoin(nCal)
+      .where(col("row_number") ===
+        least(expr("(9 * (__nc + 1) + 9) div 10"), col("__nc")))
+      .agg(min(col("__r")).as("__q"), min(col("__nc")).as("__ncal")))
+    val test = li.where(col("__split") === 3)
+      .select(resid.as("__r"))
+    test.crossJoin(q)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("__q"), 1L).otherwise(0L)).as("__hits"),
+        min(col("__q")).as("__qv"), min(col("__ncal")).as("__nc"))
+      .select(lit(t0.getLong(0)).as("n_train"), col("__nc").as("n_cal"),
+        col("n_test"), round(lit(b0), 6).as("b0"), round(lit(b1), 6).as("b1"),
+        col("__qv").as("q90"),
+        round(col("__hits").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+  }
+
   // ------------------------------------------------------------ O6: preview
 
   private def sourcePreview(s: SparkSession, dir: String): DataFrame =
@@ -1527,6 +1600,56 @@ object SparkEntry {
       .orderBy("merge_rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.functions.BpeTrain.encodeDigest(docs, "doc_id", "text", merges)
+  }
+
+  /** Tokenizer-efficiency audit: chars per BPE token per source under
+    * the corpus-trained 12-merge vocabulary — the compression-ratio
+    * readout a tokenizer team tracks per domain. */
+  private def bpeEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.functions.BpeTrain.train(docs, "text", 12)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.functions.BpeTrain.encodeDigest(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_bpe_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        round(col("total_chars").cast("double") /
+          col("total_tokens").cast("double"), 6).as("chars_per_token"))
+  }
+
+  /** DAG orchestration: a 5-task pipeline where `clean` fails — its
+    * downstream records upstream_failed without running, siblings
+    * proceed; the durable ledger is the output. */
+  private def dagRuns(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dag").toString
+    val runner = new graft.sched.TaskRunner(s, tmp, maxAttempts = 2,
+      backoffMs = 1)
+    val ev = events(s, dir)
+    graft.sched.Dag.run(runner, "2024-01-01",
+      tasks = Map(
+        "ingest" -> (() => ev.queryExecution.toRdd.count()),
+        "clean" -> (() => sys.error("schema drift")),
+        "features" -> (() => Materialize.latestTriple(
+          ev.select(col("user_id").as("entity"), col("value"), col("ts")))
+          .queryExecution.toRdd.count()),
+        "train" -> (() => 1L),
+        "report" -> (() => 2L)),
+      deps = Map(
+        "clean" -> Seq("ingest"),
+        "features" -> Seq("ingest"),
+        "train" -> Seq("clean", "features"),
+        "report" -> Seq("train")))
+    import s.implicits._
+    runner.runs().map(r => (r.task, r.attempt, r.status))
+      .toDF("task", "attempt", "status")
+      .select(col("task"), col("attempt").cast("long").as("attempt"),
+        col("status"))
   }
 
   /** Record-linkage fuzzy dedup: prefix blocking + Levenshtein verify at
@@ -3438,6 +3561,11 @@ object SparkEntry {
     "platt_scale"       -> (plattScaleQ _),
     "weighted_median"   -> (weightedMedianQ _),
     "bloom_join"        -> (bloomJoin _),
+    "golden_record"     -> (goldenRecordQ _),
+    "session_export"    -> (sessionExportQ _),
+    "conformal_interval" -> (conformalInterval _),
+    "dag_runs"          -> (dagRuns _),
+    "bpe_efficiency"    -> (bpeEfficiency _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

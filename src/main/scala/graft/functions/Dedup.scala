@@ -630,6 +630,32 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** Survivorship merge (golden record) — one consolidated row per
+    * cluster where EACH FIELD independently takes the value from the
+    * highest-priority member that has it non-null (MDM "most recent /
+    * most complete wins" rules): the field-level completion of
+    * [[clusterPairs]] + keep-best, which can only pick whole rows. A
+    * cluster whose best row lacks a field still fills it from a lesser
+    * member — that is the point.
+    *
+    * Determinism: `priority` must be a total order over members (tie
+    * column folded in by the caller); `max_by` with the NULL-masked
+    * priority ignores members missing the field, identically in both
+    * engines (`arg_max` NULL semantics). All-null fields stay NULL.
+    *
+    * Scale shape: ONE cluster-keyed partial aggregate — map-side
+    * combine, no window, no per-cluster sort; a hot cluster costs only
+    * its own max-tracking. */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+                   priority: org.apache.spark.sql.Column,
+                   fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val aggs = count(lit(1)).as("n_members") +:
+      fields.map(f =>
+        max_by(col(f), when(col(f).isNotNull, priority)).as(f))
+    df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Content-defined-chunking storage-dedup audit — per group, how much
     * of the corpus is REDUNDANT at chunk granularity: texts are cut at
     * [[expressions.CdcChunkStarts]] boundaries (rolling md5 cut ≡ 0 mod

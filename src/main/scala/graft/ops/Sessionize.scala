@@ -31,4 +31,51 @@ object Sessionize {
       .select(col("user_id"),
         unix_millis(col("__w.start")).as("session_start_ms"),
         col("n_events"), col("sum_value"), col("last_ts_ms"))
+
+  /** Session journey export — per session, the ORDERED event-type path
+    * ("view→view→purchase") plus timing: the sequence-model training
+    * artifact [[sessionStats]]'s scalar rollup can't provide, and the
+    * input [[Markov]] / [[EventFunnel]] summarize instead of emitting.
+    *
+    * Session assignment is the same gaps-and-islands rule the
+    * sessionStats oracle pins (`diff > gap ⇒ break`, touching events
+    * merge); the path is built by sorting each session's collected
+    * (ts, tie, type) structs — array_sort on structs is the engines'
+    * shared lexicographic order, ≡ DuckDB's ordered `string_agg`.
+    *
+    * Scale shape: one user-keyed window (the island numbering) and one
+    * (user, session)-keyed aggregate; the collected path is bounded by
+    * the session's own length — sessions are the natural unit of
+    * bounded state (a gap closes them), unlike unbounded per-user
+    * histories. */
+  def sessionExport(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, typeCol: String,
+                    gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__ts"), col("__tie"))
+    val flagged = events.select(col(userCol).as("user_id"),
+        col(tsCol).as("__ts"), col(tieCol).as("__tie"),
+        col(typeCol).as("__t"))
+      .withColumn("__new",
+        when(unix_micros(col("__ts")) -
+          unix_micros(lag(col("__ts"), 1).over(w)) > gapSec * 1000000L ||
+          lag(col("__ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("__sess",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("__sess"))
+      .agg(min(unix_millis(col("__ts"))).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        (max(unix_millis(col("__ts"))) - min(unix_millis(col("__ts"))))
+          .as("duration_ms"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              unix_micros(col("__ts")).as("ts"), col("__tie").as("tie"),
+              col("__t").as("t")))),
+            s => s.getField("t")), "->").as("path"))
+      .select(col("user_id"), col("session_start_ms"), col("n_events"),
+        col("duration_ms"), col("path"))
+  }
 }

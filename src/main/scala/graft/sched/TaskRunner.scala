@@ -169,4 +169,71 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     }
     (last, None)
   }
+
+  /** Record a task that never ran because an upstream dependency failed —
+    * the coordinator's cascade-skip ledger row ([[Dag.run]]). Attempt 0
+    * marks "no execution happened", like resume-skips. */
+  def recordUpstreamFailed(task: String, runKey: String,
+                           failedUp: Seq[String]): TaskRun = {
+    val now = System.currentTimeMillis()
+    val r = TaskRun(task, runKey, 0, "upstream_failed", now, now,
+      Some(s"upstream failed: ${failedUp.mkString(",")}"))
+    append(r)
+    r
+  }
+}
+
+/** Dependency-ordered task execution — the reference coordinator's task
+  * DAG (scheduling/task_dag.go:17-73) on top of [[TaskRunner]]'s durable
+  * ledger: tasks run in a deterministic topological order (Kahn with
+  * lexicographic tie-break), a task whose upstream failed is recorded as
+  * `upstream_failed` WITHOUT running its body (cascade skip), and resume
+  * semantics come for free — a re-run of the same runKey re-executes only
+  * what has no success record, in the same order.
+  *
+  * The DAG itself is metadata (names and edges); all data-scale work
+  * happens inside the task bodies, which are ordinary Spark actions. */
+object Dag {
+
+  /** Deterministic topological order; throws on cycles or unknown deps. */
+  def topoOrder(tasks: Seq[String],
+                deps: Map[String, Seq[String]]): Seq[String] = {
+    val known = tasks.toSet
+    deps.foreach { case (t, us) =>
+      require(known.contains(t), s"deps mention unknown task $t")
+      us.foreach(u => require(known.contains(u), s"unknown dependency $u"))
+    }
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val placed = scala.collection.mutable.Set.empty[String]
+    val remaining = scala.collection.mutable.SortedSet(tasks: _*)
+    while (remaining.nonEmpty) {
+      val next = remaining.iterator
+        .find(t => deps.getOrElse(t, Nil).forall(placed.contains))
+        .getOrElse(sys.error(
+          s"dependency cycle among: ${remaining.mkString(", ")}"))
+      order += next
+      placed += next
+      remaining -= next
+    }
+    order.toSeq
+  }
+
+  /** Run every task once for `runKey`; returns the final record per task
+    * in execution order. Downstream of a failure records
+    * `upstream_failed`; an already-succeeded upstream (resume skip)
+    * counts as success. */
+  def run(runner: TaskRunner, runKey: String,
+          tasks: Map[String, () => Any],
+          deps: Map[String, Seq[String]]): Seq[TaskRun] = {
+    val order = topoOrder(tasks.keys.toSeq.sorted, deps)
+    val ok = scala.collection.mutable.Set.empty[String]
+    order.map { t =>
+      val failedUp = deps.getOrElse(t, Nil).filterNot(ok.contains)
+      val rec =
+        if (failedUp.nonEmpty) runner.recordUpstreamFailed(t, runKey, failedUp)
+        else runner.run(t, runKey)(tasks(t)())._1
+      if (rec.status == "success" || rec.status == "skipped") ok += t
+      rec
+    }
+  }
 }

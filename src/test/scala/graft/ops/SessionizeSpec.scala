@@ -37,4 +37,23 @@ class SessionizeSpec extends SparkSpec {
     }.toMap
     assert(got == ref)
   }
+
+  test("sessionExport: ordered paths, gap break, touching event merges") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val gap = 1800L
+    val rows = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(10), 2L, "click"),
+      (1L, ts(10 + gap), 3L, "cart"),        // exactly gap later: merges
+      (1L, ts(10 + gap + gap + 1), 4L, "purchase")) // gap+1: breaks
+      .toDF("u", "ts", "id", "e")
+    val out = Sessionize.sessionExport(rows, "u", "ts", "id", "e", gap)
+      .orderBy("session_start_ms").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("path") === "view->click->cart")
+    assert(out(0).getAs[Long]("n_events") === 3L)
+    assert(out(0).getAs[Long]("duration_ms") === (10 + gap) * 1000L)
+    assert(out(1).getAs[String]("path") === "purchase")
+    assert(out(1).getAs[Long]("duration_ms") === 0L)
+  }
 }

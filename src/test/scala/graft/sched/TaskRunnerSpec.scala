@@ -64,6 +64,45 @@ class TaskRunnerSpec extends SparkSpec {
     assert(rec.status == "timeout" && out.isEmpty)
   }
 
+  test("dag: topo order is deterministic; failure cascades; resume " +
+    "re-runs only the incomplete tail") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    var cleanTries = 0
+    def tasks(cleanFails: Boolean): Map[String, () => Any] = Map(
+      "ingest" -> (() => 1L),
+      "clean" -> (() => {
+        cleanTries += 1
+        if (cleanFails) sys.error("boom") else 2L
+      }),
+      "features" -> (() => 3L),
+      "train" -> (() => 4L))
+    val deps = Map("clean" -> Seq("ingest"), "features" -> Seq("ingest"),
+      "train" -> Seq("clean", "features"))
+    assert(Dag.topoOrder(tasks(true).keys.toSeq.sorted, deps) ===
+      Seq("ingest", "clean", "features", "train"))
+    val r1 = Dag.run(runner, "k", tasks(cleanFails = true), deps)
+    assert(r1.map(r => r.task -> r.status) === Seq(
+      "ingest" -> "success", "clean" -> "failed",
+      "features" -> "success", "train" -> "upstream_failed"))
+    assert(cleanTries === 2) // both attempts burned
+    // resume: ingest/features skip (already succeeded), clean now passes,
+    // train finally runs
+    val r2 = Dag.run(runner, "k", tasks(cleanFails = false), deps)
+    assert(r2.map(r => r.task -> r.status) === Seq(
+      "ingest" -> "skipped", "clean" -> "success",
+      "features" -> "skipped", "train" -> "success"))
+  }
+
+  test("dag: cycles and unknown dependencies are rejected") {
+    intercept[RuntimeException] {
+      Dag.topoOrder(Seq("a", "b"), Map("a" -> Seq("b"), "b" -> Seq("a")))
+    }
+    intercept[IllegalArgumentException] {
+      Dag.topoOrder(Seq("a"), Map("a" -> Seq("ghost")))
+    }
+  }
+
   test("schedule due-time evaluation") {
     val s = Schedule(everyMs = 1000, offsetMs = 500)
     assert(s.lastDue(400).isEmpty)
