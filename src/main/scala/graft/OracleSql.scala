@@ -1528,6 +1528,42 @@ object OracleSql {
         |  ('doomed', CAST(2 AS BIGINT), 'failed'),
         |  ('doomed', CAST(3 AS BIGINT), 'failed')) AS t(task, attempt, status)""".stripMargin,
 
+    // held-out unigram perplexity: Laplace model from the md5-even half,
+    // per-token NLL pinned round(·,9)→DECIMAL, one exp at the end
+    "heldout_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    ${mh63("CAST(doc_id AS VARCHAR) || '|ppl'")} % 2 AS split,
+         |    unnest($TOKS_LOWER) AS token
+         |  FROM documents),
+         |train AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+         |  WHERE split = 0 GROUP BY 1),
+         |st AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS v FROM train),
+         |nll AS (SELECT CAST(round(-ln(
+         |      CAST(COALESCE(c, 0) + 1 AS DOUBLE) /
+         |      CAST(n + v + 1 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS t
+         |  FROM (SELECT token FROM toks WHERE split = 1) e
+         |  LEFT JOIN train USING (token), st)
+         |SELECT st.n AS n_train_tokens, st.v AS vocab,
+         |  CAST(COUNT(*) AS BIGINT) AS n_eval_tokens,
+         |  round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+         |  round(exp(CAST(SUM(t) AS DOUBLE) / COUNT(*)), 6) AS perplexity
+         |FROM nll, st GROUP BY 1, 2""".stripMargin,
+
+    // padding waste: ⌈n/b⌉·b integer arithmetic per bucket, one rounded
+    // division per output row
+    "pad_waste" ->
+      s"""WITH d AS (SELECT CAST(len($TOKS_RAW) AS BIGINT) AS n
+         |  FROM documents WHERE len($TOKS_RAW) > 0),
+         |e AS (SELECT b, n, ((n + b - 1) // b) * b AS padded
+         |  FROM d, (SELECT CAST(unnest([32, 64, 128]) AS BIGINT) AS b))
+         |SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(padded) AS BIGINT) AS total_padded,
+         |  round(1.0 - CAST(SUM(n) AS DOUBLE) /
+         |    CAST(SUM(padded) AS DOUBLE), 6) AS waste_frac
+         |FROM e GROUP BY 1""".stripMargin,
+
     // DAG ledger: deterministic topo order (lexicographic Kahn), clean
     // fails both attempts, its downstream cascade-skips, siblings run
     "dag_runs" ->

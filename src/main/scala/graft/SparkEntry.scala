@@ -1623,6 +1623,18 @@ object SparkEntry {
           col("total_tokens").cast("double"), 6).as("chars_per_token"))
   }
 
+  /** Held-out unigram perplexity: Laplace model on the md5-even half,
+    * exp(mean NLL) on the other half — the LM-drift eval. */
+  private def heldoutPerplexity(s: SparkSession, dir: String): DataFrame =
+    functions.UnigramLM.heldoutPerplexity(t(s, dir, "documents"),
+      "doc_id", "text")
+
+  /** Padding-waste table for bucket lengths 32/64/128 — the sizing
+    * audit behind the bucketed-batching vs sequence-packing decision. */
+  private def padWasteQ(s: SparkSession, dir: String): DataFrame =
+    functions.Pack.padWaste(t(s, dir, "documents"), "text",
+      Seq(32, 64, 128))
+
   /** DAG orchestration: a 5-task pipeline where `clean` fails — its
     * downstream records upstream_failed without running, siblings
     * proceed; the durable ledger is the output. */
@@ -3566,6 +3578,8 @@ object SparkEntry {
     "conformal_interval" -> (conformalInterval _),
     "dag_runs"          -> (dagRuns _),
     "bpe_efficiency"    -> (bpeEfficiency _),
+    "heldout_perplexity" -> (heldoutPerplexity _),
+    "pad_waste"         -> (padWasteQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -108,4 +108,33 @@ object Pack {
       .withColumn("fill_ratio",
         round(col("n_toks").cast("double") / (col("n_seqs") * budget), 6))
   }
+
+  /** Padding-waste audit — for each candidate bucket length, the token
+    * fraction burned if every document is padded up to a multiple of the
+    * bucket (`⌈n/b⌉·b`, the no-packing dataloader): the sizing table a
+    * pipeline owner reads BEFORE choosing between bucketed batching and
+    * [[packChunks]]-style packing (whose fill ratio [[packStats]]
+    * reports). All exact integer arithmetic; one rounded division per
+    * bucket; fan-out = |buckets| per doc in the scan projection. */
+  def padWaste(docs: DataFrame, textCol: String,
+               buckets: Seq[Int]): DataFrame = {
+    require(buckets.nonEmpty && buckets.forall(_ > 0), "buckets > 0")
+    val base = docs
+      .select(size(TextFunctions.tokens(col(textCol))).cast("long")
+        .as("__n"))
+      .where(col("__n") > 0)
+    base
+      .select(col("__n"),
+        explode(lit(buckets.map(_.toLong).toArray)).as("bucket"))
+      .select(col("bucket"), col("__n"),
+        (expr("(__n + bucket - 1) div bucket") * col("bucket"))
+          .as("__padded"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"),
+        sum(col("__padded")).as("total_padded"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        col("total_padded"),
+        round(lit(1.0) - col("total_tokens").cast("double") /
+          col("total_padded").cast("double"), 6).as("waste_frac"))
+  }
 }

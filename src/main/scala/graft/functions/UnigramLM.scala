@@ -182,4 +182,50 @@ object UnigramLM {
           .otherwise(round(col("n_oov").cast("double") /
             col("n_tokens").cast("double"), 6)).as("oov_rate"))
   }
+
+  /** Held-out unigram perplexity — the LM-quality eval the per-doc
+    * scores ([[corpusFreqScore]], [[surprisal]]) feed but never close:
+    * train a Laplace-smoothed unigram model on the md5-even half of the
+    * corpus, evaluate `exp(mean NLL)` on the held-out half. A corpus
+    * whose held-out perplexity drifts between snapshots changed
+    * distribution even when its token counts didn't.
+    *
+    * Model (pinned): `p(t) = (c_t + 1) / (N + V + 1)` with c from the
+    * train split, V = train vocab size, and the +1 bucket serving every
+    * unseen token. Each token's `round(−ln p, 9)` is pinned to DECIMAL
+    * before the exact corpus sum (the ln bridge); the mean is one
+    * division and the final `exp` one call, both rounded 6.
+    *
+    * Scale shape: one token-keyed partial aggregate per split, an eval-
+    * token × train-frequency sort-merge join (vocab NOT broadcast-
+    * assumed — the [[pmiCollocations]] rule), and 1-row broadcast
+    * totals. */
+  def heldoutPerplexity(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        (graft.functions.expressions.Md5Long(
+          concat(col(idCol).cast("string"), lit("|ppl")))
+          .bitwiseAND(lit(Long.MaxValue)) % 2).as("__split"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val train = toks.where(col("__split") === 0)
+      .groupBy("token").agg(count(lit(1)).as("__c"))
+    val stats = broadcast(train.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__v")))
+    val evalToks = toks.where(col("__split") === 1)
+    val nll = evalToks
+      .join(train, Seq("token"), "left_outer")
+      .crossJoin(stats)
+      .select(round(-log((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+        (col("__n") + col("__v") + 1).cast("double")), 9)
+        .cast("decimal(18,9)").as("__nll"))
+    nll.crossJoin(stats)
+      .agg(min(col("__n")).as("n_train_tokens"), min(col("__v")).as("vocab"),
+        count(lit(1)).as("n_eval_tokens"), sum(col("__nll")).as("__s"))
+      .select(col("n_train_tokens"), col("vocab"), col("n_eval_tokens"),
+        round(col("__s").cast("double") / col("n_eval_tokens"), 6)
+          .as("avg_nll"),
+        round(exp(col("__s").cast("double") / col("n_eval_tokens")), 6)
+          .as("perplexity"))
+  }
 }

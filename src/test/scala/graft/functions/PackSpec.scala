@@ -77,4 +77,18 @@ class PackSpec extends SparkSpec {
       assert(math.abs(fill - nToks.toDouble / (nSeqs * 16)) < 1e-6)
     }
   }
+
+  test("padWaste: hand arithmetic per bucket; exact-multiple docs " +
+    "waste nothing") {
+    import spark.implicits._
+    // token counts 5 and 64
+    val docs = Seq((1L, Seq.fill(5)("t").mkString(" ")),
+      (2L, Seq.fill(64)("t").mkString(" "))).toDF("doc_id", "text")
+    val out = Pack.padWaste(docs, "text", Seq(4, 64))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // b=4: 5→8, 64→64 ⇒ 69/72 ; b=64: 5→64, 64→64 ⇒ 69/128
+    assert(out(4L) === ((69L, 72L, 0.041667)))
+    assert(out(64L) === ((69L, 128L, 0.460938)))
+  }
 }

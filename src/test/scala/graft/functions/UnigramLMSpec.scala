@@ -80,4 +80,24 @@ class UnigramLMSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(f == Set("the", "cat"))
   }
+
+  test("heldoutPerplexity: a one-token language has perplexity ~1; " +
+    "partitioning-independent") {
+    import spark.implicits._
+    val uni = (1L to 200L).map(i => (i, "a a a a")).toDF("doc_id", "text")
+    val r = UnigramLM.heldoutPerplexity(uni, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("vocab") === 1L)
+    assert(r.getAs[Double]("perplexity") < 1.1)
+    val mixed = (1L to 200L)
+      .map(i => (i, if (i % 2 == 0) "a b c d" else "e f g h"))
+      .toDF("doc_id", "text")
+    val a = UnigramLM.heldoutPerplexity(mixed.repartition(1), "doc_id",
+      "text").collect()(0)
+    val b = UnigramLM.heldoutPerplexity(mixed.repartition(13), "doc_id",
+      "text").collect()(0)
+    assert(a === b)
+    // held-out half drawn from a different 4-token alphabet: every eval
+    // token is OOV-or-rare, so perplexity must sit far above uniform-4
+    assert(a.getAs[Double]("perplexity") > 4.0)
+  }
 }
