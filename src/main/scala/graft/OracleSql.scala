@@ -334,6 +334,46 @@ object OracleSql {
     * `floor(err·x·2²⁰ + 0.5)` BIGINTs (order-independent), update
     * `w − lr·((Σ/2²⁰)/n)` — every double op in the same sequence as the
     * Spark side, so the MODEL matches bit-for-bit, not just the scores. */
+  /** One BM25 ranking as a CTE chain (base/stats/scored/top/rk + suffix)
+    * with explicit k1 / (1−b) / b literals — the scorer expression is the
+    * bm25_topk replay verbatim, so two parameterizations can ride in one
+    * query (rank_stability). `rk$sfx` emits (doc_id, r$sfx). */
+  private def bm25RankCtes(sfx: String, k1: String, oneMinusB: String,
+                           b: String, k: Int): String = {
+    val terms = Seq("join", "vector", "stream")
+    val tfs = terms.zipWithIndex.map { case (tm, i) =>
+      s"CAST(len(list_filter($TOKS_LOWER, t -> t = '$tm')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|    ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n|    ")
+    val contribs = terms.indices.map { i =>
+      s"""(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) *
+         |     (CAST(tf$i AS DOUBLE) * ($k1 + 1.0)) /
+         |     (CAST(tf$i AS DOUBLE) +
+         |      $k1 * ($oneMinusB + $b * (CAST(dl AS DOUBLE) / avgdl))))"""
+        .stripMargin
+    }.mkString(" +\n|  ")
+    val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""base$sfx AS (SELECT doc_id,
+       |    CAST(len($TOKS_LOWER) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM documents),
+       |stats$sfx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS BIGINT) AS sumdl,
+       |    $dfs
+       |  FROM base$sfx),
+       |scored$sfx AS (SELECT doc_id, round($contribs, 6) AS bm25
+       |  FROM (SELECT bb.*, s.*, CAST(s.sumdl AS DOUBLE) / s.n AS avgdl
+       |        FROM base$sfx bb CROSS JOIN stats$sfx s)
+       |  WHERE $anyHit),
+       |top$sfx AS (SELECT doc_id, bm25 FROM scored$sfx
+       |  QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= $k),
+       |rk$sfx AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r$sfx
+       |  FROM top$sfx)""".stripMargin
+  }
+
   /** Platt-scaling replay: every GD round's quantized gradient sums and
     * (a, b) updates as a generated CTE chain ≡
     * [[graft.functions.Classifier.plattScale]]. MATERIALIZED pins keep the
@@ -1527,6 +1567,72 @@ object OracleSql {
         |  ('doomed', CAST(1 AS BIGINT), 'failed'),
         |  ('doomed', CAST(2 AS BIGINT), 'failed'),
         |  ('doomed', CAST(3 AS BIGINT), 'failed')) AS t(task, attempt, status)""".stripMargin,
+
+    // FK audit: per edge, exact counts + a distinct-key anti-join
+    "fk_audit" -> Seq(
+      ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("orders.custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("lineitem.partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"))
+      .map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS edge,
+           |  CAST(COUNT(*) AS BIGINT) AS n_child,
+           |  CAST(COUNT(DISTINCT $ck) AS BIGINT) AS n_keys,
+           |  CAST(COUNT(*) - COUNT($ck) AS BIGINT) AS n_null_fk,
+           |  (SELECT CAST(COUNT(*) AS BIGINT)
+           |   FROM (SELECT DISTINCT $ck AS k FROM $child
+           |         WHERE $ck IS NOT NULL) c
+           |   LEFT JOIN $parent p ON c.k = p.$pk
+           |   WHERE p.$pk IS NULL) AS n_dangling_keys
+           |FROM $child""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    // feature freshness: latest-per-entity staleness minutes, nearest-rank
+    // p50/p90 under the (staleness, entity) order
+    "feature_freshness" ->
+      s"""WITH $EV,
+         |latest AS (SELECT event_type AS g, user_id AS e,
+         |    MAX(epoch_ms(ts)) AS ms FROM ev GROUP BY 1, 2),
+         |ao AS (SELECT MAX(epoch_ms(ts)) AS a FROM ev),
+         |stale AS (SELECT g, e, (a - ms) // 60000 AS st FROM latest, ao),
+         |r AS (SELECT g, st,
+         |    row_number() OVER (PARTITION BY g ORDER BY st, e) AS rk,
+         |    COUNT(*) OVER (PARTITION BY g) AS n
+         |  FROM stale)
+         |SELECT g, CAST(MIN(n) AS BIGINT) AS n_entities,
+         |  CAST(MIN(CASE WHEN rk = (n * 50 + 99) // 100 THEN st END)
+         |    AS BIGINT) AS p50_stale_min,
+         |  CAST(MIN(CASE WHEN rk = (n * 90 + 99) // 100 THEN st END)
+         |    AS BIGINT) AS p90_stale_min
+         |FROM r
+         |WHERE rk = (n * 50 + 99) // 100 OR rk = (n * 90 + 99) // 100
+         |GROUP BY 1""".stripMargin,
+
+    // BM25 rank stability: both parameterizations replayed verbatim,
+    // Kendall over the common docs in exact integers
+    "rank_stability" ->
+      s"""WITH ${bm25RankCtes("a", "1.2", "0.75", "0.25", 20)},
+         |${bm25RankCtes("b", "2.0", "0.25", "0.75", 20)},
+         |cmn AS (SELECT a.doc_id, ra, rb
+         |  FROM rka a JOIN rkb b USING (doc_id)),
+         |cnt AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rka) AS na,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rkb) AS nb,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cmn) AS nc),
+         |pr AS (SELECT CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+         |    THEN 1 ELSE -1 END AS s
+         |  FROM cmn x JOIN cmn y ON x.doc_id < y.doc_id)
+         |SELECT na AS n_a, nb AS n_b, nc AS n_common,
+         |  CASE WHEN na + nb - nc = 0 THEN NULL
+         |       ELSE round(CAST(nc AS DOUBLE) / (na + nb - nc), 6) END
+         |    AS jaccard,
+         |  round(CAST((SELECT SUM(s) FROM pr) AS DOUBLE) /
+         |    ((nc * (nc - 1)) // 2), 6) AS kendall_tau
+         |FROM cnt""".stripMargin,
 
     // held-out unigram perplexity: Laplace model from the md5-even half,
     // per-token NLL pinned round(·,9)→DECIMAL, one exp at the end

@@ -1623,6 +1623,34 @@ object SparkEntry {
           col("total_tokens").cast("double"), 6).as("chars_per_token"))
   }
 
+  /** Referential-integrity audit over the star schema's four FK edges:
+    * child rows, distinct keys, NULL FKs, dangling keys per edge. */
+  private def fkAuditQ(s: SparkSession, dir: String): DataFrame = {
+    import ops.Validate.FkEdge
+    ops.Validate.fkAudit(Seq(
+      FkEdge("lineitem.orderkey->orders", t(s, dir, "lineitem"),
+        "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      FkEdge("orders.custkey->customer", t(s, dir, "orders"),
+        "o_custkey", t(s, dir, "customer"), "c_custkey"),
+      FkEdge("lineitem.partkey->part", t(s, dir, "lineitem"),
+        "l_partkey", t(s, dir, "part"), "p_partkey"),
+      FkEdge("lineitem.suppkey->supplier", t(s, dir, "lineitem"),
+        "l_suppkey", t(s, dir, "supplier"), "s_suppkey")))
+  }
+
+  /** Staleness distribution of each user's latest value per event type
+    * (nearest-rank p50/p90 minutes) — the TTL-sizing table. */
+  private def featureFreshness(s: SparkSession, dir: String): DataFrame =
+    ops.Profile.freshnessProfile(events(s, dir), "event_type", "user_id",
+      "ts")
+
+  /** BM25 hyperparameter stability: top-20 Jaccard overlap and Kendall τ
+    * between (k1 = 1.2, b = 0.75) and (k1 = 2.0, b = 0.25). */
+  private def rankStabilityQ(s: SparkSession, dir: String): DataFrame =
+    functions.Retrieval.rankStability(t(s, dir, "documents"), "doc_id",
+      "text", Seq("join", "vector", "stream"), k = 20,
+      k1a = 1.2, bA = 0.75, k1b = 2.0, bB = 0.25)
+
   /** Held-out unigram perplexity: Laplace model on the md5-even half,
     * exp(mean NLL) on the other half — the LM-drift eval. */
   private def heldoutPerplexity(s: SparkSession, dir: String): DataFrame =
@@ -3580,6 +3608,9 @@ object SparkEntry {
     "bpe_efficiency"    -> (bpeEfficiency _),
     "heldout_perplexity" -> (heldoutPerplexity _),
     "pad_waste"         -> (padWasteQ _),
+    "fk_audit"          -> (fkAuditQ _),
+    "feature_freshness" -> (featureFreshness _),
+    "rank_stability"    -> (rankStabilityQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -72,6 +72,47 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Ranking stability under scorer hyperparameters — top-k overlap
+    * (Jaccard) and Kendall τ between two [[bm25TopK]] parameterizations
+    * of the SAME query: the pre-deploy check that a k1/b retune reorders
+    * the tail, not the head. Ranks are positions in each (score DESC,
+    * id) total order; τ counts concordant minus discordant pairs over
+    * the COMMON documents (no ties possible — ranks are distinct), one
+    * rounded division at the end. Everything after the two k-row
+    * rankings is k²-bounded arithmetic. Returns one row
+    * `(n_a, n_b, n_common, jaccard, kendall_tau)`; τ is NULL when fewer
+    * than 2 common docs. */
+  def rankStability(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int,
+                    k1a: Double, bA: Double,
+                    k1b: Double, bB: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(k1: Double, b: Double, as: String) =
+      bm25TopK(docs, idCol, textCol, terms, k, k1, b)
+        .select(col(idCol).as("id"),
+          row_number().over(
+            Window.orderBy(col("bm25").desc, col(idCol))).as(as))
+    val ra = ranked(k1a, bA, "ra")
+    val rb = ranked(k1b, bB, "rb")
+    val common = Dedup.barrier(ra.join(rb, "id"), checkpoint = false)
+    val counts = broadcast(ra.agg(count(lit(1)).as("__na"))
+      .crossJoin(rb.agg(count(lit(1)).as("__nb")))
+      .crossJoin(common.agg(count(lit(1)).as("__nc"))))
+    val pairs = common.as("x").join(common.as("y"),
+        col("x.id") < col("y.id"))
+      .select(when((col("x.ra") - col("y.ra")) *
+        (col("x.rb") - col("y.rb")) > 0, 1L).otherwise(-1L).as("__s"))
+    pairs.agg(sum(col("__s")).as("__cd")).crossJoin(counts)
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__nc").as("n_common"),
+        when(col("__na") + col("__nb") - col("__nc") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__nc").cast("double") /
+            (col("__na") + col("__nb") - col("__nc")), 6)).as("jaccard"),
+        round(col("__cd").cast("double") /
+          expr("(__nc * (__nc - 1)) div 2"), 6).as("kendall_tau"))
+  }
+
   /** Ranking-quality metrics for a batch of term queries — NDCG@k and
     * MRR@k of the [[bm25TopK]] ranking against binary relevance
     * ("document contains EVERY query term"): the eval loop a retrieval

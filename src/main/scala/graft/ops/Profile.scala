@@ -123,6 +123,46 @@ object Profile {
         size(col("__s")).cast("long").as("sample_n") +: picks): _*)
   }
 
+  /** Feature-freshness profile — per feature group, the staleness
+    * distribution of each entity's LATEST value against the table's own
+    * as-of instant: the serving-health table behind a feature-store TTL
+    * policy ([[graft.ops.FeatureSide]]'s `maxAgeSeconds`, serving-side
+    * `getFresh`) — how stale the corpus actually is decides what TTL is
+    * survivable. Staleness is exact integer minutes
+    * (`(asof_ms − last_ms) div 60000`); percentiles are nearest-rank
+    * selections `(n·pct + 99) div 100` under the (staleness, entity)
+    * order ([[Normalize.winsorize]]'s integer rank rule).
+    *
+    * Scale shape: one (group, entity) partial aggregate (the latest-ts
+    * map-side max), one group-keyed window rank over the entities-sized
+    * table, a ≤ 2-rows-per-group edge filter, and a groups-sized
+    * rollup. */
+  def freshnessProfile(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                       entityCol: String, tsCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = df.groupBy(col(groupCol).as("g"),
+        col(entityCol).as("__e"))
+      .agg(max(unix_millis(col(tsCol))).as("__ms"))
+    val asOf = broadcast(df.agg(max(unix_millis(col(tsCol))).as("__asof")))
+    val stale = latest.crossJoin(asOf)
+      .select(col("g"), col("__e"),
+        expr("(__asof - __ms) div 60000").as("__stale"))
+    val w = Window.partitionBy(col("g")).orderBy(col("__stale"), col("__e"))
+    val wAll = Window.partitionBy(col("g"))
+    val ranked = stale.select(col("g"), col("__stale"),
+      row_number().over(w).as("__rk"), count(lit(1)).over(wAll).as("__n"))
+    def edge(pct: Int) = expr(s"(__n * $pct + 99) div 100")
+    ranked
+      .where(col("__rk") === edge(50) || col("__rk") === edge(90))
+      .groupBy(col("g"))
+      .agg(min(col("__n")).as("n_entities"),
+        min(when(col("__rk") === edge(50), col("__stale")))
+          .as("p50_stale_min"),
+        min(when(col("__rk") === edge(90), col("__stale")))
+          .as("p90_stale_min"))
+  }
+
   /** Weighted median per group — the smallest value whose cumulative
     * weight reaches half the group's total (lower weighted median,
     * pinned): the importance-weighted center a plain median misses when

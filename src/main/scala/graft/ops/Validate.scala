@@ -101,4 +101,32 @@ object Validate {
     (scalar.toSeq ++ others).reduce(_.union(_))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** One FK edge for [[fkAudit]]: `child.childCol → parent.parentCol`. */
+  final case class FkEdge(name: String, child: DataFrame, childCol: String,
+                          parent: DataFrame, parentCol: String)
+
+  /** Referential-integrity audit across a schema's FK edges — per edge,
+    * child rows, distinct keys, NULL FKs, and dangling keys (non-NULL
+    * keys with no parent): the star-schema health table one
+    * [[RefIntegrity]] rule can't give in one pass. Each edge costs one
+    * child aggregate plus one distinct-key anti-join against the parent
+    * — the dangling count shuffles KEYS, never child rows. */
+  def fkAudit(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "at least one edge")
+    edges.map { e =>
+      val keys = e.child.select(col(e.childCol).as("__k"))
+      val counts = keys.agg(count(lit(1)).as("n_child"),
+        count(col("__k")).as("__nonnull"),
+        count_distinct(col("__k")).as("n_keys"))
+      val dangling = keys.where(col("__k").isNotNull).distinct()
+        .join(e.parent.select(col(e.parentCol).as("__k")),
+          Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_dangling_keys"))
+      counts.crossJoin(dangling)
+        .select(lit(e.name).as("edge"), col("n_child"),
+          col("n_keys"), (col("n_child") - col("__nonnull")).as("n_null_fk"),
+          col("n_dangling_keys"))
+    }.reduce(_.unionByName(_))
+  }
 }

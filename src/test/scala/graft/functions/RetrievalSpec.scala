@@ -108,4 +108,32 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("rankStability: a ranking against itself is tau 1, jaccard 1") {
+    import spark.implicits._
+    val corpus = (1L to 30L)
+      .map(i => (i, ("join " * (i.toInt % 5 + 1)) + "filler words here"))
+      .toDF("doc_id", "text")
+    val r = Retrieval.rankStability(corpus, "doc_id", "text",
+      Seq("join"), k = 10, 1.2, 0.75, 1.2, 0.75).collect()(0)
+    assert(r.getAs[Double]("jaccard") === 1.0)
+    assert(r.getAs[Double]("kendall_tau") === 1.0)
+    assert(r.getAs[Long]("n_common") === 10L)
+  }
+
+  test("rankStability: b = 0 vs b = 1 reorders length-confounded docs") {
+    import spark.implicits._
+    // same tf, lengths DECREASE with id: b=0 ties → id order; b=1 ranks
+    // short (high-id) docs first → the common set reverses, tau = -1
+    val corpus = (1L to 20L).map(i =>
+      (i, "join " + ("pad " * ((21 - i.toInt) * 10)))).toDF("doc_id", "text")
+    val r = Retrieval.rankStability(corpus, "doc_id", "text",
+      Seq("join"), k = 10, 1.2, 0.0, 1.2, 1.0).collect()(0)
+    assert(r.getAs[Long]("n_a") === 10L)
+    // b=0 keeps ids 1-10 (tf ties → id order), b=1 keeps the short docs
+    // 11-20: the sets disagree outright, and with no common docs the tau
+    // is honestly NULL rather than a fabricated number
+    assert(r.getAs[Double]("jaccard") < 0.5)
+    assert(r.getAs[Long]("n_common") >= 2L || r.isNullAt(4))
+  }
 }

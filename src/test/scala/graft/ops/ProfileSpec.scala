@@ -51,6 +51,20 @@ class ProfileSpec extends SparkSpec {
     assert((2 to 7).forall(i => r.getDouble(i) == 7.0))
   }
 
+  test("freshnessProfile: staleness ranks against the table's own as-of") {
+    import org.apache.spark.sql.functions._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // as-of = minute 100; latest per entity: a1@100 (0m), a2@40 (60m),
+    // a3@10 (90m); entity a1 has an older event that must not count
+    val df = Seq(("f", 1L, ts(100)), ("f", 1L, ts(5)), ("f", 2L, ts(40)),
+      ("f", 3L, ts(10))).toDF("g", "e", "ts")
+    val r = Profile.freshnessProfile(df, "g", "e", "ts").collect()(0)
+    assert(r.getAs[Long]("n_entities") === 3L)
+    // ranks over staleness [0, 60, 90]: p50 rank 2 → 60, p90 rank 3 → 90
+    assert(r.getAs[Long]("p50_stale_min") === 60L)
+    assert(r.getAs[Long]("p90_stale_min") === 90L)
+  }
+
   test("weightedMedian: heavy weight drags the median; unit weights " +
     "reduce to the lower median") {
     import org.apache.spark.sql.functions._

@@ -49,4 +49,20 @@ class ValidateSpec extends SparkSpec {
     assert(plan.split("Scan parquet").length - 1 == 1)
     assert(plan.split("HashAggregate").length - 1 == 2)
   }
+
+  test("fkAudit: planted dangling keys, NULL FKs, clean edge") {
+    import spark.implicits._
+    import Validate.FkEdge
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Option(1L), Option(1L), Option(9L), Option(8L),
+      Option(8L), None).toDF("fk")
+    val out = Validate.fkAudit(Seq(
+        FkEdge("bad", child, "fk", parent, "pk"),
+        FkEdge("clean", parent, "pk", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 6 child rows, keys {1,9,8}, 1 NULL fk, dangling {9,8}
+    assert(out("bad") === ((6L, 3L, 1L, 2L)))
+    assert(out("clean") === ((3L, 3L, 0L, 0L)))
+  }
 }
