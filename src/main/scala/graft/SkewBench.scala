@@ -104,10 +104,20 @@ object SkewBench {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** min-of-two timing: the scaling assertions compare x10/x1 RATIOS of
+    * sub-second-to-minute measurements, and a co-tenant CPU spike landing
+    * on one family at one scale fabricates a superlinear "finding"; the
+    * minimum of two back-to-back runs approximates the uncontended time
+    * at both scales, which is what the design claim is about. */
   private def time[A](body: => A): (Double, A) = {
-    val t0 = System.nanoTime()
-    val a = body
-    ((System.nanoTime() - t0) / 1e9, a)
+    def once: (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = body
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val first = once
+    val second = once
+    if (first._1 <= second._1) first else second
   }
 
   private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
