@@ -1568,6 +1568,57 @@ object OracleSql {
         |  ('doomed', CAST(2 AS BIGINT), 'failed'),
         |  ('doomed', CAST(3 AS BIGINT), 'failed')) AS t(task, attempt, status)""".stripMargin,
 
+    // embedding audit: dims/zero/non-finite flags in one pass, norms via
+    // list_dot_product, nearest-rank median per group
+    "embedding_audit" ->
+      """WITH b AS (SELECT label AS g, vec_id,
+        |    CASE WHEN len(embedding) <> 8 THEN 1 ELSE 0 END AS bad,
+        |    CASE WHEN NOT list_bool_or(
+        |      list_transform(embedding, x -> x <> 0)) THEN 1 ELSE 0 END
+        |      AS z,
+        |    CASE WHEN list_bool_or(
+        |      list_transform(embedding, x -> isnan(x))) THEN 1 ELSE 0 END
+        |      AS nf,
+        |    round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))), 6) AS nrm
+        |  FROM embeddings),
+        |r AS (SELECT g, bad, z, nf, nrm,
+        |    row_number() OVER (PARTITION BY g ORDER BY nrm, vec_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM b)
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(bad) AS BIGINT) AS n_bad_dim,
+        |  CAST(SUM(z) AS BIGINT) AS n_zero,
+        |  CAST(SUM(nf) AS BIGINT) AS n_nonfinite,
+        |  MIN(CASE WHEN rk = (n + 1) // 2 THEN nrm END) AS p50_norm
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // join advisor: one rollup (all three strategies are result-identical
+    // by construction), strategies pinned from the deterministic stats
+    "adaptive_join" ->
+      s"""WITH $EV,
+         |dimseg AS (SELECT user_id, user_id % 7 AS segment
+         |  FROM (SELECT DISTINCT user_id FROM ev)),
+         |ru AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM ev JOIN dimseg USING (user_id) GROUP BY 1)
+         |SELECT segment, n, total, c.config, c.strategy
+         |FROM ru, (VALUES ('default', 'broadcast'),
+         |  ('nobroadcast', 'shuffle'), ('skewsensitive', 'salted'))
+         |  c(config, strategy)""".stripMargin,
+
+    // cold-start fallback: the pit_purchases replay with NULL features
+    // filled from the global click prior
+    "pit_cold_start" ->
+      s"""SELECT user_id, ts_ms,
+         |  CAST(CASE WHEN f_click IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS was_cold,
+         |  COALESCE(f_click, pr.p) AS f_click_filled, label
+         |FROM ($pitPurchasesSql) b,
+         |  (SELECT round(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         |      AS DOUBLE) / COUNT(*), 6) AS p
+         |   FROM events WHERE event_type = 'click') pr""".stripMargin,
+
     // FK audit: per edge, exact counts + a distinct-key anti-join
     "fk_audit" -> Seq(
       ("lineitem.orderkey->orders", "lineitem", "l_orderkey",

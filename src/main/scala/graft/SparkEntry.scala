@@ -1623,6 +1623,49 @@ object SparkEntry {
           col("total_tokens").cast("double"), 6).as("chars_per_token"))
   }
 
+  /** Embedding-table quality audit per label group: dims, zero vectors,
+    * non-finite components, nearest-rank median norm. */
+  private def embeddingAudit(s: SparkSession, dir: String): DataFrame =
+    Vectors.embeddingAudit(t(s, dir, "embeddings"), "vec_id", "embedding",
+      "label", expectedDim = 8)
+
+  /** The join advisor exercised across its three regimes on the same
+    * fact×dim join — the rollup is identical, the strategy column pins
+    * which plan the statistics picked. */
+  private def adaptiveJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(7)))
+    def rollup(maxB: Long, skewF: Long, name: String): DataFrame = {
+      val (joined, strat) = ops.Skew.adaptiveJoin(ev, dim, "user_id",
+        maxBroadcastRows = maxB, skewFactor = skewF)
+      joined.groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .withColumn("config", lit(name))
+        .withColumn("strategy", lit(strat))
+    }
+    rollup(1000000L, 10L, "default")
+      .unionByName(rollup(10L, 10L, "nobroadcast"))
+      .unionByName(rollup(10L, 1L, "skewsensitive"))
+  }
+
+  /** Cold-start feature fallback: the as-of click feature with NULLs
+    * (no history yet) filled from the global click prior — the
+    * feature-store backfill rule for brand-new entities. */
+  private def pitColdStart(s: SparkSession, dir: String): DataFrame = {
+    val prior = broadcast(events(s, dir)
+      .filter(col("event_type") === "click")
+      .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)), 6).as("__prior")))
+    pitPurchases(s, dir).crossJoin(prior)
+      .select(col("user_id"), col("ts_ms"),
+        col("f_click").isNull.cast("long").as("was_cold"),
+        coalesce(col("f_click"), col("__prior")).as("f_click_filled"),
+        col("label"))
+  }
+
   /** Referential-integrity audit over the star schema's four FK edges:
     * child rows, distinct keys, NULL FKs, dangling keys per edge. */
   private def fkAuditQ(s: SparkSession, dir: String): DataFrame = {
@@ -3611,6 +3654,9 @@ object SparkEntry {
     "fk_audit"          -> (fkAuditQ _),
     "feature_freshness" -> (featureFreshness _),
     "rank_stability"    -> (rankStabilityQ _),
+    "embedding_audit"   -> (embeddingAudit _),
+    "adaptive_join"     -> (adaptiveJoinQ _),
+    "pit_cold_start"    -> (pitColdStart _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -552,4 +552,38 @@ object Vectors {
         .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
     }
   }
+
+  /** Embedding-table quality audit — per group: row count, vectors with
+    * the wrong dimension, all-zero vectors (cosine-undefined: every
+    * similarity op here divides by the norm), non-finite components, and
+    * the nearest-rank median norm (drift in the norm distribution is the
+    * embedding-model-version tripwire). The gate the ANN/dedup family
+    * assumes has already run.
+    *
+    * Norms use the same sequential-fold dot as every similarity op
+    * (≡ list_dot_product), rounded 6 before ranking; the median is the
+    * [[graft.ops.Profile.numericProfile]] integer-rank rule. One scan
+    * projection + one group-keyed window + a groups-sized rollup. */
+  def embeddingAudit(df: DataFrame, idCol: String, vecCol: String,
+                     groupCol: String, expectedDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vecCol)
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("__id"),
+      (size(v) =!= expectedDim).cast("long").as("__bad_dim"),
+      (!exists(v, x => x =!= 0.0f)).cast("long").as("__zero"),
+      exists(v, x => isnan(x)).cast("long").as("__nonfinite"),
+      round(sqrt(dot(v, v)), 6).as("__norm"))
+    val w = Window.partitionBy(col("g")).orderBy(col("__norm"), col("__id"))
+    val wAll = Window.partitionBy(col("g"))
+    val ranked = base.select(col("g"), col("__bad_dim"), col("__zero"),
+      col("__nonfinite"), col("__norm"),
+      row_number().over(w).as("__rk"), count(lit(1)).over(wAll).as("__n"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("__bad_dim")).as("n_bad_dim"),
+        sum(col("__zero")).as("n_zero"),
+        sum(col("__nonfinite")).as("n_nonfinite"),
+        min(when(col("__rk") === expr("(__n + 1) div 2"), col("__norm")))
+          .as("p50_norm"))
+  }
 }

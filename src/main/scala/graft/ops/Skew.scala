@@ -43,6 +43,40 @@ object Skew {
     * The filter rides as a task-serialized reference object —
     * [[graft.functions.expressions.BloomHits]] keeps whole-stage
     * codegen. */
+  /** Statistics-driven join-strategy advisor — the explicit, auditable
+    * form of the decision a cost-based optimizer makes blind: measure,
+    * then pick. Small side under `maxBroadcastRows` → broadcast hash
+    * join (zero big-side shuffle); otherwise ONE key-histogram aggregate
+    * of the big side decides between [[saltedJoin]] (top key carries
+    * more than `skewFactor`× the mean frequency — the exact integer
+    * comparison `max·k > skewFactor·n`, no float means) and the plain
+    * shuffle join. Returns the joined frame and the chosen strategy
+    * (pin it in reports — regressions in data shape surface as strategy
+    * flips long before they surface as timeouts).
+    *
+    * The stats pass costs one keys-sized partial aggregate (the
+    * skew_report shape) — at 100 TB that is the cheap insurance against
+    * the quadratic hot-key join it prevents. */
+  def adaptiveJoin(big: org.apache.spark.sql.DataFrame,
+                   small: org.apache.spark.sql.DataFrame, key: String,
+                   maxBroadcastRows: Long = 1000000L,
+                   skewFactor: Long = 10L, saltBuckets: Int = 16)
+      : (org.apache.spark.sql.DataFrame, String) = {
+    val smallN = small.count()
+    if (smallN <= maxBroadcastRows)
+      (big.join(broadcast(small), Seq(key)), "broadcast")
+    else {
+      val h = big.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__n"),
+          count(lit(1)).as("__k"))
+        .collect()(0)
+      val skewed = !h.isNullAt(0) &&
+        h.getLong(0) * h.getLong(2) > skewFactor * h.getLong(1)
+      if (skewed) (saltedJoin(big, small, key, saltBuckets), "salted")
+      else (big.join(small, Seq(key)), "shuffle")
+    }
+  }
+
   def bloomPrefilteredJoin(big: org.apache.spark.sql.DataFrame,
                            small: org.apache.spark.sql.DataFrame,
                            key: String, numProbes: Int = 5,

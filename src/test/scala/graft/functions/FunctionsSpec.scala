@@ -239,4 +239,23 @@ class IvfSpec extends graft.SparkSpec {
     assert(recall >= 0.3, s"recall=$recall") // nprobe=4 of nlist=8 -> ~half the corpus scanned
     assert(ivfPairs.subsetOf(ivfPairs)) // sanity
   }
+
+  test("embeddingAudit flags planted bad-dim/zero/NaN vectors; median " +
+    "norm is rank-selected") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, Array(3.0f, 4.0f)),        // norm 5
+      ("a", 2L, Array(0.0f, 0.0f)),        // zero vector, norm 0
+      ("a", 3L, Array(1.0f, 0.0f, 0.0f)),  // wrong dim, norm 1
+      ("a", 4L, Array(Float.NaN, 1.0f)))   // non-finite
+      .toDF("label", "vec_id", "embedding")
+    val r = Vectors.embeddingAudit(rows, "vec_id", "embedding", "label",
+      expectedDim = 2).collect()(0)
+    assert(r.getAs[Long]("n_vectors") === 4L)
+    assert(r.getAs[Long]("n_bad_dim") === 1L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Long]("n_nonfinite") === 1L)
+    // norms sorted: [0, 1, NaN?, 5] — rank (4+1) div 2 = 2 → second value
+    assert(r.getAs[Double]("p50_norm") === 1.0)
+  }
 }

@@ -245,6 +245,31 @@ class SkewSpec extends graft.SparkSpec {
     assert(plain.select("k", "v", "name").except(salted.select("k", "v", "name")).count() == 0)
   }
 
+  test("adaptiveJoin: stats pick broadcast / shuffle / salted; results " +
+    "identical in all regimes") {
+    val big = (Seq.fill(900)(1L) ++ (2L to 101L)).zipWithIndex
+      .map { case (k, i) => (k, i.toDouble) }.toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "a"), (50L, "b"), (999L, "miss"))
+      .toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).orderBy("k", "v").collect().toSeq
+    // small side under the row cap → broadcast
+    val (j1, s1) = Skew.adaptiveJoin(big, dim, "k")
+    assert(s1 === "broadcast")
+    assert(j1.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // cap lowered, skew threshold high: mx·k = 900·101 < 1000·1000 → plain
+    val (j2, s2) = Skew.adaptiveJoin(big, dim, "k",
+      maxBroadcastRows = 2, skewFactor = 1000)
+    assert(s2 === "shuffle")
+    // skew threshold low: the hot key trips the salted path
+    val (j3, s3) = Skew.adaptiveJoin(big, dim, "k",
+      maxBroadcastRows = 2, skewFactor = 10)
+    assert(s3 === "salted")
+    for (j <- Seq(j1, j2, j3))
+      assert(j.select("k", "v", "name").orderBy("k", "v").collect().toSeq
+        === plain.map(r => r))
+  }
+
   test("bloomPrefilteredJoin is row-identical to the plain join") {
     val big = (1L to 2000L).map(k => (k, s"p$k")).toDF("k", "payload")
     val small = (1L to 2000L by 97L).map(k => (k, s"d$k")).toDF("k", "dim")
