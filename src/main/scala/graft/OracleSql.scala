@@ -1804,6 +1804,86 @@ object OracleSql {
          |FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
 
+    // containment: the winnow candidate stage (minShared 2) replayed,
+    // then |grams(small) ∩ grams(big)| / |grams(small)| over the SAME
+    // normalized text (set relations only — hashes cancel)
+    "containment_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents),
+         |pos AS (SELECT doc_id, nt, greatest(length(nt) - 19, 0) AS m,
+         |    unnest(generate_series(1, greatest(length(nt) - 19, 0))) AS i FROM d),
+         |wh AS (SELECT doc_id, m, i, ${mh63("substr(nt, i, 20)")} AS h FROM pos),
+         |wm AS (SELECT doc_id, m, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS mh FROM wh),
+         |sel0 AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= greatest(m - 24, 0) + 1),
+         |sel AS (SELECT * FROM sel0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY mh) <= 2000),
+         |cand AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |gs AS (SELECT doc_id, length(nt) AS len,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(length(nt) - 19, 0)),
+         |      i -> substr(nt, i, 20))) AS ks
+         |  FROM d),
+         |pairs AS (SELECT
+         |    CASE WHEN ga.len < gb.len OR (ga.len = gb.len AND idA < idB)
+         |         THEN idA ELSE idB END AS id_small,
+         |    CASE WHEN ga.len < gb.len OR (ga.len = gb.len AND idA < idB)
+         |         THEN idB ELSE idA END AS id_big,
+         |    n_shared,
+         |    CASE WHEN ga.len < gb.len OR (ga.len = gb.len AND idA < idB)
+         |         THEN CASE WHEN len(ga.ks) = 0 THEN 0.0
+         |           ELSE round(len(list_intersect(ga.ks, gb.ks)) * 1.0 /
+         |             len(ga.ks), 6) END
+         |         ELSE CASE WHEN len(gb.ks) = 0 THEN 0.0
+         |           ELSE round(len(list_intersect(gb.ks, ga.ks)) * 1.0 /
+         |             len(gb.ks), 6) END END AS containment
+         |  FROM cand
+         |  JOIN gs ga ON ga.doc_id = idA
+         |  JOIN gs gb ON gb.doc_id = idB)
+         |SELECT id_small, id_big, n_shared, containment FROM pairs
+         |WHERE containment >= 0.5""".stripMargin,
+
+    // Stupid Backoff: train tables from the md5-even half, held-out docs
+    // scored with ln of exact ratios pinned round(·,9)→DECIMAL
+    "stupid_backoff" ->
+      s"""WITH sp AS (SELECT doc_id, $TOKS_LOWER AS toks,
+         |    ${mh63("CAST(doc_id AS VARCHAR) || '|sb'")} % 2 AS s
+         |  FROM documents),
+         |bi AS (SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM (SELECT unnest(list_transform(
+         |      generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+         |    FROM sp WHERE s = 0)
+         |  GROUP BY 1),
+         |uni AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(toks) AS t FROM sp WHERE s = 0) GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(toks) AS t FROM sp WHERE s = 0)),
+         |ev2 AS (SELECT doc_id, g AS bigram,
+         |    split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+         |    FROM sp WHERE s = 1)),
+         |sc AS (SELECT doc_id,
+         |    CASE WHEN bi.c12 IS NULL THEN 1 ELSE 0 END AS bo,
+         |    CAST(CASE WHEN bi.c12 IS NOT NULL
+         |      THEN round(ln(CAST(bi.c12 AS DOUBLE) /
+         |        CAST(u1.c AS DOUBLE)), 9)
+         |      ELSE round(ln(0.4 *
+         |        (CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE) /
+         |         CAST(n + 1 AS DOUBLE))), 9) END AS DECIMAL(18,9)) AS s
+         |  FROM ev2
+         |  LEFT JOIN bi USING (bigram)
+         |  LEFT JOIN uni u1 ON u1.token = ev2.w1
+         |  LEFT JOIN uni u2 ON u2.token = ev2.w2, nn)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(bo) AS BIGINT) AS n_backoff,
+         |  round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS avg_logscore
+         |FROM sc GROUP BY 1""".stripMargin,
+
     // the bucketed co-located join must equal the plain join
     "bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

@@ -1224,6 +1224,20 @@ object SparkEntry {
     Dedup.winnowNearDups(t(s, dir, "documents"), "text", "doc_id",
       shingleK = 20, window = 24, minShared = 3)
 
+  /** Quote-inclusion detection: winnowing candidates verified by k-gram
+    * CONTAINMENT of the shorter normalized text in the longer — the
+    * asymmetric pairs a Jaccard gate structurally misses. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+      shingleK = 20, window = 24, minShared = 2, minContainment = 0.5)
+
+  /** Stupid Backoff bigram scoring on the md5-held-out half (α = 0.4):
+    * conditional bigram frequency with unigram backoff; the backoff
+    * rate is the out-of-distribution phrasing signal. */
+  private def stupidBackoffQ(s: SparkSession, dir: String): DataFrame =
+    functions.UnigramLM.stupidBackoff(t(s, dir, "documents"), "doc_id",
+      "text")
+
   // --------------------------------- bucketed co-located join (no shuffle)
 
   /** Two tables bucketed on the join key (8 buckets each) joined with a
@@ -3657,6 +3671,8 @@ object SparkEntry {
     "embedding_audit"   -> (embeddingAudit _),
     "adaptive_join"     -> (adaptiveJoinQ _),
     "pit_cold_start"    -> (pitColdStart _),
+    "containment_pairs" -> (containmentPairs _),
+    "stupid_backoff"    -> (stupidBackoffQ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

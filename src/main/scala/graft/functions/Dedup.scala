@@ -359,6 +359,52 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Containment (quote-inclusion) pairs — documents whose k-gram
+    * content lives INSIDE another document: candidates from shared
+    * winnowing fingerprints (a contained substring of length ≥
+    * window + k − 1 must share a fingerprint — the MOSS guarantee works
+    * for asymmetric inclusion exactly as for near-duplication), verified
+    * with [[expressions.KgramContainment]] of the SHORTER text in the
+    * longer. This is the detector Jaccard-gated pipelines structurally
+    * miss: a 50-char quote inside a 5000-char article has Jaccard ≈ 0.01
+    * and containment ≈ 1.
+    *
+    * Same scale shape as [[winnowNearDups]] (capped fingerprint
+    * self-join); the verify joins the candidate PAIRS back to the two
+    * texts — pair-bounded, the corpus never self-joins on text. Returns
+    * `(id_small, id_big, n_shared, containment)` for pairs at or above
+    * `minContainment` (ties in length break by id: the smaller id is
+    * "small" on equal lengths). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 20, window: Int = 24,
+                       minShared: Int = 2, minContainment: Double = 0.5,
+                       maxFpFreq: Int = 2000): DataFrame = {
+    val cand = winnowNearDups(df, textCol, idCol, shingleK, window,
+      minShared, maxFpFreq)
+    // verify on the SAME normalized text the fingerprint stage hashed
+    val texts = df.select(col(idCol).as("__tid"),
+      TextFunctions.normalizedText(col(textCol)).as("__txt"))
+      .withColumn("__len", length(col("__txt")))
+    val withTexts = cand
+      .join(texts.select(col("__tid").as("idA"), col("__txt").as("__ta"),
+        col("__len").as("__la")), "idA")
+      .join(texts.select(col("__tid").as("idB"), col("__txt").as("__tb"),
+        col("__len").as("__lb")), "idB")
+    val aIsSmall = col("__la") < col("__lb") ||
+      (col("__la") === col("__lb") && col("idA") < col("idB"))
+    withTexts
+      .select(
+        when(aIsSmall, col("idA")).otherwise(col("idB")).as("id_small"),
+        when(aIsSmall, col("idB")).otherwise(col("idA")).as("id_big"),
+        col("n_shared"),
+        round(when(aIsSmall,
+          graft.functions.expressions.HashExprs.kgramContainment(
+            col("__ta"), col("__tb"), shingleK))
+          .otherwise(graft.functions.expressions.HashExprs.kgramContainment(
+            col("__tb"), col("__ta"), shingleK)), 6).as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
   /** 64-bit SimHash over whitespace tokens (Charikar 2002) — custom Catalyst
     * expression ([[graft.functions.expressions.SimHash64]]). */
   def simhash64(text: Column): Column =

@@ -183,6 +183,59 @@ object UnigramLM {
             col("n_tokens").cast("double"), 6)).as("oov_rate"))
   }
 
+  /** Stupid Backoff bigram scoring (Brants et al. 2007) on a held-out
+    * split — the web-scale LM rule: score a bigram by its conditional
+    * frequency when the TRAIN split saw it, else back off to
+    * `α · unigram`: `S(w₂|w₁) = c(w₁w₂)/c(w₁)` or
+    * `α · (c(w₂)+1)/(N+1)` (the +1 floor keeps OOV words finite,
+    * pinned). Backoff RATE is the interesting signal: a document whose
+    * bigrams constantly back off is phrased unlike the corpus even when
+    * its words are common — [[bigramScore]]'s rare-gate, upgraded with a
+    * principled score.
+    *
+    * Every log is `round(ln(exact ratio), 9)` pinned to DECIMAL before
+    * the per-doc sum (the ln bridge). Frequency tables join sort-merge —
+    * the bigram vocab is NOT broadcast-assumed ([[pmiCollocations]]
+    * rule). Returns per held-out doc:
+    * `(doc_id, n_bigrams, n_backoff, avg_logscore)`. */
+  def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 0.4): DataFrame = {
+    val split = graft.functions.expressions.Md5Long(
+      concat(col(idCol).cast("string"), lit("|sb")))
+      .bitwiseAND(lit(Long.MaxValue)) % 2
+    val train = docs.where(split === 0)
+    val bi = bigramFrequencies(train, textCol)
+      .select(col("bigram"), col("freq").as("__c12"))
+    val uni = tokenFrequencies(train, textCol)
+    val nTok = broadcast(train
+      .select(explode(toks(col(textCol))).as("t"))
+      .agg(count(lit(1)).as("__N")))
+    val scored = docs.where(split === 1)
+      .select(col(idCol).as("doc_id"),
+        explode(bigrams(col(textCol))).as("bigram"))
+      .withColumn("__w1", split_part(col("bigram"), lit(" "), lit(1)))
+      .withColumn("__w2", split_part(col("bigram"), lit(" "), lit(2)))
+      .join(bi, Seq("bigram"), "left_outer")
+      .join(uni.select(col("token").as("__w1"), col("freq").as("__c1")),
+        Seq("__w1"), "left_outer")
+      .join(uni.select(col("token").as("__w2"), col("freq").as("__c2")),
+        Seq("__w2"), "left_outer")
+      .crossJoin(nTok)
+      .select(col("doc_id"),
+        col("__c12").isNull.cast("long").as("__bo"),
+        when(col("__c12").isNotNull,
+          round(log(col("__c12").cast("double") /
+            col("__c1").cast("double")), 9))
+          .otherwise(round(log(lit(alpha) *
+            ((coalesce(col("__c2"), lit(0L)) + 1).cast("double") /
+              (col("__N") + 1).cast("double"))), 9))
+          .cast("decimal(18,9)").as("__s"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__bo")).as("n_backoff"),
+        round(sum(col("__s")).cast("double") / count(lit(1)), 6)
+          .as("avg_logscore"))
+  }
+
   /** Held-out unigram perplexity — the LM-quality eval the per-doc
     * scores ([[corpusFreqScore]], [[surprisal]]) feed but never close:
     * train a Laplace-smoothed unigram model on the md5-even half of the

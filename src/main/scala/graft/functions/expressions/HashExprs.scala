@@ -141,6 +141,9 @@ object HashExprs {
   def kgramJaccard(a: Column, b: Column, shingleK: Int): Column =
     ColumnBridge.column(KgramJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b), shingleK))
+  def kgramContainment(a: Column, b: Column, shingleK: Int): Column =
+    ColumnBridge.column(KgramContainment(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), shingleK))
   def winnowFingerprint(text: Column, shingleK: Int, window: Int): Column =
     ColumnBridge.column(WinnowFingerprint(
       ColumnBridge.expression(text), shingleK, window))
@@ -212,6 +215,75 @@ final case class KgramJaccard(left: Expression, right: Expression, shingleK: Int
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KgramJaccard =
+    copy(left = l, right = r)
+}
+
+/** Asymmetric k-gram CONTAINMENT `|g(a) ∩ g(b)| / |g(a)|` — does the
+  * LEFT string's content live inside the right one? Jaccard misses a
+  * short document quoted whole inside a long one (the union is dominated
+  * by the long side); containment is exactly the quote/inclusion test
+  * (Broder 1997's second resemblance measure). Same xxhash64 gram sets
+  * as [[KgramJaccard]] (set relations only — the oracle recomputes with
+  * literal substr sets). Gram-less left strings score 0 (no evidence of
+  * containment, pinned). */
+final case class KgramContainment(left: Expression, right: Expression,
+                                  shingleK: Int)
+    extends BinaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kgramContainment", this,
+      classOf[KgramContainment].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kgram_containment"
+
+  private def kgramSet(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    val starts = Md5Hash64.charStarts(bytes, bytes.length)
+    val numChars = starts.length - 1
+    if (numChars < shingleK) return Array.emptyLongArray
+    val out = new Array[Long](numChars - shingleK + 1)
+    var i = 0
+    while (i <= numChars - shingleK) {
+      val from = starts(i)
+      out(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        starts(i + shingleK) - from, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  def compute(a: org.apache.spark.unsafe.types.UTF8String,
+              b: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val sa = kgramSet(a)
+    if (sa.isEmpty) return 0.0
+    val sb = kgramSet(b)
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / sa.length
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KgramContainment =
     copy(left = l, right = r)
 }
 

@@ -73,6 +73,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("containmentPairs: a quoted substring scores ~1 where jaccard " +
+    "stays low") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val quote = "the quick brown fox jumps over the lazy dog again and again"
+    val article = ("long filler sentence number one two three four five " +
+      "six seven eight nine ten. ") * 8 + quote +
+      (" more filler trailing content continues here for a while longer " +
+        "and then some. ") * 8
+    val docs = Seq((1L, quote), (2L, article),
+      (3L, "completely unrelated text with different words entirely " +
+        "nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleK = 20, window = 24, minShared = 1, minContainment = 0.5)
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L))) // small inside big
+    assert(r.getDouble(3) >= 0.9, s"containment=${r.getDouble(3)}")
+    // the symmetric measure misses it: the union is article-dominated
+    val jac = docs.where(col("doc_id") === 1L)
+      .crossJoin(docs.where(col("doc_id") === 2L)
+        .select(col("text").as("t2")))
+      .select(graft.functions.expressions.HashExprs.kgramJaccard(
+        TextFunctions.normalizedText(col("text")),
+        TextFunctions.normalizedText(col("t2")), 20).as("j"))
+      .collect()(0).getDouble(0)
+    assert(jac < 0.3, s"jaccard=$jac")
+  }
+
   test("minhash near-dups finds the known near-duplicate pairs on testdata") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",

@@ -81,6 +81,30 @@ class UnigramLMSpec extends SparkSpec {
     assert(f == Set("the", "cat"))
   }
 
+  test("stupidBackoff: seen bigrams never back off; all log-scores " +
+    "non-positive; partitioning-independent") {
+    import spark.implicits._
+    val same = (1L to 120L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = UnigramLM.stupidBackoff(same, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") === 3L)
+      assert(r.getAs[Long]("n_backoff") === 0L) // every bigram trained
+      assert(r.getAs[Double]("avg_logscore") <= 0.0)
+    }
+    val varied = (1L to 100L).map(i =>
+      (i, s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13}"))
+      .toDF("doc_id", "text")
+    val a = UnigramLM.stupidBackoff(varied.repartition(1), "doc_id",
+      "text").orderBy("doc_id").collect().toSeq
+    val b = UnigramLM.stupidBackoff(varied.repartition(13), "doc_id",
+      "text").orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // a varied corpus must exercise the backoff branch somewhere
+    assert(a.map(_.getAs[Long]("n_backoff")).sum > 0L)
+  }
+
   test("heldoutPerplexity: a one-token language has perplexity ~1; " +
     "partitioning-independent") {
     import spark.implicits._
