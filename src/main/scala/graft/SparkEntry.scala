@@ -693,13 +693,15 @@ object SparkEntry {
     val t0 = train.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx")).collect()(0)
+    val empty = t0.getLong(0) == 0L // empty-table sums are NULL
     val nD = t0.getLong(0).toDouble
-    val sxD = t0.getLong(1).toDouble
-    val syD = t0.getDecimal(2).doubleValue
-    val sxyD = t0.getDecimal(3).doubleValue
-    val sxxD = t0.getLong(4).toDouble
-    val b1 = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
-    val b0 = (syD - b1 * sxD) / nD
+    val sxD = if (empty) 0.0 else t0.getLong(1).toDouble
+    val syD = if (empty) 0.0 else t0.getDecimal(2).doubleValue
+    val sxyD = if (empty) 0.0 else t0.getDecimal(3).doubleValue
+    val sxxD = if (empty) 0.0 else t0.getLong(4).toDouble
+    val b1 = if (empty) 0.0
+      else (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+    val b0 = if (empty) 0.0 else (syD - b1 * sxD) / nD
     val resid = round(abs(col("y").cast("double") -
       (lit(b0) + lit(b1) * col("x").cast("double"))), 9)
     val cal = li.where(col("__split") === 2)

@@ -114,7 +114,9 @@ object Classifier {
     val n = base.count()
     var a = 0.0
     var b = 0.0
-    for (_ <- 1 to iters) {
+    // empty-input robustness: no rows → gradient sums are NULL; keep the
+    // zero model and emit the (empty-aggregate) report row
+    for (_ <- 1 to (if (n == 0) 0 else iters)) {
       val p = lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("__s") + lit(b))))
       val g = base.agg(
         sum(floor((p - col("__y")) * col("__s") * 1048576.0 + 0.5)
