@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.expressions.{FloatVectorDot, JaroWinkler, KgramJaccard, Md5Hll, MinHashSig, SimHash64, WordNgrams}
+  import graft.functions.expressions.{FloatVectorDot, HllUnionEst, JaroWinkler, KgramContainment, KgramJaccard, Md5Hll, MinHashSig, SimHash64, WordNgrams}
 
   private def intLit(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -88,5 +88,18 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "md5_hll(string_col)")
         Md5Hll(exprs.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("kgram_containment"),
+      new ExpressionInfo(classOf[KgramContainment].getName,
+        "kgram_containment"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "kgram_containment(a, b, shingleK)")
+        KgramContainment(exprs.head, exprs(1), intLit(exprs(2)))
+      }),
+    (FunctionIdentifier("hll_union_est"),
+      new ExpressionInfo(classOf[HllUnionEst].getName, "hll_union_est"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "hll_union_est(sketch_a, sketch_b)")
+        HllUnionEst(exprs.head, exprs(1), 10)
       }))
 }

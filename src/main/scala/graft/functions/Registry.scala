@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.expressions.{FloatVectorDot, JaroWinkler, KgramJaccard, MinHashSig, SimHash64, WordNgrams}
+import graft.functions.expressions.{FloatVectorDot, HllUnionEst, JaroWinkler, KgramContainment, KgramJaccard, MinHashSig, SimHash64, WordNgrams}
 
 /** SQL registration of the engine's custom expressions, so SQL
   * transformations (T1) can call them alongside the built-in library —
@@ -41,6 +41,14 @@ object Registry {
     reg.createOrReplaceTempFunction("word_ngrams", exprs => {
       require(exprs.length == 2, "word_ngrams(text, n)")
       WordNgrams(exprs.head, intLit(exprs(1)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("kgram_containment", exprs => {
+      require(exprs.length == 3, "kgram_containment(a, b, shingleK)")
+      KgramContainment(exprs.head, exprs(1), intLit(exprs(2)))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("hll_union_est", exprs => {
+      require(exprs.length == 2, "hll_union_est(sketch_a, sketch_b)")
+      HllUnionEst(exprs.head, exprs(1), 10)
     }, "scala_udf")
   }
 

@@ -307,6 +307,28 @@ class RegistrySpec extends graft.SparkSpec {
         |FROM reg_test""".stripMargin).collect().head
     assert(math.abs(r2.getDouble(0) - 0.9611111111111111) < 1e-12)
     assert(r2.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    // containment of a substring in its superstring is 1; reverse < 1
+    val r3 = spark.sql(
+      """SELECT kgram_containment(b, a, 3) AS small_in_big,
+        |       kgram_containment(a, b, 3) AS big_in_small
+        |FROM reg_test""".stripMargin).collect().head
+    assert(r3.getDouble(0) == 1.0)
+    assert(r3.getDouble(1) < 1.0)
+  }
+
+  test("hll sketches merge from SQL (hll_union_est)") {
+    graft.functions.Registry.registerAll(spark)
+    import graft.functions.expressions.Sketches
+    val a = (1 to 500).map(i => s"v$i").toDF("s")
+    val b = (251 to 700).map(i => s"v$i").toDF("s")
+    a.agg(Sketches.hllSketch(col("s")).as("sk"))
+      .crossJoin(b.agg(Sketches.hllSketch(col("s")).as("sk2")))
+      .createOrReplaceTempView("sk_pair")
+    val u = spark.sql("SELECT hll_union_est(sk, sk2) AS u FROM sk_pair")
+      .collect().head.getLong(0)
+    val direct = a.union(b).agg(Sketches.hllNdv(col("s")))
+      .collect().head.getLong(0)
+    assert(u === direct)
   }
 }
 

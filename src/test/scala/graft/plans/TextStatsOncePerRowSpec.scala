@@ -68,6 +68,7 @@ class TextStatsOncePerRowSpec extends SparkSpec {
       new org.apache.spark.sql.SparkSessionExtensions)
     assert(graft.GraftExtensions.functionBuilders.map(_._1.funcName) ==
       Seq("minhash_sig", "simhash64", "kgram_jaccard", "fvec_dot",
-        "jaro_winkler", "word_ngrams", "md5_hll"))
+        "jaro_winkler", "word_ngrams", "md5_hll", "kgram_containment",
+        "hll_union_est"))
   }
 }
