@@ -295,7 +295,8 @@ object OracleSql {
     * Spark side's init-hash seed. Final assignment CTE: `${p}a$iters`. */
   private def kmeansCtes(k: Int, iters: Int, p: String = "",
                          vecExpr: String = "embedding",
-                         seed: String = "km"): String = {
+                         seed: String = "km",
+                         where: String = "TRUE"): String = {
     val initOrd =
       s"substr(md5(CAST(vec_id AS VARCHAR) || '|$seed'), 1, 16), vec_id"
     def assignCte(r: Int): String =
@@ -319,7 +320,8 @@ object OracleSql {
          |  FROM ${p}c${r - 1} p LEFT JOIN ${p}u$r x USING (cell)),
          |${assignCte(r)}""".stripMargin
     }.mkString(",\n")
-    s"""${p}e AS MATERIALIZED (SELECT vec_id, $vecExpr AS v FROM embeddings),
+    s"""${p}e AS MATERIALIZED (SELECT vec_id, $vecExpr AS v
+       |  FROM embeddings WHERE $where),
        |${p}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cell,
        |    CAST(v AS DOUBLE[]) AS cv
        |  FROM ${p}e QUALIFY row_number() OVER (ORDER BY $initOrd) <= $k),
@@ -1803,6 +1805,22 @@ object OracleSql {
          |SELECT a.doc_id AS idA, b.doc_id AS idB, CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    // incremental k-means: the codebook's 2 Lloyd's rounds replayed on
+    // the train split, the held-out batch assigned against the FINAL
+    // centroids — persisted-model assignment ≡ the replayed training
+    "incremental_kmeans" ->
+      s"""WITH ${kmeansCtes(8, 2, where = "vec_id % 5 <> 0")},
+         |nb AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  WHERE vec_id % 5 = 0)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+         |  SELECT nb.vec_id, c.cell,
+         |    list_dot_product(CAST(nb.v AS DOUBLE[]),
+         |      list_transform(c.cv,
+         |        y -> y / sqrt(list_dot_product(c.cv, c.cv)))) AS sim
+         |  FROM nb CROSS JOIN c2 c)
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY sim DESC, cell DESC) = 1""".stripMargin,
 
     // containment: the winnow candidate stage (minShared 2) replayed,
     // then |grams(small) ∩ grams(big)| / |grams(small)| over the SAME

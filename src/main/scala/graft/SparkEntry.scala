@@ -1226,6 +1226,21 @@ object SparkEntry {
     Dedup.winnowNearDups(t(s, dir, "documents"), "text", "doc_id",
       shingleK = 20, window = 24, minShared = 3)
 
+  /** Incremental clustering maintenance: the codebook trained on the
+    * vec_id %5 != 0 corpus (2 Lloyd's rounds), the held-out batch
+    * assigned against the PERSISTED centroids with no retraining — the
+    * k-means twin of the incremental signature tables. */
+  private def incrementalKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val old = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val (_, cents) = Vectors.kmeansModel(old, "vec_id", "embedding",
+      k = 8, iters = 2)
+    if (cents.isEmpty) // empty-input robustness: no codebook, no rows
+      batch.select(col("vec_id")).withColumn("cell", lit(0L)).limit(0)
+    else Vectors.assignToCentroids(batch, "vec_id", "embedding", cents)
+  }
+
   /** Quote-inclusion detection: winnowing candidates verified by k-gram
     * CONTAINMENT of the shorter normalized text in the longer — the
     * asymmetric pairs a Jaccard gate structurally misses. */
@@ -3675,6 +3690,7 @@ object SparkEntry {
     "pit_cold_start"    -> (pitColdStart _),
     "containment_pairs" -> (containmentPairs _),
     "stupid_backoff"    -> (stupidBackoffQ _),
+    "incremental_kmeans" -> (incrementalKmeans _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -376,6 +376,35 @@ object Vectors {
     (a.select(col("__id").as(idCol), col("cell")), cents)
   }
 
+  /** Assign vectors to a FIXED centroid codebook (cosine argmax, ties
+    * to the higher cell — the [[kmeansModel]] rule, expression-for-
+    * expression): the incremental path — train the codebook on
+    * yesterday's corpus once, assign every new batch against it with NO
+    * retraining, exactly like [[graft.functions.Dedup]]'s persisted
+    * signature tables. The codebook ships as a task-serialized matrix
+    * through the compiled [[expressions.VectorExprs.matVec]]; assignment
+    * is a scan projection, zero shuffles. */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "empty codebook")
+    val normalized = centroids.map { row =>
+      var n2 = 0.0
+      var i = 0
+      while (i < row.length) { n2 += row(i) * row(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0) row else row.map(_ / n)
+    }
+    val dots = graft.functions.expressions.VectorExprs
+      .matVec(col("__v"), normalized)
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__dots", dots)
+      .withColumn("cell", array_max(transform(
+          sequence(lit(0), lit(centroids.length - 1)),
+          i => struct(element_at(col("__dots"), i + 1).as("s"), i.as("c"))))
+        .getField("c").cast("long"))
+      .select(col(idCol), col("cell"))
+  }
+
   /** Cluster-balanced diversity sample: k-means the corpus, keep the
     * `perCluster` members of each cluster with the smallest
     * `md5(id || '|ds')` — the "spread the sample across embedding space"

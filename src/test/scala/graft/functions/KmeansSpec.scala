@@ -89,4 +89,16 @@ class KmeansSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(got.length == 60 && got.forall(_._3 == 1L))
   }
+
+  test("assignToCentroids reproduces the trainer's own final assignment") {
+    val df = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val (assignments, cents) = Vectors.kmeansModel(df, "vec_id",
+      "embedding", k = 4, iters = 2)
+    val replayed = Vectors.assignToCentroids(df, "vec_id", "embedding",
+        cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trained = assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed === trained) // persisted-codebook path ≡ training path
+  }
 }
