@@ -176,6 +176,17 @@ object OracleSql {
        |SELECT idA, idB, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin
 
+  /** Bounded simhash near-dups: the 6-choose-3 block-key construction
+    * guarantees FULL recall at Hamming ≤ 3 and verifies exactly, so the
+    * oracle is the plain all-pairs Hamming ≤ 3 predicate — stronger than
+    * a banding replica (it would catch a broken combo emitter too). */
+  private def simhashNearDupsBoundedSql: String =
+    s"""WITH $simhashCtes
+       |SELECT x.doc_id AS idA, y.doc_id AS idB,
+       |  CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+       |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.h, y.h)) <= 3""".stripMargin
+
   /** SimHash value (unsigned-decimal string) + winnowing fingerprint digest
     * (md5 of sorted comma-joined 63-bit window-min hashes; k=5, window=8). */
   private def simhashFingerprintSql: String =
@@ -1579,8 +1590,8 @@ object OracleSql {
         |      list_transform(embedding, x -> x <> 0)) THEN 1 ELSE 0 END
         |      AS z,
         |    CASE WHEN list_bool_or(
-        |      list_transform(embedding, x -> isnan(x))) THEN 1 ELSE 0 END
-        |      AS nf,
+        |      list_transform(embedding, x -> isnan(x) OR isinf(x)))
+        |      THEN 1 ELSE 0 END AS nf,
         |    round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[]))), 6) AS nrm
         |  FROM embeddings),
@@ -1668,8 +1679,8 @@ object OracleSql {
     // BM25 rank stability: both parameterizations replayed verbatim,
     // Kendall over the common docs in exact integers
     "rank_stability" ->
-      s"""WITH ${bm25RankCtes("a", "1.2", "0.75", "0.25", 20)},
-         |${bm25RankCtes("b", "2.0", "0.25", "0.75", 20)},
+      s"""WITH ${bm25RankCtes("a", "1.2", "0.25", "0.75", 20)},
+         |${bm25RankCtes("b", "2.0", "0.75", "0.25", 20)},
          |cmn AS (SELECT a.doc_id, ra, rb
          |  FROM rka a JOIN rkb b USING (doc_id)),
          |cnt AS (SELECT
@@ -1912,6 +1923,7 @@ object OracleSql {
 
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
+    "simhash_near_dups_bounded" -> simhashNearDupsBoundedSql,
     "simhash_fingerprint" -> simhashFingerprintSql,
     "cosine_near_dups"    -> cosineNearDupsSql,
 
@@ -3819,14 +3831,17 @@ object OracleSql {
          |  CAST(COALESCE(j.n, 0) AS BIGINT) AS n_clicks
          |FROM p LEFT JOIN j USING (p_id)""".stripMargin,
 
-    // Jaro-Winkler record linkage on 40-char doc-name prefixes, first-token
-    // blocking; duckdb's jaro_winkler_similarity is bit-identical to the
+    // Jaro-Winkler record linkage on 40-char doc-name prefixes, 2-token
+    // blocking (fuzzyLink's bounded default; concat_ws of split_part 1..2
+    // behaves identically in both engines incl. '' for missing tokens);
+    // duckdb's jaro_winkler_similarity is bit-identical to the
     // graft.functions.expressions.JaroWinkler textbook pinning (boost
     // threshold 0.7, prefix cap 4, scale 0.1), so the >= 0.9 gate agrees
     "fuzzy_link" ->
       """WITH names AS (
         |  SELECT doc_id, substr(trim(text), 1, 40) AS nm,
-        |    split_part(substr(trim(text), 1, 40), ' ', 1) AS blk
+        |    concat_ws(' ', split_part(substr(trim(text), 1, 40), ' ', 1),
+        |      split_part(substr(trim(text), 1, 40), ' ', 2)) AS blk
         |  FROM documents WHERE length(trim(text)) >= 10)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
@@ -3859,7 +3874,9 @@ object OracleSql {
          |g AS (SELECT round(value, 2) AS s,
          |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
          |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
-         |  FROM ev GROUP BY 1),
+         |  FROM ev
+         |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1),
          |c AS (SELECT s,
          |    SUM(pos) OVER (ORDER BY s
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,

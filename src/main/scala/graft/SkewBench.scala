@@ -27,19 +27,23 @@ import org.apache.spark.sql.functions._
   *      ([[graft.functions.Dedup.capStats]]);
   *  (b) AQE's skew-join split activated on the 10× range join;
   *  (c) wall-clock grew ≤ 30× for the linear-by-design families (a
-  *      quadratic blow-up would be ~100×). Three families are reported
-  *      but NOT bounded, for the same structural reason: with FIXED
-  *      bucketing resolution their sub-cap candidate mass grows
-  *      ~quadratically with corpus size by construction — hyperplane
-  *      cosine (fixed plane count ⇒ bucket density grows), SimHash
-  *      (16-bit bands ⇒ random band collisions ≈ n²/2¹⁶ even between
-  *      unrelated docs), and first-token-blocked fuzzy linkage (natural
+  *      quadratic blow-up would be ~100×) — since round 6 that includes
+  *      default-argument fuzzy_link (2-token blocking is now the default)
+  *      and simhash_bounded (Manku 6-choose-3 ~32-bit block keys);
+  *  (d) the triangle-closing join's measure-then-pick broadcast gate
+  *      actually flips: hinted at 1× (edges under the cap), unhinted at
+  *      10× (over), with wall-clock in the assertion set.
+  *      Two coarse OPT-IN modes remain reported but NOT bounded, for the
+  *      same structural reason: with FIXED bucketing resolution their
+  *      sub-cap candidate mass grows ~quadratically with corpus size by
+  *      construction — hyperplane cosine (fixed plane count ⇒ bucket
+  *      density grows) and quarter-band SimHash / 1-token fuzzy linkage
+  *      (random 16-bit band collisions ≈ n²/2¹⁶; natural first-token
   *      blocks grow with the corpus). The caps bound the WORST bucket in
-  *      each; the production remedies are finer resolution (more planes
-  *      / longer bands / finer blocking keys — fuzzy_link_fine measures
-  *      that one) and the incremental signature-table paths
-  *      (minhashSignatureTable / hammingNearDupsIncremental), which make
-  *      the steady state new-batch × corpus instead of corpus².
+  *      each; the production remedies are the bounded defaults above and
+  *      the incremental signature-table paths (minhashSignatureTable /
+  *      hammingNearDupsIncremental), which make the steady state
+  *      new-batch × corpus instead of corpus².
   *
   * Output: one JSON line + `BENCH_skew_r4.json` in the repo root.
   * Exit code != 0 when any assertion fails.
@@ -182,6 +186,7 @@ object SkewBench {
     }
     var aqeSkewHit = false
     val capsFired = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val triErrs = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // ---------------------------------------------------------- run
     for (m <- Seq(1, 10)) {
@@ -200,30 +205,37 @@ object SkewBench {
           shingleK = 5, numHashes = 64, bands = 16, threshold = 0.8)))._1)
       rec(scale, "simhash_near_dups",
         time(force(Dedup.simhashNearDups(docs, "text", "id", maxHamming = 6)))._1)
+      // the bounded scale path (Manku 6-choose-3 ~32-bit block keys):
+      // random band agreement drops from n²/2¹⁶ to 20·n²/2³², so THIS one
+      // carries the ≤ 30× linearity assertion the quarter-band mode can't
+      rec(scale, "simhash_bounded",
+        time(force(Dedup.simhashNearDupsBounded(docs, "text", "id",
+          maxHamming = 3)))._1)
       rec(scale, "winnow_near_dups",
         time(force(Dedup.winnowNearDups(docs, "text", "id",
           shingleK = 20, window = 24, minShared = 3)))._1)
       rec(scale, "cosine_near_dups",
         time(force(Vectors.cosineNearDups(emb, "id", "embedding",
           numPlanes = 16, threshold = 0.4)))._1)
-      // fuzzy linkage on 40-char prefixes: the 5% byte-identical clones
-      // share one first-token block (250 docs at 1× under the cap, 2500
-      // at 10× tripping it). Reported but, like cosine, not bounded by
-      // the 30× assert: sub-cap natural blocks grow ~quadratically with
-      // corpus size by construction — the cap bounds the worst block, and
-      // the production remedy is a finer blocking key.
+      // fuzzy linkage on 40-char prefixes with DEFAULT arguments — now the
+      // bounded 2-token blocking key (round-5 finding: a default nobody
+      // should run at scale is the wrong default), so this line carries
+      // the ≤ 30× linearity assertion. The 5% byte-identical clones share
+      // one 2-token block (250 docs at 1× under the cap, 2500 at 10×
+      // tripping it), so the cap-fired assertion holds too.
       rec(scale, "fuzzy_link",
         time(force(Dedup.fuzzyLink(
           docs.select(col("id"),
             substring(trim(col("text")), 1, 40).as("nm")),
           "nm", "id", minSim = 0.9)))._1)
-      // the documented remedy, measured: a 2-token blocking key keeps the
-      // clone detection while sub-cap blocks stay bounded
-      rec(scale, "fuzzy_link_fine",
+      // the coarse 1-token opt-in, reported but NOT bounded: natural
+      // first-token blocks grow ~quadratically with corpus size (measured
+      // 1.85 s → 89 s in round 5 when this was the default)
+      rec(scale, "fuzzy_link_coarse",
         time(force(Dedup.fuzzyLink(
           docs.select(col("id"),
             substring(trim(col("text")), 1, 40).as("nm")),
-          "nm", "id", minSim = 0.9, blockTokens = 2)))._1)
+          "nm", "id", minSim = 0.9, blockTokens = 1)))._1)
       if (m == 10) Dedup.capStats.foreach { case (what, (k, _)) =>
         capsFired += (what -> k)
       }
@@ -276,6 +288,23 @@ object SkewBench {
             (floor(col("value") / 25).cast("long") + 1000000L).as("b")),
           "a", "b", k = 50, maxDeg = 40)))._1)
 
+      // triangle counting on the same co-event graph; the 500k-edge cap
+      // puts the 1× corpus (100k raw edges) in the broadcast regime and
+      // the 10× corpus (1M) in the unhinted regime — asserting the
+      // measure-then-pick gate actually flips the closing-join plan and
+      // wall-clock stays near-linear in the shuffled regime
+      val triEdges = events.select(col("user_id").as("a"),
+        (floor(col("value") / 25).cast("long") + 1000000L).as("b"))
+      val tri = graft.functions.Graph.triangleCounts(
+        triEdges, "a", "b", maxBroadcastEdges = 500000L)
+      rec(scale, "triangle_count", time(force(tri))._1)
+      val triHinted = tri.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("broadcast")
+      if (m == 1 && !triHinted)
+        triErrs += "triangle closing join NOT broadcast-hinted at 1x (under cap)"
+      if (m == 10 && triHinted)
+        triErrs += "triangle closing join broadcast-hinted at 10x (over cap)"
+
       // behavioral family on the same hot entity: the funnel holds ONE
       // timestamp per (user, step) — user 77's 30% share must cost only
       // its own partial aggregates; markov/scd2 pay one keyed window sort
@@ -324,16 +353,19 @@ object SkewBench {
 
     // ---------------------------------------------------------- assert
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (what <- Seq("minhashNearDups", "simhashNearDups", "winnowNearDups",
+    errs ++= triErrs
+    for (what <- Seq("minhashNearDups", "simhashNearDups",
+        "simhashNearDupsBounded", "winnowNearDups",
         "cosineNearDups", "fuzzyLink"))
       if (!capsFired.contains(what))
         errs += s"hot-key cap did NOT fire for $what at 10x"
     if (!aqeSkewHit)
       errs += "AQE skew-join split did NOT activate on the 10x range join"
     val linearFamilies = Seq("exact_dedup", "minhash_near_dups",
+      "simhash_bounded", "fuzzy_link",
       "winnow_near_dups", "asof_sortmerge",
       "asof_unionwindow", "pit_window_prefix", "range_join", "salted_join",
-      "link_prediction",
+      "link_prediction", "triangle_count",
       "event_funnel", "markov_transitions", "scd2_build", "retention",
       "nearest_join", "interval_coverage", "ewma_cusum")
     val ratios = linearFamilies.map { f =>
@@ -346,6 +378,8 @@ object SkewBench {
       math.max(results("x1")("cosine_near_dups"), 1e-9)
     val simhashRatio = results("x10")("simhash_near_dups") /
       math.max(results("x1")("simhash_near_dups"), 1e-9)
+    val fuzzyCoarseRatio = results("x10")("fuzzy_link_coarse") /
+      math.max(results("x1")("fuzzy_link_coarse"), 1e-9)
 
     def jm(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -354,7 +388,8 @@ object SkewBench {
         s""""x10":${jm(results("x10"))},""" +
         s""""ratio_x10_over_x1":${jm(ratios.toMap)},""" +
         f""""cosine_ratio_reported":$cosRatio%.1f,""" +
-        f""""simhash_ratio_reported":$simhashRatio%.1f,""" +
+        f""""simhash_quarterband_ratio_reported":$simhashRatio%.1f,""" +
+        f""""fuzzy_link_coarse_ratio_reported":$fuzzyCoarseRatio%.1f,""" +
         s""""caps_fired_at_x10":${
           capsFired.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         },""" +
@@ -365,7 +400,7 @@ object SkewBench {
         s""""assertions_failed":${errs.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_skew_r5.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_skew_r6.json"), json + "\n")
     spark.stop()
     if (errs.nonEmpty) {
       errs.foreach(e => System.err.println(s"[skew] ASSERTION FAILED: $e"))

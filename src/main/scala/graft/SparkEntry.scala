@@ -620,6 +620,14 @@ object SparkEntry {
   private def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)
 
+  /** Bounded simhash scale path (Manku et al. 6-choose-3 block keys):
+    * full recall at Hamming ≤ 3 by pigeonhole + exact verify, so the
+    * oracle is the plain all-pairs Hamming predicate — no banding replica
+    * needed. */
+  private def simhashNearDupsBounded(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupsBounded(t(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 3)
+
   /** Incremental dedup under the gate: corpus signatures (docs with
     * doc_id % 5 != 4) are persisted as a versioned table and READ BACK —
     * the reuse artifact — then the "new batch" (doc_id % 5 == 4) is
@@ -3494,6 +3502,7 @@ object SparkEntry {
     "ann_topk"          -> (annTopK _),
     "minhash_near_dups" -> (minhashNearDups _),
     "simhash_near_dups" -> (simhashNearDups _),
+    "simhash_near_dups_bounded" -> (simhashNearDupsBounded _),
     "cosine_near_dups"  -> (cosineNearDups _),
     "source_preview"    -> (sourcePreview _),
     "df_transform"      -> (dfTransform _),

@@ -118,13 +118,16 @@ object Dedup {
     * with the logged-drop convention shared by every LSH family here.
     * `blockTokens` is the block-granularity knob: common first tokens make
     * sub-cap blocks grow quadratically with corpus size (measured 2 s →
-    * 72 s at 1×→10× in SkewBench with blockTokens = 1); a 2-token key
-    * keeps the same clone detection with bounded blocks, at the standard
-    * recall trade (variants differing inside the key land in different
-    * blocks — production linkage runs multiple blocking passes). */
+    * 72 s at 1×→10× in SkewBench with blockTokens = 1); the 2-token key —
+    * the DEFAULT, because a default nobody should run at scale is the
+    * wrong default — keeps the same clone detection with bounded blocks,
+    * at the standard recall trade (variants differing inside the key land
+    * in different blocks — production linkage runs multiple blocking
+    * passes). The coarse 1-token blocking stays available as an explicit
+    * opt-in for high-recall small-corpus passes. */
   def fuzzyLink(df: DataFrame, nameCol: String, idCol: String,
                 minSim: Double = 0.9, maxBlockFreq: Int = 2000,
-                blockTokens: Int = 1): DataFrame = {
+                blockTokens: Int = 2): DataFrame = {
     require(blockTokens >= 1, "blockTokens must be >= 1")
     val blockKey = concat_ws(" ", (1 to blockTokens).map(i =>
       split_part(col("__nm"), lit(" "), lit(i))): _*)
@@ -415,12 +418,90 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the simhash
     * (any pair within Hamming distance ≤ 3 of a 64-bit hash shares at least
-    * one exact quarter — pigeonhole), verify with full Hamming distance. */
+    * one exact quarter — pigeonhole), verify with full Hamming distance.
+    * Structurally UNBOUNDED at corpus scale: random 16-bit band agreement
+    * yields ≈ n²/2¹⁶ candidate pairs between unrelated docs by
+    * construction (measured 45.6× at 1×→10× in SkewBench). Kept for
+    * cross-checking and high-threshold (maxHamming > numBlocks −
+    * comboSize) recall; the scale path is [[simhashNearDupsBounded]]. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, maxBandFreq: Int = 2000): DataFrame =
     hammingNearDups(
       df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h")),
       "__id", "__h", maxHamming, maxBandFreq, "simhashNearDups")
+
+  /** Bounded SimHash near-dup pairs — block-combination candidate keys
+    * (the web-crawl simhash table construction of Manku, Jain & Das Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007): the 64 bits
+    * split into `numBlocks` blocks; each doc emits one key per
+    * `comboSize`-subset of blocks (the concatenated block values). A pair
+    * within Hamming ≤ `maxHamming` differs in ≤ maxHamming blocks, so with
+    * `numBlocks − comboSize ≥ maxHamming` some emitted subset is untouched
+    * on both sides — FULL recall, like the quarter bands, but the key is
+    * `comboSize·64/numBlocks` ≈ 32 bits wide: random agreement is
+    * C(B,c)·n²/2³² instead of 4·n²/2¹⁶ — the structural quadratic term is
+    * ~6000× smaller and stays below the verify cost for any realistic
+    * corpus. Exact `bit_count` verify on candidates; hot keys capped. */
+  def simhashNearDupsBounded(df: DataFrame, textCol: String, idCol: String,
+                             maxHamming: Int = 3, numBlocks: Int = 6,
+                             comboSize: Int = 3,
+                             maxBandFreq: Int = 2000): DataFrame =
+    hammingNearDupsBounded(
+      df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h")),
+      "__id", "__h", maxHamming, numBlocks, comboSize, maxBandFreq,
+      "simhashNearDupsBounded")
+
+  /** Bounded Hamming near-dups over 64-bit fingerprints — the
+    * block-combination core behind [[simhashNearDupsBounded]], usable for
+    * perceptual image hashes too. Guarantee: `numBlocks − comboSize ≥
+    * maxHamming` ⇒ every qualifying pair shares ≥ 1 combo key (pigeonhole
+    * over blocks), so output = ALL pairs with Hamming ≤ maxHamming among
+    * uncapped keys, identical to [[hammingNearDups]]'s recall at that
+    * threshold. Cost shape: C(numBlocks, comboSize) rows/doc through one
+    * shuffle (20 at the 6-choose-3 default vs the quarter bands' 4) buys
+    * ~32-bit keys whose random-collision mass is corpus-scale-bounded —
+    * the trade Manku et al. run in production. Output (idA < idB,
+    * hamming ≤ maxHamming). */
+  def hammingNearDupsBounded(hashed: DataFrame, idCol: String,
+                             hashCol: String, maxHamming: Int = 3,
+                             numBlocks: Int = 6, comboSize: Int = 3,
+                             maxBandFreq: Int = 2000,
+                             what: String = "hammingNearDupsBounded"): DataFrame = {
+    require(numBlocks >= 2 && numBlocks <= 64,
+      s"$what: numBlocks must be in [2, 64], got $numBlocks")
+    require(comboSize >= 1 && comboSize <= numBlocks,
+      s"$what: comboSize must be in [1, numBlocks], got $comboSize")
+    require(numBlocks - comboSize >= maxHamming,
+      s"$what: recall guarantee needs numBlocks - comboSize >= maxHamming " +
+        s"(got $numBlocks - $comboSize < $maxHamming)")
+    // block i covers bits [off(i), off(i)+w(i)); widths differ by <= 1
+    val base = 64 / numBlocks
+    val rem = 64 % numBlocks
+    val widths = Array.tabulate(numBlocks)(i => base + (if (i < rem) 1 else 0))
+    val offs = widths.scanLeft(0)(_ + _)
+    def blockVal(h: Column, i: Int): Column =
+      if (widths(i) == 64) h
+      else shiftright(h, offs(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
+    val combos = (0 until numBlocks).combinations(comboSize).toArray
+    val withK = capHotKeys(
+      barrier(hashed.select(col(idCol).as("__id"), col(hashCol).as("__h")),
+        checkpoint = false)
+        .withColumn("__k", explode(array(combos.zipWithIndex.map {
+          case (cb, ci) =>
+            struct(lit(ci).as("ci") +:
+              cb.toIndexedSeq.zipWithIndex.map { case (b, j) =>
+                blockVal(col("__h"), b).as(s"v$j")
+              }: _*)
+        }: _*))),
+      "__k", maxBandFreq, what)
+    val a = withK.select(col("__k"), col("__id").as("idA"), col("__h").as("__ha"))
+    val b = withK.select(col("__k"), col("__id").as("idB"), col("__h").as("__hb"))
+    a.join(b, Seq("__k")).where(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", hamming64(col("__ha"), col("__hb")).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("idA", "idB", "hamming")
+  }
 
   /** Near-dup pairs among 64-bit fingerprints by Hamming distance — the
     * banding core shared by SimHash (text) and perceptual image hashes:

@@ -59,7 +59,12 @@ object EvalMetrics {
     *
     * Returns one row `(n_pos, n_neg, ks, ks_at_score)`. */
   def ksStatistic(df: DataFrame, score: Column, label: Column): DataFrame = {
+    // NULL scores sort NULLS FIRST in Spark's window but NULLS LAST in
+    // DuckDB — a NULL group would shift every cumulative cp/cn
+    // differently per engine, so drop them (and NULL labels) up front,
+    // the mad_outliers/outlier_zscore defensive convention
     val g = df.select(score.as("__s"), label.cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__pos"),
         sum(lit(1L) - col("__y")).as("__neg"))

@@ -84,8 +84,19 @@ object Graph {
     * hub vertex makes quadratic). Three shuffles total (degree join,
     * wedge self-join, closing semi-join); no iteration.
     *
-    * Returns `(v, n_triangles)` for vertices in ≥1 triangle. */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    * Returns `(v, n_triangles)` for vertices in ≥1 triangle.
+    *
+    * `maxBroadcastEdges` gates the closing-join broadcast hint (the
+    * [[graft.ops.Skew.adaptiveJoin]] measure-then-pick convention): the
+    * raw edge count — probed with an early-terminating `limit(cap+1)`
+    * scan, an upper bound on the distinct undirected set, so the probe
+    * never pays a shuffle — must stay under the cap for the hint to be
+    * applied. Above it the semi-join is left unhinted and AQE picks the
+    * physical strategy (shuffled-hash, or its own runtime broadcast if
+    * the built set turns out small) instead of an explicit hint forcing
+    * an 8 GB-cap / driver-OOM broadcast of a 100×-scale edge set. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+                     maxBroadcastEdges: Long = 5000000L): DataFrame = {
     // NOTE: no persist() barrier here although the edge set feeds four
     // consumers — AQE's ReusedExchange already deduplicates the identical
     // scan+distinct subtrees, and a persist() disables AQE inside the
@@ -117,14 +128,20 @@ object Graph {
     val e1 = d.select(col("__s"), col("__t").as("__u"))
     val e2 = d.select(col("__s"), col("__t").as("__v"))
     val wedges = e1.join(e2, "__s").filter(col("__u") < col("__v"))
-    // broadcast the closing edge set: wedges (O(m^1.5) rows) then STREAM
-    // through a BroadcastHashJoin semi — never sorted, never shuffled.
-    // (Graphs whose edge set outgrows the broadcast limit drop the hint
-    // and pay the shuffled semi-join — the wedge side still never sorts
-    // under AQE's shuffled-hash choice.)
-    val tris = wedges.join(
-      broadcast(und.select(col("__a").as("__u"), col("__b").as("__v"))),
-      Seq("__u", "__v"), "leftsemi")
+    // closing join: wedges (O(m^1.5) rows) STREAM through a
+    // BroadcastHashJoin semi when the edge set fits — never sorted,
+    // never shuffled. The hint is gated on a measured row probe (an
+    // explicit broadcast() overrides autoBroadcastJoinThreshold, so an
+    // unconditional hint would OOM the driver at 100× scale); above the
+    // cap the join is unhinted and AQE chooses shuffled-hash / runtime
+    // broadcast from actual sizes.
+    val closing = und.select(col("__a").as("__u"), col("__b").as("__v"))
+    val rawEdges = edges.limit(
+      if (maxBroadcastEdges >= Long.MaxValue) Long.MaxValue.toInt
+      else (maxBroadcastEdges min (Int.MaxValue - 1L)).toInt + 1).count()
+    val closingSide =
+      if (rawEdges <= maxBroadcastEdges) broadcast(closing) else closing
+    val tris = wedges.join(closingSide, Seq("__u", "__v"), "leftsemi")
     tris.select(explode(array(col("__s"), col("__u"), col("__v"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }

@@ -600,7 +600,8 @@ object Vectors {
     val base = df.select(col(groupCol).as("g"), col(idCol).as("__id"),
       (size(v) =!= expectedDim).cast("long").as("__bad_dim"),
       (!exists(v, x => x =!= 0.0f)).cast("long").as("__zero"),
-      exists(v, x => isnan(x)).cast("long").as("__nonfinite"),
+      exists(v, x => isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+        .cast("long").as("__nonfinite"),
       round(sqrt(dot(v, v)), 6).as("__norm"))
     val w = Window.partitionBy(col("g")).orderBy(col("__norm"), col("__id"))
     val wAll = Window.partitionBy(col("g"))

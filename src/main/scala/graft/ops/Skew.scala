@@ -70,8 +70,11 @@ object Skew {
         .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__n"),
           count(lit(1)).as("__k"))
         .collect()(0)
+      // BigInt products: at 10^10-rows/key scale max*k and factor*n
+      // overflow Long and would silently flip the strategy choice
       val skewed = !h.isNullAt(0) &&
-        h.getLong(0) * h.getLong(2) > skewFactor * h.getLong(1)
+        BigInt(h.getLong(0)) * BigInt(h.getLong(2)) >
+          BigInt(skewFactor) * BigInt(h.getLong(1))
       if (skewed) (saltedJoin(big, small, key, saltBuckets), "salted")
       else (big.join(small, Seq(key)), "shuffle")
     }

@@ -77,8 +77,10 @@ class HotBucketSpec extends SparkSpec {
       (i.toLong, s"the ${uniqueTail(i)}")) ++
       Seq((100L, "zenith labs incorporated"),
           (101L, "zenith labs incorporatde"))).toDF("id", "name")
+    // coarse 1-token opt-in: the cap mechanism is what's under test and
+    // the fixture's hot block shares only its first token
     val capped = Dedup.fuzzyLink(names, "name", "id",
-      minSim = 0.9, maxBlockFreq = 10)
+      minSim = 0.9, maxBlockFreq = 10, blockTokens = 1)
     val got = capped.select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 101L)))
     // the cap actually fired (logged-drop convention)

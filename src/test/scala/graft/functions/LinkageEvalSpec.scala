@@ -29,20 +29,37 @@ class LinkageEvalSpec extends SparkSpec {
     assert(math.abs(j - 0.9) < 1e-12)
   }
 
-  test("fuzzyLink blocks on the first token and links variants") {
+  test("fuzzyLink default (2-token) blocking links variants, bounds blocks") {
     val df = Seq(
       (1L, "acme corp international"),
-      (2L, "acme corp internatonal"), // transposition
+      (2L, "acme corp internatonal"), // transposition inside the tail
       (3L, "acme industries"),
       (4L, "zenith labs"),
       (5L, "zenith labs")).toDF("id", "name")
     val out = Dedup.fuzzyLink(df, "name", "id", minSim = 0.9)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
-    assert(out.contains((1L, 2L))) // variant linked
+    assert(out.contains((1L, 2L))) // variant linked ("acme corp" block)
     assert(out.contains((4L, 5L))) // exact pair linked
-    assert(!out.exists { case (a, b) => (a <= 3) != (b <= 3) } ||
-      !out.contains((3L, 4L))) // cross-block pairs never compared
-    assert(!out.contains((1L, 3L))) // same block, below threshold
+    assert(!out.contains((3L, 4L))) // cross-block pairs never compared
+    // 2-token default splits "acme industries" away from "acme corp":
+    // the quadratic shared-first-token block never forms
+    assert(!out.contains((1L, 3L)))
+  }
+
+  test("fuzzyLink blockTokens=1 opt-in restores coarse first-token blocks") {
+    val df = Seq(
+      (1L, "acme corp international"),
+      (2L, "acme korp international"), // variant INSIDE the 2-token key
+      (3L, "zenith labs")).toDF("id", "name")
+    val fine = Dedup.fuzzyLink(df, "name", "id", minSim = 0.9)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val coarse = Dedup.fuzzyLink(df, "name", "id", minSim = 0.9,
+        blockTokens = 1)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // the documented recall trade: the coarse pass compares the pair the
+    // fine default separates (the production fix is multiple passes)
+    assert(!fine.contains((1L, 2L)))
+    assert(coarse.contains((1L, 2L)))
   }
 
   test("binaryAuc equals the brute-force pair count, ties get half credit") {

@@ -38,6 +38,39 @@ class SkewScaleSpec extends SparkSpec {
     assert(!Dedup.capStats.contains("simhashNearDups"))
   }
 
+  test("bounded simhash = quarter-band simhash at maxHamming <= 3, cap fires") {
+    // mixed corpus: clones, near-variants (few-token edits), unrelated
+    val docs = ((0 until 12).map(i =>
+      (i.toLong, "shared boilerplate body of the near duplicate family " +
+        s"token$i")) ++
+      Seq((100L, "completely different first unrelated document body here"),
+          (101L, "another entirely distinct second document body text"),
+          (102L, "shared boilerplate body of the near duplicate family token3")))
+      .toDF("doc_id", "text")
+    val quarter = Dedup.simhashNearDups(docs, "text", "doc_id",
+      maxHamming = 3).select("idA", "idB", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val bounded = Dedup.simhashNearDupsBounded(docs, "text", "doc_id",
+      maxHamming = 3).select("idA", "idB", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // both constructions guarantee full recall at Hamming <= 3 and verify
+    // exactly, so outputs are identical sets
+    assert(bounded == quarter)
+    assert(bounded.exists { case (a, b, h) => h == 0L && (a, b) == (3L, 102L) })
+    // the recall-guarantee guard: 6 blocks minus combo 3 < maxHamming 4
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupsBounded(docs, "text", "doc_id", maxHamming = 4)
+    }
+    // cap observability, same convention as every LSH family
+    Dedup.capStats.clear()
+    val flood = (0 until 40).map(i => (i.toLong, "identical clone body"))
+      .toDF("doc_id", "text")
+    Dedup.simhashNearDupsBounded(flood, "text", "doc_id",
+      maxHamming = 3, maxBandFreq = 10).collect()
+    val (keys, _) = Dedup.capStats("simhashNearDupsBounded")
+    assert(keys >= 20, s"all 20 combo keys of the clone hash are hot: $keys")
+  }
+
   test("as-of strategies agree when one entity owns half the history") {
     def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
     // entity 7: 500 feature events; everyone else: 5 each
