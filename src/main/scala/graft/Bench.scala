@@ -9,6 +9,16 @@ import org.apache.spark.sql.SparkSession
   * projection-only query would time nothing but row counting). A trivial
   * warm-up action runs first so the first query doesn't absorb JVM/codegen
   * startup.
+  *
+  * Timing is MIN-OF-N per query (N = SPARK_GRAFT_BENCH_REPS, default 2,
+  * the SkewBench convention): the round-5 artifacts showed the same 186
+  * queries measuring 177 s in a short run and 251 s in a long one — a
+  * uniform ~1.4× inflation tracking suite length in one JVM (GC/codegen-
+  * cache churn), which fabricated an across-the-board "regression" when
+  * artifacts of different lengths were compared. The minimum of
+  * back-to-back runs approximates the uncontended steady-state time —
+  * the plan-shaped number round-over-round comparisons are about. The
+  * JSON carries `"timing":"min_of_N"` so readers know the methodology.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,34 +68,42 @@ object Bench {
     // optional arg: comma-separated subset of query names (iteration aid;
     // the driver always runs the full map)
     val subset = args.headOption.map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => subset.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries that persist intermediates (Dedup.barrier, Split) or leave
-      // memory-sink tables behind would otherwise accumulate across the run:
-      // by query ~40 the unified memory region is full of dead cache blocks
-      // and later timings absorb eviction + GC churn (measured 2× inflation
-      // on ann_topk_ivf in a 61-query run vs isolated). Dropping state after
-      // the timer keeps every measurement a cold-cache, interference-free
-      // number — the honest per-query figure.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // Queries that persist intermediates (Dedup.barrier, Split) or leave
+    // memory-sink tables behind would otherwise accumulate across the run:
+    // by query ~40 the unified memory region is full of dead cache blocks
+    // and later timings absorb eviction + GC churn (measured 2× inflation
+    // on ann_topk_ivf in a 61-query run vs isolated). Dropping state after
+    // the timer keeps every measurement a cold-cache, interference-free
+    // number — the honest per-query figure. System.gc() pays the previous
+    // run's GC debt outside the next run's timer (media/regex/codegen churn
+    // otherwise lands in whichever query runs next — the PIT family
+    // measured 3× its isolated time mid-run).
+    def cleanup(): Unit = {
       spark.catalog.clearCache()
       spark.catalog.listTables().collect()
         .filter(t => t.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
-      // pay the previous query's GC debt outside the next query's timer
-      // (media/regex/codegen churn otherwise lands in whichever query runs
-      // next — the PIT family measured 3× its isolated time mid-run)
       System.gc()
-      name -> dt
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""timing":"min_of_$reps","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
