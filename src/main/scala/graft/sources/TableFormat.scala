@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.PartitionHint
+
+/** Table-format seam — one interface over "a versioned table with MERGE
+  * and a change feed", with two bindings:
+  *
+  *  - [[VersionDirFormat]] (always available): the immutable
+  *    timestamped-version-dir scheme of [[Writers]] — the reference's own
+  *    layout (offline_store_spark_runner.py:896-909) — with the change
+  *    feed derived by [[Writers.versionDiff]] and MERGE as
+  *    read-latest → keyed merge → new version.
+  *  - [[DeltaFormat]] (available iff a Delta Lake jar is on the
+  *    classpath): real transaction-log versions, `MERGE INTO`, and
+  *    `readChangeFeed` — the ACID/concurrent-writer/time-travel contract
+  *    the version-dir scheme only approximates (reference Delta CDF
+  *    reads: offline_store_spark_runner.py:1076-1136). Implemented
+  *    entirely through the stringly-typed public DataSource/SQL surface
+  *    (`format("delta")`, `MERGE INTO delta.`path``, `DESCRIBE
+  *    HISTORY`), so this file compiles with no Delta dependency; the
+  *    classpath probe gates activation at runtime.
+  *
+  * Resolution: `spark.graft.tableFormat` = `auto` (default — Delta when
+  * present, else version dirs) | `delta` | `versiondir`. Both bindings
+  * expose the SAME taxonomy: `changes` returns rows tagged
+  * `change_type ∈ {insert, delete, update_postimage}` (pre-images
+  * dropped), `versions` ascends chronologically, and `mergeUpsert` is
+  * keyed UPDATE SET * / INSERT * semantics — the suites parameterize over
+  * every available binding so a Delta-enabled cluster certifies both.
+  */
+trait TableFormat {
+  def name: String
+
+  /** Write `df` as a NEW version of the table; returns the version token. */
+  def write(spark: SparkSession, df: DataFrame, table: String,
+            partition: Option[PartitionHint] = None): String
+
+  /** Latest committed version's rows. */
+  def readLatest(spark: SparkSession, table: String): DataFrame
+
+  /** Rows as of one version token. */
+  def readVersion(spark: SparkSession, table: String, version: String): DataFrame
+
+  /** All committed version tokens, chronologically ascending. */
+  def versions(spark: SparkSession, table: String): Seq[String]
+
+  /** Row-level changes AFTER `fromVersion` up to and including
+    * `toVersion`, keyed on `keyCol`: columns of the table plus
+    * `change_type` (insert / delete / update_postimage; deletes carry
+    * pre-image values). */
+  def changes(spark: SparkSession, table: String, fromVersion: String,
+              toVersion: String, keyCol: String): DataFrame
+
+  /** Keyed MERGE: matched rows updated to the incoming row, unmatched
+    * inserted; commits one new version. */
+  def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
+                  keyCol: String): Unit
+}
+
+object TableFormat {
+
+  /** True iff a Delta Lake jar is on the classpath (the seam's gate). */
+  def deltaAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.delta.DeltaLog"); true }
+    catch {
+      case _: ClassNotFoundException =>
+        try { Class.forName("io.delta.tables.DeltaTable"); true }
+        catch { case _: ClassNotFoundException => false }
+    }
+
+  /** Bindings usable in this session — what the suites parameterize over. */
+  def available: Seq[TableFormat] =
+    if (deltaAvailable) Seq(VersionDirFormat, DeltaFormat)
+    else Seq(VersionDirFormat)
+
+  /** Resolve per `spark.graft.tableFormat` (auto | delta | versiondir). */
+  def resolve(spark: SparkSession): TableFormat =
+    spark.conf.get("spark.graft.tableFormat", "auto") match {
+      case "versiondir" => VersionDirFormat
+      case "delta" =>
+        require(deltaAvailable, "spark.graft.tableFormat=delta but no " +
+          "Delta Lake jar on the classpath")
+        DeltaFormat
+      case _ => if (deltaAvailable) DeltaFormat else VersionDirFormat
+    }
+}
+
+/** The always-available binding: [[Writers]]' immutable version dirs. */
+object VersionDirFormat extends TableFormat {
+  def name: String = "versiondir"
+
+  def write(spark: SparkSession, df: DataFrame, table: String,
+            partition: Option[PartitionHint]): String =
+    Writers.writeVersioned(df, table, partition).split('/').last
+
+  def readLatest(spark: SparkSession, table: String): DataFrame =
+    Writers.readLatest(spark, table)
+
+  def readVersion(spark: SparkSession, table: String, version: String): DataFrame =
+    spark.read.parquet(s"$table/$version")
+
+  def versions(spark: SparkSession, table: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+  }
+
+  def changes(spark: SparkSession, table: String, fromVersion: String,
+              toVersion: String, keyCol: String): DataFrame =
+    Writers.versionDiff(spark, s"$table/$fromVersion", s"$table/$toVersion",
+      keyCol)
+
+  def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
+                  keyCol: String): Unit = {
+    val cur = readLatest(spark, table)
+    require(cur.columns.sorted.sameElements(updates.columns.sorted),
+      "mergeUpsert expects identical schemas")
+    val upd = updates.select(cur.columns.map(col): _*)
+    // updates win on key collision (UPDATE SET *); one anti-join + union —
+    // the same shuffle budget as the merge itself
+    val merged = cur.join(upd.select(col(keyCol)).distinct()
+        .withColumnRenamed(keyCol, "__mk"),
+        col(keyCol) === col("__mk"), "left_anti")
+      .unionByName(upd)
+    Writers.writeVersioned(merged, table)
+  }
+}
+
+/** The Delta Lake binding — every call rides the public stringly-typed
+  * surface, so it compiles jar-free and activates behind
+  * [[TableFormat.deltaAvailable]]. */
+object DeltaFormat extends TableFormat {
+  def name: String = "delta"
+
+  private def ident(table: String) = s"delta.`$table`"
+
+  def write(spark: SparkSession, df: DataFrame, table: String,
+            partition: Option[PartitionHint]): String = {
+    // layout hints mirror the version-dir writer: DailyPartition derives a
+    // date partition directory (K5); HashPartition pre-shuffles into
+    // `buckets` files (bucket-count layout, NOT partitionBy — one dir per
+    // hash value would be the small-file anti-pattern)
+    val (data, partCols) = partition match {
+      case Some(graft.catalog.DailyPartition(c)) =>
+        (df.withColumn("__date", date_format(col(c), "yyyy-MM-dd"))
+          .repartition(col("__date")).sortWithinPartitions(col(c)),
+          Seq("__date"))
+      case Some(graft.catalog.HashPartition(c, buckets)) =>
+        (df.repartition(buckets, col(c)), Nil)
+      case None => (df, Nil)
+    }
+    val w = data.write.format("delta").mode("overwrite")
+      .option("overwriteSchema", "true")
+      .option("delta.enableChangeDataFeed", "true")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(table)
+    versions(spark, table).last
+  }
+
+  def readLatest(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("delta").load(table)
+
+  def readVersion(spark: SparkSession, table: String, version: String): DataFrame =
+    spark.read.format("delta").option("versionAsOf", version).load(table)
+
+  def versions(spark: SparkSession, table: String): Seq[String] =
+    spark.sql(s"DESCRIBE HISTORY ${ident(table)}")
+      .select(col("version").cast("long")).orderBy(col("version"))
+      .collect().map(_.getLong(0).toString).toSeq
+
+  def changes(spark: SparkSession, table: String, fromVersion: String,
+              toVersion: String, keyCol: String): DataFrame =
+    spark.read.format("delta")
+      .option("readChangeFeed", "true")
+      // Delta's startingVersion is inclusive; our contract is "after from"
+      .option("startingVersion", fromVersion.toLong + 1)
+      .option("endingVersion", toVersion)
+      .load(table)
+      .where(col("_change_type") =!= "update_preimage")
+      .withColumnRenamed("_change_type", "change_type")
+      .drop("_commit_version", "_commit_timestamp")
+
+  def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
+                  keyCol: String): Unit = {
+    val src = s"__graft_merge_src_${System.nanoTime()}"
+    updates.createOrReplaceTempView(src)
+    try spark.sql(
+      s"""MERGE INTO ${ident(table)} t USING $src s
+         |ON t.`$keyCol` = s.`$keyCol`
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.catalog.dropTempView(src)
+  }
+}
