@@ -1,0 +1,192 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Network serving façade — the reference's gRPC serving surface
+  * (serving/serving.go:57-127 TrainingData, 617-714 FeatureServe, 762-780
+  * SourceData, 781-837 Nearest; proto/serving.proto) re-expressed as a
+  * dependency-free HTTP/JSON server over the JDK's built-in
+  * `com.sun.net.httpserver` — the one §3 lifecycle boundary the
+  * in-process engine did not cover. gRPC itself needs jars this sandbox
+  * doesn't have; the CONTRACT (request → feature row / neighbor list /
+  * training-row stream over a socket) is what this closes.
+  *
+  * Endpoints (all GET, JSON responses):
+  *  - `/health` → `{"status":"ok"}`
+  *  - `/features?names=a,b&entity=e[&entityType=long]` → FeatureServe:
+  *    `{"entity":"e","values":[...]}` (null for missing), on-demand
+  *    features computed request-time with the remaining query params.
+  *  - `/nearest?feature=f&k=5&q=0.1,0.2,...` → Nearest:
+  *    `[{"id":...,"sim":...}, ...]` (indexed when buildIndex ran).
+  *  - `/training?name=ts[&repeat=n][&shuffle=buf&seed=s][&limit=n]` →
+  *    TrainingData: JSONL stream, one JSON array per row, chunked
+  *    transfer — the iterator protocol (repeat/shuffle are the reference
+  *    client's Dataset combinators, applied server-side here).
+  *  - `/preview?name=src&limit=n` → SourceData: JSONL, first n rows.
+  *
+  * Serving reads ride [[OnlineStore]] point lookups and
+  * `toLocalIterator` streams — no Spark job per request beyond the
+  * training-set scan itself, and the stream never materializes the set
+  * driver-side. One JVM thread pool; state registration is in-process
+  * (the metadata-server role stays with [[graft.catalog.Catalog]]). */
+final class ServingServer(store: OnlineStore, port: Int = 0) {
+
+  private val sets = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Register a training set / source for `/training` and `/preview`. */
+  def registerDataset(name: String, df: DataFrame): Unit = sets.put(name, df)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  // ----------------------------------------------------------- JSON
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\""); case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n"); case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private def jsonVal(v: Any): String = v match {
+    case null | None => "null"
+    case Some(x) => jsonVal(x)
+    case b: Boolean => b.toString
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float =>
+      if (n.isNaN || n.isInfinite) "\"" + n + "\"" else n.toString
+    case n: Double =>
+      if (n.isNaN || n.isInfinite) "\"" + n + "\"" else n.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case t: java.sql.Timestamp => t.getTime.toString // epoch-ms, oracle rule
+    case d: java.sql.Date => "\"" + d.toString + "\""
+    case a: Array[_] => a.map(jsonVal).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_] => s.map(jsonVal).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => "\"" + esc(k.toString) + "\":" + jsonVal(x) }
+        .mkString("{", ",", "}")
+    case r: Row => r.toSeq.map(jsonVal).mkString("[", ",", "]")
+    case s: String => "\"" + esc(s) + "\""
+    case other => "\"" + esc(other.toString) + "\""
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val k = if (i < 0) kv else kv.substring(0, i)
+        val v = if (i < 0) "" else java.net.URLDecoder.decode(
+          kv.substring(i + 1), UTF_8)
+        k -> v
+      }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def handler(fn: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) =>
+      try fn(ex)
+      catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"${esc(String.valueOf(e))}"}""")
+      }
+
+  // ----------------------------------------------------------- routes
+  server.createContext("/health",
+    handler(ex => respond(ex, 200, """{"status":"ok"}""")))
+
+  server.createContext("/features", handler { ex =>
+    val q = query(ex)
+    val names = q.getOrElse("names",
+      throw new IllegalArgumentException("names required")).split(',').toSeq
+    val raw = q.getOrElse("entity",
+      throw new IllegalArgumentException("entity required"))
+    val entity: Any = q.get("entityType") match {
+      case Some("string") => raw
+      case Some("long") => raw.toLong
+      case _ => raw.toLongOption.getOrElse(raw) // duck-typed default
+    }
+    val params: Map[String, Any] =
+      (q - "names" - "entity" - "entityType").map { case (k, v) =>
+        k -> (v.toLongOption orElse v.toDoubleOption getOrElse v: Any)
+      }
+    val values = store.features(names, entity, params)
+    respond(ex, 200, s"""{"entity":${jsonVal(raw)},"values":${
+      values.map(jsonVal).mkString("[", ",", "]")}}""")
+  })
+
+  server.createContext("/nearest", handler { ex =>
+    val q = query(ex)
+    val feature = q.getOrElse("feature",
+      throw new IllegalArgumentException("feature required"))
+    val k = q.getOrElse("k", "10").toInt
+    val vec = q.getOrElse("q",
+      throw new IllegalArgumentException("q required"))
+      .split(',').map(_.toFloat)
+    val hits = store.nearest(feature, vec, k)
+    respond(ex, 200, hits.map { case (id, sim) =>
+      s"""{"id":${jsonVal(id)},"sim":$sim}"""
+    }.mkString("[", ",", "]"))
+  })
+
+  private def streamRows(ex: HttpExchange, it: Iterator[Row],
+                         limit: Option[Int]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0L) // chunked
+    val out = ex.getResponseBody
+    try {
+      val bounded = limit.map(it.take).getOrElse(it)
+      bounded.foreach { r =>
+        out.write((jsonVal(r) + "\n").getBytes(UTF_8))
+      }
+    } finally { out.close(); ex.close() }
+  }
+
+  server.createContext("/training", handler { ex =>
+    val q = query(ex)
+    val name = q.getOrElse("name",
+      throw new IllegalArgumentException("name required"))
+    val df = sets.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown training set: $name"))
+    var it: Iterator[Row] = q.get("repeat") match {
+      case Some(n) => TrainingSetIterator.repeat(df, n.toInt)
+      case None => TrainingSetIterator.rows(df)
+    }
+    q.get("shuffle").foreach { buf =>
+      it = TrainingSetIterator.shuffled(it, buf.toInt,
+        q.getOrElse("seed", "42").toLong)
+    }
+    streamRows(ex, it, q.get("limit").map(_.toInt))
+  })
+
+  server.createContext("/preview", handler { ex =>
+    val q = query(ex)
+    val name = q.getOrElse("name",
+      throw new IllegalArgumentException("name required"))
+    val df = sets.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown source: $name"))
+    val limit = q.getOrElse("limit", "10").toInt
+    streamRows(ex, TrainingSetIterator.preview(df, limit).iterator, None)
+  })
+
+  def start(): ServingServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

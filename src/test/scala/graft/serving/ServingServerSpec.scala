@@ -1,0 +1,76 @@
+package graft.serving
+
+import java.net.{HttpURLConnection, URI}
+import scala.io.Source
+import graft.SparkSpec
+
+/** Integration test for the HTTP serving façade: real sockets, real
+  * request/response cycles against a live [[ServingServer]] — the §3.3
+  * online-inference boundary (reference serving/serving.go:617-714). */
+class ServingServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000); conn.setReadTimeout(10000)
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Source.fromInputStream(is, "UTF-8").mkString
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("features, on-demand, nearest, training stream and preview over a socket") {
+    val store = new OnlineStore(new InProcessKv)
+    store.load("clicks", Seq((1L, 10L), (2L, 20L)).toDF("entity", "value"))
+    store.load("spend", Seq((1L, 1.5), (2L, 2.5)).toDF("entity", "value"))
+    store.registerOnDemand("spend_x2",
+      (params, pre) => pre.head.asInstanceOf[Long] * 2L)
+    store.loadVectors("emb", Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f))).toDF("entity", "vector"))
+
+    val srv = new ServingServer(store).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      assert(get(s"$base/health")._2 == """{"status":"ok"}""")
+
+      // O1/O2: row assembly; O3: request-time on-demand over precomputed
+      val (c1, b1) = get(s"$base/features?names=clicks,spend,spend_x2&entity=1")
+      assert(c1 == 200)
+      assert(b1 == """{"entity":"1","values":[10,1.5,20]}""")
+      // missing entity -> nulls
+      assert(get(s"$base/features?names=clicks&entity=99")._2
+        == """{"entity":"99","values":[null]}""")
+      // missing args -> 400, not a hang or a 500
+      assert(get(s"$base/features?entity=1")._1 == 400)
+
+      // O4: nearest over the loaded vector table
+      val (c2, b2) = get(s"$base/nearest?feature=emb&k=2&q=1.0,0.05")
+      assert(c2 == 200)
+      assert(b2.startsWith("""[{"id":1,"""") || b2.startsWith("""[{"id":1,"""))
+      assert("\"id\":(\\d+)".r.findAllMatchIn(b2).map(_.group(1)).toSeq
+        == Seq("1", "3"))
+
+      // O5: training stream (JSONL, repeat + limit honored)
+      val ts = Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("e", "s", "v")
+      srv.registerDataset("ts1", ts)
+      val (c3, b3) = get(s"$base/training?name=ts1&repeat=2")
+      assert(c3 == 200)
+      val lines = b3.trim.split('\n').toSeq
+      assert(lines.size == 4)
+      assert(lines.head == """[1,"a",0.5]""")
+      assert(get(s"$base/training?name=ts1&repeat=3&limit=5")._2
+        .trim.split('\n').length == 5)
+      // shuffled stream is a permutation per repeat block size
+      val (_, b4) = get(s"$base/training?name=ts1&shuffle=8&seed=7")
+      assert(b4.trim.split('\n').toSet == Set("""[1,"a",0.5]""", """[2,"b",1.5]"""))
+
+      // O6: preview
+      assert(get(s"$base/preview?name=ts1&limit=1")._2.trim
+        == """[1,"a",0.5]""")
+      assert(get(s"$base/training?name=nope")._1 == 400)
+    } finally srv.stop()
+  }
+}
