@@ -481,6 +481,62 @@ object OracleSql {
        |$sel""".stripMargin
   }
 
+  /** Batched BPE training replay ≡ BpeTrain.trainBatched: per round, the
+    * top-`batch` pairs in (cnt desc, lhs, rhs) order feed a RECURSIVE
+    * greedy accept (both symbols unseen among earlier-accepted pairs of
+    * the round — carried as a VARCHAR[] accumulator), then a second
+    * recursive CTE applies the accepted merges to the word table one
+    * acceptance-rank at a time (disjoint symbols ⇒ the order is
+    * immaterial, pinned anyway). Global merge_rank = row_number over
+    * (round, acceptance order). Needs WITH RECURSIVE. */
+  private def bpeTrainBatchedSql(rounds: Int, batch: Int): String = {
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT sy[i] AS lhs, sy[i + 1] AS rhs, SUM(freq) AS cnt
+         |  FROM (SELECT sy, freq, unnest(generate_series(1, len(sy) - 1)) AS i
+         |        FROM (SELECT string_split(substr(w, 2, length(w) - 2), ')(') AS sy,
+         |                     freq FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |t$r AS MATERIALIZED (SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rk
+         |  FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT $batch),
+         |a$r AS (
+         |  SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used,
+         |    CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs,
+         |    CAST(NULL AS BIGINT) AS cnt, false AS take
+         |  UNION ALL
+         |  SELECT t.rk,
+         |    CASE WHEN list_contains(a.used, t.lhs) OR list_contains(a.used, t.rhs)
+         |      THEN a.used ELSE list_concat(a.used, [t.lhs, t.rhs]) END,
+         |    t.lhs, t.rhs, t.cnt,
+         |    NOT (list_contains(a.used, t.lhs) OR list_contains(a.used, t.rhs))
+         |  FROM a$r a JOIN t$r t ON t.rk = a.rk + 1),
+         |acc$r AS MATERIALIZED (SELECT row_number() OVER (ORDER BY rk) AS j,
+         |    lhs, rhs, cnt FROM a$r WHERE take),
+         |wr$r AS (
+         |  SELECT w, freq, 0 AS j FROM w${r - 1}
+         |  UNION ALL
+         |  SELECT replace(x.w, '(' || a.lhs || ')(' || a.rhs || ')',
+         |      '(' || a.lhs || a.rhs || ')') AS w, x.freq, x.j + 1
+         |  FROM wr$r x JOIN acc$r a ON a.j = x.j + 1),
+         |w$r AS MATERIALIZED (SELECT w, freq FROM wr$r
+         |  WHERE j = (SELECT COALESCE(MAX(j), 0) FROM acc$r))""".stripMargin
+    }.mkString(",\n")
+    val unionAcc = (1 to rounds).map(r =>
+      s"SELECT $r AS rnd, j, lhs, rhs, cnt FROM acc$r").mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE
+       |tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT array_to_string(list_transform(generate_series(1, length(word)),
+       |    i -> '(' || substr(word, i, 1) || ')'), '') AS w, freq FROM wf),
+       |$perRound,
+       |all_acc AS ($unionAcc)
+       |SELECT row_number() OVER (ORDER BY rnd, j) AS merge_rank,
+       |  lhs, rhs, cnt AS pair_count
+       |FROM all_acc""".stripMargin
+  }
+
   /** bpe_encode replay: the same training rounds rebuild the merge table,
     * then a word → final-segmentation map (m0..mV) applies them in rank
     * order and every document re-aggregates its words in order. */
@@ -2367,6 +2423,7 @@ object OracleSql {
     // right non-overlapping merge) replayed as a generated CTE chain over
     // the same (a)(b)(c) wrapped-symbol representation as the Spark loop
     "bpe_train" -> bpeTrainSql(12),
+    "bpe_train_scaled" -> bpeTrainBatchedSql(30, 64),
 
     // tokenizer-faithful encode with the learned merges: per-doc BPE token
     // count + an md5 digest of the in-order segmentations

@@ -1547,6 +1547,19 @@ object SparkEntry {
     graft.functions.BpeTrain.train(t(s, dir, "documents"), "text",
       numMerges = 12)
 
+  /** Batched BPE training — the realistic-vocab scale path: up to 30
+    * rounds × top-64 greedy symbol-disjoint accepts, ~batch/2 merges per
+    * Spark job instead of one job per merge; the oracle replays the
+    * greedy accept and the batched apply with recursive CTEs. On this
+    * synthetic corpus (31 distinct [a-z]+ words) the trainer SATURATES:
+    * 89 merges — the complete merge closure, every word fused to one
+    * symbol — in 13 jobs, after which it stops on pair exhaustion; a
+    * natural-language vocabulary keeps it producing ~32 merges/job to
+    * any target size. */
+  private def bpeTrainScaledQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.BpeTrain.trainBatched(t(s, dir, "documents"), "text",
+      rounds = 30, batch = 64)
+
   /** Order-2 corpus-frequency score: rare-bigram ratios catch word salad a
     * unigram gate cannot see. Same integer-exact shape as the unigram row. */
   private def bigramLmScore(s: SparkSession, dir: String): DataFrame =
@@ -3561,6 +3574,7 @@ object SparkEntry {
     "unigram_lm_score"  -> (unigramLmScore _),
     "vocab_topk"        -> (vocabTopK _),
     "bpe_train"         -> (bpeTrainQ _),
+    "bpe_train_scaled"  -> (bpeTrainScaledQ _),
     "domain_stats"      -> (domainStats _),
     "column_profile"    -> (columnProfile _),
     "shuffle_export"    -> (shuffleExport _),

@@ -97,6 +97,95 @@ object BpeTrain {
         StructField("pair_count", LongType, nullable = false))))
   }
 
+  /** Batched BPE training — the scale path past [[train]]'s
+    * one-Spark-job-per-merge ceiling (a realistic 32k-merge vocabulary
+    * means 32k sequential jobs there). Per round, ONE aggregation yields
+    * the top-`batch` candidate pairs in (count desc, lhs, rhs) order; a
+    * greedy driver-side scan accepts every pair whose BOTH symbols are
+    * unseen among earlier-accepted pairs of the round, and all accepted
+    * merges apply in ONE chained-replace projection. Symbol-disjoint
+    * merges touch disjoint occurrence sites, so their replaces commute
+    * and none invalidates another's count — each accepted merge is
+    * exactly the merge sequential BPE would pick at its turn UNLESS an
+    * earlier same-round merge could have changed its count; the greedy
+    * disjointness test excludes precisely those. (The standard fast-
+    * trainer batching trade: a documented, deterministic variant of the
+    * sequential order, not bit-identical to it.)
+    *
+    * Runs exactly `rounds` rounds (or until no pairs remain) — a fixed
+    * round count keeps the DuckDB oracle statically generatable; each
+    * round accepts ≥1 merge (the top pair is always accepted), typically
+    * ~batch/2, so merges ≈ rounds × batch/2. Driver state per round is
+    * the `batch`-row argmax slice — still metadata-sized.
+    *
+    * Output: (merge_rank, lhs, rhs, pair_count), rank in acceptance
+    * order across rounds. */
+  def trainBatched(docs: DataFrame, textCol: String, rounds: Int,
+                   batch: Int = 64): DataFrame = {
+    require(rounds > 0 && batch > 0, "rounds and batch must be positive")
+    val spark = docs.sparkSession
+    val wf = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var words = wf
+      .select(expr(
+        "array_join(transform(split(word, ''), x -> concat('(', x, ')')), '')")
+        .as("w"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var prev: DataFrame = null
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = words
+        .select(expr("split(substring(w, 2, length(w) - 2), '\\\\)\\\\(')")
+          .as("sy"), col("freq"))
+        .select(explode(zip_with(
+          slice(col("sy"), lit(1), greatest(size(col("sy")) - 1, lit(0))),
+          slice(col("sy"), lit(2), greatest(size(col("sy")) - 1, lit(0))),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"), col("freq"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(batch).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = top.toSeq.flatMap { row =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          if (used(a) || used(b)) None
+          else { used += a; used += b; Some((a, b, row.getLong(2))) }
+        }
+        accepted.foreach { case (a, b, cnt) =>
+          merges += Row(merges.size + 1L, a, b, cnt)
+        }
+        // one projection applies the whole batch: disjoint symbols ⇒
+        // disjoint sites ⇒ the replace chain is order-independent (pinned
+        // to acceptance order anyway)
+        val applied = accepted.foldLeft(col("w")) { case (acc, (a, b, _)) =>
+          replace(acc, lit(s"($a)($b)"), lit(s"($a$b)"))
+        }
+        val merged = words.select(applied.as("w"), col("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev = words
+        words = merged
+        r += 1
+      }
+    }
+    words.unpersist()
+    if (prev != null) prev.unpersist()
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(merges.toSeq).asJava),
+      StructType(Seq(
+        StructField("merge_rank", LongType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
   /** Tokenizer-faithful ENCODE with a learned merge table — the apply half
     * of the train → encode loop (what a training-data pipeline actually
     * ships to the trainer). Every document's words are wrapped

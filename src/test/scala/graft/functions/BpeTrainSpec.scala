@@ -45,6 +45,35 @@ class BpeTrainSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("trainBatched: greedy disjoint accept, batch apply, saturation stop") {
+    // same corpus as the sequential test; round-1 pairs by (cnt desc,
+    // lhs, rhs): (t,h)=4, (h,e)=3, (a,n)=2, (n,d)=2, (a,t)=1, (b,a)=1.
+    // Greedy: accept (t,h); reject (h,e) [h used]; accept (a,n); reject
+    // (n,d) [n used]; reject (a,t) [a,t used]; accept (b? b unused, a
+    // used] → reject. Round-1 accepts: (t,h), (a,n).
+    val docs = Seq(Tuple1("the the the that band and")).toDF("text")
+    val got = BpeTrain.trainBatched(docs, "text", rounds = 10, batch = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got(0) == (1L, "t", "h", 4L))
+    assert(got(1) == (2L, "a", "n", 2L))
+    // round 2 over th|e ×3, th|a|t, b|an|d, an|d: (th,e)=3 accept;
+    // (an,d)=2 accept; (th,a)=1 reject [th used]; (a,t) reject [t? t
+    // unused but a used]; (b,an) reject [an used]
+    assert(got(2) == (3L, "th", "e", 3L))
+    assert(got(3) == (4L, "an", "d", 2L))
+    // saturation: the tiny corpus fuses completely and the loop stops on
+    // pair exhaustion well before 10 rounds — every word one symbol
+    val withFreq = got.map(m => (m._2, m._3))
+    assert(got.length < 20)
+    val segs = Seq("the", "that", "band", "and").map { w =>
+      withFreq.foldLeft(w.map(c => s"($c)").mkString) { case (acc, (a, b)) =>
+        acc.replace(s"($a)($b)", s"($a$b)")
+      }
+    }
+    assert(segs.forall(s => s.count(_ == '(') == 1))
+  }
+
   test("encode applies the learned merges; counts and digests are exact") {
     // merges learned above: th, the(th+e), an, and(an+d)
     val train = Seq(Tuple1("the the the that band and")).toDF("text")
