@@ -1580,6 +1580,22 @@ object OracleSql {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 0.1 AS DOUBLE) AS rev_tax
         |FROM orders GROUP BY o_custkey""".stripMargin,
 
+    // deterministic catalog + DAG run: the expected lineage document is a
+    // literal — edges in registration order, each node's latest run state
+    // (f_click fails both attempts; ts1 cascades upstream_failed; the
+    // model has no task => NULL status, 0 attempts)
+    "lineage_export" ->
+      """SELECT * FROM (VALUES
+        |  ('events.default', 'source', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'success', CAST(1 AS BIGINT)),
+        |  ('clicks.default', 'source', 'events.default', 'source', 'success', CAST(1 AS BIGINT)),
+        |  ('f_click.default', 'feature', 'clicks.default', 'source', 'failed', CAST(2 AS BIGINT)),
+        |  ('purchase.default', 'label', 'events.default', 'source', 'success', CAST(1 AS BIGINT)),
+        |  ('ts1.default', 'training_set', 'purchase.default', 'label', 'upstream_failed', CAST(1 AS BIGINT)),
+        |  ('ts1.default', 'training_set', 'f_click.default', 'feature', 'upstream_failed', CAST(1 AS BIGINT)),
+        |  ('m1', 'model', 'f_click.default', 'feature', CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)),
+        |  ('m1', 'model', 'ts1.default', 'training_set', CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)))
+        |  AS t(resource, resource_type, depends_on, dep_type, last_status, n_attempts)""".stripMargin,
+
     // the engine emits ok=1 only if IVF recall@10 >= 0.5 vs the exact
     // baseline — the oracle pins the expected assertion row
     "ann_topk_ivf" ->

@@ -928,6 +928,47 @@ object SparkEntry {
       reloaded.resolve(ResourceId("cust_rev")))
   }
 
+  /** Lineage export — the dashboard data contract: the resource DAG
+    * (source → transformation → feature/label → training set → model
+    * edges) joined with each node's latest task-run state from the
+    * durable ledger. The catalog and the DAG run are deterministic, so
+    * the oracle is the literal expected document. The JSON single-file
+    * form (Lineage.exportJson) is exercised by LineageSpec. */
+  private def lineageExport(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.registerSource(SourceVariant(ResourceId("events"),
+      PrimaryData(s"$dir/events.parquet")))
+    cat.registerSource(SourceVariant(ResourceId("clicks"), SqlTransformation(
+      "SELECT user_id, ts, value FROM {{events}} WHERE event_type = 'click'")))
+    cat.registerFeature(FeatureVariant(ResourceId("f_click"),
+      ResourceId("clicks"),
+      graft.types.ResourceSchema("user_id", "value", Some("ts"))))
+    cat.registerLabel(LabelVariant(ResourceId("purchase"),
+      ResourceId("events"),
+      Seq(EntityMapping("user", "user_id")), "value", Some("ts")))
+    cat.registerTrainingSet(TrainingSetVariant(ResourceId("ts1"),
+      ResourceId("purchase"), Seq(ResourceId("f_click"))))
+    cat.registerModel(ModelDef("m1",
+      features = Seq(ResourceId("f_click")),
+      trainingSets = Seq(ResourceId("ts1"))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lineage").toString
+    val runner = new graft.sched.TaskRunner(s, tmp, maxAttempts = 2,
+      backoffMs = 1)
+    graft.sched.Dag.run(runner, "2024-02-01",
+      tasks = Map(
+        "events" -> (() => 1L),
+        "clicks" -> (() => 2L),
+        "f_click" -> (() => sys.error("materialization quota")),
+        "purchase" -> (() => 3L),
+        "ts1" -> (() => 4L)),
+      deps = Map(
+        "clicks" -> Seq("events"),
+        "f_click" -> Seq("clicks"),
+        "purchase" -> Seq("events"),
+        "ts1" -> Seq("purchase", "f_click")))
+    graft.catalog.Lineage.export(s, cat, runner.runs())
+  }
+
   // ------------------------------------ O4 scale path: IVF approximate ANN
 
   /** IVF ANN vs the exact baseline: recall@10 over the 10-query set must
@@ -3527,6 +3568,7 @@ object SparkEntry {
     "split_serve"       -> (splitServe _),
     "merge_upsert_wide" -> (mergeUpsertWide _),
     "catalog_persist"   -> (catalogPersist _),
+    "lineage_export"    -> (lineageExport _),
     "ann_topk_ivf"      -> (annTopKIVFQ _),
     "media_pipeline"    -> (mediaPipeline _),
     "skew_salted_join"  -> (skewSaltedJoin _),
