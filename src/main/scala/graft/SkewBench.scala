@@ -293,12 +293,15 @@ object SkewBench {
       // the 10× corpus (1M) in the unhinted regime — asserting the
       // measure-then-pick gate actually flips the closing-join plan and
       // wall-clock stays near-linear in the shuffled regime
-      val triEdges = events.select(col("user_id").as("a"),
-        (floor(col("value") / 25).cast("long") + 1000000L).as("b"))
-      val tri = graft.functions.Graph.triangleCounts(
-        triEdges, "a", "b", maxBroadcastEdges = 500000L)
-      rec(scale, "triangle_count", time(force(tri))._1)
-      val triHinted = tri.queryExecution.optimizedPlan.toString
+      // the frame is constructed INSIDE the timed body (a hoisted
+      // DataFrame's second run would reuse the first run's shuffle files
+      // and min-of-two would measure only the final stage)
+      def triangles() = graft.functions.Graph.triangleCounts(
+        events.select(col("user_id").as("a"),
+          (floor(col("value") / 25).cast("long") + 1000000L).as("b")),
+        "a", "b", maxBroadcastEdges = 500000L)
+      rec(scale, "triangle_count", time(force(triangles()))._1)
+      val triHinted = triangles().queryExecution.optimizedPlan.toString
         .toLowerCase.contains("broadcast")
       if (m == 1 && !triHinted)
         triErrs += "triangle closing join NOT broadcast-hinted at 1x (under cap)"
