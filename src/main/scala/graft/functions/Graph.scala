@@ -88,13 +88,14 @@ object Graph {
     *
     * `maxBroadcastEdges` gates the closing-join broadcast hint (the
     * [[graft.ops.Skew.adaptiveJoin]] measure-then-pick convention): the
-    * raw edge count — probed with an early-terminating `limit(cap+1)`
-    * scan, an upper bound on the distinct undirected set, so the probe
-    * never pays a shuffle — must stay under the cap for the hint to be
-    * applied. Above it the semi-join is left unhinted and AQE picks the
-    * physical strategy (shuffled-hash, or its own runtime broadcast if
-    * the built set turns out small) instead of an explicit hint forcing
-    * an 8 GB-cap / driver-OOM broadcast of a 100×-scale edge set. */
+    * raw input row count — a fully parallel `count()`, an upper bound on
+    * the distinct undirected set (a `limit(cap+1)` probe was measured
+    * WORSE: GlobalLimit funnels every row through one task) — must stay
+    * under the cap for the hint to be applied. Above it the semi-join is
+    * left unhinted and AQE picks the physical strategy (shuffled-hash,
+    * or its own runtime broadcast if the built set turns out small)
+    * instead of an explicit hint forcing an 8 GB-cap / driver-OOM
+    * broadcast of a 100×-scale edge set. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
                      maxBroadcastEdges: Long = 5000000L): DataFrame = {
     // NOTE: no persist() barrier here although the edge set feeds four
@@ -136,11 +137,8 @@ object Graph {
     // cap the join is unhinted and AQE chooses shuffled-hash / runtime
     // broadcast from actual sizes.
     val closing = und.select(col("__a").as("__u"), col("__b").as("__v"))
-    val rawEdges = edges.limit(
-      if (maxBroadcastEdges >= Long.MaxValue) Long.MaxValue.toInt
-      else (maxBroadcastEdges min (Int.MaxValue - 1L)).toInt + 1).count()
     val closingSide =
-      if (rawEdges <= maxBroadcastEdges) broadcast(closing) else closing
+      if (edges.count() <= maxBroadcastEdges) broadcast(closing) else closing
     val tris = wedges.join(closingSide, Seq("__u", "__v"), "leftsemi")
     tris.select(explode(array(col("__s"), col("__u"), col("__v"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
