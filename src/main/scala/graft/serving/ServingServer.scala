@@ -177,6 +177,22 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
     streamRows(ex, it, q.get("limit").map(_.toInt))
   })
 
+  server.createContext("/arrow", handler { ex =>
+    val q = query(ex)
+    val name = q.getOrElse("name",
+      throw new IllegalArgumentException("name required"))
+    val df = sets.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown dataset: $name"))
+    val limited = q.get("limit").map(n => df.limit(n.toInt)).getOrElse(df)
+    ex.getResponseHeaders.set("Content-Type",
+      "application/vnd.apache.arrow.stream")
+    ex.sendResponseHeaders(200, 0L) // chunked
+    val out = ex.getResponseBody
+    try ArrowServe.writeStream(limited, out,
+      batchRows = q.getOrElse("batch", "1024").toInt)
+    finally { out.close(); ex.close() }
+  })
+
   server.createContext("/preview", handler { ex =>
     val q = query(ex)
     val name = q.getOrElse("name",
