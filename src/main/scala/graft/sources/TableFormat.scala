@@ -153,9 +153,15 @@ object DeltaFormat extends TableFormat {
         (df.repartition(buckets, col(c)), Nil)
       case None => (df, Nil)
     }
+    // CDF must be ON for `changes`; the session default is the
+    // documented writer-independent switch (a `delta.`-prefixed writer
+    // option is not reliably applied as a table property across Delta
+    // versions), and existing tables can be altered by the operator
+    spark.conf.set(
+      "spark.databricks.delta.properties.defaults.enableChangeDataFeed",
+      "true")
     val w = data.write.format("delta").mode("overwrite")
       .option("overwriteSchema", "true")
-      .option("delta.enableChangeDataFeed", "true")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(table)
     versions(spark, table).last
   }
