@@ -1996,6 +1996,15 @@ object OracleSql {
     "minhash_near_dups"   -> minhashNearDupsSql,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_near_dups_bounded" -> simhashNearDupsBoundedSql,
+    // incremental bounded variant: same full-recall guarantee, restricted
+    // to pairs touching the new batch (doc_id % 5 = 4)
+    "incremental_simhash_bounded" ->
+      s"""WITH $simhashCtes
+         |SELECT x.doc_id AS idA, y.doc_id AS idB,
+         |  CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+         |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.h, y.h)) <= 3
+         |  AND (x.doc_id % 5 = 4 OR y.doc_id % 5 = 4)""".stripMargin,
     "simhash_fingerprint" -> simhashFingerprintSql,
     "cosine_near_dups"    -> cosineNearDupsSql,
 

@@ -1887,6 +1887,25 @@ object SparkEntry {
       what = "incrementalImageDedup")
   }
 
+  /** Incremental BOUNDED simhash dedup — the Manku block keys on the
+    * steady-state path: corpus simhashes (doc_id % 5 != 4) persisted as a
+    * versioned table and READ BACK (8 B/doc of state), the new batch
+    * banded against the union through ~32-bit combo keys; only pairs
+    * touching the batch are reported. Full recall at Hamming ≤ 3 by
+    * pigeonhole, so the oracle is the plain all-pairs predicate filtered
+    * to batch-touching pairs. */
+  private def incrementalSimhashBounded(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isNew = col("doc_id") % 5 === 4
+    val hashes = docs.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sh"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simh").toString
+    graft.sources.Writers.writeVersioned(hashes.where(!isNew), s"$tmp/sh")
+    Dedup.hammingNearDupsIncrementalBounded(
+      graft.sources.Writers.readLatest(s, s"$tmp/sh"),
+      hashes.where(isNew), "doc_id", "sh", maxHamming = 3)
+  }
+
   /** Count-min heavy hitters over the token stream (depth 4 × width 16 —
     * deliberately narrow so collisions are visible): every distinct token's
     * exact count beside its sketch estimate. One-sided error (est ≥ exact)
@@ -3637,6 +3656,7 @@ object SparkEntry {
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "image_near_dups"   -> (imageNearDups _),
     "incremental_image_dedup" -> (incrementalImageDedup _),
+    "incremental_simhash_bounded" -> (incrementalSimhashBounded _),
     "kmeans_clusters"   -> (kmeansClusters _),
     "diversity_sample"  -> (diversitySampleQ _),
     "semantic_dedup"    -> (semanticDedupQ _),

@@ -462,11 +462,11 @@ object Dedup {
     * ~32-bit keys whose random-collision mass is corpus-scale-bounded —
     * the trade Manku et al. run in production. Output (idA < idB,
     * hamming ≤ maxHamming). */
-  def hammingNearDupsBounded(hashed: DataFrame, idCol: String,
-                             hashCol: String, maxHamming: Int = 3,
-                             numBlocks: Int = 6, comboSize: Int = 3,
-                             maxBandFreq: Int = 2000,
-                             what: String = "hammingNearDupsBounded"): DataFrame = {
+  /** The exploded combo-key array for [[hammingNearDupsBounded]]'s block
+    * construction over a 64-bit hash column: one struct per
+    * `comboSize`-subset of the `numBlocks` blocks. */
+  private def comboKeyArray(h: Column, numBlocks: Int, comboSize: Int,
+                            maxHamming: Int, what: String): Column = {
     require(numBlocks >= 2 && numBlocks <= 64,
       s"$what: numBlocks must be in [2, 64], got $numBlocks")
     require(comboSize >= 1 && comboSize <= numBlocks,
@@ -479,20 +479,28 @@ object Dedup {
     val rem = 64 % numBlocks
     val widths = Array.tabulate(numBlocks)(i => base + (if (i < rem) 1 else 0))
     val offs = widths.scanLeft(0)(_ + _)
-    def blockVal(h: Column, i: Int): Column =
+    def blockVal(i: Int): Column =
       if (widths(i) == 64) h
       else shiftright(h, offs(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
     val combos = (0 until numBlocks).combinations(comboSize).toArray
+    array(combos.zipWithIndex.map { case (cb, ci) =>
+      struct(lit(ci).as("ci") +:
+        cb.toIndexedSeq.zipWithIndex.map { case (b, j) =>
+          blockVal(b).as(s"v$j")
+        }: _*)
+    }: _*)
+  }
+
+  def hammingNearDupsBounded(hashed: DataFrame, idCol: String,
+                             hashCol: String, maxHamming: Int = 3,
+                             numBlocks: Int = 6, comboSize: Int = 3,
+                             maxBandFreq: Int = 2000,
+                             what: String = "hammingNearDupsBounded"): DataFrame = {
     val withK = capHotKeys(
       barrier(hashed.select(col(idCol).as("__id"), col(hashCol).as("__h")),
         checkpoint = false)
-        .withColumn("__k", explode(array(combos.zipWithIndex.map {
-          case (cb, ci) =>
-            struct(lit(ci).as("ci") +:
-              cb.toIndexedSeq.zipWithIndex.map { case (b, j) =>
-                blockVal(col("__h"), b).as(s"v$j")
-              }: _*)
-        }: _*))),
+        .withColumn("__k", explode(comboKeyArray(col("__h"), numBlocks,
+          comboSize, maxHamming, what))),
       "__k", maxBandFreq, what)
     val a = withK.select(col("__k"), col("__id").as("idA"), col("__h").as("__ha"))
     val b = withK.select(col("__k"), col("__id").as("idB"), col("__h").as("__hb"))
@@ -558,6 +566,43 @@ object Dedup {
     val o = bandedAll
       .select(col("__q"), col("__id").as("__idO"), col("__h").as("__ho"))
     n.join(o, Seq("__q")).where(col("__idN") =!= col("__idO"))
+      .select(least(col("__idN"), col("__idO")).as("idA"),
+        greatest(col("__idN"), col("__idO")).as("idB"),
+        hamming64(col("__hn"), col("__ho")).cast("long").as("hamming"))
+      .dropDuplicates("idA", "idB")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental Hamming near-dups over the BOUNDED block-combination
+    * keys — [[hammingNearDupsIncremental]]'s quarter bands replaced by
+    * [[hammingNearDupsBounded]]'s Manku construction, so the steady-state
+    * candidate mass is C(B,c)·batch·corpus/2³² instead of
+    * 4·batch·corpus/2¹⁶: the same ~6000× structural reduction the batch
+    * mode gets, on the path that makes a growing corpus affordable at
+    * all. Same contract: only pairs touching `newHashes` are reported,
+    * old–old pairs excluded by construction, the frequency cap taken on
+    * the UNION table. */
+  def hammingNearDupsIncrementalBounded(corpusHashes: DataFrame,
+                                        newHashes: DataFrame,
+                                        idCol: String, hashCol: String,
+                                        maxHamming: Int = 3,
+                                        numBlocks: Int = 6, comboSize: Int = 3,
+                                        maxBandFreq: Int = 2000,
+                                        what: String = "hammingNearDupsIncrementalBounded"): DataFrame = {
+    val newH = barrier(
+      newHashes.select(col(idCol).as("__id"), col(hashCol).as("__h")),
+      checkpoint = false)
+    val allH = corpusHashes.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .unionByName(newH)
+    def keyed(df: DataFrame) = df.withColumn("__k",
+      explode(comboKeyArray(col("__h"), numBlocks, comboSize, maxHamming,
+        what)))
+    val keyedAll = capHotKeys(keyed(allH), "__k", maxBandFreq, what)
+    val n = keyed(newH)
+      .select(col("__k"), col("__id").as("__idN"), col("__h").as("__hn"))
+    val o = keyedAll
+      .select(col("__k"), col("__id").as("__idO"), col("__h").as("__ho"))
+    n.join(o, Seq("__k")).where(col("__idN") =!= col("__idO"))
       .select(least(col("__idN"), col("__idO")).as("idA"),
         greatest(col("__idN"), col("__idO")).as("idB"),
         hamming64(col("__hn"), col("__ho")).cast("long").as("hamming"))
