@@ -3931,6 +3931,35 @@ object OracleSql {
         |  ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9""".stripMargin,
 
+    // multi-pass blocking: the prefix pass compares raw names; the
+    // sorted-neighborhood pass blocks on the sorted 2-token key and
+    // compares the fully token-sorted names (JW's prefix weighting would
+    // reject the transpositions the key exists to catch); best score per
+    // pair. Caps don't fire at sf0.01, so the union replays directly.
+    "fuzzy_link_multipass" ->
+      """WITH names AS (
+        |  SELECT doc_id, substr(trim(text), 1, 40) AS nm,
+        |    concat_ws(' ', split_part(substr(trim(text), 1, 40), ' ', 1),
+        |      split_part(substr(trim(text), 1, 40), ' ', 2)) AS blk,
+        |    concat_ws(' ',
+        |      least(split_part(substr(trim(text), 1, 40), ' ', 1),
+        |            split_part(substr(trim(text), 1, 40), ' ', 2)),
+        |      greatest(split_part(substr(trim(text), 1, 40), ' ', 1),
+        |               split_part(substr(trim(text), 1, 40), ' ', 2))) AS blks,
+        |    array_to_string(list_sort(string_split(substr(trim(text), 1, 40), ' ')), ' ') AS snm
+        |  FROM documents WHERE length(trim(text)) >= 10),
+        |passes AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |  FROM names a JOIN names b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id,
+        |    round(jaro_winkler_similarity(a.snm, b.snm), 6) AS jw
+        |  FROM names a JOIN names b ON a.blks = b.blks AND a.doc_id < b.doc_id
+        |  WHERE jaro_winkler_similarity(a.snm, b.snm) >= 0.9)
+        |SELECT id_a, id_b, MAX(jw) AS jw FROM passes GROUP BY 1, 2""".stripMargin,
+
     // exact Mann-Whitney AUC over the distinct-score histogram; every term
     // integer until the final division (both engines round doubles
     // half-away-from-zero)

@@ -3087,6 +3087,16 @@ object SparkEntry {
       .select(col("idA").as("id_a"), col("idB").as("id_b"), col("jw"))
   }
 
+  /** Multi-pass linkage: 2-token prefix ∪ sorted-2-token blocking — the
+    * recall remedy for the bounded default, both passes capped. */
+  private def fuzzyLinkMultiPass(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) >= 10)
+      .select(col("doc_id"), substring(trim(col("text")), 1, 40).as("nm"))
+    Dedup.fuzzyLinkMultiPass(names, "nm", "doc_id", minSim = 0.9)
+      .select(col("idA").as("id_a"), col("idB").as("id_b"), col("jw"))
+  }
+
   /** Exact ROC AUC of event value against the is-purchase label — the
     * Mann-Whitney rank form over the distinct-score histogram. */
   private def binaryAuc(s: SparkSession, dir: String): DataFrame =
@@ -3720,6 +3730,7 @@ object SparkEntry {
     "streaming_dedup_wm" -> (streamingDedupWm _),
     "json_props_rollup" -> (jsonPropsRollup _),
     "fuzzy_link"        -> (fuzzyLink _),
+    "fuzzy_link_multipass" -> (fuzzyLinkMultiPass _),
     "binary_auc"        -> (binaryAuc _),
     "forget_user"       -> (forgetUser _),
     "oov_rate"          -> (oovRate _),

@@ -144,6 +144,44 @@ object Dedup {
       .select(col("idA"), col("idB"), round(col("__jw"), 6).as("jw"))
   }
 
+  /** Multi-pass blocked linkage — the production recall remedy the
+    * [[fuzzyLink]] docs point at: candidates from the UNION of several
+    * bounded blocking keys, each pass individually capped. Pass 1 is the
+    * default 2-token prefix key over the raw names; pass 2 is the
+    * sorted-neighborhood pass — the SORTED first-2-token key
+    * (least/greatest, identical semantics in DuckDB) with the comparator
+    * run on the token-sorted names, catching word-order transpositions
+    * ("acme corp" vs "corp acme") the prefix pass separates. A pair
+    * found by both passes keeps its best score. Cost is the sum of two
+    * bounded passes — still corpus-linear, unlike widening one key. */
+  def fuzzyLinkMultiPass(df: DataFrame, nameCol: String, idCol: String,
+                         minSim: Double = 0.9,
+                         maxBlockFreq: Int = 2000): DataFrame = {
+    val prefixPass = fuzzyLink(df, nameCol, idCol, minSim, maxBlockFreq)
+    val t1 = split_part(col("__nm"), lit(" "), lit(1))
+    val t2 = split_part(col("__nm"), lit(" "), lit(2))
+    // sorted-neighborhood pass: block on the sorted first-2-token key AND
+    // compare on the fully token-sorted name — JW's prefix weighting
+    // rejects word-order transpositions even when a key unites them, so
+    // the comparator must see the variant class the key targets
+    val sortedNm = array_join(array_sort(split(col("__nm"), " ")), " ")
+    val blocked = capHotKeys(
+      df.select(col(idCol).as("__id"), col(nameCol).as("__nm"))
+        .withColumn("__blk", concat_ws(" ", least(t1, t2), greatest(t1, t2)))
+        .withColumn("__snm", sortedNm),
+      "__blk", maxBlockFreq, "fuzzyLinkSorted")
+    val a = blocked.select(col("__blk"), col("__id").as("idA"), col("__snm").as("__na"))
+    val b = blocked.select(col("__blk"), col("__id").as("idB"), col("__snm").as("__nb"))
+    val sortedPass = a.join(b, Seq("__blk")).where(col("idA") < col("idB"))
+      .withColumn("__jw", graft.functions.expressions.StringSim
+        .jaroWinkler(col("__na"), col("__nb")))
+      .where(col("__jw") >= minSim)
+      .select(col("idA"), col("idB"), round(col("__jw"), 6).as("jw"))
+    // a pair found by both passes keeps its best score (deterministic max)
+    prefixPass.unionByName(sortedPass)
+      .groupBy("idA", "idB").agg(max(col("jw")).as("jw"))
+  }
+
   /** Exact dedup on canonicalized content: keeps the row with the smallest
     * `idCol` per distinct normalized text. Group key is the md5 digest, not
     * the text itself — 32 bytes/row through the shuffle regardless of doc

@@ -46,6 +46,24 @@ class LinkageEvalSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)))
   }
 
+  test("fuzzyLinkMultiPass: sorted-token pass links word-order transpositions") {
+    val df = Seq(
+      (1L, "acme corp"),
+      (2L, "corp acme"),  // transposed word order — prefix blocks differ
+      (3L, "acme corp"),  // exact pair for the prefix pass
+      (4L, "zenith labs")).toDF("id", "name")
+    val single = Dedup.fuzzyLink(df, "name", "id", minSim = 0.8)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val multi = Dedup.fuzzyLinkMultiPass(df, "name", "id", minSim = 0.8)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(!single.contains((1L, 2L))) // prefix key separates the transposition
+    assert(multi.contains((1L, 2L)))   // sorted key reunites it
+    assert(multi.contains((1L, 3L)))   // prefix-pass pairs still present
+    // duplicates across passes collapse to one row
+    assert(Dedup.fuzzyLinkMultiPass(df, "name", "id", minSim = 0.8)
+      .groupBy("idA", "idB").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("fuzzyLink blockTokens=1 opt-in restores coarse first-token blocks") {
     val df = Seq(
       (1L, "acme corp international"),
