@@ -674,6 +674,37 @@ object OracleSql {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
 
+    // LATERAL top-2 per customer: replayed as a rank window (same rows;
+    // DuckDB's LATERAL would also work, the window form is tie-pinned)
+    "q_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY c.c_custkey
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+        |WHERE rn <= 2""".stripMargin,
+
+    // PIVOT replayed as conditional aggregation (count over an empty set
+    // is 0 in both engines' pivot semantics)
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_filled,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS st_partial
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_except_intersect" ->
+      """SELECT 'only_small' AS cls, c FROM (
+        |  SELECT o_custkey AS c FROM orders
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |UNION ALL
+        |SELECT 'both' AS cls, c FROM (
+        |  SELECT o_custkey AS c FROM orders WHERE o_totalprice > 200000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_totalprice <= 200000)""".stripMargin,
+
     "feat_latest_ts" ->
       s"""WITH $EV
          |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev

@@ -168,6 +168,46 @@ object SparkEntry {
       Map(ResourceId("orders") -> t(s, dir, "orders"),
         ResourceId("customer") -> t(s, dir, "customer")))
 
+  /** T1 surface: LATERAL correlated subquery — per customer, the top-2
+    * orders by price (the "top-k per row" idiom LATERAL makes direct). */
+  private def qLateralTopK(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s,
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM {{customer}} c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM {{orders}} o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
+      Map(ResourceId("customer") -> t(s, dir, "customer"),
+        ResourceId("orders") -> t(s, dir, "orders")))
+
+  /** T1 surface: PIVOT — order counts per priority pivoted across order
+    * status columns (money stays DECIMAL-free: counts only). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s,
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderstatus FROM {{orders}})
+        |PIVOT (COUNT(*)
+        |  FOR o_orderstatus IN ('O' AS st_open, 'F' AS st_filled,
+        |                        'P' AS st_partial))""".stripMargin,
+      Map(ResourceId("orders") -> t(s, dir, "orders")))
+
+  /** T1 surface: EXCEPT / INTERSECT set ops — customers with orders but
+    * no high-value orders (EXCEPT) and with both order classes
+    * (INTERSECT), tagged and unioned. */
+  private def qExceptIntersect(s: SparkSession, dir: String): DataFrame =
+    SqlTransform.runWith(s,
+      """SELECT 'only_small' AS cls, c FROM (
+        |  SELECT o_custkey AS c FROM {{orders}}
+        |  EXCEPT
+        |  SELECT o_custkey FROM {{orders}} WHERE o_totalprice > 200000)
+        |UNION ALL
+        |SELECT 'both' AS cls, c FROM (
+        |  SELECT o_custkey AS c FROM {{orders}} WHERE o_totalprice > 200000
+        |  INTERSECT
+        |  SELECT o_custkey FROM {{orders}}
+        |  WHERE o_totalprice <= 200000)""".stripMargin,
+      Map(ResourceId("orders") -> t(s, dir, "orders")))
+
   // ------------------------------------------------------- M: materialization
 
   private def featLatestTs(s: SparkSession, dir: String): DataFrame =
@@ -3562,6 +3602,9 @@ object SparkEntry {
     "q_window_running"  -> (qWindowRunning _),
     "q_clicks_no_purchase" -> (qClicksNoPurchase _),
     "q_exists_semi"     -> (qExistsSemi _),
+    "q_lateral_topk"    -> (qLateralTopK _),
+    "q_pivot"           -> (qPivot _),
+    "q_except_intersect" -> (qExceptIntersect _),
     "q_top_per_segment" -> (qTopPerSegment _),
     "feat_latest_ts"    -> (featLatestTs _),
     "feat_latest_no_ts" -> (featLatestNoTs _),
