@@ -1569,6 +1569,11 @@ object OracleSql {
     "csv_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 1000",
 
+    "orc_roundtrip" ->
+      s"""WITH $EV
+         |SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+         |FROM ev WHERE event_id < 1000""".stripMargin,
+
     "online_serving" ->
       s"""WITH $EV,
          |latest AS (SELECT user_id, value FROM ev WHERE event_type = 'click'

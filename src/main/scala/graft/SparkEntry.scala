@@ -856,6 +856,20 @@ object SparkEntry {
         col("event_type"), col("value").cast("double"))
   }
 
+  /** ORC round trip — the second columnar lake format: events written to
+    * a versioned ORC dir and read back through the vectorized ORC scan;
+    * oracle is the identity (timestamps re-emitted as epoch ms). */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts"))
+    val out = graft.sources.Writers.writeOrc(src, tmp)
+    graft.sources.Readers.orc(s, out)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ts_ms"))
+  }
+
   // ------------------- O1/O2/O3/K7: online store load + serving rows
 
   /** Chunk-copies the click materialization into the online store, then
@@ -3635,6 +3649,7 @@ object SparkEntry {
     "incremental_refresh" -> (incrementalRefresh _),
     "versioned_write_roundtrip" -> (versionedWriteRoundtrip _),
     "csv_roundtrip"     -> (csvRoundtrip _),
+    "orc_roundtrip"     -> (orcRoundtrip _),
     "online_serving"    -> (onlineServing _),
     "training_stream"   -> (trainingStream _),
     "split_serve"       -> (splitServe _),

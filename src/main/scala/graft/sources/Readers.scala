@@ -16,11 +16,17 @@ object Readers {
     case "parquet" => parquet(spark, p.path)
     case "csv"     => csv(spark, p.path, header = p.csvHeader)
     case "json"    => spark.read.option("recursiveFileLookup", "true").json(p.path)
+    case "orc"     => orc(spark, p.path)
     case other     => throw new IllegalArgumentException(s"unsupported format $other")
   }
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+  /** ORC scan — the other columnar lake format Spark reads natively
+    * (vectorized, predicate pushdown); same recursive-dir convention. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").orc(path)
 
   def csv(spark: SparkSession, path: String, header: Boolean = true,
           inferSchema: Boolean = true): DataFrame =

@@ -138,6 +138,14 @@ object Writers {
     out
   }
 
+  /** ORC write into a fresh version dir (zlib default) — the columnar
+    * sibling of [[writeVersioned]] for ORC-reading consumers. */
+  def writeOrc(df: DataFrame, dir: String): String = {
+    val out = s"$dir/${newVersion()}"
+    df.write.mode(SaveMode.ErrorIfExists).orc(out)
+    out
+  }
+
   /** T7: atomic replace — write to a new version then flip a LATEST pointer
     * file (single-file rename is atomic on HDFS-like stores; the reference's
     * temp-table + swap, provider/sql.go:2011-2031). */
