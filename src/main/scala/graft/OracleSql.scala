@@ -105,7 +105,11 @@ object OracleSql {
     * fewer than 5 chars would be absent from `sigs` (Spark gives them an
     * all-MaxValue signature); testdata minimum normalized length is 44, so
     * the case is unreachable here. */
-  private def minhashNearDupsSql: String = {
+  private def minhashNearDupsSql: String = minhashNearDupsSql("TRUE")
+
+  /** The same replica over a doc subset (`docWhere` on documents) — reused
+    * by dedup_pr_eval's predicted-pair side. */
+  private def minhashNearDupsSql(docWhere: String): String = {
     val numHashes = 64
     val bands = 16
     val rpb = 4
@@ -120,7 +124,8 @@ object OracleSql {
       val bk = (0 until rpb).map(r => s"s${b * rpb + r}").mkString("[", ", ", "]")
       s"SELECT doc_id, $b AS b, $bk AS bk FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents),
+    s"""WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents
+       |  WHERE $docWhere),
        |pos AS (SELECT doc_id, nt, unnest(generate_series(1, greatest(length(nt) - 4, 0))) AS i FROM d),
        |sh AS (SELECT doc_id, ${mh63("substr(nt, i, 5)")} AS h FROM pos),
        |sigs AS (SELECT doc_id,
@@ -2030,6 +2035,34 @@ object OracleSql {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "minhash_near_dups"   -> minhashNearDupsSql,
+    // MinHash recall vs exact ground truth on the fixed 500-doc audit
+    // panel; the pred side reuses the full LSH replica restricted to it
+    "dedup_pr_eval" ->
+      s"""WITH truth AS (
+         |  WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents
+         |    WHERE doc_id < 500),
+         |  kg AS (SELECT doc_id, list_distinct(list_transform(
+         |      generate_series(1, greatest(length(nt) - 4, 0)),
+         |      i -> substr(nt, i, 5))) AS ks FROM d)
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM kg a JOIN kg b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ks, b.ks)) /
+         |    (len(a.ks) + len(b.ks) - len(list_intersect(a.ks, b.ks))) >= 0.5),
+         |pred AS (SELECT idA, idB FROM
+         |  (${minhashNearDupsSql("doc_id < 500")}) p),
+         |counts AS (SELECT
+         |  (SELECT COUNT(*) FROM truth) AS n_true,
+         |  (SELECT COUNT(*) FROM pred) AS n_pred,
+         |  (SELECT COUNT(*) FROM pred p JOIN truth t
+         |     ON p.idA = t.idA AND p.idB = t.idB) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_pred AS BIGINT) AS n_pred,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  round(CASE WHEN n_pred = 0 THEN 1.0
+         |    ELSE CAST(n_hit AS DOUBLE) / n_pred END, 6) AS prec,
+         |  round(CASE WHEN n_true = 0 THEN 1.0
+         |    ELSE CAST(n_hit AS DOUBLE) / n_true END, 6) AS recall
+         |FROM counts""".stripMargin,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_near_dups_bounded" -> simhashNearDupsBoundedSql,
     // incremental bounded variant: same full-recall guarantee, restricted

@@ -1423,6 +1423,40 @@ object SparkEntry {
     graft.sources.Writers.readLatest(s, s"$tmp/t")
   }
 
+  /** Dedup quality readout: MinHash-LSH pairs vs the EXACT 5-gram-Jaccard
+    * ground truth on a FIXED-SIZE audit panel (doc_id < 500 — the
+    * all-pairs truth is quadratic, so the eval pins a constant-cost
+    * panel: the whole corpus at sf0.01, a 125k-pair audit at any SF).
+    * Precision is 1.0 by construction (the LSH pipeline ends in the same
+    * exact verify — the row asserts that) and recall measures what the
+    * banding + estimate gate DROPS: the quality number behind the
+    * bands/threshold parameter choice. */
+  private def dedupPrEval(s: SparkSession, dir: String): DataFrame = {
+    val sub = t(s, dir, "documents").filter(col("doc_id") < 500)
+    val txt = sub.select(col("doc_id"),
+      functions.TextFunctions.normalizedText(col("text")).as("__t"))
+    val a = txt.select(col("doc_id").as("idA"), col("__t").as("__ta"))
+    val b = txt.select(col("doc_id").as("idB"), col("__t").as("__tb"))
+    val truth = a.crossJoin(b).where(col("idA") < col("idB"))
+      .where(functions.expressions.HashExprs
+        .kgramJaccard(col("__ta"), col("__tb"), 5) >= 0.5)
+      .select("idA", "idB")
+    val pred = Dedup.minhashNearDups(sub, "text", "doc_id",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("idA", "idB")
+    val counts = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(pred.join(truth, Seq("idA", "idB"))
+        .agg(count(lit(1)).as("n_hit")))
+    counts.select(col("n_true"), col("n_pred"), col("n_hit"),
+      round(when(col("n_pred") === 0, 1.0)
+        .otherwise(col("n_hit").cast("double") / col("n_pred")), 6)
+        .as("prec"),
+      round(when(col("n_true") === 0, 1.0)
+        .otherwise(col("n_hit").cast("double") / col("n_true")), 6)
+        .as("recall"))
+  }
+
   // ------------------------------- n-gram jaccard over an explicit pair set
 
   /** Exact k-gram Jaccard for an explicit candidate pair list (the verify
@@ -3641,6 +3675,7 @@ object SparkEntry {
     "filter_funnel"     -> (filterFunnelQ _),
     "ann_topk"          -> (annTopK _),
     "minhash_near_dups" -> (minhashNearDups _),
+    "dedup_pr_eval"     -> (dedupPrEval _),
     "simhash_near_dups" -> (simhashNearDups _),
     "simhash_near_dups_bounded" -> (simhashNearDupsBounded _),
     "cosine_near_dups"  -> (cosineNearDups _),
