@@ -1276,6 +1276,21 @@ object OracleSql {
     // derived table, closed transitively (reach = all ids reachable from a
     // through the undirected pair graph; min(reachable) = component min,
     // exactly Dedup.clusterPairs' fixpoint)
+    // same truth for the star-contraction algorithm (one oracle, two
+    // execution strategies — the streaming/batch convention)
+    "dedup_clusters_star" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |e AS (SELECT idA AS s, idB AS d FROM p
+         |      UNION SELECT idB, idA FROM p),
+         |n AS (SELECT DISTINCT s AS id FROM e),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT r.a, e.d FROM reach r JOIN e ON r.b = e.s)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE
          |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),

@@ -695,6 +695,15 @@ object SparkEntry {
     Dedup.clusterPairs(
       minhashNearDups(s, dir).select(col("idA"), col("idB")))
 
+  /** Same cluster closure via large-star/small-star contraction — the
+    * O(log n)-round scale path for high-diameter pair graphs; SAME
+    * oracle as dedup_clusters (one truth, two algorithms). */
+  private def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Graph.connectedComponentsStar(
+      minhashNearDups(s, dir).select(col("idA"), col("idB")),
+      "idA", "idB")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+
   private def cosineNearDups(s: SparkSession, dir: String): DataFrame =
     Vectors.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
       numPlanes = 16, threshold = 0.4)
@@ -3731,6 +3740,7 @@ object SparkEntry {
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "dedup_clusters"    -> (dedupClusters _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
     "embedding_quantize" -> (embeddingQuantize _),
     "incremental_dedup" -> (incrementalDedup _),
     "seq_pack"          -> (seqPack _),
