@@ -235,9 +235,8 @@ object Graph {
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     var e = ckpt(canon(edges.select(col(aCol).as("u"), col(bCol).as("v"))))
-    val allNodes = e.select(col("u").as("node"))
-      .unionByName(e.select(col("v").as("node"))).distinct()
-      .localCheckpoint()
+    val allNodes = ckpt(e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct())
     def checksum(d: DataFrame): (Long, String) = {
       // DECIMAL(38,0) sum: md5 longs are 2^63-scale, a BIGINT sum
       // overflows under ANSI

@@ -36,7 +36,8 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
 
   private val sets = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Register a training set / source for `/training` and `/preview`. */
   def registerDataset(name: String, df: DataFrame): Unit = sets.put(name, df)
@@ -204,5 +205,5 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
   })
 
   def start(): ServingServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
