@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSpec
+
+/** connectedComponentsStar vs a driver-side union-find on random graphs:
+  * identical (node → component-min) assignments for every edge-list
+  * shape ScalaCheck produces — sparse/dense, chains, stars, multigraph
+  * duplicates, reversed pairs. */
+class StarCcPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Edges = List[(Long, Long)]
+
+  private val genEdges: Gen[Edges] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L)
+    } yield (a, b)))
+
+  /** Driver union-find with component-min roots. */
+  private def want(es: Edges): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); val hi = math.max(ra, rb)
+        parent(hi) = lo }
+    }
+    val clean = es.filter(e => e._1 != e._2)
+    clean.foreach { case (a, b) => union(a, b) }
+    clean.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+  }
+
+  test("equals driver union-find on random graphs") {
+    val prop = Prop.forAll(genEdges) { es: Edges =>
+      val expected = want(es)
+      if (expected.isEmpty) true // only self-loops: operator returns empty
+      else {
+        val got = Graph.connectedComponentsStar(
+            es.toDF("idA", "idB"), "idA", "idB")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
