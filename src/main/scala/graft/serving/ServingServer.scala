@@ -194,6 +194,33 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
     finally { out.close(); ex.close() }
   })
 
+  // X3 split protocol over the wire (reference serving/serving.go:128-291:
+  // INITIALIZE pins the split view, then train/test streams replay it).
+  // The md5-hash split is a pure function of the key columns, so the same
+  // (keys, testSize, seed) always partitions identically — train ∪ test =
+  // all, train ∩ test = ∅ — and re-requesting a side replays verbatim.
+  server.createContext("/split", handler { ex =>
+    val q = query(ex)
+    val name = q.getOrElse("name",
+      throw new IllegalArgumentException("name required"))
+    val df = sets.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown dataset: $name"))
+    val side = q.getOrElse("side",
+      throw new IllegalArgumentException("side=train|test required"))
+    val keys = q.getOrElse("keys",
+      throw new IllegalArgumentException("keys required")).split(',').toSeq
+    val testSize = q.getOrElse("testSize", "0.2").toDouble
+    val seed = q.getOrElse("seed", "42").toLong
+    val frame = side match {
+      case "train" => graft.ops.Split.train(df, keys, testSize, seed)
+      case "test"  => graft.ops.Split.test(df, keys, testSize, seed)
+      case other => throw new IllegalArgumentException(
+        s"side must be train or test, got $other")
+    }
+    streamRows(ex, TrainingSetIterator.rows(frame),
+      q.get("limit").map(_.toInt))
+  })
+
   server.createContext("/preview", handler { ex =>
     val q = query(ex)
     val name = q.getOrElse("name",

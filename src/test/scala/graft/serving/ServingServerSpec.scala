@@ -71,6 +71,18 @@ class ServingServerSpec extends SparkSpec {
       assert(get(s"$base/preview?name=ts1&limit=1")._2.trim
         == """[1,"a",0.5]""")
       assert(get(s"$base/training?name=nope")._1 == 400)
+
+      // X3: split protocol — train/test partition exactly and replay
+      val wide = (1L to 40L).map(i => (i, i * 0.5)).toDF("k", "v")
+      srv.registerDataset("w", wide)
+      def side(sd: String) = get(
+        s"$base/split?name=w&side=$sd&keys=k&testSize=0.25&seed=7")._2
+        .trim.split('\n').filter(_.nonEmpty).toSet
+      val (tr, te) = (side("train"), side("test"))
+      assert(tr.nonEmpty && te.nonEmpty)
+      assert((tr & te).isEmpty && (tr ++ te).size == 40)
+      assert(side("train") == tr) // deterministic replay
+      assert(get(s"$base/split?name=w&side=bogus&keys=k")._1 == 400)
     } finally srv.stop()
   }
 }
