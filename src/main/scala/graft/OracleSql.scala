@@ -1589,6 +1589,20 @@ object OracleSql {
     "csv_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 1000",
 
+    // TableFormat seam: the planted mutations replayed directly — +100
+    // balance updates for custkey % 10 = 4, clone inserts at key+100000
+    // for % 10 = 5, no deletes
+    "table_format_roundtrip" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey <= 300)
+        |SELECT c_custkey, 'update_postimage' AS change_type,
+        |  c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |FROM base WHERE c_custkey % 10 = 4
+        |UNION ALL
+        |SELECT c_custkey + 100000, 'insert', c_acctbal, c_mktsegment
+        |FROM base WHERE c_custkey % 10 = 5""".stripMargin,
+
     "orc_roundtrip" ->
       s"""WITH $EV
          |SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms

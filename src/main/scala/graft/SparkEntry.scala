@@ -1966,6 +1966,30 @@ object SparkEntry {
         col("__cents").as("cents"), col("zkey"))
   }
 
+  /** Table-format seam on the gate: write → MERGE upsert → change feed
+    * through the [[graft.sources.TableFormat]] interface (the version-dir
+    * binding — the one this sandbox can run; the Delta binding shares the
+    * contract via TableFormatSpec). Planted mutations: +100 balance for
+    * custkey % 10 == 4 (updates), clones at key+100000 for % 10 == 5
+    * (inserts); the feed must recover exactly those. */
+  private def tableFormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.VersionDirFormat
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tfmt").toString + "/t"
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .filter(col("c_custkey") <= 300)
+    val v1 = fmt.write(s, base, tmp)
+    val updates = base.filter(col("c_custkey") % 10 === 4)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .unionByName(base.filter(col("c_custkey") % 10 === 5)
+        .withColumn("c_custkey", col("c_custkey") + 100000))
+    fmt.mergeUpsert(s, tmp, updates, "c_custkey")
+    val v2 = fmt.versions(s, tmp).last
+    fmt.changes(s, tmp, v1, v2, "c_custkey")
+      .select(col("c_custkey"), col("change_type"),
+        col("c_acctbal"), col("c_mktsegment"))
+  }
+
   /** Incremental image dedup — the Hamming-family steady state: corpus
     * aHashes (media_id % 10 != 8) persisted as a versioned table and READ
     * BACK (8 B/image of reusable state, no re-decode), then the "new
@@ -3769,6 +3793,7 @@ object SparkEntry {
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "image_near_dups"   -> (imageNearDups _),
     "incremental_image_dedup" -> (incrementalImageDedup _),
+    "table_format_roundtrip" -> (tableFormatRoundtrip _),
     "incremental_simhash_bounded" -> (incrementalSimhashBounded _),
     "kmeans_clusters"   -> (kmeansClusters _),
     "diversity_sample"  -> (diversitySampleQ _),
