@@ -91,6 +91,8 @@ object Lineage {
   def exportJson(cat: Catalog, runs: Seq[TaskRun]): String = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x" // control chars < 0x20
       case c => c.toString
     }
     val es = edges(cat)

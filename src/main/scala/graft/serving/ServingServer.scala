@@ -104,6 +104,16 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
     (ex: HttpExchange) =>
       try fn(ex)
       catch {
+        // Once sendResponseHeaders has committed a (streaming) response we
+        // can't send an error status anymore — calling respond() again would
+        // throw IllegalStateException and mask the original failure. Abort
+        // the exchange instead: closing the body mid-chunked-stream
+        // terminates the connection without the final 0-length chunk, which
+        // is the wire-level error signal a chunked client sees.
+        case e: Throwable if ex.getResponseCode != -1 =>
+          System.err.println(s"[ServingServer] mid-stream failure on ${
+            ex.getRequestURI.getPath}: $e")
+          try ex.close() catch { case _: Throwable => () }
         case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
         case e: Throwable =>
@@ -153,12 +163,14 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
     ex.sendResponseHeaders(200, 0L) // chunked
     val out = ex.getResponseBody
-    try {
-      val bounded = limit.map(it.take).getOrElse(it)
-      bounded.foreach { r =>
-        out.write((jsonVal(r) + "\n").getBytes(UTF_8))
-      }
-    } finally { out.close(); ex.close() }
+    // Close normally ONLY on success — the clean close writes the chunked
+    // terminator, which must not happen on a truncated stream (handler's
+    // mid-stream branch aborts the exchange instead).
+    val bounded = limit.map(it.take).getOrElse(it)
+    bounded.foreach { r =>
+      out.write((jsonVal(r) + "\n").getBytes(UTF_8))
+    }
+    out.close(); ex.close()
   }
 
   server.createContext("/training", handler { ex =>
@@ -189,9 +201,9 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
       "application/vnd.apache.arrow.stream")
     ex.sendResponseHeaders(200, 0L) // chunked
     val out = ex.getResponseBody
-    try ArrowServe.writeStream(limited, out,
+    ArrowServe.writeStream(limited, out,
       batchRows = q.getOrElse("batch", "1024").toInt)
-    finally { out.close(); ex.close() }
+    out.close(); ex.close()
   })
 
   // X3 split protocol over the wire (reference serving/serving.go:128-291:

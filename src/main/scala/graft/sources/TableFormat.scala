@@ -119,6 +119,15 @@ object VersionDirFormat extends TableFormat {
     val cur = readLatest(spark, table)
     require(cur.columns.sorted.sameElements(updates.columns.sorted),
       "mergeUpsert expects identical schemas")
+    // Name match alone would let unionByName widen a mismatched type
+    // (double vs decimal) and silently rewrite the table schema — which
+    // also breaks versionDiff's string-cast row hashes. Require the full
+    // (name, dataType) signature.
+    val curTypes = cur.schema.map(f => f.name -> f.dataType).sortBy(_._1)
+    val updTypes = updates.schema.map(f => f.name -> f.dataType).sortBy(_._1)
+    require(curTypes == updTypes,
+      s"mergeUpsert expects identical column types; table has $curTypes, " +
+        s"updates have $updTypes")
     val upd = updates.select(cur.columns.map(col): _*)
     // updates win on key collision (UPDATE SET *); one anti-join + union —
     // the same shuffle budget as the merge itself
@@ -156,13 +165,20 @@ object DeltaFormat extends TableFormat {
     // CDF must be ON for `changes`; the session default is the
     // documented writer-independent switch (a `delta.`-prefixed writer
     // option is not reliably applied as a table property across Delta
-    // versions), and existing tables can be altered by the operator
-    spark.conf.set(
-      "spark.databricks.delta.properties.defaults.enableChangeDataFeed",
-      "true")
-    val w = data.write.format("delta").mode("overwrite")
-      .option("overwriteSchema", "true")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(table)
+    // versions). Scope it to this write — leaking it session-wide would
+    // silently enable CDF on every later Delta table, graft's or not.
+    val cdfKey =
+      "spark.databricks.delta.properties.defaults.enableChangeDataFeed"
+    val prior = spark.conf.getOption(cdfKey)
+    spark.conf.set(cdfKey, "true")
+    try {
+      val w = data.write.format("delta").mode("overwrite")
+        .option("overwriteSchema", "true")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(table)
+    } finally prior match {
+      case Some(v) => spark.conf.set(cdfKey, v)
+      case None => spark.conf.unset(cdfKey)
+    }
     versions(spark, table).last
   }
 
@@ -179,15 +195,22 @@ object DeltaFormat extends TableFormat {
 
   def changes(spark: SparkSession, table: String, fromVersion: String,
               toVersion: String, keyCol: String): DataFrame =
-    spark.read.format("delta")
-      .option("readChangeFeed", "true")
-      // Delta's startingVersion is inclusive; our contract is "after from"
-      .option("startingVersion", fromVersion.toLong + 1)
-      .option("endingVersion", toVersion)
-      .load(table)
-      .where(col("_change_type") =!= "update_preimage")
-      .withColumnRenamed("_change_type", "change_type")
-      .drop("_commit_version", "_commit_timestamp")
+    // "changes AFTER fromVersion": an empty interval must yield an empty
+    // feed (VersionDirFormat does the same) — Delta errors on
+    // startingVersion > endingVersion rather than returning zero rows
+    if (fromVersion.toLong >= toVersion.toLong)
+      readVersion(spark, table, toVersion).limit(0)
+        .withColumn("change_type", lit(""))
+    else
+      spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        // Delta's startingVersion is inclusive; our contract is "after from"
+        .option("startingVersion", fromVersion.toLong + 1)
+        .option("endingVersion", toVersion)
+        .load(table)
+        .where(col("_change_type") =!= "update_preimage")
+        .withColumnRenamed("_change_type", "change_type")
+        .drop("_commit_version", "_commit_timestamp")
 
   def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String): Unit = {
