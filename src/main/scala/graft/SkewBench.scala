@@ -354,6 +354,56 @@ object SkewBench {
       System.gc()
     }
 
+    // ------------------------------------------------- chain-graph closure
+    // Adversarial high-diameter family: 20 chains of 200·m nodes, node ids
+    // scattered by an affine permutation mod a prime (injective: g < P,
+    // gcd(48271, P) = 1) so min-label propagation cannot ride sorted ids.
+    // Star contraction must close the components in O(log diameter)
+    // alternations; propagation pays ~diameter rounds (capped here — the
+    // cap hit IS the measurement).
+    val chainRounds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    for (m <- Seq(1, 10)) {
+      val scale = s"x$m"
+      val chainLen = 200 * m
+      val nChains = 20
+      val P = 10000019L
+      def perm(c: org.apache.spark.sql.Column) = (c * 48271L) % P
+      val chainEdges = spark.range(0, nChains.toLong * chainLen)
+        .where(col("id") % chainLen < chainLen - 1)
+        .select(perm(col("id")).as("idA"), perm(col("id") + 1).as("idB"))
+      val propCap = 40
+      rec(scale, "chain_cc_prop_capped",
+        time(force(Dedup.clusterPairs(chainEdges, maxIter = propCap)))._1)
+      chainRounds += (s"prop_$scale" -> Dedup.lastClusterRounds)
+      rec(scale, "chain_cc_star",
+        time(force(Dedup.clusterPairsStar(chainEdges)))._1)
+      chainRounds += (s"star_$scale" -> graft.functions.Graph.lastStarRounds)
+      spark.catalog.clearCache()
+    }
+
+    // --------------------------------------- bounded-simhash 30× envelope
+    // Measured candidate pairs vs the 20·n²/2³² random block-key-agreement
+    // model at 1×/10×/30× — where does the curve sit against the analytic
+    // term (true near-dup structure rides on top of it)?
+    genDocs(spark, sfDir, 30, s"$work/docs_x30")
+    val simProbe =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Double)]
+    var simhashX30 = 0.0
+    for (m <- Seq(1, 10, 30)) {
+      val d = spark.read.parquet(s"$work/docs_x$m")
+      val n = d.count()
+      val cand = Dedup.simhashBoundedCandidateCount(d, "text", "id",
+        maxHamming = 3)
+      val model = 20.0 * n.toDouble * n.toDouble / math.pow(2.0, 32)
+      simProbe += (s"x$m" -> ((n, cand, model)))
+      System.err.println(
+        f"[skew] simhash_bounded x$m: n=$n cand=$cand model=$model%.1f")
+      if (m == 30)
+        simhashX30 = time(force(Dedup.simhashNearDupsBounded(
+          d, "text", "id", maxHamming = 3)))._1
+      spark.catalog.clearCache()
+    }
+
     // ---------------------------------------------------------- assert
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     errs ++= triErrs
@@ -364,13 +414,25 @@ object SkewBench {
         errs += s"hot-key cap did NOT fire for $what at 10x"
     if (!aqeSkewHit)
       errs += "AQE skew-join split did NOT activate on the 10x range join"
+    // chain closure: star must CONVERGE in O(log diameter) alternations
+    // (log2(2000) ≈ 11; ≤ 14 leaves the two-alternation constant) while
+    // propagation is still mid-flight when its 40-round cap hits — the
+    // round gap is the whole point of shipping star as the default
+    for (s <- Seq("x1", "x10")) {
+      val sr = chainRounds(s"star_$s"); val pr = chainRounds(s"prop_$s")
+      if (sr > 14)
+        errs += s"chain star contraction took $sr rounds at $s (> 14)"
+      if (pr < 40)
+        errs += s"chain propagation converged in $pr rounds at $s — the " +
+          "chain is not adversarial enough"
+    }
     val linearFamilies = Seq("exact_dedup", "minhash_near_dups",
       "simhash_bounded", "fuzzy_link",
       "winnow_near_dups", "asof_sortmerge",
       "asof_unionwindow", "pit_window_prefix", "range_join", "salted_join",
       "link_prediction", "triangle_count",
       "event_funnel", "markov_transitions", "scd2_build", "retention",
-      "nearest_join", "interval_coverage", "ewma_cusum")
+      "nearest_join", "interval_coverage", "ewma_cusum", "chain_cc_star")
     val ratios = linearFamilies.map { f =>
       f -> results("x10")(f) / math.max(results("x1")(f), 1e-9)
     }
@@ -396,6 +458,13 @@ object SkewBench {
         s""""caps_fired_at_x10":${
           capsFired.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         },""" +
+        s""""chain_rounds":${chainRounds.map { case (k, v) =>
+          s""""$k":$v""" }.mkString("{", ",", "}")},""" +
+        s""""simhash_bounded_envelope":${simProbe.map {
+          case (k, (n, cand, model)) =>
+            f""""$k":{"n_docs":$n,"candidates":$cand,"model_random":$model%.1f}"""
+        }.mkString("{", ",", "}")},""" +
+        f""""simhash_bounded_x30_sec":$simhashX30%.3f,""" +
         s""""aqe_skew_split_range_join":$aqeSkewHit,""" +
         s""""asof_sortmerge_vs_window_x10":${
           f"${results("x10")("asof_unionwindow") / results("x10")("asof_sortmerge")}%.2f"
@@ -403,7 +472,7 @@ object SkewBench {
         s""""assertions_failed":${errs.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_skew_r6.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_skew_r7.json"), json + "\n")
     spark.stop()
     if (errs.nonEmpty) {
       errs.foreach(e => System.err.println(s"[skew] ASSERTION FAILED: $e"))

@@ -699,10 +699,8 @@ object SparkEntry {
     * O(log n)-round scale path for high-diameter pair graphs; SAME
     * oracle as dedup_clusters (one truth, two algorithms). */
   private def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
-    graft.functions.Graph.connectedComponentsStar(
-      minhashNearDups(s, dir).select(col("idA"), col("idB")),
-      "idA", "idB")
-      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    Dedup.clusterPairsStar(
+      minhashNearDups(s, dir).select(col("idA"), col("idB")))
 
   private def cosineNearDups(s: SparkSession, dir: String): DataFrame =
     Vectors.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -713,7 +711,9 @@ object SparkEntry {
     * has it non-null (lang/source deterministically nulled on some
     * members to exercise cross-member completion). */
   private def goldenRecordQ(s: SparkSession, dir: String): DataFrame = {
-    val clusters = Dedup.clusterPairs(
+    // star contraction (O(log n) rounds) is the default closure; the
+    // propagation cross-check lives in dedup_clusters on the same oracle
+    val clusters = Dedup.clusterPairsStar(
       minhashNearDups(s, dir).select(col("idA"), col("idB")))
     val recs = t(s, dir, "documents").join(clusters, "doc_id")
       .select(col("cluster_id"),
@@ -1282,25 +1282,26 @@ object SparkEntry {
 
   // --------------------------------------- K8: Kafka-write emulation (sink)
 
-  /** K8 under the gate: the triple stream written through an APPEND-mode
-    * file sink — dir-as-topic with the sink's commit log giving the
-    * exactly-once the reference gets from the Kafka producer
-    * (`format("kafka")` + `to_json(struct(...))` is the drop-in swap when
-    * connector jars are on the classpath; the operator graph is identical).
-    * The "topic" is read back and aggregated per entity with
+  /** K8 under the gate, through the [[graft.streaming.StreamBus]] seam:
+    * produce the event triples onto an input topic, consume them as a
+    * stream, sink them onto an output topic, then replay that topic —
+    * the full produce → consume → sink → replay cycle against whichever
+    * binding `spark.graft.streamBus` resolves (real `format("kafka")`
+    * when the connector jar + brokers are present; the dir-as-topic file
+    * bus here). The replay is aggregated per entity with
     * order-independent stats; the oracle recomputes them from the batch
-    * table — proving the sink dropped and duplicated nothing. */
+    * table — proving the bus dropped and duplicated nothing. */
   private def kafkaWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val bus = graft.streaming.StreamBus.resolve(s)
     val tmp = java.nio.file.Files.createTempDirectory("graft_kw").toString
-    events(s, dir).select(col("user_id").as("entity"), col("value"), col("ts"))
-      .repartition(4).write.parquet(s"$tmp/in") // 4 files → 2 micro-batches
-    val stream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/in", 2)
-    val q = stream.writeStream.outputMode("append").format("parquet")
-      .option("path", s"$tmp/topic")
-      .option("checkpointLocation", s"$tmp/chk")
-      .start()
+    bus.produce(
+      events(s, dir).select(col("user_id").as("entity"), col("value"),
+        col("ts")).repartition(4), // 4 files → 2 micro-batches on the file bus
+      s"$tmp/in")
+    val q = bus.sinkTriples(bus.readTriples(s, s"$tmp/in", 2),
+      s"$tmp/topic", s"$tmp/chk")
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(s"$tmp/topic")
+    bus.readAll(s, s"$tmp/topic")
       .groupBy(col("entity"))
       .agg(count("*").as("n"),
         min(col("value")).as("min_value"),
@@ -2347,7 +2348,7 @@ object SparkEntry {
   private def corpusCurate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = minhashNearDups(s, dir).select(col("idA"), col("idB"))
-    val clusters = Dedup.clusterPairs(pairs)
+    val clusters = Dedup.clusterPairsStar(pairs) // O(log n)-round default
     val st = TF.textStats(col("text"))
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), TF.qualityScoreFrom(st).as("quality"))

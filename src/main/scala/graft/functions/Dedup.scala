@@ -39,6 +39,11 @@ object Dedup {
   private[graft] val capStats =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
+  /** Rounds the LAST [[clusterPairs]] call ran (same observability pattern
+    * as [[capStats]]): the skew harness asserts the propagation-vs-star
+    * round gap on chain graphs with this. */
+  @volatile private[graft] var lastClusterRounds: Int = 0
+
   /** Document-frequency cap on bucket keys before an LSH self-join — the
     * standard guard against the n² blow-up of a "hot" bucket (template-heavy
     * web corpora put boilerplate headers/footers in millions of documents; a
@@ -529,11 +534,14 @@ object Dedup {
     }: _*)
   }
 
-  def hammingNearDupsBounded(hashed: DataFrame, idCol: String,
-                             hashCol: String, maxHamming: Int = 3,
-                             numBlocks: Int = 6, comboSize: Int = 3,
-                             maxBandFreq: Int = 2000,
-                             what: String = "hammingNearDupsBounded"): DataFrame = {
+  /** The distinct candidate pairs (idA < idB with hashes) the bounded
+    * block-combination scheme generates BEFORE the exact Hamming verify —
+    * the measurable quantity behind the 20·n²/2³² random-collision model. */
+  private def hammingBoundedCandidates(hashed: DataFrame, idCol: String,
+                                       hashCol: String, maxHamming: Int,
+                                       numBlocks: Int, comboSize: Int,
+                                       maxBandFreq: Int,
+                                       what: String): DataFrame = {
     val withK = capHotKeys(
       barrier(hashed.select(col(idCol).as("__id"), col(hashCol).as("__h")),
         checkpoint = false)
@@ -544,10 +552,29 @@ object Dedup {
     val b = withK.select(col("__k"), col("__id").as("idB"), col("__h").as("__hb"))
     a.join(b, Seq("__k")).where(col("idA") < col("idB"))
       .dropDuplicates("idA", "idB")
+  }
+
+  def hammingNearDupsBounded(hashed: DataFrame, idCol: String,
+                             hashCol: String, maxHamming: Int = 3,
+                             numBlocks: Int = 6, comboSize: Int = 3,
+                             maxBandFreq: Int = 2000,
+                             what: String = "hammingNearDupsBounded"): DataFrame =
+    hammingBoundedCandidates(hashed, idCol, hashCol, maxHamming, numBlocks,
+      comboSize, maxBandFreq, what)
       .withColumn("hamming", hamming64(col("__ha"), col("__hb")).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("idA", "idB", "hamming")
-  }
+
+  /** Candidate-pair COUNT of the bounded scheme on `df` — the skew
+    * harness's measured side of the model-vs-measured envelope probe. */
+  def simhashBoundedCandidateCount(df: DataFrame, textCol: String,
+                                   idCol: String, maxHamming: Int = 3,
+                                   numBlocks: Int = 6, comboSize: Int = 3,
+                                   maxBandFreq: Int = 2000): Long =
+    hammingBoundedCandidates(
+      df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h")),
+      "__id", "__h", maxHamming, numBlocks, comboSize, maxBandFreq,
+      "simhashBoundedCandidateCount").count()
 
   /** Near-dup pairs among 64-bit fingerprints by Hamming distance — the
     * banding core shared by SimHash (text) and perceptual image hashes:
@@ -711,8 +738,23 @@ object Dedup {
     }
     if (!converged)
       log.warn(s"clusterPairs: stopped at maxIter=$maxIter before fixpoint")
+    lastClusterRounds = iter
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
+
+  /** DEFAULT closure for the shipped compositions
+    * (goldenRecord/corpusCurate callers): [[clusterPairs]] semantics —
+    * same (doc_id, cluster_id = min reachable id) contract — via
+    * [[Graph.connectedComponentsStar]]'s large-star/small-star
+    * contraction, whose round count is O(log n) instead of the graph
+    * DIAMETER. On near-dup clique-ish graphs the two cost the same; on
+    * chain-shaped pair graphs (entity-resolution link chains) propagation
+    * pays diameter rounds — the SkewBench chain family measures the gap.
+    * [[clusterPairs]] stays as the propagation cross-check. */
+  def clusterPairsStar(pairs: DataFrame, maxIter: Int = 25,
+                       checkpoint: Boolean = false): DataFrame =
+    Graph.connectedComponentsStar(pairs, "idA", "idB", maxIter, checkpoint)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
 
   /** Cross-source duplicate provenance: near-duplicate pairs (the MinHash
     * LSH pipeline, same parameters as [[minhashNearDups]]) rolled up by

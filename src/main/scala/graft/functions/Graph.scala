@@ -32,6 +32,10 @@ object Graph {
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.Graph")
 
+  /** Alternations the LAST [[connectedComponentsStar]] call ran — read by
+    * the skew harness to assert the O(log n) round bound on chain graphs. */
+  @volatile private[graft] var lastStarRounds: Int = 0
+
   /** (node, rank) after `iters` rounds of weighted PageRank over
     * `edges(srcCol, dstCol, weightCol)`; parallel edges are pre-summed. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -286,6 +290,7 @@ object Graph {
     if (!converged)
       logger.warn(s"connectedComponentsStar: stopped at maxIter=$maxIter " +
         "before fixpoint")
+    lastStarRounds = iter
     // star forest: every non-root points at its component min
     val comp = e.select(col("v").as("node"), col("u")).groupBy(col("node"))
       .agg(min(col("u")).as("component"))

@@ -70,12 +70,28 @@ object TableFormat {
         catch { case _: ClassNotFoundException => false }
     }
 
-  /** Bindings usable in this session — what the suites parameterize over. */
-  def available: Seq[TableFormat] =
-    if (deltaAvailable) Seq(VersionDirFormat, DeltaFormat)
-    else Seq(VersionDirFormat)
+  /** True iff an Iceberg Spark-runtime jar is on the classpath. */
+  def icebergJarPresent: Boolean =
+    try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+    catch { case _: ClassNotFoundException => false }
 
-  /** Resolve per `spark.graft.tableFormat` (auto | delta | versiondir). */
+  /** Iceberg usable in THIS session: jar + a configured Iceberg catalog
+    * name in `spark.graft.icebergCatalog` (the catalog itself is the
+    * user's `spark.sql.catalog.<name>` wiring). */
+  def icebergAvailable(spark: SparkSession): Boolean =
+    icebergJarPresent &&
+      spark.conf.getOption("spark.graft.icebergCatalog").exists(_.nonEmpty)
+
+  /** Bindings usable in this session — what the suites parameterize over. */
+  def available(spark: SparkSession): Seq[TableFormat] =
+    Seq(VersionDirFormat) ++
+      (if (deltaAvailable) Seq(DeltaFormat) else Nil) ++
+      (if (icebergAvailable(spark))
+        Seq(new IcebergFormat(spark.conf.get("spark.graft.icebergCatalog")))
+      else Nil)
+
+  /** Resolve per `spark.graft.tableFormat`
+    * (auto | delta | iceberg | versiondir). */
   def resolve(spark: SparkSession): TableFormat =
     spark.conf.get("spark.graft.tableFormat", "auto") match {
       case "versiondir" => VersionDirFormat
@@ -83,7 +99,16 @@ object TableFormat {
         require(deltaAvailable, "spark.graft.tableFormat=delta but no " +
           "Delta Lake jar on the classpath")
         DeltaFormat
-      case _ => if (deltaAvailable) DeltaFormat else VersionDirFormat
+      case "iceberg" =>
+        require(icebergAvailable(spark), "spark.graft.tableFormat=iceberg " +
+          "needs an Iceberg Spark-runtime jar on the classpath and " +
+          "spark.graft.icebergCatalog set to a configured catalog name")
+        new IcebergFormat(spark.conf.get("spark.graft.icebergCatalog"))
+      case _ =>
+        if (deltaAvailable) DeltaFormat
+        else if (icebergAvailable(spark))
+          new IcebergFormat(spark.conf.get("spark.graft.icebergCatalog"))
+        else VersionDirFormat
     }
 }
 
@@ -211,6 +236,102 @@ object DeltaFormat extends TableFormat {
         .where(col("_change_type") =!= "update_preimage")
         .withColumnRenamed("_change_type", "change_type")
         .drop("_commit_version", "_commit_timestamp")
+
+  def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
+                  keyCol: String): Unit = {
+    val src = s"__graft_merge_src_${System.nanoTime()}"
+    updates.createOrReplaceTempView(src)
+    try spark.sql(
+      s"""MERGE INTO ${ident(table)} t USING $src s
+         |ON t.`$keyCol` = s.`$keyCol`
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.catalog.dropTempView(src)
+  }
+}
+
+/** The Iceberg binding — catalog tables through the public SQL /
+  * DataFrameWriterV2 surface (`writeTo(...).createOrReplace()`,
+  * `VERSION AS OF`, the `system.create_changelog_view` procedure), the
+  * reference's first-class Iceberg path
+  * (offline_store_spark_runner.py:193-208, 965-980;
+  * streamer/iceberg_streamer.py:22-106). Compiles with no Iceberg
+  * dependency; activation is jar-gated behind
+  * [[TableFormat.icebergAvailable]] plus a user-configured
+  * `spark.sql.catalog.<name>` (named by `spark.graft.icebergCatalog`).
+  *
+  * Version tokens are SNAPSHOT IDs, ordered by commit time. The seam's
+  * `table` strings are paths, so the binding maps each one to a stable
+  * identifier `<catalog>.graft.t_<md5-8>` — deterministic per path, safe
+  * for any characters, and isolated under the `graft` namespace. */
+final class IcebergFormat(catalog: String) extends TableFormat {
+  def name: String = "iceberg"
+
+  private[sources] def ident(table: String): String = {
+    val base = table.split('/').filter(_.nonEmpty).lastOption.getOrElse("t")
+      .replaceAll("[^A-Za-z0-9_]", "_").take(40)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(table.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"$catalog.graft.${base}_$md"
+  }
+
+  private def ensureNamespace(spark: SparkSession): Unit =
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalog.graft")
+
+  def write(spark: SparkSession, df: DataFrame, table: String,
+            partition: Option[PartitionHint]): String = {
+    ensureNamespace(spark)
+    // layout hints mirror the other bindings: DailyPartition uses
+    // Iceberg's native days() transform (no derived column needed);
+    // HashPartition pre-shuffles into `buckets` files
+    val w = partition match {
+      case Some(graft.catalog.DailyPartition(c)) =>
+        df.sortWithinPartitions(col(c)).writeTo(ident(table))
+          .partitionedBy(expr(s"days(`$c`)"))
+      case Some(graft.catalog.HashPartition(c, buckets)) =>
+        df.repartition(buckets, col(c)).writeTo(ident(table))
+      case None => df.writeTo(ident(table))
+    }
+    w.using("iceberg").createOrReplace()
+    versions(spark, table).last
+  }
+
+  def readLatest(spark: SparkSession, table: String): DataFrame =
+    spark.table(ident(table))
+
+  def readVersion(spark: SparkSession, table: String, version: String): DataFrame =
+    spark.sql(s"SELECT * FROM ${ident(table)} VERSION AS OF $version")
+
+  def versions(spark: SparkSession, table: String): Seq[String] =
+    spark.sql(s"SELECT snapshot_id FROM ${ident(table)}.snapshots " +
+        "ORDER BY committed_at, snapshot_id")
+      .collect().map(_.getLong(0).toString).toSeq
+
+  def changes(spark: SparkSession, table: String, fromVersion: String,
+              toVersion: String, keyCol: String): DataFrame =
+    // Iceberg's changelog start-snapshot-id is EXCLUSIVE — exactly the
+    // "changes AFTER fromVersion" contract; empty interval short-circuits
+    // like the other bindings
+    if (fromVersion == toVersion)
+      readVersion(spark, table, toVersion).limit(0)
+        .withColumn("change_type", lit(""))
+    else {
+      val view = s"__graft_changes_${math.abs(table.hashCode).toString}"
+      val tbl = ident(table).split('.').drop(1).mkString(".") // strip catalog
+      spark.sql(
+        s"""CALL $catalog.system.create_changelog_view(
+           |  table => '$tbl',
+           |  options => map('start-snapshot-id', '$fromVersion',
+           |                 'end-snapshot-id', '$toVersion'),
+           |  changelog_view => '$view')""".stripMargin)
+      spark.table(view)
+        .where(col("_change_type") =!= "UPDATE_BEFORE")
+        .withColumn("change_type",
+          when(col("_change_type") === "INSERT", "insert")
+            .when(col("_change_type") === "DELETE", "delete")
+            .otherwise("update_postimage"))
+        .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
+    }
 
   def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String): Unit = {

@@ -14,7 +14,7 @@ class TableFormatSpec extends SparkSpec {
   private def freshDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"tfmt_$tag").toString + "/t"
 
-  for (fmt <- TableFormat.available) {
+  for (fmt <- TableFormat.available(spark)) {
 
     test(s"[${fmt.name}] write/readLatest roundtrip; versions ascend") {
       val dir = freshDir(fmt.name)
@@ -73,5 +73,21 @@ class TableFormatSpec extends SparkSpec {
         finally spark.conf.set("spark.graft.tableFormat", "auto")
       }
     }
+  }
+
+  test("iceberg gated on jar + catalog conf; identifier mapping is stable") {
+    if (!TableFormat.icebergAvailable(spark)) {
+      intercept[IllegalArgumentException] {
+        spark.conf.set("spark.graft.tableFormat", "iceberg")
+        try TableFormat.resolve(spark)
+        finally spark.conf.set("spark.graft.tableFormat", "auto")
+      }
+    }
+    // path → identifier mapping is deterministic, collision-hashed, and
+    // namespace-isolated regardless of jar availability
+    val f = new IcebergFormat("ice")
+    assert(f.ident("/tmp/a b/феатуре") == f.ident("/tmp/a b/феатуре"))
+    assert(f.ident("/tmp/x/t") != f.ident("/tmp/y/t"))
+    assert(f.ident("/tmp/x/t").startsWith("ice.graft.t_"))
   }
 }
