@@ -2547,6 +2547,9 @@ object OracleSql {
     // the same (a)(b)(c) wrapped-symbol representation as the Spark loop
     "bpe_train" -> bpeTrainSql(12),
     "bpe_train_scaled" -> bpeTrainBatchedSql(30, 64),
+    // the driver-closure production trainer is EXACT sequential BPE, so it
+    // shares bpe_train's round-by-round replay oracle verbatim
+    "bpe_train_exact" -> bpeTrainSql(12),
 
     // tokenizer-faithful encode with the learned merges: per-doc BPE token
     // count + an md5 digest of the in-order segmentations

@@ -1699,6 +1699,17 @@ object SparkEntry {
     graft.functions.BpeTrain.trainBatched(t(s, dir, "documents"), "text",
       rounds = 30, batch = 64)
 
+  /** The production trainer: ONE distributed word-count aggregation, then
+    * the whole merge closure driver-side over incrementally-maintained
+    * pair counts (~3 Spark jobs for ANY vocabulary target — a 32k vocab
+    * costs the same job count as this 12-merge run). Exact sequential
+    * BPE, so it shares bpe_train's replay oracle verbatim — the
+    * correctness gate proving the driver closure ≡ the per-round Spark
+    * loop ≡ the DuckDB replay. */
+  private def bpeTrainExactQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.BpeTrain.trainScaled(t(s, dir, "documents"), "text",
+      numMerges = 12)
+
   /** Order-2 corpus-frequency score: rare-bigram ratios catch word salad a
     * unigram gate cannot see. Same integer-exact shape as the unigram row. */
   private def bigramLmScore(s: SparkSession, dir: String): DataFrame =
@@ -3774,6 +3785,7 @@ object SparkEntry {
     "vocab_topk"        -> (vocabTopK _),
     "bpe_train"         -> (bpeTrainQ _),
     "bpe_train_scaled"  -> (bpeTrainScaledQ _),
+    "bpe_train_exact"   -> (bpeTrainExactQ _),
     "domain_stats"      -> (domainStats _),
     "column_profile"    -> (columnProfile _),
     "shuffle_export"    -> (shuffleExport _),

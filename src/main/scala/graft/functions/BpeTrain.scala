@@ -28,8 +28,10 @@ import org.apache.spark.sql.types._
   * run — probed in the spec). This keeps each round a scan-stage
   * projection and makes the whole loop replayable verbatim in the DuckDB
   * oracle (same single-source trick as the BpeCount application oracle).
-  * Per-round `persist` + unpersist keeps round r from recomputing rounds
-  * 0..r-1 (the same barrier rationale as Dedup.minhashNearDups).
+  * Per-round `localCheckpoint` keeps round r from recomputing rounds
+  * 0..r-1 AND truncates the logical plan (the pair-count query reads the
+  * table twice, so un-truncated lineage doubles per round — the
+  * clusterPairs exponential-plan lesson).
   *
   * Output: (merge_rank, lhs, rhs, pair_count) — rank 1 = first-learned.
   */
@@ -42,17 +44,19 @@ object BpeTrain {
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .where(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    // localCheckpoint, not persist: the pair-count query references the
+    // round's table TWICE (both zip_with slices), so without lineage
+    // truncation the collapsed projection doubles per round — an
+    // exponential plan string that OOMs explain/UI rendering near ~20
+    // rounds (the clusterPairs lesson; measured here). Checkpoint makes
+    // each round's plan a leaf.
     var words = wf
       .select(expr(
         "array_join(transform(split(word, ''), x -> concat('(', x, ')')), '')")
         .as("w"), col("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
-    // previous round's table: unpersisted only after the CURRENT round's
-    // argmax has materialized the current table from it — the argmax pass
-    // doubles as the cache fill, so no extra per-round count() pass
-    var prev: DataFrame = null
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
@@ -70,23 +74,18 @@ object BpeTrain {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
-      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, cnt) =
           (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         merges += Row(r.toLong, a, b, cnt)
         // non-overlapping left-to-right merge: explicit per-symbol wrappers
-        val merged = words.select(
+        words = words.select(
             expr(s"replace(w, '($a)($b)', '(${a}${b})')").as("w"), col("freq"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        prev = words
-        words = merged
+          .localCheckpoint()
         r += 1
       }
     }
-    words.unpersist()
-    if (prev != null) prev.unpersist()
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(merges.toSeq).asJava),
@@ -128,13 +127,14 @@ object BpeTrain {
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .where(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    // localCheckpoint per round for the same exponential-plan reason as
+    // [[train]] (the pair-count query reads the table twice)
     var words = wf
       .select(expr(
         "array_join(transform(split(word, ''), x -> concat('(', x, ')')), '')")
         .as("w"), col("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var prev: DataFrame = null
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -149,7 +149,6 @@ object BpeTrain {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(batch).collect()
-      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.Set.empty[String]
@@ -167,15 +166,10 @@ object BpeTrain {
         val applied = accepted.foldLeft(col("w")) { case (acc, (a, b, _)) =>
           replace(acc, lit(s"($a)($b)"), lit(s"($a$b)"))
         }
-        val merged = words.select(applied.as("w"), col("freq"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        prev = words
-        words = merged
+        words = words.select(applied.as("w"), col("freq")).localCheckpoint()
         r += 1
       }
     }
-    words.unpersist()
-    if (prev != null) prev.unpersist()
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(merges.toSeq).asJava),
@@ -184,6 +178,147 @@ object BpeTrain {
         StructField("lhs", StringType, nullable = false),
         StructField("rhs", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** PRODUCTION-SCALE exact BPE — the bounded-job-count path past both
+    * [[train]] (one job per merge) and [[trainBatched]] (one job per
+    * ~32 merges, and a documented variant of the sequential order, not
+    * identical to it). The load-bearing observation: after ONE
+    * aggregation the training state is the DISTINCT-WORD frequency table,
+    * which is vocabulary-sized — sublinear in corpus size (a 100 TB web
+    * corpus has ~10⁷-10⁸ distinct `[a-z]+` words, a few GB of (word,
+    * freq) pairs) — so the entire merge closure can run driver-side with
+    * incrementally-maintained pair counts, the same architecture every
+    * production tokenizer trainer uses on top of a word-count pass.
+    * Spark does what it's good at (the corpus-sized count); the driver
+    * does what it's good at (10⁴ sequential argmax steps over in-memory
+    * state). Total Spark jobs: ~3, independent of `numMerges`.
+    *
+    * EXACT sequential BPE: same argmax (count desc, lhs asc, rhs asc)
+    * and same non-overlapping left-to-right merge as [[train]] — the two
+    * agree merge-for-merge (spec-pinned), so [[train]]'s replay oracle
+    * validates this path too.
+    *
+    * When the distinct-word table exceeds `driverWordLimit`, the
+    * top-`driverWordLimit` words by (freq desc, word asc) train the
+    * vocabulary and the dropped tail's weight fraction is logged — the
+    * standard min-frequency truncation every tokenizer trainer applies,
+    * made explicit. At the default 2M limit that tail is mass-negligible
+    * on natural corpora (Zipf: rank-2M words are hapax-frequency). */
+  def trainScaled(docs: DataFrame, textCol: String, numMerges: Int,
+                  driverWordLimit: Int = 2000000): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(driverWordLimit > 0, "driverWordLimit must be positive")
+    val spark = docs.sparkSession
+    val wf = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = wf.orderBy(col("freq").desc, col("word").asc)
+        .limit(driverWordLimit)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val totals = wf.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("freq")), lit(0L)).as("f")).head()
+      if (totals.getLong(0) > kept.length) {
+        val keptMass = kept.iterator.map(_._2).sum.toDouble
+        logScaled.warn(f"trainScaled: vocabulary ${totals.getLong(0)} > " +
+          f"limit $driverWordLimit; training on top-$driverWordLimit words " +
+          f"covering ${keptMass / totals.getLong(1)}%.4f of token mass")
+      }
+      val merges = exactBpeClosure(kept, numMerges)
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(merges.zipWithIndex.map { case ((a, b, c), i) =>
+            Row(i + 1L, a, b, c)
+          }).asJava),
+        StructType(Seq(
+          StructField("merge_rank", LongType, nullable = false),
+          StructField("lhs", StringType, nullable = false),
+          StructField("rhs", StringType, nullable = false),
+          StructField("pair_count", LongType, nullable = false))))
+    } finally wf.unpersist()
+  }
+
+  private lazy val logScaled =
+    org.slf4j.LoggerFactory.getLogger("graft.BpeTrain")
+
+  /** In-memory exact BPE over a (word, freq) table: priority queue with
+    * lazy deletion over incrementally-maintained pair counts; a pair →
+    * containing-words index bounds each merge step to the words it
+    * actually touches. Semantics identical to [[train]]'s per-round
+    * Spark replay (argmax tie-break and left-to-right non-overlapping
+    * merge), verified merge-for-merge in BpeTrainSpec. */
+  private[graft] def exactBpeClosure(wordFreqs: Array[(String, Long)],
+                                     numMerges: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = wordFreqs.map { case (w, _) =>
+      mutable.ArrayBuffer.from(w.map(_.toString)) }
+    val freqs = wordFreqs.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addPair(p: (String, String), wi: Int, f: Long): Unit = {
+      pairCount.updateWith(p) { c => Some(c.getOrElse(0L) + f) }
+      pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    for (wi <- syms.indices; i <- 0 until syms(wi).length - 1)
+      addPair((syms(wi)(i), syms(wi)(i + 1)), wi, freqs(wi))
+    // max-heap: count desc, then lexicographically SMALLEST (lhs, rhs)
+    // wins — Ordering reversed on the strings so the min-lex pair is max
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.by[(Long, String, String), (Long, String, String)] {
+        case (c, a, b) => (c, a, b)
+      }(Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+        Ordering.String.reverse))
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)]
+    pairCount.foreach { case ((a, b), c) => pq.enqueue((c, a, b)) }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.length < numMerges && !done) {
+      // lazy deletion: drop stale heap entries (count changed since push)
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && pq.nonEmpty) {
+        val e = pq.dequeue()
+        if (pairCount.getOrElse((e._2, e._3), 0L) == e._1) best = Some(e)
+      }
+      best match {
+        case None => done = true
+        case Some((cnt, a, b)) =>
+          out += ((a, b, cnt))
+          val merged = a + b
+          val touched = pairWords.getOrElse((a, b), mutable.Set.empty)
+          val changed = mutable.Set.empty[(String, String)]
+          for (wi <- touched) {
+            val s = syms(wi); val f = freqs(wi)
+            // old adjacent-pair multiset of this word
+            val oldPairs = (0 until s.length - 1).map(i => (s(i), s(i + 1)))
+            // left-to-right non-overlapping merge (replace() semantics:
+            // a consumed site is not re-examined within the pass)
+            val ns = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                ns += merged; i += 2
+              } else { ns += s(i); i += 1 }
+            }
+            syms(wi) = ns
+            val newPairs = (0 until ns.length - 1).map(i => (ns(i), ns(i + 1)))
+            oldPairs.foreach { p =>
+              pairCount.updateWith(p)(c => c.map(_ - f)); changed += p
+            }
+            newPairs.foreach { p => addPair(p, wi, f); changed += p }
+          }
+          changed.foreach { p =>
+            val c = pairCount.getOrElse(p, 0L)
+            if (c <= 0L) { pairCount.remove(p); pairWords.remove(p) }
+            else pq.enqueue((c, p._1, p._2))
+          }
+          // the merged pair itself is exhausted
+          pairCount.remove((a, b)); pairWords.remove((a, b))
+      }
+    }
+    out.toSeq
   }
 
   /** Tokenizer-faithful ENCODE with a learned merge table — the apply half

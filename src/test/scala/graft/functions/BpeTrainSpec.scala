@@ -74,6 +74,51 @@ class BpeTrainSpec extends SparkSpec {
     assert(segs.forall(s => s.count(_ == '(') == 1))
   }
 
+  test("trainScaled: driver closure agrees with the Spark loop merge-for-merge") {
+    val docs = (0 until 50).map(i =>
+      s"shared tokens appear here with variation v$i and more shared tokens")
+      .toDF("text")
+    val seqMerges = BpeTrain.train(docs, "text", 15).collect().toSeq
+    val fastMerges = BpeTrain.trainScaled(docs, "text", 15).collect().toSeq
+    assert(fastMerges == seqMerges)
+  }
+
+  test("trainScaled: saturates at the full closure and agrees there too") {
+    val docs = Seq(Tuple1("the the the that band and")).toDF("text")
+    // ask for far more merges than the closure holds: both trainers stop
+    // at pair exhaustion with identical merge tables
+    val seqM = BpeTrain.train(docs, "text", 500).collect().toSeq
+    val fastM = BpeTrain.trainScaled(docs, "text", 500).collect().toSeq
+    assert(fastM == seqM && fastM.nonEmpty && fastM.length < 500)
+  }
+
+  test("trainScaled: word-limit truncation keeps the top-frequency words") {
+    // 3 words; limit 2 drops the rarest ("zed") — merges then never
+    // contain z; determinism of the (freq desc, word asc) cut is pinned
+    val docs = Seq(Tuple1("aloha aloha aloha botanic botanic zed")).toDF("text")
+    val got = BpeTrain.trainScaled(docs, "text", 50, driverWordLimit = 2)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got.nonEmpty)
+    assert(!got.exists { case (a, b) => (a + b).contains("z") })
+  }
+
+  test("trainScaled + encode: end-to-end trainer/encoder agreement") {
+    val docs = (0 until 30).map(i => (i.toLong,
+      s"repeatable words compose documents number n$i in corpus"))
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.trainScaled(docs, "text", 20)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = BpeTrain.encodeDigest(docs, "doc_id", "text", merges)
+    // same merges through the sequential trainer → identical encodes
+    val seqMerges = BpeTrain.train(docs, "text", 20)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == seqMerges)
+    val enc2 = BpeTrain.encodeDigest(docs, "doc_id", "text", seqMerges)
+    assert(enc.except(enc2).isEmpty && enc2.except(enc).isEmpty)
+  }
+
   test("encode applies the learned merges; counts and digests are exact") {
     // merges learned above: th, the(th+e), an, and(an+d)
     val train = Seq(Tuple1("the the the that band and")).toDF("text")
