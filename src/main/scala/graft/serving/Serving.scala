@@ -111,6 +111,23 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
     }
   }
 
+  /** B3 batch feature serve (reference serving/serving.go:716-761): stream
+    * one row per entity present in ANY of the named precomputed tables
+    * (first-seen order across names, deduplicated), each row assembled
+    * exactly like [[features]] — on-demand features compute per entity.
+    * The dedup set is entity-count-bounded driver memory on THIS serving
+    * node; batch serving streams the whole store by definition, so the
+    * key set is the floor of what any implementation must touch. */
+  def batchRows(names: Seq[String],
+                params: Map[String, Any] = Map.empty): Iterator[(Any, Seq[Option[Any]])] = {
+    val precomputed = names.filterNot(onDemand.contains)
+    val seen = scala.collection.mutable.HashSet.empty[Any]
+    precomputed.iterator
+      .flatMap(n => backend.scan(n).map(_._1))
+      .filter(seen.add)
+      .map(e => e -> features(names, e, params))
+  }
+
   private val indexes = TrieMap.empty[String, VectorIndex]
 
   /** Build the serving ANN index ([[VectorIndex]], multi-probe hyperplane

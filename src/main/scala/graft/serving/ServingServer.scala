@@ -32,11 +32,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   * training-set scan itself, and the stream never materializes the set
   * driver-side. One JVM thread pool; state registration is in-process
   * (the metadata-server role stays with [[graft.catalog.Catalog]]). */
-final class ServingServer(store: OnlineStore, port: Int = 0) {
+final class ServingServer(store: OnlineStore, port: Int = 0,
+                          threads: Int = 4) {
 
   private val sets = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
   server.setExecutor(pool)
 
   /** Register a training set / source for `/training` and `/preview`. */
@@ -106,13 +107,24 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
       catch {
         // Once sendResponseHeaders has committed a (streaming) response we
         // can't send an error status anymore — calling respond() again would
-        // throw IllegalStateException and mask the original failure. Abort
-        // the exchange instead: closing the body mid-chunked-stream
-        // terminates the connection without the final 0-length chunk, which
-        // is the wire-level error signal a chunked client sees.
+        // throw IllegalStateException and mask the original failure. For
+        // NDJSON streams, emit an in-band `{"error":…}` frame (the JDK
+        // server's graceful close always writes the chunk terminator, so a
+        // wire-level abort isn't expressible — an error frame is the
+        // deterministic signal; data lines are always JSON arrays, so the
+        // object frame is unambiguous). Binary streams (Arrow) just close:
+        // the truncated IPC stream fails the client's reader.
         case e: Throwable if ex.getResponseCode != -1 =>
           System.err.println(s"[ServingServer] mid-stream failure on ${
             ex.getRequestURI.getPath}: $e")
+          val isNdjson = Option(
+            ex.getResponseHeaders.getFirst("Content-Type"))
+            .exists(_.contains("ndjson"))
+          if (isNdjson)
+            try ex.getResponseBody.write(
+              (s"""{"error":"${esc(String.valueOf(e))}"}""" + "\n")
+                .getBytes(UTF_8))
+            catch { case _: Throwable => () }
           try ex.close() catch { case _: Throwable => () }
         case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
@@ -231,6 +243,22 @@ final class ServingServer(store: OnlineStore, port: Int = 0) {
     }
     streamRows(ex, TrainingSetIterator.rows(frame),
       q.get("limit").map(_.toInt))
+  })
+
+  // B3 batch feature serve: JSONL, one `[entity, v1, …, vn]` line per
+  // entity present in any named table (reference serving.go:716-761) —
+  // the bulk complement of /features' point lookup.
+  server.createContext("/batch", handler { ex =>
+    val q = query(ex)
+    val names = q.getOrElse("names",
+      throw new IllegalArgumentException("names required")).split(',').toSeq
+    val params: Map[String, Any] =
+      (q - "names" - "limit").map { case (k, v) =>
+        k -> (v.toLongOption orElse v.toDoubleOption getOrElse v: Any)
+      }
+    val it = store.batchRows(names, params)
+      .map { case (e, vs) => Row.fromSeq(e +: vs.map(_.orNull)) }
+    streamRows(ex, it, q.get("limit").map(_.toInt))
   })
 
   server.createContext("/preview", handler { ex =>

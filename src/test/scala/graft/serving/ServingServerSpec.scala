@@ -83,6 +83,72 @@ class ServingServerSpec extends SparkSpec {
       assert((tr & te).isEmpty && (tr ++ te).size == 40)
       assert(side("train") == tr) // deterministic replay
       assert(get(s"$base/split?name=w&side=bogus&keys=k")._1 == 400)
+
+      // B3: /batch streams every entity across the named tables once,
+      // row-assembled like /features (null where a feature is missing)
+      store.load("only2", Seq((2L, 7L)).toDF("entity", "value"))
+      val (cb, bb) = get(s"$base/batch?names=clicks,only2,spend_x2")
+      assert(cb == 200)
+      val bl = bb.trim.split('\n').toSet
+      assert(bl == Set("[1,10,null,20]", "[2,20,7,40]"))
+      assert(get(s"$base/batch?names=clicks&limit=1")._2.trim
+        .split('\n').length == 1)
+      assert(get(s"$base/batch?entity=1")._1 == 400)
+    } finally srv.stop()
+  }
+
+  test("concurrent clients: parallel /features + /nearest stay correct and isolated") {
+    val store = new OnlineStore(new InProcessKv)
+    store.load("f", (1L to 200L).map(i => (i, i * 3L)).toDF("entity", "value"))
+    store.loadVectors("emb", Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("entity", "vector"))
+    val srv = new ServingServer(store).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      import java.util.concurrent.{Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(16)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      for (i <- 0 until 200) pool.submit(new Runnable {
+        def run(): Unit = try {
+          val e = (i % 200) + 1
+          val (c, b) = get(s"$base/features?names=f&entity=$e")
+          if (c != 200 || b != s"""{"entity":"$e","values":[${e * 3}]}""")
+            errors.add(s"features($e): $c $b")
+          val (c2, _) = get(s"$base/nearest?feature=emb&k=1&q=1.0,0.0")
+          if (c2 != 200) errors.add(s"nearest: $c2")
+          done.incrementAndGet()
+        } catch { case t: Throwable => errors.add(t.toString) }
+      })
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      assert(errors.isEmpty, errors.toString)
+      assert(done.get() == 200)
+    } finally srv.stop()
+  }
+
+  test("mid-stream failure aborts the chunked stream instead of faking a clean end") {
+    val store = new OnlineStore(new InProcessKv)
+    val srv = new ServingServer(store).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      // rows 0..9 stream fine; row 10 throws inside the iterator — after
+      // the 200 header is committed
+      val bad = spark.range(0, 20).select(
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN id < 10 THEN id ELSE raise_error('boom') END").as("v"))
+      srv.registerDataset("bad", bad)
+      val (code, body) = get(s"$base/training?name=bad")
+      assert(code == 200) // headers committed before the failure
+      val lines = body.trim.split('\n').filter(_.nonEmpty)
+      // the streamed prefix survives; the stream ends with an IN-BAND error
+      // frame (an object, unambiguous vs the array data lines) rather than
+      // a clean end that fakes completeness
+      assert(lines.last.startsWith("""{"error":"""))
+      assert(lines.init.forall(_.startsWith("[")))
+      assert(lines.init.length < 20) // the failing tail was never emitted
+      // the server survives the failed exchange
+      assert(get(s"$base/health")._2 == """{"status":"ok"}""")
     } finally srv.stop()
   }
 }

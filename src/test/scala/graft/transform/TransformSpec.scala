@@ -27,6 +27,21 @@ class SqlTransformSpec extends SparkSpec {
       "SELECT count(*) AS n FROM {{t}} WHERE id > 1", Map(ResourceId("t") -> df))
     assert(got.collect().head.getLong(0) == 1L)
   }
+
+  test("user-registered UDFs flow through the T1 SQL surface (§2.10 passthrough)") {
+    // the engine itself ships zero UDFs (custom Catalyst expressions via
+    // Registry instead), but a user's own spark.udf.register must work
+    // through templated SQL unchanged — the reference's client-supplied
+    // SQL transformations allow engine-native UDFs the same way
+    spark.udf.register("graft_test_shout",
+      (s: String) => if (s == null) null else s.toUpperCase + "!")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val got = SqlTransform.runWith(spark,
+      "SELECT id, graft_test_shout(s) AS shouted FROM {{t}} ORDER BY id",
+      Map(ResourceId("t") -> df))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "A!"), (2, "B!")))
+  }
 }
 
 class CatalogSpec extends SparkSpec {
