@@ -170,7 +170,27 @@ object VersionDirFormat extends TableFormat {
 object DeltaFormat extends TableFormat {
   def name: String = "delta"
 
-  private def ident(table: String) = s"delta.`$table`"
+  private[sources] def ident(table: String) = s"delta.`$table`"
+
+  // The statement/option surface, exposed as pure functions so
+  // DeltaFormatContractSpec can pin exactly what a Delta-enabled cluster
+  // will execute even where no jar exists to execute it.
+  private[sources] val cdfKey =
+    "spark.databricks.delta.properties.defaults.enableChangeDataFeed"
+  private[sources] def historySql(table: String): String =
+    s"DESCRIBE HISTORY ${ident(table)}"
+  private[sources] def changeFeedOptions(fromVersion: String,
+                                         toVersion: String): Map[String, String] =
+    Map("readChangeFeed" -> "true",
+      // Delta's startingVersion is inclusive; our contract is "after from"
+      "startingVersion" -> (fromVersion.toLong + 1).toString,
+      "endingVersion" -> toVersion)
+  private[sources] def mergeSql(table: String, keyCol: String,
+                                srcView: String): String =
+    s"""MERGE INTO ${ident(table)} t USING $srcView s
+       |ON t.`$keyCol` = s.`$keyCol`
+       |WHEN MATCHED THEN UPDATE SET *
+       |WHEN NOT MATCHED THEN INSERT *""".stripMargin
 
   def write(spark: SparkSession, df: DataFrame, table: String,
             partition: Option[PartitionHint]): String = {
@@ -192,8 +212,6 @@ object DeltaFormat extends TableFormat {
     // option is not reliably applied as a table property across Delta
     // versions). Scope it to this write — leaking it session-wide would
     // silently enable CDF on every later Delta table, graft's or not.
-    val cdfKey =
-      "spark.databricks.delta.properties.defaults.enableChangeDataFeed"
     val prior = spark.conf.getOption(cdfKey)
     spark.conf.set(cdfKey, "true")
     try {
@@ -214,7 +232,7 @@ object DeltaFormat extends TableFormat {
     spark.read.format("delta").option("versionAsOf", version).load(table)
 
   def versions(spark: SparkSession, table: String): Seq[String] =
-    spark.sql(s"DESCRIBE HISTORY ${ident(table)}")
+    spark.sql(historySql(table))
       .select(col("version").cast("long")).orderBy(col("version"))
       .collect().map(_.getLong(0).toString).toSeq
 
@@ -228,10 +246,7 @@ object DeltaFormat extends TableFormat {
         .withColumn("change_type", lit(""))
     else
       spark.read.format("delta")
-        .option("readChangeFeed", "true")
-        // Delta's startingVersion is inclusive; our contract is "after from"
-        .option("startingVersion", fromVersion.toLong + 1)
-        .option("endingVersion", toVersion)
+        .options(changeFeedOptions(fromVersion, toVersion))
         .load(table)
         .where(col("_change_type") =!= "update_preimage")
         .withColumnRenamed("_change_type", "change_type")
@@ -241,11 +256,7 @@ object DeltaFormat extends TableFormat {
                   keyCol: String): Unit = {
     val src = s"__graft_merge_src_${System.nanoTime()}"
     updates.createOrReplaceTempView(src)
-    try spark.sql(
-      s"""MERGE INTO ${ident(table)} t USING $src s
-         |ON t.`$keyCol` = s.`$keyCol`
-         |WHEN MATCHED THEN UPDATE SET *
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    try spark.sql(mergeSql(table, keyCol, src))
     finally spark.catalog.dropTempView(src)
   }
 }
