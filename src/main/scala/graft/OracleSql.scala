@@ -826,6 +826,29 @@ object OracleSql {
         |       THEN 1 ELSE 0 END AS is_test
         |FROM events""".stripMargin,
 
+    // leakage-safe split: the dedup_clusters closure replayed, singletons
+    // fall back to their own id, then the SAME md5 split rule keyed on the
+    // cluster id — the whole pipeline end-to-end in SQL
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |e AS (SELECT idA AS s, idB AS d FROM p
+         |      UNION SELECT idB, idA FROM p),
+         |n AS (SELECT DISTINCT s AS id FROM e),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT r.a, e.d FROM reach r JOIN e ON r.b = e.s),
+         |cl AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN substr(md5(concat_ws('|',
+         |      CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR), '42')),
+         |      1, 8) < '40000000'
+         |    THEN 1 ELSE 0 END AS is_test
+         |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, md5($NORM_TEXT) AS fp FROM documents)
          |SELECT doc_id, fp FROM f

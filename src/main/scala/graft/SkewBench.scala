@@ -386,8 +386,9 @@ object SkewBench {
     // model at 1×/10×/30× — where does the curve sit against the analytic
     // term (true near-dup structure rides on top of it)?
     genDocs(spark, sfDir, 30, s"$work/docs_x30")
-    val simProbe =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Double)]
+    // (n, candidates 6/3, random-model 6/3, candidates 7/4, random-model 7/4)
+    val simProbe = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Double, Long, Double)]
     var simhashX30 = 0.0
     for (m <- Seq(1, 10, 30)) {
       val d = spark.read.parquet(s"$work/docs_x$m")
@@ -395,9 +396,18 @@ object SkewBench {
       val cand = Dedup.simhashBoundedCandidateCount(d, "text", "id",
         maxHamming = 3)
       val model = 20.0 * n.toDouble * n.toDouble / math.pow(2.0, 32)
-      simProbe += (s"x$m" -> ((n, cand, model)))
+      // the escalation point: 7 blocks choose 4 keeps the same Hamming-3
+      // recall guarantee (7−4 ≥ 3) with ~37-bit keys — 35·n²/2³⁷ random
+      // mass, ~4.4× below 6/3's, at 35 vs 20 rows/doc through the shuffle.
+      // This is the documented knob to turn when the 6/3 candidate curve
+      // crosses the budget at a bigger corpus.
+      val cand74 = Dedup.simhashBoundedCandidateCount(d, "text", "id",
+        maxHamming = 3, numBlocks = 7, comboSize = 4)
+      val model74 = 35.0 * n.toDouble * n.toDouble / math.pow(2.0, 37)
+      simProbe += (s"x$m" -> ((n, cand, model, cand74, model74)))
       System.err.println(
-        f"[skew] simhash_bounded x$m: n=$n cand=$cand model=$model%.1f")
+        f"[skew] simhash_bounded x$m: n=$n cand63=$cand model=$model%.1f " +
+          f"cand74=$cand74 model74=$model74%.1f")
       if (m == 30)
         simhashX30 = time(force(Dedup.simhashNearDupsBounded(
           d, "text", "id", maxHamming = 3)))._1
@@ -461,8 +471,10 @@ object SkewBench {
         s""""chain_rounds":${chainRounds.map { case (k, v) =>
           s""""$k":$v""" }.mkString("{", ",", "}")},""" +
         s""""simhash_bounded_envelope":${simProbe.map {
-          case (k, (n, cand, model)) =>
-            f""""$k":{"n_docs":$n,"candidates":$cand,"model_random":$model%.1f}"""
+          case (k, (n, cand, model, cand74, model74)) =>
+            f""""$k":{"n_docs":$n,"candidates_6_3":$cand,""" +
+              f""""model_random_6_3":$model%.1f,""" +
+              f""""candidates_7_4":$cand74,"model_random_7_4":$model74%.1f}"""
         }.mkString("{", ",", "}")},""" +
         f""""simhash_bounded_x30_sec":$simhashX30%.3f,""" +
         s""""aqe_skew_split_range_join":$aqeSkewHit,""" +

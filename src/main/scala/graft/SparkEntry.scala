@@ -356,6 +356,16 @@ object SparkEntry {
       events(s, dir).select(col("event_id"), col("user_id"), col("value")),
       Seq("event_id"), testSize = 0.25, seed = 42L)
 
+  /** Near-dup-leakage-safe split over the documents corpus: MinHash pair
+    * graph → star-contraction clusters → md5 hash split on the CLUSTER
+    * id, so no near-duplicate ever straddles train/test. Oracle replays
+    * LSH pairs, the recursive closure, and the split hash end-to-end. */
+  private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame =
+    Split.clusterSafeSplit(
+      t(s, dir, "documents").select(col("doc_id")),
+      minhashNearDups(s, dir).select(col("idA"), col("idB")),
+      "doc_id", testSize = 0.25, seed = 42L)
+
   // ----------------------------------------------- text / dedup / similarity
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -3711,6 +3721,7 @@ object SparkEntry {
     "merge_upsert"      -> (mergeUpsert _),
     "batch_features"    -> (batchFeatures _),
     "train_test_split"  -> (trainTestSplit _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_exact"       -> (dedupExact _),
     "doc_fingerprint"   -> (docFingerprint _),
     "simhash_fingerprint" -> (simhashFingerprint _),

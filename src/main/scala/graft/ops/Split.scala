@@ -46,6 +46,28 @@ object Split {
       pmod(h.bitwiseAND(lit(Long.MaxValue)), lit(k.toLong)).cast("int"))
   }
 
+  /** Near-dup-LEAKAGE-safe split: every near-duplicate cluster lands
+    * wholly on one side, so the test set never contains a near-copy of a
+    * training document — the split-decontamination rule every serious
+    * eval pipeline needs (plain row-hash splits leak: a doc and its
+    * near-dup land on opposite sides ~2·p·(1−p) of the time). `pairs` is
+    * any near-dup pair table (idA, idB — MinHash, SimHash, embedding);
+    * components close via the O(log n) star contraction, then the
+    * cluster id (singletons: the row's own id) becomes the hash-split
+    * key — [[withSplit]]'s exact md5 rule, so cluster-level assignment
+    * replays in any engine. Scale: the closure runs on the pair graph
+    * (corpus-fraction-sized); the label attachment is one id-keyed join
+    * of a metadata-small cluster table (AQE broadcasts it).
+    * Output: input columns + (cluster_id, is_test). */
+  def clusterSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                       testSize: Double, seed: Long): DataFrame = {
+    val clusters = graft.functions.Dedup.clusterPairsStar(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("is_test", isTestCol(Seq(col("cluster_id")), seed, testSize))
+  }
+
   def train(df: DataFrame, keyCols: Seq[String], testSize: Double, seed: Long): DataFrame =
     withSplit(df, keyCols, testSize, seed).filter(col("is_test") === 0).drop("is_test")
 

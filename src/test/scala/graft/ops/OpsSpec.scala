@@ -214,6 +214,31 @@ class SplitSpec extends SparkSpec {
     val b = Split.test(df, Seq("id"), 0.5, 2L).select("id").as[Long].collect().toSet
     assert(a != b)
   }
+
+  test("clusterSafeSplit: no near-dup cluster straddles train/test; singletons split per own id") {
+    val df = Seq.tabulate(300)(i => Tuple1(i.toLong)).toDF("doc_id")
+    // pair graph: a 5-chain (0..4), a triangle (10,11,12), a pair (20,21)
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("idA", "idB")
+    val got = Split.clusterSafeSplit(df, pairs, "doc_id", 0.5, 7L)
+    // every cluster entirely on one side
+    val sidesPerCluster = got.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.countDistinct($"is_test").as("k"))
+      .filter($"k" > 1).count()
+    assert(sidesPerCluster == 0)
+    // clustered docs share the component-min cluster id
+    val m = got.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L, 4L).map(m) == Seq.fill(5)(0L))
+    assert(Seq(10L, 11L, 12L).map(m) == Seq.fill(3)(10L))
+    assert(m(20L) == 20L && m(21L) == 20L)
+    // singletons behave exactly like the plain id-keyed split
+    val single = got.filter($"cluster_id" === $"doc_id" &&
+      !$"doc_id".isin(0L, 10L, 20L))
+    val plain = Split.withSplit(
+      single.select($"doc_id"), Seq("doc_id"), 0.5, 7L)
+    assert(single.select("doc_id", "is_test")
+      .except(plain.select($"doc_id", $"is_test".cast("int"))).count() == 0)
+  }
 }
 
 class BatchJoinSpec extends SparkSpec {
