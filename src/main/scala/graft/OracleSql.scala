@@ -1327,6 +1327,22 @@ object OracleSql {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin,
 
+    // incremental closure ≡ full recompute: the SAME closure-over-all-pairs
+    // truth as dedup_clusters — three algorithms (propagation, star,
+    // incremental star over compressed history), one oracle
+    "dedup_clusters_incr" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |e AS (SELECT idA AS s, idB AS d FROM p
+         |      UNION SELECT idB, idA FROM p),
+         |n AS (SELECT DISTINCT s AS id FROM e),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT r.a, e.d FROM reach r JOIN e ON r.b = e.s)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
+
     // golden record: the cluster closure replayed, then field-level
     // survivorship — arg_max with a NULL-masked priority ≡ Spark max_by
     "golden_record" ->

@@ -712,6 +712,24 @@ object SparkEntry {
     Dedup.clusterPairsStar(
       minhashNearDups(s, dir).select(col("idA"), col("idB")))
 
+  /** Incremental closure maintenance under the gate: the corpus labeling
+    * (pairs among doc_id % 5 != 4) is built first, then the batch's pairs
+    * (any pair touching % 5 == 4) fold in via clusterPairsIncremental —
+    * historical pairs never re-closed. SAME oracle as dedup_clusters:
+    * incremental ≡ full recompute, proven by DuckDB's closure over ALL
+    * pairs (the third algorithm on the one truth). */
+  private def dedupClustersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDups(s, dir).select(col("idA"), col("idB"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 4
+    val oldPairs = pairs.where(!isNew(col("idA")) && !isNew(col("idB")))
+    val newPairs = pairs.where(isNew(col("idA")) || isNew(col("idB")))
+    val labels = Dedup.clusterPairsStar(oldPairs)
+    val out = Dedup.clusterPairsIncremental(labels, newPairs)
+    pairs.unpersist()
+    out
+  }
+
   private def cosineNearDups(s: SparkSession, dir: String): DataFrame =
     Vectors.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
       numPlanes = 16, threshold = 0.4)
@@ -3787,6 +3805,7 @@ object SparkEntry {
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "dedup_clusters"    -> (dedupClusters _),
+    "dedup_clusters_incr" -> (dedupClustersIncremental _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "embedding_quantize" -> (embeddingQuantize _),
     "incremental_dedup" -> (incrementalDedup _),

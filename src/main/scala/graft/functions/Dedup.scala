@@ -756,6 +756,37 @@ object Dedup {
     Graph.connectedComponentsStar(pairs, "idA", "idB", maxIter, checkpoint)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
 
+  /** INCREMENTAL cluster maintenance — the steady-state closure beside the
+    * incremental signature tables: fold a batch of NEW near-dup pairs into
+    * an EXISTING (doc_id, cluster_id) labeling without re-closing the
+    * historical pair graph. Existing labels enter as doc→cluster edges: a
+    * labeled component is a star by construction, so however many pairs
+    * built it historically, it re-enters as |members| edges — the
+    * historical graph is compressed to node scale. The union with the new
+    * pairs closes via star contraction (O(log n) rounds over an
+    * edge set of |labels| + |newPairs|, NOT the historical pair count).
+    * Result ≡ a full recompute over (old ∪ new) pairs: label edges
+    * preserve old connectivity exactly, and cluster ids are member ids,
+    * so component minima agree. Output covers every doc in either input. */
+  def clusterPairsIncremental(labels: DataFrame, newPairs: DataFrame,
+                              maxIter: Int = 25,
+                              checkpoint: Boolean = false): DataFrame = {
+    val edges = labels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("idA"), col("cluster_id").as("idB"))
+      .unionByName(newPairs.select(col("idA"), col("idB")))
+    val comp = Graph.connectedComponentsStar(edges, "idA", "idB",
+      maxIter, checkpoint)
+    // docs untouched by any edge (singleton-labeled, no new pair) keep
+    // themselves — star contraction only emits edge-covered nodes
+    val all = labels.select(col("doc_id"))
+      .unionByName(newPairs.select(col("idA").as("doc_id")))
+      .unionByName(newPairs.select(col("idB").as("doc_id")))
+      .distinct()
+    all.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Cross-source duplicate provenance: near-duplicate pairs (the MinHash
     * LSH pipeline, same parameters as [[minhashNearDups]]) rolled up by
     * unordered source pair — the matrix that tells a corpus owner which

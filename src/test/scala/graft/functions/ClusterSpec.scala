@@ -35,4 +35,20 @@ class ClusterSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(keepers == Seq((3L, 3L)))
   }
+
+  test("incremental closure over compressed history equals full recompute") {
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val newPairs = Seq(
+      (3L, 10L),   // merges cluster {1,2,3} with {10,11}
+      (30L, 31L),  // brand-new cluster, both ids unseen
+      (21L, 40L))  // extends {20,21} with a new node
+    val labels = Dedup.clusterPairsStar(oldPairs.toDF("idA", "idB"))
+    val incr = Dedup.clusterPairsIncremental(labels,
+        newPairs.toDF("idA", "idB"))
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.clusterPairsStar((oldPairs ++ newPairs).toDF("idA", "idB"))
+      .as[(Long, Long)].collect().toMap
+    assert(incr == full)
+    assert(incr(11L) == 1L && incr(30L) == 30L && incr(40L) == 20L)
+  }
 }
