@@ -51,4 +51,31 @@ class StarCcPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("incremental closure over any old/new edge split equals full recompute") {
+    // split each random edge list at a random point: close the prefix,
+    // fold the suffix in incrementally — must equal closing everything
+    val genSplit = for {
+      es <- genEdges
+      cut <- Gen.choose(0, es.length)
+    } yield (es, cut)
+    val prop = Prop.forAll(genSplit) { case (es: Edges, cut: Int) =>
+      val expected = want(es)
+      if (expected.isEmpty) true
+      else {
+        val (oldEs, newEs) = es.splitAt(cut)
+        val labels = Dedup.clusterPairsStar(oldEs.toDF("idA", "idB"))
+        val got = Dedup.clusterPairsIncremental(labels,
+            newEs.toDF("idA", "idB"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // the incremental output also covers nodes that ONLY appear in
+        // self-loop edges (they enter via `all`); project to the union-find
+        // domain for the comparison
+        got.view.filterKeys(expected.contains).toMap == expected
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
