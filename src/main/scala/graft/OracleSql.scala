@@ -1288,6 +1288,20 @@ object OracleSql {
          |  max(epoch_ms(ts)) AS max_ts_ms
          |FROM ev GROUP BY 1""".stripMargin,
 
+    // right-to-erasure lifecycle: row counts recomputed from the batch
+    // table, version arithmetic (1 written + 1 scrub − 1 gc'd = 2 touched)
+    // and the online hit/miss contract (hit iff the entity has any event;
+    // always a miss after forget)
+    "forget_entity" ->
+      s"""WITH $EV
+         |SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+         |  CAST(COUNT(*) FILTER (WHERE user_id <> 7) AS BIGINT) AS rows_after,
+         |  CAST(2 AS BIGINT) AS n_versions_touched,
+         |  CAST(CASE WHEN COUNT(*) FILTER (WHERE user_id = 7) > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS online_before,
+         |  CAST(0 AS BIGINT) AS online_after
+         |FROM ev""".stripMargin,
+
     // incremental dedup: exactly the full-corpus pair set restricted to
     // pairs touching the new batch (doc_id % 5 = 4) — reusing stored
     // signatures must not change any reported pair

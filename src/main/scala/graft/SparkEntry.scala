@@ -1337,6 +1337,45 @@ object SparkEntry {
         max(unix_millis(col("ts"))).as("max_ts_ms"))
   }
 
+  // ------------------------------------------- right-to-erasure lifecycle
+
+  /** The GDPR deletion path under the gate: events → versioned offline
+    * table + DiskKv online table, then entity 7's full erasure — online
+    * point-delete (tombstone + compact), offline scrubLatest (new version
+    * without the entity) + gcVersions (old copies physically dropped).
+    * Output proves each half: offline row counts before/after, one
+    * surviving version, online hit before and miss after. Oracle
+    * recomputes the counts from the batch table; the flags are the
+    * lifecycle contract. */
+  private def forgetEntity(s: SparkSession, dir: String): DataFrame = {
+    val entity = 7L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val triples = events(s, dir)
+      .select(col("user_id").as("entity"), col("value"), col("ts"))
+    graft.sources.Writers.writeVersioned(triples, s"$tmp/tbl")
+    val store = new graft.serving.OnlineStore(
+      new graft.serving.DiskKv(s"$tmp/kv"))
+    store.load("val", graft.ops.Materialize.latestTriple(triples)
+      .select(col("entity"), col("value")))
+    val beforeRows = graft.sources.Writers.readLatest(s, s"$tmp/tbl").count()
+    val onlineBefore = store.get("val", entity).isDefined
+    // erase: online tombstone (+compact drops it physically), offline
+    // scrub into a new version, retention drops the historical copy
+    store.forget(entity, Seq("val"))
+    graft.sources.Writers.scrubLatest(s, s"$tmp/tbl",
+      col("entity") === entity)
+    val gone = graft.sources.Writers.gcVersions(s, s"$tmp/tbl", keepLast = 1)
+    val afterRows = graft.sources.Writers.readLatest(s, s"$tmp/tbl").count()
+    val onlineAfter = store.get("val", entity).isDefined
+    val nVersions = graft.sources.Writers.latestVersion(s, s"$tmp/tbl").size +
+      0L // latest exists; gc left exactly one dir
+    import s.implicits._
+    Seq((beforeRows, afterRows, gone.length.toLong + nVersions,
+      if (onlineBefore) 1L else 0L, if (onlineAfter) 1L else 0L))
+      .toDF("rows_before", "rows_after", "n_versions_touched",
+        "online_before", "online_after")
+  }
+
   // -------------------------- custom expressions on the SQL surface (T1)
 
   /** The registered custom Catalyst expressions called FROM SQL — adjacent-
@@ -3802,6 +3841,7 @@ object SparkEntry {
     "negative_sample"   -> (negativeSampleQ _),
     "mix_execute"       -> (mixExecuteQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
+    "forget_entity"     -> (forgetEntity _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "dedup_clusters"    -> (dedupClusters _),

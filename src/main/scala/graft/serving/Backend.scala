@@ -47,7 +47,19 @@ trait KvBackend {
   /** Full-table iteration (Redis SCAN role) — backs the serving-side vector
     * scan and index build. */
   def scan(feature: String): Iterator[(Any, Any)]
+  /** Point deletion (the right-to-erasure write). Default rides the
+    * append-only path as a [[KvTombstone]] record — last-write-wins
+    * resolution makes the key disappear from `get`/`scan`, and segment
+    * `compact` physically drops it; backends with native deletes
+    * override. */
+  def delete(feature: String, entity: Any): Unit =
+    putBatch(feature, Iterator(entity -> KvTombstone))
 }
+
+/** The deletion marker for append-only backends: a serializable case
+  * object, so ObjectInputStream's readResolve restores the singleton and
+  * identity checks survive the segment round trip. */
+case object KvTombstone extends Serializable
 
 /** A backend whose clients can be constructed executor-side: `clientFactory`
   * must be serializable and capture no JVM-local state (a connection string,
@@ -74,6 +86,8 @@ final class InProcessKv extends KvBackend {
     tables.get(feature).flatMap(_.get(entity))
   override def scan(feature: String): Iterator[(Any, Any)] =
     tables.get(feature).iterator.flatMap(_.iterator)
+  override def delete(feature: String, entity: Any): Unit =
+    tables.get(feature).foreach(_.remove(entity))
 }
 
 /** Hash-bucketed segment store on a filesystem path — the partition-backed
@@ -203,9 +217,11 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
 
   override def get(feature: String, entity: Any): Option[Any] =
     bucketMap(feature, bucketOf(entity)).get(entity)
+      .filter(_ != KvTombstone)
 
   override def scan(feature: String): Iterator[(Any, Any)] =
     Iterator.range(0, buckets).flatMap(b => bucketMap(feature, b).iterator)
+      .filter(_._2 != KvTombstone)
 
   override def clientFactory: () => KvBackend = {
     val r = rootDir

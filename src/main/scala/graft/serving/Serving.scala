@@ -111,6 +111,14 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
     }
   }
 
+  /** Right-to-erasure across the online tables: point-delete `entity`
+    * from each named feature — tombstoned on append-only backends
+    * ([[DiskKv]]; physically dropped at the next `compact`), removed
+    * directly where the backend supports it. The offline half is
+    * [[graft.sources.Writers.scrubLatest]] + `gcVersions`. */
+  def forget(entity: Any, features: Seq[String]): Unit =
+    features.foreach(f => backend.delete(f, entity))
+
   /** B3 batch feature serve (reference serving/serving.go:716-761): stream
     * one row per entity present in ANY of the named precomputed tables
     * (first-seen order across names, deduplicated), each row assembled

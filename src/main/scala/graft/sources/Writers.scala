@@ -161,6 +161,45 @@ object Writers {
     out
   }
 
+  /** Right-to-erasure for an immutable versioned table: write a NEW
+    * version WITHOUT the rows matching `where` (the versioned analogue of
+    * `DELETE WHERE`). Old versions still hold the data by design —
+    * [[gcVersions]] is the half that physically drops them; run both for
+    * an actual erasure obligation. Returns the new version dir. */
+  def scrubLatest(spark: SparkSession, baseDir: String,
+                  where: org.apache.spark.sql.Column): String =
+    writeVersioned(readLatest(spark, baseDir).where(!where), baseDir)
+
+  /** Version retention: physically delete all but the newest `keepLast`
+    * version dirs (plus the LATEST pointer's target, if a pointer exists
+    * and points older — a reader following the pointer must never 404).
+    * The deletion order is oldest-first, so a concurrent reader that
+    * already resolved a surviving dir is unaffected; one that resolved a
+    * dying dir races exactly as it would with any retention policy.
+    * Returns the deleted version names. */
+  def gcVersions(spark: SparkSession, baseDir: String,
+                 keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val p = new Path(baseDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val dirs = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+    val ptr = new Path(s"$baseDir/LATEST")
+    val pinned: Set[String] =
+      if (!fs.exists(ptr)) Set.empty
+      else {
+        val len = fs.getFileStatus(ptr).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(ptr)
+        try in.readFully(0, buf) finally in.close()
+        Set(new String(buf, "UTF-8").trim.split('/').last)
+      }
+    val doomed = dirs.dropRight(keepLast).filterNot(pinned)
+    doomed.foreach(d => fs.delete(new Path(s"$baseDir/$d"), true))
+    doomed
+  }
+
   /** S5: row-level change feed between two committed versions — the
     * version-dir analogue of Delta's `table_changes()` / Iceberg's
     * changelog scan (reference offline_store_spark_runner.py:385-407 reads

@@ -68,6 +68,30 @@ class BackendSpec extends SparkSpec {
     assert(new DiskKv(root, buckets = 8).scan("t").size == 3)
   }
 
+  test("delete: tombstone hides the key on DiskKv, survives compact and restart") {
+    val root = java.nio.file.Files.createTempDirectory("diskkv-d").toString
+    val kv = new DiskKv(root, buckets = 4)
+    kv.createTable("t")
+    kv.putBatch("t", Iterator(1L -> "a", 2L -> "b", 3L -> "c"))
+    kv.delete("t", 2L)
+    assert(kv.get("t", 2L).isEmpty)
+    assert(kv.scan("t").toMap == Map(1L -> "a", 3L -> "c"))
+    // the tombstone must keep masking after segment merge AND for a fresh
+    // client (a resurrected key would be a silent erasure violation)
+    kv.compact("t")
+    val fresh = new DiskKv(root, buckets = 4)
+    assert(fresh.get("t", 2L).isEmpty)
+    assert(fresh.scan("t").toMap == Map(1L -> "a", 3L -> "c"))
+    // re-insert after delete works (tombstone is just another version)
+    kv.putBatch("t", Iterator(2L -> "b2"))
+    assert(kv.get("t", 2L).contains("b2"))
+    // InProcessKv: native removal
+    val mem = new InProcessKv
+    mem.putBatch("t", Iterator(1L -> "x"))
+    mem.delete("t", 1L)
+    assert(mem.get("t", 1L).isEmpty && mem.scan("t").isEmpty)
+  }
+
   test("DiskKv compact: one segment per bucket, upsert history preserved") {
     val root = java.nio.file.Files.createTempDirectory("diskkv-c").toString
     val kv = new DiskKv(root, buckets = 4)
