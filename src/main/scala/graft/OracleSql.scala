@@ -1302,6 +1302,18 @@ object OracleSql {
          |  CAST(0 AS BIGINT) AS online_after
          |FROM ev""".stripMargin,
 
+    // date-partition pruning: same 3-day aggregate recomputed from the raw
+    // table (the Spark side reads only the pruned __date directories)
+    "date_pruned_scan" ->
+      s"""WITH $EV
+         |SELECT strftime(ts, '%Y-%m-%d') AS __date,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM ev
+         |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+         |GROUP BY 1""".stripMargin,
+
     // incremental dedup: exactly the full-corpus pair set restricted to
     // pairs touching the new batch (doc_id % 5 = 4) — reusing stored
     // signatures must not change any reported pair

@@ -1376,6 +1376,29 @@ object SparkEntry {
         "online_before", "online_after")
   }
 
+  /** Partition PRUNING under the gate: the event triples written through
+    * the DailyPartition layout (K5 — one `__date=` directory per day),
+    * read back with a date-range predicate. The range is a PARTITION
+    * filter: Spark prunes whole directories at planning time
+    * (`PartitionFilters` in the scan node — snapshot in PLANS.md,
+    * asserted in DatePruneSpec), so a 100 TB table scans 3 days, not 30.
+    * The oracle recomputes the same aggregate from the raw table. */
+  private def datePrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dp").toString
+    val v = graft.sources.Writers.writeVersioned(
+      events(s, dir).select(col("user_id"), col("value"), col("ts")),
+      s"$tmp/t", Some(graft.catalog.DailyPartition("ts")))
+    s.read.parquet(v)
+      .where(col("__date") >= "2024-01-10" && col("__date") <= "2024-01-12")
+      // partition-column type inference reads __date back as DATE; the
+      // output contract (and the oracle) use the directory string
+      .groupBy(col("__date").cast("string").as("__date"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+  }
+
   // -------------------------- custom expressions on the SQL surface (T1)
 
   /** The registered custom Catalyst expressions called FROM SQL — adjacent-
@@ -3842,6 +3865,7 @@ object SparkEntry {
     "mix_execute"       -> (mixExecuteQ _),
     "kafka_write_roundtrip" -> (kafkaWriteRoundtrip _),
     "forget_entity"     -> (forgetEntity _),
+    "date_pruned_scan"  -> (datePrunedScan _),
     "pii_scrub"         -> (piiScrub _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "dedup_clusters"    -> (dedupClusters _),

@@ -261,6 +261,25 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     streamRows(ex, it, q.get("limit").map(_.toInt))
   })
 
+  // right-to-erasure on the wire: point-delete an entity from the named
+  // online tables (the offline half — scrubLatest + gcVersions — is a
+  // batch job, not a serving call)
+  server.createContext("/forget", handler { ex =>
+    val q = query(ex)
+    val names = q.getOrElse("names",
+      throw new IllegalArgumentException("names required")).split(',').toSeq
+    val raw = q.getOrElse("entity",
+      throw new IllegalArgumentException("entity required"))
+    val entity: Any = q.get("entityType") match {
+      case Some("string") => raw
+      case Some("long") => raw.toLong
+      case _ => raw.toLongOption.getOrElse(raw)
+    }
+    store.forget(entity, names)
+    respond(ex, 200, s"""{"forgotten":${jsonVal(raw)},"features":${
+      names.map(jsonVal).mkString("[", ",", "]")}}""")
+  })
+
   server.createContext("/preview", handler { ex =>
     val q = query(ex)
     val name = q.getOrElse("name",

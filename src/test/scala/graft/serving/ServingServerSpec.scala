@@ -94,6 +94,14 @@ class ServingServerSpec extends SparkSpec {
       assert(get(s"$base/batch?names=clicks&limit=1")._2.trim
         .split('\n').length == 1)
       assert(get(s"$base/batch?entity=1")._1 == 400)
+
+      // right-to-erasure on the wire: forgotten entity reads null after
+      assert(get(s"$base/forget?names=clicks&entity=1")._1 == 200)
+      assert(get(s"$base/features?names=clicks&entity=1")._2
+        == """{"entity":"1","values":[null]}""")
+      assert(get(s"$base/features?names=clicks&entity=2")._2
+        == """{"entity":"2","values":[20]}""") // others untouched
+      assert(get(s"$base/forget?entity=1")._1 == 400)
     } finally srv.stop()
   }
 
