@@ -57,6 +57,16 @@ trait TableFormat {
     * inserted; commits one new version. */
   def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String): Unit
+
+  /** Retention maintenance: make versions older than the newest
+    * `keepLast` unreachable/physically reclaimed, binding-natively —
+    * version-dir deletion, Delta VACUUM, Iceberg expire_snapshots. After
+    * this, `readVersion` on an expired token may fail; `readLatest` and
+    * the newest `keepLast` tokens always survive. Paired with
+    * [[graft.sources.Writers.scrubLatest]] this is the offline
+    * right-to-erasure contract across every binding. */
+  def expireVersions(spark: SparkSession, table: String,
+                     keepLast: Int): Unit
 }
 
 object TableFormat {
@@ -139,6 +149,10 @@ object VersionDirFormat extends TableFormat {
     Writers.versionDiff(spark, s"$table/$fromVersion", s"$table/$toVersion",
       keyCol)
 
+  def expireVersions(spark: SparkSession, table: String,
+                     keepLast: Int): Unit =
+    Writers.gcVersions(spark, table, keepLast)
+
   def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String): Unit = {
     val cur = readLatest(spark, table)
@@ -191,6 +205,8 @@ object DeltaFormat extends TableFormat {
        |ON t.`$keyCol` = s.`$keyCol`
        |WHEN MATCHED THEN UPDATE SET *
        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+  private[sources] def vacuumSql(table: String, retainHours: Long): String =
+    s"VACUUM ${ident(table)} RETAIN $retainHours HOURS"
 
   def write(spark: SparkSession, df: DataFrame, table: String,
             partition: Option[PartitionHint]): String = {
@@ -258,6 +274,25 @@ object DeltaFormat extends TableFormat {
     updates.createOrReplaceTempView(src)
     try spark.sql(mergeSql(table, keyCol, src))
     finally spark.catalog.dropTempView(src)
+  }
+
+  /** Delta retention is TIME-based (VACUUM RETAIN n HOURS over the
+    * transaction log), not count-based: compute the retention horizon
+    * from the (keepLast)-th-newest commit's timestamp so at least the
+    * newest `keepLast` versions survive, then VACUUM to that horizon.
+    * (Log entries themselves expire via delta.logRetentionDuration.) */
+  def expireVersions(spark: SparkSession, table: String,
+                     keepLast: Int): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val commits = spark.sql(historySql(table))
+      .select(col("version").cast("long"), col("timestamp").cast("long"))
+      .orderBy(col("version").desc).limit(keepLast)
+      .collect()
+    val horizonMs = commits.lastOption
+      .map(_.getLong(1) * 1000L).getOrElse(0L)
+    val hours = math.max(0L,
+      (System.currentTimeMillis() - horizonMs) / 3600000L)
+    spark.sql(vacuumSql(table, hours))
   }
 }
 
@@ -354,5 +389,22 @@ final class IcebergFormat(catalog: String) extends TableFormat {
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     finally spark.catalog.dropTempView(src)
+  }
+
+  /** Iceberg maps count-based retention natively: `expire_snapshots`
+    * with `retain_last` (older_than pushed to "now" so the count bound,
+    * not the default 5-day age bound, decides). */
+  def expireVersions(spark: SparkSession, table: String,
+                     keepLast: Int): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val tbl = ident(table).split('.').drop(1).mkString(".")
+    val now = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+    spark.sql(
+      s"""CALL $catalog.system.expire_snapshots(
+         |  table => '$tbl',
+         |  older_than => TIMESTAMP '$now',
+         |  retain_last => $keepLast)""".stripMargin)
   }
 }

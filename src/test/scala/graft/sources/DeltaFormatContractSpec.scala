@@ -23,6 +23,8 @@ class DeltaFormatContractSpec extends SparkSpec {
         |ON t.`k` = s.`k`
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(DeltaFormat.vacuumSql("/data/t", 48L) ==
+      "VACUUM delta.`/data/t` RETAIN 48 HOURS")
   }
 
   test("change-feed options: exclusive start (+1), inclusive end") {
