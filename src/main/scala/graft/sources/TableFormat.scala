@@ -62,11 +62,17 @@ trait TableFormat {
     * `keepLast` unreachable/physically reclaimed, binding-natively —
     * version-dir deletion, Delta VACUUM, Iceberg expire_snapshots. After
     * this, `readVersion` on an expired token may fail; `readLatest` and
-    * the newest `keepLast` tokens always survive. Paired with
-    * [[graft.sources.Writers.scrubLatest]] this is the offline
-    * right-to-erasure contract across every binding. */
+    * the newest `keepLast` tokens always survive. */
   def expireVersions(spark: SparkSession, table: String,
                      keepLast: Int): Unit
+
+  /** Row deletion by SQL predicate — the offline right-to-erasure write,
+    * binding-natively: `DELETE FROM` where the format supports it,
+    * filter-into-a-new-version on the version-dir scheme. The deleted
+    * rows remain in HISTORY until [[expireVersions]] reclaims it; run
+    * both for an erasure obligation. */
+  def deleteWhere(spark: SparkSession, table: String,
+                  condition: String): Unit
 }
 
 object TableFormat {
@@ -153,6 +159,10 @@ object VersionDirFormat extends TableFormat {
                      keepLast: Int): Unit =
     Writers.gcVersions(spark, table, keepLast)
 
+  def deleteWhere(spark: SparkSession, table: String,
+                  condition: String): Unit =
+    Writers.scrubLatest(spark, table, expr(condition))
+
   def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String): Unit = {
     val cur = readLatest(spark, table)
@@ -207,6 +217,8 @@ object DeltaFormat extends TableFormat {
        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
   private[sources] def vacuumSql(table: String, retainHours: Long): String =
     s"VACUUM ${ident(table)} RETAIN $retainHours HOURS"
+  private[sources] def deleteSql(table: String, condition: String): String =
+    s"DELETE FROM ${ident(table)} WHERE $condition"
 
   def write(spark: SparkSession, df: DataFrame, table: String,
             partition: Option[PartitionHint]): String = {
@@ -275,6 +287,10 @@ object DeltaFormat extends TableFormat {
     try spark.sql(mergeSql(table, keyCol, src))
     finally spark.catalog.dropTempView(src)
   }
+
+  def deleteWhere(spark: SparkSession, table: String,
+                  condition: String): Unit =
+    spark.sql(deleteSql(table, condition))
 
   /** Delta retention is TIME-based (VACUUM RETAIN n HOURS over the
     * transaction log), not count-based: compute the retention horizon
@@ -390,6 +406,10 @@ final class IcebergFormat(catalog: String) extends TableFormat {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     finally spark.catalog.dropTempView(src)
   }
+
+  def deleteWhere(spark: SparkSession, table: String,
+                  condition: String): Unit =
+    spark.sql(s"DELETE FROM ${ident(table)} WHERE $condition")
 
   /** Iceberg maps count-based retention natively: `expire_snapshots`
     * with `retain_last` (older_than pushed to "now" so the count bound,

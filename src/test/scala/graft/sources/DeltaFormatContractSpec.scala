@@ -25,6 +25,12 @@ class DeltaFormatContractSpec extends SparkSpec {
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(DeltaFormat.vacuumSql("/data/t", 48L) ==
       "VACUUM delta.`/data/t` RETAIN 48 HOURS")
+    assert(DeltaFormat.deleteSql("/data/t", "k = 7") ==
+      "DELETE FROM delta.`/data/t` WHERE k = 7")
+    // DELETE is core grammar: validity checkable without the jar
+    val dp = spark.sessionState.sqlParser.parsePlan(
+      DeltaFormat.deleteSql("/tmp/x", "id = 1")).toString
+    assert(dp.toLowerCase.contains("delete"))
   }
 
   test("change-feed options: exclusive start (+1), inclusive end") {

@@ -58,6 +58,21 @@ class TableFormatSpec extends SparkSpec {
       assert(fmt.versions(spark, dir).size == before + 1)
     }
 
+    test(s"[${fmt.name}] deleteWhere removes matching rows as new table state") {
+      val dir = freshDir(fmt.name)
+      fmt.write(spark,
+        Seq((1L, "keep"), (7L, "gone"), (2L, "keep2"), (7L, "also"))
+          .toDF("k", "s"), dir)
+      val before = fmt.versions(spark, dir).size
+      fmt.deleteWhere(spark, dir, "k = 7")
+      assert(fmt.readLatest(spark, dir).as[(Long, String)].collect().toSet ==
+        Set((1L, "keep"), (2L, "keep2")))
+      // history grows (versioned delete), prior version still holds the rows
+      assert(fmt.versions(spark, dir).size == before + 1)
+      assert(fmt.readVersion(spark, dir, fmt.versions(spark, dir).head)
+        .where("k = 7").count() == 2)
+    }
+
     test(s"[${fmt.name}] expireVersions retains the newest N; latest survives") {
       val dir = freshDir(fmt.name)
       fmt.write(spark, Seq((1L, "v1")).toDF("k", "s"), dir)
