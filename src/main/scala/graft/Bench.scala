@@ -102,8 +102,30 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""timing":"min_of_$reps","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The full line above runs ~8 KB at 244 queries, but the driver keeps
+    // only the LAST ~2000 chars of output — every BENCH_rN.json through r7
+    // recorded "parsed": null because the line was truncated mid-JSON. So:
+    // (a) persist the full JSON to a file named in the compact line, and
+    // (b) end stdout with a SHORT self-contained JSON line (same
+    // metric/value contract, top-12 slowest queries only) that fits any
+    // tail buffer. A reader that takes the last JSON-ish line gets a
+    // parseable record; one that reads full stdout still sees the
+    // complete map first.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_full.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullPath), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write: $e") }
+    val top = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""timing":"min_of_$reps","queries":$qs,"sf":"$sfDir"}""")
+      s""""timing":"min_of_$reps","n_queries":${results.size},""" +
+      s""""queries":$top,"queries_truncated_to_top":12,""" +
+      s""""full_json":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

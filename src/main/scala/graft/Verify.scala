@@ -63,7 +63,13 @@ object Verify {
     // Record which queries this run SELECTED, so the oracle compare can
     // distinguish "intentionally-subset run" from "query crashed and left no
     // dump" — a missing dump for a selected query must fail the gate.
-    Files.writeString(Paths.get(s"$outDir/queries_run.json"),
+    // Written BESIDE outDir, not inside it: the driver's compare walks the
+    // dump dir, and round 7's empty CORRECTNESS artifact coincided exactly
+    // with this manifest first appearing inside it — keep the dump dir's
+    // contents limited to result dirs + oracle_sql.json (the r1-r6 shape
+    // the driver demonstrably handles).
+    Files.writeString(
+      Paths.get(s"${outDir.stripSuffix("/")}.queries_run.json"),
       selected.map(s => q(s._1)).sorted.mkString("[", ",", "]"))
     spark.stop()
   }

@@ -250,8 +250,17 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
             .asScala.map(_.getFileName.toString).toList.sorted
           finally s.close()
         }
-        if (segs.length > 1) {
-          val merged = bucketMap(feature, b)
+        // Tombstones are dropped PHYSICALLY during the merge — safe
+        // because compact folds every segment in the bucket, so no older
+        // segment survives to resurrect the key. This is the erasure
+        // story's second half: after compact, the deleted entity's
+        // identifier no longer exists anywhere in the bucket's bytes
+        // (asserted in BackendSpec). A single-segment bucket is also
+        // rewritten when it still carries a tombstone record.
+        lazy val hasTombstone =
+          bucketMap(feature, b).exists(_._2 == KvTombstone)
+        if (segs.length > 1 || (segs.length == 1 && hasTombstone)) {
+          val merged = bucketMap(feature, b).filter(_._2 != KvTombstone)
           val seg = dir.resolve(f"seg-${DiskKv.nextSegTime()}%019d-" +
             java.util.UUID.randomUUID().toString)
           val out = new ObjectOutputStream(new BufferedOutputStream(

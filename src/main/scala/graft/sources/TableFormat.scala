@@ -296,7 +296,18 @@ object DeltaFormat extends TableFormat {
     * transaction log), not count-based: compute the retention horizon
     * from the (keepLast)-th-newest commit's timestamp so at least the
     * newest `keepLast` versions survive, then VACUUM to that horizon.
-    * (Log entries themselves expire via delta.logRetentionDuration.) */
+    * (Log entries themselves expire via delta.logRetentionDuration.)
+    *
+    * Two safety rules, both pinned by DeltaFormatContractSpec:
+    *  - hours are CEILED, never floored — flooring a <1h-old horizon to
+    *    `RETAIN 0 HOURS` would reclaim every file outside the latest
+    *    snapshot, destroying exactly the versions the contract keeps;
+    *  - the retain value never drops below Delta's 168h default minimum
+    *    unless the operator opts in with `spark.graft.deltaVacuumUnsafe=
+    *    true` (Delta's retentionDurationCheck otherwise throws on a real
+    *    cluster; with the opt-in we scope the check override to this one
+    *    statement instead of leaking it session-wide). Keeping MORE hours
+    *    than asked only errs on the side of retaining history. */
   def expireVersions(spark: SparkSession, table: String,
                      keepLast: Int): Unit = {
     require(keepLast >= 1, "keepLast must be >= 1")
@@ -306,9 +317,34 @@ object DeltaFormat extends TableFormat {
       .collect()
     val horizonMs = commits.lastOption
       .map(_.getLong(1) * 1000L).getOrElse(0L)
-    val hours = math.max(0L,
-      (System.currentTimeMillis() - horizonMs) / 3600000L)
-    spark.sql(vacuumSql(table, hours))
+    val unsafe = spark.conf
+      .getOption("spark.graft.deltaVacuumUnsafe").contains("true")
+    val hours =
+      retainHours(System.currentTimeMillis(), horizonMs, allowUnsafe = unsafe)
+    if (unsafe && hours < DeltaMinRetainHours) {
+      val checkKey = "spark.databricks.delta.retentionDurationCheck.enabled"
+      val prior = spark.conf.getOption(checkKey)
+      spark.conf.set(checkKey, "false")
+      try spark.sql(vacuumSql(table, hours))
+      finally prior match {
+        case Some(v) => spark.conf.set(checkKey, v)
+        case None => spark.conf.unset(checkKey)
+      }
+    } else spark.sql(vacuumSql(table, hours))
+  }
+
+  /** Delta's default minimum VACUUM retention (deletedFileRetentionDuration
+    * / retentionDurationCheck floor): 7 days. */
+  private[sources] val DeltaMinRetainHours = 168L
+
+  /** Pure horizon→hours rule (contract-pinned): elapsed time CEILED to
+    * whole hours, floored at [[DeltaMinRetainHours]] unless explicitly
+    * opted out. */
+  private[sources] def retainHours(nowMs: Long, horizonMs: Long,
+                                   allowUnsafe: Boolean): Long = {
+    val elapsed = math.max(0L, nowMs - horizonMs)
+    val ceiled = (elapsed + 3599999L) / 3600000L
+    if (allowUnsafe) ceiled else math.max(ceiled, DeltaMinRetainHours)
   }
 }
 
@@ -380,12 +416,7 @@ final class IcebergFormat(catalog: String) extends TableFormat {
     else {
       val view = s"__graft_changes_${math.abs(table.hashCode).toString}"
       val tbl = ident(table).split('.').drop(1).mkString(".") // strip catalog
-      spark.sql(
-        s"""CALL $catalog.system.create_changelog_view(
-           |  table => '$tbl',
-           |  options => map('start-snapshot-id', '$fromVersion',
-           |                 'end-snapshot-id', '$toVersion'),
-           |  changelog_view => '$view')""".stripMargin)
+      spark.sql(changelogViewSql(tbl, fromVersion, toVersion, view))
       spark.table(view)
         .where(col("_change_type") =!= "UPDATE_BEFORE")
         .withColumn("change_type",
@@ -399,17 +430,37 @@ final class IcebergFormat(catalog: String) extends TableFormat {
                   keyCol: String): Unit = {
     val src = s"__graft_merge_src_${System.nanoTime()}"
     updates.createOrReplaceTempView(src)
-    try spark.sql(
-      s"""MERGE INTO ${ident(table)} t USING $src s
-         |ON t.`$keyCol` = s.`$keyCol`
-         |WHEN MATCHED THEN UPDATE SET *
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    try spark.sql(mergeSql(table, keyCol, src))
     finally spark.catalog.dropTempView(src)
   }
 
   def deleteWhere(spark: SparkSession, table: String,
                   condition: String): Unit =
-    spark.sql(s"DELETE FROM ${ident(table)} WHERE $condition")
+    spark.sql(deleteSql(table, condition))
+
+  // The statement surface, exposed as pure functions so
+  // IcebergFormatContractSpec can pin exactly what an Iceberg-enabled
+  // cluster will execute (argument order, identifier quoting, the
+  // changelog option keys) even where no jar exists to execute it —
+  // same convention as DeltaFormat's.
+  private[sources] def mergeSql(table: String, keyCol: String,
+                                srcView: String): String =
+    s"""MERGE INTO ${ident(table)} t USING $srcView s
+       |ON t.`$keyCol` = s.`$keyCol`
+       |WHEN MATCHED THEN UPDATE SET *
+       |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+
+  private[sources] def deleteSql(table: String, condition: String): String =
+    s"DELETE FROM ${ident(table)} WHERE $condition"
+
+  private[sources] def changelogViewSql(tbl: String, fromVersion: String,
+                                        toVersion: String,
+                                        view: String): String =
+    s"""CALL $catalog.system.create_changelog_view(
+       |  table => '$tbl',
+       |  options => map('start-snapshot-id', '$fromVersion',
+       |                 'end-snapshot-id', '$toVersion'),
+       |  changelog_view => '$view')""".stripMargin
 
   /** Iceberg maps count-based retention natively: `expire_snapshots`
     * with `retain_last` (older_than pushed to "now" so the count bound,
@@ -418,13 +469,21 @@ final class IcebergFormat(catalog: String) extends TableFormat {
                      keepLast: Int): Unit = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val tbl = ident(table).split('.').drop(1).mkString(".")
+    // Zone-suffixed literal: a bare TIMESTAMP 'yyyy-MM-dd HH:mm:ss' parses
+    // in the SESSION timezone, so in a UTC+X session the horizon would
+    // land X hours in the past and snapshots newer than that would never
+    // expire regardless of retain_last. The '+00:00' offset makes the
+    // horizon timezone-independent.
     val now = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
       .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
-    spark.sql(
-      s"""CALL $catalog.system.expire_snapshots(
-         |  table => '$tbl',
-         |  older_than => TIMESTAMP '$now',
-         |  retain_last => $keepLast)""".stripMargin)
+    spark.sql(expireSnapshotsSql(tbl, now, keepLast))
   }
+
+  private[sources] def expireSnapshotsSql(tbl: String, nowUtc: String,
+                                          keepLast: Int): String =
+    s"""CALL $catalog.system.expire_snapshots(
+       |  table => '$tbl',
+       |  older_than => TIMESTAMP '$nowUtc+00:00',
+       |  retain_last => $keepLast)""".stripMargin
 }

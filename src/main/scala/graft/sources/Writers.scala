@@ -151,24 +151,45 @@ object Writers {
     * temp-table + swap, provider/sql.go:2011-2031). */
   def atomicReplace(spark: SparkSession, df: DataFrame, baseDir: String): String = {
     val out = writeVersioned(df, baseDir)
+    flipPointer(spark, baseDir, out)
+    out
+  }
+
+  private def flipPointer(spark: SparkSession, baseDir: String,
+                          target: String): Unit = {
     val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$baseDir/.LATEST.tmp")
     val ptr = new Path(s"$baseDir/LATEST")
     val os = fs.create(tmp, true)
-    os.write(out.getBytes("UTF-8")); os.close()
+    os.write(target.getBytes("UTF-8")); os.close()
     fs.delete(ptr, false)
     fs.rename(tmp, ptr)
-    out
   }
 
   /** Right-to-erasure for an immutable versioned table: write a NEW
     * version WITHOUT the rows matching `where` (the versioned analogue of
     * `DELETE WHERE`). Old versions still hold the data by design —
     * [[gcVersions]] is the half that physically drops them; run both for
-    * an actual erasure obligation. Returns the new version dir. */
+    * an actual erasure obligation. Returns the new version dir.
+    *
+    * SQL DELETE semantics: only rows where the predicate is TRUE are
+    * removed — a NULL predicate KEEPS the row (matching the Delta/Iceberg
+    * `DELETE FROM ... WHERE` bindings; a bare `!where` would drop
+    * NULL-predicate rows because NOT NULL filters as non-true).
+    *
+    * If the table is pointer-managed (a LATEST file from [[atomicReplace]]
+    * exists), the pointer is flipped to the scrubbed version too —
+    * otherwise pointer-following readers keep serving the unscrubbed
+    * version and [[gcVersions]] pins it past retention. */
   def scrubLatest(spark: SparkSession, baseDir: String,
-                  where: org.apache.spark.sql.Column): String =
-    writeVersioned(readLatest(spark, baseDir).where(!where), baseDir)
+                  where: org.apache.spark.sql.Column): String = {
+    val out = writeVersioned(
+      readLatest(spark, baseDir).where(!coalesce(where, lit(false))), baseDir)
+    val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$baseDir/LATEST")))
+      flipPointer(spark, baseDir, out)
+    out
+  }
 
   /** Version retention: physically delete all but the newest `keepLast`
     * version dirs (plus the LATEST pointer's target, if a pointer exists

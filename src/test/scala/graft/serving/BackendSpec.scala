@@ -92,6 +92,35 @@ class BackendSpec extends SparkSpec {
     assert(mem.get("t", 1L).isEmpty && mem.scan("t").isEmpty)
   }
 
+  test("compact physically erases tombstoned keys from segment bytes") {
+    val root = java.nio.file.Files.createTempDirectory("diskkv-e").toString
+    val kv = new DiskKv(root, buckets = 2)
+    kv.createTable("t")
+    kv.putBatch("t", Iterator("kept_entity" -> "a", "erased_entity" -> "b"))
+    kv.delete("t", "erased_entity")
+    def segBytes: String = {
+      val sb = new StringBuilder
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          sb.append(new String(java.nio.file.Files.readAllBytes(p), "ISO-8859-1"))
+      }
+      sb.toString
+    }
+    // pre-compact the identifier is still on disk (tombstone is a record)
+    assert(segBytes.contains("erased_entity"))
+    kv.compact("t")
+    // post-compact the key is GONE from every byte of every segment —
+    // the physical half of right-to-erasure, not just read masking
+    assert(!segBytes.contains("erased_entity"))
+    assert(segBytes.contains("kept_entity"))
+    // reads unchanged, fresh client agrees, re-insert still works
+    assert(kv.get("t", "erased_entity").isEmpty)
+    assert(new DiskKv(root, buckets = 2).scan("t").toMap ==
+      Map("kept_entity" -> "a"))
+    kv.putBatch("t", Iterator("erased_entity" -> "b2"))
+    assert(kv.get("t", "erased_entity").contains("b2"))
+  }
+
   test("DiskKv compact: one segment per bucket, upsert history preserved") {
     val root = java.nio.file.Files.createTempDirectory("diskkv-c").toString
     val kv = new DiskKv(root, buckets = 4)

@@ -33,6 +33,23 @@ class DeltaFormatContractSpec extends SparkSpec {
     assert(dp.toLowerCase.contains("delete"))
   }
 
+  test("VACUUM retention: hours ceiled, 168h floor unless unsafe opt-in") {
+    val H = 3600000L
+    // flooring hazard: horizon <1h old must NOT become RETAIN 0 HOURS —
+    // that would reclaim every file outside the latest snapshot
+    assert(DeltaFormat.retainHours(nowMs = 10L * 60 * 1000, horizonMs = 0,
+      allowUnsafe = true) == 1L)
+    // exact-hour boundary does not over-ceil
+    assert(DeltaFormat.retainHours(5 * H, 0, allowUnsafe = true) == 5L)
+    assert(DeltaFormat.retainHours(5 * H + 1, 0, allowUnsafe = true) == 6L)
+    // clock skew (horizon in the future) clamps to the minimum, not negative
+    assert(DeltaFormat.retainHours(0, 5 * H, allowUnsafe = true) == 0L)
+    // default path: never below Delta's 168h retentionDurationCheck floor
+    assert(DeltaFormat.retainHours(10L * 60 * 1000, 0,
+      allowUnsafe = false) == 168L)
+    assert(DeltaFormat.retainHours(200 * H, 0, allowUnsafe = false) == 200L)
+  }
+
   test("change-feed options: exclusive start (+1), inclusive end") {
     assert(DeltaFormat.changeFeedOptions("3", "7") == Map(
       "readChangeFeed" -> "true",

@@ -26,6 +26,38 @@ class ErasureSpec extends SparkSpec {
     assert(versionDirs(base).size == 2) // the old copy still exists...
   }
 
+  test("scrubLatest keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scrubn").toString
+    Writers.writeVersioned(
+      Seq((1L, Some("keep")), (2L, None), (3L, Some("gone")))
+        .toDF("k", "s"), base)
+    Thread.sleep(5)
+    Writers.scrubLatest(spark, base, col("s") === "gone")
+    // row 2's predicate is NULL -> kept, exactly like DELETE FROM .. WHERE
+    // on the Delta/Iceberg bindings
+    assert(Writers.readLatest(spark, base).as[(Long, Option[String])]
+      .collect().toSet == Set((1L, Some("keep")), (2L, None)))
+  }
+
+  test("scrubLatest flips the LATEST pointer on pointer-managed tables") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scrubp").toString
+    Writers.atomicReplace(spark,
+      Seq((1L, "a"), (7L, "gone")).toDF("k", "s"), base)
+    Thread.sleep(5)
+    val v2 = Writers.scrubLatest(spark, base, col("k") === 7L)
+    // the pointer now names the scrubbed version — a pointer-following
+    // reader no longer sees the erased rows...
+    val ptr = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/LATEST")).trim
+    assert(ptr == v2)
+    // ...and gcVersions pins the SCRUBBED version, so the unscrubbed copy
+    // is reclaimable (the erasure pair completes on pointer tables too)
+    val gone = Writers.gcVersions(spark, base, keepLast = 1)
+    assert(gone.size == 1 && versionDirs(base) == Seq(v2.split('/').last))
+    assert(Writers.readLatest(spark, base).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+  }
+
   test("gcVersions keeps the newest N and the LATEST pointer target") {
     val base = java.nio.file.Files.createTempDirectory("graft_gc").toString
     val v1 = Writers.writeVersioned(Seq((1L, "v1")).toDF("k", "s"), base)

@@ -73,6 +73,20 @@ class TableFormatSpec extends SparkSpec {
         .where("k = 7").count() == 2)
     }
 
+    test(s"[${fmt.name}] deleteWhere: NULL predicate keeps the row (SQL DELETE)") {
+      // SQL DELETE removes rows where the predicate is TRUE; a NULL
+      // predicate (here: s = 'gone' with NULL s) KEEPS the row. The three
+      // bindings must agree — a naive filter-negation would drop NULLs
+      // only on versiondir.
+      val dir = freshDir(fmt.name)
+      fmt.write(spark,
+        Seq((1L, Some("keep")), (2L, None), (3L, Some("gone")))
+          .toDF("k", "s"), dir)
+      fmt.deleteWhere(spark, dir, "s = 'gone'")
+      assert(fmt.readLatest(spark, dir).as[(Long, Option[String])]
+        .collect().toSet == Set((1L, Some("keep")), (2L, None)))
+    }
+
     test(s"[${fmt.name}] expireVersions retains the newest N; latest survives") {
       val dir = freshDir(fmt.name)
       fmt.write(spark, Seq((1L, "v1")).toDF("k", "s"), dir)
