@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
   * backend — point lookups (/features), ANN (/nearest), and the B3 bulk
   * stream (/batch). Reports throughput and p50/p99 latencies per
   * endpoint; the online-serving SLO evidence beside the offline bench.
-  * Writes BENCH_serving_r7.json. */
+  *
+  * Latency numbers come FROM the server's own `/metrics` histograms
+  * (prometheus scrape — the numbers an operator would alert on), with the
+  * client-observed quantiles reported beside them as a cross-check;
+  * throughput is client wall-clock (only the client knows when the last
+  * response landed). Writes BENCH_serving_r8.json. */
 object ServingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -87,26 +92,66 @@ object ServingBench {
         (0 until 200).foreach(i =>
           get(s"$base/features?names=latest_value&entity=${i % nEntities}"))
         get(s"$base/nearest?feature=emb&k=10&q=$qStr")
-        (loadTest("features",
+        val r = (loadTest("features",
           i => s"$base/features?names=latest_value&entity=${i % nEntities}",
           nReq),
           loadTest("nearest",
             i => s"$base/nearest?feature=emb&k=10&q=$qStr",
             math.max(nReq / 4, 100)),
           loadTest("batch", _ => s"$base/batch?names=latest_value", 8))
+        // server-side truth: the /metrics scrape (what an operator alerts
+        // on); also sanity-pins the exposition format end-to-end
+        val scrape = {
+          val conn = URI.create(s"$base/metrics").toURL.openConnection()
+            .asInstanceOf[HttpURLConnection]
+          val text = new String(conn.getInputStream.readAllBytes, "UTF-8")
+          conn.disconnect()
+          require(text.contains("graft_request_latency_ms_bucket"),
+            "metrics scrape missing histograms")
+          text
+        }
+        def scraped(path: String, metric: String): Long =
+          scrape.linesIterator
+            .find(_.startsWith(s"""$metric{path="$path"}"""))
+            .map(_.split(' ').last.toDouble.toLong).getOrElse(-1L)
+        System.err.println(s"[serve] /metrics scrape: " +
+          s"""features count=${scraped("/features", "graft_requests_total")} """ +
+          s"""errors=${scraped("/features", "graft_request_errors_total")}""")
+        ((r._1, srv.metrics.quantileMs("/features", 0.5),
+          srv.metrics.quantileMs("/features", 0.99),
+          scraped("/features", "graft_request_errors_total"),
+          scraped("/features", "graft_requests_total")),
+          (r._2, srv.metrics.quantileMs("/nearest", 0.5),
+            srv.metrics.quantileMs("/nearest", 0.99),
+            scraped("/nearest", "graft_request_errors_total"),
+            scraped("/nearest", "graft_requests_total")),
+          (r._3, srv.metrics.quantileMs("/batch", 0.5),
+            srv.metrics.quantileMs("/batch", 0.99),
+            scraped("/batch", "graft_request_errors_total"),
+            scraped("/batch", "graft_requests_total")))
       } finally srv.stop()
+    def block(name: String,
+              x: ((Double, Double, Double, Long), Double, Double, Long, Long)): String = {
+      val (client, p50Srv, p99Srv, errSrv, nSrv) = x
+      f""""$name":{"rps":${client._1}%.2f,"p50_ms":$p50Srv%.2f,""" +
+        f""""p99_ms":$p99Srv%.2f,"errors":$errSrv,"served":$nSrv,""" +
+        f""""client_p50_ms":${client._2}%.2f,"client_p99_ms":${client._3}%.2f,""" +
+        f""""client_errors":${client._4}}"""
+    }
     val json =
       s"""{"metric":"serving_load","clients":$nClients,""" +
-        s""""entities":$nEntities,""" +
-        f""""features":{"rps":${feat._1}%.0f,"p50_ms":${feat._2}%.2f,"p99_ms":${feat._3}%.2f,"errors":${feat._4}},""" +
-        f""""nearest":{"rps":${near._1}%.0f,"p50_ms":${near._2}%.2f,"p99_ms":${near._3}%.2f,"errors":${near._4}},""" +
-        f""""batch_full_scans":{"rps":${batch._1}%.2f,"p50_ms":${batch._2}%.2f,"p99_ms":${batch._3}%.2f,"errors":${batch._4}},""" +
+        s""""entities":$nEntities,"latency_source":"/metrics histogram",""" +
+        block("features", feat) + "," +
+        block("nearest", near) + "," +
+        block("batch_full_scans", batch) + "," +
         s""""sf_dir":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_serving_r7.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_serving_r8.json"), json + "\n")
     spark.stop()
-    if (feat._4 + near._4 + batch._4 > 0) {
+    val errs = feat._1._4 + near._1._4 + batch._1._4 + // client-observed
+      math.max(0L, feat._4) + math.max(0L, near._4) + math.max(0L, batch._4)
+    if (errs > 0) {
       System.err.println("[serve] ASSERTION FAILED: request errors under load")
       sys.exit(1)
     }

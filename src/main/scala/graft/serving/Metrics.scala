@@ -1,0 +1,115 @@
+package graft.serving
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+/** Process-local serving metrics — the reference's prometheus surface
+  * (metrics/metrics.go:16-45: per-feature request counters, error counters
+  * and latency histograms via promauto) re-expressed dependency-free:
+  * striped [[LongAdder]]s + fixed-bucket histograms per route, rendered in
+  * the prometheus text exposition format (format version 0.0.4, a public
+  * spec). One instance per [[ServingServer]]; `/metrics` scrapes it, and
+  * `graft.ServingBench` reads its load numbers FROM the endpoint instead
+  * of trusting client-side timers only.
+  *
+  * Recording is wait-free (LongAdder per cell); rendering takes a
+  * point-in-time sum per cell, which is the prometheus scrape contract
+  * (counters are monotone, gauges are instantaneous — we export only
+  * counters and cumulative histograms, so a torn read across cells can
+  * only lag, never double-count). */
+final class Metrics {
+
+  /** Histogram bucket upper bounds in milliseconds (`le=` labels); a +Inf
+    * bucket is implicit. Spans the 0.1 ms point-lookup floor to multi-
+    * second full-store `/batch` scans. */
+  val bucketsMs: Array[Double] =
+    Array(0.25, 0.5, 1, 2.5, 5, 10, 25, 50, 100, 250, 1000, 5000)
+
+  final class RouteStats {
+    val requests = new LongAdder
+    val errors = new LongAdder
+    val latencySumNs = new LongAdder
+    /** Per-bucket (NON-cumulative) counts; cumulated at render time. */
+    val bucket: Array[LongAdder] = Array.fill(bucketsMs.length + 1)(new LongAdder)
+
+    def observe(elapsedNs: Long, error: Boolean): Unit = {
+      requests.increment()
+      if (error) errors.increment()
+      latencySumNs.add(elapsedNs)
+      val ms = elapsedNs / 1e6
+      var i = 0
+      while (i < bucketsMs.length && ms > bucketsMs(i)) i += 1
+      bucket(i).increment()
+    }
+  }
+
+  private val routes = new ConcurrentHashMap[String, RouteStats]()
+
+  def observe(route: String, elapsedNs: Long, error: Boolean): Unit =
+    routes.computeIfAbsent(route, _ => new RouteStats)
+      .observe(elapsedNs, error)
+
+  def stats(route: String): Option[RouteStats] = Option(routes.get(route))
+
+  /** Quantile estimate from the histogram (linear interpolation within the
+    * containing bucket — the same estimate `histogram_quantile` computes
+    * server-side in prometheus). Returns milliseconds. */
+  def quantileMs(route: String, q: Double): Double =
+    stats(route).map { s =>
+      val counts = s.bucket.map(_.sum())
+      val total = counts.sum
+      if (total == 0) 0.0
+      else {
+        val target = q * total
+        var cum = 0L
+        var i = 0
+        while (i < counts.length && cum + counts(i) < target) {
+          cum += counts(i); i += 1
+        }
+        if (i >= bucketsMs.length) bucketsMs.last // +Inf bucket: clamp
+        else {
+          val lo = if (i == 0) 0.0 else bucketsMs(i - 1)
+          val hi = bucketsMs(i)
+          val inBucket = counts(i)
+          if (inBucket == 0) hi
+          else lo + (hi - lo) * ((target - cum) / inBucket)
+        }
+      }
+    }.getOrElse(0.0)
+
+  /** Prometheus text exposition (0.0.4): counters + cumulative-bucket
+    * histograms, deterministically ordered. */
+  def render(): String = {
+    import scala.jdk.CollectionConverters._
+    val b = new StringBuilder
+    val sorted = routes.asScala.toSeq.sortBy(_._1)
+    def lbl(route: String) = s"""{path="${route.replace("\"", "\\\"")}"}"""
+    b.append("# TYPE graft_requests_total counter\n")
+    sorted.foreach { case (p, s) =>
+      b.append(s"graft_requests_total${lbl(p)} ${s.requests.sum()}\n")
+    }
+    b.append("# TYPE graft_request_errors_total counter\n")
+    sorted.foreach { case (p, s) =>
+      b.append(s"graft_request_errors_total${lbl(p)} ${s.errors.sum()}\n")
+    }
+    b.append("# TYPE graft_request_latency_ms histogram\n")
+    sorted.foreach { case (p, s) =>
+      var cum = 0L
+      var i = 0
+      while (i < bucketsMs.length) {
+        cum += s.bucket(i).sum()
+        val le = if (bucketsMs(i) == bucketsMs(i).toLong)
+          bucketsMs(i).toLong.toString else bucketsMs(i).toString
+        b.append(s"""graft_request_latency_ms_bucket{path="$p",le="$le"} $cum""")
+          .append('\n')
+        i += 1
+      }
+      cum += s.bucket(bucketsMs.length).sum()
+      b.append(s"""graft_request_latency_ms_bucket{path="$p",le="+Inf"} $cum""")
+        .append('\n')
+      b.append(f"graft_request_latency_ms_sum${lbl(p)} ${s.latencySumNs.sum() / 1e6}%.6f\n")
+      b.append(s"graft_request_latency_ms_count${lbl(p)} ${s.requests.sum()}\n")
+    }
+    b.toString
+  }
+}

@@ -63,6 +63,22 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
                        fn: (Map[String, Any], Seq[Any]) => Any): Unit =
     onDemand.put(feature, fn)
 
+  private val onDemandExprs = TrieMap.empty[String, OnDemandExprEval]
+
+  /** Register the DURABLE on-demand form — a SQL expression string (the
+    * serving-side twin of [[graft.catalog.OnDemandVariant]], reference
+    * metadata.proto:326-328) over named request params AND the entity's
+    * precomputed feature values. Reference on-demand functions receive
+    * `(client, params, entities)` (serving.py:236-241) — `inputs` declares
+    * exactly which of those names (and types) the expression reads.
+    * Compiled once (parse + analyze + bind); evaluated per request with no
+    * Spark job — see [[OnDemandExprEval]]. */
+  def registerOnDemandExpr(spark: org.apache.spark.sql.SparkSession,
+                           feature: String, expr: String,
+                           inputs: org.apache.spark.sql.types.StructType): Unit =
+    onDemandExprs.put(feature,
+      OnDemandExprEval.compile(spark, feature, expr, inputs))
+
   /** O1: point lookup (the gRPC FeatureServe body at the wire seam). */
   def get(feature: String, entity: Any): Option[Any] =
     backend.get(feature, entity)
@@ -103,10 +119,24 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
     val pre = names.map(n => n -> get(n, entity))
     val preValues = pre.flatMap(_._2)
     val preMap = pre.toMap
+    // named inputs for expression-form on-demand features: request params
+    // + the entity id + each resolved precomputed value under its name
+    lazy val named: Map[String, Any] = params ++
+      pre.collect { case (n, Some(v)) => n -> v } + ("entity" -> entity)
     names.map { n =>
       onDemand.get(n) match {
         case Some(fn) => Some(fn(params + ("entity" -> entity), preValues))
-        case None     => preMap(n)
+        case None => onDemandExprs.get(n) match {
+          case Some(ev) =>
+            // resolve declared inputs the request didn't carry with point
+            // lookups — the `client` role of the reference's on-demand
+            // signature (serving.py:236-241): params win, then requested
+            // features, then the store itself
+            val resolved = ev.inputNames.filterNot(named.contains)
+              .flatMap(in => get(in, entity).map(in -> _))
+            Option(ev(named ++ resolved))
+          case None     => preMap(n)
+        }
       }
     }
   }
@@ -128,7 +158,8 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
     * key set is the floor of what any implementation must touch. */
   def batchRows(names: Seq[String],
                 params: Map[String, Any] = Map.empty): Iterator[(Any, Seq[Option[Any]])] = {
-    val precomputed = names.filterNot(onDemand.contains)
+    val precomputed =
+      names.filterNot(n => onDemand.contains(n) || onDemandExprs.contains(n))
     val seen = scala.collection.mutable.HashSet.empty[Any]
     precomputed.iterator
       .flatMap(n => backend.scan(n).map(_._1))

@@ -22,10 +22,15 @@ import org.apache.spark.sql.{DataFrame, Row}
   *  - `/nearest?feature=f&k=5&q=0.1,0.2,...` → Nearest:
   *    `[{"id":...,"sim":...}, ...]` (indexed when buildIndex ran).
   *  - `/training?name=ts[&repeat=n][&shuffle=buf&seed=s][&limit=n]` →
-  *    TrainingData: JSONL stream, one JSON array per row, chunked
-  *    transfer — the iterator protocol (repeat/shuffle are the reference
-  *    client's Dataset combinators, applied server-side here).
+  *    TrainingData: JSONL stream — a `{"schema":[...]}` object frame
+  *    first, then one JSON array per row, chunked transfer — the
+  *    iterator protocol (repeat/shuffle are the reference client's
+  *    Dataset combinators, applied server-side here).
   *  - `/preview?name=src&limit=n` → SourceData: JSONL, first n rows.
+  *  - `/columns?name=ds` → TrainingDataColumns/SourceColumns
+  *    (serving.go:293,762): `{"name":…,"columns":[{name,type,nullable}]}`.
+  *  - `/metrics` → prometheus text exposition: per-route request/error
+  *    counters + latency histograms (reference metrics/metrics.go).
   *
   * Serving reads ride [[OnlineStore]] point lookups and
   * `toLocalIterator` streams — no Spark job per request beyond the
@@ -39,6 +44,10 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
   server.setExecutor(pool)
+
+  /** Per-route request/error counters + latency histograms (reference
+    * metrics/metrics.go promauto registry); scraped by `/metrics`. */
+  val metrics = new Metrics
 
   /** Register a training set / source for `/training` and `/preview`. */
   def registerDataset(name: String, df: DataFrame): Unit = sets.put(name, df)
@@ -101,9 +110,22 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
-  private def handler(fn: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) =>
-      try fn(ex)
+  /** Create a metrics-instrumented route: every exchange is counted and
+    * its wall latency observed under the CONTEXT path (bounded label
+    * cardinality — never the raw request URI); 4xx/5xx responses and
+    * mid-stream failures count as errors. */
+  private def route(path: String)(fn: HttpExchange => Unit): Unit =
+    server.createContext(path, { (ex: HttpExchange) =>
+      val t0 = System.nanoTime()
+      val failed = handle(fn, ex)
+      metrics.observe(path, System.nanoTime() - t0,
+        error = failed || ex.getResponseCode >= 400)
+    })
+
+  /** Run a route body with the error protocol; returns true iff the body
+    * threw (including mid-stream, where the status code stays 200). */
+  private def handle(fn: HttpExchange => Unit, ex: HttpExchange): Boolean = {
+      try { fn(ex); false }
       catch {
         // Once sendResponseHeaders has committed a (streaming) response we
         // can't send an error status anymore — calling respond() again would
@@ -126,17 +148,20 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
                 .getBytes(UTF_8))
             catch { case _: Throwable => () }
           try ex.close() catch { case _: Throwable => () }
+          true
         case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
+          true
         case e: Throwable =>
           respond(ex, 500, s"""{"error":"${esc(String.valueOf(e))}"}""")
+          true
       }
+  }
 
   // ----------------------------------------------------------- routes
-  server.createContext("/health",
-    handler(ex => respond(ex, 200, """{"status":"ok"}""")))
+  route("/health")(ex => respond(ex, 200, """{"status":"ok"}"""))
 
-  server.createContext("/features", handler { ex =>
+  route("/features") { ex =>
     val q = query(ex)
     val names = q.getOrElse("names",
       throw new IllegalArgumentException("names required")).split(',').toSeq
@@ -154,9 +179,9 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     val values = store.features(names, entity, params)
     respond(ex, 200, s"""{"entity":${jsonVal(raw)},"values":${
       values.map(jsonVal).mkString("[", ",", "]")}}""")
-  })
+  }
 
-  server.createContext("/nearest", handler { ex =>
+  route("/nearest") { ex =>
     val q = query(ex)
     val feature = q.getOrElse("feature",
       throw new IllegalArgumentException("feature required"))
@@ -168,13 +193,31 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     respond(ex, 200, hits.map { case (id, sim) =>
       s"""{"id":${jsonVal(id)},"sim":$sim}"""
     }.mkString("[", ",", "]"))
-  })
+  }
 
+  /** Column descriptors for a DataFrame-backed dataset — the reference's
+    * TrainingDataColumns / SourceColumns payload (serving/serving.go:293,
+    * 762): name, Spark SQL type, nullability. */
+  private def columnsJson(df: DataFrame): String =
+    df.schema.fields.map { f =>
+      s"""{"name":${jsonVal(f.name)},"type":${
+        jsonVal(f.dataType.sql.toLowerCase)},"nullable":${f.nullable}}"""
+    }.mkString("[", ",", "]")
+
+  /** NDJSON stream protocol: an optional `{"schema":[...]}` OBJECT frame
+    * first, then one JSON ARRAY per row — objects and arrays are mutually
+    * unambiguous line shapes, which is also how mid-stream `{"error":…}`
+    * frames stay distinguishable. The header is not counted against
+    * `limit` (it describes the stream, it isn't a row). */
   private def streamRows(ex: HttpExchange, it: Iterator[Row],
-                         limit: Option[Int]): Unit = {
+                         limit: Option[Int],
+                         schemaHeader: Option[String] = None): Unit = {
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
     ex.sendResponseHeaders(200, 0L) // chunked
     val out = ex.getResponseBody
+    schemaHeader.foreach { h =>
+      out.write((s"""{"schema":$h}""" + "\n").getBytes(UTF_8))
+    }
     // Close normally ONLY on success — the clean close writes the chunked
     // terminator, which must not happen on a truncated stream (handler's
     // mid-stream branch aborts the exchange instead).
@@ -185,7 +228,7 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     out.close(); ex.close()
   }
 
-  server.createContext("/training", handler { ex =>
+  route("/training") { ex =>
     val q = query(ex)
     val name = q.getOrElse("name",
       throw new IllegalArgumentException("name required"))
@@ -199,10 +242,11 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
       it = TrainingSetIterator.shuffled(it, buf.toInt,
         q.getOrElse("seed", "42").toLong)
     }
-    streamRows(ex, it, q.get("limit").map(_.toInt))
-  })
+    streamRows(ex, it, q.get("limit").map(_.toInt),
+      schemaHeader = Some(columnsJson(df)))
+  }
 
-  server.createContext("/arrow", handler { ex =>
+  route("/arrow") { ex =>
     val q = query(ex)
     val name = q.getOrElse("name",
       throw new IllegalArgumentException("name required"))
@@ -216,14 +260,14 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     ArrowServe.writeStream(limited, out,
       batchRows = q.getOrElse("batch", "1024").toInt)
     out.close(); ex.close()
-  })
+  }
 
   // X3 split protocol over the wire (reference serving/serving.go:128-291:
   // INITIALIZE pins the split view, then train/test streams replay it).
   // The md5-hash split is a pure function of the key columns, so the same
   // (keys, testSize, seed) always partitions identically — train ∪ test =
   // all, train ∩ test = ∅ — and re-requesting a side replays verbatim.
-  server.createContext("/split", handler { ex =>
+  route("/split") { ex =>
     val q = query(ex)
     val name = q.getOrElse("name",
       throw new IllegalArgumentException("name required"))
@@ -242,13 +286,13 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
         s"side must be train or test, got $other")
     }
     streamRows(ex, TrainingSetIterator.rows(frame),
-      q.get("limit").map(_.toInt))
-  })
+      q.get("limit").map(_.toInt), schemaHeader = Some(columnsJson(frame)))
+  }
 
   // B3 batch feature serve: JSONL, one `[entity, v1, …, vn]` line per
   // entity present in any named table (reference serving.go:716-761) —
   // the bulk complement of /features' point lookup.
-  server.createContext("/batch", handler { ex =>
+  route("/batch") { ex =>
     val q = query(ex)
     val names = q.getOrElse("names",
       throw new IllegalArgumentException("names required")).split(',').toSeq
@@ -258,13 +302,18 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
       }
     val it = store.batchRows(names, params)
       .map { case (e, vs) => Row.fromSeq(e +: vs.map(_.orNull)) }
-    streamRows(ex, it, q.get("limit").map(_.toInt))
-  })
+    // KV-backed stream: the store is schemaless, so the header carries
+    // column NAMES only (entity + the requested feature names in order)
+    val header = ("entity" +: names)
+      .map(n => s"""{"name":${jsonVal(n)}}""").mkString("[", ",", "]")
+    streamRows(ex, it, q.get("limit").map(_.toInt),
+      schemaHeader = Some(header))
+  }
 
   // right-to-erasure on the wire: point-delete an entity from the named
   // online tables (the offline half — scrubLatest + gcVersions — is a
   // batch job, not a serving call)
-  server.createContext("/forget", handler { ex =>
+  route("/forget") { ex =>
     val q = query(ex)
     val names = q.getOrElse("names",
       throw new IllegalArgumentException("names required")).split(',').toSeq
@@ -278,17 +327,41 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     store.forget(entity, names)
     respond(ex, 200, s"""{"forgotten":${jsonVal(raw)},"features":${
       names.map(jsonVal).mkString("[", ",", "]")}}""")
-  })
+  }
 
-  server.createContext("/preview", handler { ex =>
+  route("/preview") { ex =>
     val q = query(ex)
     val name = q.getOrElse("name",
       throw new IllegalArgumentException("name required"))
     val df = sets.getOrElse(name,
       throw new IllegalArgumentException(s"unknown source: $name"))
     val limit = q.getOrElse("limit", "10").toInt
-    streamRows(ex, TrainingSetIterator.preview(df, limit).iterator, None)
-  })
+    streamRows(ex, TrainingSetIterator.preview(df, limit).iterator, None,
+      schemaHeader = Some(columnsJson(df)))
+  }
+
+  // Column metadata for a registered dataset — TrainingDataColumns /
+  // SourceColumns (reference serving/serving.go:293, 762): the schema
+  // without any rows, for dashboards and typed clients.
+  route("/columns") { ex =>
+    val q = query(ex)
+    val name = q.getOrElse("name",
+      throw new IllegalArgumentException("name required"))
+    val df = sets.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown dataset: $name"))
+    respond(ex, 200,
+      s"""{"name":${jsonVal(name)},"columns":${columnsJson(df)}}""")
+  }
+
+  // Prometheus scrape endpoint (reference metrics/metrics.go exposes the
+  // same shape via promhttp): text exposition format 0.0.4.
+  route("/metrics") { ex =>
+    val body = metrics.render().getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, body.length.toLong)
+    try ex.getResponseBody.write(body) finally ex.close()
+  }
 
   def start(): ServingServer = { server.start(); this }
   def stop(): Unit = { server.stop(0); pool.shutdown() }

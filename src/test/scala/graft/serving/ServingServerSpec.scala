@@ -21,6 +21,15 @@ class ServingServerSpec extends SparkSpec {
     (code, body)
   }
 
+  /** NDJSON stream protocol: first frame is the `{"schema":…}` header
+    * (asserted), the rest are the data rows. */
+  private def dataLines(body: String): Seq[String] = {
+    val lines = body.trim.split('\n').filter(_.nonEmpty).toSeq
+    assert(lines.nonEmpty && lines.head.startsWith("""{"schema":"""),
+      s"expected schema header frame, got: ${lines.headOption}")
+    lines.tail
+  }
+
   test("features, on-demand, nearest, training stream and preview over a socket") {
     val store = new OnlineStore(new InProcessKv)
     store.load("clicks", Seq((1L, 10L), (2L, 20L)).toDF("entity", "value"))
@@ -58,26 +67,39 @@ class ServingServerSpec extends SparkSpec {
       srv.registerDataset("ts1", ts)
       val (c3, b3) = get(s"$base/training?name=ts1&repeat=2")
       assert(c3 == 200)
-      val lines = b3.trim.split('\n').toSeq
+      // first frame is the schema header (reference TrainingDataColumns
+      // rides the stream too), then the rows
+      assert(b3.trim.split('\n').head ==
+        """{"schema":[{"name":"e","type":"bigint","nullable":false},""" +
+          """{"name":"s","type":"string","nullable":true},""" +
+          """{"name":"v","type":"double","nullable":false}]}""")
+      val lines = dataLines(b3)
       assert(lines.size == 4)
       assert(lines.head == """[1,"a",0.5]""")
-      assert(get(s"$base/training?name=ts1&repeat=3&limit=5")._2
-        .trim.split('\n').length == 5)
+      assert(dataLines(get(s"$base/training?name=ts1&repeat=3&limit=5")._2)
+        .length == 5) // the header frame is NOT counted against limit
       // shuffled stream is a permutation per repeat block size
       val (_, b4) = get(s"$base/training?name=ts1&shuffle=8&seed=7")
-      assert(b4.trim.split('\n').toSet == Set("""[1,"a",0.5]""", """[2,"b",1.5]"""))
+      assert(dataLines(b4).toSet == Set("""[1,"a",0.5]""", """[2,"b",1.5]"""))
 
       // O6: preview
-      assert(get(s"$base/preview?name=ts1&limit=1")._2.trim
-        == """[1,"a",0.5]""")
+      assert(dataLines(get(s"$base/preview?name=ts1&limit=1")._2)
+        == Seq("""[1,"a",0.5]"""))
       assert(get(s"$base/training?name=nope")._1 == 400)
+
+      // column metadata endpoint (TrainingDataColumns / SourceColumns)
+      assert(get(s"$base/columns?name=ts1")._2 ==
+        """{"name":"ts1","columns":[""" +
+          """{"name":"e","type":"bigint","nullable":false},""" +
+          """{"name":"s","type":"string","nullable":true},""" +
+          """{"name":"v","type":"double","nullable":false}]}""")
+      assert(get(s"$base/columns?name=nope")._1 == 400)
 
       // X3: split protocol — train/test partition exactly and replay
       val wide = (1L to 40L).map(i => (i, i * 0.5)).toDF("k", "v")
       srv.registerDataset("w", wide)
-      def side(sd: String) = get(
-        s"$base/split?name=w&side=$sd&keys=k&testSize=0.25&seed=7")._2
-        .trim.split('\n').filter(_.nonEmpty).toSet
+      def side(sd: String) = dataLines(get(
+        s"$base/split?name=w&side=$sd&keys=k&testSize=0.25&seed=7")._2).toSet
       val (tr, te) = (side("train"), side("test"))
       assert(tr.nonEmpty && te.nonEmpty)
       assert((tr & te).isEmpty && (tr ++ te).size == 40)
@@ -89,10 +111,15 @@ class ServingServerSpec extends SparkSpec {
       store.load("only2", Seq((2L, 7L)).toDF("entity", "value"))
       val (cb, bb) = get(s"$base/batch?names=clicks,only2,spend_x2")
       assert(cb == 200)
-      val bl = bb.trim.split('\n').toSet
+      // KV-backed stream: names-only schema header (the store is
+      // schemaless), then the assembled rows
+      assert(bb.trim.split('\n').head ==
+        """{"schema":[{"name":"entity"},{"name":"clicks"},""" +
+          """{"name":"only2"},{"name":"spend_x2"}]}""")
+      val bl = dataLines(bb).toSet
       assert(bl == Set("[1,10,null,20]", "[2,20,7,40]"))
-      assert(get(s"$base/batch?names=clicks&limit=1")._2.trim
-        .split('\n').length == 1)
+      assert(dataLines(get(s"$base/batch?names=clicks&limit=1")._2)
+        .length == 1)
       assert(get(s"$base/batch?entity=1")._1 == 400)
 
       // right-to-erasure on the wire: forgotten entity reads null after
@@ -148,7 +175,7 @@ class ServingServerSpec extends SparkSpec {
       srv.registerDataset("bad", bad)
       val (code, body) = get(s"$base/training?name=bad")
       assert(code == 200) // headers committed before the failure
-      val lines = body.trim.split('\n').filter(_.nonEmpty)
+      val lines = dataLines(body) // schema header first, as always
       // the streamed prefix survives; the stream ends with an IN-BAND error
       // frame (an object, unambiguous vs the array data lines) rather than
       // a clean end that fakes completeness
@@ -157,6 +184,97 @@ class ServingServerSpec extends SparkSpec {
       assert(lines.init.length < 20) // the failing tail was never emitted
       // the server survives the failed exchange
       assert(get(s"$base/health")._2 == """{"status":"ok"}""")
+    } finally srv.stop()
+  }
+
+  test("params-dependent on-demand features: closure AND durable expression form") {
+    val store = new OnlineStore(new InProcessKv)
+    store.load("spend", Seq((1L, 100.0), (2L, 40.0)).toDF("entity", "value"))
+    // closure form: reads a request param (reference on-demand functions
+    // receive (client, params, entities) — serving.py:236-241)
+    store.registerOnDemand("spend_rate",
+      (params, pre) => pre.head.asInstanceOf[Double] *
+        params("rate").asInstanceOf[Double])
+    // durable expression-string form (OnDemandVariant's serving twin):
+    // sees the same named inputs — precomputed values + request params
+    store.registerOnDemandExpr(spark, "spend_taxed",
+      "spend * (1.0 + rate)",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("spend",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rate",
+          org.apache.spark.sql.types.DoubleType))))
+    val srv = new ServingServer(store).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      // the same entity served with different params gives different values
+      assert(get(s"$base/features?names=spend,spend_rate,spend_taxed&entity=1&rate=0.2")._2
+        == """{"entity":"1","values":[100.0,20.0,120.0]}""")
+      assert(get(s"$base/features?names=spend,spend_rate,spend_taxed&entity=1&rate=0.5")._2
+        == """{"entity":"1","values":[100.0,50.0,150.0]}""")
+      assert(get(s"$base/features?names=spend_taxed&entity=2&rate=0.25")._2
+        == """{"entity":"2","values":[50.0]}""")
+      // absent param: the expression evaluates with NULL, SQL semantics
+      assert(get(s"$base/features?names=spend_taxed&entity=1")._2
+        == """{"entity":"1","values":[null]}""")
+    } finally srv.stop()
+  }
+
+  test("expression on-demand compiles once and fails fast on bad definitions") {
+    val store = new OnlineStore(new InProcessKv)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    // unknown column and parse errors surface at REGISTRATION, like the
+    // reference rejecting a bad on-demand definition
+    intercept[Exception] {
+      store.registerOnDemandExpr(spark, "bad", "nope + 1", schema)
+    }
+    intercept[Exception] {
+      store.registerOnDemandExpr(spark, "bad", "SELECT FROM", schema)
+    }
+    // good definition: evaluated driver-side, no Spark job per request
+    store.registerOnDemandExpr(spark, "x2", "x * 2 + length('ab')", schema)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(store.features(Seq("x2"), entity = 9L, Map("x" -> 9L))
+      == Seq(Some(20L)))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(before == after, "expression eval must not launch Spark jobs")
+  }
+
+  test("/metrics: prometheus counters and histograms advance per route") {
+    val store = new OnlineStore(new InProcessKv)
+    store.load("f", Seq((1L, 5L)).toDF("entity", "value"))
+    val srv = new ServingServer(store).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      (1 to 5).foreach(_ => get(s"$base/features?names=f&entity=1"))
+      get(s"$base/features?entity=1") // 400 -> error counter
+      get(s"$base/health")
+      val (code, text) = get(s"$base/metrics")
+      assert(code == 200)
+      def metric(line: String): Long =
+        text.linesIterator.find(_.startsWith(line)).map(_.split(' ').last.toLong)
+          .getOrElse(fail(s"metric not found: $line"))
+      assert(metric("""graft_requests_total{path="/features"}""") == 6L)
+      assert(metric("""graft_request_errors_total{path="/features"}""") == 1L)
+      assert(metric("""graft_requests_total{path="/health"}""") == 1L)
+      assert(metric("""graft_request_errors_total{path="/health"}""") == 0L)
+      // histogram: buckets cumulative/monotone, +Inf == count, sum > 0
+      val buckets = text.linesIterator.filter(_.startsWith(
+        """graft_request_latency_ms_bucket{path="/features"""")).toSeq
+        .map(_.split(' ').last.toLong)
+      assert(buckets == buckets.sorted, s"buckets not monotone: $buckets")
+      assert(buckets.last ==
+        metric("""graft_request_latency_ms_count{path="/features"}"""))
+      assert(text.linesIterator.exists(l =>
+        l.startsWith("""graft_request_latency_ms_sum{path="/features"}""") &&
+          l.split(' ').last.toDouble > 0.0))
+      // histogram-derived quantiles are available programmatically too
+      // (ServingBench reads its latency numbers from here)
+      assert(srv.metrics.quantileMs("/features", 0.5) > 0.0)
+      assert(srv.metrics.quantileMs("/features", 0.99)
+        >= srv.metrics.quantileMs("/features", 0.5))
     } finally srv.stop()
   }
 }
