@@ -1,0 +1,114 @@
+package graft.sched
+
+import java.nio.channels.{FileChannel, FileLock, OverlappingFileLockException}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.locks.ReentrantLock
+
+/** Mutual-exclusion seam for coordinators sharing one metadata/ledger store
+  * — the reference's `ffsync.Locker` (ffsync/locker.go:110: memory and psql
+  * implementations behind one interface) so several schedulers can share a
+  * task-run table without double-running tasks or losing each other's
+  * records.
+  *
+  * Two bindings, same shape as the reference's pair:
+  *  - [[MemoryLocker]]: in-process striped locks (the memory locker) —
+  *    correct for the single-JVM topology, zero IO.
+  *  - [[FileLocker]]: one lock file per key under a shared directory,
+  *    `java.nio.channels.FileLock` for CROSS-PROCESS exclusion (the psql
+  *    advisory-lock role on a shared filesystem). OS file locks are
+  *    process-scoped — a second acquire in the SAME JVM throws
+  *    [[OverlappingFileLockException]] rather than blocking — so each key
+  *    also holds a JVM-level [[ReentrantLock]] first; the file lock is
+  *    only contended by OTHER processes.
+  */
+trait Locker {
+
+  /** Acquire `key`, run `body`, release. Blocks until available. */
+  def withLock[T](key: String)(body: => T): T
+
+  /** Non-blocking acquire: Some(body result) if the lock was free, None if
+    * another holder (thread or process) has it — the scheduler's
+    * "someone else claimed this run, move on" branch. */
+  def tryWithLock[T](key: String)(body: => T): Option[T]
+}
+
+/** In-process locker — one [[ReentrantLock]] per key. */
+final class MemoryLocker extends Locker {
+  private val locks = new ConcurrentHashMap[String, ReentrantLock]()
+  private def lockFor(key: String): ReentrantLock =
+    locks.computeIfAbsent(key, _ => new ReentrantLock())
+
+  def withLock[T](key: String)(body: => T): T = {
+    val l = lockFor(key)
+    l.lock()
+    try body finally l.unlock()
+  }
+
+  def tryWithLock[T](key: String)(body: => T): Option[T] = {
+    val l = lockFor(key)
+    if (!l.tryLock()) None
+    else try Some(body) finally l.unlock()
+  }
+}
+
+/** Cross-process locker over a shared directory. Lock files are tiny,
+  * persistent (never deleted — deleting a lock file while another process
+  * holds its channel open breaks FileLock's exclusion guarantee on POSIX),
+  * and keyed by a sanitized name, so the same key string always maps to
+  * the same file from every process. */
+final class FileLocker(dir: String) extends Locker {
+  Files.createDirectories(Paths.get(dir))
+
+  // JVM-level gate per LOCK FILE: FileLock is process-scoped, and an
+  // acquire from another thread of THIS process — possibly through a
+  // DIFFERENT FileLocker instance pointed at the same directory — must
+  // block, not throw OverlappingFileLockException. Hence the gate map is
+  // JVM-global (companion object), keyed by the canonical lock-file path.
+  private def jvmLock(key: String): ReentrantLock =
+    FileLocker.jvmLocks.computeIfAbsent(
+      lockPath(key).toAbsolutePath.normalize.toString,
+      _ => new ReentrantLock())
+
+  private def lockPath(key: String): Path = {
+    val safe = key.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
+    // suffix with a hash so sanitization collisions can't alias two keys
+    Paths.get(dir, s"$safe.${Integer.toHexString(key.hashCode)}.lock")
+  }
+
+  private def channel(key: String): FileChannel =
+    FileChannel.open(lockPath(key),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+
+  def withLock[T](key: String)(body: => T): T = {
+    val l = jvmLock(key)
+    l.lock()
+    try {
+      val ch = channel(key)
+      try {
+        val fl = ch.lock() // blocks on other PROCESSES
+        try body finally fl.release()
+      } finally ch.close()
+    } finally l.unlock()
+  }
+
+  def tryWithLock[T](key: String)(body: => T): Option[T] = {
+    val l = jvmLock(key)
+    if (!l.tryLock()) return None
+    try {
+      val ch = channel(key)
+      try {
+        val fl =
+          try ch.tryLock()
+          catch { case _: OverlappingFileLockException => null }
+        if (fl == null) None
+        else try Some(body) finally fl.release()
+      } finally ch.close()
+    } finally l.unlock()
+  }
+}
+
+object FileLocker {
+  private val jvmLocks = new ConcurrentHashMap[String, ReentrantLock]()
+}

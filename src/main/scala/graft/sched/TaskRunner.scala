@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   *    skipped — re-running a crashed pipeline re-executes only what did not
   *    complete, which is what makes the version-dir writers + idempotent
   *    upserts end-to-end restartable;
+  *  - RUN CLAIMING across coordinators: ledger rewrites and (task, runKey)
+  *    executions are guarded by a [[Locker]] — [[FileLocker]] (cross-
+  *    process file locks beside the ledger) on local stateDirs — so
+  *    several JVMs sharing one stateDir execute each task exactly once
+  *    (reference ffsync/locker.go:110 + scheduling run claiming); a
+  *    runner that loses the claim race reports status "locked" without
+  *    executing;
   *  - [[Schedule]]: fixed-interval due-time evaluation (the reference
   *    stores cron-ish schedule strings on resources; evaluation is a pure
   *    function here, the driver loop belongs to the caller).
@@ -43,11 +50,24 @@ final case class Schedule(everyMs: Long, offsetMs: Long = 0L) {
 final class TaskRunner(spark: SparkSession, stateDir: String,
                        maxAttempts: Int = 3,
                        maxJobDuration: java.time.Duration = java.time.Duration.ofHours(4),
-                       backoffMs: Long = 100L) {
+                       backoffMs: Long = 100L,
+                       locker: Locker = null) {
 
   private val mapper = new ObjectMapper()
   private val file = new Path(s"$stateDir/task_runs.jsonl")
   private def fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // Cross-runner exclusion (reference ffsync.Locker, ffsync/locker.go:110):
+  // a FileLocker beside the ledger when stateDir is a local path — two JVMs
+  // sharing one stateDir then serialize ledger rewrites and claim runs
+  // exactly once. Non-local stateDirs (hdfs:/s3:) fall back to the
+  // in-process MemoryLocker: correct single-JVM, and a distributed store
+  // should bring its own locker (the reference's psql locker role).
+  private val lock: Locker = Option(locker).getOrElse {
+    val uri = new java.net.URI(stateDir)
+    if (uri.getScheme == null || uri.getScheme == "file")
+      new FileLocker(s"${uri.getPath}/.locks")
+    else new MemoryLocker
+  }
   // Successes recorded BY THIS INSTANCE, mirrored in memory so the resume
   // check can never miss a record this process just wrote (the durable file
   // stays the cross-restart source of truth; append() fails loudly if the
@@ -55,7 +75,13 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   private val localSuccesses =
     scala.collection.mutable.Set.empty[(String, String)]
 
-  def runs(): Seq[TaskRun] = {
+  // Reads take the ledger lock too: the rewrite's delete→rename pair is
+  // crash-atomic but leaves a no-file window a concurrent READER could
+  // observe, silently missing every record (and succeeded() would then
+  // re-execute a completed task).
+  def runs(): Seq[TaskRun] = lock.withLock("__ledger__")(runsLocked())
+
+  private def runsLocked(): Seq[TaskRun] = {
     if (!fs.exists(file)) return Nil
     val in = fs.open(file)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -69,12 +95,15 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     }.toSeq
   }
 
-  // SINGLE-RUNNER CONTRACT: the read + tmp + rename rewrite below is atomic
-  // against crashes but NOT against concurrent TaskRunner instances sharing
-  // one stateDir — concurrent writers can lose each other's records. One
-  // runner per stateDir per process is the supported topology (matching the
-  // reference's single-coordinator ownership of the task-run table).
+  // The read + tmp + rename rewrite below is atomic against crashes; the
+  // ledger lock (cross-process via FileLocker on local stateDirs) makes it
+  // atomic against CONCURRENT TaskRunner instances sharing one stateDir
+  // too — each rewrite reads the other's records before appending its own.
   private def append(r: TaskRun): Unit = synchronized {
+    lock.withLock("__ledger__")(appendLocked(r))
+  }
+
+  private def appendLocked(r: TaskRun): Unit = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("task", r.task); m.put("runKey", r.runKey); m.put("attempt", r.attempt)
     m.put("status", r.status); m.put("startMs", r.startMs); m.put("endMs", r.endMs)
@@ -107,8 +136,31 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
 
   /** Run `body` with retry/backoff/timeout, recording every attempt.
     * Returns the final record; a previously-succeeded (task, runKey) is
-    * skipped with status "skipped" (resume semantics). */
+    * skipped with status "skipped" (resume semantics).
+    *
+    * RUN CLAIMING (reference scheduling/scheduling.go run claiming over
+    * ffsync): the (task, runKey) is claimed under the locker for the whole
+    * attempt loop. A concurrent runner — another thread or, with the
+    * FileLocker, another PROCESS sharing this stateDir — that finds the
+    * claim taken returns status "locked" WITHOUT executing or appending
+    * (the claim holder's records are the authoritative ones), so a task
+    * set raced by two coordinators executes each task exactly once. The
+    * success re-check happens INSIDE the claim, closing the
+    * check-then-run window. */
   def run[T](task: String, runKey: String)(body: => T): (TaskRun, Option[T]) = {
+    if (succeeded(task, runKey)) {
+      val now = System.currentTimeMillis()
+      return (TaskRun(task, runKey, 0, "skipped", now, now, None), None)
+    }
+    lock.tryWithLock(s"run!$task!$runKey")(runClaimed(task, runKey)(body))
+      .getOrElse {
+        val now = System.currentTimeMillis()
+        (TaskRun(task, runKey, 0, "locked", now, now,
+          Some("claimed by a concurrent runner")), None)
+      }
+  }
+
+  private def runClaimed[T](task: String, runKey: String)(body: => T): (TaskRun, Option[T]) = {
     if (succeeded(task, runKey)) {
       val now = System.currentTimeMillis()
       return (TaskRun(task, runKey, 0, "skipped", now, now, None), None)
@@ -227,12 +279,22 @@ object Dag {
           deps: Map[String, Seq[String]]): Seq[TaskRun] = {
     val order = topoOrder(tasks.keys.toSeq.sorted, deps)
     val ok = scala.collection.mutable.Set.empty[String]
+    val locked = scala.collection.mutable.Set.empty[String]
     order.map { t =>
       val failedUp = deps.getOrElse(t, Nil).filterNot(ok.contains)
       val rec =
-        if (failedUp.nonEmpty) runner.recordUpstreamFailed(t, runKey, failedUp)
+        if (failedUp.nonEmpty && failedUp.forall(locked.contains)) {
+          // upstream is mid-flight in ANOTHER runner, not failed: don't
+          // execute, and don't write a misleading upstream_failed row —
+          // the claim holder's coordinator owns this chain's records
+          val now = System.currentTimeMillis()
+          TaskRun(t, runKey, 0, "locked", now, now,
+            Some(s"upstream claimed elsewhere: ${failedUp.mkString(",")}"))
+        }
+        else if (failedUp.nonEmpty) runner.recordUpstreamFailed(t, runKey, failedUp)
         else runner.run(t, runKey)(tasks(t)())._1
       if (rec.status == "success" || rec.status == "skipped") ok += t
+      if (rec.status == "locked") locked += t
       rec
     }
   }
