@@ -739,9 +739,11 @@ object SparkEntry {
     * has it non-null (lang/source deterministically nulled on some
     * members to exercise cross-member completion). */
   private def goldenRecordQ(s: SparkSession, dir: String): DataFrame = {
-    // star contraction (O(log n) rounds) is the default closure; the
-    // propagation cross-check lives in dedup_clusters on the same oracle
-    val clusters = Dedup.clusterPairsStar(
+    // adaptive closure (degree-probe picks propagation on shallow dup
+    // graphs, star on sparse/chain ones, star fallback if unconverged);
+    // the fixed-algorithm cross-checks live in dedup_clusters (propagation)
+    // and dedup_clusters_star on the same oracle
+    val clusters = Dedup.clusterPairsAuto(
       minhashNearDups(s, dir).select(col("idA"), col("idB")))
     val recs = t(s, dir, "documents").join(clusters, "doc_id")
       .select(col("cluster_id"),
@@ -2449,7 +2451,7 @@ object SparkEntry {
   private def corpusCurate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = minhashNearDups(s, dir).select(col("idA"), col("idB"))
-    val clusters = Dedup.clusterPairsStar(pairs) // O(log n)-round default
+    val clusters = Dedup.clusterPairsAuto(pairs) // degree-probe dispatch
     val st = TF.textStats(col("text"))
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), TF.qualityScoreFrom(st).as("quality"))

@@ -44,6 +44,12 @@ object Dedup {
     * round gap on chain graphs with this. */
   @volatile private[graft] var lastClusterRounds: Int = 0
 
+  /** Whether the LAST [[clusterPairs]] call reached its fixpoint —
+    * [[clusterPairsAuto]]'s safety net reads this to fall back to star
+    * contraction when the probe mispredicted (labels from an unconverged
+    * propagation are NOT a closure and must never be returned). */
+  @volatile private[graft] var lastClusterConverged: Boolean = true
+
   /** Document-frequency cap on bucket keys before an LSH self-join — the
     * standard guard against the n² blow-up of a "hot" bucket (template-heavy
     * web corpora put boilerplate headers/footers in millions of documents; a
@@ -739,6 +745,7 @@ object Dedup {
     if (!converged)
       log.warn(s"clusterPairs: stopped at maxIter=$maxIter before fixpoint")
     lastClusterRounds = iter
+    lastClusterConverged = converged
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
@@ -755,6 +762,67 @@ object Dedup {
                        checkpoint: Boolean = false): DataFrame =
     Graph.connectedComponentsStar(pairs, "idA", "idB", maxIter, checkpoint)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+
+  /** Which closure [[clusterPairsAuto]] picked on its last call —
+    * observability for the bench/skew harnesses, same pattern as
+    * [[lastClusterRounds]]. */
+  @volatile var lastClosureChoice: String = ""
+
+  /** ADAPTIVE closure — the shipped default for the curation compositions:
+    * one aggregate over the canonical edge set probes the graph's shape,
+    * then dispatches to whichever closure is cheaper.
+    *
+    * The probe is average degree 2|E|/|V|. Near-dup cluster graphs are
+    * locally DENSE (every member of a dup cluster pairs with most others
+    * within the LSH bands), so their components are shallow — diameter
+    * 2-3 — and min-label propagation ([[clusterPairs]]) converges in that
+    * many rounds at roughly half the per-round cost of star contraction
+    * (one join+agg vs two, no edge rewriting). Sparse pair graphs
+    * (avg degree ≲ 2: chains, trees — entity-resolution link chains) can
+    * hide diameter-scale components, where propagation pays DIAMETER
+    * rounds and [[clusterPairsStar]]'s O(log n) alternation wins
+    * unconditionally (the SkewBench chain family measures propagation
+    * DNF-ing at its 40-round cap where star closes in ≤14).
+    *
+    * The threshold sits at 2.5: cliques of k ≥ 6 (avg degree k-1 ≥ 5)
+    * and band-dense dup clusters go to propagation; chains (avg degree
+    * < 2), trees (exactly 2(n-1)/n < 2) and anything ambiguous go to
+    * star, whose worst case is bounded. Tiny graphs are cheap either way.
+    *
+    * `pairs` is checkpointed first so the (expensive, LSH-produced) pair
+    * set is materialized ONCE — the probe and the chosen closure both
+    * read the checkpoint, never the upstream pipeline twice. */
+  def clusterPairsAuto(pairs: DataFrame, maxIter: Int = 25,
+                       checkpoint: Boolean = false,
+                       degreeThreshold: Double = 2.5): DataFrame = {
+    val p = (if (checkpoint) pairs.checkpoint() else pairs.localCheckpoint())
+    val r = p.select(least(col("idA"), col("idB")).as("u"),
+        greatest(col("idA"), col("idB")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .agg(count(lit(1)).as("ends"), countDistinct(col("n")).as("nodes"))
+      .head()
+    val (ends, nodes) = (r.getLong(0), r.getLong(1))
+    val avgDegree = if (nodes == 0) 0.0 else ends.toDouble / nodes
+    lastClosureChoice =
+      if (nodes > 0 && avgDegree >= degreeThreshold) "propagation" else "star"
+    log.info(s"clusterPairsAuto: |E|=${ends / 2} |V|=$nodes " +
+      f"avgDegree=$avgDegree%.2f -> $lastClosureChoice")
+    if (lastClosureChoice == "propagation") {
+      val labels = clusterPairs(p, maxIter, checkpoint)
+      if (lastClusterConverged) labels
+      else {
+        // probe mispredicted (a dense-looking graph hid a diameter-scale
+        // component): unconverged propagation labels are not a closure —
+        // fall back to the round-bounded algorithm
+        log.warn("clusterPairsAuto: propagation missed fixpoint at " +
+          s"maxIter=$maxIter; falling back to star contraction")
+        lastClosureChoice = "star_fallback"
+        clusterPairsStar(p, maxIter, checkpoint)
+      }
+    }
+    else clusterPairsStar(p, maxIter, checkpoint)
+  }
 
   /** INCREMENTAL cluster maintenance — the steady-state closure beside the
     * incremental signature tables: fold a batch of NEW near-dup pairs into

@@ -51,4 +51,38 @@ class ClusterSpec extends SparkSpec {
     assert(incr == full)
     assert(incr(11L) == 1L && incr(30L) == 30L && incr(40L) == 20L)
   }
+
+  test("adaptive closure: degree probe picks propagation on dense dup " +
+    "graphs, star on chains, same labels either way") {
+    // dense: two 6-cliques (avg degree 5 >= 2.5) -> propagation
+    val clique = (base: Long) => for {
+      i <- 0L until 6L; j <- (i + 1) until 6L
+    } yield (base + i, base + j)
+    val dense = (clique(0L) ++ clique(100L)).toDF("idA", "idB")
+    val denseOut = Dedup.clusterPairsAuto(dense)
+      .as[(Long, Long)].collect().toMap
+    assert(Dedup.lastClosureChoice == "propagation")
+    assert(denseOut == ((0L until 6L).map(_ -> 0L) ++
+      (100L until 106L).map(_ -> 100L)).toMap)
+    // sparse: one long chain (avg degree < 2) -> star, whose round count
+    // is O(log n) instead of the 30-hop diameter
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val chainOut = Dedup.clusterPairsAuto(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(Dedup.lastClosureChoice == "star")
+    assert(chainOut.size == 31 && chainOut.values.forall(_ == 0L))
+    // misprediction safety net: a dense head welded to a diameter-scale
+    // tail fools the average-degree probe into propagation, which cannot
+    // converge within maxIter — auto must fall back to star and still
+    // return the true closure, never unconverged labels
+    val hybrid = (clique(0L) ++ clique(100L) ++ clique(200L) ++
+      clique(300L) ++ clique(400L) ++ clique(500L) ++
+      (1000L until 1030L).map(i => (i, i + 1)) :+ (5L -> 1000L))
+      .toDF("idA", "idB")
+    val hybridOut = Dedup.clusterPairsAuto(hybrid, maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(Dedup.lastClosureChoice == "star_fallback")
+    assert((1000L to 1030L).forall(hybridOut(_) == 0L))
+    assert(hybridOut(505L) == 500L)
+  }
 }
