@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * outgrows executor memory, which local[16]×128 GiB cannot reach, so
   * this records the in-memory envelope and documents where the crossover
   * sits rather than claiming one. Output: one JSON line +
-  * `BENCH_statestore_r7.json`.
+  * `BENCH_statestore_r8.json`.
   */
 object StateStoreBench {
 
@@ -91,7 +91,7 @@ object StateStoreBench {
         s""""note":"10x entities, every batch rewrites all state; both providers in-memory-feasible at this scale - crossover to RocksDB is when per-partition state exceeds executor heap (HDFS store holds the full map resident; RocksDB stays bounded)"}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_statestore_r7.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_statestore_r8.json"), json + "\n")
     spark.stop()
   }
 }
