@@ -26,9 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default (was 8g through round 7): the suite grew ~19% in two
+  // rounds against a pinned 8g heap, and round 7 showed a uniform ~9%
+  // suite-level inflation that vanished when the same queries ran
+  // isolated (TimeQ min-of-5 ≈ round-6 times) — classic old-gen/code-cache
+  // pressure, not plan regressions. 12g on a 128 GiB box restores
+  // headroom; SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // pin the heap: G1 uncommits after full GCs (Bench runs one per query to
   // keep measurements independent), and re-committing gigabytes would
   // otherwise land in the next allocation-heavy query's timer
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -2159,6 +2159,10 @@ object OracleSql {
          |FROM counts""".stripMargin,
     "simhash_near_dups"   -> simhashNearDupsSql,
     "simhash_near_dups_bounded" -> simhashNearDupsBoundedSql,
+    // streaming near-dup detection shares the bounded batch oracle: the
+    // quarter-band pigeonhole gives FULL recall at Hamming <= 3, so the
+    // streamed distinct pair set must equal all-pairs exactly
+    "stream_dedup" -> simhashNearDupsBoundedSql,
     // incremental bounded variant: same full-recall guarantee, restricted
     // to pairs touching the new batch (doc_id % 5 = 4)
     "incremental_simhash_bounded" ->

@@ -214,6 +214,22 @@ object SkewBench {
       rec(scale, "winnow_near_dups",
         time(force(Dedup.winnowNearDups(docs, "text", "id",
           shingleK = 20, window = 24, minShared = 3)))._1)
+      // STREAMING near-dup matcher over the same corpus (quarter-band
+      // state buckets): the 5% clone block lands in ONE bucket per band —
+      // 250 members at 1× (under the 500 cap), 2500 at 10× (tripping it),
+      // so the cap's drop-entirely rule is what keeps per-bucket work at
+      // C(cap,2) instead of C(2500,2). Like quarter-band simhash, the
+      // 16-bit keys make this family structurally superlinear — reported,
+      // not asserted linear; the cap fire IS asserted.
+      rec(scale, "stream_dedup",
+        time(force(graft.streaming.StreamingDedup.runFileStream(
+          spark, s"$work/docs_x$m", maxPerBucket = 500, idCol = "id")))._1)
+      val sdDrops = graft.streaming.StreamingDedup.lastDropsAcc.value
+      System.err.println(s"[skew] $scale stream_dedup drops=$sdDrops")
+      if (m == 1 && sdDrops != 0L)
+        triErrs += s"stream_dedup bucket cap fired at 1x (drops=$sdDrops)"
+      if (m == 10 && sdDrops == 0L)
+        triErrs += "stream_dedup bucket cap did NOT fire at 10x"
       rec(scale, "cosine_near_dups",
         time(force(Vectors.cosineNearDups(emb, "id", "embedding",
           numPlanes = 16, threshold = 0.4)))._1)
@@ -378,6 +394,14 @@ object SkewBench {
       rec(scale, "chain_cc_star",
         time(force(Dedup.clusterPairsStar(chainEdges)))._1)
       chainRounds += (s"star_$scale" -> graft.functions.Graph.lastStarRounds)
+      // the ADAPTIVE dispatcher must see avg degree < 2.5 on a chain and
+      // take the round-bounded star path — the probe's whole job
+      rec(scale, "chain_cc_auto",
+        time(force(Dedup.clusterPairsAuto(chainEdges)))._1)
+      chainRounds += (s"auto_$scale" -> graft.functions.Graph.lastStarRounds)
+      if (Dedup.lastClosureChoice != "star")
+        triErrs += s"clusterPairsAuto picked ${Dedup.lastClosureChoice} " +
+          s"on the $scale chain graph (must pick star)"
       spark.catalog.clearCache()
     }
 
@@ -435,6 +459,9 @@ object SkewBench {
       if (pr < 40)
         errs += s"chain propagation converged in $pr rounds at $s — the " +
           "chain is not adversarial enough"
+      val ar = chainRounds(s"auto_$s")
+      if (ar > 14)
+        errs += s"adaptive closure took $ar rounds on the $s chain (> 14)"
     }
     val linearFamilies = Seq("exact_dedup", "minhash_near_dups",
       "simhash_bounded", "fuzzy_link",

@@ -1209,6 +1209,23 @@ object SparkEntry {
     }.toSeq.toDF("entity", "value", "ts_ms")
   }
 
+  /** Streaming near-dup detection under the gate: the documents table
+    * replayed through a file stream; the per-bucket stateful matcher
+    * ([[graft.streaming.StreamingDedup]], quarter-band simhash keys,
+    * flatMapGroupsWithState) must emit — as distinct canonical pairs —
+    * exactly the batch all-pairs Hamming ≤ 3 answer (the
+    * simhash_near_dups_bounded oracle): the pigeonhole recall guarantee
+    * holds online, micro-batch boundaries included. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(6).write.parquet(s"$tmp/in")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.streaming.StreamingDedup.runFileStream(s, s"$tmp/in")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   // ----------------------------- orchestration: task runs, retry, resume
 
   /** TaskRunner lifecycle under the gate: a flaky materialization (fails
@@ -3834,6 +3851,7 @@ object SparkEntry {
     "skew_salted_join"  -> (skewSaltedJoin _),
     "streaming_latest"  -> (streamingLatest _),
     "stream_online_serve" -> (streamOnlineServe _),
+    "stream_dedup"      -> (streamDedup _),
     "task_runs"         -> (taskRuns _),
     "windowed_counts"   -> (windowedCounts _),
     "stream_asof"       -> (streamAsOf _),

@@ -59,7 +59,19 @@ object CatalogStore {
       "isIncremental" -> s.isIncremental)
   }
 
-  def save(cat: Catalog, spark: SparkSession, dir: String): Unit = {
+  // Cross-process exclusion for the catalog document (the ffsync.Locker
+  // role the metadata server gets from etcd/psql): save's delete→rename
+  // pair leaves a no-file window a concurrent load could observe, and two
+  // concurrent savers would silently drop one side's registrations.
+  // Local dirs get a FileLocker beside the document; non-local stores
+  // should bring their own coordination (same policy as TaskRunner).
+  private def lockerFor(dir: String): graft.sched.Locker =
+    graft.sched.Locker.forDir(dir)
+
+  def save(cat: Catalog, spark: SparkSession, dir: String): Unit =
+    lockerFor(dir).withLock("catalog")(saveLocked(cat, spark, dir))
+
+  private def saveLocked(cat: Catalog, spark: SparkSession, dir: String): Unit = {
     val root = j(
       "entities" -> jl(cat.allEntities.map(e => j("name" -> e.name))),
       "sources" -> jl(cat.allSources.map(sourceMap)),
@@ -105,7 +117,11 @@ object CatalogStore {
   }
 
   def load(spark: SparkSession, dir: String,
-           dfFns: Map[String, Seq[DataFrame] => DataFrame] = Map.empty): Catalog = {
+           dfFns: Map[String, Seq[DataFrame] => DataFrame] = Map.empty): Catalog =
+    lockerFor(dir).withLock("catalog")(loadLocked(spark, dir, dfFns))
+
+  private def loadLocked(spark: SparkSession, dir: String,
+           dfFns: Map[String, Seq[DataFrame] => DataFrame]): Catalog = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(s"$dir/catalog.json"))
     val root =

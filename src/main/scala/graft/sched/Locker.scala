@@ -33,6 +33,26 @@ trait Locker {
   def tryWithLock[T](key: String)(body: => T): Option[T]
 }
 
+object Locker {
+  /** Locker policy for a durable-state directory: LOCAL dirs (no scheme,
+    * `file:`, or anything `java.net.URI` can't parse — e.g. paths with
+    * spaces) get a [[FileLocker]] in `<dir>/.locks` for cross-process
+    * exclusion; remote schemes (hdfs:, s3a:, …) fall back to the
+    * in-process [[MemoryLocker]] — a distributed store should bring its
+    * own coordination (the reference's psql locker role). */
+  def forDir(dir: String): Locker = {
+    val scheme =
+      try Option(new java.net.URI(dir).getScheme)
+      catch { case _: java.net.URISyntaxException => None }
+    scheme match {
+      case None => new FileLocker(s"$dir/.locks")
+      case Some("file") =>
+        new FileLocker(s"${new java.net.URI(dir).getPath}/.locks")
+      case Some(_) => new MemoryLocker
+    }
+  }
+}
+
 /** In-process locker — one [[ReentrantLock]] per key. */
 final class MemoryLocker extends Locker {
   private val locks = new ConcurrentHashMap[String, ReentrantLock]()

@@ -62,12 +62,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   // exactly once. Non-local stateDirs (hdfs:/s3:) fall back to the
   // in-process MemoryLocker: correct single-JVM, and a distributed store
   // should bring its own locker (the reference's psql locker role).
-  private val lock: Locker = Option(locker).getOrElse {
-    val uri = new java.net.URI(stateDir)
-    if (uri.getScheme == null || uri.getScheme == "file")
-      new FileLocker(s"${uri.getPath}/.locks")
-    else new MemoryLocker
-  }
+  private val lock: Locker = Option(locker).getOrElse(Locker.forDir(stateDir))
   // Successes recorded BY THIS INSTANCE, mirrored in memory so the resume
   // check can never miss a record this process just wrote (the durable file
   // stays the cross-restart source of truth; append() fails loudly if the

@@ -108,4 +108,30 @@ class CatalogPersistSpec extends SparkSpec {
       DfTransformation(Nil, _ => spark.range(1).toDF())))
     intercept[IllegalStateException] { CatalogStore.save(cat, spark, dir) }
   }
+
+  test("concurrent savers and loaders never observe a missing or torn document") {
+    // save's delete->rename pair used to leave a no-file window a reader
+    // could hit; under the store lock, N racing save/load pairs always see
+    // a complete document
+    val dir = freshDir()
+    val mk = (n: Int) => {
+      val c = new Catalog(spark)
+      (0 to n).foreach(i => c.registerEntity(EntityDef(s"e$i")))
+      c
+    }
+    CatalogStore.save(mk(0), spark, dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    for (i <- 1 to 24) pool.submit(new Runnable {
+      def run(): Unit =
+        try {
+          if (i % 2 == 0) CatalogStore.save(mk(i), spark, dir)
+          else assert(CatalogStore.load(spark, dir).allEntities.nonEmpty)
+        } catch { case t: Throwable => errs.add(s"$i: $t") }
+    })
+    pool.shutdown()
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, errs.toString)
+    assert(CatalogStore.load(spark, dir).allEntities.nonEmpty)
+  }
 }
