@@ -2531,6 +2531,31 @@ object OracleSql {
          |  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cluster_size
          |FROM a2""".stripMargin,
 
+    // corpus kNN self-join, FULL IVF replay: the kmeans codebook (init +
+    // 1 round), the corpus leg's argmax cell (= a1), the probe leg's
+    // top-2 cells by (sim desc, cell desc), the cell-equi candidate join,
+    // exact cosine + (cos desc, id asc) top-5 — cell-exact end to end
+    "knn_graph" ->
+      s"""WITH ${kmeansCtes(8, 1)},
+         |cn AS (SELECT cell, list_transform(cv,
+         |    y -> y / sqrt(list_dot_product(cv, cv))) AS cvn FROM c1),
+         |probe AS (SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      list_dot_product(CAST(e.v AS DOUBLE[]), c.cvn) AS sim
+         |    FROM e CROSS JOIN cn c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cell DESC) <= 2),
+         |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    list_dot_product(CAST(p.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])) /
+         |      (sqrt(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(p.v AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])))) AS cos
+         |  FROM probe p JOIN a1 a ON p.cell = a.cell AND a.vec_id <> p.vec_id)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
     // fuzzy (Levenshtein) near-dups: prefix blocking with the 2000 hot-block
     // cap, exact edit-distance verify at 20% relative distance
     "edit_near_dups" ->

@@ -1089,6 +1089,17 @@ object SparkEntry {
           .cast("long")).as("ok"))
   }
 
+  /** Corpus-scale kNN self-join ([[graft.functions.Vectors.knnJoinIVF]]):
+    * every embedding's top-5 neighbors through the IVF topology — one
+    * refinement round of the deterministic kmeans codebook, argmax cell per
+    * corpus row, top-2 probe cells per query row, shuffle join on cell,
+    * exact-cosine rerank. Unlike ann_topk_ivf's recall gate, the oracle
+    * replays the ENTIRE pipeline (codebook init + round, both leg
+    * assignments, candidate join, rank) — cell-exact, not a threshold. */
+  private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
+    Vectors.knnJoinIVF(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2, iters = 1)
+
   // ------------------------------- multimodal: real-codec round-trip
 
   /** Real-codec media pipeline, oracle-checked end-to-end: synthesize PNG
@@ -3847,6 +3858,7 @@ object SparkEntry {
     "catalog_persist"   -> (catalogPersist _),
     "lineage_export"    -> (lineageExport _),
     "ann_topk_ivf"      -> (annTopKIVFQ _),
+    "knn_graph"         -> (knnGraphQ _),
     "media_pipeline"    -> (mediaPipeline _),
     "skew_salted_join"  -> (skewSaltedJoin _),
     "streaming_latest"  -> (streamingLatest _),

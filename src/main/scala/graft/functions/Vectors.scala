@@ -208,6 +208,90 @@ object Vectors {
         round(col("cosine"), 6).as("cosine"), col("__rn").cast("long").as("rank"))
   }
 
+  /** Corpus-scale k-nearest-neighbor SELF-join — the neighbor-graph
+    * primitive (per-document top-k over the WHOLE corpus, the input to
+    * graph-based semantic clustering / retrieval-index audits / hard-mining
+    * at corpus scale). [[annTopKIVF]] broadcasts its probe side, which is
+    * right for a handful of query vectors and wrong when every corpus row
+    * is a query; here BOTH sides stay distributed:
+    *
+    *  1. an IVF codebook from deterministic spherical k-means
+    *     ([[kmeansModel]]: md5-order init, `iters` integer-sum refinement
+    *     rounds — every round replayable in the oracle);
+    *  2. ONE scan computes each row's centroid similarities via the
+    *     compiled [[expressions.VectorExprs.matVec]] (task-constant
+    *     normalized matrix). From the same dots vector: the corpus leg
+    *     takes the argmax cell (kmeans tie rule — larger cell id), the
+    *     probe leg the top-`nprobe` cells (sim desc, cell desc). Both are
+    *     scan projections, zero shuffle;
+    *  3. candidates = probes ⋈ assignments on cell — a SHUFFLE equi-join
+    *     (no broadcast: both legs are corpus-sized), each side exchanged
+    *     once on the cell key; a (query, neighbor) pair can arise in at
+    *     most one cell, so no candidate dedup shuffle is needed;
+    *  4. exact cosine verification + per-query top-k window
+    *     (sim desc, id asc — the [[annTopK]] tie rule), self-pairs
+    *     excluded before ranking.
+    *
+    * Scale: candidate work is ~`nprobe/nlist` of the n² brute-force
+    * matrix; `nlist` scales with the corpus so cells stay executor-sized
+    * (√n is the classic IVF rule). A degenerate codebook (mass in one
+    * cell) degrades toward brute force — `maxCellFreq` caps such cells
+    * with a logged drop count ([[Dedup.capHotKeys]] rule) so a skewed
+    * embedding space cannot quadratically blow up one reducer.
+    *
+    * Returns the [[annTopK]] schema: (query_id, neighbor_id, cosine, rank). */
+  def knnJoinIVF(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, nlist: Int = 8, nprobe: Int = 2, iters: Int = 1,
+                 seed: String = "km",
+                 maxCellFreq: Int = Int.MaxValue): DataFrame = {
+    require(k > 0 && nlist > 0 && nprobe > 0, "k, nlist, nprobe > 0")
+    val (_, cents) = kmeansModel(df, idCol, vecCol, nlist, iters, seed)
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // EMPTY corpus → schema-correct empty result (robustness contract)
+    if (cents.isEmpty)
+      return base.select(col("__id").as("query_id"),
+        col("__id").as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank")).limit(0)
+    val normalized = cents.map { row =>
+      var n2 = 0.0
+      var i = 0
+      while (i < row.length) { n2 += row(i) * row(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0) row else row.map(_ / n)
+    }
+    val dots = graft.functions.expressions.VectorExprs
+      .matVec(col("__v"), normalized)
+    val cellStructs = transform(
+      sequence(lit(0), lit(cents.length - 1)),
+      i => struct(element_at(col("__dots"), i + 1).as("s"), i.as("c")))
+    val withDots = base.withColumn("__dots", dots)
+    val assignedC = withDots
+      .withColumn("cell", array_max(cellStructs).getField("c").cast("long"))
+      .select(col("cell"), col("__id"), col("__v"))
+    val assigned =
+      if (maxCellFreq == Int.MaxValue) assignedC
+      else graft.functions.Dedup.capHotKeys(
+        assignedC, "cell", maxCellFreq, "knnJoinIVF")
+    // top-nprobe cells per row: reverse(sort) = (sim desc, cell desc) —
+    // rank 1 ≡ the argmax assignment rule above
+    val probes = withDots
+      .withColumn("__pc", slice(reverse(array_sort(cellStructs)),
+        1, math.min(nprobe, cents.length)))
+      .select(col("__id").as("query_id"), col("__v").as("__qv"),
+        explode(col("__pc").getField("c")).as("__c"))
+      .select(col("query_id"), col("__qv"), col("__c").cast("long").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("__id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__v")))
+      .select(col("query_id"), col("__id").as("neighbor_id"), col("cosine"))
+      .withColumn("__rn", row_number().over(wRank))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("__rn").cast("long").as("rank"))
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH signature: bit p = sign of
     * dot(v, plane_p), planes derived from md5("p|i") ∈ uniform[-1, 1) — no
     * RNG state, reproducible on any cluster AND in the DuckDB oracle
