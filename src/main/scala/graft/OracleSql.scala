@@ -2552,9 +2552,38 @@ object OracleSql {
          |  FROM probe p JOIN a1 a ON p.cell = a.cell AND a.vec_id <> p.vec_id)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
          |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |    ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
          |FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
-         |  ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+         |  ORDER BY round(cos, 6) DESC, neighbor_id) <= 5""".stripMargin,
+
+    // incremental kNN fold ≡ FULL recompute: codebook frozen on the old
+    // corpus (vec_id % 5 <> 0, the incremental_kmeans split), then the
+    // whole corpus searched against it — the oracle IS the full-recompute
+    // side of the top-k merge identity the fold claims
+    "knn_graph_incr" ->
+      s"""WITH ${kmeansCtes(8, 1, where = "vec_id % 5 <> 0")},
+         |cn AS (SELECT cell, list_transform(cv,
+         |    y -> y / sqrt(list_dot_product(cv, cv))) AS cvn FROM c1),
+         |ef AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |sims AS MATERIALIZED (SELECT f.vec_id, f.v, c.cell,
+         |    list_dot_product(CAST(f.v AS DOUBLE[]), c.cvn) AS sim
+         |  FROM ef f CROSS JOIN cn c),
+         |asg AS (SELECT vec_id, v, cell FROM sims
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cell DESC) = 1),
+         |probe AS (SELECT vec_id, v, cell FROM sims
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cell DESC) <= 2),
+         |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])) /
+         |      (sqrt(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(p.v AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])))), 6) AS cosine
+         |  FROM probe p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.vec_id)
+         |SELECT query_id, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
 
     // fuzzy (Levenshtein) near-dups: prefix blocking with the 2000 hot-block
     // cap, exact edit-distance verify at 20% relative distance

@@ -233,6 +233,19 @@ object SkewBench {
       rec(scale, "cosine_near_dups",
         time(force(Vectors.cosineNearDups(emb, "id", "embedding",
           numPlanes = 16, threshold = 0.4)))._1)
+      // corpus kNN self-join: nlist follows the √n IVF rule (16 at 1×,
+      // 48 at 10×), so the family is structurally n^1.5 (assignment
+      // n·nlist FLOPs + candidates n·nprobe·n/nlist) — reported, not
+      // linearity-bounded, same honesty rule as simhash's band
+      // collisions. The 12.5% hot-direction mass lands in ONE codebook
+      // cell (~250 members at 1×, ~2500 at 10×), so the maxCellFreq=1000
+      // cap must fire at 10× and must NOT at 1×.
+      rec(scale, "knn_join",
+        time(force(Vectors.knnJoinIVF(emb, "id", "embedding",
+          k = 5, nlist = if (m == 1) 16 else 48, nprobe = 2, iters = 1,
+          maxCellFreq = 1000)))._1)
+      if (m == 1 && Dedup.capStats.contains("knnJoinIVF"))
+        triErrs += "knnJoinIVF hot-cell cap fired at 1x (hot cell under the cap)"
       // fuzzy linkage on 40-char prefixes with DEFAULT arguments — now the
       // bounded 2-token blocking key (round-5 finding: a default nobody
       // should run at scale is the wrong default), so this line carries
@@ -443,7 +456,7 @@ object SkewBench {
     errs ++= triErrs
     for (what <- Seq("minhashNearDups", "simhashNearDups",
         "simhashNearDupsBounded", "winnowNearDups",
-        "cosineNearDups", "fuzzyLink"))
+        "cosineNearDups", "fuzzyLink", "knnJoinIVF"))
       if (!capsFired.contains(what))
         errs += s"hot-key cap did NOT fire for $what at 10x"
     if (!aqeSkewHit)

@@ -1100,6 +1100,26 @@ object SparkEntry {
     Vectors.knnJoinIVF(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 5, nlist = 8, nprobe = 2, iters = 1)
 
+  /** Incremental kNN-graph maintenance under the gate
+    * ([[graft.functions.Vectors.knnJoinIncrement]]): the codebook is
+    * FROZEN on the old corpus (vec_id % 5 ≠ 0 — the incremental_kmeans
+    * split), the old graph is built, then the batch (vec_id % 5 = 0) is
+    * folded in WITHOUT re-searching old-vs-old. The oracle is the FULL
+    * recompute over the whole corpus against the same frozen codebook, so
+    * the top-k merge identity (prevTopK ∪ batch candidates ≡ full
+    * candidate set per query) is asserted cell-exactly on every row. */
+  private def knnGraphIncrQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val (_, cents) = Vectors.kmeansModel(old, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val prevTopK = Vectors.knnJoinWithCodebook(old, "vec_id", "embedding",
+      k = 5, nprobe = 2, cents = cents)
+    Vectors.knnJoinIncrement(prevTopK, old, batch, "vec_id", "embedding",
+      k = 5, nprobe = 2, cents = cents)
+  }
+
   // ------------------------------- multimodal: real-codec round-trip
 
   /** Real-codec media pipeline, oracle-checked end-to-end: synthesize PNG
@@ -3859,6 +3879,7 @@ object SparkEntry {
     "lineage_export"    -> (lineageExport _),
     "ann_topk_ivf"      -> (annTopKIVFQ _),
     "knn_graph"         -> (knnGraphQ _),
+    "knn_graph_incr"    -> (knnGraphIncrQ _),
     "media_pipeline"    -> (mediaPipeline _),
     "skew_salted_join"  -> (skewSaltedJoin _),
     "streaming_latest"  -> (streamingLatest _),

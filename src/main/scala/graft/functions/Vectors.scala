@@ -252,6 +252,55 @@ object Vectors {
       return base.select(col("__id").as("query_id"),
         col("__id").as("neighbor_id"), lit(0.0).as("cosine"),
         lit(0L).as("rank")).limit(0)
+    knnJoinWithCodebook(df, idCol, vecCol, k, nprobe, cents, maxCellFreq)
+  }
+
+  /** [[knnJoinIVF]] against a FIXED codebook — the incremental topology's
+    * building block (train the codebook once, search any corpus snapshot
+    * against it). Candidate ranking is on the ROUNDED cosine (6 dp, the
+    * output precision) with id tie-break, so a merge of previously-ranked
+    * rows with fresh candidates ([[knnJoinIncrement]]) reproduces a full
+    * recompute EXACTLY — an unrounded rank key would not survive the
+    * round-trip through a stored (rounded) neighbor list. */
+  def knnJoinWithCodebook(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nprobe: Int, cents: Array[Array[Double]],
+                          maxCellFreq: Int = Int.MaxValue): DataFrame = {
+    require(cents.nonEmpty, "empty codebook")
+    val assigned = cellAssignments(df, idCol, vecCol, cents, maxCellFreq)
+    val probes = cellProbes(df, idCol, vecCol, cents, nprobe)
+    rankCandidates(probes, assigned, k)
+  }
+
+  /** (cell, __id, __v) leg: argmax cell per row (kmeans tie rule — larger
+    * cell id), scan projection; hot cells over `maxCellFreq` dropped with
+    * a logged count. */
+  private def cellAssignments(df: DataFrame, idCol: String, vecCol: String,
+                              cents: Array[Array[Double]],
+                              maxCellFreq: Int): DataFrame = {
+    val assignedC = withCentroidDots(df, idCol, vecCol, cents)
+      .withColumn("cell",
+        array_max(cellStructs(cents.length)).getField("c").cast("long"))
+      .select(col("cell"), col("__id"), col("__v"))
+    if (maxCellFreq == Int.MaxValue) assignedC
+    else graft.functions.Dedup.capHotKeys(
+      assignedC, "cell", maxCellFreq, "knnJoinIVF")
+  }
+
+  /** (query_id, __qv, cell) leg: top-nprobe cells per row —
+    * reverse(sort) = (sim desc, cell desc), rank 1 ≡ the argmax
+    * assignment rule. Scan projection, zero shuffle. */
+  private def cellProbes(df: DataFrame, idCol: String, vecCol: String,
+                         cents: Array[Array[Double]],
+                         nprobe: Int): DataFrame =
+    withCentroidDots(df, idCol, vecCol, cents)
+      .withColumn("__pc", slice(reverse(array_sort(cellStructs(cents.length))),
+        1, math.min(nprobe, cents.length)))
+      .select(col("__id").as("query_id"), col("__v").as("__qv"),
+        explode(col("__pc").getField("c")).as("__c"))
+      .select(col("query_id"), col("__qv"), col("__c").cast("long").as("cell"))
+
+  private def withCentroidDots(df: DataFrame, idCol: String, vecCol: String,
+                               cents: Array[Array[Double]]): DataFrame = {
     val normalized = cents.map { row =>
       var n2 = 0.0
       var i = 0
@@ -259,37 +308,81 @@ object Vectors {
       val n = math.sqrt(n2)
       if (n == 0) row else row.map(_ / n)
     }
-    val dots = graft.functions.expressions.VectorExprs
-      .matVec(col("__v"), normalized)
-    val cellStructs = transform(
-      sequence(lit(0), lit(cents.length - 1)),
-      i => struct(element_at(col("__dots"), i + 1).as("s"), i.as("c")))
-    val withDots = base.withColumn("__dots", dots)
-    val assignedC = withDots
-      .withColumn("cell", array_max(cellStructs).getField("c").cast("long"))
-      .select(col("cell"), col("__id"), col("__v"))
-    val assigned =
-      if (maxCellFreq == Int.MaxValue) assignedC
-      else graft.functions.Dedup.capHotKeys(
-        assignedC, "cell", maxCellFreq, "knnJoinIVF")
-    // top-nprobe cells per row: reverse(sort) = (sim desc, cell desc) —
-    // rank 1 ≡ the argmax assignment rule above
-    val probes = withDots
-      .withColumn("__pc", slice(reverse(array_sort(cellStructs)),
-        1, math.min(nprobe, cents.length)))
-      .select(col("__id").as("query_id"), col("__v").as("__qv"),
-        explode(col("__pc").getField("c")).as("__c"))
-      .select(col("query_id"), col("__qv"), col("__c").cast("long").as("cell"))
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__dots",
+        graft.functions.expressions.VectorExprs.matVec(col("__v"), normalized))
+  }
+
+  private def cellStructs(nlist: Int): Column = transform(
+    sequence(lit(0), lit(nlist - 1)),
+    i => struct(element_at(col("__dots"), i + 1).as("s"), i.as("c")))
+
+  /** Candidates = probes ⋈ assignments on cell (SHUFFLE equi-join — both
+    * legs can be corpus-sized), exact rounded cosine, per-query top-k
+    * (cosine desc, id asc), self-pairs excluded before ranking. */
+  private def rankCandidates(probes: DataFrame, assigned: DataFrame,
+                             k: Int): DataFrame = {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probes.join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("__id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__v")))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__v")), 6))
       .select(col("query_id"), col("__id").as("neighbor_id"), col("cosine"))
-      .withColumn("__rn", row_number().over(wRank))
-      .where(col("__rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("__rn").cast("long").as("rank"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Incremental kNN-graph maintenance — the steady-state corpus-growth
+    * path (the [[graft.functions.Dedup]] persisted-signature pattern for
+    * neighbor graphs): yesterday's graph + yesterday's rows + today's
+    * batch → today's graph, WITHOUT re-searching old-vs-old.
+    *
+    *  - new queries (the batch) search everything: batch probes ⋈
+    *    (old ∪ batch) assignments;
+    *  - existing queries only gain candidates FROM the batch: old probes
+    *    ⋈ batch assignments — at a daily-batch : corpus ratio of ε this
+    *    join touches ε of the old side's candidate work, and the batch
+    *    assignment leg is broadcast-sized;
+    *  - merge = prevTopK ∪ fresh existing-query candidates, re-ranked
+    *    (rounded cosine desc, id asc) top-k.
+    *
+    * EXACT by the top-k merge identity: a full recompute's per-query
+    * candidate set over (old ∪ batch) splits into old-corpus candidates —
+    * whose top-k survivors are precisely prevTopK — and batch candidates,
+    * all of which the fold scores; ranking on the stored (rounded)
+    * cosine makes the merge reproduce the full rank order bit-for-bit.
+    * Proven ≡ [[knnJoinWithCodebook]] over the union in KnnJoinSpec and
+    * on the knn_graph_incr oracle. The codebook stays FROZEN across folds
+    * (retrain = rebuild, like [[assignToCentroids]]'s contract); `prev`
+    * must carry the rows the graph was built from. `maxCellFreq` caps are
+    * per-snapshot here (old-corpus caps baked into prevTopK, batch caps on
+    * the fold) — the exactness identity is for the uncapped setting; a
+    * fired cap is a documented, logged recall trade at either granularity. */
+  def knnJoinIncrement(prevTopK: DataFrame,
+                       prev: DataFrame, batch: DataFrame,
+                       idCol: String, vecCol: String,
+                       k: Int, nprobe: Int, cents: Array[Array[Double]],
+                       maxCellFreq: Int = Int.MaxValue): DataFrame = {
+    require(cents.nonEmpty, "empty codebook")
+    val assignedBatch = cellAssignments(batch, idCol, vecCol, cents, maxCellFreq)
+    val assignedAll = cellAssignments(
+      prev.select(col(idCol), col(vecCol))
+        .unionByName(batch.select(col(idCol), col(vecCol))),
+      idCol, vecCol, cents, maxCellFreq)
+    // new queries: full search over old ∪ batch
+    val newRows = rankCandidates(
+      cellProbes(batch, idCol, vecCol, cents, nprobe), assignedAll, k)
+    // existing queries: fresh candidates from the batch only
+    val freshOld = rankCandidates(
+      cellProbes(prev, idCol, vecCol, cents, nprobe), assignedBatch, k)
+      .select("query_id", "neighbor_id", "cosine")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val merged = prevTopK.select("query_id", "neighbor_id", "cosine")
+      .unionByName(freshOld)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+    merged.unionByName(newRows)
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH signature: bit p = sign of

@@ -97,6 +97,40 @@ class KnnJoinSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("incremental fold == full recompute against the frozen codebook") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val old = df.filter($"vec_id" % 4 =!= 0)
+    val batch = df.filter($"vec_id" % 4 === 0)
+    val (_, cents) = Vectors.kmeansModel(old, "vec_id", "embedding",
+      k = 3, iters = 1)
+    val prev = Vectors.knnJoinWithCodebook(old, "vec_id", "embedding",
+      k = 3, nprobe = 2, cents = cents)
+    val inc = Vectors.knnJoinIncrement(prev, old, batch,
+      "vec_id", "embedding", k = 3, nprobe = 2, cents = cents)
+      .collect().map(_.toSeq).toSet
+    val full = Vectors.knnJoinWithCodebook(df, "vec_id", "embedding",
+      k = 3, nprobe = 2, cents = cents)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+    // non-vacuous: the batch displaced at least one old neighbor list
+    val prevSet = prev.collect().map(_.toSeq).toSet
+    assert(prevSet != full)
+    // and new queries are present
+    assert(inc.exists(r => r.head.asInstanceOf[Long] % 4 == 0))
+  }
+
+  test("incremental fold with an empty batch is the previous graph") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val (_, cents) = Vectors.kmeansModel(df, "vec_id", "embedding",
+      k = 3, iters = 1)
+    val prev = Vectors.knnJoinWithCodebook(df, "vec_id", "embedding",
+      k = 3, nprobe = 2, cents = cents)
+    val inc = Vectors.knnJoinIncrement(prev, df, df.limit(0),
+      "vec_id", "embedding", k = 3, nprobe = 2, cents = cents)
+    assert(inc.collect().map(_.toSeq).toSet ==
+      prev.collect().map(_.toSeq).toSet)
+  }
+
   test("hot-cell cap bounds candidate work without failing the query") {
     val df = corpus.toDF("vec_id", "embedding")
     val capped = Vectors.knnJoinIVF(df, "vec_id", "embedding",
