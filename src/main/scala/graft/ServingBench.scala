@@ -110,10 +110,13 @@ object ServingBench {
             "metrics scrape missing histograms")
           text
         }
+        // a missing counter line is a scrape/label REGRESSION, not zero
+        // errors — fail the bench loudly rather than mask it
         def scraped(path: String, metric: String): Long =
           scrape.linesIterator
             .find(_.startsWith(s"""$metric{path="$path"}"""))
-            .map(_.split(' ').last.toDouble.toLong).getOrElse(-1L)
+            .map(_.split(' ').last.toDouble.toLong)
+            .getOrElse(sys.error(s"metrics scrape missing $metric for $path"))
         System.err.println(s"[serve] /metrics scrape: " +
           s"""features count=${scraped("/features", "graft_requests_total")} """ +
           s"""errors=${scraped("/features", "graft_request_errors_total")}""")
@@ -149,8 +152,10 @@ object ServingBench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_serving_r8.json"), json + "\n")
     spark.stop()
+    // scraped() now fails loudly on a missing counter line, so the
+    // server-side counts are trustworthy — no sentinel masking needed
     val errs = feat._1._4 + near._1._4 + batch._1._4 + // client-observed
-      math.max(0L, feat._4) + math.max(0L, near._4) + math.max(0L, batch._4)
+      feat._4 + near._4 + batch._4 // server-side /metrics counters
     if (errs > 0) {
       System.err.println("[serve] ASSERTION FAILED: request errors under load")
       sys.exit(1)

@@ -704,7 +704,17 @@ object Dedup {
     *
     * Input columns `idA`/`idB` (long); output (doc_id, cluster_id). */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 25,
-                   checkpoint: Boolean = false): DataFrame = {
+                   checkpoint: Boolean = false): DataFrame =
+    clusterPairsWithStatus(pairs, maxIter, checkpoint)._1
+
+  /** [[clusterPairs]] + a RETURNED convergence flag: callers that must act
+    * on non-convergence ([[clusterPairsAuto]]'s star fallback) take it
+    * from the return value — the `@volatile` twins below are
+    * observability-only (bench harness reads) and RACE under concurrent
+    * closures, so a correctness decision must never read them. */
+  private[graft] def clusterPairsWithStatus(
+      pairs: DataFrame, maxIter: Int = 25,
+      checkpoint: Boolean = false): (DataFrame, Boolean) = {
     val spark = pairs.sparkSession
     def ckpt(d: DataFrame): DataFrame =
       if (checkpoint) d.checkpoint() else d.localCheckpoint()
@@ -746,7 +756,8 @@ object Dedup {
       log.warn(s"clusterPairs: stopped at maxIter=$maxIter before fixpoint")
     lastClusterRounds = iter
     lastClusterConverged = converged
-    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("comp").as("cluster_id")),
+      converged)
   }
 
   /** DEFAULT closure for the shipped compositions
@@ -809,8 +820,10 @@ object Dedup {
     log.info(s"clusterPairsAuto: |E|=${ends / 2} |V|=$nodes " +
       f"avgDegree=$avgDegree%.2f -> $lastClosureChoice")
     if (lastClosureChoice == "propagation") {
-      val labels = clusterPairs(p, maxIter, checkpoint)
-      if (lastClusterConverged) labels
+      // convergence comes from the RETURN value — the @volatile flag is
+      // bench observability and races under concurrent closure calls
+      val (labels, converged) = clusterPairsWithStatus(p, maxIter, checkpoint)
+      if (converged) labels
       else {
         // probe mispredicted (a dense-looking graph hid a diameter-scale
         // component): unconverged propagation labels are not a closure —

@@ -40,7 +40,21 @@ object Locker {
     * exclusion; remote schemes (hdfs:, s3a:, …) fall back to the
     * in-process [[MemoryLocker]] — a distributed store should bring its
     * own coordination (the reference's psql locker role). */
-  def forDir(dir: String): Locker = {
+  def forDir(dir: String): Locker =
+    byDir.computeIfAbsent(dir, make(_))
+
+  // ONE locker instance per directory string, JVM-wide: forDir is called
+  // per OPERATION (CatalogStore.save/load, TaskRunner claims), and a fresh
+  // MemoryLocker per call would hold a private lock map — zero exclusion
+  // even between two threads of one JVM. FileLocker would still exclude
+  // via the lock files, but the memory binding must be shared to mean
+  // anything. (Two spellings of the same remote dir get two MemoryLockers
+  // — the memory binding is best-effort by design; bring a distributed
+  // locker for real multi-writer remote stores.)
+  private val byDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Locker]()
+
+  private def make(dir: String): Locker = {
     val scheme =
       try Option(new java.net.URI(dir).getScheme)
       catch { case _: java.net.URISyntaxException => None }
@@ -105,11 +119,18 @@ final class FileLocker(dir: String) extends Locker {
     val l = jvmLock(key)
     l.lock()
     try {
-      val ch = channel(key)
-      try {
-        val fl = ch.lock() // blocks on other PROCESSES
-        try body finally fl.release()
-      } finally ch.close()
+      // reentrant acquire: this thread already holds the FILE lock from
+      // the outer frame — taking it again on a second channel would throw
+      // OverlappingFileLockException, so just run the body (matching
+      // MemoryLocker's ReentrantLock semantics)
+      if (l.getHoldCount > 1) body
+      else {
+        val ch = channel(key)
+        try {
+          val fl = ch.lock() // blocks on other PROCESSES
+          try body finally fl.release()
+        } finally ch.close()
+      }
     } finally l.unlock()
   }
 
@@ -117,14 +138,17 @@ final class FileLocker(dir: String) extends Locker {
     val l = jvmLock(key)
     if (!l.tryLock()) return None
     try {
-      val ch = channel(key)
-      try {
-        val fl =
-          try ch.tryLock()
-          catch { case _: OverlappingFileLockException => null }
-        if (fl == null) None
-        else try Some(body) finally fl.release()
-      } finally ch.close()
+      if (l.getHoldCount > 1) Some(body) // reentrant: file lock already held
+      else {
+        val ch = channel(key)
+        try {
+          val fl =
+            try ch.tryLock()
+            catch { case _: OverlappingFileLockException => null }
+          if (fl == null) None
+          else try Some(body) finally fl.release()
+        } finally ch.close()
+      }
     } finally l.unlock()
   }
 }

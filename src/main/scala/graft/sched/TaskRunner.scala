@@ -276,15 +276,19 @@ object Dag {
     val ok = scala.collection.mutable.Set.empty[String]
     val locked = scala.collection.mutable.Set.empty[String]
     order.map { t =>
-      val failedUp = deps.getOrElse(t, Nil).filterNot(ok.contains)
+      val notOk = deps.getOrElse(t, Nil).filterNot(ok.contains)
+      // split the unmet upstreams: merely-LOCKED ones are mid-flight in
+      // ANOTHER runner (may yet succeed) and must never be named in a
+      // durable upstream_failed row — only the genuinely failed subset is
+      val failedUp = notOk.filterNot(locked.contains)
       val rec =
-        if (failedUp.nonEmpty && failedUp.forall(locked.contains)) {
-          // upstream is mid-flight in ANOTHER runner, not failed: don't
-          // execute, and don't write a misleading upstream_failed row —
-          // the claim holder's coordinator owns this chain's records
+        if (notOk.nonEmpty && failedUp.isEmpty) {
+          // all unmet upstreams are claims held elsewhere: don't execute,
+          // and don't write a misleading upstream_failed row — the claim
+          // holder's coordinator owns this chain's records
           val now = System.currentTimeMillis()
           TaskRun(t, runKey, 0, "locked", now, now,
-            Some(s"upstream claimed elsewhere: ${failedUp.mkString(",")}"))
+            Some(s"upstream claimed elsewhere: ${notOk.mkString(",")}"))
         }
         else if (failedUp.nonEmpty) runner.recordUpstreamFailed(t, runKey, failedUp)
         else runner.run(t, runKey)(tasks(t)())._1

@@ -39,14 +39,19 @@ final class OnDemandExprEval private (
     * signature. */
   def inputNames: Seq[String] = fields.map(_.name).toSeq
 
+  // string→numeric coercions cover EVERY numeric input type (HTTP query
+  // params arrive as strings) and a non-numeric string becomes NULL —
+  // SQL CAST semantics — instead of a NumberFormatException-driven 500
   private def coerce(raw: Any, dt: DataType): Any = (raw, dt) match {
     case (null, _) => null
     case (n: Number, LongType) => n.longValue()
     case (n: Number, IntegerType) => n.intValue()
     case (n: Number, DoubleType) => n.doubleValue()
     case (n: Number, FloatType) => n.floatValue()
-    case (s: String, LongType) => s.toLong
-    case (s: String, DoubleType) => s.toDouble
+    case (s: String, LongType) => s.toLongOption.getOrElse(null): Any
+    case (s: String, IntegerType) => s.toIntOption.getOrElse(null): Any
+    case (s: String, DoubleType) => s.toDoubleOption.getOrElse(null): Any
+    case (s: String, FloatType) => s.toFloatOption.getOrElse(null): Any
     case (v, _) => v
   }
 

@@ -119,10 +119,14 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
     val pre = names.map(n => n -> get(n, entity))
     val preValues = pre.flatMap(_._2)
     val preMap = pre.toMap
-    // named inputs for expression-form on-demand features: request params
-    // + the entity id + each resolved precomputed value under its name
-    lazy val named: Map[String, Any] = params ++
-      pre.collect { case (n, Some(v)) => n -> v } + ("entity" -> entity)
+    // named inputs for expression-form on-demand features, in the
+    // documented precedence: request params WIN over same-named requested
+    // features (right operand of ++ wins), which win over store lookups;
+    // "entity" is always the entity id (pinned last, same as the closure
+    // form below — a param cannot shadow it)
+    lazy val named: Map[String, Any] =
+      pre.collect { case (n, Some(v)) => n -> v }.toMap ++
+        params + ("entity" -> entity)
     names.map { n =>
       onDemand.get(n) match {
         case Some(fn) => Some(fn(params + ("entity" -> entity), preValues))

@@ -339,12 +339,17 @@ object DeltaFormat extends TableFormat {
 
   /** Pure horizon→hours rule (contract-pinned): elapsed time CEILED to
     * whole hours, floored at [[DeltaMinRetainHours]] unless explicitly
-    * opted out. */
+    * opted out — and NEVER below 1 even then: a horizon at/after `nowMs`
+    * (another writer's clock seconds ahead — Delta history timestamps are
+    * coarse) would otherwise emit `VACUUM ... RETAIN 0 HOURS`, which
+    * reclaims every file outside the latest snapshot — the exact loss the
+    * keepLast contract exists to prevent. */
   private[sources] def retainHours(nowMs: Long, horizonMs: Long,
                                    allowUnsafe: Boolean): Long = {
     val elapsed = math.max(0L, nowMs - horizonMs)
     val ceiled = (elapsed + 3599999L) / 3600000L
-    if (allowUnsafe) ceiled else math.max(ceiled, DeltaMinRetainHours)
+    if (allowUnsafe) math.max(ceiled, 1L)
+    else math.max(ceiled, DeltaMinRetainHours)
   }
 }
 

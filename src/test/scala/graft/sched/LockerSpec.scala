@@ -28,6 +28,38 @@ class LockerSpec extends SparkSpec {
     assert(l.tryWithLock("k")(3).contains(3)) // released
   }
 
+  test("Locker.forDir: ONE shared instance per dir — a remote-scheme dir's " +
+    "MemoryLocker must exclude across call sites, not be rebuilt per call") {
+    // forDir is called per OPERATION (CatalogStore.save/load); a fresh
+    // MemoryLocker each time would hold a private lock map = no exclusion
+    val dir = "s3a://bucket/graft_cat_" + System.nanoTime()
+    assert(Locker.forDir(dir) eq Locker.forDir(dir))
+    val l1 = Locker.forDir(dir)
+    val held = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val t = new Thread(() => l1.withLock("catalog") {
+      held.countDown(); release.await(10, TimeUnit.SECONDS); ()
+    })
+    t.start()
+    assert(held.await(5, TimeUnit.SECONDS))
+    // a DIFFERENT forDir call for the same dir sees the same lock
+    assert(Locker.forDir(dir).tryWithLock("catalog")(1).isEmpty)
+    release.countDown(); t.join(5000)
+    // local dirs share too (FileLocker would exclude via the lock files
+    // regardless, but the instance cache applies uniformly)
+    val local = freshDir()
+    assert(Locker.forDir(local) eq Locker.forDir(local))
+  }
+
+  test("reentrant acquire: nested withLock on the same key runs the body " +
+    "on both bindings instead of OverlappingFileLockException") {
+    val fl = new FileLocker(freshDir())
+    assert(fl.withLock("k") { fl.withLock("k") { 42 } } == 42)
+    assert(fl.withLock("k") { fl.tryWithLock("k")(7) }.contains(7))
+    val ml = new MemoryLocker
+    assert(ml.withLock("k") { ml.withLock("k") { 42 } } == 42)
+  }
+
   test("FileLocker: exclusion across instances (the two-process topology) " +
     "and a real OS lock on disk") {
     val dir = freshDir()
@@ -137,6 +169,39 @@ class LockerSpec extends SparkSpec {
       // no misleading rows in the durable ledger — the claim holder's
       // coordinator owns this chain's records
       assert(runner.runs().isEmpty)
+    } finally { release.countDown(); holder.join(5000) }
+  }
+
+  test("Dag: mixed upstreams — failed here AND claimed elsewhere — record " +
+    "upstream_failed naming ONLY the genuinely failed subset") {
+    val dir = freshDir()
+    val locker = new FileLocker(s"$dir/.locks")
+    val runner = new TaskRunner(spark, dir, backoffMs = 1, maxAttempts = 1)
+    val claimHeld = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val holder = new Thread(() => locker.withLock("run!beta!k") {
+      claimHeld.countDown(); release.await(10, TimeUnit.SECONDS); ()
+    })
+    holder.start()
+    assert(claimHeld.await(5, TimeUnit.SECONDS))
+    try {
+      // alpha fails in THIS coordinator, beta is mid-flight in another
+      // one; gamma depends on both
+      val recs = Dag.run(runner, "k",
+        Map("alpha" -> (() => sys.error("boom")),
+            "beta"  -> (() => 1),
+            "gamma" -> (() => 1)),
+        Map("gamma" -> Seq("alpha", "beta")))
+      val byTask = recs.map(r => r.task -> r).toMap
+      assert(byTask("alpha").status == "failed")
+      assert(byTask("beta").status == "locked")
+      assert(byTask("gamma").status == "upstream_failed")
+      // the durable row must not name beta — it may yet succeed elsewhere
+      val msg = byTask("gamma").error.getOrElse("")
+      assert(msg.contains("alpha") && !msg.contains("beta"), msg)
+      val ledgerC = runner.runs().filter(_.task == "gamma")
+      assert(ledgerC.nonEmpty &&
+        ledgerC.forall(r => !r.error.getOrElse("").contains("beta")))
     } finally { release.countDown(); holder.join(5000) }
   }
 }

@@ -217,6 +217,16 @@ class ServingServerSpec extends SparkSpec {
       // absent param: the expression evaluates with NULL, SQL semantics
       assert(get(s"$base/features?names=spend_taxed&entity=1")._2
         == """{"entity":"1","values":[null]}""")
+      // documented precedence: a request param named like a requested
+      // feature WINS over the store's value as an expression input
+      // (spend=5 overrides the stored 100.0 → 5 * 1.2 = 6.0), while the
+      // directly-served `spend` column still reports the store
+      assert(get(s"$base/features?names=spend,spend_taxed&entity=1&rate=0.2&spend=5")._2
+        == """{"entity":"1","values":[100.0,6.0]}""")
+      // non-numeric param for a numeric input coerces to NULL (SQL CAST
+      // semantics), never a 500
+      assert(get(s"$base/features?names=spend_taxed&entity=1&rate=abc")._2
+        == """{"entity":"1","values":[null]}""")
     } finally srv.stop()
   }
 

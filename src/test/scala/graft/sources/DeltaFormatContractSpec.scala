@@ -42,8 +42,11 @@ class DeltaFormatContractSpec extends SparkSpec {
     // exact-hour boundary does not over-ceil
     assert(DeltaFormat.retainHours(5 * H, 0, allowUnsafe = true) == 5L)
     assert(DeltaFormat.retainHours(5 * H + 1, 0, allowUnsafe = true) == 6L)
-    // clock skew (horizon in the future) clamps to the minimum, not negative
-    assert(DeltaFormat.retainHours(0, 5 * H, allowUnsafe = true) == 0L)
+    // clock skew (horizon at/after now — e.g. another writer's clock a few
+    // seconds ahead) must STILL not become RETAIN 0 HOURS: even the unsafe
+    // opt-in floors at 1 hour
+    assert(DeltaFormat.retainHours(0, 5 * H, allowUnsafe = true) == 1L)
+    assert(DeltaFormat.retainHours(5 * H, 5 * H, allowUnsafe = true) == 1L)
     // default path: never below Delta's 168h retentionDurationCheck floor
     assert(DeltaFormat.retainHours(10L * 60 * 1000, 0,
       allowUnsafe = false) == 168L)
