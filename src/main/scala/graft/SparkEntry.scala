@@ -1114,6 +1114,12 @@ object SparkEntry {
     val batch = emb.filter(col("vec_id") % 5 === 0)
     val (_, cents) = Vectors.kmeansModel(old, "vec_id", "embedding",
       k = 8, iters = 1)
+    // empty old corpus → no codebook, no graph (new-tenant robustness —
+    // same schema-correct empty contract as knnJoinIVF)
+    if (cents.isEmpty)
+      return emb.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank")).limit(0)
     val prevTopK = Vectors.knnJoinWithCodebook(old, "vec_id", "embedding",
       k = 5, nprobe = 2, cents = cents)
     Vectors.knnJoinIncrement(prevTopK, old, batch, "vec_id", "embedding",
