@@ -4865,5 +4865,8 @@ object OracleSql {
     base + ("pit_window_agg_prefix" -> base("pit_window_agg")) +
       ("streaming_funnel" -> base("event_funnel")) +
       ("streaming_dedup_wm" -> base("streaming_dedup")) +
-      ("streaming_cusum" -> base("cusum_drift"))
+      ("streaming_cusum" -> base("cusum_drift")) +
+      // the ingest-time Bloom screen + batch exact-confirm tail must equal
+      // the batch contaminatedBloom bit-for-bit
+      ("stream_decontam" -> base("bloom_decontam"))
 }

@@ -1263,6 +1263,30 @@ object SparkEntry {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming decontamination under the gate: the corpus replayed through
+    * a file stream against the eval-set Bloom built batch-side
+    * ([[graft.streaming.StreamingDecontam]] — STATELESS scan-projection
+    * screen, asserted so in the runner), then the batch exact-hit
+    * confirmation joined back — the result must equal the batch
+    * contaminatedBloom column-for-column (bloom_decontam's oracle
+    * verbatim), micro-batch boundaries included. */
+  private def streamDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Decontam
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdecon").toString
+    corpus.select(col("doc_id"), col("text")).repartition(6)
+      .write.parquet(s"$tmp/in")
+    val flagged = graft.streaming.StreamingDecontam.runFileStream(
+      s, s"$tmp/in", eval, n = 8, numProbes = 5, mBits = 1 << 20)
+    flagged
+      .join(Decontam.contaminated(corpus, eval, "text", "doc_id", n = 8)
+        .withColumnRenamed("n_hits", "n_exact_hits"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bloom_hits"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"))
+  }
+
   // ----------------------------- orchestration: task runs, retry, resume
 
   /** TaskRunner lifecycle under the gate: a flaky materialization (fails
@@ -3891,6 +3915,7 @@ object SparkEntry {
     "streaming_latest"  -> (streamingLatest _),
     "stream_online_serve" -> (streamOnlineServe _),
     "stream_dedup"      -> (streamDedup _),
+    "stream_decontam"   -> (streamDecontam _),
     "task_runs"         -> (taskRuns _),
     "windowed_counts"   -> (windowedCounts _),
     "stream_asof"       -> (streamAsOf _),
