@@ -246,6 +246,16 @@ object SkewBench {
           maxCellFreq = 1000)))._1)
       if (m == 1 && Dedup.capStats.contains("knnJoinIVF"))
         triErrs += "knnJoinIVF hot-cell cap fired at 1x (hot cell under the cap)"
+      // the PQ/SDC twin at the same (nlist, nprobe): candidates carry m=4
+      // codes instead of the 64-float vector, exact math only on the
+      // top-20 shortlist per query — the production payload/compute shape
+      // this family exists to measure against knn_join's exact-all-
+      // candidates cost
+      rec(scale, "knn_join_pq",
+        time(force(Vectors.knnJoinIVFPQ(emb, "id", "embedding",
+          k = 5, nlist = if (m == 1) 16 else 48, nprobe = 2, iters = 1,
+          m = 4, subDim = 16, codebookK = 16, pqIters = 1, rerank = 20,
+          maxCellFreq = 1000)))._1)
       // fuzzy linkage on 40-char prefixes with DEFAULT arguments — now the
       // bounded 2-token blocking key (round-5 finding: a default nobody
       // should run at scale is the wrong default), so this line carries

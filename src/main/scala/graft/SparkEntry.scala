@@ -1126,6 +1126,18 @@ object SparkEntry {
       k = 5, nprobe = 2, cents = cents)
   }
 
+  /** IVF-PQ kNN self-join ([[graft.functions.Vectors.knnJoinIVFPQ]]): the
+    * symmetric-distance (SDC) topology — candidates carry only their m
+    * subspace CODES through the cell-keyed shuffle, score as m lookups in
+    * the broadcast m×k×k raw-centroid-dot table, top-`rerank` shortlist
+    * per query, exact-cosine rerank. The oracle replays the WHOLE thing:
+    * the IVF codebook round, all four PQ codebook rounds, both legs' cell
+    * and code assignments, the SDC sums, the shortlist cut, the rerank. */
+  private def knnGraphPqQ(s: SparkSession, dir: String): DataFrame =
+    Vectors.knnJoinIVFPQ(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2, iters = 1, m = 4, subDim = 16,
+      codebookK = 8, pqIters = 1, rerank = 20)
+
   // ------------------------------- multimodal: real-codec round-trip
 
   /** Real-codec media pipeline, oracle-checked end-to-end: synthesize PNG
@@ -3910,6 +3922,7 @@ object SparkEntry {
     "ann_topk_ivf"      -> (annTopKIVFQ _),
     "knn_graph"         -> (knnGraphQ _),
     "knn_graph_incr"    -> (knnGraphIncrQ _),
+    "knn_graph_pq"      -> (knnGraphPqQ _),
     "media_pipeline"    -> (mediaPipeline _),
     "skew_salted_join"  -> (skewSaltedJoin _),
     "streaming_latest"  -> (streamingLatest _),

@@ -332,6 +332,138 @@ object Vectors {
       .where(col("rank") <= k)
   }
 
+  /** IVF-PQ kNN self-join — [[knnJoinIVF]]'s production-scale variant.
+    * The classic ADC asymmetry (driver-built per-QUERY lookup tables,
+    * [[pqSearch]]) does not transpose to a self-join: every row is a
+    * query, and a per-row m×k LUT column outweighs the raw vector it
+    * replaces. The all-pairs form of Jégou et al.'s scheme is SYMMETRIC
+    * distance (SDC): ONE m×k×k table of raw-centroid inner products,
+    * broadcast as a literal, scores any candidate pair as m table lookups
+    * over the two rows' CODES — so each join leg carries m small ints
+    * instead of the vector (m bytes/doc through the shuffle at
+    * production dims, the whole point of PQ), and the exact math touches
+    * only the `rerank` shortlist per query:
+    *
+    *  1. IVF codebook + m PQ subspace codebooks (deterministic
+    *     [[kmeansModel]], seeds `km` / `pq0..pq{m-1}` — every round
+    *     oracle-replayable; the m trainings run concurrently);
+    *  2. ONE scan per leg: IVF cell (argmax / top-nprobe) + the m
+    *     subspace codes, all compiled matVec argmaxes in the scan
+    *     projection (codes assign against NORMALIZED centroids — the
+    *     kmeans rule; SDC entries use RAW centroids — the [[pqSearch]]
+    *     LUT rule, normalizing wrecks the ranking);
+    *  3. candidates = cell-keyed shuffle join carrying codes only;
+    *     SDC score = Σ_s sdc_s[codeA][codeB], rounded, ranked
+    *     (desc, id asc), top-`rerank` per query;
+    *  4. exact rounded-cosine rerank on the shortlist — two id-keyed
+    *     joins re-attach vectors to shortlist-sized tables only.
+    *
+    * Returns the [[annTopK]] schema. Recall trades on (nprobe, rerank);
+    * the knn_graph_pq oracle replays the WHOLE topology cell-exactly. */
+  def knnJoinIVFPQ(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nlist: Int = 8, nprobe: Int = 2, iters: Int = 1,
+                   m: Int = 4, subDim: Int = 16, codebookK: Int = 8,
+                   pqIters: Int = 1, rerank: Int = 20,
+                   seed: String = "km",
+                   maxCellFreq: Int = Int.MaxValue): DataFrame = {
+    require(k > 0 && nlist > 0 && nprobe > 0 && m > 0 && subDim > 0 &&
+      rerank >= k, "k, nlist, nprobe, m, subDim > 0; rerank >= k")
+    val (_, cents) = kmeansModel(df, idCol, vecCol, nlist, iters, seed)
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    if (cents.isEmpty)
+      return base.select(col("__id").as("query_id"),
+        col("__id").as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank")).limit(0)
+    // m subspace codebooks, trained concurrently (pqSearch pattern)
+    val parts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).toList.map { s =>
+        Future(kmeansModel(
+          df.select(col(idCol),
+            slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
+          idCol, "__sub", codebookK, pqIters, seed = s"pq$s")._2)
+      }), scala.concurrent.duration.Duration.Inf)
+    }
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // SDC tables: raw-centroid inner products, one k×k literal per
+    // subspace (model-scale: m·k² doubles, broadcast with the plan)
+    val sdc: Seq[Array[Array[Double]]] = parts.map { cs =>
+      cs.map(a => cs.map(b => dotLR(a, b)))
+    }
+    def normalized(c: Array[Array[Double]]): Array[Array[Double]] =
+      c.map { row =>
+        var n2 = 0.0
+        var i = 0
+        while (i < row.length) { n2 += row(i) * row(i); i += 1 }
+        val n = math.sqrt(n2)
+        if (n == 0) row else row.map(_ / n)
+      }
+    // one scan computes IVF dots + every subspace's code (all matVec
+    // argmaxes in the scan projection)
+    def withCodes(d: DataFrame): DataFrame =
+      (0 until m).foldLeft(d) { (acc, s) =>
+        val dots = graft.functions.expressions.VectorExprs.matVec(
+          slice(col("__v"), s * subDim + 1, subDim), normalized(parts(s)))
+        acc.withColumn(s"__code$s", array_max(transform(
+            sequence(lit(0), lit(parts(s).length - 1)),
+            i => struct(element_at(dots, i + 1).as("s"), i.as("c"))))
+          .getField("c"))
+      }
+    val codeCols = (0 until m).map(s => col(s"__code$s"))
+    val assignedC = withCodes(
+      withCentroidDots(df, idCol, vecCol, cents)
+        .withColumn("cell",
+          array_max(cellStructs(cents.length)).getField("c").cast("long")))
+      .select(col("cell") +: col("__id") +: codeCols: _*)
+    val assigned =
+      if (maxCellFreq == Int.MaxValue) assignedC
+      else graft.functions.Dedup.capHotKeys(
+        assignedC, "cell", maxCellFreq, "knnJoinIVF")
+    val probes = withCodes(
+      withCentroidDots(df, idCol, vecCol, cents)
+        .withColumn("__pc", slice(reverse(array_sort(cellStructs(cents.length))),
+          1, math.min(nprobe, cents.length))))
+      .select(col("__id").as("query_id") +: col("__pc") +:
+        codeCols.zipWithIndex.map { case (c, s) => c.as(s"__qcode$s") }: _*)
+      .withColumn("__c", explode(col("__pc").getField("c")))
+      .select(col("query_id") +: col("__c").cast("long").as("cell") +:
+        (0 until m).map(s => col(s"__qcode$s")): _*)
+    // SDC score: m literal-table lookups over the pair's codes
+    val sdcScore = (0 until m).map { s =>
+      element_at(element_at(typedlit(sdc(s).map(_.toSeq).toSeq),
+        col(s"__qcode$s") + 1), col(s"__code$s") + 1)
+    }.reduceLeft(_ + _)
+    val wSdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sdc").desc, col("neighbor_id").asc)
+    val shortlist = probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("__id"))
+      .withColumn("__sdc", round(sdcScore, 6))
+      .select(col("query_id"), col("__id").as("neighbor_id"), col("__sdc"))
+      .withColumn("__rn", row_number().over(wSdc))
+      .where(col("__rn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: vectors re-attached to the shortlist only
+    val vecs = base.withColumn("__n", norm(col("__v")))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(vecs.select(col("__id").as("query_id"), col("__v").as("__qv"),
+        col("__n").as("__qn")), Seq("query_id"))
+      .join(vecs.select(col("__id").as("neighbor_id"), col("__v").as("__nv"),
+        col("__n").as("__nn")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Incremental kNN-graph maintenance — the steady-state corpus-growth
     * path (the [[graft.functions.Dedup]] persisted-signature pattern for
     * neighbor graphs): yesterday's graph + yesterday's rows + today's

@@ -97,6 +97,45 @@ class KnnJoinSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("IVF-PQ self-join: shortlist+rerank recovers brute-force top-k on " +
+    "the separable corpus; output contract holds") {
+    val df = corpus.toDF("vec_id", "embedding")
+    // dim 4 -> m=2 subspaces of 2; generous rerank makes SDC loss moot
+    val got = Vectors.knnJoinIVFPQ(df, "vec_id", "embedding",
+      k = 3, nlist = 3, nprobe = 3, iters = 1, m = 2, subDim = 2,
+      codebookK = 4, pqIters = 1, rerank = 59)
+      .collect()
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)))
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // with nprobe = nlist (all cells) and rerank = n-1 (all candidates),
+    // the exact rerank sees every pair -> equals brute force
+    val gotMap = got.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+    val want = brute(corpus, 3)
+    gotMap.foreach { case (q, ns) => assert(ns == want(q), s"query $q") }
+    // a TIGHT shortlist still beats chance by a wide margin (SDC ranking
+    // quality sanity — an m=2, k=4 quantizer on dim-4 noise is COARSE by
+    // construction; random in-cell picks would land ~0.32)
+    val tight = Vectors.knnJoinIVFPQ(df, "vec_id", "embedding",
+      k = 3, nlist = 3, nprobe = 1, iters = 2, m = 2, subDim = 2,
+      codebookK = 4, pqIters = 1, rerank = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val wantPairs = want.flatMap { case (q, ns) => ns.map(q -> _) }.toSet
+    val recall = tight.intersect(wantPairs).size.toDouble / wantPairs.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("IVF-PQ empty corpus: schema-correct empty result") {
+    val out = Vectors.knnJoinIVFPQ(
+      corpus.toDF("vec_id", "embedding").limit(0), "vec_id", "embedding",
+      k = 3, m = 2, subDim = 2, rerank = 3)
+    assert(out.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(out.count() == 0)
+  }
+
   test("incremental fold == full recompute against the frozen codebook") {
     val df = corpus.toDF("vec_id", "embedding")
     val old = df.filter($"vec_id" % 4 =!= 0)
