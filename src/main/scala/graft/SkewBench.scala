@@ -256,6 +256,8 @@ object SkewBench {
           k = 5, nlist = if (m == 1) 16 else 48, nprobe = 2, iters = 1,
           m = 4, subDim = 16, codebookK = 16, pqIters = 1, rerank = 20,
           maxCellFreq = 1000)))._1)
+      if (m == 1 && Dedup.capStats.contains("knnJoinIVFPQ"))
+        triErrs += "knnJoinIVFPQ hot-cell cap fired at 1x (hot cell under the cap)"
       // fuzzy linkage on 40-char prefixes with DEFAULT arguments — now the
       // bounded 2-token blocking key (round-5 finding: a default nobody
       // should run at scale is the wrong default), so this line carries
@@ -466,7 +468,7 @@ object SkewBench {
     errs ++= triErrs
     for (what <- Seq("minhashNearDups", "simhashNearDups",
         "simhashNearDupsBounded", "winnowNearDups",
-        "cosineNearDups", "fuzzyLink", "knnJoinIVF"))
+        "cosineNearDups", "fuzzyLink", "knnJoinIVF", "knnJoinIVFPQ"))
       if (!capsFired.contains(what))
         errs += s"hot-key cap did NOT fire for $what at 10x"
     if (!aqeSkewHit)

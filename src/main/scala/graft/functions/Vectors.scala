@@ -299,19 +299,33 @@ object Vectors {
         explode(col("__pc").getField("c")).as("__c"))
       .select(col("query_id"), col("__qv"), col("__c").cast("long").as("cell"))
 
-  private def withCentroidDots(df: DataFrame, idCol: String, vecCol: String,
-                               cents: Array[Array[Double]]): DataFrame = {
-    val normalized = cents.map { row =>
-      var n2 = 0.0
-      var i = 0
-      while (i < row.length) { n2 += row(i) * row(i); i += 1 }
-      val n = math.sqrt(n2)
+  /** Sequential left-to-right double dot — LOAD-BEARING for bit-exact
+    * oracle parity (≡ DuckDB `list_dot_product`); every driver-side model
+    * dot goes through this one definition. */
+  private[functions] def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Row-normalize a centroid matrix with the left-to-right norm fold,
+    * zero-norm rows kept verbatim — the single assignment-normalization
+    * rule shared by every kmeans/IVF/PQ consumer (≡ the oracle's
+    * `y / sqrt(list_dot_product(cv, cv))`). */
+  private[functions] def normalizeRows(
+      c: Array[Array[Double]]): Array[Array[Double]] =
+    c.map { row =>
+      val n = math.sqrt(dotSeq(row, row))
       if (n == 0) row else row.map(_ / n)
     }
+
+  private def withCentroidDots(df: DataFrame, idCol: String, vecCol: String,
+                               cents: Array[Array[Double]]): DataFrame =
     df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__dots",
-        graft.functions.expressions.VectorExprs.matVec(col("__v"), normalized))
-  }
+        graft.functions.expressions.VectorExprs.matVec(col("__v"),
+          normalizeRows(cents)))
 
   private def cellStructs(nlist: Int): Column = transform(
     sequence(lit(0), lit(nlist - 1)),
@@ -385,35 +399,32 @@ object Vectors {
           idCol, "__sub", codebookK, pqIters, seed = s"pq$s")._2)
       }), scala.concurrent.duration.Duration.Inf)
     }
-    def dotLR(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0
-      var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
     // SDC tables: raw-centroid inner products, one k×k literal per
     // subspace (model-scale: m·k² doubles, broadcast with the plan)
     val sdc: Seq[Array[Array[Double]]] = parts.map { cs =>
-      cs.map(a => cs.map(b => dotLR(a, b)))
+      cs.map(a => cs.map(b => dotSeq(a, b)))
     }
-    def normalized(c: Array[Array[Double]]): Array[Array[Double]] =
-      c.map { row =>
-        var n2 = 0.0
-        var i = 0
-        while (i < row.length) { n2 += row(i) * row(i); i += 1 }
-        val n = math.sqrt(n2)
-        if (n == 0) row else row.map(_ / n)
-      }
-    // one scan computes IVF dots + every subspace's code (all matVec
-    // argmaxes in the scan projection)
+    // one scan computes IVF dots + every subspace's code. The subspace
+    // dots MATERIALIZE as a column first and the argmax lambda reads the
+    // attribute: embedding the matVec tree in the lambda body would
+    // re-evaluate the whole subDim×k product once PER CODEBOOK ENTRY
+    // (higher-order functions evaluate their lambda per element with no
+    // invariant hoisting) — k× the intended scan cost. CollapseProject
+    // will not inline a non-cheap expression referenced from a lambda,
+    // so the column materialization survives optimization (the
+    // kmeansModel.assigned pattern).
     def withCodes(d: DataFrame): DataFrame =
       (0 until m).foldLeft(d) { (acc, s) =>
-        val dots = graft.functions.expressions.VectorExprs.matVec(
-          slice(col("__v"), s * subDim + 1, subDim), normalized(parts(s)))
-        acc.withColumn(s"__code$s", array_max(transform(
-            sequence(lit(0), lit(parts(s).length - 1)),
-            i => struct(element_at(dots, i + 1).as("s"), i.as("c"))))
-          .getField("c"))
+        acc
+          .withColumn(s"__sd$s", graft.functions.expressions.VectorExprs
+            .matVec(slice(col("__v"), s * subDim + 1, subDim),
+              normalizeRows(parts(s))))
+          .withColumn(s"__code$s", array_max(transform(
+              sequence(lit(0), lit(parts(s).length - 1)),
+              i => struct(element_at(col(s"__sd$s"), i + 1).as("s"),
+                i.as("c"))))
+            .getField("c"))
+          .drop(s"__sd$s")
       }
     val codeCols = (0 until m).map(s => col(s"__code$s"))
     val assignedC = withCodes(
@@ -423,8 +434,12 @@ object Vectors {
       .select(col("cell") +: col("__id") +: codeCols: _*)
     val assigned =
       if (maxCellFreq == Int.MaxValue) assignedC
+      // own capStats tag: capStats holds the LAST run per tag (and a
+      // non-firing run REMOVES it), so sharing knnJoinIVF's tag would let
+      // either operator's cap regression hide behind the other's in the
+      // skew harness
       else graft.functions.Dedup.capHotKeys(
-        assignedC, "cell", maxCellFreq, "knnJoinIVF")
+        assignedC, "cell", maxCellFreq, "knnJoinIVFPQ")
     val probes = withCodes(
       withCentroidDots(df, idCol, vecCol, cents)
         .withColumn("__pc", slice(reverse(array_sort(cellStructs(cents.length))),
@@ -640,17 +655,9 @@ object Vectors {
       return (e.select(col("__id").as(idCol))
         .withColumn("cell", lit(0L)).limit(0), cents)
 
-    def normalized(c: Array[Array[Double]]): Array[Array[Double]] =
-      c.map { row =>
-        var n2 = 0.0
-        var i = 0
-        while (i < row.length) { n2 += row(i) * row(i); i += 1 } // l-to-r fold
-        val n = math.sqrt(n2)
-        if (n == 0) row else row.map(_ / n)
-      }
     def assigned(c: Array[Array[Double]]): DataFrame = {
       val dots = graft.functions.expressions.VectorExprs
-        .matVec(col("__v"), normalized(c))
+        .matVec(col("__v"), normalizeRows(c))
       e.withColumn("__dots", dots)
         .withColumn("cell", array_max(transform(
             sequence(lit(0), lit(c.length - 1)),
@@ -696,15 +703,8 @@ object Vectors {
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
                         centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "empty codebook")
-    val normalized = centroids.map { row =>
-      var n2 = 0.0
-      var i = 0
-      while (i < row.length) { n2 += row(i) * row(i); i += 1 }
-      val n = math.sqrt(n2)
-      if (n == 0) row else row.map(_ / n)
-    }
     val dots = graft.functions.expressions.VectorExprs
-      .matVec(col("__v"), normalized)
+      .matVec(col("__v"), normalizeRows(centroids))
     df.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__dots", dots)
       .withColumn("cell", array_max(transform(
