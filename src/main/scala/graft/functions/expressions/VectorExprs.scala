@@ -272,6 +272,140 @@ final case class MatVec(child: Expression, matrix: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Argmax row of `matrix · vec` in ONE compiled pass — the kmeans/IVF
+  * assignment kernel. Replaces the `array_max(transform(sequence(...),
+  * struct(dot, idx)))` shape: a higher-order function is CodegenFallback
+  * and evaluates its lambda PER ELEMENT, and CollapseProject will inline
+  * a single-reference dots column straight back into the lambda body, so
+  * that shape silently re-evaluates the whole [[MatVec]] product once per
+  * codebook entry. Tie rule ≡ the struct max: equal dots → the LARGER row
+  * index (ascending scan with `>=`), matching the oracle's
+  * `ORDER BY sim DESC, cell DESC` rank-1 row. */
+final case class MatVecArgMax(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
+    "matrix must be non-empty and rectangular")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "mat_vec_argmax"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(FloatType, child.dataType, prettyName, "input")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mva", this, classOf[MatVecArgMax].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |Object r = $ref.compute($c);
+       |${ev.isNull} = (r == null);
+       |if (!${ev.isNull}) ${ev.value} = ((java.lang.Integer) r).intValue();
+     """.stripMargin)
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  @transient private lazy val flat: Array[Double] = matrix.flatten.toArray
+  @transient private lazy val nRows: Int = matrix.length
+  @transient private lazy val dim: Int = matrix.head.length
+
+  def compute(vec: ArrayData): Any = {
+    if (vec.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (vec.isNullAt(i)) return null; i += 1 }
+    val m = flat
+    var best = Double.NegativeInfinity
+    var bestJ = 0
+    var j = 0
+    while (j < nRows) {
+      val base = j * dim
+      var acc = 0.0
+      i = 0
+      while (i < dim) { acc += vec.getFloat(i).toDouble * m(base + i); i += 1 }
+      if (acc >= best) { best = acc; bestJ = j } // ties -> larger index
+      j += 1
+    }
+    java.lang.Integer.valueOf(bestJ)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecArgMax =
+    copy(child = newChild)
+}
+
+/** Top-`n` rows of `matrix · vec` by (dot desc, index desc) in one
+  * compiled pass — the IVF probe kernel ([[MatVecArgMax]]'s rationale;
+  * the tie/order rule ≡ `reverse(array_sort(struct(dot, idx)))`). */
+final case class MatVecTopCells(child: Expression, matrix: Seq[Seq[Double]],
+                                n: Int) extends UnaryExpression {
+  require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
+    "matrix must be non-empty and rectangular")
+  require(n > 0, "n > 0")
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "mat_vec_top_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(FloatType, child.dataType, prettyName, "input")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mvt", this, classOf[MatVecTopCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+       |  $ref.compute($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  @transient private lazy val flat: Array[Double] = matrix.flatten.toArray
+  @transient private lazy val nRows: Int = matrix.length
+  @transient private lazy val dim: Int = matrix.head.length
+
+  def compute(vec: ArrayData): Any = {
+    if (vec.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (vec.isNullAt(i)) return null; i += 1 }
+    val m = flat
+    val dots = new Array[Double](nRows)
+    var j = 0
+    while (j < nRows) {
+      val base = j * dim
+      var acc = 0.0
+      i = 0
+      while (i < dim) { acc += vec.getFloat(i).toDouble * m(base + i); i += 1 }
+      dots(j) = acc
+      j += 1
+    }
+    val take = math.min(n, nRows)
+    val taken = new Array[Boolean](nRows)
+    val out = new Array[Any](take)
+    var t = 0
+    while (t < take) {
+      var best = Double.NegativeInfinity
+      var bestJ = -1
+      j = 0
+      while (j < nRows) {
+        // (dot desc, index desc): ascending scan with >= on untaken rows
+        if (!taken(j) && dots(j) >= best) { best = dots(j); bestJ = j }
+        j += 1
+      }
+      taken(bestJ) = true
+      out(t) = bestJ
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecTopCells =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(
