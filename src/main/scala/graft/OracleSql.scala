@@ -2163,6 +2163,17 @@ object OracleSql {
     // quarter-band pigeonhole gives FULL recall at Hamming <= 3, so the
     // streamed distinct pair set must equal all-pairs exactly
     "stream_dedup" -> simhashNearDupsBoundedSql,
+    // TTL mode: event time = 2024-01-01 + (doc_id % 1440) minutes, pairs
+    // only within a 30-minute window — the ts filter reduces to a pure
+    // doc_id predicate the oracle replays exactly (watermark delay spans
+    // the whole ts range, so stream pruning never bites at the gate)
+    "stream_dedup_ttl" ->
+      s"""WITH $simhashCtes
+         |SELECT x.doc_id AS idA, y.doc_id AS idB,
+         |  CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+         |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.h, y.h)) <= 3
+         |  AND abs((x.doc_id % 1440) - (y.doc_id % 1440)) <= 30""".stripMargin,
     // incremental bounded variant: same full-recall guarantee, restricted
     // to pairs touching the new batch (doc_id % 5 = 4)
     "incremental_simhash_bounded" ->

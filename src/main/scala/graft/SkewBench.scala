@@ -280,6 +280,15 @@ object SkewBench {
       if (m == 10) Dedup.capStats.foreach { case (what, (k, _)) =>
         capsFired += (what -> k)
       }
+      // fixed-resolution CONTROL: the same 10× corpus at the 1× nlist —
+      // candidate volume ~n²·nprobe/nlist, the quadratic regime the √n
+      // rule exists to avoid; reported (raw + its own ratio key) so the
+      // fixed-vs-scaled gap is in the artifact, not just the docstring
+      if (m == 10)
+        rec(scale, "knn_join_fixed_nlist",
+          time(force(Vectors.knnJoinIVF(emb, "id", "embedding",
+            k = 5, nlist = 16, nprobe = 2, iters = 1,
+            maxCellFreq = 1000)))._1)
       spark.catalog.clearCache()
 
       // as-of: purchase labels get latest click value; entity 77 carries
@@ -495,9 +504,17 @@ object SkewBench {
       "link_prediction", "triangle_count",
       "event_funnel", "markov_transitions", "scd2_build", "retention",
       "nearest_join", "interval_coverage", "ewma_cusum", "chain_cc_star")
-    val ratios = linearFamilies.map { f =>
+    // ratios are REPORTED for every family (round-8 finding: omitting the
+    // worst ratios from the derived dict while they sit in the raw
+    // sections reads as cherry-picking); the ≤ 30× linearity ASSERTION
+    // still applies only to the linear-by-design families — the
+    // structurally superlinear ones (quarter-band simhash, coarse fuzzy,
+    // hyperplane cosine, the n^1.5 kNN self-joins, stream_dedup) are
+    // documented as such above.
+    val allRatios = results("x1").keys.toSeq.map { f =>
       f -> results("x10")(f) / math.max(results("x1")(f), 1e-9)
     }
+    val ratios = allRatios.filter(r => linearFamilies.contains(r._1))
     ratios.foreach { case (f, r) =>
       if (r > 30.0) errs += f"$f scaled superlinearly: x10/x1 = $r%.1f (> 30)"
     }
@@ -507,16 +524,24 @@ object SkewBench {
       math.max(results("x1")("simhash_near_dups"), 1e-9)
     val fuzzyCoarseRatio = results("x10")("fuzzy_link_coarse") /
       math.max(results("x1")("fuzzy_link_coarse"), 1e-9)
+    // fixed-nlist 10× vs scaled-nlist 10×: the measured cost of ignoring
+    // the √n operating rule on the same corpus
+    val knnFixedOverScaled = results("x10")("knn_join_fixed_nlist") /
+      math.max(results("x10")("knn_join"), 1e-9)
 
     def jm(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"skew_harness","x1":${jm(results("x1"))},""" +
         s""""x10":${jm(results("x10"))},""" +
-        s""""ratio_x10_over_x1":${jm(ratios.toMap)},""" +
+        s""""ratio_x10_over_x1":${jm(
+          scala.collection.immutable.ListMap(allRatios: _*))},""" +
+        s""""ratio_asserted_families":${linearFamilies
+          .map(f => s""""$f"""").mkString("[", ",", "]")},""" +
         f""""cosine_ratio_reported":$cosRatio%.1f,""" +
         f""""simhash_quarterband_ratio_reported":$simhashRatio%.1f,""" +
         f""""fuzzy_link_coarse_ratio_reported":$fuzzyCoarseRatio%.1f,""" +
+        f""""knn_join_fixed_over_scaled_nlist_x10":$knnFixedOverScaled%.2f,""" +
         s""""caps_fired_at_x10":${
           capsFired.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         },""" +
@@ -536,7 +561,7 @@ object SkewBench {
         s""""assertions_failed":${errs.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_skew_r8.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_skew_r9.json"), json + "\n")
     spark.stop()
     if (errs.nonEmpty) {
       errs.foreach(e => System.err.println(s"[skew] ASSERTION FAILED: $e"))

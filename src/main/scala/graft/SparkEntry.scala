@@ -1275,6 +1275,29 @@ object SparkEntry {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Recent-window streaming near-dup under the gate: every doc gets a
+    * deterministic event time (`2024-01-01 + (doc_id % 1440) minutes`, a
+    * day of minute slots) and only pairs within a 30-minute window count.
+    * The watermark delay exceeds the whole ts span, so nothing is pruned
+    * or late and the per-pair event-time rule alone decides — making the
+    * streamed answer EXACTLY the batch all-pairs Hamming ≤ 3 set
+    * restricted to `|Δts| ≤ 30 min`, which the oracle replays as a pure
+    * doc_id predicate. (Pruning/GC behavior is proven separately in
+    * StreamingDedupTtlSpec with stepped watermarks.) */
+  private def streamDedupTtl(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedupt").toString
+    t(s, dir, "documents").select(col("doc_id"),
+        expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0, " +
+          "cast(doc_id % 1440 as int), 0)").as("ts"),
+        col("text"))
+      .repartition(6).write.parquet(s"$tmp/in")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.streaming.StreamingDedup.runFileStreamTtl(s, s"$tmp/in",
+      ttlMs = 30L * 60 * 1000, delay = "2 days")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Streaming decontamination under the gate: the corpus replayed through
     * a file stream against the eval-set Bloom built batch-side
     * ([[graft.streaming.StreamingDecontam]] — STATELESS scan-projection
@@ -3928,6 +3951,7 @@ object SparkEntry {
     "streaming_latest"  -> (streamingLatest _),
     "stream_online_serve" -> (streamOnlineServe _),
     "stream_dedup"      -> (streamDedup _),
+    "stream_dedup_ttl"  -> (streamDedupTtl _),
     "stream_decontam"   -> (streamDecontam _),
     "task_runs"         -> (taskRuns _),
     "windowed_counts"   -> (windowedCounts _),

@@ -71,6 +71,15 @@ object Verify {
     Files.writeString(
       Paths.get(s"${outDir.stripSuffix("/")}.queries_run.json"),
       selected.map(s => q(s._1)).sorted.mkString("[", ",", "]"))
+    // Loud, grep-able evidence of EXACTLY what the downstream compare will
+    // see (rounds 7-8's driver correctness record arrived empty while the
+    // dump was demonstrably complete — this line pins the repo-side state
+    // in the driver's own log).
+    val entries = new java.io.File(outDir).listFiles()
+    System.err.println(s"[verify] DUMP_DIR $outDir entries=${entries.length} " +
+      s"result_dirs=${entries.count(_.isDirectory)} " +
+      s"oracle_sql=${entries.exists(_.getName == "oracle_sql.json")} " +
+      s"queries_selected=${selected.size}")
     spark.stop()
   }
 }

@@ -218,12 +218,12 @@ object Vectors {
     *  1. an IVF codebook from deterministic spherical k-means
     *     ([[kmeansModel]]: md5-order init, `iters` integer-sum refinement
     *     rounds — every round replayable in the oracle);
-    *  2. ONE scan computes each row's centroid similarities via the
-    *     compiled [[expressions.VectorExprs.matVec]] (task-constant
-    *     normalized matrix). From the same dots vector: the corpus leg
-    *     takes the argmax cell (kmeans tie rule — larger cell id), the
-    *     probe leg the top-`nprobe` cells (sim desc, cell desc). Both are
-    *     scan projections, zero shuffle;
+    *  2. per-row cell assignment is ONE compiled pass over the
+    *     task-constant normalized centroid matrix: the corpus leg takes
+    *     the argmax cell via [[expressions.MatVecArgMax]] (kmeans tie
+    *     rule — larger cell id), the probe leg the top-`nprobe` cells via
+    *     [[expressions.MatVecTopCells]] (sim desc, cell desc). Both are
+    *     scan projections, zero shuffle, O(nlist·dim) per row;
     *  3. candidates = probes ⋈ assignments on cell — a SHUFFLE equi-join
     *     (no broadcast: both legs are corpus-sized), each side exchanged
     *     once on the cell key; a (query, neighbor) pair can arise in at
@@ -255,6 +255,30 @@ object Vectors {
     knnJoinWithCodebook(df, idCol, vecCol, k, nprobe, cents, maxCellFreq)
   }
 
+  /** The IVF operating rule as code: `nlist ≈ √n` (Jégou et al.'s classic
+    * setting) keeps cells executor-sized as the corpus grows — candidate
+    * work is ~n·nprobe·(n/nlist), so a FIXED nlist degrades quadratically
+    * while √n holds the family at ~n^1.5 (the measured
+    * `knn_join_fixed_over_scaled_nlist_x10` gap in BENCH_skew). Clamped
+    * to [1, 4096]: beyond that the per-row assignment kernel (nlist·dim
+    * FLOPs) wants a coarse-quantizer tree instead, which is the
+    * documented next step, not this operator. */
+  def nlistForCorpus(n: Long): Int =
+    math.max(1L, math.min(4096L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** [[knnJoinIVF]] with the √n rule applied from a corpus count the
+    * caller usually already has (a fresh `df.count()` otherwise — one
+    * cheap metadata-ish scan next to the search itself). */
+  def knnJoinIVFAuto(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 2, iters: Int = 1,
+                     seed: String = "km",
+                     maxCellFreq: Int = Int.MaxValue,
+                     corpusCount: Option[Long] = None): DataFrame =
+    knnJoinIVF(df, idCol, vecCol, k,
+      nlist = nlistForCorpus(corpusCount.getOrElse(df.count())),
+      nprobe = nprobe, iters = iters, seed = seed,
+      maxCellFreq = maxCellFreq)
+
   /** [[knnJoinIVF]] against a FIXED codebook — the incremental topology's
     * building block (train the codebook once, search any corpus snapshot
     * against it). Candidate ranking is on the ROUNDED cosine (6 dp, the
@@ -272,31 +296,34 @@ object Vectors {
   }
 
   /** (cell, __id, __v) leg: argmax cell per row (kmeans tie rule — larger
-    * cell id), scan projection; hot cells over `maxCellFreq` dropped with
-    * a logged count. */
+    * cell id) via the one-pass compiled [[expressions.MatVecArgMax]]
+    * kernel in the scan projection; hot cells over `maxCellFreq` dropped
+    * with a logged count. */
   private def cellAssignments(df: DataFrame, idCol: String, vecCol: String,
                               cents: Array[Array[Double]],
                               maxCellFreq: Int): DataFrame = {
-    val assignedC = withCentroidDots(df, idCol, vecCol, cents)
-      .withColumn("cell",
-        array_max(cellStructs(cents.length)).getField("c").cast("long"))
+    val assignedC = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("cell", graft.functions.expressions.VectorExprs
+        .matVecArgMax(col("__v"), normalizeRows(cents)).cast("long"))
       .select(col("cell"), col("__id"), col("__v"))
     if (maxCellFreq == Int.MaxValue) assignedC
     else graft.functions.Dedup.capHotKeys(
       assignedC, "cell", maxCellFreq, "knnJoinIVF")
   }
 
-  /** (query_id, __qv, cell) leg: top-nprobe cells per row —
-    * reverse(sort) = (sim desc, cell desc), rank 1 ≡ the argmax
-    * assignment rule. Scan projection, zero shuffle. */
+  /** (query_id, __qv, cell) leg: top-nprobe cells per row — the compiled
+    * [[expressions.MatVecTopCells]] kernel, (sim desc, cell desc) order
+    * whose rank 1 ≡ the argmax assignment rule. Scan projection, zero
+    * shuffle. */
   private def cellProbes(df: DataFrame, idCol: String, vecCol: String,
                          cents: Array[Array[Double]],
                          nprobe: Int): DataFrame =
-    withCentroidDots(df, idCol, vecCol, cents)
-      .withColumn("__pc", slice(reverse(array_sort(cellStructs(cents.length))),
-        1, math.min(nprobe, cents.length)))
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__pc", graft.functions.expressions.VectorExprs
+        .matVecTopCells(col("__v"), normalizeRows(cents),
+          math.min(nprobe, cents.length)))
       .select(col("__id").as("query_id"), col("__v").as("__qv"),
-        explode(col("__pc").getField("c")).as("__c"))
+        explode(col("__pc")).as("__c"))
       .select(col("query_id"), col("__qv"), col("__c").cast("long").as("cell"))
 
   /** Sequential left-to-right double dot — LOAD-BEARING for bit-exact
@@ -319,17 +346,6 @@ object Vectors {
       val n = math.sqrt(dotSeq(row, row))
       if (n == 0) row else row.map(_ / n)
     }
-
-  private def withCentroidDots(df: DataFrame, idCol: String, vecCol: String,
-                               cents: Array[Array[Double]]): DataFrame =
-    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__dots",
-        graft.functions.expressions.VectorExprs.matVec(col("__v"),
-          normalizeRows(cents)))
-
-  private def cellStructs(nlist: Int): Column = transform(
-    sequence(lit(0), lit(nlist - 1)),
-    i => struct(element_at(col("__dots"), i + 1).as("s"), i.as("c")))
 
   /** Candidates = probes ⋈ assignments on cell (SHUFFLE equi-join — both
     * legs can be corpus-sized), exact rounded cosine, per-query top-k
@@ -388,6 +404,11 @@ object Vectors {
       return base.select(col("__id").as("query_id"),
         col("__id").as("neighbor_id"), lit(0.0).as("cosine"),
         lit(0L).as("rank")).limit(0)
+    // fail fast on a subspace layout that doesn't fit the embedding: a
+    // mismatch would make slice() feed wrong-length arrays into the code
+    // kernels, whose null results silently drop/misrank candidates
+    require(m * subDim <= cents(0).length,
+      s"m*subDim = ${m * subDim} exceeds embedding dim ${cents(0).length}")
     // m subspace codebooks, trained concurrently (pqSearch pattern)
     val parts = {
       import scala.concurrent.{Await, Future}
@@ -404,33 +425,26 @@ object Vectors {
     val sdc: Seq[Array[Array[Double]]] = parts.map { cs =>
       cs.map(a => cs.map(b => dotSeq(a, b)))
     }
-    // one scan computes IVF dots + every subspace's code. The subspace
-    // dots MATERIALIZE as a column first and the argmax lambda reads the
-    // attribute: embedding the matVec tree in the lambda body would
-    // re-evaluate the whole subDim×k product once PER CODEBOOK ENTRY
-    // (higher-order functions evaluate their lambda per element with no
-    // invariant hoisting) — k× the intended scan cost. CollapseProject
-    // will not inline a non-cheap expression referenced from a lambda,
-    // so the column materialization survives optimization (the
-    // kmeansModel.assigned pattern).
+    // one scan computes the IVF cell + every subspace's code, each a
+    // one-pass compiled kernel ([[expressions.MatVecArgMax]]) in the scan
+    // projection. The earlier materialize-dots-then-argmax-lambda shape
+    // was defeated by CollapseProject, which inlines a single-reference
+    // column straight back into the lambda body — and higher-order
+    // functions evaluate their lambda per element with no invariant
+    // hoisting, re-evaluating the whole subDim×k product once PER
+    // CODEBOOK ENTRY (k× the intended scan cost; proven by the committed
+    // plans). The fused kernel computes all dots and the argmax in one
+    // compiled loop, so there is no intermediate column to mis-inline.
     def withCodes(d: DataFrame): DataFrame =
       (0 until m).foldLeft(d) { (acc, s) =>
-        acc
-          .withColumn(s"__sd$s", graft.functions.expressions.VectorExprs
-            .matVec(slice(col("__v"), s * subDim + 1, subDim),
-              normalizeRows(parts(s))))
-          .withColumn(s"__code$s", array_max(transform(
-              sequence(lit(0), lit(parts(s).length - 1)),
-              i => struct(element_at(col(s"__sd$s"), i + 1).as("s"),
-                i.as("c"))))
-            .getField("c"))
-          .drop(s"__sd$s")
+        acc.withColumn(s"__code$s", graft.functions.expressions.VectorExprs
+          .matVecArgMax(slice(col("__v"), s * subDim + 1, subDim),
+            normalizeRows(parts(s))))
       }
     val codeCols = (0 until m).map(s => col(s"__code$s"))
     val assignedC = withCodes(
-      withCentroidDots(df, idCol, vecCol, cents)
-        .withColumn("cell",
-          array_max(cellStructs(cents.length)).getField("c").cast("long")))
+      base.withColumn("cell", graft.functions.expressions.VectorExprs
+        .matVecArgMax(col("__v"), normalizeRows(cents)).cast("long")))
       .select(col("cell") +: col("__id") +: codeCols: _*)
     val assigned =
       if (maxCellFreq == Int.MaxValue) assignedC
@@ -441,12 +455,12 @@ object Vectors {
       else graft.functions.Dedup.capHotKeys(
         assignedC, "cell", maxCellFreq, "knnJoinIVFPQ")
     val probes = withCodes(
-      withCentroidDots(df, idCol, vecCol, cents)
-        .withColumn("__pc", slice(reverse(array_sort(cellStructs(cents.length))),
-          1, math.min(nprobe, cents.length))))
+      base.withColumn("__pc", graft.functions.expressions.VectorExprs
+        .matVecTopCells(col("__v"), normalizeRows(cents),
+          math.min(nprobe, cents.length))))
       .select(col("__id").as("query_id") +: col("__pc") +:
         codeCols.zipWithIndex.map { case (c, s) => c.as(s"__qcode$s") }: _*)
-      .withColumn("__c", explode(col("__pc").getField("c")))
+      .withColumn("__c", explode(col("__pc")))
       .select(col("query_id") +: col("__c").cast("long").as("cell") +:
         (0 until m).map(s => col(s"__qcode$s")): _*)
     // SDC score: m literal-table lookups over the pair's codes
@@ -655,16 +669,12 @@ object Vectors {
       return (e.select(col("__id").as(idCol))
         .withColumn("cell", lit(0L)).limit(0), cents)
 
-    def assigned(c: Array[Array[Double]]): DataFrame = {
-      val dots = graft.functions.expressions.VectorExprs
-        .matVec(col("__v"), normalizeRows(c))
-      e.withColumn("__dots", dots)
-        .withColumn("cell", array_max(transform(
-            sequence(lit(0), lit(c.length - 1)),
-            i => struct(element_at(col("__dots"), i + 1).as("s"), i.as("c"))))
-          .getField("c").cast("long"))
-        .drop("__dots")
-    }
+    // one-pass compiled argmax in the scan projection (ties → larger cell,
+    // the kmeans rule); the fused kernel avoids the CollapseProject
+    // inlining that made the dots-column + argmax-lambda shape O(k²·dim)
+    def assigned(c: Array[Array[Double]]): DataFrame =
+      e.withColumn("cell", graft.functions.expressions.VectorExprs
+        .matVecArgMax(col("__v"), normalizeRows(c)).cast("long"))
 
     var a = assigned(cents)
     for (_ <- 1 to iters) {
@@ -703,14 +713,9 @@ object Vectors {
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
                         centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "empty codebook")
-    val dots = graft.functions.expressions.VectorExprs
-      .matVec(col("__v"), normalizeRows(centroids))
     df.select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("__dots", dots)
-      .withColumn("cell", array_max(transform(
-          sequence(lit(0), lit(centroids.length - 1)),
-          i => struct(element_at(col("__dots"), i + 1).as("s"), i.as("c"))))
-        .getField("c").cast("long"))
+      .withColumn("cell", graft.functions.expressions.VectorExprs
+        .matVecArgMax(col("__v"), normalizeRows(centroids)).cast("long"))
       .select(col(idCol), col("cell"))
   }
 

@@ -391,8 +391,11 @@ final case class MatVecTopCells(child: Expression, matrix: Seq[Seq[Double]],
       var bestJ = -1
       j = 0
       while (j < nRows) {
-        // (dot desc, index desc): ascending scan with >= on untaken rows
-        if (!taken(j) && dots(j) >= best) { best = dots(j); bestJ = j }
+        // (dot desc, index desc): ascending scan with >= on untaken rows.
+        // bestJ < 0 seeds the first untaken row so an all-NaN dots vector
+        // (every comparison false) still yields a row instead of indexing
+        // at -1 — same guard rationale as MatVecArgMax's bestJ = 0 init.
+        if (!taken(j) && (bestJ < 0 || dots(j) >= best)) { best = dots(j); bestJ = j }
         j += 1
       }
       taken(bestJ) = true
@@ -418,4 +421,10 @@ object VectorExprs {
   def matVec(vec: Column, matrix: Array[Array[Double]]): Column =
     ColumnBridge.column(MatVec(ColumnBridge.expression(vec),
       matrix.toSeq.map(_.toSeq)))
+  def matVecArgMax(vec: Column, matrix: Array[Array[Double]]): Column =
+    ColumnBridge.column(MatVecArgMax(ColumnBridge.expression(vec),
+      matrix.toSeq.map(_.toSeq)))
+  def matVecTopCells(vec: Column, matrix: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(MatVecTopCells(ColumnBridge.expression(vec),
+      matrix.toSeq.map(_.toSeq), n))
 }

@@ -1,0 +1,176 @@
+package graft.sched
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledFuture, TimeUnit}
+import java.util.concurrent.locks.ReentrantLock
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Lease-file locker over the Hadoop FileSystem API — the REMOTE-scheme
+  * binding [[Locker.forDir]] was missing (the reference fills this role
+  * with its psql advisory locker, ffsync/locker.go:110): two drivers
+  * sharing an `hdfs:`/`s3a:` catalog or task ledger get real
+  * cross-process exclusion instead of the in-process MemoryLocker
+  * fallback. `java.nio.channels.FileLock` doesn't exist on remote
+  * filesystems, so the protocol is the classic lease file:
+  *
+  *  - ACQUIRE = atomic create-if-absent of `<dir>/<key>.lease`
+  *    (`FileSystem.create(path, overwrite = false)` — atomic on HDFS;
+  *    on S3 it rides the strong-consistency existence check). The lease
+  *    body carries the owner id and a FENCING TOKEN.
+  *  - LIVENESS = the lease file's modification time. A background
+  *    heartbeat rewrites the lease every `heartbeatMs` while the body
+  *    runs, so a live holder's lease mtime is always fresh.
+  *  - EXPIRY = a lease whose mtime is older than `leaseExpiryMs` marks
+  *    a dead holder (process gone without release): any waiter may
+  *    BREAK it — read its token, delete, re-create with
+  *    `max(now, token + 1)`. The monotone token lets a downstream store
+  *    reject writes from a
+  *    zombie holder that wakes up after its lease was broken (classic
+  *    fencing; exposed via [[withLockFenced]]).
+  *  - RELEASE = delete the lease file.
+  *
+  * Same-JVM contention never reaches the filesystem: a JVM-global
+  * reentrant gate per lease path (the [[FileLocker]] pattern) serializes
+  * local threads first, so only genuinely foreign processes contend on
+  * the lease. Assumptions, stated: clocks across holders agree to well
+  * under `leaseExpiryMs` (the standard lease-protocol requirement when
+  * no coordinator exists), and a broken-then-resurrected holder is only
+  * fully fenced if the downstream store checks tokens. */
+final class LeaseLocker(dir: String, conf: Configuration,
+                        leaseExpiryMs: Long = 60000L,
+                        heartbeatMs: Long = 5000L,
+                        pollMs: Long = 200L) extends Locker {
+  require(leaseExpiryMs > heartbeatMs,
+    "leaseExpiryMs must exceed heartbeatMs or live leases expire")
+
+  private val base = new HPath(dir)
+  private val fs: FileSystem = base.getFileSystem(conf)
+  fs.mkdirs(base)
+
+  private val owner =
+    s"${java.net.InetAddress.getLocalHost.getHostName}#" +
+      s"${ProcessHandle.current().pid()}"
+
+  private def leasePath(key: String): HPath = {
+    val safe = key.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
+    // hash suffix so sanitization collisions can't alias two keys
+    new HPath(base, s"$safe.${Integer.toHexString(key.hashCode)}.lease")
+  }
+
+  private def jvmLock(key: String): ReentrantLock =
+    LeaseLocker.jvmLocks.computeIfAbsent(
+      fs.makeQualified(leasePath(key)).toString,
+      _ => new ReentrantLock())
+
+  private def leaseBody(token: Long): Array[Byte] =
+    s"token=$token\nowner=$owner\n".getBytes(StandardCharsets.UTF_8)
+
+  private def writeLease(p: HPath, token: Long, overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(leaseBody(token)) finally out.close()
+  }
+
+  private def readToken(p: HPath): Long =
+    try {
+      val in = fs.open(p)
+      val bytes =
+        try in.readNBytes(4096)
+        finally in.close()
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      "token=(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    } catch { case _: java.io.IOException => 0L } // torn/raced read: floor
+
+  /** One acquisition attempt against the lease FILE (the JVM gate is
+    * already held). Some(token) on success. Tokens are acquire-time
+    * wall-clock ms, bumped past a broken lease's token — monotone across
+    * the lock's whole lifetime (including clean release → re-acquire)
+    * under the same bounded-clock-skew assumption the expiry rule
+    * already makes. */
+  private def tryAcquireFile(p: HPath): Option[Long] = {
+    // fresh-create fast path
+    try {
+      val t = System.currentTimeMillis()
+      writeLease(p, t, overwrite = false)
+      return Some(t)
+    }
+    catch { case _: java.io.IOException => () }
+    // create failed: existing lease (or transient IO error — re-surface
+    // the latter so withLock doesn't spin on a broken filesystem)
+    val st =
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // raced: holder released between create and stat; next poll wins
+          return None
+      }
+    if (System.currentTimeMillis() - st.getModificationTime <= leaseExpiryMs)
+      return None // live foreign holder
+    // expired lease: break it — read the dead holder's token, delete,
+    // re-create with token + 1 (competing breakers: only one create-if-
+    // absent wins; the loser just reports not-acquired)
+    val deadToken = readToken(p)
+    fs.delete(p, false)
+    val t = math.max(System.currentTimeMillis(), deadToken + 1L)
+    try { writeLease(p, t, overwrite = false); Some(t) }
+    catch { case _: java.io.IOException => None }
+  }
+
+  private def withHeartbeat[T](p: HPath, token: Long)(body: => T): T = {
+    val beat: ScheduledFuture[_] = LeaseLocker.heartbeats.scheduleAtFixedRate(
+      () => try writeLease(p, token, overwrite = true)
+            catch { case _: java.io.IOException => () },
+      heartbeatMs, heartbeatMs, TimeUnit.MILLISECONDS)
+    try body
+    finally {
+      beat.cancel(false)
+      try fs.delete(p, false)
+      catch { case _: java.io.IOException => () } // expires on its own
+    }
+  }
+
+  /** [[withLock]] with the fencing token passed to the body — hand it to
+    * any store that must reject a zombie ex-holder's writes. */
+  def withLockFenced[T](key: String)(body: Long => T): T = {
+    val l = jvmLock(key)
+    l.lock()
+    try {
+      if (l.getHoldCount > 1) body(-1L) // reentrant: lease already held
+      else {
+        val p = leasePath(key)
+        var token = tryAcquireFile(p)
+        while (token.isEmpty) {
+          Thread.sleep(pollMs)
+          token = tryAcquireFile(p)
+        }
+        withHeartbeat(p, token.get)(body(token.get))
+      }
+    } finally l.unlock()
+  }
+
+  def withLock[T](key: String)(body: => T): T =
+    withLockFenced(key)(_ => body)
+
+  def tryWithLock[T](key: String)(body: => T): Option[T] = {
+    val l = jvmLock(key)
+    if (!l.tryLock()) return None
+    try {
+      if (l.getHoldCount > 1) Some(body) // reentrant
+      else {
+        val p = leasePath(key)
+        tryAcquireFile(p).map(t => withHeartbeat(p, t)(body))
+      }
+    } finally l.unlock()
+  }
+}
+
+object LeaseLocker {
+  private val jvmLocks = new ConcurrentHashMap[String, ReentrantLock]()
+  private lazy val heartbeats = Executors.newScheduledThreadPool(1, r => {
+    val t = new Thread(r, "graft-lease-heartbeat")
+    t.setDaemon(true)
+    t
+  })
+}

@@ -37,9 +37,12 @@ object Locker {
   /** Locker policy for a durable-state directory: LOCAL dirs (no scheme,
     * `file:`, or anything `java.net.URI` can't parse — e.g. paths with
     * spaces) get a [[FileLocker]] in `<dir>/.locks` for cross-process
-    * exclusion; remote schemes (hdfs:, s3a:, …) fall back to the
-    * in-process [[MemoryLocker]] — a distributed store should bring its
-    * own coordination (the reference's psql locker role). */
+    * exclusion; remote schemes (hdfs:, s3a:, …) get a [[LeaseLocker]] in
+    * `<dir>/.locks` over the Hadoop FileSystem API (the reference's psql
+    * locker role) — falling back to the in-process [[MemoryLocker]] only
+    * when no Hadoop binding for the scheme is on the classpath (then the
+    * store can't be reached either, so single-process is a safe
+    * assumption). */
   def forDir(dir: String): Locker =
     byDir.computeIfAbsent(dir, make(_))
 
@@ -48,13 +51,19 @@ object Locker {
   // MemoryLocker per call would hold a private lock map — zero exclusion
   // even between two threads of one JVM. FileLocker would still exclude
   // via the lock files, but the memory binding must be shared to mean
-  // anything. (Two spellings of the same remote dir get two MemoryLockers
-  // — the memory binding is best-effort by design; bring a distributed
-  // locker for real multi-writer remote stores.)
+  // anything. The cache is BOUNDED (round-8 advice: test/bench suites
+  // minting nanoTime temp dirs accumulated instances forever): on
+  // overflow it is cleared wholesale, which is safe for File/Lease
+  // lockers (their exclusion state lives in JVM-GLOBAL gate maps keyed
+  // by canonical lock path plus the on-disk locks, not in the instance)
+  // — only a remote-scheme MemoryLocker fallback would lose exclusion
+  // across an eviction, and that binding is best-effort by design.
   private val byDir =
     new java.util.concurrent.ConcurrentHashMap[String, Locker]()
+  private val MaxCached = 512
 
   private def make(dir: String): Locker = {
+    if (byDir.size >= MaxCached) byDir.clear()
     val scheme =
       try Option(new java.net.URI(dir).getScheme)
       catch { case _: java.net.URISyntaxException => None }
@@ -62,7 +71,21 @@ object Locker {
       case None => new FileLocker(s"$dir/.locks")
       case Some("file") =>
         new FileLocker(s"${new java.net.URI(dir).getPath}/.locks")
-      case Some(_) => new MemoryLocker
+      case Some(_) =>
+        // probe the Hadoop binding NOW (constructing LeaseLocker touches
+        // the FS): no binding → the documented MemoryLocker fallback
+        try {
+          val conf = org.apache.spark.sql.SparkSession.getActiveSession
+            .map(_.sparkContext.hadoopConfiguration)
+            .getOrElse(new org.apache.hadoop.conf.Configuration())
+          new LeaseLocker(s"$dir/.locks", conf)
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"[locker] no filesystem binding for $dir (${e.getMessage}); " +
+                "falling back to in-process locking")
+            new MemoryLocker
+        }
     }
   }
 }

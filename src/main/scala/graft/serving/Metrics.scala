@@ -51,6 +51,28 @@ final class Metrics {
 
   def stats(route: String): Option[RouteStats] = Option(routes.get(route))
 
+  /** Per-FEATURE request/error counters — the reference's metrics are
+    * labeled by feature, not just route (metrics/metrics.go:16-45:
+    * promauto counters keyed on feature name), so two features served
+    * from one endpoint get independent traffic/error series. Label
+    * cardinality is bounded by the registered feature names (never raw
+    * request input). */
+  final class FeatureStats {
+    val requests = new LongAdder
+    val errors = new LongAdder
+  }
+
+  private val features = new ConcurrentHashMap[String, FeatureStats]()
+
+  def observeFeature(name: String, error: Boolean): Unit = {
+    val s = features.computeIfAbsent(name, _ => new FeatureStats)
+    s.requests.increment()
+    if (error) s.errors.increment()
+  }
+
+  def featureStats(name: String): Option[FeatureStats] =
+    Option(features.get(name))
+
   /** Quantile estimate from the histogram (linear interpolation within the
     * containing bucket — the same estimate `histogram_quantile` computes
     * server-side in prometheus). Returns milliseconds. */
@@ -91,6 +113,18 @@ final class Metrics {
     b.append("# TYPE graft_request_errors_total counter\n")
     sorted.foreach { case (p, s) =>
       b.append(s"graft_request_errors_total${lbl(p)} ${s.errors.sum()}\n")
+    }
+    val fsorted = features.asScala.toSeq.sortBy(_._1)
+    if (fsorted.nonEmpty) {
+      def flbl(n: String) = s"""{feature="${n.replace("\"", "\\\"")}"}"""
+      b.append("# TYPE graft_feature_requests_total counter\n")
+      fsorted.foreach { case (n, s) =>
+        b.append(s"graft_feature_requests_total${flbl(n)} ${s.requests.sum()}\n")
+      }
+      b.append("# TYPE graft_feature_errors_total counter\n")
+      fsorted.foreach { case (n, s) =>
+        b.append(s"graft_feature_errors_total${flbl(n)} ${s.errors.sum()}\n")
+      }
     }
     b.append("# TYPE graft_request_latency_ms histogram\n")
     sorted.foreach { case (p, s) =>

@@ -176,7 +176,12 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
       (q - "names" - "entity" - "entityType").map { case (k, v) =>
         k -> (v.toLongOption orElse v.toDoubleOption getOrElse v: Any)
       }
-    val values = store.features(names, entity, params)
+    val values =
+      try store.features(names, entity, params)
+      catch { case e: Throwable =>
+        names.foreach(metrics.observeFeature(_, error = true)); throw e
+      }
+    names.foreach(metrics.observeFeature(_, error = false))
     respond(ex, 200, s"""{"entity":${jsonVal(raw)},"values":${
       values.map(jsonVal).mkString("[", ",", "]")}}""")
   }
@@ -189,7 +194,12 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     val vec = q.getOrElse("q",
       throw new IllegalArgumentException("q required"))
       .split(',').map(_.toFloat)
-    val hits = store.nearest(feature, vec, k)
+    val hits =
+      try store.nearest(feature, vec, k)
+      catch { case e: Throwable =>
+        metrics.observeFeature(feature, error = true); throw e
+      }
+    metrics.observeFeature(feature, error = false)
     respond(ex, 200, hits.map { case (id, sim) =>
       s"""{"id":${jsonVal(id)},"sim":$sim}"""
     }.mkString("[", ",", "]"))

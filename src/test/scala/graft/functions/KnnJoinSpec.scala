@@ -180,4 +180,18 @@ class KnnJoinSpec extends SparkSpec {
       k = 3, nlist = 1, nprobe = 1, iters = 0, maxCellFreq = 60)
     assert(uncapped.count() == 180)
   }
+
+  test("auto variant applies the √n nlist rule and matches the explicit call") {
+    assert(Vectors.nlistForCorpus(0) == 1)
+    assert(Vectors.nlistForCorpus(100) == 10)
+    assert(Vectors.nlistForCorpus(1000000) == 1000)
+    assert(Vectors.nlistForCorpus(Long.MaxValue) == 4096) // clamp
+    val df = corpus.toDF("vec_id", "embedding") // 60 rows → nlist 8
+    assert(Vectors.nlistForCorpus(60) == 8)
+    val auto = Vectors.knnJoinIVFAuto(df, "vec_id", "embedding",
+      k = 3, nprobe = 2, iters = 1).collect().toSet
+    val explicit = Vectors.knnJoinIVF(df, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2, iters = 1).collect().toSet
+    assert(auto == explicit)
+  }
 }

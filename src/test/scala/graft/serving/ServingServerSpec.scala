@@ -287,4 +287,36 @@ class ServingServerSpec extends SparkSpec {
         >= srv.metrics.quantileMs("/features", 0.5))
     } finally srv.stop()
   }
+
+  test("per-feature counters advance independently (reference labels " +
+    "metrics by feature, not just route)") {
+    val store = new OnlineStore(new InProcessKv)
+    store.load("fa", Seq((1L, 5L)).toDF("entity", "value"))
+    store.load("fb", Seq((1L, 7L)).toDF("entity", "value"))
+    val srv = new ServingServer(store).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      store.registerOnDemand("boom",
+        (_, _) => throw new RuntimeException("kaput"))
+      (1 to 3).foreach(_ => get(s"$base/features?names=fa&entity=1"))
+      // one request touching BOTH features advances both
+      get(s"$base/features?names=fa,fb&entity=1")
+      // a failing on-demand feature errors under its own label
+      get(s"$base/features?names=boom&entity=1")
+      val (code, text) = get(s"$base/metrics")
+      assert(code == 200)
+      def metric(line: String): Long =
+        text.linesIterator.find(_.startsWith(line)).map(_.split(' ').last.toLong)
+          .getOrElse(fail(s"metric not found: $line"))
+      assert(metric("""graft_feature_requests_total{feature="fa"}""") == 4L)
+      assert(metric("""graft_feature_requests_total{feature="fb"}""") == 1L)
+      assert(metric("""graft_feature_errors_total{feature="fa"}""") == 0L)
+      assert(metric("""graft_feature_errors_total{feature="fb"}""") == 0L)
+      assert(metric("""graft_feature_requests_total{feature="boom"}""") == 1L)
+      assert(metric("""graft_feature_errors_total{feature="boom"}""") == 1L)
+      // programmatic twin of the scrape
+      assert(srv.metrics.featureStats("fa").get.requests.sum() == 4L)
+      assert(srv.metrics.featureStats("fb").get.errors.sum() == 0L)
+    } finally srv.stop()
+  }
 }
