@@ -108,7 +108,16 @@ object OracleSql {
   private def minhashNearDupsSql: String = minhashNearDupsSql("TRUE")
 
   /** The same replica over a doc subset (`docWhere` on documents) — reused
-    * by dedup_pr_eval's predicted-pair side. */
+    * by dedup_pr_eval's predicted-pair side.
+    *
+    * The multi-referenced CTEs here (and every consumer's wrapping `p`)
+    * carry `MATERIALIZED` hints: DuckDB inlines CTEs by default, so a
+    * pair table referenced twice re-executes the WHOLE 64-hash pipeline —
+    * measured 92 s → 29 s on the closure queries at sf0.01. The driver's
+    * compare runs ~250 oracles in one budgeted pass; six of these
+    * replays at 90+ s each is the difference between a recorded
+    * correctness artifact and a timed-out empty one. Hints only change
+    * execution, never results (cell-exact hashes re-verified). */
   private def minhashNearDupsSql(docWhere: String): String = {
     val numHashes = 64
     val bands = 16
@@ -124,17 +133,17 @@ object OracleSql {
       val bk = (0 until rpb).map(r => s"s${b * rpb + r}").mkString("[", ", ", "]")
       s"SELECT doc_id, $b AS b, $bk AS bk FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, $NORM_TEXT AS nt FROM documents
        |  WHERE $docWhere),
        |pos AS (SELECT doc_id, nt, unnest(generate_series(1, greatest(length(nt) - 4, 0))) AS i FROM d),
        |sh AS (SELECT doc_id, ${mh63("substr(nt, i, 5)")} AS h FROM pos),
        |sigs AS (SELECT doc_id,
        |    $minExprs
        |  FROM sh GROUP BY doc_id),
-       |sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
+       |sigl AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM sigs),
        |banded0 AS (
        |  $bandSelects),
-       |banded AS (SELECT * FROM banded0
+       |banded AS MATERIALIZED (SELECT * FROM banded0
        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bk) <= 2000),
        |cand AS (SELECT DISTINCT x.doc_id AS idA, y.doc_id AS idB
        |  FROM banded x JOIN banded y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
@@ -142,7 +151,7 @@ object OracleSql {
        |  JOIN sigl sa ON c.idA = sa.doc_id JOIN sigl sb ON c.idB = sb.doc_id
        |  WHERE list_sum(list_transform(generate_series(1, $numHashes),
        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= $minAgree),
-       |kg AS (SELECT doc_id, list_distinct(list_transform(
+       |kg AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(length(nt) - 4, 0)), i -> substr(nt, i, 5))) AS ks FROM d),
        |j AS (SELECT e.idA, e.idB, len(list_intersect(ka.ks, kb.ks)) AS inter,
        |    len(ka.ks) AS na, len(kb.ks) AS nb
@@ -831,7 +840,7 @@ object OracleSql {
     // cluster id — the whole pipeline end-to-end in SQL
     "split_leakage_safe" ->
       s"""WITH RECURSIVE
-         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |p AS MATERIALIZED (SELECT idA, idB FROM ($minhashNearDupsSql)),
          |e AS (SELECT idA AS s, idB AS d FROM p
          |      UNION SELECT idB, idA FROM p),
          |n AS (SELECT DISTINCT s AS id FROM e),
@@ -1329,7 +1338,7 @@ object OracleSql {
     // execution strategies — the streaming/batch convention)
     "dedup_clusters_star" ->
       s"""WITH RECURSIVE
-         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |p AS MATERIALIZED (SELECT idA, idB FROM ($minhashNearDupsSql)),
          |e AS (SELECT idA AS s, idB AS d FROM p
          |      UNION SELECT idB, idA FROM p),
          |n AS (SELECT DISTINCT s AS id FROM e),
@@ -1342,7 +1351,7 @@ object OracleSql {
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE
-         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |p AS MATERIALIZED (SELECT idA, idB FROM ($minhashNearDupsSql)),
          |e AS (SELECT idA AS s, idB AS d FROM p
          |      UNION SELECT idB, idA FROM p),
          |n AS (SELECT DISTINCT s AS id FROM e),
@@ -1358,7 +1367,7 @@ object OracleSql {
     // incremental star over compressed history), one oracle
     "dedup_clusters_incr" ->
       s"""WITH RECURSIVE
-         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |p AS MATERIALIZED (SELECT idA, idB FROM ($minhashNearDupsSql)),
          |e AS (SELECT idA AS s, idB AS d FROM p
          |      UNION SELECT idB, idA FROM p),
          |n AS (SELECT DISTINCT s AS id FROM e),
@@ -1373,7 +1382,7 @@ object OracleSql {
     // survivorship — arg_max with a NULL-masked priority ≡ Spark max_by
     "golden_record" ->
       s"""WITH RECURSIVE
-         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |p AS MATERIALIZED (SELECT idA, idB FROM ($minhashNearDupsSql)),
          |e AS (SELECT idA AS s, idB AS d FROM p
          |      UNION SELECT idB, idA FROM p),
          |n AS (SELECT DISTINCT s AS id FROM e),
@@ -2132,7 +2141,7 @@ object OracleSql {
     // MinHash recall vs exact ground truth on the fixed 500-doc audit
     // panel; the pred side reuses the full LSH replica restricted to it
     "dedup_pr_eval" ->
-      s"""WITH truth AS (
+      s"""WITH truth AS MATERIALIZED (
          |  WITH d AS (SELECT doc_id, $NORM_TEXT AS nt FROM documents
          |    WHERE doc_id < 500),
          |  kg AS (SELECT doc_id, list_distinct(list_transform(
@@ -2142,7 +2151,7 @@ object OracleSql {
          |  FROM kg a JOIN kg b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.ks, b.ks)) /
          |    (len(a.ks) + len(b.ks) - len(list_intersect(a.ks, b.ks))) >= 0.5),
-         |pred AS (SELECT idA, idB FROM
+         |pred AS MATERIALIZED (SELECT idA, idB FROM
          |  (${minhashNearDupsSql("doc_id < 500")}) p),
          |counts AS (SELECT
          |  (SELECT COUNT(*) FROM truth) AS n_true,
@@ -2857,7 +2866,7 @@ object OracleSql {
     // recursive closure) → best-quality doc per cluster → quality gate
     "corpus_curate" ->
       s"""WITH RECURSIVE
-         |p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+         |p AS MATERIALIZED (SELECT idA, idB FROM ($minhashNearDupsSql)),
          |e AS (SELECT idA AS s, idB AS d FROM p
          |      UNION SELECT idB, idA FROM p),
          |n AS (SELECT DISTINCT s AS id FROM e),
@@ -2884,7 +2893,7 @@ object OracleSql {
     // cross-source duplicate provenance: the full MinHash LSH pipeline
     // replayed, pairs rolled up per unordered source pair
     "cross_source_dups" ->
-      s"""WITH p AS (SELECT idA, idB FROM ($minhashNearDupsSql)),
+      s"""WITH p AS MATERIALIZED (SELECT idA, idB FROM ($minhashNearDupsSql)),
          |d AS (SELECT doc_id, source FROM documents)
          |SELECT least(a.source, b.source) AS source_a,
          |  greatest(a.source, b.source) AS source_b,
