@@ -283,12 +283,15 @@ object SkewBench {
       // fixed-resolution CONTROL: the same 10× corpus at the 1× nlist —
       // candidate volume ~n²·nprobe/nlist, the quadratic regime the √n
       // rule exists to avoid; reported (raw + its own ratio key) so the
-      // fixed-vs-scaled gap is in the artifact, not just the docstring
+      // fixed-vs-scaled gap is in the artifact, not just the docstring.
+      // Runs UNCAPPED: with the cap, the average fixed-nlist cell
+      // (n/nlist ≈ 1250 members at 10×) exceeds maxCellFreq=1000 and is
+      // dropped ENTIRELY, so the capped number looks fast by silently
+      // collapsing recall — the uncapped time is the honest cost
       if (m == 10)
         rec(scale, "knn_join_fixed_nlist",
           time(force(Vectors.knnJoinIVF(emb, "id", "embedding",
-            k = 5, nlist = 16, nprobe = 2, iters = 1,
-            maxCellFreq = 1000)))._1)
+            k = 5, nlist = 16, nprobe = 2, iters = 1)))._1)
       spark.catalog.clearCache()
 
       // as-of: purchase labels get latest click value; entity 77 carries
