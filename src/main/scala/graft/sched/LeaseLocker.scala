@@ -174,3 +174,21 @@ object LeaseLocker {
     t
   })
 }
+
+/** Subprocess main for the REAL two-process lease test (LeaseLockerSpec
+  * spawns it with the test JVM's own classpath): acquire `key` in `dir`,
+  * print `HELD`, hold for `holdMs`, release, print `RELEASED`. Exercises
+  * acquisition, heartbeat, and release from a genuinely foreign PID. */
+object LeaseHold {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, key, holdMs) = args
+    val locker = new LeaseLocker(dir, new Configuration(),
+      leaseExpiryMs = 60000L, heartbeatMs = 300L, pollMs = 100L)
+    locker.withLock(key) {
+      println("HELD")
+      System.out.flush()
+      Thread.sleep(holdMs.toLong)
+    }
+    println("RELEASED")
+  }
+}

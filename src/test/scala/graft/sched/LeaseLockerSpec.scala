@@ -119,6 +119,34 @@ class LeaseLockerSpec extends SparkSpec {
     assert(local.isInstanceOf[FileLocker])
   }
 
+  test("REAL second process: its lease blocks this JVM until it releases") {
+    val dir = freshUri()
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val pb = new ProcessBuilder(javaBin, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.sched.LeaseHold", dir, "xjob", "3000")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    try {
+      // wait for the foreign PID to actually hold the lease
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = rd.readLine()
+      val deadline = System.currentTimeMillis() + 30000
+      while (line != null && line != "HELD" &&
+             System.currentTimeMillis() < deadline) line = rd.readLine()
+      assert(line == "HELD", s"holder never reported HELD (last: $line)")
+      val mine = new LeaseLocker(dir, conf, pollMs = 100L)
+      assert(mine.tryWithLock("xjob")(1).isEmpty,
+        "foreign process holds the lease; this JVM must not acquire")
+      // blocking acquire waits the holder out (3 s hold ≪ 60 s expiry, so
+      // this succeeds via RELEASE, not via lease-break)
+      val got = mine.withLockFenced("xjob")(tok => tok)
+      assert(got > 0L)
+      assert(proc.waitFor(30, TimeUnit.SECONDS) && proc.exitValue() == 0)
+    } finally proc.destroyForcibly()
+  }
+
   test("two TaskRunner-style claimants over one lease dir: exactly one wins " +
     "each key") {
     val dir = freshUri()
