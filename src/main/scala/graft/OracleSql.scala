@@ -1781,6 +1781,30 @@ object OracleSql {
     // the online store fed BY the stream must hold exactly the batch
     // materialization — same oracle as streaming_latest, now asserted on
     // the serving store's own state rather than the emission log
+    // streaming vector upkeep: the store state after initial + overwrite
+    // streams ≡ embeddings with the vec_id%10==0 negation applied; exact
+    // scan cosine, same operand order as OnlineStore.nearestScan
+    // (dot(corpus, query) / (sqrt(|corpus|²)·sqrt(|query|²)))
+    "stream_vector_serve" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |eff AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 10 = 0 THEN list_transform(v, y -> -y)
+        |         ELSE v END AS v FROM base),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM eff
+        |  WHERE vec_id IN (1, 2, 10)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |  FROM eff e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
+        |  CAST(rnk AS BIGINT) AS rank
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+
     "stream_online_serve" ->
       s"""WITH $EV
          |SELECT user_id AS entity, value, epoch_ms(ts) AS ts_ms FROM ev

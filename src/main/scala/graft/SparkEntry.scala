@@ -1258,6 +1258,55 @@ object SparkEntry {
     }.toSeq.toDF("entity", "value", "ts_ms")
   }
 
+  /** Streaming vector upkeep under the gate: the embeddings table streamed
+    * into the online vector store ([[graft.streaming.StreamingOnline
+    * .vectorSink]] — partition-side versioned puts), then an OVERWRITE
+    * stream negates every `vec_id % 10 == 0` vector (`versionBase` orders
+    * the second stream's batches after the first's, or its writes would
+    * lose the version race). Exact-scan nearest for three probes — one of
+    * them an overwritten id — must rank against the POST-overwrite
+    * corpus, which the oracle replays with the same negation rule. */
+  private def streamVectorServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_svec").toString
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("entity"),
+        col("embedding").as("vector"))
+    emb.repartition(4).write.parquet(s"$tmp/in1")
+    emb.filter(col("entity") % 10 === 0)
+      .withColumn("vector", transform(col("vector"), x => -x))
+      .repartition(2).write.parquet(s"$tmp/in2")
+    val kvDir = s"$tmp/kv"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def run(in: String, ckpt: String, base: Long): Unit = {
+        val stream = s.readStream.schema("entity long, vector array<float>")
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        val q = graft.streaming.StreamingOnline.vectorSink(stream, "sv_emb",
+          () => new graft.serving.DiskKv(kvDir), ckpt, versionBase = base)
+        try q.processAllAvailable() finally q.stop()
+      }
+      run(s"$tmp/in1", s"$tmp/ckpt1", 0L)
+      run(s"$tmp/in2", s"$tmp/ckpt2", 1000L)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val store = new graft.serving.OnlineStore(new graft.serving.DiskKv(kvDir))
+    // probe vectors = the post-overwrite state, derived independently of
+    // the store (negation rule re-applied driver-side)
+    val probes: Map[Long, Array[Float]] = emb
+      .filter(col("entity").isin(1L, 2L, 10L)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      .map { case (id, v) => id -> (if (id % 10 == 0) v.map(x => -x) else v) }
+    probes.keys.toSeq.sorted.flatMap { qid =>
+      store.nearest("sv_emb", probes(qid), 5).zipWithIndex.map {
+        case ((nid, sim), i) =>
+          (qid, nid.asInstanceOf[Long],
+            BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, (i + 1).toLong)
+      }
+    }.toDF("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Streaming near-dup detection under the gate: the documents table
     * replayed through a file stream; the per-bucket stateful matcher
     * ([[graft.streaming.StreamingDedup]], quarter-band simhash keys,
@@ -3952,6 +4001,7 @@ object SparkEntry {
     "stream_online_serve" -> (streamOnlineServe _),
     "stream_dedup"      -> (streamDedup _),
     "stream_dedup_ttl"  -> (streamDedupTtl _),
+    "stream_vector_serve" -> (streamVectorServe _),
     "stream_decontam"   -> (streamDecontam _),
     "task_runs"         -> (taskRuns _),
     "windowed_counts"   -> (windowedCounts _),

@@ -46,7 +46,19 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
                   entityCol: String = "entity", vecCol: String = "vector"): Unit =
     load(vecTable(feature), df, entityCol, vecCol)
 
-  private def vecTable(feature: String): String = "__vec__" + feature
+  private def vecTable(feature: String): String =
+    OnlineStore.vectorTable(feature)
+
+  /** Streaming-index upkeep: apply a micro-batch's (id, vector) deltas to
+    * an already-built [[VectorIndex]] (no-op before [[buildIndex]] — the
+    * scan path reads the backend directly, so it is always current). The
+    * BACKEND writes ride [[graft.streaming.StreamingOnline.vectorSink]]'s
+    * partition-side path; this is the in-process changelog consumer
+    * (batch-delta-sized, never corpus-sized). */
+  def applyIndexDeltas(feature: String,
+                       rows: Iterator[(Any, Array[Float])]): Unit =
+    indexes.get(feature).foreach(idx =>
+      rows.foreach { case (id, v) => idx.upsert(id, v) })
 
   private def toFloats(v: Any): Array[Float] = v match {
     case a: Array[Float] => a
@@ -206,6 +218,10 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
 }
 
 object OnlineStore {
+  /** Backend table name of a feature's vector side — shared with the
+    * streaming vector sink so both write/read the same table. */
+  def vectorTable(feature: String): String = "__vec__" + feature
+
   /** Default backend: a fresh [[DiskKv]] under the JVM temp dir — the
     * partition-streamed load path with no configuration. Pass an
     * [[InProcessKv]] for tiny corpora or a network [[ExecutorBackend]] for

@@ -53,20 +53,50 @@ final class VectorIndex(numPlanes: Int = 16) {
     sig
   }
 
-  def add(id: Any, vec: Array[Float]): Unit = {
+  // id → bucket signature, so streaming upserts can evict the stale entry
+  // without scanning every bucket
+  private val sigOf = mutable.HashMap.empty[Any, Int]
+
+  def add(id: Any, vec: Array[Float]): Unit = synchronized {
     var n = 0.0
     var i = 0
     while (i < vec.length) { n += vec(i).toDouble * vec(i); i += 1 }
-    buckets.getOrElseUpdate(signature(vec), mutable.ArrayBuffer.empty)
+    val sig = signature(vec)
+    buckets.getOrElseUpdate(sig, mutable.ArrayBuffer.empty)
       .append((id, vec, math.sqrt(n)))
+    sigOf(id) = sig
   }
 
-  def size: Int = buckets.valuesIterator.map(_.size).sum
+  /** Drop `id`'s entry (no-op if absent). */
+  def remove(id: Any): Boolean = synchronized {
+    sigOf.remove(id) match {
+      case Some(sig) =>
+        buckets.get(sig).exists { buf =>
+          val i = buf.indexWhere(_._1 == id)
+          if (i >= 0) buf.remove(i)
+          if (buf.isEmpty) buckets.remove(sig)
+          i >= 0
+        }
+      case None => false
+    }
+  }
+
+  /** Streaming upkeep: replace `id`'s vector in place — the serving-side
+    * consumer of a vector changelog ([[graft.streaming.StreamingOnline
+    * .vectorSink]]); a stale entry must disappear or overwritten vectors
+    * keep matching under their OLD direction. */
+  def upsert(id: Any, vec: Array[Float]): Unit = synchronized {
+    remove(id)
+    add(id, vec)
+  }
+
+  def size: Int = synchronized(buckets.valuesIterator.map(_.size).sum)
 
   /** Top-k by cosine; `oversample` bounds how many candidates are gathered
     * before exact ranking. Returns (id, cosine) sorted (cosine desc, id asc
     * by string — the OnlineStore.nearest tie-break). */
-  def nearest(query: Array[Float], k: Int, oversample: Int = 4): Seq[(Any, Double)] = {
+  def nearest(query: Array[Float], k: Int,
+              oversample: Int = 4): Seq[(Any, Double)] = synchronized {
     if (buckets.isEmpty) return Nil
     ensurePlanes(query.length)
     val qsig = signature(query)

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -49,6 +51,52 @@ object StreamingOnline {
             backendFactory().putBatchVersioned(feature, batchId,
               rows.map(r => r.get(0) -> r.get(1)))
           }
+      }
+      .start()
+  }
+
+  /** Streaming VECTOR upkeep — the online ANN store fed by a stream (the
+    * reference's Redis-HNSW vector tables, provider/redis.go:454-493,
+    * kept current by the streaming materializer instead of batch loads).
+    * Two consumers per micro-batch:
+    *
+    *  - the BACKEND rows write partition-side with the global batchId as
+    *    version ([[onlineSink]]'s rule — newest batch wins regardless of
+    *    writer JVM), so `OnlineStore.nearest`'s scan path is current the
+    *    moment the batch commits. `versionBase` orders SUCCESSIVE streams
+    *    into one table (a second stream's batchIds restart at 0 — without
+    *    a base its overwrites would LOSE to the first stream's versions);
+    *  - an optional in-process `indexSubscriber` consumes the batch as a
+    *    changelog (driver-side, delta-sized — never corpus-sized) and
+    *    upserts a built [[graft.serving.VectorIndex]] in place, evicting
+    *    stale entries so overwritten vectors stop matching under their
+    *    old direction.
+    *
+    * `updates` carries (entity, vector array<float>) columns. */
+  def vectorSink(updates: DataFrame, feature: String,
+                 backendFactory: () => KvBackend,
+                 checkpointDir: String,
+                 versionBase: Long = 0L,
+                 indexSubscriber: Option[graft.serving.OnlineStore] = None)
+      : StreamingQuery = {
+    val table = graft.serving.OnlineStore.vectorTable(feature)
+    backendFactory().createTable(table)
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch.select(col("entity"), col("vector"))
+        rows.foreachPartition { it: Iterator[Row] =>
+          backendFactory().putBatchVersioned(table, versionBase + batchId,
+            it.map(r => r.get(0) -> r.get(1)))
+        }
+        indexSubscriber.foreach { store =>
+          store.applyIndexDeltas(feature,
+            rows.toLocalIterator().asScala.map { r =>
+              val v = r.getSeq[Float](1).toArray
+              (r.get(0), v)
+            })
+        }
       }
       .start()
   }
