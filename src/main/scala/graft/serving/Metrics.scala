@@ -51,23 +51,34 @@ final class Metrics {
 
   def stats(route: String): Option[RouteStats] = Option(routes.get(route))
 
-  /** Per-FEATURE request/error counters — the reference's metrics are
-    * labeled by feature, not just route (metrics/metrics.go:16-45:
-    * promauto counters keyed on feature name), so two features served
-    * from one endpoint get independent traffic/error series. Label
-    * cardinality is bounded by the registered feature names (never raw
-    * request input). */
+  /** Per-FEATURE request/error counters + latency histogram — the
+    * reference's metrics are labeled by feature, not just route
+    * (metrics/metrics.go:16-45: promauto counters AND latency observed
+    * per feature name), so two features served from one endpoint get
+    * independent traffic/error/latency series. Label cardinality is
+    * bounded by the registered feature names (never raw request input).
+    * A multi-feature request observes its wall latency once under EACH
+    * requested feature's label (the reference's per-feature observe
+    * loop does the same). */
   final class FeatureStats {
     val requests = new LongAdder
     val errors = new LongAdder
+    val latencySumNs = new LongAdder
+    val bucket: Array[LongAdder] = Array.fill(bucketsMs.length + 1)(new LongAdder)
   }
 
   private val features = new ConcurrentHashMap[String, FeatureStats]()
 
-  def observeFeature(name: String, error: Boolean): Unit = {
+  def observeFeature(name: String, error: Boolean,
+                     elapsedNs: Long = 0L): Unit = {
     val s = features.computeIfAbsent(name, _ => new FeatureStats)
     s.requests.increment()
     if (error) s.errors.increment()
+    s.latencySumNs.add(elapsedNs)
+    val ms = elapsedNs / 1e6
+    var i = 0
+    while (i < bucketsMs.length && ms > bucketsMs(i)) i += 1
+    s.bucket(i).increment()
   }
 
   def featureStats(name: String): Option[FeatureStats] =
@@ -124,6 +135,24 @@ final class Metrics {
       b.append("# TYPE graft_feature_errors_total counter\n")
       fsorted.foreach { case (n, s) =>
         b.append(s"graft_feature_errors_total${flbl(n)} ${s.errors.sum()}\n")
+      }
+      b.append("# TYPE graft_feature_latency_ms histogram\n")
+      fsorted.foreach { case (n, s) =>
+        var cum = 0L
+        var i = 0
+        while (i < bucketsMs.length) {
+          cum += s.bucket(i).sum()
+          val le = if (bucketsMs(i) == bucketsMs(i).toLong)
+            bucketsMs(i).toLong.toString else bucketsMs(i).toString
+          b.append(s"""graft_feature_latency_ms_bucket{feature="$n",le="$le"} $cum""")
+            .append('\n')
+          i += 1
+        }
+        cum += s.bucket(bucketsMs.length).sum()
+        b.append(s"""graft_feature_latency_ms_bucket{feature="$n",le="+Inf"} $cum""")
+          .append('\n')
+        b.append(f"graft_feature_latency_ms_sum${flbl(n)} ${s.latencySumNs.sum() / 1e6}%.6f\n")
+        b.append(s"graft_feature_latency_ms_count${flbl(n)} ${s.requests.sum()}\n")
       }
     }
     b.append("# TYPE graft_request_latency_ms histogram\n")

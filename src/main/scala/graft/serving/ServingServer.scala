@@ -176,12 +176,15 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
       (q - "names" - "entity" - "entityType").map { case (k, v) =>
         k -> (v.toLongOption orElse v.toDoubleOption getOrElse v: Any)
       }
+    val t0 = System.nanoTime()
     val values =
       try store.features(names, entity, params)
       catch { case e: Throwable =>
-        names.foreach(metrics.observeFeature(_, error = true)); throw e
+        val el = System.nanoTime() - t0
+        names.foreach(metrics.observeFeature(_, error = true, el)); throw e
       }
-    names.foreach(metrics.observeFeature(_, error = false))
+    val el = System.nanoTime() - t0
+    names.foreach(metrics.observeFeature(_, error = false, el))
     respond(ex, 200, s"""{"entity":${jsonVal(raw)},"values":${
       values.map(jsonVal).mkString("[", ",", "]")}}""")
   }
@@ -194,12 +197,14 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     val vec = q.getOrElse("q",
       throw new IllegalArgumentException("q required"))
       .split(',').map(_.toFloat)
+    val t0 = System.nanoTime()
     val hits =
       try store.nearest(feature, vec, k)
       catch { case e: Throwable =>
-        metrics.observeFeature(feature, error = true); throw e
+        metrics.observeFeature(feature, error = true,
+          System.nanoTime() - t0); throw e
       }
-    metrics.observeFeature(feature, error = false)
+    metrics.observeFeature(feature, error = false, System.nanoTime() - t0)
     respond(ex, 200, hits.map { case (id, sim) =>
       s"""{"id":${jsonVal(id)},"sim":$sim}"""
     }.mkString("[", ",", "]"))

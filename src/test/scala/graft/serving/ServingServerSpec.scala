@@ -317,6 +317,13 @@ class ServingServerSpec extends SparkSpec {
       // programmatic twin of the scrape
       assert(srv.metrics.featureStats("fa").get.requests.sum() == 4L)
       assert(srv.metrics.featureStats("fb").get.errors.sum() == 0L)
+      // per-feature latency histogram: buckets monotone, +Inf == count,
+      // sum observed (reference observes latency per feature too)
+      val fbuckets = text.linesIterator.filter(_.startsWith(
+        """graft_feature_latency_ms_bucket{feature="fa"""")).toSeq
+        .map(_.split(' ').last.toLong)
+      assert(fbuckets == fbuckets.sorted && fbuckets.last == 4L)
+      assert(srv.metrics.featureStats("fa").get.latencySumNs.sum() > 0L)
     } finally srv.stop()
   }
 }
