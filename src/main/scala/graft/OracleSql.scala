@@ -123,11 +123,20 @@ object OracleSql {
     val bands = 16
     val rpb = 4
     val minAgree = math.ceil((0.5 - 0.15) * numHashes).toInt // ≡ Dedup's filter
-    val minExprs = (0 until numHashes).map { p =>
+    // the 64 permuted values are computed ONCE per globally-distinct
+    // shingle (`up`) and the per-doc signature is a plain BIGINT min over
+    // them — a per-doc min is invariant under duplicate shingles, so this
+    // is value-identical to permuting per occurrence while skipping the
+    // HUGEINT arithmetic on every repeat (measured 25 s → 0.6 s at
+    // sf0.01; the values all sit below 2^63, so the early BIGINT cast is
+    // lossless)
+    val permCols = (0 until numHashes).map { p =>
       val a = graft.functions.expressions.MinHashConstants.a(p)
       val b = graft.functions.expressions.MinHashConstants.b(p)
-      s"CAST(min(((CAST($a AS HUGEINT) * h) % $M63 + $b) % $M63) AS BIGINT) AS s$p"
+      s"CAST(((CAST($a AS HUGEINT) * h) % $M63 + $b) % $M63 AS BIGINT) AS h_s$p"
     }.mkString(",\n    ")
+    val minCols = (0 until numHashes).map(p => s"min(h_s$p) AS s$p")
+      .mkString(",\n    ")
     val sigList = (0 until numHashes).map(p => s"s$p").mkString("[", ", ", "]")
     val bandSelects = (0 until bands).map { b =>
       val bk = (0 until rpb).map(r => s"s${b * rpb + r}").mkString("[", ", ", "]")
@@ -136,10 +145,15 @@ object OracleSql {
     s"""WITH d AS MATERIALIZED (SELECT doc_id, $NORM_TEXT AS nt FROM documents
        |  WHERE $docWhere),
        |pos AS (SELECT doc_id, nt, unnest(generate_series(1, greatest(length(nt) - 4, 0))) AS i FROM d),
-       |sh AS (SELECT doc_id, ${mh63("substr(nt, i, 5)")} AS h FROM pos),
+       |dg AS (SELECT DISTINCT doc_id, substr(nt, i, 5) AS g FROM pos),
+       |ug AS MATERIALIZED (SELECT g, ${mh63("g")} AS h
+       |  FROM (SELECT DISTINCT g FROM dg)),
+       |up AS MATERIALIZED (SELECT g,
+       |    $permCols
+       |  FROM ug),
        |sigs AS (SELECT doc_id,
-       |    $minExprs
-       |  FROM sh GROUP BY doc_id),
+       |    $minCols
+       |  FROM dg JOIN up USING (g) GROUP BY doc_id),
        |sigl AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM sigs),
        |banded0 AS (
        |  $bandSelects),
@@ -2170,11 +2184,18 @@ object OracleSql {
          |    WHERE doc_id < 500),
          |  kg AS (SELECT doc_id, list_distinct(list_transform(
          |      generate_series(1, greatest(length(nt) - 4, 0)),
-         |      i -> substr(nt, i, 5))) AS ks FROM d)
-         |  SELECT a.doc_id AS idA, b.doc_id AS idB
-         |  FROM kg a JOIN kg b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.ks, b.ks)) /
-         |    (len(a.ks) + len(b.ks) - len(list_intersect(a.ks, b.ks))) >= 0.5),
+         |      i -> substr(nt, i, 5))) AS ks FROM d),
+         |  gx AS (SELECT doc_id, len(ks) AS n, unnest(ks) AS g FROM kg),
+         |  inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |      any_value(a.n) AS na, any_value(b.n) AS nb, COUNT(*) AS i
+         |    FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2)
+         |  -- gram-join form of all-pairs distinct-5-gram Jaccard: pairs
+         |  -- sharing zero grams have jaccard 0 < 0.5 and drop correctly;
+         |  -- value-identical to the list_intersect pairwise scan at ~20x
+         |  -- less oracle CPU
+         |  SELECT idA, idB FROM inter
+         |  WHERE i / (na + nb - i) >= 0.5),
          |pred AS MATERIALIZED (SELECT idA, idB FROM
          |  (${minhashNearDupsSql("doc_id < 500")}) p),
          |counts AS (SELECT
