@@ -113,11 +113,15 @@ object OracleSql {
     * The multi-referenced CTEs here (and every consumer's wrapping `p`)
     * carry `MATERIALIZED` hints: DuckDB inlines CTEs by default, so a
     * pair table referenced twice re-executes the WHOLE 64-hash pipeline —
-    * measured 92 s → 29 s on the closure queries at sf0.01. The driver's
-    * compare runs ~250 oracles in one budgeted pass; six of these
-    * replays at 90+ s each is the difference between a recorded
-    * correctness artifact and a timed-out empty one. Hints only change
-    * execution, never results (cell-exact hashes re-verified). */
+    * measured 92 s → 29 s on the closure queries at sf0.01. On top of
+    * that, the permutations live in `up` (once per globally-DISTINCT
+    * shingle; a per-doc min is invariant under duplicates), collapsing
+    * each consumer to ~0.6 s and the full 251-query compare from round
+    * 8's 712 s to ~23 s. The driver's compare runs in one budgeted pass;
+    * six replays at 90+ s each is the difference between a recorded
+    * correctness artifact and a timed-out empty one. Restructures only
+    * change execution, never results (cell-exact hashes re-verified at
+    * both SFs). */
   private def minhashNearDupsSql(docWhere: String): String = {
     val numHashes = 64
     val bands = 16
