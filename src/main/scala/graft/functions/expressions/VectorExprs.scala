@@ -392,10 +392,16 @@ final case class MatVecTopCells(child: Expression, matrix: Seq[Seq[Double]],
       j = 0
       while (j < nRows) {
         // (dot desc, index desc): ascending scan with >= on untaken rows.
-        // bestJ < 0 seeds the first untaken row so an all-NaN dots vector
-        // (every comparison false) still yields a row instead of indexing
-        // at -1 — same guard rationale as MatVecArgMax's bestJ = 0 init.
-        if (!taken(j) && (bestJ < 0 || dots(j) >= best)) { best = dots(j); bestJ = j }
+        // The seed only sets bestJ (never best), so NaN dots — which fail
+        // every comparison — sort LAST and rank 1 stays ≡ MatVecArgMax's
+        // result under mixed NaN/finite dots (seeding best=dots(seed)
+        // would rank a leading NaN row first and break the probe-leg ≡
+        // assignment-leg invariant); an all-NaN row still yields indices
+        // instead of faulting at -1.
+        if (!taken(j)) {
+          if (bestJ < 0) bestJ = j
+          if (dots(j) >= best) { best = dots(j); bestJ = j }
+        }
         j += 1
       }
       taken(bestJ) = true

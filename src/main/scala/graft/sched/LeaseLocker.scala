@@ -68,9 +68,23 @@ final class LeaseLocker(dir: String, conf: Configuration,
   private def leaseBody(token: Long): Array[Byte] =
     s"token=$token\nowner=$owner\n".getBytes(StandardCharsets.UTF_8)
 
-  private def writeLease(p: HPath, token: Long, overwrite: Boolean): Unit = {
+  /** `cleanupOnFailure` is for the ACQUIRE path only: a create that
+    * succeeds but whose write/close fails would otherwise leave a
+    * fresh-mtime zero-byte lease nobody heartbeats — blocking every
+    * acquirer (the creator included) until expiry. The heartbeat path
+    * must NOT clean up: there the file is our live lease and a truncated
+    * body still carries a fresh mtime (liveness preserved; token parse
+    * floors to 0). */
+  private def writeLease(p: HPath, token: Long, overwrite: Boolean,
+                         cleanupOnFailure: Boolean = false): Unit = {
     val out = fs.create(p, overwrite)
-    try out.write(leaseBody(token)) finally out.close()
+    var ok = false
+    try { out.write(leaseBody(token)); out.close(); ok = true }
+    finally if (!ok) {
+      try out.close() catch { case _: Throwable => () }
+      if (cleanupOnFailure)
+        try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    }
   }
 
   private def readToken(p: HPath): Long =
@@ -93,7 +107,7 @@ final class LeaseLocker(dir: String, conf: Configuration,
     // fresh-create fast path
     try {
       val t = System.currentTimeMillis()
-      writeLease(p, t, overwrite = false)
+      writeLease(p, t, overwrite = false, cleanupOnFailure = true)
       return Some(t)
     }
     catch { case _: java.io.IOException => () }
@@ -108,25 +122,62 @@ final class LeaseLocker(dir: String, conf: Configuration,
       }
     if (System.currentTimeMillis() - st.getModificationTime <= leaseExpiryMs)
       return None // live foreign holder
-    // expired lease: break it — read the dead holder's token, delete,
-    // re-create with token + 1 (competing breakers: only one create-if-
-    // absent wins; the loser just reports not-acquired)
-    val deadToken = readToken(p)
-    fs.delete(p, false)
+    // Expired lease: break it via ATOMIC RENAME to a unique trash path.
+    // Delete-then-create is racy two ways: a second breaker's delete can
+    // remove the FIRST breaker's freshly created lease (two holders), and
+    // the stat→break window can hit a lease a faster breaker just
+    // re-created. Rename closes the first (exactly one rename of the same
+    // source succeeds on HDFS/local; S3A rename is copy+delete — the
+    // whole protocol is documented best-effort there) and the second is
+    // caught by re-checking the renamed file's mtime: if it is FRESH we
+    // renamed a live lease — put it back (and even if the rename-back
+    // loses a race, the live holder's next heartbeat re-creates its lease
+    // with an overwrite create within heartbeatMs).
+    val trash = new HPath(p.getParent,
+      s"${p.getName}.broken.${System.nanoTime()}")
+    val renamed =
+      try fs.rename(p, trash)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) return None // another breaker won this round
+    val stillExpired =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(trash).getModificationTime > leaseExpiryMs
+      catch { case _: java.io.IOException => false }
+    if (!stillExpired) {
+      try fs.rename(trash, p) catch { case _: java.io.IOException => () }
+      return None
+    }
+    val deadToken = readToken(trash)
+    try fs.delete(trash, false) catch { case _: java.io.IOException => () }
     val t = math.max(System.currentTimeMillis(), deadToken + 1L)
-    try { writeLease(p, t, overwrite = false); Some(t) }
+    try { writeLease(p, t, overwrite = false, cleanupOnFailure = true); Some(t) }
     catch { case _: java.io.IOException => None }
   }
 
   private def withHeartbeat[T](p: HPath, token: Long)(body: => T): T = {
+    // Ownership is re-checked before every lease write/delete: a holder
+    // that stalled past expiry and was BROKEN must not resurrect the lock
+    // file over the new holder's lease (its heartbeat would regress the
+    // token, and its release would delete a live lease, admitting a third
+    // holder). readToken != ours → we are a zombie → do nothing; the
+    // fencing token is what protects the downstream store, this check
+    // stops the lock file itself from being clobbered. The `done` flag
+    // also closes most of the cancel-vs-in-flight-beat race (a beat
+    // already past its checks when release deletes can still leave an
+    // orphan with a fresh mtime for ≤ one read-to-write gap — it
+    // self-clears via expiry-break).
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat: ScheduledFuture[_] = LeaseLocker.heartbeats.scheduleAtFixedRate(
-      () => try writeLease(p, token, overwrite = true)
-            catch { case _: java.io.IOException => () },
+      () => try {
+        if (!done.get() && readToken(p) == token && !done.get())
+          writeLease(p, token, overwrite = true)
+      } catch { case _: java.io.IOException => () },
       heartbeatMs, heartbeatMs, TimeUnit.MILLISECONDS)
     try body
     finally {
+      done.set(true)
       beat.cancel(false)
-      try fs.delete(p, false)
+      try { if (readToken(p) == token) fs.delete(p, false) }
       catch { case _: java.io.IOException => () } // expires on its own
     }
   }

@@ -43,8 +43,15 @@ object Locker {
     * when no Hadoop binding for the scheme is on the classpath (then the
     * store can't be reached either, so single-process is a safe
     * assumption). */
-  def forDir(dir: String): Locker =
+  def forDir(dir: String): Locker = {
+    val cached = byDir.get(dir)
+    if (cached != null) return cached
+    // evict OUTSIDE computeIfAbsent: the CHM contract forbids the mapping
+    // function from modifying the map (clear() from inside it corrupts
+    // the in-flight bin/size bookkeeping)
+    if (byDir.size >= MaxCached) byDir.clear()
     byDir.computeIfAbsent(dir, make(_))
+  }
 
   // ONE locker instance per directory string, JVM-wide: forDir is called
   // per OPERATION (CatalogStore.save/load, TaskRunner claims), and a fresh
@@ -63,7 +70,6 @@ object Locker {
   private val MaxCached = 512
 
   private def make(dir: String): Locker = {
-    if (byDir.size >= MaxCached) byDir.clear()
     val scheme =
       try Option(new java.net.URI(dir).getScheme)
       catch { case _: java.net.URISyntaxException => None }
@@ -73,20 +79,48 @@ object Locker {
         new FileLocker(s"${new java.net.URI(dir).getPath}/.locks")
       case Some(_) =>
         // probe the Hadoop binding NOW (constructing LeaseLocker touches
-        // the FS): no binding → the documented MemoryLocker fallback
+        // the FS). Fall back to MemoryLocker ONLY when the scheme has no
+        // filesystem implementation on the classpath — then the store
+        // itself is unreachable, so single-process is a safe assumption.
+        // Any OTHER failure (network, auth, permissions) re-surfaces: a
+        // reachable-but-flaky store silently downgraded to in-process
+        // locking would double-run tasks with no error. The conf prefers
+        // the thread's active session, then the JVM default session
+        // (forDir is often called from scheduler threads with no
+        // thread-local session but real s3a/hdfs credentials on the
+        // default one).
         try {
           val conf = org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
             .map(_.sparkContext.hadoopConfiguration)
             .getOrElse(new org.apache.hadoop.conf.Configuration())
           new LeaseLocker(s"$dir/.locks", conf)
         } catch {
-          case e: Exception =>
+          case e: Exception if isMissingBinding(e) =>
             System.err.println(
               s"[locker] no filesystem binding for $dir (${e.getMessage}); " +
                 "falling back to in-process locking")
             new MemoryLocker
         }
     }
+  }
+
+  /** True iff the failure means "no Hadoop FileSystem class for this
+    * scheme" (vs a reachable store failing transiently). */
+  private def isMissingBinding(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      t match {
+        case _: ClassNotFoundException => return true
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => return true
+        case _ =>
+          val m = t.getMessage
+          if (m != null && (m.contains("No FileSystem for scheme") ||
+              m.contains("not found"))) return true
+      }
+      t = t.getCause
+    }
+    false
   }
 }
 

@@ -55,8 +55,11 @@ final class Metrics {
     * reference's metrics are labeled by feature, not just route
     * (metrics/metrics.go:16-45: promauto counters AND latency observed
     * per feature name), so two features served from one endpoint get
-    * independent traffic/error/latency series. Label cardinality is
-    * bounded by the registered feature names (never raw request input).
+    * independent traffic/error/latency series. Names arrive from RAW
+    * request input (the store serves unknown names as nulls rather than
+    * erroring), so cardinality is hard-capped: past [[MaxFeatureLabels]]
+    * distinct names, new ones aggregate under `__other__` — a typo loop
+    * or scanner cannot grow server memory or scrape size without bound.
     * A multi-feature request observes its wall latency once under EACH
     * requested feature's label (the reference's per-feature observe
     * loop does the same). */
@@ -68,10 +71,16 @@ final class Metrics {
   }
 
   private val features = new ConcurrentHashMap[String, FeatureStats]()
+  val MaxFeatureLabels = 512
 
   def observeFeature(name: String, error: Boolean,
                      elapsedNs: Long = 0L): Unit = {
-    val s = features.computeIfAbsent(name, _ => new FeatureStats)
+    // soft cap (size+containsKey is racy by a few entries, never by more
+    // than the racing threads): overflow names share one bucket
+    val key =
+      if (features.containsKey(name) || features.size < MaxFeatureLabels) name
+      else "__other__"
+    val s = features.computeIfAbsent(key, _ => new FeatureStats)
     s.requests.increment()
     if (error) s.errors.increment()
     s.latencySumNs.add(elapsedNs)
@@ -138,18 +147,22 @@ final class Metrics {
       }
       b.append("# TYPE graft_feature_latency_ms histogram\n")
       fsorted.foreach { case (n, s) =>
+        // label value escaped like every other line: names come from raw
+        // request input, and one embedded quote would make the whole
+        // exposition unparseable
+        val fe = n.replace("\"", "\\\"")
         var cum = 0L
         var i = 0
         while (i < bucketsMs.length) {
           cum += s.bucket(i).sum()
           val le = if (bucketsMs(i) == bucketsMs(i).toLong)
             bucketsMs(i).toLong.toString else bucketsMs(i).toString
-          b.append(s"""graft_feature_latency_ms_bucket{feature="$n",le="$le"} $cum""")
+          b.append(s"""graft_feature_latency_ms_bucket{feature="$fe",le="$le"} $cum""")
             .append('\n')
           i += 1
         }
         cum += s.bucket(bucketsMs.length).sum()
-        b.append(s"""graft_feature_latency_ms_bucket{feature="$n",le="+Inf"} $cum""")
+        b.append(s"""graft_feature_latency_ms_bucket{feature="$fe",le="+Inf"} $cum""")
           .append('\n')
         b.append(f"graft_feature_latency_ms_sum${flbl(n)} ${s.latencySumNs.sum() / 1e6}%.6f\n")
         b.append(s"graft_feature_latency_ms_count${flbl(n)} ${s.requests.sum()}\n")

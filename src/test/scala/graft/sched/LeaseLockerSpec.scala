@@ -147,24 +147,40 @@ class LeaseLockerSpec extends SparkSpec {
     } finally proc.destroyForcibly()
   }
 
-  test("two TaskRunner-style claimants over one lease dir: exactly one wins " +
-    "each key") {
+  test("claimant race over one lease dir: holders never overlap, and while " +
+    "one holds, every other claim fails") {
     val dir = freshUri()
     val a = new LeaseLocker(dir, conf, pollMs = 50L)
     val b = new LeaseLocker(dir, conf, pollMs = 50L)
-    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    // deterministic half: a holder pinned by latches — every concurrent
+    // claim must fail while it holds (no wall-clock assumptions)
+    val held = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val holder = new Thread(() => a.withLock("run!job!k") {
+      held.countDown(); release.await(10, TimeUnit.SECONDS); ()
+    })
+    holder.start()
+    assert(held.await(5, TimeUnit.SECONDS))
+    for (l <- Seq(a, b); _ <- 1 to 3)
+      assert(l.tryWithLock("run!job!k")(1).isEmpty)
+    release.countDown(); holder.join(5000)
+    // racing half: overlap detection instead of a winner count (a late
+    // claimant may legitimately win AFTER an early winner releases)
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var overlapped = false
     val start = new CountDownLatch(1)
-    val threads = for (l <- Seq(a, b); i <- 1 to 3) yield new Thread(() => {
+    val threads = for (l <- Seq(a, b); _ <- 1 to 3) yield new Thread(() => {
       start.await()
       l.tryWithLock("run!job!k") {
-        wins.incrementAndGet()
-        Thread.sleep(50)
+        if (inBody.incrementAndGet() > 1) overlapped = true
+        Thread.sleep(30)
+        inBody.decrementAndGet()
       }
       ()
     })
     threads.foreach(_.start())
     start.countDown()
     threads.foreach(_.join(10000))
-    assert(wins.get() == 1, s"expected exactly one winner, got ${wins.get()}")
+    assert(!overlapped, "two claimants held the lease simultaneously")
   }
 }
