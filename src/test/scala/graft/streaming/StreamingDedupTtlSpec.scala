@@ -64,6 +64,44 @@ class StreamingDedupTtlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket cap interacts with pruning: a full bucket re-admits arrivals " +
+    "once old members expire") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val banded = StreamingDedup.bandedDocsTs(
+      in.toDF.toDF("doc_id", "ts", "text"), "text", "doc_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val table = s"sdedup_ttl_cap_${System.nanoTime()}"
+    val q = StreamingDedup.dupPairsStreamTtl(spark, banded,
+        ttlMs = 60000L, maxPerBucket = 2)
+      .writeStream.format("memory").queryName(table)
+      .outputMode("update").start()
+    try {
+      // batch 1 fills every bucket of the duplicate text to the cap
+      in.addData((1L, ts("2024-01-01 10:00:00"), Same),
+        (2L, ts("2024-01-01 10:00:01"), Same))
+      q.processAllAvailable()
+      // batch 2: bucket full → doc 3 dropped entirely (no pair to 1/2)
+      in.addData((3L, ts("2024-01-01 10:00:02"), Same))
+      q.processAllAvailable()
+      assert(StreamingDedup.lastDropsAcc.value > 0L)
+      // batch 3: watermark jumps 10 min → members 1/2 pruned on next
+      // visit, so the bucket is no longer full and doc 4 joins (no pair:
+      // nothing live within ttl); doc 5 within ttl of 4 → pair (4,5)
+      in.addData((99L, ts("2024-01-01 10:10:00"), "unrelated content here"))
+      q.processAllAvailable()
+      in.addData((4L, ts("2024-01-01 10:10:30"), Same))
+      q.processAllAvailable()
+      in.addData((5L, ts("2024-01-01 10:10:40"), Same))
+      q.processAllAvailable()
+      val pairs = spark.table(table)
+        .select(col("idA"), col("idB"), col("hamming").cast("long"))
+        .distinct().as[(Long, Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L, 0L), (4L, 5L, 0L)),
+        s"expected cap re-admission after expiry, got $pairs")
+    } finally q.stop()
+  }
+
   test("with in-watermark data, TTL stream == batch all-pairs with ts filter") {
     val docs = Seq(
       (1L, "2024-01-01 09:00:00", Same),
