@@ -147,6 +147,46 @@ class LeaseLockerSpec extends SparkSpec {
     } finally proc.destroyForcibly()
   }
 
+  test("two TaskRunners claiming through LeaseLockers (the remote-catalog " +
+    "topology forced through the Hadoop path): every task exactly once") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_lease_tr").toString
+    val leaseDir = "file:" + stateDir + "/.lease"
+    // each runner gets its OWN LeaseLocker instance over one lease dir —
+    // the two-driver remote topology (forDir would hand local dirs a
+    // FileLocker; injecting forces the lease protocol)
+    val r1 = new TaskRunner(spark, stateDir, backoffMs = 1,
+      locker = new LeaseLocker(leaseDir, conf, pollMs = 50L))
+    val r2 = new TaskRunner(spark, stateDir, backoffMs = 1,
+      locker = new LeaseLocker(leaseDir, conf, pollMs = 50L))
+    val tasks = (1 to 4).map(i => s"task$i")
+    val execs = tasks.map(t => t ->
+      new java.util.concurrent.atomic.AtomicInteger(0)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    for (runner <- Seq(r1, r2); t <- tasks)
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          runner.run(t, "k") {
+            execs(t).incrementAndGet()
+            Thread.sleep(5)
+            t
+          }
+          ()
+        }
+      })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    tasks.foreach(t => assert(execs(t).get() == 1,
+      s"$t ran ${execs(t).get()} times under the lease locker"))
+    val ledger = r1.runs()
+    tasks.foreach { t =>
+      assert(ledger.count(r => r.task == t && r.status == "success") == 1, t)
+    }
+  }
+
   test("claimant race over one lease dir: holders never overlap, and while " +
     "one holds, every other claim fails") {
     val dir = freshUri()
