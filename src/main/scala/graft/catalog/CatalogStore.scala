@@ -68,8 +68,20 @@ object CatalogStore {
   private def lockerFor(dir: String): graft.sched.Locker =
     graft.sched.Locker.forDir(dir)
 
+  // Fencing at the document itself (same protocol as the TaskRunner
+  // ledger): a save whose "catalog" lease was broken while it stalled is
+  // rejected with StaleFenceException rather than overwriting the new
+  // holder's registrations. Unfenced lockers (File/Memory) pass through.
   def save(cat: Catalog, spark: SparkSession, dir: String): Unit =
-    lockerFor(dir).withLock("catalog")(saveLocked(cat, spark, dir))
+    save(cat, spark, dir, lockerFor(dir))
+
+  private[graft] def save(cat: Catalog, spark: SparkSession, dir: String,
+                          locker: graft.sched.Locker): Unit =
+    locker.withLockFenced("catalog") { tok =>
+      new graft.sched.FenceGuard(dir,
+        spark.sparkContext.hadoopConfiguration, "catalog").check(tok)
+      saveLocked(cat, spark, dir)
+    }
 
   private def saveLocked(cat: Catalog, spark: SparkSession, dir: String): Unit = {
     val root = j(

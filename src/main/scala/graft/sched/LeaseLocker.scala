@@ -17,8 +17,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   *  - ACQUIRE = atomic create-if-absent of `<dir>/<key>.lease`
   *    (`FileSystem.create(path, overwrite = false)` — atomic on HDFS;
-  *    on S3 it rides the strong-consistency existence check). The lease
-  *    body carries the owner id and a FENCING TOKEN.
+  *    on S3 it rides the strong-consistency existence check, so ACQUIRE
+  *    additionally reads the lease back and yields unless the body is
+  *    exactly ours — the check-then-put double-winner withdraws; see
+  *    `createVerified`). The lease body carries the owner id and a
+  *    FENCING TOKEN.
   *  - LIVENESS = the lease file's modification time. A background
   *    heartbeat rewrites the lease every `heartbeatMs` while the body
   *    runs, so a live holder's lease mtime is always fresh.
@@ -87,15 +90,35 @@ final class LeaseLocker(dir: String, conf: Configuration,
     }
   }
 
-  private def readToken(p: HPath): Long =
+  private def readBody(p: HPath): String =
     try {
       val in = fs.open(p)
       val bytes =
         try in.readNBytes(4096)
         finally in.close()
-      val s = new String(bytes, StandardCharsets.UTF_8)
-      "token=(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-    } catch { case _: java.io.IOException => 0L } // torn/raced read: floor
+      new String(bytes, StandardCharsets.UTF_8)
+    } catch { case _: java.io.IOException => "" } // torn/raced read: floor
+
+  private def readToken(p: HPath): Long =
+    "token=(\\d+)".r.findFirstMatchIn(readBody(p))
+      .map(_.group(1).toLong).getOrElse(0L)
+
+  /** Post-create owner-readback — closes MOST of the S3A check-then-put
+    * window the scaladoc admits: `create(overwrite=false)` is atomic on
+    * HDFS but on S3A is an existence check followed by a PUT, so two
+    * foreign processes can both "succeed". Reading the lease back and
+    * yielding unless the body is EXACTLY ours (owner is host#pid — unique
+    * per process; same-process threads never reach the file, the JVM gate
+    * serializes them) means the loser of a last-writer-wins double-PUT
+    * withdraws. Residual window: a PUT that lands after the winner's
+    * readback — only a conditional-write (If-None-Match) API closes that,
+    * which the Hadoop FS surface doesn't expose; the protocol remains
+    * documented best-effort on S3A. */
+  private def createVerified(p: HPath, token: Long): Boolean = {
+    writeLease(p, token, overwrite = false, cleanupOnFailure = true)
+    val ours = new String(leaseBody(token), StandardCharsets.UTF_8)
+    readBody(p) == ours
+  }
 
   /** One acquisition attempt against the lease FILE (the JVM gate is
     * already held). Some(token) on success. Tokens are acquire-time
@@ -104,11 +127,10 @@ final class LeaseLocker(dir: String, conf: Configuration,
     * under the same bounded-clock-skew assumption the expiry rule
     * already makes. */
   private def tryAcquireFile(p: HPath): Option[Long] = {
-    // fresh-create fast path
+    // fresh-create fast path (owner-readback verified — see createVerified)
     try {
-      val t = System.currentTimeMillis()
-      writeLease(p, t, overwrite = false, cleanupOnFailure = true)
-      return Some(t)
+      val t = LeaseLocker.nextToken(0L)
+      if (createVerified(p, t)) return Some(t) else return None
     }
     catch { case _: java.io.IOException => () }
     // create failed: existing lease (or transient IO error — re-surface
@@ -149,8 +171,8 @@ final class LeaseLocker(dir: String, conf: Configuration,
     }
     val deadToken = readToken(trash)
     try fs.delete(trash, false) catch { case _: java.io.IOException => () }
-    val t = math.max(System.currentTimeMillis(), deadToken + 1L)
-    try { writeLease(p, t, overwrite = false, cleanupOnFailure = true); Some(t) }
+    val t = LeaseLocker.nextToken(deadToken + 1L)
+    try { if (createVerified(p, t)) Some(t) else None }
     catch { case _: java.io.IOException => None }
   }
 
@@ -161,34 +183,56 @@ final class LeaseLocker(dir: String, conf: Configuration,
     // token, and its release would delete a live lease, admitting a third
     // holder). readToken != ours → we are a zombie → do nothing; the
     // fencing token is what protects the downstream store, this check
-    // stops the lock file itself from being clobbered. The `done` flag
-    // also closes most of the cancel-vs-in-flight-beat race (a beat
-    // already past its checks when release deletes can still leave an
-    // orphan with a fresh mtime for ≤ one read-to-write gap — it
-    // self-clears via expiry-break).
+    // stops the lock file itself from being clobbered.
+    //
+    // Release-vs-in-flight-beat: a beat already past its readToken check
+    // when release deletes the lease would re-create an UNOWNED lease with
+    // a fresh mtime, blocking every acquirer (the ex-holder included) for
+    // up to leaseExpiryMs. The `done` flag narrows but cannot close that
+    // window; `beatGate` closes it — the beat holds the gate for its whole
+    // read→write span, and release acquires the gate AFTER cancelling, so
+    // by the time release's delete runs no beat is mid-flight and none can
+    // start (cancelled). The gate is per-lease; the shared single-thread
+    // scheduler never self-deadlocks on it because release runs on the
+    // caller's thread.
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beatGate = new ReentrantLock()
     val beat: ScheduledFuture[_] = LeaseLocker.heartbeats.scheduleAtFixedRate(
-      () => try {
-        if (!done.get() && readToken(p) == token && !done.get())
-          writeLease(p, token, overwrite = true)
-      } catch { case _: java.io.IOException => () },
+      () => {
+        beatGate.lock()
+        try {
+          if (!done.get() && readToken(p) == token)
+            writeLease(p, token, overwrite = true)
+        } catch { case _: java.io.IOException => () }
+        finally beatGate.unlock()
+      },
       heartbeatMs, heartbeatMs, TimeUnit.MILLISECONDS)
     try body
     finally {
       done.set(true)
       beat.cancel(false)
+      beatGate.lock() // join any in-flight beat before deleting
       try { if (readToken(p) == token) fs.delete(p, false) }
       catch { case _: java.io.IOException => () } // expires on its own
+      finally beatGate.unlock()
     }
   }
 
+  // qualified lease path → the token the current holder acquired with, so
+  // a REENTRANT acquisition hands the body the real live token (a -1 there
+  // would silently disable FenceGuard checks inside nested sections)
+  private def qualified(key: String): String =
+    fs.makeQualified(leasePath(key)).toString
+
   /** [[withLock]] with the fencing token passed to the body — hand it to
-    * any store that must reject a zombie ex-holder's writes. */
-  def withLockFenced[T](key: String)(body: Long => T): T = {
+    * any store that must reject a zombie ex-holder's writes
+    * ([[FenceGuard]]). */
+  override def withLockFenced[T](key: String)(body: Long => T): T = {
     val l = jvmLock(key)
     l.lock()
     try {
-      if (l.getHoldCount > 1) body(-1L) // reentrant: lease already held
+      if (l.getHoldCount > 1)
+        body(LeaseLocker.activeTokens.getOrDefault(qualified(key), -1L))
       else {
         val p = leasePath(key)
         var token = tryAcquireFile(p)
@@ -196,7 +240,9 @@ final class LeaseLocker(dir: String, conf: Configuration,
           Thread.sleep(pollMs)
           token = tryAcquireFile(p)
         }
-        withHeartbeat(p, token.get)(body(token.get))
+        LeaseLocker.activeTokens.put(qualified(key), token.get)
+        try withHeartbeat(p, token.get)(body(token.get))
+        finally LeaseLocker.activeTokens.remove(qualified(key))
       }
     } finally l.unlock()
   }
@@ -211,7 +257,11 @@ final class LeaseLocker(dir: String, conf: Configuration,
       if (l.getHoldCount > 1) Some(body) // reentrant
       else {
         val p = leasePath(key)
-        tryAcquireFile(p).map(t => withHeartbeat(p, t)(body))
+        tryAcquireFile(p).map { t =>
+          LeaseLocker.activeTokens.put(qualified(key), t)
+          try withHeartbeat(p, t)(body)
+          finally LeaseLocker.activeTokens.remove(qualified(key))
+        }
       }
     } finally l.unlock()
   }
@@ -219,6 +269,18 @@ final class LeaseLocker(dir: String, conf: Configuration,
 
 object LeaseLocker {
   private val jvmLocks = new ConcurrentHashMap[String, ReentrantLock]()
+  private val activeTokens = new ConcurrentHashMap[String, Long]()
+
+  // Tokens are acquire-time wall-clock ms, floored past a broken lease's
+  // token AND made STRICTLY monotone within this JVM: two acquisitions in
+  // the same millisecond must not mint equal tokens or two successive
+  // holders would both pass a FenceGuard's `token >= stored` check.
+  // Cross-process strictness still rests on the protocol's bounded-clock-
+  // skew assumption (plus the +1 floor over any token read from disk).
+  private val lastToken = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextToken(floor: Long): Long =
+    lastToken.updateAndGet(prev =>
+      math.max(math.max(System.currentTimeMillis(), floor), prev + 1))
   private lazy val heartbeats = Executors.newScheduledThreadPool(1, r => {
     val t = new Thread(r, "graft-lease-heartbeat")
     t.setDaemon(true)

@@ -31,9 +31,23 @@ trait Locker {
     * another holder (thread or process) has it — the scheduler's
     * "someone else claimed this run, move on" branch. */
   def tryWithLock[T](key: String)(body: => T): Option[T]
+
+  /** [[withLock]] with a FENCING TOKEN passed to the body, for stores that
+    * must reject a zombie ex-holder's writes ([[FenceGuard]]). Lockers
+    * whose exclusion cannot be broken while the holder lives (File/Memory:
+    * the OS or the JVM holds the lock, there is no lease to expire) return
+    * [[Locker.Unfenced]] (-1) — the guard treats that as "no fencing
+    * needed", which is sound for exactly those bindings. [[LeaseLocker]]
+    * overrides with real monotone tokens. */
+  def withLockFenced[T](key: String)(body: Long => T): T =
+    withLock(key)(body(Locker.Unfenced))
 }
 
 object Locker {
+  /** Token value meaning "this locker's exclusion cannot be broken, no
+    * fencing applies" — see [[Locker.withLockFenced]]. */
+  val Unfenced: Long = -1L
+
   /** Locker policy for a durable-state directory: LOCAL dirs (no scheme,
     * `file:`, or anything `java.net.URI` can't parse — e.g. paths with
     * spaces) get a [[FileLocker]] in `<dir>/.locks` for cross-process
@@ -106,7 +120,18 @@ object Locker {
   }
 
   /** True iff the failure means "no Hadoop FileSystem class for this
-    * scheme" (vs a reachable store failing transiently). */
+    * scheme" (vs a reachable store failing transiently). Deliberately
+    * NARROW: a broad "not found" substring would also match auth/config
+    * failures ("Credential provider not found", missing SIGNING_REGION)
+    * and silently downgrade a REACHABLE remote store to MemoryLocker —
+    * the double-run hazard this gate exists to prevent. We accept only
+    * the exact shapes Hadoop's FileSystem.getFileSystemClass raises for
+    * an absent binding: ClassNotFoundException,
+    * UnsupportedFileSystemException, the literal "No FileSystem for
+    * scheme" message, and its "Class <impl> not found" wrapper. */
+  private val classNotFoundMsg =
+    java.util.regex.Pattern.compile("""Class \S+ not found""")
+
   private def isMissingBinding(e: Throwable): Boolean = {
     var t: Throwable = e
     while (t != null) {
@@ -116,7 +141,7 @@ object Locker {
         case _ =>
           val m = t.getMessage
           if (m != null && (m.contains("No FileSystem for scheme") ||
-              m.contains("not found"))) return true
+              classNotFoundMsg.matcher(m).find())) return true
       }
       t = t.getCause
     }

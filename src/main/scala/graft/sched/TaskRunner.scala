@@ -63,6 +63,14 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   // in-process MemoryLocker: correct single-JVM, and a distributed store
   // should bring its own locker (the reference's psql locker role).
   private val lock: Locker = Option(locker).getOrElse(Locker.forDir(stateDir))
+  // Store-side fencing (reference: psql advisory locks guard the task-run
+  // table, ffsync/locker.go:110): every ledger REWRITE carries the lease's
+  // fencing token past the guard first, so a zombie coordinator whose
+  // __ledger__ lease was broken mid-stall gets StaleFenceException instead
+  // of clobbering records the new holder wrote. File/Memory lockers pass
+  // Unfenced (-1) — their exclusion cannot be broken, no zombie exists.
+  private val fence = new FenceGuard(stateDir,
+    spark.sparkContext.hadoopConfiguration, "task_runs")
   // Successes recorded BY THIS INSTANCE, mirrored in memory so the resume
   // check can never miss a record this process just wrote (the durable file
   // stays the cross-restart source of truth; append() fails loudly if the
@@ -95,7 +103,10 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   // atomic against CONCURRENT TaskRunner instances sharing one stateDir
   // too — each rewrite reads the other's records before appending its own.
   private def append(r: TaskRun): Unit = synchronized {
-    lock.withLock("__ledger__")(appendLocked(r))
+    lock.withLockFenced("__ledger__") { tok =>
+      fence.check(tok)
+      appendLocked(r)
+    }
   }
 
   private def appendLocked(r: TaskRun): Unit = {

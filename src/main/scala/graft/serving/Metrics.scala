@@ -119,13 +119,22 @@ final class Metrics {
       }
     }.getOrElse(0.0)
 
+  /** Full prometheus label-value escape (text format 0.0.4): backslash
+    * FIRST (else it would re-escape the escapes), then quote, then
+    * newline. Feature names come from raw request input, so any of the
+    * three can arrive; one unescaped `\` or newline would corrupt every
+    * subsequent scrape for the life of the process (entries are never
+    * removed). */
+  private def escapeLabel(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
   /** Prometheus text exposition (0.0.4): counters + cumulative-bucket
     * histograms, deterministically ordered. */
   def render(): String = {
     import scala.jdk.CollectionConverters._
     val b = new StringBuilder
     val sorted = routes.asScala.toSeq.sortBy(_._1)
-    def lbl(route: String) = s"""{path="${route.replace("\"", "\\\"")}"}"""
+    def lbl(route: String) = s"""{path="${escapeLabel(route)}"}"""
     b.append("# TYPE graft_requests_total counter\n")
     sorted.foreach { case (p, s) =>
       b.append(s"graft_requests_total${lbl(p)} ${s.requests.sum()}\n")
@@ -136,7 +145,7 @@ final class Metrics {
     }
     val fsorted = features.asScala.toSeq.sortBy(_._1)
     if (fsorted.nonEmpty) {
-      def flbl(n: String) = s"""{feature="${n.replace("\"", "\\\"")}"}"""
+      def flbl(n: String) = s"""{feature="${escapeLabel(n)}"}"""
       b.append("# TYPE graft_feature_requests_total counter\n")
       fsorted.foreach { case (n, s) =>
         b.append(s"graft_feature_requests_total${flbl(n)} ${s.requests.sum()}\n")
@@ -147,10 +156,7 @@ final class Metrics {
       }
       b.append("# TYPE graft_feature_latency_ms histogram\n")
       fsorted.foreach { case (n, s) =>
-        // label value escaped like every other line: names come from raw
-        // request input, and one embedded quote would make the whole
-        // exposition unparseable
-        val fe = n.replace("\"", "\\\"")
+        val fe = escapeLabel(n)
         var cum = 0L
         var i = 0
         while (i < bucketsMs.length) {
@@ -170,18 +176,19 @@ final class Metrics {
     }
     b.append("# TYPE graft_request_latency_ms histogram\n")
     sorted.foreach { case (p, s) =>
+      val pe = escapeLabel(p)
       var cum = 0L
       var i = 0
       while (i < bucketsMs.length) {
         cum += s.bucket(i).sum()
         val le = if (bucketsMs(i) == bucketsMs(i).toLong)
           bucketsMs(i).toLong.toString else bucketsMs(i).toString
-        b.append(s"""graft_request_latency_ms_bucket{path="$p",le="$le"} $cum""")
+        b.append(s"""graft_request_latency_ms_bucket{path="$pe",le="$le"} $cum""")
           .append('\n')
         i += 1
       }
       cum += s.bucket(bucketsMs.length).sum()
-      b.append(s"""graft_request_latency_ms_bucket{path="$p",le="+Inf"} $cum""")
+      b.append(s"""graft_request_latency_ms_bucket{path="$pe",le="+Inf"} $cum""")
         .append('\n')
       b.append(f"graft_request_latency_ms_sum${lbl(p)} ${s.latencySumNs.sum() / 1e6}%.6f\n")
       b.append(s"graft_request_latency_ms_count${lbl(p)} ${s.requests.sum()}\n")

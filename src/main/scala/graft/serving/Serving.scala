@@ -213,7 +213,10 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
       var i = 0
       while (i < v.length) { dot += v(i).toDouble * query(i); nv += v(i).toDouble * v(i); i += 1 }
       e -> (if (nv == 0 || qn == 0) 0.0 else dot / (math.sqrt(nv) * qn))
-    }.toSeq.sortBy { case (e, s) => (-s, e.toString) }.take(k)
+      // numeric-aware tie-break shared with the indexed path: the oracle's
+      // ORDER BY neighbor_id on integer ids puts 2 before 10, which plain
+      // string order inverts on an exact cosine tie
+    }.toSeq.sortBy { case (e, s) => (-s, VectorIndex.idTieKey(e)) }.take(k)
   }
 }
 

@@ -58,6 +58,10 @@ final class VectorIndex(numPlanes: Int = 16) {
   private val sigOf = mutable.HashMap.empty[Any, Int]
 
   def add(id: Any, vec: Array[Float]): Unit = synchronized {
+    // add ≡ upsert on a duplicate id: sigOf keeps only the newest
+    // signature, so an appended second entry would orphan the old one —
+    // unevictable by remove()/upsert() and still serving stale matches.
+    if (sigOf.contains(id)) remove(id)
     var n = 0.0
     var i = 0
     while (i < vec.length) { n += vec(i).toDouble * vec(i); i += 1 }
@@ -93,8 +97,8 @@ final class VectorIndex(numPlanes: Int = 16) {
   def size: Int = synchronized(buckets.valuesIterator.map(_.size).sum)
 
   /** Top-k by cosine; `oversample` bounds how many candidates are gathered
-    * before exact ranking. Returns (id, cosine) sorted (cosine desc, id asc
-    * by string — the OnlineStore.nearest tie-break). */
+    * before exact ranking. Returns (id, cosine) sorted (cosine desc, then
+    * [[VectorIndex.idTieKey]] — numeric-aware, same as OnlineStore). */
   def nearest(query: Array[Float], k: Int,
               oversample: Int = 4): Seq[(Any, Double)] = synchronized {
     if (buckets.isEmpty) return Nil
@@ -121,6 +125,18 @@ final class VectorIndex(numPlanes: Int = 16) {
       var j = 0
       while (j < v.length) { dot += v(j).toDouble * query(j); j += 1 }
       id -> (if (n == 0 || qnorm == 0) 0.0 else dot / (n * qnorm))
-    }.toSeq.sortBy { case (id, s) => (-s, id.toString) }.take(k)
+    }.toSeq.sortBy { case (id, s) => (-s, VectorIndex.idTieKey(id)) }.take(k)
+  }
+}
+
+object VectorIndex {
+  /** Shared cosine tie-break key (indexed and scan paths must agree):
+    * numeric ids order numerically — the oracle's ORDER BY neighbor_id on
+    * integer columns puts 2 before 10, which plain string order inverts —
+    * and non-numeric ids order lexically after all numeric ones. */
+  def idTieKey(e: Any): (Int, Long, String) = {
+    val s = e.toString
+    try ((0, s.toLong, ""))
+    catch { case _: NumberFormatException => (1, 0L, s) }
   }
 }

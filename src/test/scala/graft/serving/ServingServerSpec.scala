@@ -326,4 +326,30 @@ class ServingServerSpec extends SparkSpec {
       assert(srv.metrics.featureStats("fa").get.latencySumNs.sum() > 0L)
     } finally srv.stop()
   }
+
+  test("metrics label escaping: backslash, quote, and newline in a feature " +
+    "name cannot corrupt the exposition (names come from raw requests)") {
+    val m = new Metrics
+    // the ADVICE r9 exploit: a name ending in a lone backslash renders
+    // feature="a\" where the backslash escapes the closing quote —
+    // every later scrape unparseable. Plus embedded quote and newline.
+    m.observeFeature("a\\", error = false)
+    m.observeFeature("q\"uote", error = false)
+    m.observeFeature("nl\nline", error = false)
+    m.observe("/p\\ath\n", 1000L, error = false)
+    val text = m.render()
+    // prometheus text format: every line is `name{labels} value` on ONE
+    // line, label values escape \ " and newline
+    text.linesIterator.filter(_.nonEmpty).filterNot(_.startsWith("#"))
+      .foreach { line =>
+        assert(line.matches("""\S+\{[^{}]*\} \S+( \S+)?"""),
+          s"malformed exposition line: $line")
+      }
+    assert(text.contains("""feature="a\\""""))
+    assert(text.contains("""feature="q\"uote""""))
+    assert(text.contains("""feature="nl\nline""""))
+    assert(text.contains("""path="/p\\ath\n""""))
+    // and the escaped lines still carry their counts
+    assert(text.contains("""graft_feature_requests_total{feature="a\\"} 1"""))
+  }
 }

@@ -58,4 +58,39 @@ class VectorIndexSpec extends SparkSpec {
     }
     assert(within.sum / within.size > 0.7)
   }
+
+  test("add() of an already-present id evicts the old entry (add ≡ upsert) " +
+    "— no orphaned bucket entry serving the stale vector") {
+    val idx = new VectorIndex(8)
+    val oldV = Array.fill(16)(1.0f)
+    val newV = Array.tabulate(16)(i => if (i == 0) -1.0f else 0.01f)
+    idx.add(7L, oldV)
+    idx.add(7L, newV) // direct re-add, NOT upsert — the r9 ADVICE hazard
+    assert(idx.size == 1, "re-add must not append a second entry")
+    // a query aligned with the OLD vector must not find id 7 at cosine ~1
+    val hit = idx.nearest(oldV, 1).head
+    assert(hit._1 == 7L && hit._2 < 0.5,
+      s"stale vector still served: cosine ${hit._2}")
+    // and remove() fully clears it
+    assert(idx.remove(7L) && idx.size == 0)
+    assert(idx.nearest(oldV, 1).isEmpty)
+  }
+
+  test("exact cosine ties order by NUMERIC id (2 before 10), matching the " +
+    "oracle's ORDER BY neighbor_id, on both indexed and scan paths") {
+    val v = Array.fill(8)(1.0f)
+    val idx = new VectorIndex(8)
+    Seq(10L, 2L, 33L).foreach(id => idx.add(id, v.clone()))
+    assert(idx.nearest(v, 3).map(_._1) == Seq(2L, 10L, 33L))
+    // scan path (no index built) through OnlineStore
+    val store = new OnlineStore
+    import spark.implicits._
+    store.loadVectors("emb",
+      Seq(10L, 2L, 33L).map(id => (id, v.toSeq)).toDF("entity", "vector"))
+    assert(store.nearest("emb", v, 3).map(_._1.toString.toLong) ==
+      Seq(2L, 10L, 33L))
+    // non-numeric ids order lexically after numeric ones
+    assert(VectorIndex.idTieKey("abc")._1 == 1 &&
+      VectorIndex.idTieKey("42")._1 == 0)
+  }
 }
