@@ -1219,9 +1219,10 @@ object SparkEntry {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try graft.streaming.StreamingLatest.latestValueStream(s, stream)
-      .writeStream.outputMode("update").format("memory").queryName(table).start()
+      .writeStream.outputMode("update").format("memory").queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("entity"))
       .orderBy(col("ts").desc, col("value").desc)
@@ -1248,9 +1249,10 @@ object SparkEntry {
     val kvDir = s"$tmp/kv"
     val q = try graft.streaming.StreamingOnline.onlineSink(
       graft.streaming.StreamingLatest.latestValueStream(s, stream).toDF(),
-      "so_feat", () => new graft.serving.DiskKv(kvDir), s"$tmp/ckpt")
+      "so_feat", () => new graft.serving.DiskKv(kvDir), s"$tmp/ckpt",
+      availableNow = true)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     import s.implicits._
     new graft.serving.DiskKv(kvDir).scan("so_feat").map { case (e, v) =>
       val r = v.asInstanceOf[org.apache.spark.sql.Row]
@@ -1284,8 +1286,9 @@ object SparkEntry {
         val stream = s.readStream.schema("entity long, vector array<float>")
           .option("maxFilesPerTrigger", 2).parquet(in)
         val q = graft.streaming.StreamingOnline.vectorSink(stream, "sv_emb",
-          () => new graft.serving.DiskKv(kvDir), ckpt, versionBase = base)
-        try q.processAllAvailable() finally q.stop()
+          () => new graft.serving.DiskKv(kvDir), ckpt, versionBase = base,
+          availableNow = true)
+        graft.streaming.StreamRun.await(q)
       }
       run(s"$tmp/in1", s"$tmp/ckpt1", 0L)
       run(s"$tmp/in2", s"$tmp/ckpt2", 1000L)
@@ -1437,11 +1440,12 @@ object SparkEntry {
     // data + watermark-push together (watermark is still 0 during the batch
     // ⇒ every label pends and arms its wm+1 timeout, and the batch's max
     // event time lifts the watermark past every label). The engine then
-    // runs ONE no-data micro-batch — `processAllAvailable` blocks until
-    // `lastExecutionRequiresAnotherBatch` is false, so this is a guaranteed
-    // step, not a race — whose watermark fires every armed timeout: a
-    // 2-stateful-batch lifecycle instead of the previous 4-5. The finer
-    // multi-batch interleavings are covered by StreamingAsOfSpec.
+    // runs ONE no-data micro-batch — AvailableNow's continue condition
+    // includes `lastExecutionRequiresAnotherBatch`, so this is a guaranteed
+    // step before self-termination, not a race — whose watermark fires
+    // every armed timeout: a 2-stateful-batch lifecycle instead of the
+    // previous 4-5. The finer multi-batch interleavings are covered by
+    // StreamingAsOfSpec.
     sentinel(1).write.mode("append").parquet(s"$tmp/f")
     sentinel(1).write.mode("append").parquet(s"$tmp/l")
 
@@ -1463,10 +1467,10 @@ object SparkEntry {
     // the Spark default, but the flush would silently hang without it)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try joined.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
+      .format("memory").queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable()
-    finally q.stop()
+    graft.streaming.StreamRun.await(q)
     s.table(table).filter(col("entity") >= 0)
       .select(col("entity"), unix_millis(col("ts")).as("ts_ms"),
         col("label"), col("feature"))
@@ -1491,8 +1495,8 @@ object SparkEntry {
         col("ts")).repartition(4), // 4 files → 2 micro-batches on the file bus
       s"$tmp/in")
     val q = bus.sinkTriples(bus.readTriples(s, s"$tmp/in", 2),
-      s"$tmp/topic", s"$tmp/chk")
-    try q.processAllAvailable() finally q.stop()
+      s"$tmp/topic", s"$tmp/chk", availableNow = true)
+    graft.streaming.StreamRun.await(q)
     bus.readAll(s, s"$tmp/topic")
       .groupBy(col("entity"))
       .agg(count("*").as("n"),
@@ -2413,9 +2417,10 @@ object SparkEntry {
         col("n_events"), col("sum_value"), col("last_ts_ms"))
       .writeStream.outputMode("append").format("parquet")
       .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
   }
 
@@ -2517,9 +2522,10 @@ object SparkEntry {
       .dropDuplicates("event_id")
       .writeStream.outputMode("append").format("parquet")
       .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     s.read.parquet(s"$tmp/out")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
@@ -2560,9 +2566,10 @@ object SparkEntry {
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append").format("parquet")
       .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     s.read.parquet(s"$tmp/out")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
@@ -2891,9 +2898,10 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try depths.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
+      .format("memory").queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     val d = s.table(table).where(col("user") >= 0)
     Seq(("view", 1), ("click", 2), ("purchase", 3)).map { case (name, k) =>
       d.agg(sum(when(col("depth") >= k, 1L).otherwise(0L)).as("__n"))
@@ -2940,9 +2948,10 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try sums.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
+      .format("memory").queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     s.table(table).where(col("key") >= 0)
       .select(col("key").as("user_id"), col("n_events"), col("n_alarms"),
         col("first_alarm_ms"), col("max_stat"))
@@ -2980,9 +2989,10 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try gaps.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
+      .format("memory").queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     s.table(table).where(col("key") >= 0)
       .select(col("key").as("user_id"), col("prev_ms"), col("next_ms"),
         col("gap_s"))
@@ -3157,9 +3167,10 @@ object SparkEntry {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try joined.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
+      .format("memory").queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     s.table(table).select(col("entity"),
       unix_millis(col("l_ts")).as("l_ts_ms"), col("l_value"),
       unix_millis(col("r_ts")).as("r_ts_ms"), col("r_value"))
@@ -3350,8 +3361,9 @@ object SparkEntry {
         col("c_mktsegment").as("segment"))
     val table = s"stream_ssj_${System.nanoTime()}"
     val q = stream.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
-    try q.processAllAvailable() finally q.stop()
+      .format("memory").queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    graft.streaming.StreamRun.await(q)
     s.table(table)
   }
 
@@ -3454,9 +3466,10 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try joined.writeStream.outputMode("append")
-      .format("memory").queryName(table).start()
+      .format("memory").queryName(table)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamRun.await(q)
     s.table(table).filter(col("entity") >= 0)
       .select(col("entity"), unix_millis(col("l_ts")).as("l_ts_ms"),
         col("l_value"), unix_millis(col("r_ts")).as("r_ts_ms"),

@@ -163,14 +163,29 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
     grouped.foreach { case (b, pairs) =>
       val dir = bucketDir(feature, b)
       Files.createDirectories(dir)
-      val seg = dir.resolve(prefix + java.util.UUID.randomUUID().toString)
-      val out = new ObjectOutputStream(new BufferedOutputStream(
-        Files.newOutputStream(seg)))
-      try {
-        out.writeInt(pairs.length)
-        pairs.foreach { case (k, v) => out.writeObject(k); out.writeObject(v) }
-      } finally out.close()
+      writeSegment(dir, prefix + java.util.UUID.randomUUID().toString,
+        pairs.iterator, pairs.length)
     }
+  }
+
+  /** Crash-atomic segment publish: the bytes land under a `.tmp-` name and
+    * only an ATOMIC same-directory rename makes them a `seg-` file readers
+    * consume. A writer killed mid-segment (an executor dying mid-batch, a
+    * halted streaming JVM) therefore leaves a `.tmp-` orphan that readers
+    * never open — without this, one truncated `seg-` file poisons every
+    * subsequent read of its bucket with EOFException. Orphans are swept by
+    * [[compact]] (which already requires no concurrent writers). */
+  private def writeSegment(dir: Path, segName: String,
+                           pairs: Iterator[(Any, Any)], count: Int): Unit = {
+    val tmp = dir.resolve(".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = new ObjectOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(count)
+      pairs.foreach { case (k, v) => out.writeObject(k); out.writeObject(v) }
+    } finally out.close()
+    Files.move(tmp, dir.resolve(segName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   // (feature, bucket) -> (segment-file set, merged map); rebuilt whenever
@@ -184,8 +199,11 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
     if (!Files.isDirectory(dir)) return Map.empty
     val segs = {
       val s = Files.list(dir)
+      // only published segments: a `.tmp-` file is an in-flight or
+      // crash-orphaned write (see writeSegment) and must never be read
       try s.iterator().asInstanceOf[java.util.Iterator[Path]]
-        .asScala.map(_.getFileName.toString).toList.sorted
+        .asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("seg-")).toList.sorted
       finally s.close()
     }
     val key = (feature, b)
@@ -244,12 +262,18 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
     while (b < buckets) {
       val dir = bucketDir(feature, b)
       if (Files.isDirectory(dir)) {
-        val segs = {
+        val (segs, orphans) = {
           val s = Files.list(dir)
-          try s.iterator().asInstanceOf[java.util.Iterator[Path]]
-            .asScala.map(_.getFileName.toString).toList.sorted
-          finally s.close()
+          try {
+            val names = s.iterator().asInstanceOf[java.util.Iterator[Path]]
+              .asScala.map(_.getFileName.toString).toList
+            (names.filter(_.startsWith("seg-")).sorted,
+              names.filter(_.startsWith(".tmp-")))
+          } finally s.close()
         }
+        // crash-orphaned in-flight segments: compact's contract already
+        // excludes concurrent writers, so any .tmp- here is dead weight
+        orphans.foreach(name => Files.deleteIfExists(dir.resolve(name)))
         // Tombstones are dropped PHYSICALLY during the merge — safe
         // because compact folds every segment in the bucket, so no older
         // segment survives to resurrect the key. This is the erasure
@@ -261,15 +285,9 @@ final class DiskKv(rootDir: String, buckets: Int = 64)
           bucketMap(feature, b).exists(_._2 == KvTombstone)
         if (segs.length > 1 || (segs.length == 1 && hasTombstone)) {
           val merged = bucketMap(feature, b).filter(_._2 != KvTombstone)
-          val seg = dir.resolve(f"seg-${DiskKv.nextSegTime()}%019d-" +
-            java.util.UUID.randomUUID().toString)
-          val out = new ObjectOutputStream(new BufferedOutputStream(
-            Files.newOutputStream(seg)))
-          try {
-            out.writeInt(merged.size)
-            merged.foreach { case (k, v) =>
-              out.writeObject(k); out.writeObject(v) }
-          } finally out.close()
+          writeSegment(dir, f"seg-${DiskKv.nextSegTime()}%019d-" +
+            java.util.UUID.randomUUID().toString,
+            merged.iterator, merged.size)
           segs.foreach(name => Files.deleteIfExists(dir.resolve(name)))
         }
       }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Stream-bus seam — one interface over "a topic you can produce to,
   * consume as a stream, and replay from the beginning", with two
@@ -44,9 +44,13 @@ trait StreamBus {
   def produce(df: DataFrame, topic: String): Unit
 
   /** Stream `triples` into `topic` (append mode, exactly-once via the
-    * sink's own mechanism); caller owns the returned query lifecycle. */
+    * sink's own mechanism); caller owns the returned query lifecycle.
+    * `availableNow = true` drains the currently-available data and
+    * self-terminates ([[StreamRun.await]]) — the bounded-replay shape;
+    * false (default) runs perpetually. */
   def sinkTriples(triples: DataFrame, topic: String,
-                  checkpoint: String): StreamingQuery
+                  checkpoint: String,
+                  availableNow: Boolean = false): StreamingQuery
 
   /** Batch replay of everything currently in `topic` (consumer from
     * earliest) as canonical triples. */
@@ -110,8 +114,11 @@ object FileBus extends StreamBus {
       .write.mode("append").parquet(topic)
 
   def sinkTriples(triples: DataFrame, topic: String,
-                  checkpoint: String): StreamingQuery =
+                  checkpoint: String,
+                  availableNow: Boolean = false): StreamingQuery =
     triples.writeStream.outputMode("append").format("parquet")
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(0L))
       .option("path", topic)
       .option("checkpointLocation", checkpoint)
       .start()
@@ -155,8 +162,11 @@ final class KafkaBus(bootstrap: String) extends StreamBus {
       .save()
 
   def sinkTriples(triples: DataFrame, topic: String,
-                  checkpoint: String): StreamingQuery =
+                  checkpoint: String,
+                  availableNow: Boolean = false): StreamingQuery =
     encoded(triples).writeStream.format("kafka")
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(0L))
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)

@@ -59,9 +59,11 @@ object StreamingDecontam {
     val table = s"stream_decontam_${System.nanoTime()}"
     val q = flaggedStream(stream, textCol, idCol, filt, n, numProbes, mBits)
       .writeStream.format("memory").queryName(table)
-      .outputMode("append").start()
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
     try {
-      q.processAllAvailable()
+      StreamRun.await(q)
       // the screen must stay stateless — a state store appearing here
       // means the plan regressed out of the pure-scan shape
       val prog = q.lastProgress

@@ -223,11 +223,10 @@ object StreamingDedup {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
     val table = s"stream_dedup_${System.nanoTime()}"
-    val q = dupPairsStream(spark, bandedDocs(stream, textCol, idCol),
+    StreamRun.drain(dupPairsStream(spark, bandedDocs(stream, textCol, idCol),
         maxHamming, maxPerBucket)
       .writeStream.format("memory").queryName(table)
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+      .outputMode("update"))
     spark.table(table)
       .select(col("idA"), col("idB"), col("hamming").cast("long").as("hamming"))
       .distinct()
@@ -251,13 +250,12 @@ object StreamingDedup {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
     val table = s"stream_dedup_ttl_${System.nanoTime()}"
-    val q = dupPairsStreamTtl(spark,
+    StreamRun.drain(dupPairsStreamTtl(spark,
         bandedDocsTs(stream, textCol, idCol, tsCol)
           .withWatermark("ts", delay),
         ttlMs, maxHamming, maxPerBucket)
       .writeStream.format("memory").queryName(table)
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+      .outputMode("update"))
     spark.table(table)
       .select(col("idA"), col("idB"), col("hamming").cast("long").as("hamming"))
       .distinct()

@@ -37,9 +37,12 @@ object StreamingOnline {
     * value level. */
   def onlineSink(updates: DataFrame, feature: String,
                  backendFactory: () => KvBackend,
-                 checkpointDir: String): StreamingQuery = {
+                 checkpointDir: String,
+                 availableNow: Boolean = false): StreamingQuery = {
     backendFactory().createTable(feature)
     updates.writeStream
+      .trigger(if (availableNow) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+               else org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -77,11 +80,14 @@ object StreamingOnline {
                  backendFactory: () => KvBackend,
                  checkpointDir: String,
                  versionBase: Long = 0L,
-                 indexSubscriber: Option[graft.serving.OnlineStore] = None)
+                 indexSubscriber: Option[graft.serving.OnlineStore] = None,
+                 availableNow: Boolean = false)
       : StreamingQuery = {
     val table = graft.serving.OnlineStore.vectorTable(feature)
     backendFactory().createTable(table)
     updates.writeStream
+      .trigger(if (availableNow) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+               else org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -68,6 +68,44 @@ class BackendSpec extends SparkSpec {
     assert(new DiskKv(root, buckets = 8).scan("t").size == 3)
   }
 
+  test("DiskKv crash safety: a writer killed mid-segment (truncated .tmp " +
+    "orphan) never poisons reads; compact sweeps the orphan") {
+    import java.nio.file.{Files => JF, Paths}
+    val root = java.nio.file.Files.createTempDirectory("diskkv-c").toString
+    val kv = new DiskKv(root, buckets = 2)
+    kv.createTable("t")
+    kv.putBatch("t", Iterator(1L -> "a", 2L -> "b", 3L -> "c"))
+    // plant what a halted JVM leaves: truncated in-flight segment bytes
+    // under the .tmp- prefix in every bucket dir (writeSegment publishes
+    // only via atomic rename, so a partial write can ONLY exist as .tmp-)
+    val tableDir = {
+      val s = JF.list(Paths.get(root))
+      try s.iterator().next() finally s.close()
+    }
+    val bucketDirs = {
+      val s = JF.list(tableDir)
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val it = s.iterator(); while (it.hasNext) b += it.next()
+        b.toSeq
+      } finally s.close()
+    }
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      JF.write(d.resolve(".tmp-dead"), Array[Byte](0, 0, 1)) // torn bytes
+    }
+    // reads skip the orphans instead of dying on EOFException
+    assert(kv.scan("t").toMap == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(new DiskKv(root, buckets = 2).get("t", 2L).contains("b"))
+    // compact sweeps them
+    kv.putBatch("t", Iterator(1L -> "a2")) // second segment → compactable
+    kv.compact("t")
+    bucketDirs.foreach { d =>
+      assert(!JF.exists(d.resolve(".tmp-dead")), s"orphan survived in $d")
+    }
+    assert(kv.scan("t").toMap == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("delete: tombstone hides the key on DiskKv, survives compact and restart") {
     val root = java.nio.file.Files.createTempDirectory("diskkv-d").toString
     val kv = new DiskKv(root, buckets = 4)
