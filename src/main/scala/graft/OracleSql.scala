@@ -339,7 +339,24 @@ object OracleSql {
   private def kmeansCtes(k: Int, iters: Int, p: String = "",
                          vecExpr: String = "embedding",
                          seed: String = "km",
-                         where: String = "TRUE"): String = {
+                         where: String = "TRUE"): String =
+    kmeansCtesK(k.toString, iters, p, vecExpr, seed, where)
+
+  /** The √n nlist rule as SQL ≡ [[graft.functions.Vectors.nlistForCorpus]]
+    * (ROUND half-away-from-zero matches Scala's math.round on positives;
+    * the [1, 4096] clamp is LEAST/GREATEST) — lets the knn_graph* oracles
+    * replay the AUTO codebook size at any SF instead of a pinned literal. */
+  private def sqrtNlistSql(where: String = "TRUE"): String =
+    "(SELECT CAST(LEAST(4096, GREATEST(1, ROUND(SQRT(COUNT(*)), 0))) " +
+      s"AS BIGINT) FROM embeddings WHERE $where)"
+
+  /** [[kmeansCtes]] with the codebook size as a SQL EXPRESSION (a scalar
+    * subquery for the √n rule); the Int overload above is the fixed-k
+    * form every non-auto replay keeps. */
+  private def kmeansCtesK(kSql: String, iters: Int, p: String = "",
+                          vecExpr: String = "embedding",
+                          seed: String = "km",
+                          where: String = "TRUE"): String = {
     val initOrd =
       s"substr(md5(CAST(vec_id AS VARCHAR) || '|$seed'), 1, 16), vec_id"
     def assignCte(r: Int): String =
@@ -367,7 +384,7 @@ object OracleSql {
        |  FROM embeddings WHERE $where),
        |${p}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cell,
        |    CAST(v AS DOUBLE[]) AS cv
-       |  FROM ${p}e QUALIFY row_number() OVER (ORDER BY $initOrd) <= $k),
+       |  FROM ${p}e QUALIFY row_number() OVER (ORDER BY $initOrd) <= $kSql),
        |${assignCte(0)},
        |$rounds""".stripMargin
   }
@@ -2601,11 +2618,13 @@ object OracleSql {
          |FROM a2""".stripMargin,
 
     // corpus kNN self-join, FULL IVF replay: the kmeans codebook (init +
-    // 1 round), the corpus leg's argmax cell (= a1), the probe leg's
-    // top-2 cells by (sim desc, cell desc), the cell-equi candidate join,
-    // exact cosine + (cos desc, id asc) top-5 — cell-exact end to end
+    // 1 round) at the AUTO √n size — the operating rule is the default
+    // path now, so the oracle replays nlist = round(sqrt(n)) too — the
+    // corpus leg's argmax cell (= a1), the probe leg's top-2 cells by
+    // (sim desc, cell desc), the cell-equi candidate join, exact cosine +
+    // (cos desc, id asc) top-5 — cell-exact end to end
     "knn_graph" ->
-      s"""WITH ${kmeansCtes(8, 1)},
+      s"""WITH ${kmeansCtesK(sqrtNlistSql(), 1)},
          |cn AS (SELECT cell, list_transform(cv,
          |    y -> y / sqrt(list_dot_product(cv, cv))) AS cvn FROM c1),
          |probe AS (SELECT vec_id, v, cell FROM (
@@ -2644,7 +2663,7 @@ object OracleSql {
       }.mkString("\n  ")
       val sdcSum = (0 until 4)
         .map(s => s"list_dot_product(qc$s.cv, nc$s.cv)").mkString(" + ")
-      s"""WITH ${kmeansCtes(8, 1)},
+      s"""WITH ${kmeansCtesK(sqrtNlistSql(), 1)},
          |$pq,
          |cn AS (SELECT cell, list_transform(cv,
          |    y -> y / sqrt(list_dot_product(cv, cv))) AS cvn FROM c1),
@@ -2682,7 +2701,8 @@ object OracleSql {
     // whole corpus searched against it — the oracle IS the full-recompute
     // side of the top-k merge identity the fold claims
     "knn_graph_incr" ->
-      s"""WITH ${kmeansCtes(8, 1, where = "vec_id % 5 <> 0")},
+      s"""WITH ${kmeansCtesK(sqrtNlistSql("vec_id % 5 <> 0"), 1,
+             where = "vec_id % 5 <> 0")},
          |cn AS (SELECT cell, list_transform(cv,
          |    y -> y / sqrt(list_dot_product(cv, cv))) AS cvn FROM c1),
          |ef AS (SELECT vec_id, embedding AS v FROM embeddings),

@@ -187,6 +187,7 @@ object SkewBench {
     var aqeSkewHit = false
     val capsFired = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val triErrs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var embCountX1 = 0L // the 1× corpus size, for the fixed-nlist control
 
     // ---------------------------------------------------------- run
     for (m <- Seq(1, 10)) {
@@ -233,17 +234,17 @@ object SkewBench {
       rec(scale, "cosine_near_dups",
         time(force(Vectors.cosineNearDups(emb, "id", "embedding",
           numPlanes = 16, threshold = 0.4)))._1)
-      // corpus kNN self-join: nlist follows the √n IVF rule (16 at 1×,
-      // 48 at 10×), so the family is structurally n^1.5 (assignment
-      // n·nlist FLOPs + candidates n·nprobe·n/nlist) — reported, not
-      // linearity-bounded, same honesty rule as simhash's band
-      // collisions. The 12.5% hot-direction mass lands in ONE codebook
-      // cell (~250 members at 1×, ~2500 at 10×), so the maxCellFreq=1000
-      // cap must fire at 10× and must NOT at 1×.
+      // corpus kNN self-join through the DEFAULT path (knnJoinIVFAuto —
+      // nlist = round(√n), the operating rule as code since round 10), so
+      // the family is structurally n^1.5 (assignment n·nlist FLOPs +
+      // candidates n·nprobe·n/nlist) — reported, not linearity-bounded,
+      // same honesty rule as simhash's band collisions. The 12.5%
+      // hot-direction mass lands in ONE codebook cell (~250 members at
+      // 1×, ~2500 at 10×), so the maxCellFreq=1000 cap must fire at 10×
+      // and must NOT at 1×.
       rec(scale, "knn_join",
-        time(force(Vectors.knnJoinIVF(emb, "id", "embedding",
-          k = 5, nlist = if (m == 1) 16 else 48, nprobe = 2, iters = 1,
-          maxCellFreq = 1000)))._1)
+        time(force(Vectors.knnJoinIVFAuto(emb, "id", "embedding",
+          k = 5, nprobe = 2, iters = 1, maxCellFreq = 1000)))._1)
       if (m == 1 && Dedup.capStats.contains("knnJoinIVF"))
         triErrs += "knnJoinIVF hot-cell cap fired at 1x (hot cell under the cap)"
       // the PQ/SDC twin at the same (nlist, nprobe): candidates carry m=4
@@ -252,8 +253,8 @@ object SkewBench {
       // this family exists to measure against knn_join's exact-all-
       // candidates cost
       rec(scale, "knn_join_pq",
-        time(force(Vectors.knnJoinIVFPQ(emb, "id", "embedding",
-          k = 5, nlist = if (m == 1) 16 else 48, nprobe = 2, iters = 1,
+        time(force(Vectors.knnJoinIVFPQAuto(emb, "id", "embedding",
+          k = 5, nprobe = 2, iters = 1,
           m = 4, subDim = 16, codebookK = 16, pqIters = 1, rerank = 20,
           maxCellFreq = 1000)))._1)
       if (m == 1 && Dedup.capStats.contains("knnJoinIVFPQ"))
@@ -280,18 +281,20 @@ object SkewBench {
       if (m == 10) Dedup.capStats.foreach { case (what, (k, _)) =>
         capsFired += (what -> k)
       }
-      // fixed-resolution CONTROL: the same 10× corpus at the 1× nlist —
-      // candidate volume ~n²·nprobe/nlist, the quadratic regime the √n
-      // rule exists to avoid; reported (raw + its own ratio key) so the
-      // fixed-vs-scaled gap is in the artifact, not just the docstring.
-      // Runs UNCAPPED: with the cap, the average fixed-nlist cell
-      // (n/nlist ≈ 1250 members at 10×) exceeds maxCellFreq=1000 and is
-      // dropped ENTIRELY, so the capped number looks fast by silently
-      // collapsing recall — the uncapped time is the honest cost
+      if (m == 1) embCountX1 = emb.count()
+      // fixed-resolution CONTROL: the same 10× corpus at the 1× auto
+      // nlist — candidate volume ~n²·nprobe/nlist, the quadratic regime
+      // the √n rule exists to avoid; reported (raw + its own ratio key)
+      // so the fixed-vs-scaled gap is in the artifact, not just the
+      // docstring. Runs UNCAPPED: with the cap, the average fixed-nlist
+      // cell exceeds maxCellFreq=1000 at 10× and is dropped ENTIRELY, so
+      // the capped number would look fast by silently collapsing recall —
+      // the uncapped time is the honest cost
       if (m == 10)
         rec(scale, "knn_join_fixed_nlist",
           time(force(Vectors.knnJoinIVF(emb, "id", "embedding",
-            k = 5, nlist = 16, nprobe = 2, iters = 1)))._1)
+            k = 5, nlist = Vectors.nlistForCorpus(embCountX1), nprobe = 2,
+            iters = 1)))._1)
       spark.catalog.clearCache()
 
       // as-of: purchase labels get latest click value; entity 77 carries
@@ -475,6 +478,32 @@ object SkewBench {
       spark.catalog.clearCache()
     }
 
+    // ------------------------------------------------- kNN 30× envelope
+    // r9 left knn_join's scaled-nlist x10 ratio at 16.2× against a ~12×
+    // target — above the reading but well under the n^1.5 model (31.6×).
+    // Extend to x30 at the DEFAULT auto nlist to pin the growth exponent:
+    // n^1.2 predicts ~59×, n^1.5 predicts ~164×. The hot direction is
+    // 12.5% of 30n in one cell (~7500 members), so the cap must fire.
+    genEmbeddings(spark, sfDir, 30, s"$work/emb_x30")
+    val embX30 = spark.read.parquet(s"$work/emb_x30")
+    Dedup.capStats.clear()
+    val knnX30 = time(force(Vectors.knnJoinIVFAuto(embX30, "id", "embedding",
+      k = 5, nprobe = 2, iters = 1, maxCellFreq = 1000)))._1
+    val knnX30Cap = Dedup.capStats.contains("knnJoinIVF")
+    spark.catalog.clearCache()
+    val knnPqX30 = time(force(Vectors.knnJoinIVFPQAuto(embX30, "id",
+      "embedding", k = 5, nprobe = 2, iters = 1, m = 4, subDim = 16,
+      codebookK = 16, pqIters = 1, rerank = 20, maxCellFreq = 1000)))._1
+    val knnPqX30Cap = Dedup.capStats.contains("knnJoinIVFPQ")
+    val knnX30Ratio = knnX30 / math.max(results("x1")("knn_join"), 1e-9)
+    val knnPqX30Ratio = knnPqX30 / math.max(results("x1")("knn_join_pq"), 1e-9)
+    // fitted exponent over the x30 leg: ratio = 30^e → e = ln r / ln 30
+    val knnX30Exp = math.log(math.max(knnX30Ratio, 1.0)) / math.log(30.0)
+    System.err.println(f"[skew] knn_join x30: $knnX30%.2f s " +
+      f"ratio=$knnX30Ratio%.1f exp=$knnX30Exp%.2f pq=$knnPqX30%.2f s " +
+      f"pq_ratio=$knnPqX30Ratio%.1f caps=$knnX30Cap/$knnPqX30Cap")
+    spark.catalog.clearCache()
+
     // ---------------------------------------------------------- assert
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     errs ++= triErrs
@@ -485,6 +514,15 @@ object SkewBench {
         errs += s"hot-key cap did NOT fire for $what at 10x"
     if (!aqeSkewHit)
       errs += "AQE skew-join split did NOT activate on the 10x range join"
+    // kNN x30 envelope: caps must fire on the 7500-member hot cell, and
+    // the exact family must stay at-or-under the sub-n^1.35 regime
+    // (30^1.35 ≈ 98; the n^1.5 quadratic-candidate model predicts 164) —
+    // failing this means the √n rule stopped holding the family and the
+    // coarse-quantizer tree step is due
+    if (!knnX30Cap) errs += "knnJoinIVF hot-cell cap did NOT fire at 30x"
+    if (!knnPqX30Cap) errs += "knnJoinIVFPQ hot-cell cap did NOT fire at 30x"
+    if (knnX30Ratio > 98.0)
+      errs += f"knn_join x30/x1 = $knnX30Ratio%.1f (> 98, past the n^1.35 envelope)"
     // chain closure: star must CONVERGE in O(log diameter) alternations
     // (log2(2000) ≈ 11; ≤ 14 leaves the two-alternation constant) while
     // propagation is still mid-flight when its 40-round cap hits — the
@@ -557,6 +595,12 @@ object SkewBench {
               f""""candidates_7_4":$cand74,"model_random_7_4":$model74%.1f}"""
         }.mkString("{", ",", "}")},""" +
         f""""simhash_bounded_x30_sec":$simhashX30%.3f,""" +
+        f""""knn_join_x30_sec":$knnX30%.3f,""" +
+        f""""knn_join_x30_over_x1":$knnX30Ratio%.2f,""" +
+        f""""knn_join_x30_exponent":$knnX30Exp%.3f,""" +
+        f""""knn_join_pq_x30_sec":$knnPqX30%.3f,""" +
+        f""""knn_join_pq_x30_over_x1":$knnPqX30Ratio%.2f,""" +
+        s""""knn_x30_caps_fired":{"knnJoinIVF":$knnX30Cap,"knnJoinIVFPQ":$knnPqX30Cap},""" +
         s""""aqe_skew_split_range_join":$aqeSkewHit,""" +
         s""""asof_sortmerge_vs_window_x10":${
           f"${results("x10")("asof_unionwindow") / results("x10")("asof_sortmerge")}%.2f"
@@ -564,7 +608,7 @@ object SkewBench {
         s""""assertions_failed":${errs.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_skew_r9.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_skew_r10.json"), json + "\n")
     spark.stop()
     if (errs.nonEmpty) {
       errs.foreach(e => System.err.println(s"[skew] ASSERTION FAILED: $e"))

@@ -1097,8 +1097,10 @@ object SparkEntry {
     * replays the ENTIRE pipeline (codebook init + round, both leg
     * assignments, candidate join, rank) — cell-exact, not a threshold. */
   private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
-    Vectors.knnJoinIVF(t(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 5, nlist = 8, nprobe = 2, iters = 1)
+    // the √n operating rule is the DEFAULT entry (knnJoinIVFAuto), not an
+    // opt-in; the oracle replays nlist = round(sqrt(n)) via the same rule
+    Vectors.knnJoinIVFAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nprobe = 2, iters = 1)
 
   /** Incremental kNN-graph maintenance under the gate
     * ([[graft.functions.Vectors.knnJoinIncrement]]): the codebook is
@@ -1112,8 +1114,9 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
+    // codebook at the √n rule over the OLD corpus (the frozen side)
     val (_, cents) = Vectors.kmeansModel(old, "vec_id", "embedding",
-      k = 8, iters = 1)
+      k = Vectors.nlistForCorpus(old.count()), iters = 1)
     // empty old corpus → no codebook, no graph (new-tenant robustness —
     // same schema-correct empty contract as knnJoinIVF)
     if (cents.isEmpty)
@@ -1134,8 +1137,10 @@ object SparkEntry {
     * the IVF codebook round, all four PQ codebook rounds, both legs' cell
     * and code assignments, the SDC sums, the shortlist cut, the rerank. */
   private def knnGraphPqQ(s: SparkSession, dir: String): DataFrame =
-    Vectors.knnJoinIVFPQ(t(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 5, nlist = 8, nprobe = 2, iters = 1, m = 4, subDim = 16,
+    // IVF codebook at the √n rule (auto); PQ subspace codebooks stay at
+    // their fixed quantizer resolution
+    Vectors.knnJoinIVFPQAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nprobe = 2, iters = 1, m = 4, subDim = 16,
       codebookK = 8, pqIters = 1, rerank = 20)
 
   // ------------------------------- multimodal: real-codec round-trip

@@ -142,6 +142,51 @@ object StateStoreBench {
         f"stateRows=${prog.numRowsTotal}%8d  stateBytes=${prog.memoryUsedBytes}%10d")
     }
     def ded(k: String) = dedupStats(k)
+
+    // ------------------------------------------- restart/recovery row
+    // Stop the TTL stream mid-ingest (after ~6 of 20 one-file batches
+    // commit), restart from the same checkpoint with AvailableNow, and
+    // record that the final state envelope RESUMES — rows/bytes at the
+    // same rate×ttl point as the uninterrupted run above. (The
+    // correctness twin — a real JVM halt, no graceful stop — is
+    // StreamingRecoverySpec; this row is the measured envelope.)
+    val rn = dedupScales.head
+    val rckpt = s"$work/dedup_ckpt_restart_$rn"
+    def ttlStream() = graft.streaming.StreamingDedup.dupPairsStreamTtl(spark,
+      graft.streaming.StreamingDedup.bandedDocsTs(
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/dedup_in_$rn"),
+        "text", "doc_id", "ts").withWatermark("ts", "0 seconds"),
+      ttlMs = 2000L * 1000)
+    val q1 = ttlStream().writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", rckpt).start() // continuous: gets stopped
+    while (q1.recentProgress.count(_.numInputRows > 0) < 6) Thread.sleep(5)
+    q1.stop() // mid-ingest
+    val committedAtStop = {
+      val d = java.nio.file.Paths.get(rckpt, "commits")
+      if (!java.nio.file.Files.isDirectory(d)) 0L
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.count() finally s.close()
+      }
+    }
+    val t0r = System.nanoTime()
+    val q2 = ttlStream().writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", rckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val restartSec = (System.nanoTime() - t0r) / 1e9
+    val rstate = q2.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0))
+    val restartRows = rstate.map(_.numRowsTotal).getOrElse(-1L)
+    val restartBytes = rstate.map(_.memoryUsedBytes).getOrElse(-1L)
+    val restartBytesVsUninterrupted =
+      restartBytes.toDouble / math.max(ded(s"ttl_n$rn")._3, 1L)
+    System.err.println(f"[statestore] dedup_ttl RESTART n=$rn%8d " +
+      f"committed_at_stop=$committedAtStop resumed_in=$restartSec%.2f s " +
+      f"stateRows=$restartRows stateBytes=$restartBytes " +
+      f"vs_uninterrupted=$restartBytesVsUninterrupted%.2f")
     // the envelope claim: TTL state bytes grow FAR slower than corpus
     // (bounded by rate×ttl + key-space saturation), full-history tracks it
     val ttlBytesRatio = ded(s"ttl_n${dedupScales(1)}")._3.toDouble /
@@ -160,10 +205,14 @@ object StateStoreBench {
         }.mkString("{", ",", "}")},""" +
         f""""dedup_ttl_bytes_ratio_x10":$ttlBytesRatio%.2f,""" +
         f""""dedup_full_bytes_ratio_x10":$fullBytesRatio%.2f,""" +
+        s""""dedup_ttl_restart":{"committed_at_stop":$committedAtStop,""" +
+        f""""resume_sec":$restartSec%.2f,"state_rows":$restartRows,""" +
+        f""""state_bytes":$restartBytes,""" +
+        f""""bytes_vs_uninterrupted":$restartBytesVsUninterrupted%.2f},""" +
         s""""note":"10x entities, every batch rewrites all state; both providers in-memory-feasible at this scale - crossover to RocksDB is when per-partition state exceeds executor heap (HDFS store holds the full map resident; RocksDB stays bounded). streaming_dedup_state: 20 time-ordered files, 1 doc/s event time, ttl=2000s - TTL-mode state is bounded by rate*ttl + idle-bucket GC while full-history tracks the corpus"}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_statestore_r9.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_statestore_r10.json"), json + "\n")
     spark.stop()
   }
 }

@@ -279,6 +279,22 @@ object Vectors {
       nprobe = nprobe, iters = iters, seed = seed,
       maxCellFreq = maxCellFreq)
 
+  /** [[knnJoinIVFPQ]] with the √n rule applied to the IVF codebook (the
+    * PQ subspace codebooks keep their fixed `codebookK` — quantizer
+    * resolution, not cell count, and independent of corpus size). */
+  def knnJoinIVFPQAuto(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int = 2, iters: Int = 1,
+                       m: Int = 4, subDim: Int = 16, codebookK: Int = 8,
+                       pqIters: Int = 1, rerank: Int = 20,
+                       seed: String = "km",
+                       maxCellFreq: Int = Int.MaxValue,
+                       corpusCount: Option[Long] = None): DataFrame =
+    knnJoinIVFPQ(df, idCol, vecCol, k,
+      nlist = nlistForCorpus(corpusCount.getOrElse(df.count())),
+      nprobe = nprobe, iters = iters, m = m, subDim = subDim,
+      codebookK = codebookK, pqIters = pqIters, rerank = rerank,
+      seed = seed, maxCellFreq = maxCellFreq)
+
   /** [[knnJoinIVF]] against a FIXED codebook — the incremental topology's
     * building block (train the codebook once, search any corpus snapshot
     * against it). Candidate ranking is on the ROUNDED cosine (6 dp, the

@@ -187,12 +187,18 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
 
   /** Build the serving ANN index ([[VectorIndex]], multi-probe hyperplane
     * LSH) over an already-loaded vector table — the Redis-HNSW role.
-    * `nearest` automatically uses it once built. */
-  def buildIndex(feature: String, numPlanes: Int = 16): Unit = {
-    val idx = new VectorIndex(numPlanes)
-    backend.scan(vecTable(feature)).foreach { case (id, v) =>
-      idx.add(id, toFloats(v))
-    }
+    * `nearest` automatically uses it once built. `numPlanes <= 0` (the
+    * default) applies the corpus-sized operating rule
+    * ([[OnlineStore.planesForCorpus]]) instead of a pinned constant —
+    * same policy shift as the batch side's √n nlist: the scaling rule is
+    * the default, explicit sizing the opt-in. */
+  def buildIndex(feature: String, numPlanes: Int = 0): Unit = {
+    val rows = backend.scan(vecTable(feature)).toSeq // store-sized (serving node)
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else OnlineStore.planesForCorpus(rows.size.toLong)
+    val idx = new VectorIndex(planes)
+    rows.foreach { case (id, v) => idx.add(id, toFloats(v)) }
     indexes.put(feature, idx)
   }
 
@@ -224,6 +230,17 @@ object OnlineStore {
   /** Backend table name of a feature's vector side — shared with the
     * streaming vector sink so both write/read the same table. */
   def vectorTable(feature: String): String = "__vec__" + feature
+
+  /** LSH plane count for an n-vector corpus: 2^planes buckets sized for
+    * ~40 vectors per exact-signature bucket (the multi-probe sweet spot —
+    * enough candidates per probe for the rerank, few enough that a probe
+    * stays cheap), clamped to [8, 24]. Fewer planes than 8 collapses
+    * clusters together on tiny corpora; more than 24 fragments buckets
+    * past what Hamming-order probing recovers. */
+  def planesForCorpus(n: Long): Int = {
+    val target = math.max(1.0, n.toDouble / 40.0)
+    math.min(24, math.max(8, math.ceil(math.log(target) / math.log(2)).toInt))
+  }
 
   /** Default backend: a fresh [[DiskKv]] under the JVM temp dir — the
     * partition-streamed load path with no configuration. Pass an
