@@ -141,12 +141,61 @@ object ServingBench {
         f""""client_p50_ms":${client._2}%.2f,"client_p99_ms":${client._3}%.2f,""" +
         f""""client_errors":${client._4}}"""
     }
+    // ---------------------------------------- the gRPC wire, under load
+    // Same store, same FeatureServe workload, over GrpcServe's real
+    // gRPC/HTTP2 endpoint (one shared channel, the production client
+    // shape) — evidence the reference wire protocol serves at comparable
+    // throughput to the HTTP facade, not just that it parses.
+    val (grpcRps, grpcP50, grpcP99, grpcBad) = {
+      val gs = new serving.GrpcServe(store).start()
+      val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+        .forAddress("127.0.0.1", gs.boundPort).usePlaintext().build()
+      try {
+        val desc = serving.GrpcServe.method("FeatureServe",
+          org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY)
+        def call(entity: Long): Boolean = {
+          val w = new serving.ProtoWire.W
+          w.msg(1)(_.str(1, "latest_value"))
+          w.msg(2)(e => { e.str(1, "user"); e.str(3, entity.toString) })
+          val resp = org.sparkproject.connect.grpc.stub.ClientCalls
+            .blockingUnaryCall(ch, desc,
+              org.sparkproject.connect.grpc.CallOptions.DEFAULT, w.result())
+          resp.nonEmpty
+        }
+        (0 until 200).foreach(i => call(i % nEntities)) // warm-up
+        val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val bad = new java.util.concurrent.atomic.AtomicLong(0)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+        val t0 = System.nanoTime()
+        for (i <- 0 until nReq) pool.submit(new Runnable {
+          def run(): Unit = {
+            val s = System.nanoTime()
+            try { if (!call(i % nEntities)) bad.incrementAndGet() }
+            catch { case _: Throwable => bad.incrementAndGet() }
+            lat.add(System.nanoTime() - s)
+          }
+        })
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val xs = lat.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+        def pct(p: Double) =
+          if (xs.isEmpty) 0.0
+          else xs(math.min(xs.length - 1, (p * xs.length).toInt)) / 1e6
+        System.err.println(f"[serve] grpc_feature ${nReq / wall}%8.0f req/s " +
+          f"p50 ${pct(0.50)}%6.2f ms  p99 ${pct(0.99)}%6.2f ms  bad ${bad.get()}")
+        (nReq / wall, pct(0.50), pct(0.99), bad.get())
+      } finally { ch.shutdownNow(); gs.stop() }
+    }
+
     val json =
       s"""{"metric":"serving_load","clients":$nClients,""" +
         s""""entities":$nEntities,"latency_source":"/metrics histogram",""" +
         block("features", feat) + "," +
         block("nearest", near) + "," +
         block("batch_full_scans", batch) + "," +
+        f""""grpc_feature_serve":{"rps":$grpcRps%.2f,"p50_ms":$grpcP50%.2f,""" +
+        f""""p99_ms":$grpcP99%.2f,"client_errors":$grpcBad},""" +
         s""""sf_dir":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(
@@ -155,7 +204,8 @@ object ServingBench {
     // scraped() now fails loudly on a missing counter line, so the
     // server-side counts are trustworthy — no sentinel masking needed
     val errs = feat._1._4 + near._1._4 + batch._1._4 + // client-observed
-      feat._4 + near._4 + batch._4 // server-side /metrics counters
+      feat._4 + near._4 + batch._4 + // server-side /metrics counters
+      grpcBad // gRPC wire
     if (errs > 0) {
       System.err.println("[serve] ASSERTION FAILED: request errors under load")
       sys.exit(1)
