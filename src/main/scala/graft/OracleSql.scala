@@ -1725,6 +1725,17 @@ object OracleSql {
          |SELECT u.entity, l.value AS f_click, COALESCE(l.value * 2, -1.0) AS f_dbl
          |FROM u LEFT JOIN latest l ON u.entity = l.user_id""".stripMargin,
 
+    // the gRPC wire path's oracle IS online_serving's latest-value rule
+    // (minus the on-demand column): the engine side travels through a real
+    // gRPC/HTTP2 round-trip before landing in the result frame
+    "grpc_serve_roundtrip" ->
+      s"""WITH $EV,
+         |latest AS (SELECT user_id, value FROM ev WHERE event_type = 'click'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1),
+         |u AS (SELECT CAST(unnest(generate_series(0, 149)) AS BIGINT) AS entity)
+         |SELECT u.entity, l.value AS f_click
+         |FROM u LEFT JOIN latest l ON u.entity = l.user_id""".stripMargin,
+
     "training_stream" ->
       s"""WITH $EV
          |SELECT event_id, value FROM ev CROSS JOIN (VALUES (0), (1)) epochs(e)""".stripMargin,

@@ -939,6 +939,70 @@ object SparkEntry {
           org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
+  /** The gRPC serving WIRE under the correctness gate: the same
+    * latest-click materialization as online_serving, loaded into an
+    * [[graft.serving.OnlineStore]] and served back over
+    * [[graft.serving.GrpcServe]]'s real gRPC/HTTP2 endpoint — one
+    * multi-entity FeatureServe request whose bytes are hand-decoded from
+    * the published protobuf wire spec. The oracle recomputes the latest
+    * value per entity, so the ENTIRE wire path (request encode → HTTP2 →
+    * server parse → store lookup → Value-oneof encode → client decode)
+    * is hash-checked, not just spec-tested. Entity set is the fixed
+    * 150-user domain (the online_serving convention). */
+  private def grpcServeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.serving._
+    import graft.serving.ProtoWire.{R, W}
+    val store = new OnlineStore(new InProcessKv)
+    val fClick = Materialize.latest(
+      events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("entity"), col("value"), col("ts")),
+      "entity", "value", Some("ts"))
+    store.load("f_click", fClick)
+    val srv = new GrpcServe(store).start()
+    val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+      .forAddress("127.0.0.1", srv.boundPort).usePlaintext().build()
+    try {
+      val req = new W
+      req.msg(1)(_.str(1, "f_click"))
+      (0L until 150L).foreach(e =>
+        req.msg(2)(m => { m.str(1, "user"); m.str(3, e.toString) }))
+      val resp = org.sparkproject.connect.grpc.stub.ClientCalls
+        .blockingUnaryCall(ch,
+          GrpcServe.method("FeatureServe",
+            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req.result())
+      // FeatureRow.value_lists: one ValueList per requested entity, in order
+      val r = new R(resp)
+      val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var more = true
+      while (more) r.readTag() match {
+        case (0, _) => more = false
+        case (2, _) =>
+          val vl = r.readSlice()
+          var got: Any = null
+          var vm = true
+          while (vm) vl.readTag() match {
+            case (0, _) => vm = false
+            case (1, _) => got = GrpcServe.readValue(vl.readSlice())
+            case (_, wt) => vl.skip(wt)
+          }
+          values += got
+        case (_, wt) => r.skip(wt)
+      }
+      val rows = values.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong,
+          Option(v).map(_.asInstanceOf[Double].asInstanceOf[Any]).orNull)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("entity",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("f_click",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    } finally { ch.shutdownNow(); srv.stop() }
+  }
+
   // ----------------------- B3/O5: training-set stream combinators
 
   /** Two epochs through the training-set iterator with a buffered shuffle —
@@ -4004,6 +4068,7 @@ object SparkEntry {
     "csv_roundtrip"     -> (csvRoundtrip _),
     "orc_roundtrip"     -> (orcRoundtrip _),
     "online_serving"    -> (onlineServing _),
+    "grpc_serve_roundtrip" -> (grpcServeRoundtrip _),
     "training_stream"   -> (trainingStream _),
     "split_serve"       -> (splitServe _),
     "merge_upsert_wide" -> (mergeUpsertWide _),
