@@ -146,7 +146,7 @@ object ServingBench {
     // gRPC/HTTP2 endpoint (one shared channel, the production client
     // shape) — evidence the reference wire protocol serves at comparable
     // throughput to the HTTP facade, not just that it parses.
-    val (grpcRps, grpcP50, grpcP99, grpcBad) = {
+    val (grpcRps, grpcP50, grpcP99, grpcBad, grpcSrvP50, grpcSrvP99) = {
       val gs = new serving.GrpcServe(store).start()
       val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
         .forAddress("127.0.0.1", gs.boundPort).usePlaintext().build()
@@ -183,8 +183,11 @@ object ServingBench {
           if (xs.isEmpty) 0.0
           else xs(math.min(xs.length - 1, (p * xs.length).toInt)) / 1e6
         System.err.println(f"[serve] grpc_feature ${nReq / wall}%8.0f req/s " +
-          f"p50 ${pct(0.50)}%6.2f ms  p99 ${pct(0.99)}%6.2f ms  bad ${bad.get()}")
-        (nReq / wall, pct(0.50), pct(0.99), bad.get())
+          f"p50 ${pct(0.50)}%6.2f ms  p99 ${pct(0.99)}%6.2f ms  bad ${bad.get()}" +
+          f" (server p50 ${gs.metrics.quantileMs("FeatureServe", 0.5)}%.2f ms)")
+        (nReq / wall, pct(0.50), pct(0.99), bad.get(),
+          gs.metrics.quantileMs("FeatureServe", 0.5),
+          gs.metrics.quantileMs("FeatureServe", 0.99))
       } finally { ch.shutdownNow(); gs.stop() }
     }
 
@@ -194,8 +197,11 @@ object ServingBench {
         block("features", feat) + "," +
         block("nearest", near) + "," +
         block("batch_full_scans", batch) + "," +
-        f""""grpc_feature_serve":{"rps":$grpcRps%.2f,"p50_ms":$grpcP50%.2f,""" +
-        f""""p99_ms":$grpcP99%.2f,"client_errors":$grpcBad},""" +
+        // p50/p99 from the server's own histograms (same truth source as
+        // the HTTP blocks), client-observed beside them as the cross-check
+        f""""grpc_feature_serve":{"rps":$grpcRps%.2f,"p50_ms":$grpcSrvP50%.2f,""" +
+        f""""p99_ms":$grpcSrvP99%.2f,"client_p50_ms":$grpcP50%.2f,""" +
+        f""""client_p99_ms":$grpcP99%.2f,"client_errors":$grpcBad},""" +
         s""""sf_dir":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(

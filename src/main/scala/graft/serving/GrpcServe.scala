@@ -42,6 +42,11 @@ import ProtoWire.{R, W}
 final class GrpcServe(store: OnlineStore, port: Int = 0) {
   import GrpcServe._
 
+  /** Same per-route counters/histograms as the HTTP facade (route =
+    * method name) — so the gRPC surface carries server-side latency
+    * truth, not just client-observed numbers. */
+  val metrics = new Metrics
+
   private val sources = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val trainingSets = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String)]
   private val locations = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -329,36 +334,60 @@ final class GrpcServe(store: OnlineStore, port: Int = 0) {
       .asRuntimeException()
   }
 
-  private def unary(h: Array[Byte] => Array[Byte]) =
+  private def unary(route: String, h: Array[Byte] => Array[Byte]) =
     ServerCalls.asyncUnaryCall(
       new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte],
-                            obs: StreamObserver[Array[Byte]]): Unit =
-          try { obs.onNext(h(req)); obs.onCompleted() }
-          catch { case e: Throwable => obs.onError(toStatus(e)) }
+                            obs: StreamObserver[Array[Byte]]): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            val out = h(req)
+            metrics.observe(route, System.nanoTime() - t0, error = false)
+            obs.onNext(out); obs.onCompleted()
+          } catch {
+            case e: Throwable =>
+              metrics.observe(route, System.nanoTime() - t0, error = true)
+              obs.onError(toStatus(e))
+          }
+        }
       })
 
-  private def serverStreaming(h: (Array[Byte], StreamObserver[Array[Byte]]) => Unit) =
+  private def serverStreaming(route: String,
+      h: (Array[Byte], StreamObserver[Array[Byte]]) => Unit) =
     ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte],
-                            obs: StreamObserver[Array[Byte]]): Unit =
-          try h(req, obs)
-          catch { case e: Throwable => obs.onError(toStatus(e)) }
+                            obs: StreamObserver[Array[Byte]]): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            h(req, obs)
+            metrics.observe(route, System.nanoTime() - t0, error = false)
+          } catch {
+            case e: Throwable =>
+              metrics.observe(route, System.nanoTime() - t0, error = true)
+              obs.onError(toStatus(e))
+          }
+        }
       })
 
   private val service: ServerServiceDefinition = {
     import MethodDescriptor.MethodType._
     ServerServiceDefinition.builder(ServiceName)
-      .addMethod(method("FeatureServe", UNARY), unary(featureServe))
-      .addMethod(method("Nearest", UNARY), unary(nearest))
-      .addMethod(method("TrainingDataColumns", UNARY), unary(trainingColumns))
-      .addMethod(method("SourceColumns", UNARY), unary(sourceColumns))
-      .addMethod(method("GetResourceLocation", UNARY), unary(resourceLocation))
-      .addMethod(method("TrainingData", SERVER_STREAMING), serverStreaming(trainingData))
-      .addMethod(method("SourceData", SERVER_STREAMING), serverStreaming(sourceData))
+      .addMethod(method("FeatureServe", UNARY),
+        unary("FeatureServe", featureServe))
+      .addMethod(method("Nearest", UNARY), unary("Nearest", nearest))
+      .addMethod(method("TrainingDataColumns", UNARY),
+        unary("TrainingDataColumns", trainingColumns))
+      .addMethod(method("SourceColumns", UNARY),
+        unary("SourceColumns", sourceColumns))
+      .addMethod(method("GetResourceLocation", UNARY),
+        unary("GetResourceLocation", resourceLocation))
+      .addMethod(method("TrainingData", SERVER_STREAMING),
+        serverStreaming("TrainingData", trainingData))
+      .addMethod(method("SourceData", SERVER_STREAMING),
+        serverStreaming("SourceData", sourceData))
       .addMethod(method("BatchFeatureServe", SERVER_STREAMING),
-        serverStreaming(batchFeatureServe))
+        serverStreaming("BatchFeatureServe", batchFeatureServe))
       .addMethod(method("TrainTestSplit", BIDI_STREAMING),
         ServerCalls.asyncBidiStreamingCall(
           new ServerCalls.BidiStreamingMethod[Array[Byte], Array[Byte]] {
