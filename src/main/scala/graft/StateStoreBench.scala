@@ -160,7 +160,13 @@ object StateStoreBench {
       ttlMs = 2000L * 1000)
     val q1 = ttlStream().writeStream.format("noop").outputMode("update")
       .option("checkpointLocation", rckpt).start() // continuous: gets stopped
-    while (q1.recentProgress.count(_.numInputRows > 0) < 6) Thread.sleep(5)
+    val pollDeadline = System.currentTimeMillis() + 120000L
+    while (q1.recentProgress.count(_.numInputRows > 0) < 6 &&
+           q1.exception.isEmpty &&
+           System.currentTimeMillis() < pollDeadline) Thread.sleep(5)
+    q1.exception.foreach(throw _) // a failed stream must not read as a hang
+    require(System.currentTimeMillis() < pollDeadline,
+      "restart row: first stream made no progress within 120s")
     q1.stop() // mid-ingest
     val committedAtStop = {
       val d = java.nio.file.Paths.get(rckpt, "commits")

@@ -78,6 +78,36 @@ class GrpcServeSpec extends SparkSpec {
     } finally { ch.shutdownNow(); srv.stop() }
   }
 
+  test("FeatureServe computes ON-DEMAND features over the wire (the " +
+    "reference's CLIENT_COMPUTED mode served by the same RPC)") {
+    val st = new OnlineStore(new InProcessKv)
+    import spark.implicits._
+    st.load("base", Seq((1L, 10.0)).toDF("entity", "value"))
+    st.registerOnDemand("dbl",
+      (_, pre) => pre.headOption.map(_.asInstanceOf[Double] * 2).getOrElse(-1.0))
+    val srv = new GrpcServe(st).start()
+    val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
+      .usePlaintext().build()
+    try {
+      val req = new W
+      idMsg(req, 1, "base"); idMsg(req, 1, "dbl")
+      req.msg(2)(e => { e.str(1, "user"); e.str(3, "1") })
+      val r = new R(unaryCall(ch, "FeatureServe", req.result()))
+      assert(r.readTag()._1 == 2)
+      val vl = r.readSlice()
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var vm = true
+      while (vm) vl.readTag() match {
+        case (0, _) => vm = false
+        case (1, _) => vals += readValue(vl.readSlice())
+        case (_, wt) => vl.skip(wt)
+      }
+      assert(vals.toSeq == Seq(10.0, 20.0))
+      // per-route server metrics advanced
+      assert(srv.metrics.stats("FeatureServe").exists(_.requests.sum() == 1L))
+    } finally { ch.shutdownNow(); srv.stop() }
+  }
+
   test("Nearest: Vector32 query over the store's ANN surface") {
     val st = new OnlineStore(new InProcessKv)
     import spark.implicits._
