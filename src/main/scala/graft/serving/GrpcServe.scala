@@ -39,13 +39,15 @@ import ProtoWire.{R, W}
   * Long→int64, Float→float, Double→double, Boolean→bool, float array →
   * Vector32, Timestamp→int64 epoch-millis, Decimal→double, null → empty
   * Value (proto3 unset oneof). */
-final class GrpcServe(store: OnlineStore, port: Int = 0) {
+final class GrpcServe(store: OnlineStore, port: Int = 0,
+                      /** Same per-route counters/histograms as the HTTP
+                        * facade (route = method name) — server-side latency
+                        * truth beside the client-observed numbers. Pass a
+                        * ServingServer's instance to expose the gRPC routes
+                        * on that server's `/metrics` scrape (one scrape for
+                        * both wire surfaces). */
+                      val metrics: Metrics = new Metrics) {
   import GrpcServe._
-
-  /** Same per-route counters/histograms as the HTTP facade (route =
-    * method name) — so the gRPC surface carries server-side latency
-    * truth, not just client-observed numbers. */
-  val metrics = new Metrics
 
   private val sources = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val trainingSets = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String)]

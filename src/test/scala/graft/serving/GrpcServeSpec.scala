@@ -103,8 +103,12 @@ class GrpcServeSpec extends SparkSpec {
         case (_, wt) => vl.skip(wt)
       }
       assert(vals.toSeq == Seq(10.0, 20.0))
-      // per-route server metrics advanced
+      // per-route server metrics advanced, and a shared Metrics instance
+      // renders the gRPC route in the SAME prometheus exposition the HTTP
+      // /metrics scrape serves (one scrape covers both wire surfaces)
       assert(srv.metrics.stats("FeatureServe").exists(_.requests.sum() == 1L))
+      assert(srv.metrics.render()
+        .contains("""graft_requests_total{path="FeatureServe"} 1"""))
     } finally { ch.shutdownNow(); srv.stop() }
   }
 
