@@ -258,8 +258,16 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
             labelIdx = df.columns.indexOf(label)
             session = new graft.ops.SplitSession(df, Seq(df.columns.head),
               testSize.toDouble, randomState.toLong).initialize()
-            trainIt = session.train()
-            testIt = session.test()
+            // the request's shuffle flag is honored with the training-set
+            // iterator's buffered shuffle, seeded by random_state (the
+            // reference shuffles client-side the same way; the SPLIT
+            // itself is hash-deterministic either way)
+            def it(base: Iterator[Row]): Iterator[Row] =
+              if (shuffle) TrainingSetIterator.shuffled(base,
+                bufferSize = 1024, seed = randomState.toLong)
+              else base
+            trainIt = it(session.train())
+            testIt = it(session.test())
             val w = new W
             w.enum(1, 0)
             w.bool(3, true) // result = initialized

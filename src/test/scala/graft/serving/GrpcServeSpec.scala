@@ -269,6 +269,8 @@ class GrpcServeSpec extends SparkSpec {
         val w = new W
         w.msg(1)(_.str(1, "ts2"))
         w.float(3, 0.25f)
+        w.bool(5, true) // shuffle: seeded buffered permutation (set-based
+        // assertions below hold under any order, so this covers the path)
         w.int32(6, 42)
         w.enum(7, requestType)
         if (batchSize > 0) w.int32(8, batchSize)
