@@ -336,6 +336,50 @@ class GrpcServeSpec extends SparkSpec {
     }
   }
 
+  test("concurrent RPCs on one channel: 16 threads mixing FeatureServe " +
+    "and Nearest complete without errors or cross-talk") {
+    val st = new OnlineStore(new InProcessKv)
+    import spark.implicits._
+    st.load("v", (0L until 64L).map(i => (i, i * 10L)).toDF("entity", "value"))
+    st.loadVectors("emb",
+      (0L until 16L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("entity", "vector"))
+    val srv = new GrpcServe(st).start()
+    val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
+      .usePlaintext().build()
+    try {
+      val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      for (i <- 0 until 400) pool.submit(new Runnable {
+        def run(): Unit = try {
+          if (i % 2 == 0) {
+            val req = new W
+            idMsg(req, 1, "v")
+            req.msg(2)(e => { e.str(1, "u"); e.str(3, (i % 64).toString) })
+            val r = new R(unaryCall(ch, "FeatureServe", req.result()))
+            assert(r.readTag()._1 == 2)
+            val vl = r.readSlice()
+            assert(vl.readTag()._1 == 1)
+            // each response must carry ITS OWN entity's value (cross-talk
+            // between interleaved streams would surface here)
+            assert(readValue(vl.readSlice()) == (i % 64).toLong * 10L)
+          } else {
+            val req = new W
+            idMsg(req, 1, "emb")
+            req.msg(2)(_.packedFloats(1, Seq((i % 16).toFloat, 1.0f)))
+            req.int32(3, 1)
+            val r = new R(unaryCall(ch, "Nearest", req.result()))
+            assert(r.readTag()._1 == 1 && r.readString() == (i % 16).toString)
+          }
+        } catch { case _: Throwable => bad.incrementAndGet() }
+      })
+      pool.shutdown()
+      assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(bad.get() == 0, s"${bad.get()} failed RPCs under concurrency")
+      assert(srv.metrics.stats("FeatureServe").exists(_.requests.sum() == 200L))
+      assert(srv.metrics.stats("Nearest").exists(_.requests.sum() == 200L))
+    } finally { ch.shutdownNow(); srv.stop() }
+  }
+
   test("BatchFeatureServe streams one row per entity across the tables") {
     val st = new OnlineStore(new InProcessKv)
     import spark.implicits._
