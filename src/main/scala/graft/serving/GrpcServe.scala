@@ -293,12 +293,19 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
             w.bool(2, !it.hasNext)
             obs.onNext(w.result())
         }
-      } catch { case e: Throwable => obs.onError(toStatus(e)) }
+      } catch {
+        case e: Throwable =>
+          // close BEFORE erroring: after onError the transport may never
+          // deliver onError/onCompleted to this request observer, and the
+          // session's persisted split frame would leak for the JVM's life
+          if (session != null) { session.close(); session = null }
+          obs.onError(toStatus(e))
+      }
 
       override def onError(t: Throwable): Unit =
-        if (session != null) session.close()
+        if (session != null) { session.close(); session = null }
       override def onCompleted(): Unit = {
-        if (session != null) session.close()
+        if (session != null) { session.close(); session = null }
         obs.onCompleted()
       }
     }
