@@ -47,16 +47,25 @@ final class FenceGuard(dir: String, conf: Configuration,
   private val tmpPath = new HPath(base, s".$name.fence.tmp")
   private val fs: FileSystem = base.getFileSystem(conf)
 
-  /** Highest accepted token, or -1 when no fenced write has happened. */
+  /** Highest accepted token, or -1 when no fenced write has happened.
+    * Reads BOTH the fence file and the tmp file and takes the max: on
+    * filesystems without overwrite-rename the publish path is tmp-write →
+    * delete → rename, and a crash between the delete and the rename
+    * leaves only the tmp — which, written first, always carries a token
+    * ≥ the deleted one, so the guard never forgets its high-water mark in
+    * that window. */
   def stored(): Long =
+    math.max(readToken(fencePath), readToken(tmpPath))
+
+  private def readToken(p: HPath): Long =
     try {
-      val in = fs.open(fencePath)
+      val in = fs.open(p)
       val s = try new String(in.readNBytes(64), StandardCharsets.UTF_8)
               finally in.close()
       s.trim.toLong
     } catch {
       case _: java.io.FileNotFoundException => -1L
-      case _: NumberFormatException => -1L // unreachable post-rename; floor
+      case _: NumberFormatException => -1L // torn tmp write; fence's max rules
     }
 
   /** Accept or reject a write bearing `token`. Unfenced (-1) passes
@@ -77,9 +86,21 @@ final class FenceGuard(dir: String, conf: Configuration,
       val out = fs.create(tmpPath, true)
       try out.write(token.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      fs.delete(fencePath, false)
-      if (!fs.rename(tmpPath, fencePath))
-        sys.error(s"FenceGuard: could not rename $tmpPath -> $fencePath")
+      // prefer a single atomic overwrite-rename (no window with no fence
+      // file at all); fall back to delete+rename where FileContext can't
+      // bind — stored()'s tmp fallback covers the crash window there
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          base.toUri, conf)
+        fc.rename(tmpPath, fencePath,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+             _: IllegalArgumentException =>
+          fs.delete(fencePath, false)
+          if (!fs.rename(tmpPath, fencePath))
+            sys.error(s"FenceGuard: could not rename $tmpPath -> $fencePath")
+      }
     }
   }
 }

@@ -49,22 +49,31 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
                       val metrics: Metrics = new Metrics) {
   import GrpcServe._
 
+  // Every registry keys name/variant — the reference keys all resources by
+  // (name, variant) (serving.go:617-714); a request naming a variant that
+  // was never registered is NOT_FOUND, not silently the wrong variant.
+  // Variant "" is the versionless registration; a versionless REQUEST also
+  // matches a name with exactly one registered variant (default-variant
+  // role).
   private val sources = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val trainingSets = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String)]
   private val locations = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def registerSource(name: String, df: DataFrame): Unit = sources.put(name, df)
+  def registerSource(name: String, df: DataFrame): Unit =
+    registerSource(name, "", df)
+  def registerSource(name: String, variant: String, df: DataFrame): Unit =
+    sources.put(s"$name/$variant", df)
 
   /** Register a training frame; `labelCol` defaults to `label` if present
     * else the LAST column (the reference's training frames end in the
     * label). */
   def registerTrainingSet(name: String, df: DataFrame,
-                          labelCol: String = ""): Unit = {
+                          labelCol: String = "", variant: String = ""): Unit = {
     val label =
       if (labelCol.nonEmpty) labelCol
       else if (df.columns.contains("label")) "label"
       else df.columns.last
-    trainingSets.put(name, (df, label))
+    trainingSets.put(s"$name/$variant", (df, label))
   }
 
   def registerLocation(name: String, variant: String, location: String): Unit =
@@ -79,7 +88,7 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
     var more = true
     while (more) r.readTag() match {
       case (0, _) => more = false
-      case (1, _) => names += readFeatureId(r.readSlice())._1
+      case (1, _) => names += storeKey(readFeatureId(r.readSlice()))
       case (2, _) =>
         val e = r.readSlice()
         var em = true
@@ -104,26 +113,29 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
   private def nearest(req: Array[Byte]): Array[Byte] = {
     val r = new R(req)
     var name = ""
-    var vec: Array[Float] = Array.empty
+    // accumulated, not assigned: the protobuf spec requires repeated-field
+    // runs to CONCATENATE, and a conformant serializer may legally split a
+    // packed field into several LEN chunks or mix packed and unpacked
+    val vec = scala.collection.mutable.ArrayBuffer.empty[Float]
     var k = 0
     var more = true
     while (more) r.readTag() match {
       case (0, _) => more = false
-      case (1, _) => name = readFeatureId(r.readSlice())._1
+      case (1, _) => name = storeKey(readFeatureId(r.readSlice()))
       case (2, _) =>
         val v = r.readSlice()
         var vm = true
         while (vm) v.readTag() match {
           case (0, _) => vm = false
-          case (1, ProtoWire.WtLen) => vec = v.readPackedFloats()
-          case (1, ProtoWire.WtFixed32) => vec = vec :+ v.readFloat()
+          case (1, ProtoWire.WtLen) => vec ++= v.readPackedFloats()
+          case (1, ProtoWire.WtFixed32) => vec += v.readFloat()
           case (_, wt) => v.skip(wt)
         }
       case (3, _) => k = r.readVarint().toInt
       case (_, wt) => r.skip(wt)
     }
     val w = new W
-    store.nearest(name, vec, k).foreach { case (id, _) => w.str(1, id.toString) }
+    store.nearest(name, vec.toArray, k).foreach { case (id, _) => w.str(1, id.toString) }
     w.result()
   }
 
@@ -141,6 +153,12 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
     df.columns.foreach(w.str(1, _))
     w.result()
   }
+
+  /** FeatureID → OnlineStore table key: bare name when versionless, else
+    * `name/version` — so a variant the store never loaded reads as absent
+    * instead of silently serving whatever single variant exists. */
+  private def storeKey(id: (String, String)): String =
+    if (id._2.isEmpty) id._1 else s"${id._1}/${id._2}"
 
   private def resourceLocation(req: Array[Byte]): Array[Byte] = {
     val r = new R(req)
@@ -162,11 +180,12 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
   }
 
   private def trainingData(req: Array[Byte],
-                           obs: StreamObserver[Array[Byte]]): Unit = {
+                           obs: StreamObserver[Array[Byte]],
+                           onDone: Option[Throwable] => Unit): Unit = {
     val (df, label) = lookupTraining(readIdField(req))
     val featCols = df.columns.filterNot(_ == label)
     val ordered = df.selectExpr((featCols :+ label).map(c => s"`$c`"): _*)
-    streamRows(ordered, obs) { (w, row) =>
+    streamRows(ordered, obs, onDone) { (w, row) =>
       w.msg(1) { m =>
         var i = 0
         while (i < featCols.length) { m.msg(1)(writeValue(_, row.get(i))); i += 1 }
@@ -176,20 +195,24 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
   }
 
   private def sourceData(req: Array[Byte],
-                         obs: StreamObserver[Array[Byte]]): Unit = {
+                         obs: StreamObserver[Array[Byte]],
+                         onDone: Option[Throwable] => Unit): Unit = {
     val r = new R(req)
-    var name = ""
+    var id = ("", "")
     var limit = Long.MaxValue
     var more = true
     while (more) r.readTag() match {
       case (0, _) => more = false
-      case (1, _) => name = readFeatureId(r.readSlice())._1
+      case (1, _) => id = readFeatureId(r.readSlice())
       case (2, _) => limit = r.readVarint()
       case (_, wt) => r.skip(wt)
     }
-    val df0 = lookupSource(name)
-    val df = if (limit > 0 && limit < Long.MaxValue) df0.limit(limit.toInt) else df0
-    streamRows(df, obs) { (w, row) =>
+    val df0 = lookupSource(id)
+    // clamp: a client-sent limit in (2^31, 2^63) must mean "everything",
+    // not wrap negative through toInt and throw in Spark
+    val df = if (limit > 0 && limit < Int.MaxValue.toLong) df0.limit(limit.toInt)
+             else df0
+    streamRows(df, obs, onDone) { (w, row) =>
       w.msg(1) { m =>
         var i = 0
         while (i < row.length) { m.msg(1)(writeValue(_, row.get(i))); i += 1 }
@@ -198,17 +221,17 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
   }
 
   private def batchFeatureServe(req: Array[Byte],
-                                obs: StreamObserver[Array[Byte]]): Unit = {
+                                obs: StreamObserver[Array[Byte]],
+                                onDone: Option[Throwable] => Unit): Unit = {
     val r = new R(req)
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     var more = true
     while (more) r.readTag() match {
       case (0, _) => more = false
-      case (1, _) => names += readFeatureId(r.readSlice())._1
+      case (1, _) => names += storeKey(readFeatureId(r.readSlice()))
       case (_, wt) => r.skip(wt)
     }
-    val it = store.batchRows(names.toSeq).grouped(RowsPerMessage)
-    it.foreach { group =>
+    val msgs = store.batchRows(names.toSeq).grouped(RowsPerMessage).map { group =>
       val w = new W
       group.foreach { case (entity, vals) =>
         w.msg(1) { m =>
@@ -216,9 +239,9 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
           vals.foreach(v => m.msg(2)(writeValue(_, v.orNull)))
         }
       }
-      obs.onNext(w.result())
+      w.result()
     }
-    obs.onCompleted()
+    Backpressure.drive(obs, msgs, onDone)
   }
 
   /** Bidi TrainTestSplit: INITIALIZE pins the split view, then each
@@ -235,7 +258,7 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
 
       override def onNext(req: Array[Byte]): Unit = try {
         val r = new R(req)
-        var name = ""
+        var id = ("", "")
         var testSize = 0.0f
         var shuffle = false
         var randomState = 0
@@ -244,7 +267,7 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
         var more = true
         while (more) r.readTag() match {
           case (0, _) => more = false
-          case (1, _) => name = readFeatureId(r.readSlice())._1
+          case (1, _) => id = readFeatureId(r.readSlice())
           case (3, _) => testSize = r.readFloat()
           case (5, _) => shuffle = r.readVarint() != 0
           case (6, _) => randomState = r.readVarint().toInt
@@ -254,7 +277,10 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
         }
         requestType match {
           case 0 => // INITIALIZE
-            val (df, label) = lookupTraining(name)
+            // re-INITIALIZE on the same RPC replaces the session: close
+            // the old one or its persisted split frame leaks for the JVM
+            if (session != null) { session.close(); session = null }
+            val (df, label) = lookupTraining(id)
             labelIdx = df.columns.indexOf(label)
             session = new graft.ops.SplitSession(df, Seq(df.columns.head),
               testSize.toDouble, randomState.toLong).initialize()
@@ -312,44 +338,59 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
 
   // ----------------------------------------------------------- helpers
 
-  private def lookupSource(name: String): DataFrame =
-    sources.getOrElse(name,
-      throw Status.NOT_FOUND.withDescription(s"source $name").asRuntimeException())
-  private def lookupTraining(name: String): (DataFrame, String) =
-    trainingSets.getOrElse(name,
-      throw Status.NOT_FOUND.withDescription(s"training set $name").asRuntimeException())
+  /** Variant-aware registry lookup: exact (name, variant) hit; a
+    * versionless request falls back to the name's SINGLE registered
+    * variant; anything else is NOT_FOUND (the reference 404s a variant
+    * mismatch rather than serving another variant, serving.go:617-714). */
+  private def lookup[T](m: scala.collection.concurrent.TrieMap[String, T],
+                        kind: String, id: (String, String)): T = {
+    val (name, version) = id
+    m.get(s"$name/$version")
+      .orElse {
+        if (version.nonEmpty) None
+        else {
+          val hits = m.filterKeys(_.startsWith(name + "/")).values.toSeq
+          if (hits.size == 1) Some(hits.head) else None
+        }
+      }
+      .getOrElse(throw Status.NOT_FOUND.withDescription(
+        s"$kind $name" + (if (version.nonEmpty) s" variant $version" else ""))
+        .asRuntimeException())
+  }
+  private def lookupSource(id: (String, String)): DataFrame =
+    lookup(sources, "source", id)
+  private def lookupTraining(id: (String, String)): (DataFrame, String) =
+    lookup(trainingSets, "training set", id)
 
-  private def readIdField(req: Array[Byte]): String = {
+  private def readIdField(req: Array[Byte]): (String, String) = {
     val r = new R(req)
-    var name = ""
+    var id = ("", "")
     var more = true
     while (more) r.readTag() match {
       case (0, _) => more = false
-      case (1, _) => name = readFeatureId(r.readSlice())._1
+      case (1, _) => id = readFeatureId(r.readSlice())
       case (_, wt) => r.skip(wt)
     }
-    name
+    id
   }
 
   /** Stream a frame as length-bounded messages: `toLocalIterator`
     * (partition-at-a-time, never the whole frame on this node) grouped to
-    * [[RowsPerMessage]] rows per gRPC message. */
-  private def streamRows(df: DataFrame, obs: StreamObserver[Array[Byte]])
+    * [[RowsPerMessage]] rows per gRPC message, produced under gRPC flow
+    * control ([[Backpressure.drive]]) so a slow client stalls the PRODUCER
+    * instead of accumulating encoded batches on the driver heap. */
+  private def streamRows(df: DataFrame, obs: StreamObserver[Array[Byte]],
+                         onDone: Option[Throwable] => Unit)
                         (writeRow: (W, Row) => Unit): Unit = {
-    df.toLocalIterator().asScala.grouped(RowsPerMessage).foreach { group =>
+    val msgs = df.toLocalIterator().asScala.grouped(RowsPerMessage).map { group =>
       val w = new W
       group.foreach(row => writeRow(w, row))
-      obs.onNext(w.result())
+      w.result()
     }
-    obs.onCompleted()
+    Backpressure.drive(obs, msgs, onDone)
   }
 
-  private def toStatus(e: Throwable): Throwable = e match {
-    case s: org.sparkproject.connect.grpc.StatusRuntimeException => s
-    case _ => Status.INTERNAL
-      .withDescription(Option(e.getMessage).getOrElse(e.toString))
-      .asRuntimeException()
-  }
+  private def toStatus(e: Throwable): Throwable = Backpressure.toStatus(e)
 
   private def unary(route: String, h: Array[Byte] => Array[Byte]) =
     ServerCalls.asyncUnaryCall(
@@ -370,17 +411,20 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
       })
 
   private def serverStreaming(route: String,
-      h: (Array[Byte], StreamObserver[Array[Byte]]) => Unit) =
+      h: (Array[Byte], StreamObserver[Array[Byte]],
+          Option[Throwable] => Unit) => Unit) =
     ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte],
                             obs: StreamObserver[Array[Byte]]): Unit = {
           val t0 = System.nanoTime()
-          try {
-            h(req, obs)
-            metrics.observe(route, System.nanoTime() - t0, error = false)
-          } catch {
-            case e: Throwable =>
+          // production is flow-controlled and may outlive this frame —
+          // the latency metric lands when the stream actually completes
+          try h(req, obs,
+            err => metrics.observe(route, System.nanoTime() - t0,
+              error = err.isDefined))
+          catch {
+            case e: Throwable => // request-parse / lookup errors
               metrics.observe(route, System.nanoTime() - t0, error = true)
               obs.onError(toStatus(e))
           }
@@ -496,15 +540,18 @@ object GrpcServe {
       case (7, _) => out = r.readVarint() != 0
       case (9, _) =>
         val v = r.readSlice()
+        // repeated-field runs concatenate (packed chunks may be split,
+        // packed and unpacked may legally mix — protobuf spec)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Float]
+        out match { case a: Array[Float] => acc ++= a; case _ => () }
         var vm = true
         while (vm) v.readTag() match {
           case (0, _) => vm = false
-          case (1, ProtoWire.WtLen) => out = v.readPackedFloats()
-          case (1, ProtoWire.WtFixed32) =>
-            out = (Option(out).map(_.asInstanceOf[Array[Float]])
-              .getOrElse(Array.empty[Float]) :+ v.readFloat())
+          case (1, ProtoWire.WtLen) => acc ++= v.readPackedFloats()
+          case (1, ProtoWire.WtFixed32) => acc += v.readFloat()
           case (_, wt) => v.skip(wt)
         }
+        out = acc.toArray
       case (10, _) => out = r.readVarint().toInt
       case (11, _) => out = r.readVarint()
       case (_, wt) => r.skip(wt)

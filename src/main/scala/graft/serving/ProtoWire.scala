@@ -80,17 +80,27 @@ object ProtoWire {
 
   /** Message reader over a byte slice. Iterate with [[readTag]] (0 at
     * end), dispatch on field number, and [[skip]] anything unknown —
-    * the forward-compat contract generated parsers follow. */
+    * the forward-compat contract generated parsers follow. Every read is
+    * bounds-checked against the SLICE's `end` (not the backing array), so
+    * a truncated or malformed nested message fails with a clean
+    * "truncated message" error instead of silently reading sibling/parent
+    * bytes or throwing ArrayIndexOutOfBounds deep in a handler. */
   final class R(buf: Array[Byte], start: Int, end: Int) {
     def this(buf: Array[Byte]) = this(buf, 0, buf.length)
     private var pos = start
 
     def hasMore: Boolean = pos < end
 
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end)
+        throw new IllegalArgumentException(
+          s"truncated message: need $n bytes at $pos, slice ends at $end")
+
     def readVarint(): Long = {
       var shift = 0
       var v = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos) & 0xFF
         pos += 1
         v |= (b & 0x7FL) << shift
@@ -109,6 +119,7 @@ object ProtoWire {
       }
 
     def readFixed32(): Int = {
+      need(4)
       var v = 0
       var i = 0
       while (i < 4) { v |= (buf(pos + i) & 0xFF) << (8 * i); i += 1 }
@@ -116,6 +127,7 @@ object ProtoWire {
       v
     }
     def readFixed64(): Long = {
+      need(8)
       var v = 0L
       var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
@@ -128,12 +140,14 @@ object ProtoWire {
     /** Length-delimited payload as a sub-reader (nested message). */
     def readSlice(): R = {
       val len = readVarint().toInt
+      need(len)
       val r = new R(buf, pos, pos + len)
       pos += len
       r
     }
     def readBytes(): Array[Byte] = {
       val len = readVarint().toInt
+      need(len)
       val b = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       b
@@ -151,13 +165,14 @@ object ProtoWire {
 
     def skip(wireType: Int): Unit = wireType match {
       case WtVarint => readVarint(); ()
-      case WtFixed64 => pos += 8
+      case WtFixed64 => need(8); pos += 8
       case WtLen =>
         // two steps: `pos += readVarint()` reads the OLD pos before the
         // varint advances it, landing the skip short by the varint width
         val len = readVarint().toInt
+        need(len)
         pos += len
-      case WtFixed32 => pos += 4
+      case WtFixed32 => need(4); pos += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }
   }

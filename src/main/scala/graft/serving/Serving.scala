@@ -193,12 +193,21 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
     * same policy shift as the batch side's √n nlist: the scaling rule is
     * the default, explicit sizing the opt-in. */
   def buildIndex(feature: String, numPlanes: Int = 0): Unit = {
-    val rows = backend.scan(vecTable(feature)).toSeq // store-sized (serving node)
+    // two passes over the backend scan (a cheap counting pass to size the
+    // planes, then a streaming add) so peak memory is ONE copy of the
+    // store — materializing the scan to size it would transiently hold
+    // every vector twice on the serving node
     val planes =
       if (numPlanes > 0) numPlanes
-      else OnlineStore.planesForCorpus(rows.size.toLong)
+      else {
+        var n = 0L
+        val it = backend.scan(vecTable(feature))
+        while (it.hasNext) { it.next(); n += 1 }
+        OnlineStore.planesForCorpus(n)
+      }
     val idx = new VectorIndex(planes)
-    rows.foreach { case (id, v) => idx.add(id, toFloats(v)) }
+    backend.scan(vecTable(feature))
+      .foreach { case (id, v) => idx.add(id, toFloats(v)) }
     indexes.put(feature, idx)
   }
 

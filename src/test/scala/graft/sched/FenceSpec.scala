@@ -50,6 +50,27 @@ class FenceSpec extends SparkSpec {
     assert(new FenceGuard(dir, conf, "t").stored() == 7L)
   }
 
+  test("a crash mid-publish (tmp written, fence deleted, rename lost) " +
+    "cannot lose the high-water token") {
+    import org.apache.hadoop.fs.Path
+    val dir = freshDir()
+    val g = new FenceGuard(dir, conf, "c")
+    g.check(9L)
+    assert(g.stored() == 9L)
+    // simulate the delete+rename fallback dying between its two steps
+    // while publishing token 11: only the tmp file survives
+    val fs = new Path(dir).getFileSystem(conf)
+    val out = fs.create(new Path(dir, ".c.fence.tmp"), true)
+    out.write("11".getBytes("UTF-8")); out.close()
+    fs.delete(new Path(dir, ".c.fence"), false)
+    // a fresh guard (restarted process) still remembers the accepted token
+    val g2 = new FenceGuard(dir, conf, "c")
+    assert(g2.stored() == 11L, "tmp fallback must carry the token")
+    intercept[StaleFenceException](g2.check(10L))
+    g2.check(12L) // a live holder's larger token republishes cleanly
+    assert(g2.stored() == 12L)
+  }
+
   test("real LeaseLocker tokens drive the guard: ex-holder's resumed write " +
     "is rejected after the next holder's write") {
     val dir = "file:" + java.nio.file.Files.createTempDirectory("graft_fence_l")

@@ -418,4 +418,131 @@ class GrpcServeSpec extends SparkSpec {
         1L -> Seq(5L, null), 2L -> Seq(6L, 7L), 3L -> Seq(null, 8L)))
     } finally { ch.shutdownNow(); srv.stop() }
   }
+
+  test("variant keying: a request naming an unregistered variant is " +
+    "NOT_FOUND, never silently another variant; versionless requests " +
+    "resolve a single registered variant") {
+    withServer { (srv, ch) =>
+      import spark.implicits._
+      srv.registerSource("tx", "v1", Seq((1L, 2.0)).toDF("id", "v"))
+      def cols(name: String, version: String): Seq[String] = {
+        val resp = unaryCall(ch, "SourceColumns", {
+          val w = new W
+          w.msg(1)(m => { m.str(1, name); if (version.nonEmpty) m.str(2, version) })
+          w.result()
+        })
+        val r = new R(resp)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var more = true
+        while (more) r.readTag() match {
+          case (0, _) => more = false
+          case (1, _) => out += r.readString()
+          case (_, wt) => r.skip(wt)
+        }
+        out.toSeq
+      }
+      assert(cols("tx", "v1") == Seq("id", "v"), "exact variant hit")
+      assert(cols("tx", "") == Seq("id", "v"),
+        "versionless request resolves the single registered variant")
+      val e = intercept[org.sparkproject.connect.grpc.StatusRuntimeException](
+        cols("tx", "v2"))
+      assert(e.getStatus.getCode ==
+        org.sparkproject.connect.grpc.Status.Code.NOT_FOUND)
+      assert(e.getStatus.getDescription.contains("v2"))
+      // two registered variants make a versionless request ambiguous
+      srv.registerSource("tx", "v2", Seq((1L, "s")).toDF("id", "s"))
+      val amb = intercept[org.sparkproject.connect.grpc.StatusRuntimeException](
+        cols("tx", ""))
+      assert(amb.getStatus.getCode ==
+        org.sparkproject.connect.grpc.Status.Code.NOT_FOUND)
+      assert(cols("tx", "v2") == Seq("id", "s"))
+    }
+  }
+
+  test("SourceData limit beyond Int.MaxValue means 'everything' (no " +
+    "negative-wrap through toInt)") {
+    withServer { (srv, ch) =>
+      import spark.implicits._
+      srv.registerSource("big", (1 to 10).map(i => (i.toLong, i * 2.0))
+        .toDF("id", "v"))
+      val req = new W
+      req.msg(1)(_.str(1, "big"))
+      req.int64(2, Int.MaxValue.toLong + 1L)
+      val msgs = streamCall(ch, "SourceData", req.result())
+      val nRows = msgs.map { bytes =>
+        val r = new R(bytes)
+        var n = 0
+        var more = true
+        while (more) r.readTag() match {
+          case (0, _) => more = false
+          case (1, _) => r.readSlice(); n += 1
+          case (_, wt) => r.skip(wt)
+        }
+        n
+      }.sum
+      assert(nRows == 10)
+    }
+  }
+
+  test("Nearest accepts a spec-legal SPLIT packed vector: multiple LEN " +
+    "chunks and a trailing unpacked element concatenate") {
+    val st = new OnlineStore(new InProcessKv)
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)))
+    st.loadVectors("emb", vecs.toDF("entity", "vector"))
+    val srv = new GrpcServe(st).start()
+    val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
+      .usePlaintext().build()
+    try {
+      // query (0,1,0) split: packed [0.0] ++ packed [1.0] ++ unpacked 0.0
+      val req = new W
+      idMsg(req, 1, "emb")
+      req.msg(2) { v =>
+        v.packedFloats(1, Seq(0.0f))
+        v.packedFloats(1, Seq(1.0f))
+        v.float(1, 0.0f)
+      }
+      req.int32(3, 1)
+      val r = new R(unaryCall(ch, "Nearest", req.result()))
+      assert(r.readTag()._1 == 1 && r.readString() == "2",
+        "split-encoded (0,1,0) must hit entity 2")
+    } finally { ch.shutdownNow(); srv.stop() }
+  }
+
+  test("flow-controlled TrainingData drains fully to a slow client over a " +
+    "small HTTP/2 window (e2e backpressure smoke)") {
+    withServer { (srv, _) =>
+      import spark.implicits._
+      val n = 4000
+      val df = (1 to n).map(i => (i.toLong, s"pad_$i" * 8, i * 1.0))
+        .toDF("id", "txt", "label")
+      srv.registerTrainingSet("slow_ts", df)
+      val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
+        .usePlaintext().flowControlWindow(16 * 1024).build()
+      try {
+        val req = new W
+        req.msg(1)(_.str(1, "slow_ts"))
+        val it = ClientCalls.blockingServerStreamingCall(ch,
+          method("TrainingData", SERVER_STREAMING), CallOptions.DEFAULT,
+          req.result())
+        var rows = 0
+        var i = 0
+        while (it.hasNext) {
+          val bytes = it.next()
+          val r = new R(bytes)
+          var more = true
+          while (more) r.readTag() match {
+            case (0, _) => more = false
+            case (1, _) => r.readSlice(); rows += 1
+            case (_, wt) => r.skip(wt)
+          }
+          i += 1
+          if (i % 4 == 0) Thread.sleep(5) // slow consumer
+        }
+        assert(rows == n, s"all $n rows arrive despite the stalling client")
+      } finally ch.shutdownNow()
+    }
+  }
 }

@@ -123,4 +123,44 @@ class ProtoWireSpec extends SparkSpec {
     GrpcServe.writeValue(w2, BigDecimal("2.25"))
     assert(GrpcServe.readValue(new R(w2.result())) == 2.25)
   }
+
+  test("truncated / overrunning payloads fail cleanly instead of reading " +
+    "sibling bytes or crashing with ArrayIndexOutOfBounds") {
+    // string field whose declared length overruns the buffer
+    val w = new W
+    w.str(1, "hello")
+    val cut = w.result().take(4)
+    val r1 = new R(cut)
+    assert(r1.readTag() == ((1, ProtoWire.WtLen)))
+    val e1 = intercept[IllegalArgumentException](r1.readString())
+    assert(e1.getMessage.contains("truncated"))
+
+    // nested message whose inner length overruns ITS slice while the
+    // parent buffer still has bytes (a sibling field follows) — the old
+    // reader would silently consume the sibling's bytes as string payload
+    val buf = Array[Byte](0x0A, 0x04, 0x0A, 0x05, 'a', 'b', 0x12, 0x02, 'c', 'd')
+    val outer = new R(buf)
+    assert(outer.readTag() == ((1, ProtoWire.WtLen)))
+    val inner = outer.readSlice()
+    assert(inner.readTag() == ((1, ProtoWire.WtLen)))
+    val e2 = intercept[IllegalArgumentException](inner.readString())
+    assert(e2.getMessage.contains("truncated"))
+    // the OUTER reader is unharmed: the sibling still parses
+    assert(outer.readTag() == ((2, ProtoWire.WtLen)))
+    assert(outer.readString() == "cd")
+
+    // truncated fixed32 / fixed64 / varint / skip
+    val r2 = new R(Array[Byte](0x0D, 0x00, 0x00))
+    assert(r2.readTag() == ((1, ProtoWire.WtFixed32)))
+    intercept[IllegalArgumentException](r2.readFloat())
+    val r3 = new R(Array[Byte](0x09, 0x00))
+    assert(r3.readTag() == ((1, ProtoWire.WtFixed64)))
+    intercept[IllegalArgumentException](r3.readDouble())
+    val r4 = new R(Array[Byte](0x08, 0x80.toByte))
+    assert(r4.readTag() == ((1, ProtoWire.WtVarint)))
+    intercept[IllegalArgumentException](r4.readVarint())
+    val r5 = new R(Array[Byte](0x0A, 0x7F))
+    assert(r5.readTag() == ((1, ProtoWire.WtLen)))
+    intercept[IllegalArgumentException](r5.skip(ProtoWire.WtLen))
+  }
 }
