@@ -129,6 +129,8 @@ final class Catalog(spark: SparkSession) {
   private val tagMap    = mutable.LinkedHashMap.empty[ResourceKey, Seq[String]]
   private val propMap   = mutable.LinkedHashMap.empty[ResourceKey, Map[String, String]]
   private val resolved  = mutable.HashMap.empty[ResourceId, DataFrame]
+  private val statusMap = mutable.LinkedHashMap.empty[ResourceKey, (Int, String)]
+  private val stagedSet = mutable.LinkedHashSet.empty[ResourceKey]
 
   private def put[V](m: mutable.Map[ResourceId, V], id: ResourceId, v: V): V =
     synchronized {
@@ -207,6 +209,153 @@ final class Catalog(spark: SparkSession) {
   /** Every resource carrying `tag`, in registration order. */
   def resourcesTagged(tag: String): Seq[ResourceKey] =
     synchronized(tagMap.collect { case (k, ts) if ts.contains(tag) => k }.toSeq)
+
+  // ------------------------------------- status + staged deletion lifecycle
+
+  /** Lifecycle status per resource — the reference's ResourceStatus.Status
+    * enum (metadata.proto:145-159): 0 NO_STATUS, 1 CREATED, 2 PENDING,
+    * 3 READY, 4 FAILED, 5 RUNNING, 6 CANCELLED, 7 DELETING. Resources
+    * default to NO_STATUS until set (registration paths that want the
+    * reference's CREATED-on-create call setStatus explicitly). */
+  def setStatus(key: ResourceKey, status: Int, message: String = ""): Unit =
+    synchronized { statusMap.put(key, (status, message)) }
+  def status(key: ResourceKey): (Int, String) =
+    synchronized(statusMap.getOrElse(key, (0, "")))
+  def allStatuses: Seq[(ResourceKey, (Int, String))] = synchronized(statusMap.toSeq)
+
+  /** Resources whose definitions directly depend on `key` and are not
+    * themselves already staged for deletion — the reference's direct-
+    * dependency count that gates MarkForDeletion
+    * (resources_repository.go:513-528; staged resources have their edges
+    * deleted, so they stop blocking their upstreams). Edges come from the
+    * same dependency model the dashboard export uses ([[Lineage.edges]]);
+    * PROVIDER dependents are the resources whose `provider` property names
+    * it (the catalog's durable form of the variant's provider field). */
+  def dependentsOf(key: ResourceKey): Seq[ResourceKey] = synchronized {
+    val deps: Seq[ResourceKey] =
+      if (key.kind == "PROVIDER")
+        propMap.collect { case (k, ps) if ps.get("provider").contains(key.id) => k }.toSeq
+      else {
+        val kindOf = Map("source" -> "SOURCE", "feature" -> "FEATURE",
+          "label" -> "LABEL", "training_set" -> "TRAINING_SET",
+          "model" -> "MODEL")
+        Lineage.edges(this).collect {
+          case (res, resType, Some(on), _) if on == key.id &&
+            kindOf.contains(resType) => ResourceKey(kindOf(resType), res)
+        }
+      }
+    deps.distinct.filterNot(stagedSet.contains)
+  }
+
+  private val deletableKinds =
+    Set("SOURCE", "FEATURE", "LABEL", "TRAINING_SET", "PROVIDER", "ON_DEMAND")
+
+  private def lookupKey(key: ResourceKey): Option[Any] = {
+    def rid = {
+      val i = key.id.lastIndexOf('.')
+      if (i < 0) ResourceId(key.id) else ResourceId(key.id.take(i), key.id.drop(i + 1))
+    }
+    key.kind match {
+      case "SOURCE" => sources.get(rid)
+      case "FEATURE" => features.get(rid)
+      case "LABEL" => labels.get(rid)
+      case "TRAINING_SET" => tsets.get(rid)
+      case "ON_DEMAND" => onDemands.get(rid)
+      case "PROVIDER" => providers.get(key.id)
+      case "USER" => users.get(key.id)
+      case "MODEL" => models.get(key.id)
+      case "ENTITY" => entities.get(key.id)
+      case _ => None
+    }
+  }
+
+  /** Stage a resource for deletion — the reference's two-phase lifecycle
+    * (metadata.proto:46-51, MarkForDeletion → staged → FinalizeDeletion).
+    * Refused when the resource is unknown, of a non-deletable kind, or has
+    * live dependents in the lineage DAG (resources_repository.go:258-261).
+    * The resource stays readable via [[stagedForDeletion]] but counts as
+    * deleted everywhere else ([[isStaged]]); status moves to DELETING. */
+  def markForDeletion(key: ResourceKey): Unit = synchronized {
+    require(deletableKinds.contains(key.kind),
+      s"resource kind ${key.kind} is not deletable")
+    require(lookupKey(key).isDefined, s"unknown resource $key")
+    require(!stagedSet.contains(key), s"$key is already staged for deletion")
+    val deps = dependentsOf(key)
+    if (deps.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot delete $key: ${deps.size} live dependent(s) — " +
+          deps.map(d => s"${d.kind} ${d.id}").mkString(", "))
+    stagedSet.add(key)
+    setStatus(key, 7) // DELETING
+  }
+
+  /** The staged resource (reference GetStagedForDeletionResource —
+    * DeletedOnly lookup): None unless `key` was marked and not finalized. */
+  def stagedForDeletion(key: ResourceKey): Option[Any] =
+    synchronized { if (stagedSet.contains(key)) lookupKey(key) else None }
+  def isStaged(key: ResourceKey): Boolean = synchronized(stagedSet.contains(key))
+  def allStaged: Seq[ResourceKey] = synchronized(stagedSet.toSeq)
+
+  /** Persistence-only restore of a staged mark (no dependent re-check: a
+    * prune may have staged a whole closure whose members still reference
+    * each other). */
+  private[catalog] def restoreStaged(key: ResourceKey): Unit =
+    synchronized { stagedSet.add(key) }
+
+  /** Complete a staged deletion: erase the resource from the registry and
+    * run `physical` (the caller's scrubLatest/gcVersions/forget half) —
+    * the reference's FinalizeDeletion → Archive (metadata.go:2781-2794).
+    * Refused unless the resource was first marked. */
+  def finalizeDeletion(key: ResourceKey,
+                       physical: ResourceKey => Unit = _ => ()): Unit = {
+    synchronized {
+      require(stagedSet.contains(key),
+        s"$key is not staged for deletion — MarkForDeletion first")
+      def rid = {
+        val i = key.id.lastIndexOf('.')
+        if (i < 0) ResourceId(key.id) else ResourceId(key.id.take(i), key.id.drop(i + 1))
+      }
+      key.kind match {
+        case "SOURCE" => sources.remove(rid); resolved.remove(rid)
+        case "FEATURE" => features.remove(rid)
+        case "LABEL" => labels.remove(rid)
+        case "TRAINING_SET" => tsets.remove(rid)
+        case "ON_DEMAND" => onDemands.remove(rid)
+        case "PROVIDER" => providers.remove(key.id)
+        case _ => ()
+      }
+      stagedSet.remove(key)
+      statusMap.remove(key)
+      tagMap.remove(key)
+      propMap.remove(key)
+    }
+    physical(key) // outside the lock: may do real I/O
+  }
+
+  /** Cascade deletion — the reference's PruneResource
+    * (resources_repository.go:320-420): stage the resource AND its whole
+    * downstream closure (everything that transitively depends on it), in
+    * dependents-first order. Returns the staged keys. Finalization stays
+    * per-resource. */
+  def pruneResource(key: ResourceKey): Seq[ResourceKey] = synchronized {
+    require(deletableKinds.contains(key.kind),
+      s"resource kind ${key.kind} is not deletable")
+    require(lookupKey(key).isDefined, s"unknown resource $key")
+    val closure = mutable.LinkedHashSet.empty[ResourceKey]
+    def walk(k: ResourceKey): Unit =
+      dependentsOf(k).foreach { d =>
+        if (!closure.contains(d) && deletableKinds.contains(d.kind)) {
+          walk(d); closure.add(d)
+        }
+      }
+    walk(key)
+    // providers outlive their resources in the reference's prune (the
+    // provider must exist until everything on it is gone)
+    val toStage = (closure.toSeq ++
+      (if (key.kind == "PROVIDER") Nil else Seq(key))).filterNot(stagedSet.contains)
+    toStage.foreach { k => stagedSet.add(k); setStatus(k, 7) }
+    toStage
+  }
 
   /** Features a model consumes — its direct associations plus the features
     * of every training set it declares (reference metadata.go lineage). */

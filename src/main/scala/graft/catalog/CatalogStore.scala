@@ -116,7 +116,12 @@ object CatalogStore {
       "properties" -> jl(cat.allProperties.map { case (k, ps) =>
         val pm = new java.util.LinkedHashMap[String, Any]()
         ps.foreach { case (a, b) => pm.put(a, b) }
-        j("kind" -> k.kind, "id" -> k.id, "props" -> pm) }))
+        j("kind" -> k.kind, "id" -> k.id, "props" -> pm) }),
+      "statuses" -> jl(cat.allStatuses.map { case (k, (st, msg)) =>
+        j("kind" -> k.kind, "id" -> k.id, "status" -> st, "message" -> msg) }),
+      // the mark half of the two-phase deletion survives a restart: a
+      // staged-but-unfinalized resource must come back staged, not live
+      "staged" -> jl(cat.allStaged.map(k => j("kind" -> k.kind, "id" -> k.id))))
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dir))
@@ -229,6 +234,13 @@ object CatalogStore {
         t.get("props").asInstanceOf[java.util.Map[String, Any]].asScala
           .map { case (k, v) => k -> v.toString }.toMap)
     }
+    seqOf("statuses").foreach { s =>
+      cat.setStatus(ResourceKey(s.get("kind").toString, s.get("id").toString),
+        s.get("status").asInstanceOf[Number].intValue(),
+        Option(s.get("message")).map(_.toString).getOrElse(""))
+    }
+    seqOf("staged").foreach(s =>
+      cat.restoreStaged(ResourceKey(s.get("kind").toString, s.get("id").toString)))
     cat
   }
 }
