@@ -1736,6 +1736,32 @@ object OracleSql {
          |SELECT u.entity, l.value AS f_click
          |FROM u LEFT JOIN latest l ON u.entity = l.user_id""".stripMargin,
 
+    // the Metadata registration plane's oracle is the transformation the
+    // wire client registered: the engine side travels request-encode →
+    // HTTP2 → catalog → GetEquivalent re-encode → client decode before the
+    // decoded query text is executed, so a corruption anywhere on the
+    // registration path breaks the hash
+    "grpc_metadata_roundtrip" ->
+      """SELECT o_custkey AS entity,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    // deterministic two-phase deletion trace — mark blocked by 2 live
+    // dependents (feature + label), leaf training set marks + finalizes
+    // (hook fires once), prune stages the 3-resource closure, finalizing
+    // it leaves nothing live
+    "staged_deletion" ->
+      """SELECT * FROM (VALUES
+        |  ('mark_source', 'blocked', CAST(1 AS BIGINT)),
+        |  ('mark_source', 'live_dependents', CAST(2 AS BIGINT)),
+        |  ('mark_tset', 'staged', CAST(1 AS BIGINT)),
+        |  ('finalize_tset', 'physical_fired', CAST(1 AS BIGINT)),
+        |  ('finalize_tset', 'live_tsets', CAST(0 AS BIGINT)),
+        |  ('prune_source', 'staged', CAST(3 AS BIGINT)),
+        |  ('finalize_all', 'live_resources', CAST(0 AS BIGINT)))
+        |  AS t(step, metric, value)""".stripMargin,
+
     "training_stream" ->
       s"""WITH $EV
          |SELECT event_id, value FROM ev CROSS JOIN (VALUES (0), (1)) epochs(e)""".stripMargin,

@@ -1003,6 +1003,137 @@ object SparkEntry {
     } finally { ch.shutdownNow(); srv.stop() }
   }
 
+  /** The Metadata REGISTRATION plane under the correctness gate: a
+    * hand-encoded wire client registers a primary source and a SQL
+    * transformation over [[graft.serving.MetadataServe]]'s real gRPC/HTTP2
+    * endpoint (the `featureform.serving.metadata.proto.Metadata` service,
+    * reference metadata.proto:19-71), then reads the registration BACK over
+    * the wire via GetEquivalent, decodes the returned SourceVariant's
+    * SQLTransformation.query from raw response bytes, and executes the
+    * DECODED text through the server-mutated catalog. The entire
+    * registration path (request encode → HTTP2 → server parse → catalog →
+    * variant re-encode → client decode → Spark execution) feeds the
+    * hash-compared result — if any wire stage corrupted the query or the
+    * source binding, the aggregate would not match the oracle. */
+  private def grpcMetadataRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.serving._
+    import graft.serving.ProtoWire.W
+    val cat = new Catalog(s)
+    val srv = new MetadataServe(cat).start()
+    val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+      .forAddress("127.0.0.1", srv.boundPort).usePlaintext().build()
+    try {
+      def unary(rpc: String, req: Array[Byte]): Array[Byte] =
+        org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(ch,
+          MetadataServe.method(MetadataServe.ServiceName, rpc,
+            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req)
+      // register the primary source, then the templated SQL transformation
+      val p = new W
+      p.msg(1) { sv =>
+        sv.str(1, "orders_src"); sv.str(2, "v1")
+        sv.msg(15)(_.msg(3)(_.str(1, s"$dir/orders.parquet")))
+      }
+      unary("CreateSourceVariant", p.result())
+      val q =
+        """SELECT o_custkey AS entity,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+          |  COUNT(*) AS n
+          |FROM {{orders_src.v1}} GROUP BY o_custkey""".stripMargin
+      val tr = new W
+      tr.msg(1) { sv =>
+        sv.str(1, "cust_rev"); sv.str(2, "v1")
+        sv.msg(14)(_.msg(1)(_.str(1, q)))
+      }
+      unary("CreateSourceVariant", tr.result())
+      // read it back over the wire: GetEquivalent returns the FULL stored
+      // SourceVariant for an equivalent probe under a different variant
+      val eq = new W
+      eq.msg(2)(_.msg(4) { sv =>
+        sv.str(1, "cust_rev"); sv.str(2, "probe")
+        sv.msg(14)(_.msg(1)(_.str(1, q)))
+      })
+      val hit = unary("GetEquivalent", eq.result())
+      // decode ResourceVariant{source_variant=4{transformation=14{sql=1{query=1}}}}
+      val sv = MetadataServe.firstSlice(hit, 4).getOrElse(
+        sys.error("GetEquivalent returned no source_variant"))
+      var decoded = ""
+      var variant = ""
+      var more = true
+      while (more) sv.readTag() match {
+        case (0, _) => more = false
+        case (2, _) => variant = sv.readString()
+        case (14, _) =>
+          val t = sv.readSlice()
+          var tm = true
+          while (tm) t.readTag() match {
+            case (0, _) => tm = false
+            case (1, _) =>
+              val sql = t.readSlice()
+              var sm = true
+              while (sm) sql.readTag() match {
+                case (0, _) => sm = false
+                case (1, _) => decoded = sql.readString()
+                case (_, wt) => sql.skip(wt)
+              }
+            case (_, wt) => t.skip(wt)
+          }
+        case (_, wt) => sv.skip(wt)
+      }
+      require(variant == "v1", s"equivalent matched wrong variant '$variant'")
+      require(decoded.nonEmpty, "decoded transformation query is empty")
+      // execute the DECODED query text through the server-mutated catalog
+      graft.transform.SqlTransform.run(s, decoded, rid => cat.resolve(rid))
+    } finally { ch.shutdownNow(); srv.stop() }
+  }
+
+  /** Staged deletion lifecycle under the correctness gate — the reference's
+    * MarkForDeletion → staged → FinalizeDeletion / PruneResource two-phase
+    * protocol (metadata.proto:46-51, resources_repository.go:251-420) on a
+    * planted catalog DAG. Deterministic by construction, so the oracle is
+    * the literal expected step trace: a mark with live dependents is
+    * blocked (and counts them), finalizing a staged resource fires the
+    * physical hook exactly once, pruning stages the whole downstream
+    * closure, and finalizing the closure leaves zero live resources. */
+  private def stagedDeletion(s: SparkSession, dir: String): DataFrame = {
+    val cat = new Catalog(s)
+    cat.registerSource(SourceVariant(ResourceId("orders"),
+      PrimaryData(s"$dir/orders.parquet")))
+    cat.registerFeature(FeatureVariant(ResourceId("f_rev"), ResourceId("orders"),
+      graft.types.ResourceSchema("o_custkey", "o_totalprice", Some("o_orderdate"))))
+    cat.registerLabel(LabelVariant(ResourceId("lbl"), ResourceId("orders"),
+      Seq(EntityMapping("customer", "o_custkey")), "o_totalprice"))
+    cat.registerTrainingSet(TrainingSetVariant(ResourceId("ts1"),
+      ResourceId("lbl"), Seq(ResourceId("f_rev"))))
+    val srcKey = ResourceKey("SOURCE", "orders.default")
+    val tsKey = ResourceKey("TRAINING_SET", "ts1.default")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // 1. marking the source is blocked by its live dependents
+    val blocked =
+      try { cat.markForDeletion(srcKey); 0L }
+      catch { case _: IllegalStateException => 1L }
+    steps += (("mark_source", "blocked", blocked))
+    steps += (("mark_source", "live_dependents", cat.dependentsOf(srcKey).size.toLong))
+    // 2. the leaf (training set) marks cleanly and finalizes with the
+    //    physical hook firing exactly once
+    cat.markForDeletion(tsKey)
+    steps += (("mark_tset", "staged", cat.allStaged.size.toLong))
+    var fired = 0L
+    cat.finalizeDeletion(tsKey, _ => fired += 1)
+    steps += (("finalize_tset", "physical_fired", fired))
+    steps += (("finalize_tset", "live_tsets", cat.allTrainingSets.size.toLong))
+    // 3. prune cascades: feature + label + the source itself
+    val pruned = cat.pruneResource(srcKey)
+    steps += (("prune_source", "staged", pruned.size.toLong))
+    // 4. finalize the closure — nothing live remains
+    pruned.foreach(cat.finalizeDeletion(_))
+    steps += (("finalize_all", "live_resources",
+      (cat.allSources.size + cat.allFeatures.size + cat.allLabels.size +
+        cat.allTrainingSets.size).toLong))
+    import s.implicits._
+    steps.toSeq.toDF("step", "metric", "value")
+  }
+
   // ----------------------- B3/O5: training-set stream combinators
 
   /** Two epochs through the training-set iterator with a buffered shuffle —
@@ -4069,6 +4200,8 @@ object SparkEntry {
     "orc_roundtrip"     -> (orcRoundtrip _),
     "online_serving"    -> (onlineServing _),
     "grpc_serve_roundtrip" -> (grpcServeRoundtrip _),
+    "grpc_metadata_roundtrip" -> (grpcMetadataRoundtrip _),
+    "staged_deletion"   -> (stagedDeletion _),
     "training_stream"   -> (trainingStream _),
     "split_serve"       -> (splitServe _),
     "merge_upsert_wide" -> (mergeUpsertWide _),

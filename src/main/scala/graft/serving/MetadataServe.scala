@@ -1324,6 +1324,9 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
         override def invoke(obs: StreamObserver[Array[Byte]])
             : StreamObserver[Array[Byte]] =
           new StreamObserver[Array[Byte]] {
+            // once onError closes the call, the client's half-close still
+            // delivers onCompleted — a second close throws
+            private var closed = false
             override def onNext(req: Array[Byte]): Unit = {
               val t0 = System.nanoTime()
               try {
@@ -1333,11 +1336,13 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
               } catch {
                 case e: Throwable =>
                   metrics.observe(route, System.nanoTime() - t0, error = true)
+                  closed = true
                   obs.onError(Backpressure.toStatus(e))
               }
             }
             override def onError(t: Throwable): Unit = ()
-            override def onCompleted(): Unit = obs.onCompleted()
+            override def onCompleted(): Unit =
+              if (!closed) { closed = true; obs.onCompleted() }
           }
       })
 
