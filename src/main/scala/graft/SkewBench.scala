@@ -126,6 +126,39 @@ object SkewBench {
 
   private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
+  /** Total shuffle bytes written + read across every stage `body` runs —
+    * local mode records shuffle metrics even though no byte crosses a
+    * network, which is exactly what lets a local harness measure the
+    * payload claim a cluster would feel (PQ codes vs raw vectors through
+    * the candidate shuffle). Listener events post asynchronously; the
+    * tail is drained by polling until two consecutive samples agree. */
+  private def shuffleBytes(spark: SparkSession)(body: => Unit): (Long, Long) = {
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var prev = -1L
+      var cur = written.get() + read.get()
+      var spins = 0
+      while (prev != cur && spins < 100) { // drain the async listener bus
+        prev = cur; Thread.sleep(100); cur = written.get() + read.get()
+        spins += 1
+      }
+      (written.get(), read.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_skew"
@@ -188,6 +221,8 @@ object SkewBench {
     val capsFired = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val triErrs = scala.collection.mutable.ArrayBuffer.empty[String]
     var embCountX1 = 0L // the 1× corpus size, for the fixed-nlist control
+    // ((exactWrite, exactRead), (pqWrite, pqRead)) at x10
+    var knnShuffle: Option[((Long, Long), (Long, Long))] = None
 
     // ---------------------------------------------------------- run
     for (m <- Seq(1, 10)) {
@@ -282,6 +317,26 @@ object SkewBench {
         capsFired += (what -> k)
       }
       if (m == 1) embCountX1 = emb.count()
+      // shuffle-payload measurement (round-10 verdict: the "PQ codes are
+      // 64× smaller through the candidate shuffle" scale argument was an
+      // argument, not a measurement — local mode records shuffle bytes,
+      // so measure it): one dedicated run of each twin at 10×
+      if (m == 10) {
+        spark.catalog.clearCache()
+        val (exW, exR) = shuffleBytes(spark)(force(
+          Vectors.knnJoinIVFAuto(emb, "id", "embedding",
+            k = 5, nprobe = 2, iters = 1, maxCellFreq = 1000)))
+        spark.catalog.clearCache()
+        val (pqW, pqR) = shuffleBytes(spark)(force(
+          Vectors.knnJoinIVFPQAuto(emb, "id", "embedding",
+            k = 5, nprobe = 2, iters = 1,
+            m = 4, subDim = 16, codebookK = 16, pqIters = 1, rerank = 20,
+            maxCellFreq = 1000)))
+        knnShuffle = Some(((exW, exR), (pqW, pqR)))
+        System.err.println(f"[skew] x10 shuffle bytes knn_join write=$exW " +
+          f"read=$exR; knn_join_pq write=$pqW read=$pqR " +
+          f"(exact/pq write ratio ${exW.toDouble / math.max(pqW, 1L)}%.2f)")
+      }
       // fixed-resolution CONTROL: the same 10× corpus at the 1× auto
       // nlist — candidate volume ~n²·nprobe/nlist, the quadratic regime
       // the √n rule exists to avoid; reported (raw + its own ratio key)
@@ -600,6 +655,12 @@ object SkewBench {
         f""""knn_join_x30_exponent":$knnX30Exp%.3f,""" +
         f""""knn_join_pq_x30_sec":$knnPqX30%.3f,""" +
         f""""knn_join_pq_x30_over_x1":$knnPqX30Ratio%.2f,""" +
+        knnShuffle.map { case ((exW, exR), (pqW, pqR)) =>
+          s""""knn_shuffle_bytes_x10":{"exact_write":$exW,"exact_read":$exR,""" +
+            s""""pq_write":$pqW,"pq_read":$pqR,""" +
+            f""""exact_over_pq_write":${exW.toDouble / math.max(pqW, 1L)}%.2f,""" +
+            f""""exact_over_pq_read":${exR.toDouble / math.max(pqR, 1L)}%.2f},"""
+        }.getOrElse("") +
         s""""knn_x30_caps_fired":{"knnJoinIVF":$knnX30Cap,"knnJoinIVFPQ":$knnPqX30Cap},""" +
         s""""aqe_skew_split_range_join":$aqeSkewHit,""" +
         s""""asof_sortmerge_vs_window_x10":${
@@ -608,7 +669,7 @@ object SkewBench {
         s""""assertions_failed":${errs.map(e => s""""$e"""").mkString("[", ",", "]")}}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_skew_r10.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_skew_r11.json"), json + "\n")
     spark.stop()
     if (errs.nonEmpty) {
       errs.foreach(e => System.err.println(s"[skew] ASSERTION FAILED: $e"))
