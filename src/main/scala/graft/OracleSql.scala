@@ -1747,6 +1747,14 @@ object OracleSql {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_custkey""".stripMargin,
 
+    // Arrow Flight transport oracle: the served click slice verbatim —
+    // the engine side travels DoGet frame split → IPC reassembly →
+    // Arrow reader before landing in the result frame
+    "flight_roundtrip" ->
+      s"""WITH $EV
+         |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+         |FROM ev WHERE event_type = 'click'""".stripMargin,
+
     // deterministic two-phase deletion trace — mark blocked by 2 live
     // dependents (feature + label), leaf training set marks + finalizes
     // (hook fires once), prune stages the 3-resource closure, finalizing

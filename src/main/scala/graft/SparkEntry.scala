@@ -1087,6 +1087,68 @@ object SparkEntry {
     } finally { ch.shutdownNow(); srv.stop() }
   }
 
+  /** Arrow Flight under the correctness gate: the click events served
+    * over [[graft.serving.FlightServe]]'s real gRPC/HTTP2 FlightService
+    * endpoint (the public Flight.proto the reference's streamer speaks),
+    * DoGet frames hand-decoded, the IPC stream reassembled client-side,
+    * and the values read back through Arrow's own ArrowStreamReader into
+    * the result frame — so the server's header/body split, the transport,
+    * and the IPC encoding are all inside the hash compare. */
+  private def flightRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.serving._
+    import graft.serving.ProtoWire.W
+    import scala.jdk.CollectionConverters._
+    val served = events(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val srv = new FlightServe().start()
+    srv.register("events/clicks", served)
+    val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+      .forAddress("127.0.0.1", srv.boundPort).usePlaintext().build()
+    try {
+      val ticket = { val w = new W; w.str(1, "events/clicks"); w.result() }
+      val frames = org.sparkproject.connect.grpc.stub.ClientCalls
+        .blockingServerStreamingCall(ch,
+          FlightServe.method("DoGet",
+            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.SERVER_STREAMING),
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT, ticket)
+        .asScala.toSeq
+      val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(FlightServe.reassembleIpc(frames)),
+        alloc)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      try {
+        val root = reader.getVectorSchemaRoot
+        while (reader.loadNextBatch()) {
+          val idV = root.getVector("event_id")
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          val userV = root.getVector("user_id")
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          val tsV = root.getVector("ts_ms")
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          val valV = root.getVector("value")
+            .asInstanceOf[org.apache.arrow.vector.Float8Vector]
+          var i = 0
+          while (i < root.getRowCount) {
+            rows.add(org.apache.spark.sql.Row(
+              idV.get(i), userV.get(i), tsV.get(i), valV.get(i)))
+            i += 1
+          }
+        }
+      } finally { reader.close(); alloc.close() }
+      s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ts_ms",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    } finally { ch.shutdownNow(); srv.stop() }
+  }
+
   /** Staged deletion lifecycle under the correctness gate — the reference's
     * MarkForDeletion → staged → FinalizeDeletion / PruneResource two-phase
     * protocol (metadata.proto:46-51, resources_repository.go:251-420) on a
@@ -4202,6 +4264,7 @@ object SparkEntry {
     "grpc_serve_roundtrip" -> (grpcServeRoundtrip _),
     "grpc_metadata_roundtrip" -> (grpcMetadataRoundtrip _),
     "staged_deletion"   -> (stagedDeletion _),
+    "flight_roundtrip"  -> (flightRoundtrip _),
     "training_stream"   -> (trainingStream _),
     "split_serve"       -> (splitServe _),
     "merge_upsert_wide" -> (mergeUpsertWide _),

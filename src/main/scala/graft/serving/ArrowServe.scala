@@ -65,7 +65,7 @@ object ArrowServe {
     }
   }
 
-  private def toArrowField(f: StructField): Field = f.dataType match {
+  private[serving] def toArrowField(f: StructField): Field = f.dataType match {
     case LongType => primitive(f.name, new ArrowType.Int(64, true))
     case IntegerType => primitive(f.name, new ArrowType.Int(32, true))
     case ShortType => primitive(f.name, new ArrowType.Int(16, true))
@@ -93,7 +93,7 @@ object ArrowServe {
   private def primitive(name: String, t: ArrowType): Field =
     new Field(name, FieldType.nullable(t), java.util.Collections.emptyList())
 
-  private def fillVector(v: FieldVector, dt: DataType, rows: Array[Row],
+  private[serving] def fillVector(v: FieldVector, dt: DataType, rows: Array[Row],
                          n: Int, col: Int): Unit = {
     var i = 0
     (v, dt) match {
