@@ -57,6 +57,13 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
                           /** Physical half of FinalizeDeletion (the
                             * scrubLatest/gcVersions/forget hook). */
                           onFinalize: ResourceKey => Unit = _ => (),
+                          /** Sink for the Api service's WriteFeatures /
+                            * WriteLabels client streams (the reference's
+                            * streaming registration writes,
+                            * metadata.proto:116-117). None →
+                            * UNIMPLEMENTED, like a server built without
+                            * the streaming provider. */
+                          store: Option[OnlineStore] = None,
                           val metrics: Metrics = new Metrics) {
   import MetadataServe._
 
@@ -1398,11 +1405,87 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     id
   }
 
+  /** Api-only client streams: each StreamingFeatureVariant /
+    * StreamingLabelVariant lands in the online store under the
+    * latest-value rule ([[OnlineStore.upsertWithTs]] — out-of-order
+    * messages can't regress). Value strings duck-type long → double →
+    * string, the HTTP facade's rule; labels go to a `__label__`-prefixed
+    * table so a label can share a feature's name. Responds Empty when the
+    * client half-closes (the generated server's shape). */
+  private def writeStream(route: String, valueField: Int, entityField: Int,
+                          tablePrefix: String)
+      : org.sparkproject.connect.grpc.ServerCallHandler[Array[Byte], Array[Byte]] =
+    ServerCalls.asyncClientStreamingCall(
+      new ServerCalls.ClientStreamingMethod[Array[Byte], Array[Byte]] {
+        override def invoke(obs: StreamObserver[Array[Byte]])
+            : StreamObserver[Array[Byte]] =
+          new StreamObserver[Array[Byte]] {
+            private val t0 = System.nanoTime()
+            private var closed = false // error already sent; swallow the rest
+            override def onNext(req: Array[Byte]): Unit = if (!closed) try {
+              val sink = store.getOrElse(throw Status.UNIMPLEMENTED
+                .withDescription(s"$route: no online store bound")
+                .asRuntimeException())
+              val r = new R(req)
+              var name = ""; var variant = ""
+              var entity = ""; var value = ""; var tsMs = 0L
+              var more = true
+              while (more) r.readTag() match {
+                case (0, _) => more = false
+                case (1, _) => name = r.readString()
+                case (2, _) => variant = r.readString()
+                case (`entityField`, _) => entity = r.readString()
+                case (`valueField`, _) => value = r.readString()
+                case (5, _) => // Timestamp{seconds=1, nanos=2}
+                  val t = r.readSlice()
+                  var secs = 0L; var nanos = 0L
+                  var tm = true
+                  while (tm) t.readTag() match {
+                    case (0, _) => tm = false
+                    case (1, _) => secs = t.readVarint()
+                    case (2, _) => nanos = t.readVarint()
+                    case (_, wt) => t.skip(wt)
+                  }
+                  tsMs = secs * 1000L + nanos / 1000000L
+                case (_, wt) => r.skip(wt)
+              }
+              if (name.isEmpty) invalid(s"$route: name required")
+              val table = tablePrefix +
+                (if (variant.isEmpty) name else s"$name/$variant")
+              val entityKey: Any = entity.toLongOption.getOrElse(entity)
+              val typedValue: Any = value.toLongOption
+                .orElse(value.toDoubleOption).getOrElse(value)
+              sink.upsertWithTs(table, entityKey, typedValue, tsMs)
+            } catch {
+              case e: Throwable =>
+                closed = true
+                metrics.observe(route, System.nanoTime() - t0, error = true)
+                obs.onError(Backpressure.toStatus(e))
+            }
+            override def onError(t: Throwable): Unit = ()
+            override def onCompleted(): Unit = if (!closed) {
+              closed = true
+              metrics.observe(route, System.nanoTime() - t0, error = false)
+              obs.onNext(Empty); obs.onCompleted()
+            }
+          }
+      })
+
   private def service(name: String): ServerServiceDefinition = {
     import org.sparkproject.connect.grpc.MethodDescriptor.MethodType._
     def m(rpc: String, mt: org.sparkproject.connect.grpc.MethodDescriptor.MethodType) =
       MetadataServe.method(name, rpc, mt)
-    ServerServiceDefinition.builder(name)
+    val b = ServerServiceDefinition.builder(name)
+    // WriteFeatures / WriteLabels exist only on the Api service
+    // (metadata.proto:116-117); StreamingLabelVariant swaps value(3) /
+    // entity(4) relative to StreamingFeatureVariant's entity(3)/value(4)
+    if (name == MetadataServe.ApiServiceName) {
+      b.addMethod(m("WriteFeatures", CLIENT_STREAMING),
+        writeStream("WriteFeatures", valueField = 4, entityField = 3, ""))
+      b.addMethod(m("WriteLabels", CLIENT_STREAMING),
+        writeStream("WriteLabels", valueField = 3, entityField = 4, "__label__"))
+    }
+    b
       .addMethod(m("CreateUser", UNARY), unary("CreateUser", createUser))
       .addMethod(m("CreateProvider", UNARY), unary("CreateProvider", createProvider))
       .addMethod(m("CreateSourceVariant", UNARY),

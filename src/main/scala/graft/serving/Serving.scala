@@ -110,6 +110,24 @@ final class OnlineStore(backend: KvBackend = OnlineStore.defaultBackend()) {
         .as("value")), entityCol, "value")
   }
 
+  /** Streaming point upsert under the latest-value rule: the write lands
+    * only when `tsMs` is at-or-after the stored timestamp (out-of-order
+    * stream messages can't regress a value — the same newest-wins fold
+    * the batch MERGE and streaming sinks apply). Stores the (v, t)
+    * struct shape [[loadWithTs]] uses, so TTL reads and serving work
+    * unchanged. Returns whether the write landed. */
+  def upsertWithTs(feature: String, entity: Any, value: Any,
+                   tsMs: Long): Boolean = synchronized {
+    val newer = backend.get(feature, entity) match {
+      case Some(r: Row) if r.length == 2 => tsMs >= r.getLong(1)
+      case Some(_) => true
+      case None => true
+    }
+    if (newer)
+      backend.putBatch(feature, Iterator(entity -> Row(value, tsMs)))
+    newer
+  }
+
   /** TTL point lookup over a [[loadWithTs]] table: None when the stored
     * value is older than `maxAgeMs` as of `asOfMs`. `asOfMs` is
     * caller-supplied (the request handler's clock) — the store itself

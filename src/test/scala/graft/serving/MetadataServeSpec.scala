@@ -493,6 +493,68 @@ class MetadataServeSpec extends SparkSpec {
     }
   }
 
+  test("Api WriteFeatures/WriteLabels client streams land in the online " +
+       "store under the latest-value rule (out-of-order can't regress); " +
+       "no store bound means UNIMPLEMENTED") {
+    def writeCall(ch: ManagedChannel, rpc: String,
+                  msgs: Seq[Array[Byte]]): Option[Throwable] = {
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var err: Throwable = null
+      val reqObs = ClientCalls.asyncClientStreamingCall(
+        ch.newCall(MetadataServe.method(MetadataServe.ApiServiceName, rpc,
+          CLIENT_STREAMING), CallOptions.DEFAULT),
+        new StreamObserver[Array[Byte]] {
+          override def onNext(v: Array[Byte]): Unit = ()
+          override def onError(t: Throwable): Unit = { err = t; done.countDown() }
+          override def onCompleted(): Unit = done.countDown()
+        })
+      msgs.foreach(reqObs.onNext)
+      reqObs.onCompleted()
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS), s"$rpc timed out")
+      Option(err)
+    }
+    def sfv(name: String, variant: String, entity: String, value: String,
+            tsSec: Long, entityField: Int = 3, valueField: Int = 4): Array[Byte] = {
+      val w = new W
+      w.str(1, name); w.str(2, variant)
+      w.str(entityField, entity); w.str(valueField, value)
+      w.msg(5)(_.int64(1, tsSec))
+      w.result()
+    }
+
+    val cat = new Catalog(spark)
+    val store = new OnlineStore(new InProcessKv)
+    val srv = new MetadataServe(cat, store = Some(store)).start()
+    val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
+      .usePlaintext().build()
+    try {
+      // newest-wins: t=200 lands, then t=100 arrives late and must NOT win
+      assert(writeCall(ch, "WriteFeatures", Seq(
+        sfv("f_click", "v1", "7", "1.5", 100),
+        sfv("f_click", "v1", "7", "9.9", 200),
+        sfv("f_click", "v1", "7", "2.2", 150), // late, loses
+        sfv("f_click", "v1", "8", "42", 100))).isEmpty)
+      val e7 = store.get("f_click/v1", 7L).get.asInstanceOf[org.apache.spark.sql.Row]
+      assert(e7.get(0) == 9.9 && e7.getLong(1) == 200000L)
+      assert(store.get("f_click/v1", 8L).get
+        .asInstanceOf[org.apache.spark.sql.Row].get(0) == 42L)
+
+      // labels swap value(3)/entity(4) and land prefixed
+      assert(writeCall(ch, "WriteLabels", Seq(
+        sfv("churn", "v1", "7", "1", 100, entityField = 4, valueField = 3))).isEmpty)
+      assert(store.get("__label__churn/v1", 7L).get
+        .asInstanceOf[org.apache.spark.sql.Row].get(0) == 1L)
+    } finally { ch.shutdownNow(); srv.stop() }
+
+    // a server without a store answers UNIMPLEMENTED
+    withServer() { (_, _, ch2) =>
+      val err = writeCall(ch2, "WriteFeatures",
+        Seq(sfv("f", "v", "1", "1", 1)))
+      assert(err.exists(_.asInstanceOf[StatusRuntimeException]
+        .getStatus.getCode.toString == "UNIMPLEMENTED"))
+    }
+  }
+
   test("DF transformations bind by name from the server registry; an " +
        "unknown name is INVALID_ARGUMENT") {
     import org.apache.spark.sql.functions.col
