@@ -223,6 +223,7 @@ object SkewBench {
     var embCountX1 = 0L // the 1× corpus size, for the fixed-nlist control
     // ((exactWrite, exactRead), (pqWrite, pqRead)) at x10
     var knnShuffle: Option[((Long, Long), (Long, Long))] = None
+    var knnShuffle512: Option[((Long, Long), (Long, Long))] = None
 
     // ---------------------------------------------------------- run
     for (m <- Seq(1, 10)) {
@@ -336,6 +337,30 @@ object SkewBench {
         System.err.println(f"[skew] x10 shuffle bytes knn_join write=$exW " +
           f"read=$exR; knn_join_pq write=$pqW read=$pqR " +
           f"(exact/pq write ratio ${exW.toDouble / math.max(pqW, 1L)}%.2f)")
+        // the payload claim is DIM-dependent: at dim 64 a candidate vector
+        // is 256 B and PQ's extra stages (codebooks, SDC tables, shortlist
+        // rerank) dominate total bytes — tile to dim 512 (KnnProbe's
+        // position-scaled tiling; production-embedding regime) and measure
+        // the same pair, so the artifact carries the crossover, not a
+        // single-point reading
+        val emb512 = emb.withColumn("embedding", expr(
+          "flatten(transform(sequence(1, 8), t -> " +
+            "transform(embedding, x -> cast(x * t / 8 as float))))"))
+          .select("id", "embedding")
+        spark.catalog.clearCache()
+        val (exW5, exR5) = shuffleBytes(spark)(force(
+          Vectors.knnJoinIVFAuto(emb512, "id", "embedding",
+            k = 5, nprobe = 2, iters = 1, maxCellFreq = 1000)))
+        spark.catalog.clearCache()
+        val (pqW5, pqR5) = shuffleBytes(spark)(force(
+          Vectors.knnJoinIVFPQAuto(emb512, "id", "embedding",
+            k = 5, nprobe = 2, iters = 1,
+            m = 4, subDim = 128, codebookK = 16, pqIters = 1, rerank = 20,
+            maxCellFreq = 1000)))
+        knnShuffle512 = Some(((exW5, exR5), (pqW5, pqR5)))
+        System.err.println(f"[skew] x10 dim512 shuffle bytes knn_join " +
+          f"write=$exW5 read=$exR5; knn_join_pq write=$pqW5 read=$pqR5 " +
+          f"(exact/pq write ratio ${exW5.toDouble / math.max(pqW5, 1L)}%.2f)")
       }
       // fixed-resolution CONTROL: the same 10× corpus at the 1× auto
       // nlist — candidate volume ~n²·nprobe/nlist, the quadratic regime
@@ -657,6 +682,12 @@ object SkewBench {
         f""""knn_join_pq_x30_over_x1":$knnPqX30Ratio%.2f,""" +
         knnShuffle.map { case ((exW, exR), (pqW, pqR)) =>
           s""""knn_shuffle_bytes_x10":{"exact_write":$exW,"exact_read":$exR,""" +
+            s""""pq_write":$pqW,"pq_read":$pqR,""" +
+            f""""exact_over_pq_write":${exW.toDouble / math.max(pqW, 1L)}%.2f,""" +
+            f""""exact_over_pq_read":${exR.toDouble / math.max(pqR, 1L)}%.2f},"""
+        }.getOrElse("") +
+        knnShuffle512.map { case ((exW, exR), (pqW, pqR)) =>
+          s""""knn_shuffle_bytes_x10_dim512":{"exact_write":$exW,"exact_read":$exR,""" +
             s""""pq_write":$pqW,"pq_read":$pqR,""" +
             f""""exact_over_pq_write":${exW.toDouble / math.max(pqW, 1L)}%.2f,""" +
             f""""exact_over_pq_read":${exR.toDouble / math.max(pqR, 1L)}%.2f},"""

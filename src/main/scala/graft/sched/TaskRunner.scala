@@ -140,6 +140,56 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     synchronized(localSuccesses.contains((task, runKey))) ||
       runs().exists(r => r.task == task && r.runKey == runKey && r.status == "success")
 
+  /** Service-plane append — the Tasks gRPC service's write path
+    * (reference scheduling.proto SetRunStatus/SetRunEndTime land as task
+    * run table updates): record an externally-reported run state
+    * transition in the ledger under the same lock + fence as run-recorded
+    * attempts. The ledger stays an append-only attempt log; readers take
+    * the latest (runKey, attempt) per run. */
+  def record(r: TaskRun): Unit = append(r)
+
+  // -------- run log sidecar (reference AddRunLog, scheduling.proto:29) --
+
+  private val logsFile = new Path(s"$stateDir/run_logs.jsonl")
+
+  /** Append a log line for (task, runKey) — durable beside the ledger,
+    * same lock and rewrite pattern (metadata-scale). */
+  def addRunLog(task: String, runKey: String, log: String): Unit =
+    lock.withLock("__ledger__") {
+      val m = new java.util.LinkedHashMap[String, Any]()
+      m.put("task", task); m.put("runKey", runKey); m.put("log", log)
+      val line = mapper.writeValueAsString(m) + "\n"
+      fs.mkdirs(new Path(stateDir))
+      val existing =
+        if (fs.exists(logsFile)) {
+          val in = fs.open(logsFile)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } else ""
+      val tmp = new Path(s"$stateDir/.run_logs.jsonl.tmp")
+      val out = fs.create(tmp, true)
+      out.write((existing + line).getBytes("UTF-8")); out.close()
+      if (fs.exists(logsFile) && !fs.delete(logsFile, false))
+        sys.error(s"TaskRunner: could not delete $logsFile during log rewrite")
+      if (!fs.rename(tmp, logsFile))
+        sys.error(s"TaskRunner: could not rename $tmp -> $logsFile")
+    }
+
+  /** Log lines for (task, runKey), append order. */
+  def runLogs(task: String, runKey: String): Seq[String] =
+    lock.withLock("__ledger__") {
+      if (!fs.exists(logsFile)) Nil
+      else {
+        val in = fs.open(logsFile)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        text.linesIterator.filter(_.nonEmpty).flatMap { line =>
+          val m = mapper.readValue(line, classOf[java.util.Map[String, Any]])
+          if (m.get("task") == task && m.get("runKey") == runKey)
+            Some(m.get("log").toString)
+          else None
+        }.toSeq
+      }
+    }
+
   /** Run `body` with retry/backoff/timeout, recording every attempt.
     * Returns the final record; a previously-succeeded (task, runKey) is
     * skipped with status "skipped" (resume semantics).

@@ -64,6 +64,13 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
                             * UNIMPLEMENTED, like a server built without
                             * the streaming provider. */
                           store: Option[OnlineStore] = None,
+                          /** Ledger behind the
+                            * `featureform.scheduling.proto.Tasks` service
+                            * (the reference metadata server hosts BOTH
+                            * services in one process, metadata.go:2026-
+                            * 2345). None → the Tasks service is not
+                            * registered on the endpoint. */
+                          tasks: Option[graft.sched.TaskRunner] = None,
                           val metrics: Metrics = new Metrics) {
   import MetadataServe._
 
@@ -1471,6 +1478,330 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
           }
       })
 
+  // -------------- Tasks service (featureform.scheduling.proto.Tasks) ----
+  // The coordinator plane (scheduling.proto:18-33, served by
+  // metadata.go:2026-2345) over the TaskRunner's durable attempt ledger:
+  // a run's CURRENT state is its latest (runKey, attempt) record; status
+  // updates and end times append new records (the ledger stays an
+  // append-only log, exactly what the fencing guard protects); logs,
+  // resume ids, and scheduler ids ride the durable run-log sidecar
+  // (resume/scheduler under reserved `__` prefixes).
+
+  private val ResumePrefix = "__resume__:"
+  private val SchedulerPrefix = "__scheduler__:"
+
+  private def runner: graft.sched.TaskRunner =
+    tasks.getOrElse(throw Status.UNIMPLEMENTED
+      .withDescription("no task ledger bound").asRuntimeException())
+
+  /** graft status strings → ResourceStatus.Status ints and back. */
+  private def statusEnum(s: String): Int = s match {
+    case "created" => 1
+    case "pending" | "locked" => 2
+    case "success" | "skipped" => 3 // READY
+    case "failed" => 4
+    case "running" => 5
+    case "upstream_failed" | "cancelled" => 6
+    case "deleting" => 7
+    case _ => 0
+  }
+  private def statusString(e: Int): String = e match {
+    case 1 => "created"
+    case 2 => "pending"
+    case 3 => "success"
+    case 4 => "failed"
+    case 5 => "running"
+    case 6 => "cancelled"
+    case 7 => "deleting"
+    case _ => "no_status"
+  }
+
+  /** Latest record per (task, runKey) — the run's current state. */
+  private def latestRuns(): Seq[graft.sched.TaskRun] =
+    runner.runs().groupBy(r => (r.task, r.runKey)).values
+      .map(_.maxBy(_.attempt)).toSeq.sortBy(r => (r.task, r.runKey))
+
+  private def currentRun(task: String, runKey: String): graft.sched.TaskRun =
+    latestRuns().find(r => r.task == task && r.runKey == runKey)
+      .getOrElse(notFound(s"run $runKey of task $task"))
+
+  private def writeRunMeta(w: W, r: graft.sched.TaskRun): Unit = {
+    val allLogs = runner.runLogs(r.task, r.runKey)
+    w.msg(1)(_.str(1, r.runKey)) // runID
+    w.msg(2)(_.str(1, r.task))   // taskID
+    w.str(3, r.runKey)
+    w.msg(4)(_.str(1, r.runKey)) // trigger: OnApply{name}
+    w.enum(6, 1)                 // TriggerType.ON_APPLY
+    w.msg(10)(_.int64(1, r.startMs / 1000L))
+    if (r.endMs > 0) w.msg(11)(_.int64(1, r.endMs / 1000L))
+    allLogs.filterNot(l => l.startsWith(ResumePrefix) ||
+      l.startsWith(SchedulerPrefix)).foreach(w.str(12, _))
+    w.msg(13) { st =>
+      st.enum(1, statusEnum(r.status))
+      r.error.foreach(st.str(2, _))
+    }
+    allLogs.filter(_.startsWith(ResumePrefix)).lastOption
+      .foreach(l => w.msg(15)(_.str(1, l.stripPrefix(ResumePrefix))))
+    allLogs.filter(_.startsWith(SchedulerPrefix)).lastOption
+      .foreach(l => w.str(17, l.stripPrefix(SchedulerPrefix)))
+  }
+
+  /** TaskID{id=1} / RunID{id=1} / TaskRunID{runID=1, taskID=2}. */
+  private def readIdMsg(r: R): String = {
+    var id = ""
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => id = r.readString()
+      case (_, wt) => r.skip(wt)
+    }
+    id
+  }
+  private def readRunTaskIds(req: Array[Byte]): (String, String) = {
+    val r = new R(req)
+    var run = ""; var task = ""
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => run = readIdMsg(r.readSlice())
+      case (2, _) => task = readIdMsg(r.readSlice())
+      case (_, wt) => r.skip(wt)
+    }
+    (run, task)
+  }
+
+  private def createTaskRun(req: Array[Byte]): Array[Byte] = {
+    val r = new R(req)
+    var task = ""; var name = ""
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => task = readIdMsg(r.readSlice())
+      case (2, _) => name = r.readString()
+      case (4, _) | (5, _) => r.readSlice() // trigger names are echoed back
+      case (_, wt) => r.skip(wt)
+    }
+    if (task.isEmpty) invalid("taskID required")
+    val runKey = if (name.nonEmpty) name else s"run-${latestRuns().size}"
+    val now = System.currentTimeMillis()
+    runner.record(graft.sched.TaskRun(task, runKey, 0, "created", now, 0L, None))
+    val w = new W
+    w.str(1, runKey) // RunID{id}
+    w.result()
+  }
+
+  private def getTaskById(req: Array[Byte]): Array[Byte] = {
+    val task = readIdMsg(new R(req))
+    val rs = runner.runs().filter(_.task == task)
+    if (rs.isEmpty) notFound(s"task $task")
+    val w = new W
+    w.msg(1)(_.str(1, task))
+    w.str(2, task)
+    w.enum(3, 0) // RESOURCE_CREATION
+    w.msg(7)(_.int64(1, rs.map(_.startMs).min / 1000L))
+    w.result()
+  }
+
+  private def getRunMetadata(req: Array[Byte]): Array[Byte] = {
+    val (run, task) = readRunTaskIds(req)
+    val w = new W
+    writeRunMeta(w, currentRun(task, run))
+    w.result()
+  }
+
+  private def getLatestRun(req: Array[Byte]): Array[Byte] = {
+    val task = readIdMsg(new R(req))
+    val rs = latestRuns().filter(_.task == task)
+    if (rs.isEmpty) notFound(s"task $task")
+    val w = new W
+    writeRunMeta(w, rs.maxBy(r => (r.runKey, r.startMs)))
+    w.result()
+  }
+
+  private def setRunStatus(req: Array[Byte]): Array[Byte] = {
+    val r = new R(req)
+    var run = ""; var task = ""; var st = 0; var msg = ""
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => run = readIdMsg(r.readSlice())
+      case (2, _) => task = readIdMsg(r.readSlice())
+      case (3, _) =>
+        val s = r.readSlice()
+        var sm = true
+        while (sm) s.readTag() match {
+          case (0, _) => sm = false
+          case (1, _) => st = s.readVarint().toInt
+          case (2, _) => msg = s.readString()
+          case (_, wt) => s.skip(wt)
+        }
+      case (_, wt) => r.skip(wt)
+    }
+    val cur = currentRun(task, run)
+    runner.record(cur.copy(attempt = cur.attempt + 1,
+      status = statusString(st),
+      error = Some(msg).filter(_.nonEmpty)))
+    Empty
+  }
+
+  private def setRunEndTime(req: Array[Byte]): Array[Byte] = {
+    val r = new R(req)
+    var run = ""; var task = ""; var endMs = 0L
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => run = readIdMsg(r.readSlice())
+      case (2, _) => task = readIdMsg(r.readSlice())
+      case (3, _) =>
+        val t = r.readSlice()
+        var tm = true
+        while (tm) t.readTag() match {
+          case (0, _) => tm = false
+          case (1, _) => endMs = t.readVarint() * 1000L
+          case (2, _) => endMs += t.readVarint() / 1000000L
+          case (_, wt) => t.skip(wt)
+        }
+      case (_, wt) => r.skip(wt)
+    }
+    val cur = currentRun(task, run)
+    runner.record(cur.copy(attempt = cur.attempt + 1, endMs = endMs))
+    Empty
+  }
+
+  private def addRunLog(req: Array[Byte]): Array[Byte] = {
+    val r = new R(req)
+    var run = ""; var task = ""; var log = ""
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => run = readIdMsg(r.readSlice())
+      case (2, _) => task = readIdMsg(r.readSlice())
+      case (3, _) => log = r.readString()
+      case (_, wt) => r.skip(wt)
+    }
+    currentRun(task, run) // NOT_FOUND if unknown
+    runner.addRunLog(task, run, log)
+    Empty
+  }
+
+  private def setRunResumeId(req: Array[Byte]): Array[Byte] = {
+    val r = new R(req)
+    var run = ""; var task = ""; var resume = ""
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => run = readIdMsg(r.readSlice())
+      case (2, _) => task = readIdMsg(r.readSlice())
+      case (3, _) => resume = readIdMsg(r.readSlice())
+      case (_, wt) => r.skip(wt)
+    }
+    currentRun(task, run)
+    runner.addRunLog(task, run, ResumePrefix + resume)
+    Empty
+  }
+
+  private def setRunSchedulerId(req: Array[Byte]): Array[Byte] = {
+    val r = new R(req)
+    var run = ""; var task = ""; var sched = ""
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => run = readIdMsg(r.readSlice())
+      case (2, _) => task = readIdMsg(r.readSlice())
+      case (3, _) => sched = r.readString()
+      case (_, wt) => r.skip(wt)
+    }
+    currentRun(task, run)
+    runner.addRunLog(task, run, SchedulerPrefix + sched)
+    Empty
+  }
+
+  /** WatchForCancel returns the run's CURRENT status (the reference
+    * long-polls until a cancel lands; synchronous resolution means the
+    * answer is immediately current — callers poll). */
+  private def watchForCancel(req: Array[Byte]): Array[Byte] = {
+    val (run, task) = readRunTaskIds(req)
+    val cur = currentRun(task, run)
+    val w = new W
+    w.enum(1, statusEnum(cur.status))
+    cur.error.foreach(w.str(2, _))
+    w.result()
+  }
+
+  private def runStream(route: String,
+                        pick: () => Seq[graft.sched.TaskRun]) =
+    ServerCalls.asyncServerStreamingCall(
+      new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+        override def invoke(req: Array[Byte],
+                            obs: StreamObserver[Array[Byte]]): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            val msgs = pick().iterator.map { r =>
+              val w = new W; writeRunMeta(w, r); w.result()
+            }
+            Backpressure.drive(obs, msgs,
+              err => metrics.observe(route, System.nanoTime() - t0,
+                error = err.isDefined))
+          } catch {
+            case e: Throwable =>
+              metrics.observe(route, System.nanoTime() - t0, error = true)
+              obs.onError(Backpressure.toStatus(e))
+          }
+        }
+      })
+
+  private val Unfinished = Set("created", "pending", "running", "locked")
+
+  private def tasksService: ServerServiceDefinition = {
+    import org.sparkproject.connect.grpc.MethodDescriptor.MethodType._
+    def m(rpc: String, mt: org.sparkproject.connect.grpc.MethodDescriptor.MethodType) =
+      MetadataServe.method(MetadataServe.TasksServiceName, rpc, mt)
+    ServerServiceDefinition.builder(MetadataServe.TasksServiceName)
+      .addMethod(m("CreateTaskRun", UNARY), unary("CreateTaskRun", createTaskRun))
+      .addMethod(m("SyncUnfinishedRuns", UNARY),
+        unary("SyncUnfinishedRuns", _ => Empty))
+      .addMethod(m("GetTaskByID", UNARY), unary("GetTaskByID", getTaskById))
+      .addMethod(m("GetRuns", SERVER_STREAMING),
+        ServerCalls.asyncServerStreamingCall(
+          new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+            override def invoke(req: Array[Byte],
+                                obs: StreamObserver[Array[Byte]]): Unit = {
+              val t0 = System.nanoTime()
+              try {
+                val task = readIdMsg(new R(req))
+                val msgs = latestRuns().filter(_.task == task).iterator
+                  .map { r => val w = new W; writeRunMeta(w, r); w.result() }
+                Backpressure.drive(obs, msgs,
+                  err => metrics.observe("GetRuns", System.nanoTime() - t0,
+                    error = err.isDefined))
+              } catch {
+                case e: Throwable =>
+                  metrics.observe("GetRuns", System.nanoTime() - t0, error = true)
+                  obs.onError(Backpressure.toStatus(e))
+              }
+            }
+          }))
+      .addMethod(m("GetRunMetadata", UNARY),
+        unary("GetRunMetadata", getRunMetadata))
+      .addMethod(m("GetAllRuns", SERVER_STREAMING),
+        runStream("GetAllRuns", () => latestRuns()))
+      .addMethod(m("GetUnfinishedRuns", SERVER_STREAMING),
+        runStream("GetUnfinishedRuns",
+          () => latestRuns().filter(r => Unfinished.contains(r.status))))
+      .addMethod(m("GetLatestRun", UNARY), unary("GetLatestRun", getLatestRun))
+      .addMethod(m("SetRunStatus", UNARY), unary("SetRunStatus", setRunStatus))
+      .addMethod(m("SetRunResumeID", UNARY),
+        unary("SetRunResumeID", setRunResumeId))
+      .addMethod(m("AddRunLog", UNARY), unary("AddRunLog", addRunLog))
+      .addMethod(m("SetRunEndTime", UNARY),
+        unary("SetRunEndTime", setRunEndTime))
+      .addMethod(m("WatchForCancel", UNARY),
+        unary("WatchForCancel", watchForCancel))
+      .addMethod(m("SetRunSchedulerID", UNARY),
+        unary("SetRunSchedulerID", setRunSchedulerId))
+      .build()
+  }
+
   private def service(name: String): ServerServiceDefinition = {
     import org.sparkproject.connect.grpc.MethodDescriptor.MethodType._
     def m(rpc: String, mt: org.sparkproject.connect.grpc.MethodDescriptor.MethodType) =
@@ -1554,11 +1885,17 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
       .build()
   }
 
-  private val server = NettyServerBuilder
-    .forAddress(new java.net.InetSocketAddress("127.0.0.1", port))
-    .addService(service(MetadataServe.ServiceName))
-    .addService(service(MetadataServe.ApiServiceName))
-    .build()
+  private val server = {
+    val b = NettyServerBuilder
+      .forAddress(new java.net.InetSocketAddress("127.0.0.1", port))
+      .addService(service(MetadataServe.ServiceName))
+      .addService(service(MetadataServe.ApiServiceName))
+    // the reference metadata server hosts the scheduler's Tasks service in
+    // the same process (metadata.go:2026-2345) — same here when a ledger
+    // is bound
+    tasks.foreach(_ => b.addService(tasksService))
+    b.build()
+  }
 
   def start(): MetadataServe = { server.start(); this }
   def boundPort: Int = server.getPort
@@ -1568,6 +1905,7 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
 object MetadataServe {
   val ServiceName = "featureform.serving.metadata.proto.Metadata"
   val ApiServiceName = "featureform.serving.metadata.proto.Api"
+  val TasksServiceName = "featureform.scheduling.proto.Tasks"
 
   /** Status enum ints — metadata.proto ResourceStatus.Status. */
   val StCreated = 1

@@ -1,0 +1,190 @@
+package graft.serving
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.catalog.Catalog
+import graft.serving.ProtoWire.{R, W}
+import org.sparkproject.connect.grpc.{CallOptions, ManagedChannel, StatusRuntimeException}
+import org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+import org.sparkproject.connect.grpc.stub.ClientCalls
+
+/** The scheduler plane over a real TCP/HTTP2 connection —
+  * `featureform.scheduling.proto.Tasks` (scheduling.proto:18-33, hosted by
+  * the reference metadata server) against the TaskRunner's durable attempt
+  * ledger: create → status transitions → logs/resume/scheduler ids → reads,
+  * all by a hand-encoded wire client. */
+class TasksServeSpec extends SparkSpec {
+  import MetadataServe.{method, TasksServiceName}
+  import org.sparkproject.connect.grpc.MethodDescriptor.MethodType._
+
+  private def withServer(body: (graft.sched.TaskRunner, ManagedChannel) => Unit): Unit = {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_tasks").toString
+    val runner = new graft.sched.TaskRunner(spark, stateDir)
+    val srv = new MetadataServe(new Catalog(spark), tasks = Some(runner)).start()
+    val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
+      .usePlaintext().build()
+    try body(runner, ch)
+    finally { ch.shutdownNow(); srv.stop() }
+  }
+
+  private def unary(ch: ManagedChannel, rpc: String, req: Array[Byte]): Array[Byte] =
+    ClientCalls.blockingUnaryCall(ch, method(TasksServiceName, rpc, UNARY),
+      CallOptions.DEFAULT, req)
+
+  private def stream(ch: ManagedChannel, rpc: String,
+                     req: Array[Byte] = Array.emptyByteArray): Seq[Array[Byte]] =
+    ClientCalls.blockingServerStreamingCall(ch,
+      method(TasksServiceName, rpc, SERVER_STREAMING), CallOptions.DEFAULT, req)
+      .asScala.toSeq
+
+  private def idMsg(field: Int, id: String)(w: W): Unit =
+    w.msg(field)(_.str(1, id))
+  private def runTask(run: String, task: String): Array[Byte] = {
+    val w = new W; idMsg(1, run)(w); idMsg(2, task)(w); w.result()
+  }
+  private def taskId(task: String): Array[Byte] = {
+    val w = new W; w.str(1, task); w.result()
+  }
+
+  /** Decode TaskRunMetadata fields we assert on. */
+  private def runMeta(msg: Array[Byte])
+      : (String, String, Int, Seq[String], String, String, String) = {
+    val r = new R(msg)
+    var run = ""; var task = ""; var status = 0; var err = ""
+    var resume = ""; var sched = ""
+    val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def inner(s: R): String = {
+      var id = ""
+      var m = true
+      while (m) s.readTag() match {
+        case (0, _) => m = false
+        case (1, _) => id = s.readString()
+        case (_, wt) => s.skip(wt)
+      }
+      id
+    }
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => run = inner(r.readSlice())
+      case (2, _) => task = inner(r.readSlice())
+      case (12, _) => logs += r.readString()
+      case (13, _) =>
+        val s = r.readSlice()
+        var sm = true
+        while (sm) s.readTag() match {
+          case (0, _) => sm = false
+          case (1, _) => status = s.readVarint().toInt
+          case (2, _) => err = s.readString()
+          case (_, wt) => s.skip(wt)
+        }
+      case (15, _) => resume = inner(r.readSlice())
+      case (17, _) => sched = r.readString()
+      case (_, wt) => r.skip(wt)
+    }
+    (run, task, status, logs.toSeq, err, resume, sched)
+  }
+
+  test("create → status transitions → end time → logs/resume/scheduler: " +
+       "the full run lifecycle over the wire, durable in the ledger") {
+    withServer { (runner, ch) =>
+      // CreateTaskRun returns the RunID
+      val createReq = { val w = new W; idMsg(1, "mat_f_click")(w); w.str(2, "2024-03-01"); w.result() }
+      val runId = {
+        val r = new R(unary(ch, "CreateTaskRun", createReq))
+        assert(r.readTag()._1 == 1)
+        r.readString()
+      }
+      assert(runId == "2024-03-01")
+
+      // created → RUNNING(5) → READY(3) via SetRunStatus appends
+      def setStatus(st: Int, msg: String = ""): Unit = {
+        val w = new W
+        idMsg(1, runId)(w); idMsg(2, "mat_f_click")(w)
+        w.msg(3) { s => s.enum(1, st); if (msg.nonEmpty) s.str(2, msg) }
+        unary(ch, "SetRunStatus", w.result())
+      }
+      setStatus(5)
+      setStatus(3)
+      // logs + resume + scheduler ids
+      val logW = new W
+      idMsg(1, runId)(logW); idMsg(2, "mat_f_click")(logW)
+      logW.str(3, "started batch 7")
+      unary(ch, "AddRunLog", logW.result())
+      val resW = new W
+      idMsg(1, runId)(resW); idMsg(2, "mat_f_click")(resW)
+      resW.msg(3)(_.str(1, "resume-42"))
+      unary(ch, "SetRunResumeID", resW.result())
+      val schW = new W
+      idMsg(1, runId)(schW); idMsg(2, "mat_f_click")(schW)
+      schW.str(3, "sched-9")
+      unary(ch, "SetRunSchedulerID", schW.result())
+      val endW = new W
+      idMsg(1, runId)(endW); idMsg(2, "mat_f_click")(endW)
+      endW.msg(3)(_.int64(1, 1710000000L))
+      unary(ch, "SetRunEndTime", endW.result())
+
+      // GetRunMetadata reflects the latest state + sidecar ids
+      val (r1, t1, st1, logs1, _, resume1, sched1) =
+        runMeta(unary(ch, "GetRunMetadata", runTask(runId, "mat_f_click")))
+      assert((r1, t1) == ((runId, "mat_f_click")))
+      assert(st1 == 3) // READY survived the end-time append (copy keeps status)
+      assert(logs1 == Seq("started batch 7")) // reserved prefixes filtered
+      assert(resume1 == "resume-42" && sched1 == "sched-9")
+
+      // the ledger is DURABLE: the runner's own view agrees
+      assert(runner.runs().count(_.task == "mat_f_click") == 4) // create + 2 status + end
+      assert(runner.runLogs("mat_f_click", runId).size == 3)
+
+      // WatchForCancel returns current status
+      val wr = new R(unary(ch, "WatchForCancel", runTask(runId, "mat_f_click")))
+      assert(wr.readTag()._1 == 1 && wr.readVarint() == 3L)
+
+      // GetTaskByID + GetLatestRun + streams
+      val tr = new R(unary(ch, "GetTaskByID", taskId("mat_f_click")))
+      assert(tr.readTag()._1 == 1) // TaskID msg present
+      val (lr, _, _, _, _, _, _) =
+        runMeta(unary(ch, "GetLatestRun", taskId("mat_f_click")))
+      assert(lr == runId)
+      assert(stream(ch, "GetAllRuns").size == 1)
+      assert(stream(ch, "GetRuns", taskId("mat_f_click")).size == 1)
+      assert(stream(ch, "GetRuns", taskId("other_task")).isEmpty)
+
+      // unfinished excludes READY; a fresh created run shows up
+      assert(stream(ch, "GetUnfinishedRuns").isEmpty)
+      val c2 = { val w = new W; idMsg(1, "mat_f_click")(w); w.str(2, "2024-03-02"); w.result() }
+      unary(ch, "CreateTaskRun", c2)
+      val unf = stream(ch, "GetUnfinishedRuns")
+      assert(unf.size == 1 && runMeta(unf.head)._1 == "2024-03-02")
+
+      // unknown run → NOT_FOUND
+      val nf = intercept[StatusRuntimeException] {
+        unary(ch, "GetRunMetadata", runTask("nope", "mat_f_click"))
+      }
+      assert(nf.getStatus.getCode.toString == "NOT_FOUND")
+    }
+  }
+
+  test("runner-executed work is visible over the wire: a TaskRunner.run " +
+       "attempt shows as a READY run with its ledger identity") {
+    withServer { (runner, ch) =>
+      runner.run("refresh", "2024-04-01") { 42 }
+      val (run, task, st, _, _, _, _) =
+        runMeta(unary(ch, "GetLatestRun", taskId("refresh")))
+      assert((run, task, st) == (("2024-04-01", "refresh", 3)))
+    }
+  }
+
+  test("a server without a ledger does not register the Tasks service") {
+    val srv = new MetadataServe(new Catalog(spark)).start()
+    val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
+      .usePlaintext().build()
+    try {
+      val e = intercept[StatusRuntimeException] {
+        unary(ch, "GetAllRuns", Array.emptyByteArray)
+      }
+      assert(e.getStatus.getCode.toString == "UNIMPLEMENTED")
+    } finally { ch.shutdownNow(); srv.stop() }
+  }
+}
