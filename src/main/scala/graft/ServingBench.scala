@@ -191,6 +191,107 @@ object ServingBench {
       } finally { ch.shutdownNow(); gs.stop() }
     }
 
+    // ------------------------------- Arrow Flight DoGet, full-table reads
+    // The bulk serving edge over the Flight transport (role of /arrow's
+    // HTTP chunked stream): repeated full DoGet reads of the latest-value
+    // materialization; rows/sec is the number that matters for a training
+    // loop pulling over Flight.
+    val (flightRowsPerSec, flightRows, flightReads) = {
+      val served = ops.Materialize.latestTriple(ev.select(
+          col("user_id").as("entity"), col("value"), col("ts")))
+        .select(col("entity"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+      val fs = new serving.FlightServe().start()
+      fs.register("bench/latest", served)
+      val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+        .forAddress("127.0.0.1", fs.boundPort).usePlaintext().build()
+      try {
+        import scala.jdk.CollectionConverters._
+        val desc = serving.FlightServe.method("DoGet",
+          org.sparkproject.connect.grpc.MethodDescriptor.MethodType.SERVER_STREAMING)
+        val ticket = {
+          val w = new serving.ProtoWire.W; w.str(1, "bench/latest"); w.result()
+        }
+        def readAll(): Long = {
+          val frames = org.sparkproject.connect.grpc.stub.ClientCalls
+            .blockingServerStreamingCall(ch, desc,
+              org.sparkproject.connect.grpc.CallOptions.DEFAULT, ticket)
+            .asScala.toSeq
+          val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+          val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+            new java.io.ByteArrayInputStream(
+              serving.FlightServe.reassembleIpc(frames)), alloc)
+          var n = 0L
+          try {
+            val root = reader.getVectorSchemaRoot
+            while (reader.loadNextBatch()) n += root.getRowCount
+          } finally { reader.close(); alloc.close() }
+          n
+        }
+        readAll() // warm-up (plan + JIT)
+        val reads = 5
+        val t0 = System.nanoTime()
+        var total = 0L
+        (0 until reads).foreach(_ => total += readAll())
+        val wall = (System.nanoTime() - t0) / 1e9
+        val perRead = total / reads
+        System.err.println(f"[serve] flight_doget ${total / wall}%10.0f rows/s " +
+          f"($perRead rows/read x $reads reads in $wall%.2f s)")
+        (total / wall, perRead, reads)
+      } finally { ch.shutdownNow(); fs.stop() }
+    }
+
+    // --------------------------- Metadata registration plane, under load
+    // CreateSourceVariant + GetEquivalent round-trips per second over the
+    // real wire — the client.apply() hot path.
+    val (metaOpsPerSec, metaBad) = {
+      val cat = new catalog.Catalog(spark)
+      val ms = new serving.MetadataServe(cat).start()
+      val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+        .forAddress("127.0.0.1", ms.boundPort).usePlaintext().build()
+      try {
+        val createDesc = serving.MetadataServe.method(
+          serving.MetadataServe.ServiceName, "CreateSourceVariant",
+          org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY)
+        val equivDesc = serving.MetadataServe.method(
+          serving.MetadataServe.ServiceName, "GetEquivalent",
+          org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY)
+        def registerAndRead(i: Int): Boolean = {
+          val w = new serving.ProtoWire.W
+          w.msg(1) { sv =>
+            sv.str(1, "bench_src"); sv.str(2, s"v$i")
+            sv.msg(15)(_.msg(3)(_.str(1, s"$sfDir/orders.parquet")))
+          }
+          org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(
+            ch, createDesc, org.sparkproject.connect.grpc.CallOptions.DEFAULT,
+            w.result())
+          val eq = new serving.ProtoWire.W
+          eq.msg(2)(_.msg(4) { sv =>
+            sv.str(1, "bench_src"); sv.str(2, "probe")
+            sv.msg(15)(_.msg(3)(_.str(1, s"$sfDir/orders.parquet")))
+          })
+          org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(
+            ch, equivDesc, org.sparkproject.connect.grpc.CallOptions.DEFAULT,
+            eq.result()).nonEmpty
+        }
+        registerAndRead(-1) // warm-up
+        val ops = 500
+        val bad = new java.util.concurrent.atomic.AtomicLong(0)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+        val t0 = System.nanoTime()
+        for (i <- 0 until ops) pool.submit(new Runnable {
+          def run(): Unit =
+            try { if (!registerAndRead(i)) bad.incrementAndGet() }
+            catch { case _: Throwable => bad.incrementAndGet() }
+        })
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        val wall = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[serve] metadata_register ${ops / wall}%8.0f " +
+          f"create+equiv/s  bad ${bad.get()}")
+        (ops / wall, bad.get())
+      } finally { ch.shutdownNow(); ms.stop() }
+    }
+
     val json =
       s"""{"metric":"serving_load","clients":$nClients,""" +
         s""""entities":$nEntities,"latency_source":"/metrics histogram",""" +
@@ -202,6 +303,10 @@ object ServingBench {
         f""""grpc_feature_serve":{"rps":$grpcRps%.2f,"p50_ms":$grpcSrvP50%.2f,""" +
         f""""p99_ms":$grpcSrvP99%.2f,"client_p50_ms":$grpcP50%.2f,""" +
         f""""client_p99_ms":$grpcP99%.2f,"client_errors":$grpcBad},""" +
+        f""""flight_doget":{"rows_per_sec":$flightRowsPerSec%.0f,""" +
+        s""""rows_per_read":$flightRows,"reads":$flightReads},""" +
+        f""""metadata_register":{"ops_per_sec":$metaOpsPerSec%.2f,""" +
+        s""""client_errors":$metaBad},""" +
         s""""sf_dir":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(
