@@ -389,6 +389,70 @@ object OracleSql {
        |$rounds""".stripMargin
   }
 
+  /** The knn_graph_pq replay, parameterized on the RERANK payload: exact
+    * float cosine, or — `int8` — cosine over the floor(x/s + 0.5) integer
+    * vectors (the engine's tinyint rerank; per-vector scales cancel in
+    * cosine, so only the rounding differs). Topology (√n IVF, 4×16 PQ
+    * codebooks, SDC shortlist of 20) is shared verbatim. */
+  private def knnGraphPqOracle(int8: Boolean): String = {
+    val pq = (0 until 4).map { s =>
+      kmeansCtes(8, 1, p = s"q$s",
+        vecExpr = s"embedding[${s * 16 + 1}:${s * 16 + 16}]",
+        seed = s"pq$s")
+    }.mkString(",\n")
+    val codeJoins = (0 until 4).map { s =>
+      s"""JOIN q${s}a1 qa$s ON qa$s.vec_id = c.qid
+         |  JOIN q${s}c1 qc$s ON qc$s.cell = qa$s.cell
+         |  JOIN q${s}a1 na$s ON na$s.vec_id = c.nid
+         |  JOIN q${s}c1 nc$s ON nc$s.cell = na$s.cell""".stripMargin
+    }.mkString("\n  ")
+    val sdcSum = (0 until 4)
+      .map(s => s"list_dot_product(qc$s.cv, nc$s.cv)").mkString(" + ")
+    // rerank source: raw floats, or the quantized integer twin
+    val rerankSrc =
+      if (!int8) "e"
+      else
+        """(SELECT vec_id,
+          |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          |         ELSE list_transform(v, x ->
+          |           CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) END AS v
+          |  FROM (SELECT vec_id, v,
+          |      list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+          |    FROM e))""".stripMargin
+    s"""WITH ${kmeansCtesK(sqrtNlistSql(), 1)},
+       |$pq,
+       |cn AS (SELECT cell, list_transform(cv,
+       |    y -> y / sqrt(list_dot_product(cv, cv))) AS cvn FROM c1),
+       |sims AS MATERIALIZED (SELECT f.vec_id, f.v, c.cell,
+       |    list_dot_product(CAST(f.v AS DOUBLE[]), c.cvn) AS sim
+       |  FROM e f CROSS JOIN cn c),
+       |asg AS (SELECT vec_id, cell FROM sims
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell DESC) = 1),
+       |probe AS (SELECT vec_id, cell FROM sims
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell DESC) <= 2),
+       |cand AS MATERIALIZED (SELECT p.vec_id AS qid, a.vec_id AS nid
+       |  FROM probe p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.vec_id),
+       |sc AS MATERIALIZED (SELECT c.qid, c.nid, round($sdcSum, 6) AS sdc
+       |  FROM cand c
+       |  $codeJoins),
+       |short AS (SELECT qid, nid FROM sc
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY sdc DESC, nid) <= 20),
+       |rv AS MATERIALIZED (SELECT * FROM $rerankSrc),
+       |rr AS (SELECT s.qid AS query_id, s.nid AS neighbor_id,
+       |    round(list_dot_product(CAST(q.v AS DOUBLE[]), CAST(n.v AS DOUBLE[])) /
+       |      (sqrt(list_dot_product(CAST(q.v AS DOUBLE[]), CAST(q.v AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(CAST(n.v AS DOUBLE[]), CAST(n.v AS DOUBLE[])))), 6) AS cosine
+       |  FROM short s JOIN rv q ON q.vec_id = s.qid JOIN rv n ON n.vec_id = s.nid)
+       |SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |FROM rr QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin
+  }
+
   /** Linear-classifier training replay ≡
     * [[graft.functions.Classifier.trainLinearScores]]: md5-bucketed token
     * counts + intercept in a fixed-order vector, per-round
@@ -2694,52 +2758,13 @@ object OracleSql {
     // code assignments, symmetric-distance scores as raw-centroid dot sums
     // (engine precomputes the m×k×k table; same doubles either way), the
     // top-20 shortlist cut, the exact-cosine top-5 rerank — cell-exact
-    "knn_graph_pq" -> {
-      val pq = (0 until 4).map { s =>
-        kmeansCtes(8, 1, p = s"q$s",
-          vecExpr = s"embedding[${s * 16 + 1}:${s * 16 + 16}]",
-          seed = s"pq$s")
-      }.mkString(",\n")
-      val codeJoins = (0 until 4).map { s =>
-        s"""JOIN q${s}a1 qa$s ON qa$s.vec_id = c.qid
-           |  JOIN q${s}c1 qc$s ON qc$s.cell = qa$s.cell
-           |  JOIN q${s}a1 na$s ON na$s.vec_id = c.nid
-           |  JOIN q${s}c1 nc$s ON nc$s.cell = na$s.cell""".stripMargin
-      }.mkString("\n  ")
-      val sdcSum = (0 until 4)
-        .map(s => s"list_dot_product(qc$s.cv, nc$s.cv)").mkString(" + ")
-      s"""WITH ${kmeansCtesK(sqrtNlistSql(), 1)},
-         |$pq,
-         |cn AS (SELECT cell, list_transform(cv,
-         |    y -> y / sqrt(list_dot_product(cv, cv))) AS cvn FROM c1),
-         |sims AS MATERIALIZED (SELECT f.vec_id, f.v, c.cell,
-         |    list_dot_product(CAST(f.v AS DOUBLE[]), c.cvn) AS sim
-         |  FROM e f CROSS JOIN cn c),
-         |asg AS (SELECT vec_id, cell FROM sims
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY sim DESC, cell DESC) = 1),
-         |probe AS (SELECT vec_id, cell FROM sims
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY sim DESC, cell DESC) <= 2),
-         |cand AS MATERIALIZED (SELECT p.vec_id AS qid, a.vec_id AS nid
-         |  FROM probe p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.vec_id),
-         |sc AS MATERIALIZED (SELECT c.qid, c.nid, round($sdcSum, 6) AS sdc
-         |  FROM cand c
-         |  $codeJoins),
-         |short AS (SELECT qid, nid FROM sc
-         |  QUALIFY row_number() OVER (PARTITION BY qid
-         |    ORDER BY sdc DESC, nid) <= 20),
-         |rr AS (SELECT s.qid AS query_id, s.nid AS neighbor_id,
-         |    round(list_dot_product(CAST(q.v AS DOUBLE[]), CAST(n.v AS DOUBLE[])) /
-         |      (sqrt(list_dot_product(CAST(q.v AS DOUBLE[]), CAST(q.v AS DOUBLE[]))) *
-         |       sqrt(list_dot_product(CAST(n.v AS DOUBLE[]), CAST(n.v AS DOUBLE[])))), 6) AS cosine
-         |  FROM short s JOIN e q ON q.vec_id = s.qid JOIN e n ON n.vec_id = s.nid)
-         |SELECT query_id, neighbor_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-         |FROM rr QUALIFY row_number() OVER (PARTITION BY query_id
-         |  ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin
-    },
+    "knn_graph_pq" -> knnGraphPqOracle(int8 = false),
+
+    // int8-rerank twin: identical topology; the rerank CTE scores cosine
+    // on the SAME floor(x/s + 0.5) integer vectors the engine ships as
+    // tinyint arrays (scales cancel in cosine), so the rounding trade is
+    // hash-gated end to end
+    "knn_graph_pq_int8" -> knnGraphPqOracle(int8 = true),
 
     // incremental kNN fold ≡ FULL recompute: codebook frozen on the old
     // corpus (vec_id % 5 <> 0, the incremental_kmeans split), then the

@@ -132,7 +132,7 @@ object SkewBench {
     * payload claim a cluster would feel (PQ codes vs raw vectors through
     * the candidate shuffle). Listener events post asynchronously; the
     * tail is drained by polling until two consecutive samples agree. */
-  private def shuffleBytes(spark: SparkSession)(body: => Unit): (Long, Long) = {
+  private[graft] def shuffleBytes(spark: SparkSession)(body: => Unit): (Long, Long) = {
     val written = new java.util.concurrent.atomic.AtomicLong(0)
     val read = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new org.apache.spark.scheduler.SparkListener {

@@ -1400,6 +1400,16 @@ object SparkEntry {
       k = 5, nprobe = 2, iters = 1, m = 4, subDim = 16,
       codebookK = 8, pqIters = 1, rerank = 20)
 
+  /** The int8-rerank twin — the shuffle-payload scale lever the r11
+    * measurement motivated (the rerank joins dominate PQ's shuffle
+    * bytes; tinyint arrays cut that payload 4×). Same topology as
+    * knn_graph_pq; the oracle replays the rerank on the SAME quantized
+    * integer vectors, so the rounding trade is hash-gated, not waved at. */
+  private def knnGraphPqInt8Q(s: SparkSession, dir: String): DataFrame =
+    Vectors.knnJoinIVFPQAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nprobe = 2, iters = 1, m = 4, subDim = 16,
+      codebookK = 8, pqIters = 1, rerank = 20, int8Rerank = true)
+
   // ------------------------------- multimodal: real-codec round-trip
 
   /** Real-codec media pipeline, oracle-checked end-to-end: synthesize PNG
@@ -4274,6 +4284,7 @@ object SparkEntry {
     "knn_graph"         -> (knnGraphQ _),
     "knn_graph_incr"    -> (knnGraphIncrQ _),
     "knn_graph_pq"      -> (knnGraphPqQ _),
+    "knn_graph_pq_int8" -> (knnGraphPqInt8Q _),
     "media_pipeline"    -> (mediaPipeline _),
     "skew_salted_join"  -> (skewSaltedJoin _),
     "streaming_latest"  -> (streamingLatest _),

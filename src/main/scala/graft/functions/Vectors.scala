@@ -288,12 +288,13 @@ object Vectors {
                        pqIters: Int = 1, rerank: Int = 20,
                        seed: String = "km",
                        maxCellFreq: Int = Int.MaxValue,
-                       corpusCount: Option[Long] = None): DataFrame =
+                       corpusCount: Option[Long] = None,
+                       int8Rerank: Boolean = false): DataFrame =
     knnJoinIVFPQ(df, idCol, vecCol, k,
       nlist = nlistForCorpus(corpusCount.getOrElse(df.count())),
       nprobe = nprobe, iters = iters, m = m, subDim = subDim,
       codebookK = codebookK, pqIters = pqIters, rerank = rerank,
-      seed = seed, maxCellFreq = maxCellFreq)
+      seed = seed, maxCellFreq = maxCellFreq, int8Rerank = int8Rerank)
 
   /** [[knnJoinIVF]] against a FIXED codebook — the incremental topology's
     * building block (train the codebook once, search any corpus snapshot
@@ -404,6 +405,17 @@ object Vectors {
     *  4. exact rounded-cosine rerank on the shortlist — two id-keyed
     *     joins re-attach vectors to shortlist-sized tables only.
     *
+    * `int8Rerank = true` swaps the rerank payload for TINYINT arrays
+    * (the [[quantizeInt8]] convention — 1 byte/component instead of 4):
+    * the round-11 shuffle-bytes measurement showed the rerank joins, not
+    * the code-carrying candidate join, dominate this operator's shuffle
+    * volume (the pair intermediate carries a full vector per shortlist
+    * row through the second join), so shrinking THAT payload is the
+    * scale lever. Cosine is scale-invariant (positive per-vector scales
+    * factor out), so ranking happens directly on the integer vectors —
+    * deterministic and oracle-replayable; the recall trade is int8
+    * rounding on near-tie cosines.
+    *
     * Returns the [[annTopK]] schema. Recall trades on (nprobe, rerank);
     * the knn_graph_pq oracle replays the WHOLE topology cell-exactly. */
   def knnJoinIVFPQ(df: DataFrame, idCol: String, vecCol: String,
@@ -411,7 +423,8 @@ object Vectors {
                    m: Int = 4, subDim: Int = 16, codebookK: Int = 8,
                    pqIters: Int = 1, rerank: Int = 20,
                    seed: String = "km",
-                   maxCellFreq: Int = Int.MaxValue): DataFrame = {
+                   maxCellFreq: Int = Int.MaxValue,
+                   int8Rerank: Boolean = false): DataFrame = {
     require(k > 0 && nlist > 0 && nprobe > 0 && m > 0 && subDim > 0 &&
       rerank >= k, "k, nlist, nprobe, m, subDim > 0; rerank >= k")
     val (_, cents) = kmeansModel(df, idCol, vecCol, nlist, iters, seed)
@@ -493,17 +506,33 @@ object Vectors {
       .withColumn("__rn", row_number().over(wSdc))
       .where(col("__rn") <= rerank)
       .select(col("query_id"), col("neighbor_id"))
-    // exact rerank: vectors re-attached to the shortlist only
-    val vecs = base.withColumn("__n", norm(col("__v")))
+    // rerank: vectors re-attached to the shortlist only — full float32
+    // (exact), or tinyint-quantized when the caller trades rounding on
+    // near-tie cosines for a 4× smaller join payload
+    val vecs =
+      if (!int8Rerank) base.withColumn("__n", norm(col("__v")))
+      else {
+        val q8 = transform(
+          quantizeInt8(col("__v"), int8Scale(col("__v"))), _.cast("tinyint"))
+        base.withColumn("__v", q8)
+          // norm of the INTEGER vector (scales cancel in cosine)
+          .withColumn("__n", sqrt(dotDouble(
+            transform(col("__v"), _.cast("double")),
+            transform(col("__v"), _.cast("double")))))
+      }
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    shortlist
+    val paired = shortlist
       .join(vecs.select(col("__id").as("query_id"), col("__v").as("__qv"),
         col("__n").as("__qn")), Seq("query_id"))
       .join(vecs.select(col("__id").as("neighbor_id"), col("__v").as("__nv"),
         col("__n").as("__nn")), Seq("neighbor_id"))
-      .withColumn("cosine",
-        round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
+    val dotExpr =
+      if (!int8Rerank) dot(col("__qv"), col("__nv"))
+      else dotDouble(transform(col("__qv"), _.cast("double")),
+        transform(col("__nv"), _.cast("double")))
+    paired
+      .withColumn("cosine", round(dotExpr / (col("__qn") * col("__nn")), 6))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(wCos).cast("long"))
       .where(col("rank") <= k)

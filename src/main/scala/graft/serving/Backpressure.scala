@@ -53,6 +53,11 @@ object Backpressure {
           if (!done.get() && !msgs.hasNext) finish(None)
         } catch { case e: Throwable => finish(Some(e)) }
       }
+      // a cancelled client may never trigger another onReady — without
+      // this, onDone (and any resources it releases, e.g. FlightServe's
+      // Arrow allocator) would wait forever on a dead call
+      sc.setOnCancelHandler(() =>
+        if (done.compareAndSet(false, true)) onDone(None))
       sc.setOnReadyHandler(() => drain())
       drain()
     case _ =>
