@@ -234,7 +234,14 @@ final class Catalog(spark: SparkSession) {
   def dependentsOf(key: ResourceKey): Seq[ResourceKey] = synchronized {
     val deps: Seq[ResourceKey] =
       if (key.kind == "PROVIDER")
-        propMap.collect { case (k, ps) if ps.get("provider").contains(key.id) => k }.toSeq
+        // the provider binding is written under either key depending on the
+        // path: direct catalog users set "provider", the gRPC serve layer
+        // stores wire metadata under a "__"-prefix ("__provider") — the
+        // deletion gate must see both or wire-registered dependents would
+        // never block a provider delete
+        propMap.collect { case (k, ps)
+          if ps.get("provider").contains(key.id) ||
+             ps.get("__provider").contains(key.id) => k }.toSeq
       else {
         val kindOf = Map("source" -> "SOURCE", "feature" -> "FEATURE",
           "label" -> "LABEL", "training_set" -> "TRAINING_SET",
@@ -276,10 +283,15 @@ final class Catalog(spark: SparkSession) {
     * The resource stays readable via [[stagedForDeletion]] but counts as
     * deleted everywhere else ([[isStaged]]); status moves to DELETING. */
   def markForDeletion(key: ResourceKey): Unit = synchronized {
-    require(deletableKinds.contains(key.kind),
-      s"resource kind ${key.kind} is not deletable")
+    // kind/staged violations are PRECONDITION failures (IllegalState →
+    // FAILED_PRECONDITION on the wire); only an unknown resource is
+    // IllegalArgument → NOT_FOUND, matching the reference's error split
+    if (!deletableKinds.contains(key.kind))
+      throw new IllegalStateException(
+        s"resource kind ${key.kind} is not deletable")
     require(lookupKey(key).isDefined, s"unknown resource $key")
-    require(!stagedSet.contains(key), s"$key is already staged for deletion")
+    if (stagedSet.contains(key))
+      throw new IllegalStateException(s"$key is already staged for deletion")
     val deps = dependentsOf(key)
     if (deps.nonEmpty)
       throw new IllegalStateException(
@@ -338,8 +350,9 @@ final class Catalog(spark: SparkSession) {
     * dependents-first order. Returns the staged keys. Finalization stays
     * per-resource. */
   def pruneResource(key: ResourceKey): Seq[ResourceKey] = synchronized {
-    require(deletableKinds.contains(key.kind),
-      s"resource kind ${key.kind} is not deletable")
+    if (!deletableKinds.contains(key.kind))
+      throw new IllegalStateException(
+        s"resource kind ${key.kind} is not deletable")
     require(lookupKey(key).isDefined, s"unknown resource $key")
     val closure = mutable.LinkedHashSet.empty[ResourceKey]
     def walk(k: ResourceKey): Unit =

@@ -1,0 +1,143 @@
+package graft.sched
+
+import scala.collection.concurrent.TrieMap
+
+/** The always-on coordinator scheduler — the loop that turns REGISTRATION
+  * into EXECUTION (reference coordinator/scheduler.go:60-91 `Scheduler.
+  * Start`: poll unfinished task runs, spawn an executor per run;
+  * coordinator/executor.go:42-117 `Executor.RunTask`: lock the task and
+  * run, skip non-pending, set RUNNING + scheduler id, execute, record the
+  * outcome). Without it, a wire client's CreateTaskRun lands a `created`
+  * ledger row that nothing ever executes; with it, the Tasks service, the
+  * ledger, and the task bodies close into a working lifecycle.
+  *
+  * Spark-first shape: the daemon is METADATA-scale — it never touches
+  * data. Each claimed run executes its registered body through
+  * [[TaskRunner.run]], which already provides the execution semantics the
+  * reference splits across executor + spawner: cross-process claim via the
+  * stateDir [[Locker]] (a racing scheduler gets "locked" and moves on, so
+  * N daemons sharing a ledger execute each run exactly once),
+  * retry/backoff, `maxJobDuration` enforcement through Spark job-group
+  * cancellation, durable attempt records behind the [[FenceGuard]], and
+  * resume (a succeeded run is never re-run). Cancellation is honored
+  * mid-run: a wire SetRunStatus(CANCELLED) latches [[TaskRunner.cancel]],
+  * which kills the attempt's Spark job group and stops the retry loop.
+  *
+  * Task bodies are bound by name from a registry (`bodies`), the same
+  * durable stand-in this repo uses for the reference's serialized task
+  * targets: a restarted daemon re-binds by name and picks up where the
+  * ledger says work remains. A run whose task has no body bound HERE is
+  * left untouched — it belongs to a daemon that has the binding (the
+  * reference's task-distribution split).
+  */
+final class Scheduler(
+    runner: TaskRunner,
+    /** Scheduler identity, recorded per executed run (the reference's
+      * SetRunSchedulerID, scheduling.proto SetRunSchedulerIDRequest). */
+    val id: String,
+    /** Task name → executable body; None = not bound on this daemon. */
+    bodies: String => Option[() => Any],
+    pollIntervalMs: Long = 100L,
+    maxConcurrent: Int = 4) {
+
+  @volatile private var stopped = false
+  // runs THIS daemon is currently executing (cheap local guard; the real
+  // cross-daemon exclusion is the runner's claim lock)
+  private val inFlight = TrieMap.empty[(String, String), Unit]
+
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    maxConcurrent,
+    (r: Runnable) => {
+      val t = new Thread(r, s"graft-scheduler-$id-worker")
+      t.setDaemon(true)
+      t
+    })
+
+  private val poller = new Thread(() => {
+    while (!stopped) {
+      try dispatch()
+      catch { case _: InterruptedException => case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger("graft.Scheduler")
+          .warn(s"scheduler $id poll tick failed: ${e.getMessage}") }
+      try Thread.sleep(pollIntervalMs)
+      catch { case _: InterruptedException => () }
+    }
+  }, s"graft-scheduler-$id")
+  poller.setDaemon(true)
+
+  /** Start the poll loop (daemon threads; [[stop]] to end). */
+  def start(): Scheduler = { poller.start(); this }
+
+  def stop(): Unit = {
+    stopped = true
+    poller.interrupt()
+    pool.shutdownNow()
+    poller.join(5000)
+  }
+
+  /** Unfinished = a run whose latest record still wants execution — the
+    * Tasks service's GetUnfinishedRuns view. `running` is included like
+    * the reference (executor.go:96: PENDING or RUNNING are runnable): a
+    * crashed daemon leaves `running` rows, and re-claiming them is how a
+    * restart resumes; a LIVE owner's claim lock makes the re-claim a
+    * harmless "locked" no-op. */
+  private def unfinished(): Seq[TaskRun] =
+    runner.latestRuns().filter(r => Scheduler.Runnable(r.status))
+
+  /** One asynchronous poll tick: submit every claimable unfinished run to
+    * the worker pool. */
+  private def dispatch(): Unit =
+    unfinished().foreach { r =>
+      bodies(r.task).foreach { body =>
+        val k = (r.task, r.runKey)
+        if (inFlight.putIfAbsent(k, ()).isEmpty)
+          pool.execute(() =>
+            try execute(r, body)
+            finally inFlight.remove(k))
+      }
+    }
+
+  /** One SYNCHRONOUS tick: execute every claimable unfinished run to
+    * completion on the calling thread, returning the final record per run
+    * executed. Deterministic — what the gated lifecycle queries and specs
+    * drive instead of sleeping on the poll loop. */
+  def tick(): Seq[TaskRun] =
+    unfinished().flatMap { r =>
+      bodies(r.task) match {
+        case Some(body) =>
+          val k = (r.task, r.runKey)
+          if (inFlight.putIfAbsent(k, ()).isEmpty)
+            try Some(execute(r, body)) finally inFlight.remove(k)
+          else None
+        case None => None
+      }
+    }
+
+  /** Claim + execute one run. Mirrors executor.go's sequence: mark RUNNING
+    * (only visible while the attempt is live — the runner's own attempt
+    * records supersede it), execute under the claim, stamp the scheduler
+    * id on any run this daemon actually executed. */
+  private def execute(r: TaskRun, body: () => Any): TaskRun = {
+    // RUNNING marker at attempt 0: the index keeps max-attempt records, so
+    // this can never bury a real attempt outcome, only the `created` row.
+    // Skipped when the run already shows running — re-polling a run that
+    // another daemon holds the claim on must not grow the ledger per tick.
+    if (r.status != "running")
+      runner.record(TaskRun(r.task, r.runKey, 0, "running",
+        System.currentTimeMillis(), 0L, None))
+    val (rec, _) = runner.run(r.task, r.runKey)(body())
+    if (rec.status != "locked")
+      runner.addRunLog(r.task, r.runKey, Scheduler.LogPrefix + id)
+    rec
+  }
+}
+
+object Scheduler {
+  /** Run-log prefix that carries the executing scheduler's id (the
+    * SetRunSchedulerID sidecar the Tasks service reads back as field 17 of
+    * TaskRunMetadata). */
+  val LogPrefix = "__scheduler__:"
+
+  /** Ledger statuses the daemon considers runnable. */
+  val Runnable: Set[String] = Set("created", "pending", "running")
+}

@@ -110,6 +110,12 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   }
 
   private def appendLocked(r: TaskRun): Unit = {
+    // absorb rows OTHER runners appended since our last refresh FIRST: the
+    // rewrite below folds them into the file we stamp as "indexed", so
+    // skipping this would stamp-cover foreign rows the index never saw —
+    // and a stale index here means a raced daemon re-executes a completed
+    // run (the exact double-success this ledger exists to prevent)
+    refreshIndexLocked()
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("task", r.task); m.put("runKey", r.runKey); m.put("attempt", r.attempt)
     m.put("status", r.status); m.put("startMs", r.startMs); m.put("endMs", r.endMs)
@@ -134,11 +140,58 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     if (!fs.rename(tmp, file))
       sys.error(s"TaskRunner: could not rename $tmp -> $file during ledger rewrite")
     if (r.status == "success") localSuccesses += ((r.task, r.runKey))
+    indexAdd(r)
+    indexStamp = fileStamp()
   }
 
   def succeeded(task: String, runKey: String): Boolean =
     synchronized(localSuccesses.contains((task, runKey))) ||
-      runs().exists(r => r.task == task && r.runKey == runKey && r.status == "success")
+      latestRun(task, runKey).exists(_.status == "success")
+
+  // ---------- latest-run index (the Tasks service's read path) ----------
+  // The gRPC Tasks service (and the scheduler's poll loop) ask "current
+  // state per run" on every RPC/tick; regrouping the full ledger each time
+  // is O(ledger) per call. The index is maintained on every local append
+  // and refreshed from the durable file only when ANOTHER process changed
+  // it — detected by an (mtime, length) fingerprint, a stat not a read.
+  // Ties on attempt keep the LAST appended record (latest state wins).
+
+  private val runIndex =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), TaskRun]
+  private var indexStamp: (Long, Long) = (-1L, -1L)
+
+  private def fileStamp(): (Long, Long) =
+    if (!fs.exists(file)) (0L, 0L)
+    else { val st = fs.getFileStatus(file); (st.getModificationTime, st.getLen) }
+
+  private def refreshIndexLocked(): Unit = {
+    val st = fileStamp()
+    if (st != indexStamp) {
+      runIndex.clear()
+      runsLocked().foreach(indexAdd)
+      indexStamp = st
+    }
+  }
+
+  private def indexAdd(r: TaskRun): Unit = synchronized {
+    val k = (r.task, r.runKey)
+    if (runIndex.get(k).forall(_.attempt <= r.attempt)) runIndex.put(k, r)
+  }
+
+  /** Latest record per (task, runKey) — each run's current state, sorted
+    * by (task, runKey). O(1) after warm when only this process writes.
+    * Lock order matches [[append]] (`this` monitor, then the ledger lock)
+    * so index reads can never deadlock against a concurrent append. */
+  def latestRuns(): Seq[TaskRun] = synchronized {
+    lock.withLock("__ledger__") { refreshIndexLocked() }
+    runIndex.values.toSeq.sortBy(r => (r.task, r.runKey))
+  }
+
+  /** Current state of one run, if it exists. */
+  def latestRun(task: String, runKey: String): Option[TaskRun] = synchronized {
+    lock.withLock("__ledger__") { refreshIndexLocked() }
+    runIndex.get((task, runKey))
+  }
 
   /** Service-plane append — the Tasks gRPC service's write path
     * (reference scheduling.proto SetRunStatus/SetRunEndTime land as task
@@ -152,43 +205,99 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
 
   private val logsFile = new Path(s"$stateDir/run_logs.jsonl")
 
+  // Local stateDirs (the FileLocker case) get true O(1) appends through
+  // java.io — Hadoop's checksummed LocalFileSystem rejects append(), and
+  // the old read+rewrite was O(total log) PER LINE under the ledger lock,
+  // so a chatty AddRunLog client degraded every Tasks RPC sharing the
+  // lock. Reads go through the same java.io path (direct appends would
+  // leave any fs-written .crc sidecar stale). Non-local stateDirs keep
+  // the rewrite (run logs are metadata-scale; a distributed deployment
+  // brings a log store the way it brings a locker).
+  private val localLogsFile: Option[java.io.File] = {
+    val scheme = logsFile.toUri.getScheme
+    if (scheme == null || scheme == "file")
+      Some(new java.io.File(logsFile.toUri.getPath))
+    else None
+  }
+
   /** Append a log line for (task, runKey) — durable beside the ledger,
-    * same lock and rewrite pattern (metadata-scale). */
+    * under the same lock. */
   def addRunLog(task: String, runKey: String, log: String): Unit =
     lock.withLock("__ledger__") {
       val m = new java.util.LinkedHashMap[String, Any]()
       m.put("task", task); m.put("runKey", runKey); m.put("log", log)
       val line = mapper.writeValueAsString(m) + "\n"
-      fs.mkdirs(new Path(stateDir))
-      val existing =
-        if (fs.exists(logsFile)) {
-          val in = fs.open(logsFile)
-          try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        } else ""
-      val tmp = new Path(s"$stateDir/.run_logs.jsonl.tmp")
-      val out = fs.create(tmp, true)
-      out.write((existing + line).getBytes("UTF-8")); out.close()
-      if (fs.exists(logsFile) && !fs.delete(logsFile, false))
-        sys.error(s"TaskRunner: could not delete $logsFile during log rewrite")
-      if (!fs.rename(tmp, logsFile))
-        sys.error(s"TaskRunner: could not rename $tmp -> $logsFile")
+      localLogsFile match {
+        case Some(f) =>
+          f.getParentFile.mkdirs()
+          val out = new java.io.FileOutputStream(f, true)
+          try out.write(line.getBytes("UTF-8")) finally out.close()
+        case None =>
+          fs.mkdirs(new Path(stateDir))
+          val existing =
+            if (fs.exists(logsFile)) {
+              val in = fs.open(logsFile)
+              try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            } else ""
+          val tmp = new Path(s"$stateDir/.run_logs.jsonl.tmp")
+          val out = fs.create(tmp, true)
+          out.write((existing + line).getBytes("UTF-8")); out.close()
+          if (fs.exists(logsFile) && !fs.delete(logsFile, false))
+            sys.error(s"TaskRunner: could not delete $logsFile during log rewrite")
+          if (!fs.rename(tmp, logsFile))
+            sys.error(s"TaskRunner: could not rename $tmp -> $logsFile")
+      }
     }
 
   /** Log lines for (task, runKey), append order. */
   def runLogs(task: String, runKey: String): Seq[String] =
     lock.withLock("__ledger__") {
-      if (!fs.exists(logsFile)) Nil
-      else {
-        val in = fs.open(logsFile)
-        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        text.linesIterator.filter(_.nonEmpty).flatMap { line =>
-          val m = mapper.readValue(line, classOf[java.util.Map[String, Any]])
-          if (m.get("task") == task && m.get("runKey") == runKey)
-            Some(m.get("log").toString)
-          else None
-        }.toSeq
+      val text = localLogsFile match {
+        case Some(f) =>
+          if (!f.exists()) return Nil
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        case None =>
+          if (!fs.exists(logsFile)) return Nil
+          val in = fs.open(logsFile)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }
+      text.linesIterator.filter(_.nonEmpty).flatMap { line =>
+        val m = mapper.readValue(line, classOf[java.util.Map[String, Any]])
+        if (m.get("task") == task && m.get("runKey") == runKey)
+          Some(m.get("log").toString)
+        else None
+      }.toSeq
     }
+
+  // ------------------------- cancellation (reference coordinator's kill
+  // path: a run whose status is set to CANCELLED mid-flight has its Spark
+  // jobs killed and stops retrying).
+
+  private val activeAttempts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, Thread)]
+  private val cancelRequests =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Request cancellation of (task, runKey). If an attempt is in flight IN
+    * THIS PROCESS, its Spark job group is cancelled and the body thread
+    * interrupted — the attempt loop then records status "cancelled" and
+    * stops retrying. The request latches: a not-yet-started run of the
+    * same key is refused at claim time. Returns whether an in-flight
+    * attempt was killed. */
+  def cancel(task: String, runKey: String): Boolean = {
+    cancelRequests.add((task, runKey))
+    activeAttempts.get((task, runKey)) match {
+      case Some((groupId, thread)) =>
+        spark.sparkContext.cancelJobGroup(groupId)
+        thread.interrupt()
+        true
+      case None => false
+    }
+  }
+
+  /** Has [[cancel]] been requested for this run (in this process)? */
+  def cancelRequested(task: String, runKey: String): Boolean =
+    cancelRequests.contains((task, runKey))
 
   /** Run `body` with retry/backoff/timeout, recording every attempt.
     * Returns the final record; a previously-succeeded (task, runKey) is
@@ -224,6 +333,13 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     var attempt = 1
     var last: TaskRun = null
     while (attempt <= maxAttempts) {
+      if (cancelRequests.contains((task, runKey))) {
+        val now = System.currentTimeMillis()
+        last = TaskRun(task, runKey, attempt, "cancelled", now, now,
+          Some("cancelled before attempt started"))
+        append(last)
+        return (last, None)
+      }
       val start = System.currentTimeMillis()
       val groupId = s"graft-task-$task-$runKey-$attempt"
       val result =
@@ -242,6 +358,10 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
             promise.tryComplete(r); ()
           }, s"$groupId-body")
           runner.setDaemon(true)
+          // register BEFORE start: a cancel() arriving the instant the body
+          // begins must find the attempt, or it would only latch and the
+          // in-flight Spark job would run to completion
+          activeAttempts.put((task, runKey), (groupId, runner))
           runner.start()
           try {
             val v = scala.concurrent.Await.result(promise.future,
@@ -260,7 +380,10 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
               Left("timeout": String)
             case e: Throwable => Left(Option(e.getMessage).getOrElse(e.toString))
           }
-        } finally spark.sparkContext.clearJobGroup()
+        } finally {
+          activeAttempts.remove((task, runKey))
+          spark.sparkContext.clearJobGroup()
+        }
       val end = System.currentTimeMillis()
       result match {
         case Right(v) =>
@@ -268,6 +391,14 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           append(last)
           return (last, Some(v))
         case Left(err) =>
+          // a failure caused by a cancel request (job-group kill /
+          // interrupt) records "cancelled" and must NOT retry
+          if (cancelRequests.contains((task, runKey))) {
+            last = TaskRun(task, runKey, attempt, "cancelled", start, end,
+              Some(s"cancelled: $err"))
+            append(last)
+            return (last, None)
+          }
           val status = if (err == "timeout") "timeout" else "failed"
           last = TaskRun(task, runKey, attempt, status, start, end, Some(err))
           append(last)

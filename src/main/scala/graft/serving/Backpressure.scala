@@ -29,9 +29,14 @@ object Backpressure {
     case sc: ServerCallStreamObserver[Array[Byte] @unchecked] =>
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       val lock = new Object
-      def finish(err: Option[Throwable]): Unit =
+      // ONLY ever called from inside drain()'s lock: onDone therefore fires
+      // exactly once (CAS) AND always on the thread that owns the message
+      // production — resources it releases (FlightServe's Arrow allocator /
+      // VectorSchemaRoot) can never be torn down while a batch build is
+      // mid-flight on the drain side.
+      def finish(err: Option[Throwable], callDead: Boolean): Unit =
         if (done.compareAndSet(false, true)) {
-          err match {
+          if (!callDead) err match {
             case None => sc.onCompleted()
             case Some(e) =>
               // onError after a client cancel can itself throw; the RPC is
@@ -43,21 +48,22 @@ object Backpressure {
       def drain(): Unit = lock.synchronized {
         if (done.get()) return
         try {
+          if (sc.isCancelled) { finish(None, callDead = true); return }
           var go = true
           while (go && sc.isReady && msgs.hasNext) {
-            if (sc.isCancelled) { done.set(true); onDone(None); go = false }
+            if (sc.isCancelled) { finish(None, callDead = true); go = false }
             else sc.onNext(msgs.next())
           }
           // complete as soon as the last message is out, even if that
           // send also used the transport's last credit
-          if (!done.get() && !msgs.hasNext) finish(None)
-        } catch { case e: Throwable => finish(Some(e)) }
+          if (!done.get() && !msgs.hasNext) finish(None, callDead = false)
+        } catch { case e: Throwable => finish(Some(e), callDead = false) }
       }
-      // a cancelled client may never trigger another onReady — without
-      // this, onDone (and any resources it releases, e.g. FlightServe's
-      // Arrow allocator) would wait forever on a dead call
-      sc.setOnCancelHandler(() =>
-        if (done.compareAndSet(false, true)) onDone(None))
+      // a cancelled client may never trigger another onReady — the cancel
+      // handler re-enters drain(), which takes the lock (waiting out any
+      // in-flight batch build), observes isCancelled and runs the same
+      // finish path, so cleanup neither waits forever nor races production
+      sc.setOnCancelHandler(() => drain())
       sc.setOnReadyHandler(() => drain())
       drain()
     case _ =>

@@ -680,6 +680,10 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     val key = readDeletionKey(req)
     try catalog.pruneResource(key)
     catch {
+      case e: IllegalStateException =>
+        throw Status.FAILED_PRECONDITION
+          .withDescription(Option(e.getMessage).getOrElse("not deletable"))
+          .asRuntimeException()
       case e: IllegalArgumentException =>
         notFound(Option(e.getMessage).getOrElse(key.toString))
     }
@@ -1488,11 +1492,26 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
   // (resume/scheduler under reserved `__` prefixes).
 
   private val ResumePrefix = "__resume__:"
-  private val SchedulerPrefix = "__scheduler__:"
+  private val SchedulerPrefix = graft.sched.Scheduler.LogPrefix
 
   private def runner: graft.sched.TaskRunner =
     tasks.getOrElse(throw Status.UNIMPLEMENTED
       .withDescription("no task ledger bound").asRuntimeException())
+
+  // Run-key minting: an AtomicLong seeded once past the largest
+  // previously-minted `run-N` in the ledger — two concurrent CreateTaskRun
+  // calls get DISTINCT keys (the old `run-${count}` raced to the same one)
+  // and no create pays a full-ledger scan after the seed.
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private def mintRunKey(): String = {
+    if (runCounter.get() < 0L) {
+      val next = runner.latestRuns().iterator.map(_.runKey)
+        .flatMap(k => if (k.startsWith("run-")) k.drop(4).toLongOption else None)
+        .foldLeft(0L)((a, b) => math.max(a, b + 1))
+      runCounter.compareAndSet(-1L, next)
+    }
+    s"run-${runCounter.getAndIncrement()}"
+  }
 
   /** graft status strings → ResourceStatus.Status ints and back. */
   private def statusEnum(s: String): Int = s match {
@@ -1516,13 +1535,12 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     case _ => "no_status"
   }
 
-  /** Latest record per (task, runKey) — the run's current state. */
-  private def latestRuns(): Seq[graft.sched.TaskRun] =
-    runner.runs().groupBy(r => (r.task, r.runKey)).values
-      .map(_.maxBy(_.attempt)).toSeq.sortBy(r => (r.task, r.runKey))
+  /** Latest record per (task, runKey) — the run's current state, served
+    * from the runner's maintained index (no full-ledger regroup per RPC). */
+  private def latestRuns(): Seq[graft.sched.TaskRun] = runner.latestRuns()
 
   private def currentRun(task: String, runKey: String): graft.sched.TaskRun =
-    latestRuns().find(r => r.task == task && r.runKey == runKey)
+    runner.latestRun(task, runKey)
       .getOrElse(notFound(s"run $runKey of task $task"))
 
   private def writeRunMeta(w: W, r: graft.sched.TaskRun): Unit = {
@@ -1582,7 +1600,7 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
       case (_, wt) => r.skip(wt)
     }
     if (task.isEmpty) invalid("taskID required")
-    val runKey = if (name.nonEmpty) name else s"run-${latestRuns().size}"
+    val runKey = if (name.nonEmpty) name else mintRunKey()
     val now = System.currentTimeMillis()
     runner.record(graft.sched.TaskRun(task, runKey, 0, "created", now, 0L, None))
     val w = new W
@@ -1592,7 +1610,7 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
 
   private def getTaskById(req: Array[Byte]): Array[Byte] = {
     val task = readIdMsg(new R(req))
-    val rs = runner.runs().filter(_.task == task)
+    val rs = latestRuns().filter(_.task == task)
     if (rs.isEmpty) notFound(s"task $task")
     val w = new W
     w.msg(1)(_.str(1, task))
@@ -1638,6 +1656,10 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
       case (_, wt) => r.skip(wt)
     }
     val cur = currentRun(task, run)
+    // a wire CANCELLED is a kill request, not just a bookkeeping row: kill
+    // any in-flight attempt (Spark job group + body thread) and latch the
+    // request so the scheduler/runner never (re)starts this run
+    if (statusString(st) == "cancelled") runner.cancel(task, run)
     runner.record(cur.copy(attempt = cur.attempt + 1,
       status = statusString(st),
       error = Some(msg).filter(_.nonEmpty)))

@@ -1,0 +1,139 @@
+package graft.sched
+
+import java.util.concurrent.atomic.AtomicInteger
+import graft.SparkSpec
+
+/** The always-on coordinator daemon (reference coordinator/scheduler.go:
+  * 60-91 + executor.go:42-117): wire-created ledger runs EXECUTE, racing
+  * daemons execute exactly once, cancellation kills mid-run, unbound tasks
+  * are left for the daemon that has the binding. */
+class SchedulerSpec extends SparkSpec {
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_schedd").toString
+
+  private def createdRun(runner: TaskRunner, task: String, key: String): Unit =
+    runner.record(TaskRun(task, key, 0, "created",
+      System.currentTimeMillis(), 0L, None))
+
+  test("a created ledger run executes on tick: created → running → success, " +
+       "scheduler id stamped") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    val calls = new AtomicInteger(0)
+    val sched = new Scheduler(runner, "sched-a",
+      name => if (name == "mat_clicks") Some(() => calls.incrementAndGet()) else None)
+    createdRun(runner, "mat_clicks", "2024-03-01")
+    val out = sched.tick()
+    assert(out.map(r => (r.task, r.status)) == Seq(("mat_clicks", "success")))
+    assert(calls.get() == 1)
+    // current state is success; the ledger trace shows the full lifecycle
+    assert(runner.latestRun("mat_clicks", "2024-03-01").get.status == "success")
+    val trace = runner.runs().filter(_.runKey == "2024-03-01").map(_.status)
+    assert(trace == Seq("created", "running", "success"))
+    assert(runner.runLogs("mat_clicks", "2024-03-01")
+      .contains(Scheduler.LogPrefix + "sched-a"))
+    // a second tick re-executes nothing (resume semantics)
+    assert(sched.tick().isEmpty && calls.get() == 1)
+  }
+
+  test("a failing body exhausts attempts and leaves the run failed — " +
+       "the daemon does not hot-loop it") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
+    val calls = new AtomicInteger(0)
+    val sched = new Scheduler(runner, "s",
+      _ => Some(() => { calls.incrementAndGet(); sys.error("doomed") }))
+    createdRun(runner, "bad", "k")
+    val out = sched.tick()
+    assert(out.head.status == "failed" && calls.get() == 2)
+    // failed is terminal for the poll loop: next tick touches nothing
+    assert(sched.tick().isEmpty && calls.get() == 2)
+  }
+
+  test("two racing daemons over one ledger execute each run exactly once") {
+    val dir = freshDir()
+    val r1 = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    val r2 = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    val calls = new AtomicInteger(0)
+    val body = () => { Thread.sleep(50); calls.incrementAndGet() }
+    val s1 = new Scheduler(r1, "s1", _ => Some(body))
+    val s2 = new Scheduler(r2, "s2", _ => Some(body))
+    (1 to 4).foreach(i => createdRun(r1, "task", s"run-$i"))
+    val t1 = new Thread(() => s1.tick())
+    val t2 = new Thread(() => s2.tick())
+    t1.start(); t2.start(); t1.join(); t2.join()
+    // stragglers (claims lost to the other daemon mid-tick) settle next tick
+    s1.tick(); s2.tick()
+    if (calls.get() != 4)
+      info("LEDGER: " + r1.runs().map(r =>
+        s"${r.runKey}/${r.attempt}/${r.status}").mkString(" | "))
+    assert(calls.get() == 4)
+    val finals = r1.latestRuns().filter(_.task == "task")
+    assert(finals.size == 4 && finals.forall(_.status == "success"))
+    // exactly one success row per run in the durable ledger
+    val successes = r1.runs().filter(_.status == "success")
+      .groupBy(_.runKey).view.mapValues(_.size).toMap
+    assert(successes.values.forall(_ == 1) && successes.size == 4)
+  }
+
+  test("cancellation mid-run kills the Spark job group, records cancelled, " +
+       "and never retries") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 3, backoffMs = 1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val completed = new AtomicInteger(0)
+    val sched = new Scheduler(runner, "s", _ => Some(() => {
+      started.countDown()
+      // a real Spark job: every partition sleeps, so only a job-group
+      // cancel (not loop completion) can end it promptly
+      spark.range(0, 4, 1, 4).foreach(_ => Thread.sleep(30000))
+      completed.incrementAndGet()
+    }))
+    createdRun(runner, "long", "k")
+    val t = new Thread(() => sched.tick())
+    t.start()
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(300) // let the Spark job actually launch
+    runner.cancel("long", "k") // the wire SetRunStatus(CANCELLED) path
+    t.join(30000)
+    assert(!t.isAlive, "tick should return promptly after cancel")
+    assert(completed.get() == 0)
+    val rec = runner.latestRun("long", "k").get
+    assert(rec.status == "cancelled")
+    assert(rec.attempt == 1, "a cancelled run must not retry")
+    // the latch holds: the daemon will not restart a cancelled run
+    assert(sched.tick().isEmpty)
+  }
+
+  test("a task with no body bound here is left untouched; a stale running " +
+       "row from a crashed daemon is re-claimed and finished") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    val sched = new Scheduler(runner, "s",
+      name => if (name == "mine") Some(() => 1) else None)
+    createdRun(runner, "someone_elses", "k1")
+    // crash artifact: a running row whose claim nobody holds
+    runner.record(TaskRun("mine", "k2", 0, "running",
+      System.currentTimeMillis(), 0L, None))
+    val out = sched.tick()
+    assert(out.map(r => (r.task, r.status)) == Seq(("mine", "success")))
+    assert(runner.latestRun("someone_elses", "k1").get.status == "created")
+  }
+
+  test("the background poll loop executes without explicit ticks") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
+    val calls = new AtomicInteger(0)
+    val sched = new Scheduler(runner, "s",
+      _ => Some(() => calls.incrementAndGet()), pollIntervalMs = 20L).start()
+    try {
+      createdRun(runner, "bg", "k")
+      val deadline = System.currentTimeMillis() + 10000
+      while (calls.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(calls.get() == 1)
+      val deadline2 = System.currentTimeMillis() + 10000
+      while (runner.latestRun("bg", "k").get.status != "success" &&
+             System.currentTimeMillis() < deadline2) Thread.sleep(20)
+      assert(runner.latestRun("bg", "k").get.status == "success")
+    } finally sched.stop()
+  }
+}

@@ -22,6 +22,7 @@ class BackpressureSpec extends SparkSpec {
     var onDoneCount = 0
     private var credits = burst
     private var readyHandler: Runnable = _
+    private var cancelHandler: Runnable = _
     private var cancelled = false
 
     def drainWire(): Unit = {
@@ -29,11 +30,16 @@ class BackpressureSpec extends SparkSpec {
       readyHandler.run()
     }
     def cancel(): Unit = cancelled = true
+    /** What grpc-java does on a real client cancel: flag + handler. */
+    def fireCancel(): Unit = {
+      cancelled = true
+      if (cancelHandler != null) cancelHandler.run()
+    }
 
     override def isReady: Boolean = credits > 0
     override def setOnReadyHandler(r: Runnable): Unit = readyHandler = r
     override def isCancelled: Boolean = cancelled
-    override def setOnCancelHandler(r: Runnable): Unit = ()
+    override def setOnCancelHandler(r: Runnable): Unit = cancelHandler = r
     override def setCompression(c: String): Unit = ()
     override def setMessageCompression(b: Boolean): Unit = ()
     override def disableAutoInboundFlowControl(): Unit = ()
@@ -87,6 +93,21 @@ class BackpressureSpec extends SparkSpec {
     t.drainWire()
     assert(t.sent.size == 2, "no production after cancel")
     assert(t.error == null)
+  }
+
+  test("cancel handler fires onDone exactly once — resource release (e.g. " +
+    "FlightServe's Arrow allocator) must never double-run, and the dead " +
+    "call gets no onCompleted/onError") {
+    val t = new FakeTransport(burst = 2)
+    var done = 0
+    Backpressure.drive(t, msgs(100), _ => done += 1)
+    assert(t.sent.size == 2 && done == 0)
+    t.fireCancel()          // transport thread path
+    t.fireCancel()          // a second cancel signal must be a no-op
+    t.drainWire()           // a late onReady must not re-finish either
+    assert(done == 1, "onDone fires exactly once on cancel")
+    assert(t.sent.size == 2 && !t.completed && t.error == null,
+      "no transport calls after a client cancel")
   }
 
   test("empty stream completes immediately") {

@@ -454,6 +454,40 @@ class MetadataServeSpec extends SparkSpec {
     }
   }
 
+  test("provider deletion gate holds on the WIRE path: a source registered " +
+       "with provider field 6 blocks MarkForDeletion of that provider " +
+       "(FAILED_PRECONDITION), and a re-mark of a staged resource is a " +
+       "precondition failure, not NOT_FOUND") {
+    withServer() { (cat, _, ch) =>
+      unary(ch, "CreateProvider", providerReq("prov_a", "SPARK_OFFLINE", "core"))
+      // the serve layer stores the provider binding as the __provider
+      // property; the deletion gate must see it (round-11 advice: it read
+      // only the unprefixed key and deleted live providers)
+      unary(ch, "CreateSourceVariant",
+        primarySourceReq("orders", "v1", s"$sf001/orders.parquet", "a", "prov_a"))
+      val blocked = intercept[StatusRuntimeException] {
+        unary(ch, "MarkForDeletion", resourceId("prov_a", "", 8))
+      }
+      assert(blocked.getStatus.getCode.toString == "FAILED_PRECONDITION")
+      assert(blocked.getStatus.getDescription.contains("orders"))
+      // prune on the provider must also refuse to stage the provider's own
+      // deletion while skipping it is impossible... it stages dependents
+      // only; the provider itself survives (reference prune semantics)
+      unary(ch, "PruneResource", resourceId("prov_a", "", 8))
+      assert(cat.isStaged(ResourceKey("SOURCE", "orders.v1")))
+      assert(!cat.isStaged(ResourceKey("PROVIDER", "prov_a")))
+      // marking the STAGED source again: FAILED_PRECONDITION (already
+      // staged), not NOT_FOUND — the reference's error split
+      val restage = intercept[StatusRuntimeException] {
+        unary(ch, "MarkForDeletion", resourceId("orders", "v1", 7))
+      }
+      assert(restage.getStatus.getCode.toString == "FAILED_PRECONDITION")
+      // with the dependent staged, the provider marks cleanly
+      unary(ch, "MarkForDeletion", resourceId("prov_a", "", 8))
+      assert(cat.isStaged(ResourceKey("PROVIDER", "prov_a")))
+    }
+  }
+
   test("on-demand (CLIENT_COMPUTED) features, SetResourceStatus, schedule " +
        "changes, and the Api service alias") {
     withServer() { (cat, _, ch) =>

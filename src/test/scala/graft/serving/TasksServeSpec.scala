@@ -166,6 +166,28 @@ class TasksServeSpec extends SparkSpec {
     }
   }
 
+  test("concurrent CreateTaskRun calls mint DISTINCT run keys (atomic " +
+       "counter, no full-ledger scan race) and all runs land") {
+    withServer { (runner, ch) =>
+      // seed one named run so the mint starts past existing run-N keys
+      unary(ch, "CreateTaskRun",
+        { val w = new W; idMsg(1, "t")(w); w.str(2, "run-3"); w.result() })
+      val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => {
+          val req = { val w = new W; idMsg(1, "t")(w); w.result() }
+          val r = new R(unary(ch, "CreateTaskRun", req))
+          assert(r.readTag()._1 == 1)
+          keys.add(r.readString())
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(keys.size == 8, "8 concurrent creates → 8 distinct keys")
+      assert(!keys.contains("run-3"), "minted keys skip existing ones")
+      assert(runner.latestRuns().count(_.task == "t") == 9)
+    }
+  }
+
   test("runner-executed work is visible over the wire: a TaskRunner.run " +
        "attempt shows as a READY run with its ledger identity") {
     withServer { (runner, ch) =>
