@@ -1834,6 +1834,35 @@ object OracleSql {
         |  ('finalize_all', 'live_resources', CAST(0 AS BIGINT)))
         |  AS t(step, metric, value)""".stripMargin,
 
+    // coordinator daemon trace: registration lands created(1); the polling
+    // scheduler executes it to READY(3) with its id stamped and the body's
+    // Spark count replayed from the same parquet; a wire CANCELLED(6) kills
+    // the blocking run mid-flight with zero failed-retry rows
+    "scheduler_lifecycle" ->
+      """SELECT * FROM (
+        |  SELECT 'create' AS step, 'status' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'execute', 'status', 3
+        |  UNION ALL SELECT 'execute', 'scheduler_id', 1
+        |  UNION ALL SELECT 'execute', 'rows', (SELECT COUNT(*) FROM orders)
+        |  UNION ALL SELECT 'cancel', 'status', 6
+        |  UNION ALL SELECT 'cancel', 'retried', 0)""".stripMargin,
+
+    // one feature's whole wire life: the served values are the registered
+    // transformation's per-customer revenue (the engine side travels
+    // register → daemon materialize → FeatureServe before landing here);
+    // sentinel entities: -1 staged-readable after mark, -2 NOT_FOUND after
+    // finalize, -3 zero live features remain
+    "wire_lifecycle" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS entity,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |u AS (SELECT CAST(unnest(generate_series(0, 149)) AS BIGINT) AS entity)
+        |SELECT u.entity, r.rev AS f_rev FROM u LEFT JOIN rev r ON u.entity = r.entity
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1 AS DOUBLE)
+        |UNION ALL SELECT -2, 1
+        |UNION ALL SELECT -3, 1""".stripMargin,
+
     "training_stream" ->
       s"""WITH $EV
          |SELECT event_id, value FROM ev CROSS JOIN (VALUES (0), (1)) epochs(e)""".stripMargin,

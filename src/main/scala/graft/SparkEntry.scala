@@ -1196,6 +1196,285 @@ object SparkEntry {
     steps.toSeq.toDF("step", "metric", "value")
   }
 
+  /** Await a ledger run reaching `want` (bounded poll) — the gated
+    * lifecycle queries' deterministic rendezvous with the daemon. */
+  private def awaitRun(runner: graft.sched.TaskRunner, task: String,
+                       key: String, want: String,
+                       timeoutMs: Long = 120000L): graft.sched.TaskRun = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var cur = runner.latestRun(task, key)
+    while (!cur.exists(_.status == want) &&
+           System.currentTimeMillis() < deadline) {
+      Thread.sleep(20)
+      cur = runner.latestRun(task, key)
+    }
+    cur.filter(_.status == want).getOrElse(sys.error(
+      s"run $task/$key never reached '$want' (now ${cur.map(_.status)})"))
+  }
+
+  /** The always-on coordinator daemon under the correctness gate — the
+    * reference's scheduler loop (coordinator/scheduler.go:60-91 spawning
+    * executor.go:42-117 per unfinished run) closing REGISTRATION into
+    * EXECUTION: a wire client's CreateTaskRun lands a `created` ledger row,
+    * the polling [[graft.sched.Scheduler]] claims it through the
+    * cross-process locker, executes the bound body (a Spark count over
+    * orders), stamps its scheduler id, and GetRunMetadata reads back READY
+    * over the wire. Then a second, deliberately-blocking run is cancelled
+    * MID-FLIGHT over the wire — SetRunStatus(CANCELLED) kills the attempt
+    * (Spark job group + body thread) — and lands terminal `cancelled` with
+    * zero failed-retry rows. Oracle = the literal step trace, with the
+    * body's row count replayed from the same parquet. */
+  private def schedulerLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.serving._
+    import graft.serving.ProtoWire.{R, W}
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_sched_gate").toString
+    val runner = new graft.sched.TaskRunner(s, stateDir,
+      maxAttempts = 3, backoffMs = 1)
+    val srv = new MetadataServe(new Catalog(s), tasks = Some(runner)).start()
+    val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+      .forAddress("127.0.0.1", srv.boundPort).usePlaintext().build()
+    @volatile var taskRows = -1L
+    val spinStarted = new java.util.concurrent.CountDownLatch(1)
+    val daemon = new graft.sched.Scheduler(runner, "sched-gate", {
+      case "count_orders" => Some(() => {
+        taskRows = s.read.parquet(s"$dir/orders.parquet").count(); taskRows
+      })
+      case "spin" => Some(() => {
+        spinStarted.countDown()
+        Thread.sleep(600000L) // interruptible: only the cancel ends this
+        ()
+      })
+      case _ => None
+    }, pollIntervalMs = 25L)
+    try {
+      def unary(rpc: String, req: Array[Byte]): Array[Byte] =
+        org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(ch,
+          MetadataServe.method(MetadataServe.TasksServiceName, rpc,
+            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req)
+      def createRun(task: String, name: String): Unit = {
+        val w = new W; w.msg(1)(_.str(1, task)); w.str(2, name)
+        unary("CreateTaskRun", w.result()); ()
+      }
+      /** (status enum, scheduler id) from GetRunMetadata over the wire. */
+      def wireRun(task: String, run: String): (Long, String) = {
+        val w = new W
+        w.msg(1)(_.str(1, run)); w.msg(2)(_.str(1, task))
+        val r = new R(unary("GetRunMetadata", w.result()))
+        var st = -1L; var sched = ""
+        var more = true
+        while (more) r.readTag() match {
+          case (0, _) => more = false
+          case (13, _) =>
+            val sm = r.readSlice()
+            var m2 = true
+            while (m2) sm.readTag() match {
+              case (0, _) => m2 = false
+              case (1, _) => st = sm.readVarint()
+              case (_, wt) => sm.skip(wt)
+            }
+          case (17, _) => sched = r.readString()
+          case (_, wt) => r.skip(wt)
+        }
+        (st, sched)
+      }
+      val steps =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      // 1. registration alone does NOT execute: created over the wire
+      createRun("count_orders", "mat-1")
+      steps += (("create", "status", wireRun("count_orders", "mat-1")._1))
+      // 2. the daemon turns it into execution
+      daemon.start()
+      awaitRun(runner, "count_orders", "mat-1", "success")
+      val (st1, sched1) = wireRun("count_orders", "mat-1")
+      steps += (("execute", "status", st1)) // READY
+      steps += (("execute", "scheduler_id", if (sched1 == "sched-gate") 1L else 0L))
+      steps += (("execute", "rows", taskRows))
+      // 3. cancellation mid-run over the wire
+      createRun("spin", "mat-2")
+      require(spinStarted.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "spin run never started")
+      val cw = new W
+      cw.msg(1)(_.str(1, "mat-2")); cw.msg(2)(_.str(1, "spin"))
+      cw.msg(3)(_.enum(1, 6)) // ResourceStatus.CANCELLED
+      unary("SetRunStatus", cw.result())
+      awaitRun(runner, "spin", "mat-2", "cancelled")
+      steps += (("cancel", "status", wireRun("spin", "mat-2")._1))
+      steps += (("cancel", "retried",
+        runner.runs().count(r => r.task == "spin" && r.status == "failed").toLong))
+      import s.implicits._
+      steps.toSeq.toDF("step", "metric", "value")
+    } finally { daemon.stop(); ch.shutdownNow(); srv.stop() }
+  }
+
+  /** One feature's WHOLE life across every wire plane in a single gated
+    * chain — the reference client workflow end-to-end: provider + entity +
+    * primary source + templated SQL transformation + feature registered
+    * over the Metadata gRPC service → CreateTaskRun over the Tasks service
+    * → the coordinator daemon materializes the feature into the online
+    * store → served back over the FeatureServe gRPC endpoint (150 entities,
+    * one multi-entity request) → MarkForDeletion / FinalizeDeletion over
+    * the wire → the finalized feature is NOT_FOUND. The served values are
+    * the hash-compared payload; the lifecycle assertions ride as negative
+    * sentinel entities. */
+  private def wireLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.serving._
+    import graft.serving.ProtoWire.{R, W}
+    val cat = new Catalog(s)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_wire_life").toString
+    val runner = new graft.sched.TaskRunner(s, stateDir,
+      maxAttempts = 2, backoffMs = 1)
+    val store = new OnlineStore(new InProcessKv)
+    val msrv = new MetadataServe(cat, tasks = Some(runner)).start()
+    val gsrv = new GrpcServe(store).start()
+    val mch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+      .forAddress("127.0.0.1", msrv.boundPort).usePlaintext().build()
+    val gch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+      .forAddress("127.0.0.1", gsrv.boundPort).usePlaintext().build()
+    val daemon = new graft.sched.Scheduler(runner, "sched-life", {
+      case "materialize_f_rev" => Some(() => {
+        // the executor body the reference spawns per run: resolve the
+        // registered transformation DAG, project the feature triple,
+        // materialize one-row-per-entity into the online store
+        val triple = cat.featureTriple(ResourceId("f_rev", "v1"))
+        store.load("f_rev", Materialize.latestTriple(triple))
+      })
+      case _ => None
+    }, pollIntervalMs = 25L)
+    try {
+      def munary(rpc: String, req: Array[Byte]): Array[Byte] =
+        org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(mch,
+          MetadataServe.method(MetadataServe.ServiceName, rpc,
+            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req)
+      def tunary(rpc: String, req: Array[Byte]): Array[Byte] =
+        org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(mch,
+          MetadataServe.method(MetadataServe.TasksServiceName, rpc,
+            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req)
+      // -------- 1. the registration plane (Metadata service, all wire)
+      munary("CreateUser", { val w = new W; w.msg(1)(_.str(1, "alice")); w.result() })
+      munary("CreateProvider", {
+        val w = new W
+        w.msg(1) { p =>
+          p.str(1, "spark_prov"); p.str(2, "local spark")
+          p.str(3, "SPARK_OFFLINE"); p.str(4, "spark"); p.str(5, "core")
+        }
+        w.result()
+      })
+      munary("CreateEntity", {
+        val w = new W; w.msg(1)(e => { e.str(1, "customer"); e.str(2, "cust") })
+        w.result()
+      })
+      munary("CreateSourceVariant", {
+        val w = new W
+        w.msg(1) { sv =>
+          sv.str(1, "orders_raw"); sv.str(2, "v1")
+          sv.msg(15)(_.msg(3)(_.str(1, s"$dir/orders.parquet")))
+          sv.str(4, "alice"); sv.str(6, "spark_prov")
+        }
+        w.result()
+      })
+      val q =
+        """SELECT o_custkey AS entity,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          |FROM {{orders_raw.v1}} GROUP BY o_custkey""".stripMargin
+      munary("CreateSourceVariant", {
+        val w = new W
+        w.msg(1) { sv =>
+          sv.str(1, "cust_rev"); sv.str(2, "v1")
+          sv.msg(14)(_.msg(1)(_.str(1, q)))
+          sv.str(4, "alice"); sv.str(6, "spark_prov")
+        }
+        w.result()
+      })
+      munary("CreateFeatureVariant", {
+        val w = new W
+        w.msg(1) { fv =>
+          fv.str(1, "f_rev"); fv.str(2, "v1")
+          fv.msg(3)(nv => { nv.str(1, "cust_rev"); nv.str(2, "v1") })
+          fv.str(5, "customer"); fv.str(7, "alice")
+          fv.msg(12)(c => { c.str(1, "entity"); c.str(2, "rev") })
+          fv.msg(25)(_.enum(1, 3)) // FLOAT64
+        }
+        w.result()
+      })
+      // -------- 2. execution plane: Tasks service + the daemon
+      daemon.start()
+      tunary("CreateTaskRun", {
+        val w = new W; w.msg(1)(_.str(1, "materialize_f_rev"))
+        w.str(2, "mat-1"); w.result()
+      })
+      awaitRun(runner, "materialize_f_rev", "mat-1", "success")
+      // -------- 3. serving plane: one multi-entity FeatureServe request
+      val req = new W
+      req.msg(1)(_.str(1, "f_rev"))
+      (0L until 150L).foreach(e =>
+        req.msg(2)(m => { m.str(1, "customer"); m.str(3, e.toString) }))
+      val resp = org.sparkproject.connect.grpc.stub.ClientCalls
+        .blockingUnaryCall(gch,
+          GrpcServe.method("FeatureServe",
+            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req.result())
+      val r = new R(resp)
+      val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var more = true
+      while (more) r.readTag() match {
+        case (0, _) => more = false
+        case (2, _) =>
+          val vl = r.readSlice()
+          var got: Any = null
+          var vm = true
+          while (vm) vl.readTag() match {
+            case (0, _) => vm = false
+            case (1, _) => got = GrpcServe.readValue(vl.readSlice())
+            case (_, wt) => vl.skip(wt)
+          }
+          values += got
+        case (_, wt) => r.skip(wt)
+      }
+      // -------- 4. deletion plane: mark → staged-readable → finalize → gone
+      def featureId(): Array[Byte] = {
+        val w = new W
+        w.msg(1) { rid =>
+          rid.msg(1)(nv => { nv.str(1, "f_rev"); nv.str(2, "v1") })
+          rid.enum(2, 4) // FEATURE_VARIANT
+        }
+        w.result()
+      }
+      munary("MarkForDeletion", featureId())
+      val stagedReadable =
+        if (munary("GetStagedForDeletionResource", featureId()).nonEmpty) 1L else 0L
+      munary("FinalizeDeletion", featureId())
+      val goneAfterFinalize =
+        try { munary("GetStagedForDeletionResource", featureId()); 0L }
+        catch {
+          case e: org.sparkproject.connect.grpc.StatusRuntimeException
+            if e.getStatus.getCode.toString == "NOT_FOUND" => 1L
+        }
+      val rows = values.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong,
+          Option(v).map(_.asInstanceOf[Double].asInstanceOf[Any]).orNull)
+      } ++ Seq(
+        org.apache.spark.sql.Row(-1L, stagedReadable.toDouble),
+        org.apache.spark.sql.Row(-2L, goneAfterFinalize.toDouble),
+        org.apache.spark.sql.Row(-3L,
+          if (cat.allFeatures.isEmpty) 1.0 else 0.0))
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("entity",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("f_rev",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    } finally {
+      daemon.stop()
+      mch.shutdownNow(); gch.shutdownNow(); msrv.stop(); gsrv.stop()
+    }
+  }
+
   // ----------------------- B3/O5: training-set stream combinators
 
   /** Two epochs through the training-set iterator with a buffered shuffle —
@@ -4274,6 +4553,8 @@ object SparkEntry {
     "grpc_serve_roundtrip" -> (grpcServeRoundtrip _),
     "grpc_metadata_roundtrip" -> (grpcMetadataRoundtrip _),
     "staged_deletion"   -> (stagedDeletion _),
+    "scheduler_lifecycle" -> (schedulerLifecycle _),
+    "wire_lifecycle"    -> (wireLifecycle _),
     "flight_roundtrip"  -> (flightRoundtrip _),
     "training_stream"   -> (trainingStream _),
     "split_serve"       -> (splitServe _),

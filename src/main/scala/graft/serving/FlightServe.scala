@@ -279,6 +279,8 @@ final class FlightServe(port: Int = 0, batchRows: Int = 1024,
   private val server = NettyServerBuilder
     .forAddress(new java.net.InetSocketAddress("127.0.0.1", port))
     .addService(service)
+    // standard health probes (grpc.health.v1) for load balancers
+    .addService(HealthServe.service(Set(ServiceName)))
     .build()
 
   def start(): FlightServe = { server.start(); this }

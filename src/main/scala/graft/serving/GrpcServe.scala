@@ -461,6 +461,8 @@ final class GrpcServe(store: OnlineStore, port: Int = 0,
   private val server = NettyServerBuilder
     .forAddress(new java.net.InetSocketAddress("127.0.0.1", port))
     .addService(service)
+    // standard health probes (grpc.health.v1) for load balancers
+    .addService(HealthServe.service(Set(GrpcServe.ServiceName)))
     .build()
 
   def start(): GrpcServe = { server.start(); this }

@@ -1,0 +1,68 @@
+package graft.serving
+
+import org.sparkproject.connect.grpc.{ServerServiceDefinition, Status}
+import org.sparkproject.connect.grpc.stub.{ServerCalls, StreamObserver}
+
+import ProtoWire.{R, W}
+
+/** `grpc.health.v1.Health` — the standard gRPC health-checking protocol
+  * (the reference exposes health probes via its health/ package; real
+  * load balancers and Kubernetes probe exactly this service). One
+  * implementation registered on every gRPC endpoint this engine serves
+  * (feature serving, metadata/registration/tasks, Arrow Flight).
+  *
+  * Wire shapes (health.proto, public): HealthCheckRequest{service=1
+  * string}; HealthCheckResponse{status=1 enum}, SERVING = 1. Per the
+  * protocol, an empty service name asks about the server as a whole;
+  * asking about a service the endpoint does not host answers NOT_FOUND.
+  * `Watch` emits the current status — statuses here are static for the
+  * life of the server, so the stream completes after the first report
+  * rather than idling a connection. */
+object HealthServe {
+  val ServiceName = "grpc.health.v1.Health"
+
+  private val Serving: Array[Byte] = { val w = new W; w.enum(1, 1); w.result() }
+
+  private def readService(req: Array[Byte]): String = {
+    val r = new R(req)
+    var svc = ""
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => svc = r.readString()
+      case (_, wt) => r.skip(wt)
+    }
+    svc
+  }
+
+  /** The Health service definition for an endpoint hosting `served`
+    * (full gRPC service names). */
+  def service(served: Set[String]): ServerServiceDefinition = {
+    def check(req: Array[Byte]): Array[Byte] = {
+      val svc = readService(req)
+      if (svc.nonEmpty && !served.contains(svc) && svc != ServiceName)
+        throw Status.NOT_FOUND
+          .withDescription(s"unknown service $svc").asRuntimeException()
+      Serving
+    }
+    import org.sparkproject.connect.grpc.MethodDescriptor.MethodType._
+    ServerServiceDefinition.builder(ServiceName)
+      .addMethod(MetadataServe.method(ServiceName, "Check", UNARY),
+        ServerCalls.asyncUnaryCall(
+          new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
+            override def invoke(req: Array[Byte],
+                                obs: StreamObserver[Array[Byte]]): Unit =
+              try { obs.onNext(check(req)); obs.onCompleted() }
+              catch { case e: Throwable => obs.onError(Backpressure.toStatus(e)) }
+          }))
+      .addMethod(MetadataServe.method(ServiceName, "Watch", SERVER_STREAMING),
+        ServerCalls.asyncServerStreamingCall(
+          new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+            override def invoke(req: Array[Byte],
+                                obs: StreamObserver[Array[Byte]]): Unit =
+              try Backpressure.drive(obs, Iterator.single(check(req)))
+              catch { case e: Throwable => obs.onError(Backpressure.toStatus(e)) }
+          }))
+      .build()
+  }
+}

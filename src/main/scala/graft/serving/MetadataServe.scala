@@ -1916,6 +1916,10 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     // the same process (metadata.go:2026-2345) — same here when a ledger
     // is bound
     tasks.foreach(_ => b.addService(tasksService))
+    // standard health probes (grpc.health.v1) for load balancers
+    b.addService(HealthServe.service(
+      Set(MetadataServe.ServiceName, MetadataServe.ApiServiceName) ++
+        tasks.map(_ => MetadataServe.TasksServiceName)))
     b.build()
   }
 

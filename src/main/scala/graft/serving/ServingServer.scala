@@ -38,7 +38,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   * driver-side. One JVM thread pool; state registration is in-process
   * (the metadata-server role stays with [[graft.catalog.Catalog]]). */
 final class ServingServer(store: OnlineStore, port: Int = 0,
-                          threads: Int = 4) {
+                          threads: Int = 4,
+                          /** Bind a catalog to serve the dashboard read
+                            * plane — `/search` (the reference's typesense-
+                            * backed metadata search role) and `/lineage`
+                            * (metadata/dashboard resource DAG export).
+                            * None → those endpoints answer 501. */
+                          catalog: Option[graft.catalog.Catalog] = None,
+                          /** Ledger whose latest run states ride the
+                            * `/lineage` export (dashboard run badges). */
+                          tasks: Option[graft.sched.TaskRunner] = None) {
 
   private val sets = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -366,6 +375,36 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
       throw new IllegalArgumentException(s"unknown dataset: $name"))
     respond(ex, 200,
       s"""{"name":${jsonVal(name)},"columns":${columnsJson(df)}}""")
+  }
+
+  // ---------------------------------------------- dashboard read plane
+  // The reference ships a dashboard backend over metadata search +
+  // resource browsing (metadata/dashboard, the typesense role). The data
+  // contracts already live in-process (Catalog.search tokens, Lineage
+  // export); these two routes put them on the wire for a dashboard-class
+  // consumer. Read-only, metadata-scale — never a Spark job.
+
+  route("/search") { ex =>
+    catalog match {
+      case None => respond(ex, 501, """{"error":"no catalog bound"}""")
+      case Some(cat) =>
+        val q = query(ex)
+        val term = q.getOrElse("q",
+          throw new IllegalArgumentException("q required"))
+        val limit = q.getOrElse("limit", "20").toInt
+        val hits = cat.search(term, limit).map { case (k, score) =>
+          s"""{"kind":${jsonVal(k.kind)},"id":${jsonVal(k.id)},"score":$score}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, s"""{"q":${jsonVal(term)},"hits":$hits}""")
+    }
+  }
+
+  route("/lineage") { ex =>
+    catalog match {
+      case None => respond(ex, 501, """{"error":"no catalog bound"}""")
+      case Some(cat) => respond(ex, 200, graft.catalog.Lineage.exportJson(
+        cat, tasks.map(_.runs()).getOrElse(Nil)))
+    }
   }
 
   // Prometheus scrape endpoint (reference metrics/metrics.go exposes the

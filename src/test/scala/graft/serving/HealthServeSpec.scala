@@ -1,0 +1,91 @@
+package graft.serving
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.catalog.Catalog
+import graft.serving.ProtoWire.{R, W}
+import org.sparkproject.connect.grpc.{CallOptions, ManagedChannel, StatusRuntimeException}
+import org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+import org.sparkproject.connect.grpc.stub.ClientCalls
+
+/** `grpc.health.v1.Health` on every gRPC endpoint the engine serves —
+  * what a real load balancer or Kubernetes readiness probe dials. */
+class HealthServeSpec extends SparkSpec {
+  import org.sparkproject.connect.grpc.MethodDescriptor.MethodType._
+
+  private def channel(port: Int): ManagedChannel =
+    NettyChannelBuilder.forAddress("127.0.0.1", port).usePlaintext().build()
+
+  private def check(ch: ManagedChannel, service: String): Long = {
+    val req = {
+      val w = new W
+      if (service.nonEmpty) w.str(1, service)
+      w.result()
+    }
+    val resp = ClientCalls.blockingUnaryCall(ch,
+      MetadataServe.method(HealthServe.ServiceName, "Check", UNARY),
+      CallOptions.DEFAULT, req)
+    val r = new R(resp)
+    var st = -1L
+    var more = true
+    while (more) r.readTag() match {
+      case (0, _) => more = false
+      case (1, _) => st = r.readVarint()
+      case (_, wt) => r.skip(wt)
+    }
+    st
+  }
+
+  test("Check answers SERVING on the feature, metadata, and flight " +
+       "endpoints; unknown services are NOT_FOUND; Watch streams a report") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_health").toString
+    val runner = new graft.sched.TaskRunner(spark, stateDir, backoffMs = 1)
+    val gsrv = new GrpcServe(new OnlineStore(new InProcessKv)).start()
+    val msrv = new MetadataServe(new Catalog(spark), tasks = Some(runner)).start()
+    val fsrv = new FlightServe().start()
+    val gch = channel(gsrv.boundPort)
+    val mch = channel(msrv.boundPort)
+    val fch = channel(fsrv.boundPort)
+    try {
+      // whole-server probes (empty service name) — SERVING = 1 everywhere
+      assert(check(gch, "") == 1L)
+      assert(check(mch, "") == 1L)
+      assert(check(fch, "") == 1L)
+      // per-service probes name exactly what each endpoint hosts
+      assert(check(gch, GrpcServe.ServiceName) == 1L)
+      assert(check(mch, MetadataServe.ServiceName) == 1L)
+      assert(check(mch, MetadataServe.ApiServiceName) == 1L)
+      assert(check(mch, MetadataServe.TasksServiceName) == 1L)
+      assert(check(fch, FlightServe.ServiceName) == 1L)
+      // a service this endpoint does not host → NOT_FOUND (health.proto)
+      val nf = intercept[StatusRuntimeException] {
+        check(gch, MetadataServe.ServiceName)
+      }
+      assert(nf.getStatus.getCode.toString == "NOT_FOUND")
+      // Watch: server-streaming current status
+      val frames = ClientCalls.blockingServerStreamingCall(gch,
+        MetadataServe.method(HealthServe.ServiceName, "Watch", SERVER_STREAMING),
+        CallOptions.DEFAULT, new W().result()).asScala.toSeq
+      assert(frames.size == 1)
+      val r = new R(frames.head)
+      assert(r.readTag()._1 == 1 && r.readVarint() == 1L)
+    } finally {
+      gch.shutdownNow(); mch.shutdownNow(); fch.shutdownNow()
+      gsrv.stop(); msrv.stop(); fsrv.stop()
+    }
+  }
+
+  test("a metadata server without a task ledger does not claim the Tasks " +
+       "service healthy") {
+    val msrv = new MetadataServe(new Catalog(spark)).start()
+    val mch = channel(msrv.boundPort)
+    try {
+      assert(check(mch, MetadataServe.ServiceName) == 1L)
+      val nf = intercept[StatusRuntimeException] {
+        check(mch, MetadataServe.TasksServiceName)
+      }
+      assert(nf.getStatus.getCode.toString == "NOT_FOUND")
+    } finally { mch.shutdownNow(); msrv.stop() }
+  }
+}

@@ -132,6 +132,44 @@ class ServingServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("dashboard read plane: /search ranks catalog resources, /lineage " +
+       "exports the DAG + run states; unbound catalog answers 501") {
+    import graft.catalog._
+    val cat = new Catalog(spark)
+    cat.registerSource(SourceVariant(ResourceId("orders"),
+      PrimaryData(s"$sf001/orders.parquet")))
+    cat.registerFeature(FeatureVariant(ResourceId("f_rev"), ResourceId("orders"),
+      graft.types.ResourceSchema("o_custkey", "o_totalprice", None)))
+    cat.addTags(ResourceKey("FEATURE", "f_rev.default"), Seq("revenue"))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_dash").toString
+    val runner = new graft.sched.TaskRunner(spark, stateDir, backoffMs = 1)
+    runner.run("f_rev", "v1") { 1 }
+    val srv = new ServingServer(new OnlineStore(new InProcessKv),
+      catalog = Some(cat), tasks = Some(runner)).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      // tag + name tokens all hit ("f_rev" tokenizes to f, rev): score 3
+      val (c1, b1) = get(s"$base/search?q=revenue+f_rev")
+      assert(c1 == 200)
+      assert(b1.contains(""""kind":"FEATURE","id":"f_rev.default","score":3"""))
+      // prefix match on the source name
+      val (c2, b2) = get(s"$base/search?q=ord")
+      assert(c2 == 200 && b2.contains(""""id":"orders.default""""))
+      assert(get(s"$base/search")._1 == 400) // q required
+      val (c3, b3) = get(s"$base/lineage")
+      assert(c3 == 200)
+      assert(b3.contains(""""id":"orders.default","type":"source""""))
+      assert(b3.contains(""""from":"orders.default","to":"f_rev.default""""))
+      assert(b3.contains(""""task":"f_rev","runKey":"v1","attempt":1,"status":"success""""))
+    } finally srv.stop()
+    // no catalog bound → 501, not a 500 or a hang
+    val bare = new ServingServer(new OnlineStore(new InProcessKv)).start()
+    try {
+      assert(get(s"http://127.0.0.1:${bare.boundPort}/search?q=x")._1 == 501)
+      assert(get(s"http://127.0.0.1:${bare.boundPort}/lineage")._1 == 501)
+    } finally bare.stop()
+  }
+
   test("concurrent clients: parallel /features + /nearest stay correct and isolated") {
     val store = new OnlineStore(new InProcessKv)
     store.load("f", (1L to 200L).map(i => (i, i * 3L)).toDF("entity", "value"))
