@@ -211,7 +211,11 @@ final class FlightServe(port: Int = 0, batchRows: Int = 1024,
     new StreamObserver[Array[Byte]] {
       override def onNext(req: Array[Byte]): Unit =
         obs.onNext(new W().result())
-      override def onError(t: Throwable): Unit = ()
+      override def onError(t: Throwable): Unit =
+        // client-half failure: the RPC is already dead, but a silent drop
+        // makes handshake issues undiagnosable — log, don't swallow
+        org.slf4j.LoggerFactory.getLogger("graft.FlightServe")
+          .warn(s"handshake client stream error: $t")
       override def onCompleted(): Unit = obs.onCompleted()
     }
 
