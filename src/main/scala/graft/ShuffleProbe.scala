@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * rerank on the SkewBench x10 corpus at dim 64 and tiled dim 512.
   *
   * Usage: runMain graft.ShuffleProbe [sfDir] [workDir]
-  * Writes BENCH_shuffle_int8_r11.json.
+  * Writes BENCH_shuffle_int8_r12.json.
   */
 object ShuffleProbe {
   def main(args: Array[String]): Unit = {
@@ -100,7 +100,7 @@ object ShuffleProbe {
         s""""sf_dir":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_shuffle_int8_r11.json"),
+      java.nio.file.Paths.get("/root/repo/BENCH_shuffle_int8_r12.json"),
       json + "\n")
     spark.stop()
   }

@@ -1245,8 +1245,12 @@ object SparkEntry {
         Thread.sleep(600000L) // interruptible: only the cancel ends this
         ()
       })
+      case "cron_count" => Some(() => 1L)
       case _ => None
-    }, pollIntervalMs = 25L)
+    }, pollIntervalMs = 25L,
+      // the SCHEDULE trigger leg: a cron string alone, no client call,
+      // must turn into a minted + executed run
+      schedules = () => Seq("cron_count" -> "* * * * *"))
     try {
       def unary(rpc: String, req: Array[Byte]): Array[Byte] =
         org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(ch,
@@ -1303,6 +1307,20 @@ object SparkEntry {
       steps += (("cancel", "status", wireRun("spin", "mat-2")._1))
       steps += (("cancel", "retried",
         runner.runs().count(r => r.task == "spin" && r.status == "failed").toLong))
+      // 4. the SCHEDULE trigger: the cron schedule mints its due-tick run
+      //    and the daemon executes it — registration + a schedule string
+      //    becomes execution with no client in the loop
+      val deadline = System.currentTimeMillis() + 120000L
+      def cronRun() = runner.latestRuns()
+        .find(r => r.task == "cron_count" && r.status == "success")
+      var cr = cronRun()
+      while (cr.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(20); cr = cronRun()
+      }
+      val cronRec = cr.getOrElse(sys.error("scheduled run never executed"))
+      val (st3, sched3) = wireRun("cron_count", cronRec.runKey)
+      steps += (("schedule", "status", st3))
+      steps += (("schedule", "scheduler_id", if (sched3 == "sched-gate") 1L else 0L))
       import s.implicits._
       steps.toSeq.toDF("step", "metric", "value")
     } finally { daemon.stop(); ch.shutdownNow(); srv.stop() }

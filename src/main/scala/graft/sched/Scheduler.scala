@@ -38,7 +38,14 @@ final class Scheduler(
     /** Task name → executable body; None = not bound on this daemon. */
     bodies: String => Option[() => Any],
     pollIntervalMs: Long = 100L,
-    maxConcurrent: Int = 4) {
+    maxConcurrent: Int = 4,
+    /** Cron-scheduled tasks (task name → 5-field cron expression) — the
+      * reference's SCHEDULE run trigger (scheduling/task_run.go:201-210
+      * ScheduleTrigger; RequestScheduleChange stores the string on the
+      * resource). Re-evaluated every poll so schedule changes take
+      * effect live; see [[Scheduler.catalogSchedules]] for the
+      * wire-registered form. */
+    schedules: () => Seq[(String, String)] = () => Nil) {
 
   @volatile private var stopped = false
   // runs THIS daemon is currently executing (cheap local guard; the real
@@ -84,9 +91,36 @@ final class Scheduler(
   private def unfinished(): Seq[TaskRun] =
     runner.latestRuns().filter(r => Scheduler.Runnable(r.status))
 
+  /** Mint a `created` ledger run for each schedule's latest due tick that
+    * has no run yet — registration + a schedule string turns into
+    * EXECUTION with no client in the loop. Tick keys are the grid-aligned
+    * due instant (UTC), so N daemons over one ledger mint the same key
+    * and the run claim still executes it exactly once (a raced double
+    * `created` row is harmless — same key, the index keeps one state).
+    * On first sight of a schedule the latest PAST due tick is minted
+    * (one catch-up run, the reference's register-then-run shape);
+    * thereafter, one run per new tick. A malformed expression is logged
+    * and skipped — one bad schedule must not kill the daemon. */
+  private def mintDueRuns(): Unit =
+    schedules().foreach { case (task, expr) =>
+      try {
+        CronSchedule(expr).lastDue(System.currentTimeMillis()).foreach { tick =>
+          val key = java.time.Instant.ofEpochMilli(tick).toString
+          if (runner.latestRun(task, key).isEmpty)
+            runner.record(TaskRun(task, key, 0, "created",
+              System.currentTimeMillis(), 0L, None))
+        }
+      } catch {
+        case e: IllegalArgumentException =>
+          org.slf4j.LoggerFactory.getLogger("graft.Scheduler")
+            .warn(s"schedule for task $task is malformed, skipping: ${e.getMessage}")
+      }
+    }
+
   /** One asynchronous poll tick: submit every claimable unfinished run to
     * the worker pool. */
-  private def dispatch(): Unit =
+  private def dispatch(): Unit = {
+    mintDueRuns()
     unfinished().foreach { r =>
       bodies(r.task).foreach { body =>
         val k = (r.task, r.runKey)
@@ -96,12 +130,14 @@ final class Scheduler(
             finally inFlight.remove(k))
       }
     }
+  }
 
   /** One SYNCHRONOUS tick: execute every claimable unfinished run to
     * completion on the calling thread, returning the final record per run
     * executed. Deterministic — what the gated lifecycle queries and specs
     * drive instead of sleeping on the poll loop. */
-  def tick(): Seq[TaskRun] =
+  def tick(): Seq[TaskRun] = {
+    mintDueRuns()
     unfinished().flatMap { r =>
       bodies(r.task) match {
         case Some(body) =>
@@ -112,6 +148,7 @@ final class Scheduler(
         case None => None
       }
     }
+  }
 
   /** Claim + execute one run. Mirrors executor.go's sequence: mark RUNNING
     * (only visible while the attempt is live — the runner's own attempt
@@ -140,4 +177,18 @@ object Scheduler {
 
   /** Ledger statuses the daemon considers runnable. */
   val Runnable: Set[String] = Set("created", "pending", "running")
+
+  /** (task, cron) pairs from a catalog's registered schedule strings —
+    * the wire form: RequestScheduleChange / the schedule field on
+    * Create* land as a `__schedule` resource property (MetadataServe
+    * setMeta), direct catalog users may set plain `schedule`. Task names
+    * follow the task-per-resource-name convention the ledger and the
+    * lineage export already use. */
+  def catalogSchedules(cat: graft.catalog.Catalog): Seq[(String, String)] =
+    cat.allProperties.collect {
+      case (k, ps) if ps.get("__schedule").orElse(ps.get("schedule"))
+        .exists(_.nonEmpty) =>
+        k.id.split('.').head ->
+          ps.get("__schedule").orElse(ps.get("schedule")).get
+    }.distinct
 }

@@ -119,6 +119,48 @@ class SchedulerSpec extends SparkSpec {
     assert(runner.latestRun("someone_elses", "k1").get.status == "created")
   }
 
+  test("cron schedules mint due runs that execute exactly once per tick; " +
+       "a malformed expression is skipped, not fatal") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
+    val calls = new AtomicInteger(0)
+    val sched = new Scheduler(runner, "s",
+      name => if (name == "refresh") Some(() => calls.incrementAndGet()) else None,
+      schedules = () => Seq("refresh" -> "* * * * *", "broken" -> "not a cron"))
+    val minuteBefore = System.currentTimeMillis() / 60000L
+    val out = sched.tick()
+    assert(out.map(r => (r.task, r.status)) == Seq(("refresh", "success")))
+    assert(calls.get() == 1)
+    // the minted key is the grid-aligned due instant
+    val run = runner.latestRuns().find(_.task == "refresh").get
+    assert(run.runKey == java.time.Instant
+      .ofEpochMilli(minuteBefore * 60000L).toString ||
+      run.runKey == java.time.Instant
+        .ofEpochMilli((minuteBefore + 1) * 60000L).toString)
+    // same tick: nothing new to mint or run
+    sched.tick()
+    val minuteAfter = System.currentTimeMillis() / 60000L
+    if (minuteAfter == minuteBefore) assert(calls.get() == 1)
+    else assert(calls.get() <= 2) // the minute rolled mid-test: one more tick
+    // the malformed schedule minted nothing and broke nothing
+    assert(runner.latestRuns().forall(_.task != "broken"))
+  }
+
+  test("catalogSchedules extracts wire-registered schedule strings by " +
+       "resource-name task convention") {
+    val cat = new graft.catalog.Catalog(spark)
+    cat.setProperties(
+      graft.catalog.ResourceKey("SOURCE", "orders.v1"),
+      Map("__schedule" -> "*/5 * * * *"))
+    cat.setProperties(
+      graft.catalog.ResourceKey("FEATURE", "f_rev.v1"),
+      Map("schedule" -> "0 * * * *"))
+    cat.setProperties(
+      graft.catalog.ResourceKey("LABEL", "lbl.v1"),
+      Map("__schedule" -> "")) // empty = no schedule
+    assert(Scheduler.catalogSchedules(cat).toSet ==
+      Set("orders" -> "*/5 * * * *", "f_rev" -> "0 * * * *"))
+  }
+
   test("the background poll loop executes without explicit ticks") {
     val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
     val calls = new AtomicInteger(0)
