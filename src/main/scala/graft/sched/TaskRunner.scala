@@ -78,6 +78,17 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   private val localSuccesses =
     scala.collection.mutable.Set.empty[(String, String)]
 
+  // LOCAL ledgers append through java.io (reads too — java.io appends
+  // would leave any fs-written .crc sidecar stale for Hadoop's checksummed
+  // LocalFileSystem reads). Non-local stateDirs keep the Hadoop path; a
+  // distributed deployment brings a run table the way it brings a locker.
+  private val localLedgerFile: Option[java.io.File] = {
+    val scheme = file.toUri.getScheme
+    if (scheme == null || scheme == "file")
+      Some(new java.io.File(file.toUri.getPath))
+    else None
+  }
+
   // Reads take the ledger lock too: the rewrite's delete→rename pair is
   // crash-atomic but leaves a no-file window a concurrent READER could
   // observe, silently missing every record (and succeeded() would then
@@ -85,16 +96,34 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   def runs(): Seq[TaskRun] = lock.withLock("__ledger__")(runsLocked())
 
   private def runsLocked(): Seq[TaskRun] = {
-    if (!fs.exists(file)) return Nil
-    val in = fs.open(file)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
-      val m = mapper.readValue(line, classOf[java.util.Map[String, Any]])
-      TaskRun(m.get("task").toString, m.get("runKey").toString,
-        m.get("attempt").asInstanceOf[Number].intValue(), m.get("status").toString,
-        m.get("startMs").asInstanceOf[Number].longValue(),
-        m.get("endMs").asInstanceOf[Number].longValue(),
-        Option(m.get("error")).map(_.toString))
+    val text = localLedgerFile match {
+      case Some(f) =>
+        if (!f.exists()) return Nil
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      case None =>
+        if (!fs.exists(file)) return Nil
+        val in = fs.open(file)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val lines = text.linesIterator.filter(_.nonEmpty).toVector
+    lines.iterator.zipWithIndex.flatMap { case (line, i) =>
+      try {
+        val m = mapper.readValue(line, classOf[java.util.Map[String, Any]])
+        Some(TaskRun(m.get("task").toString, m.get("runKey").toString,
+          m.get("attempt").asInstanceOf[Number].intValue(), m.get("status").toString,
+          m.get("startMs").asInstanceOf[Number].longValue(),
+          m.get("endMs").asInstanceOf[Number].longValue(),
+          Option(m.get("error")).map(_.toString)))
+      } catch {
+        // a TORN TAIL — the append-mode writer crashed mid-line — loses
+        // exactly the in-flight record, the same outcome as crashing
+        // before the old rewrite's rename; anything malformed EARLIER
+        // than the last line is real corruption and must fail loudly
+        case e: Exception if i == lines.size - 1 =>
+          org.slf4j.LoggerFactory.getLogger("graft.TaskRunner").warn(
+            s"dropping torn final ledger line (${line.length} bytes): $e")
+          None
+      }
     }.toSeq
   }
 
@@ -110,38 +139,85 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   }
 
   private def appendLocked(r: TaskRun): Unit = {
-    // absorb rows OTHER runners appended since our last refresh FIRST: the
-    // rewrite below folds them into the file we stamp as "indexed", so
-    // skipping this would stamp-cover foreign rows the index never saw —
-    // and a stale index here means a raced daemon re-executes a completed
-    // run (the exact double-success this ledger exists to prevent)
+    // absorb rows OTHER runners appended since our last refresh FIRST —
+    // the post-append stamp below covers them, so skipping this would
+    // stamp-cover foreign rows the index never saw, and a stale index
+    // means a raced daemon re-executes a completed run (the exact
+    // double-success this ledger exists to prevent). The refresh is a
+    // stat when nothing foreign changed, so the single-writer fast path
+    // (every daemon attempt record) stays O(1).
     refreshIndexLocked()
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("task", r.task); m.put("runKey", r.runKey); m.put("attempt", r.attempt)
     m.put("status", r.status); m.put("startMs", r.startMs); m.put("endMs", r.endMs)
     r.error.foreach(e => m.put("error", e))
     val line = mapper.writeValueAsString(m) + "\n"
-    fs.mkdirs(new Path(stateDir))
-    // LocalFileSystem does not support append(); records are metadata-scale,
-    // so read + atomic rewrite (tmp + rename) keeps the log durable
-    val existing =
-      if (fs.exists(file)) {
-        val in = fs.open(file)
-        try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      } else ""
-    val tmp = new Path(s"$stateDir/.task_runs.jsonl.tmp")
-    val out = fs.create(tmp, true)
-    out.write((existing + line).getBytes("UTF-8")); out.close()
-    // A silently failed delete or rename would drop this record from the
-    // durable ledger — succeeded() would then miss the resume check and a
-    // re-run would append a duplicate success. Fail loudly instead.
-    if (fs.exists(file) && !fs.delete(file, false))
-      sys.error(s"TaskRunner: could not delete $file during ledger rewrite")
-    if (!fs.rename(tmp, file))
-      sys.error(s"TaskRunner: could not rename $tmp -> $file during ledger rewrite")
+    localLedgerFile match {
+      case Some(f) =>
+        // O(1) true append, fsynced — the old read+rewrite was O(ledger)
+        // PER RECORD, an O(n²) tail for the always-on daemon's attempt
+        // stream. A crash mid-append leaves a torn final line that
+        // runsLocked drops (same loss as crashing before a rewrite's
+        // rename). Durability before the claim releases: getFD().sync().
+        f.getParentFile.mkdirs()
+        healTornTail(f)
+        val out = new java.io.FileOutputStream(f, true)
+        try {
+          out.write(line.getBytes("UTF-8"))
+          out.getFD.sync()
+        } finally out.close()
+      case None =>
+        // non-local store: LocalFileSystem-style append is unavailable /
+        // unreliable across Hadoop bindings, and records are metadata-
+        // scale — read + atomic rewrite (tmp + rename) keeps it durable
+        fs.mkdirs(new Path(stateDir))
+        val existing =
+          if (fs.exists(file)) {
+            val in = fs.open(file)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          } else ""
+        val tmp = new Path(s"$stateDir/.task_runs.jsonl.tmp")
+        val out = fs.create(tmp, true)
+        out.write((existing + line).getBytes("UTF-8")); out.close()
+        // A silently failed delete or rename would drop this record from
+        // the durable ledger — succeeded() would then miss the resume
+        // check and a re-run would append a duplicate success. Fail
+        // loudly instead.
+        if (fs.exists(file) && !fs.delete(file, false))
+          sys.error(s"TaskRunner: could not delete $file during ledger rewrite")
+        if (!fs.rename(tmp, file))
+          sys.error(s"TaskRunner: could not rename $tmp -> $file during ledger rewrite")
+    }
     if (r.status == "success") localSuccesses += ((r.task, r.runKey))
     indexAdd(r)
     indexStamp = fileStamp()
+  }
+
+  /** A crashed writer's partial final line must not FUSE with the next
+    * append (the merged bytes would read as one malformed line that is no
+    * longer last — a loud failure on a healable ledger). We hold the
+    * exclusive ledger claim here, so the fragment is dead bytes: truncate
+    * back to the last complete line. O(1) when the tail is intact (one
+    * positional read of the final byte); the scan-back runs only on the
+    * rare post-crash append. */
+  private def healTornTail(f: java.io.File): Unit = {
+    if (!f.exists() || f.length() == 0) return
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.READ,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val len = ch.size()
+      val one = java.nio.ByteBuffer.allocate(1)
+      ch.read(one, len - 1)
+      if (one.get(0) != '\n'.toByte) {
+        val all = java.nio.file.Files.readAllBytes(f.toPath)
+        var i = all.length - 1
+        while (i >= 0 && all(i) != '\n'.toByte) i -= 1
+        org.slf4j.LoggerFactory.getLogger("graft.TaskRunner").warn(
+          s"truncating torn ledger tail (${all.length - i - 1} bytes) in $f")
+        ch.truncate((i + 1).toLong)
+      }
+    } finally ch.close()
   }
 
   def succeeded(task: String, runKey: String): Boolean =
@@ -160,9 +236,13 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     scala.collection.mutable.LinkedHashMap.empty[(String, String), TaskRun]
   private var indexStamp: (Long, Long) = (-1L, -1L)
 
-  private def fileStamp(): (Long, Long) =
-    if (!fs.exists(file)) (0L, 0L)
-    else { val st = fs.getFileStatus(file); (st.getModificationTime, st.getLen) }
+  private def fileStamp(): (Long, Long) = localLedgerFile match {
+    case Some(f) =>
+      if (!f.exists()) (0L, 0L) else (f.lastModified(), f.length())
+    case None =>
+      if (!fs.exists(file)) (0L, 0L)
+      else { val st = fs.getFileStatus(file); (st.getModificationTime, st.getLen) }
+  }
 
   private def refreshIndexLocked(): Unit = {
     val st = fileStamp()
@@ -230,6 +310,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
       localLogsFile match {
         case Some(f) =>
           f.getParentFile.mkdirs()
+          healTornTail(f)
           val out = new java.io.FileOutputStream(f, true)
           try out.write(line.getBytes("UTF-8")) finally out.close()
         case None =>
@@ -261,11 +342,18 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           val in = fs.open(logsFile)
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }
-      text.linesIterator.filter(_.nonEmpty).flatMap { line =>
-        val m = mapper.readValue(line, classOf[java.util.Map[String, Any]])
-        if (m.get("task") == task && m.get("runKey") == runKey)
-          Some(m.get("log").toString)
-        else None
+      val lines = text.linesIterator.filter(_.nonEmpty).toVector
+      lines.iterator.zipWithIndex.flatMap { case (line, i) =>
+        try {
+          val m = mapper.readValue(line, classOf[java.util.Map[String, Any]])
+          if (m.get("task") == task && m.get("runKey") == runKey)
+            Some(m.get("log").toString)
+          else None
+        } catch {
+          // same torn-tail rule as the ledger: only the final line may be
+          // a crashed writer's fragment
+          case _: Exception if i == lines.size - 1 => None
+        }
       }.toSeq
     }
 

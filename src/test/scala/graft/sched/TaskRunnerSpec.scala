@@ -103,6 +103,33 @@ class TaskRunnerSpec extends SparkSpec {
     }
   }
 
+  test("torn ledger tail (writer crashed mid-append) is dropped; earlier " +
+       "corruption fails loudly; appends continue past a torn tail") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, backoffMs = 1)
+    runner.run("a", "k1") { 1 }
+    runner.run("b", "k1") { 2 }
+    // simulate a crash mid-append: half a JSON object at EOF
+    val ledger = java.nio.file.Paths.get(dir, "task_runs.jsonl")
+    java.nio.file.Files.write(ledger,
+      """{"task":"c","runKey":"k1","att""".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val runner2 = new TaskRunner(spark, dir, backoffMs = 1)
+    // the torn record is lost exactly like a crash before the write
+    assert(runner2.runs().map(_.task) == Seq("a", "b"))
+    assert(!runner2.succeeded("c", "k1"))
+    // the next append HEALS the tail (truncates the fragment) rather than
+    // fusing with it — the re-run of c must land as a clean, readable row
+    runner2.run("c", "k1") { 3 }
+    val after = new TaskRunner(spark, dir, backoffMs = 1).runs()
+    assert(after.exists(r => r.task == "c" && r.status == "success"))
+    // corruption NOT at the tail is a real error, never silently dropped
+    val lines = new String(java.nio.file.Files.readAllBytes(ledger), "UTF-8")
+    java.nio.file.Files.write(ledger,
+      ("{broken}\n" + lines).getBytes("UTF-8"))
+    intercept[Exception] { new TaskRunner(spark, dir, backoffMs = 1).runs() }
+  }
+
   test("schedule due-time evaluation") {
     val s = Schedule(everyMs = 1000, offsetMs = 500)
     assert(s.lastDue(400).isEmpty)
