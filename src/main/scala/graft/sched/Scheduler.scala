@@ -45,7 +45,15 @@ final class Scheduler(
       * resource). Re-evaluated every poll so schedule changes take
       * effect live; see [[Scheduler.catalogSchedules]] for the
       * wire-registered form. */
-    schedules: () => Seq[(String, String)] = () => Nil) {
+    schedules: () => Seq[(String, String)] = () => Nil,
+    /** Upstream task names per task — the executor's dependency wait
+      * (reference coordinator/executor.go:100-110
+      * waitForPendingDependencies): a run whose upstreams (same runKey)
+      * have not all succeeded is left for a later tick; a run whose
+      * upstream terminally failed is recorded `upstream_failed` (served
+      * as CANCELLED on the wire, the reference's DependencyFailed →
+      * SetRunStatus(CANCELLED) branch) without executing. */
+    deps: String => Seq[String] = _ => Nil) {
 
   @volatile private var stopped = false
   // runs THIS daemon is currently executing (cheap local guard; the real
@@ -117,6 +125,27 @@ final class Scheduler(
       }
     }
 
+  /** Dependency verdict for one run: Ready to execute, Waiting on
+    * upstreams still in flight, or the failed upstream names when an
+    * upstream terminally failed (same-runKey convention: a pipeline's
+    * tasks share the run key, exactly how [[Dag.run]] keys chains). */
+  private def depVerdict(task: String, runKey: String): Either[Seq[String], Boolean] = {
+    val ups = deps(task)
+    if (ups.isEmpty) Right(true)
+    else {
+      val states = ups.map(u => u -> runner.latestRun(u, runKey).map(_.status))
+      val failed = states.collect {
+        case (u, Some(st))
+          if st == "failed" || st == "timeout" || st == "cancelled" ||
+             st == "upstream_failed" => u
+      }
+      if (failed.nonEmpty) Left(failed)
+      else if (states.forall(_._2.exists(st => st == "success" || st == "skipped")))
+        Right(true)
+      else Right(false) // upstreams pending — wait for a later tick
+    }
+  }
+
   /** One asynchronous poll tick: submit every claimable unfinished run to
     * the worker pool. */
   private def dispatch(): Unit = {
@@ -124,10 +153,18 @@ final class Scheduler(
     unfinished().foreach { r =>
       bodies(r.task).foreach { body =>
         val k = (r.task, r.runKey)
-        if (inFlight.putIfAbsent(k, ()).isEmpty)
-          pool.execute(() =>
-            try execute(r, body)
-            finally inFlight.remove(k))
+        depVerdict(r.task, r.runKey) match {
+          case Right(false) => () // dependency wait
+          case Left(failedUps) =>
+            if (inFlight.putIfAbsent(k, ()).isEmpty)
+              try runner.recordUpstreamFailed(r.task, r.runKey, failedUps)
+              finally inFlight.remove(k)
+          case Right(true) =>
+            if (inFlight.putIfAbsent(k, ()).isEmpty)
+              pool.execute(() =>
+                try execute(r, body)
+                finally inFlight.remove(k))
+        }
       }
     }
   }
@@ -142,9 +179,18 @@ final class Scheduler(
       bodies(r.task) match {
         case Some(body) =>
           val k = (r.task, r.runKey)
-          if (inFlight.putIfAbsent(k, ()).isEmpty)
-            try Some(execute(r, body)) finally inFlight.remove(k)
-          else None
+          depVerdict(r.task, r.runKey) match {
+            case Right(false) => None // dependency wait
+            case Left(failedUps) =>
+              if (inFlight.putIfAbsent(k, ()).isEmpty)
+                try Some(runner.recordUpstreamFailed(r.task, r.runKey, failedUps))
+                finally inFlight.remove(k)
+              else None
+            case Right(true) =>
+              if (inFlight.putIfAbsent(k, ()).isEmpty)
+                try Some(execute(r, body)) finally inFlight.remove(k)
+              else None
+          }
         case None => None
       }
     }

@@ -1743,12 +1743,28 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     * answer is immediately current — callers poll). */
   private def watchForCancel(req: Array[Byte]): Array[Byte] = {
     val (run, task) = readRunTaskIds(req)
-    val cur = currentRun(task, run)
+    // LONG-POLL until the run reaches a terminal state (the executor's
+    // "did my run get cancelled" watch; the reference's own server half
+    // is an unimplemented infinite loop, taskmetadata.go:671-677 — this
+    // one actually resolves), bounded so a watch on a stuck run cannot
+    // pin a server thread forever. Polls the O(1) run index.
+    val deadline = System.currentTimeMillis() + WatchForCancelTimeoutMs
+    var cur = currentRun(task, run)
+    while (!TerminalStatuses.contains(cur.status) &&
+           System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      cur = currentRun(task, run)
+    }
     val w = new W
     w.enum(1, statusEnum(cur.status))
     cur.error.foreach(w.str(2, _))
     w.result()
   }
+
+  private val TerminalStatuses =
+    Set("success", "skipped", "failed", "timeout", "cancelled", "upstream_failed")
+  private val WatchForCancelTimeoutMs =
+    sys.env.getOrElse("GRAFT_WATCH_CANCEL_TIMEOUT_MS", "60000").toLong
 
   private def runStream(route: String,
                         pick: () => Seq[graft.sched.TaskRun]) =

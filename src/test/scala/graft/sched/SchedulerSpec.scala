@@ -1,6 +1,7 @@
 package graft.sched
 
 import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
 import graft.SparkSpec
 
 /** The always-on coordinator daemon (reference coordinator/scheduler.go:
@@ -117,6 +118,44 @@ class SchedulerSpec extends SparkSpec {
     val out = sched.tick()
     assert(out.map(r => (r.task, r.status)) == Seq(("mine", "success")))
     assert(runner.latestRun("someone_elses", "k1").get.status == "created")
+  }
+
+  test("dependency wait: downstream executes only after its upstream " +
+       "succeeds (same runKey); a failed upstream cancels the downstream " +
+       "as upstream_failed") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 1, backoffMs = 1)
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sched = new Scheduler(runner, "s", {
+      case "a_up"   => Some(() => order.add("a_up"))
+      case "b_down" => Some(() => order.add("b_down"))
+      case "doomed" => Some(() => sys.error("boom"))
+      case "after_doomed" => Some(() => order.add("after_doomed"))
+      case _ => None
+    }, deps = {
+      case "b_down" => Seq("a_up")
+      case "after_doomed" => Seq("doomed")
+      case _ => Nil
+    })
+    // downstream created FIRST: it must wait, not execute out of order
+    createdRun(runner, "b_down", "k")
+    val t1 = sched.tick()
+    assert(t1.isEmpty && order.isEmpty, "downstream must wait for its upstream")
+    assert(runner.latestRun("b_down", "k").get.status == "created")
+    createdRun(runner, "a_up", "k")
+    sched.tick() // a_up executes; b_down becomes ready (same or next tick)
+    sched.tick()
+    assert(order.asScala.toSeq == Seq("a_up", "b_down"))
+    assert(runner.latestRun("b_down", "k").get.status == "success")
+    // failed upstream → downstream recorded upstream_failed, body never ran
+    createdRun(runner, "doomed", "k2")
+    createdRun(runner, "after_doomed", "k2")
+    sched.tick(); sched.tick()
+    val down = runner.latestRun("after_doomed", "k2").get
+    assert(down.status == "upstream_failed")
+    assert(down.error.exists(_.contains("doomed")))
+    assert(!order.asScala.toSeq.contains("after_doomed"))
+    // terminal: later ticks leave it alone
+    assert(sched.tick().isEmpty)
   }
 
   test("cron schedules mint due runs that execute exactly once per tick; " +

@@ -188,6 +188,30 @@ class TasksServeSpec extends SparkSpec {
     }
   }
 
+  test("WatchForCancel blocks until the run turns terminal: a concurrent " +
+       "wire cancel resolves the watch with CANCELLED") {
+    withServer { (runner, ch) =>
+      val c = { val w = new W; idMsg(1, "longtask")(w); w.str(2, "r1"); w.result() }
+      unary(ch, "CreateTaskRun", c) // created — NOT terminal
+      val watched = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val watcher = new Thread(() => {
+        val r = new R(unary(ch, "WatchForCancel", runTask("r1", "longtask")))
+        assert(r.readTag()._1 == 1)
+        watched.set(r.readVarint())
+      })
+      watcher.start()
+      Thread.sleep(300) // let the watch actually block on a live run
+      assert(watcher.isAlive, "watch must not resolve while the run is live")
+      val cw = new W
+      idMsg(1, "r1")(cw); idMsg(2, "longtask")(cw)
+      cw.msg(3)(_.enum(1, 6)) // CANCELLED
+      unary(ch, "SetRunStatus", cw.result())
+      watcher.join(30000)
+      assert(!watcher.isAlive && watched.get() == 6L,
+        "watch resolves with CANCELLED once the cancel lands")
+    }
+  }
+
   test("runner-executed work is visible over the wire: a TaskRunner.run " +
        "attempt shows as a READY run with its ledger identity") {
     withServer { (runner, ch) =>
