@@ -1843,11 +1843,13 @@ object OracleSql {
         |  SELECT 'create' AS step, 'status' AS metric, CAST(1 AS BIGINT) AS value
         |  UNION ALL SELECT 'execute', 'status', 3
         |  UNION ALL SELECT 'execute', 'scheduler_id', 1
+        |  UNION ALL SELECT 'execute', 'trigger', 1
         |  UNION ALL SELECT 'execute', 'rows', (SELECT COUNT(*) FROM orders)
         |  UNION ALL SELECT 'cancel', 'status', 6
         |  UNION ALL SELECT 'cancel', 'retried', 0
         |  UNION ALL SELECT 'schedule', 'status', 3
-        |  UNION ALL SELECT 'schedule', 'scheduler_id', 1)""".stripMargin,
+        |  UNION ALL SELECT 'schedule', 'scheduler_id', 1
+        |  UNION ALL SELECT 'schedule', 'trigger', 0)""".stripMargin,
 
     // one feature's whole wire life: the served values are the registered
     // transformation's per-customer revenue (the engine side travels

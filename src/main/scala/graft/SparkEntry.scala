@@ -1261,15 +1261,20 @@ object SparkEntry {
         val w = new W; w.msg(1)(_.str(1, task)); w.str(2, name)
         unary("CreateTaskRun", w.result()); ()
       }
-      /** (status enum, scheduler id) from GetRunMetadata over the wire. */
-      def wireRun(task: String, run: String): (Long, String) = {
+      /** (status enum, scheduler id, trigger type) from GetRunMetadata
+        * over the wire — trigger type is proto3-default SCHEDULE(0)
+        * unless the ON_APPLY enum is present; a SCHEDULE report must
+        * also carry the ScheduleTrigger message (field 5). */
+      def wireRun(task: String, run: String): (Long, String, Long) = {
         val w = new W
         w.msg(1)(_.str(1, run)); w.msg(2)(_.str(1, task))
         val r = new R(unary("GetRunMetadata", w.result()))
-        var st = -1L; var sched = ""
+        var st = -1L; var sched = ""; var trig = 0L; var sawSchedMsg = false
         var more = true
         while (more) r.readTag() match {
           case (0, _) => more = false
+          case (5, _) => sawSchedMsg = true; r.readSlice()
+          case (6, _) => trig = r.readVarint()
           case (13, _) =>
             val sm = r.readSlice()
             var m2 = true
@@ -1281,7 +1286,9 @@ object SparkEntry {
           case (17, _) => sched = r.readString()
           case (_, wt) => r.skip(wt)
         }
-        (st, sched)
+        require(trig != 0L || sawSchedMsg,
+          s"run $run reports SCHEDULE trigger without a ScheduleTrigger message")
+        (st, sched, trig)
       }
       val steps =
         scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -1291,9 +1298,10 @@ object SparkEntry {
       // 2. the daemon turns it into execution
       daemon.start()
       awaitRun(runner, "count_orders", "mat-1", "success")
-      val (st1, sched1) = wireRun("count_orders", "mat-1")
+      val (st1, sched1, trig1) = wireRun("count_orders", "mat-1")
       steps += (("execute", "status", st1)) // READY
       steps += (("execute", "scheduler_id", if (sched1 == "sched-gate") 1L else 0L))
+      steps += (("execute", "trigger", trig1)) // ON_APPLY
       steps += (("execute", "rows", taskRows))
       // 3. cancellation mid-run over the wire
       createRun("spin", "mat-2")
@@ -1318,9 +1326,10 @@ object SparkEntry {
         Thread.sleep(20); cr = cronRun()
       }
       val cronRec = cr.getOrElse(sys.error("scheduled run never executed"))
-      val (st3, sched3) = wireRun("cron_count", cronRec.runKey)
+      val (st3, sched3, trig3) = wireRun("cron_count", cronRec.runKey)
       steps += (("schedule", "status", st3))
       steps += (("schedule", "scheduler_id", if (sched3 == "sched-gate") 1L else 0L))
+      steps += (("schedule", "trigger", trig3)) // SCHEDULE (proto3 default 0)
       import s.implicits._
       steps.toSeq.toDF("step", "metric", "value")
     } finally { daemon.stop(); ch.shutdownNow(); srv.stop() }

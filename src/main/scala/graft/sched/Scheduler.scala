@@ -114,9 +114,14 @@ final class Scheduler(
       try {
         CronSchedule(expr).lastDue(System.currentTimeMillis()).foreach { tick =>
           val key = java.time.Instant.ofEpochMilli(tick).toString
-          if (runner.latestRun(task, key).isEmpty)
+          if (runner.latestRun(task, key).isEmpty) {
             runner.record(TaskRun(task, key, 0, "created",
               System.currentTimeMillis(), 0L, None))
+            // durable trigger provenance: the Tasks service reads this
+            // back as a ScheduleTrigger (TriggerType SCHEDULE) instead of
+            // the default ON_APPLY — scheduling.proto:97-100,126-129
+            runner.addRunLog(task, key, Scheduler.CronLogPrefix + expr)
+          }
         }
       } catch {
         case e: IllegalArgumentException =>
@@ -220,6 +225,11 @@ object Scheduler {
     * SetRunSchedulerID sidecar the Tasks service reads back as field 17 of
     * TaskRunMetadata). */
   val LogPrefix = "__scheduler__:"
+
+  /** Run-log prefix that records the cron expression that minted a run —
+    * the Tasks service reports such runs with a ScheduleTrigger and
+    * TriggerType SCHEDULE (reference scheduling.proto:97-100, 126-129). */
+  val CronLogPrefix = "__cron__:"
 
   /** Ledger statuses the daemon considers runnable. */
   val Runnable: Set[String] = Set("created", "pending", "running")

@@ -1493,6 +1493,7 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
 
   private val ResumePrefix = "__resume__:"
   private val SchedulerPrefix = graft.sched.Scheduler.LogPrefix
+  private val CronPrefix = graft.sched.Scheduler.CronLogPrefix
 
   private def runner: graft.sched.TaskRunner =
     tasks.getOrElse(throw Status.UNIMPLEMENTED
@@ -1548,12 +1549,24 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     w.msg(1)(_.str(1, r.runKey)) // runID
     w.msg(2)(_.str(1, r.task))   // taskID
     w.str(3, r.runKey)
-    w.msg(4)(_.str(1, r.runKey)) // trigger: OnApply{name}
-    w.enum(6, 1)                 // TriggerType.ON_APPLY
+    // trigger oneof: a cron-minted run (the daemon's SCHEDULE trigger)
+    // carries ScheduleTrigger{name, schedule} with TriggerType SCHEDULE
+    // (enum 0 — proto3 default, field 6 omitted); everything else is the
+    // reference's OnApply + ON_APPLY (scheduling.proto:126-129)
+    allLogs.filter(_.startsWith(CronPrefix)).lastOption match {
+      case Some(cron) =>
+        w.msg(5) { t =>
+          t.str(1, r.runKey); t.str(2, cron.stripPrefix(CronPrefix))
+        }
+      case None =>
+        w.msg(4)(_.str(1, r.runKey)) // trigger: OnApply{name}
+        w.enum(6, 1)                 // TriggerType.ON_APPLY
+    }
     w.msg(10)(_.int64(1, r.startMs / 1000L))
     if (r.endMs > 0) w.msg(11)(_.int64(1, r.endMs / 1000L))
     allLogs.filterNot(l => l.startsWith(ResumePrefix) ||
-      l.startsWith(SchedulerPrefix)).foreach(w.str(12, _))
+      l.startsWith(SchedulerPrefix) || l.startsWith(CronPrefix))
+      .foreach(w.str(12, _))
     w.msg(13) { st =>
       st.enum(1, statusEnum(r.status))
       r.error.foreach(st.str(2, _))

@@ -175,6 +175,10 @@ class SchedulerSpec extends SparkSpec {
       .ofEpochMilli(minuteBefore * 60000L).toString ||
       run.runKey == java.time.Instant
         .ofEpochMilli((minuteBefore + 1) * 60000L).toString)
+    // trigger provenance rides the run-log sidecar (the Tasks service
+    // reports these runs as ScheduleTrigger / TriggerType SCHEDULE)
+    assert(runner.runLogs("refresh", run.runKey)
+      .contains(Scheduler.CronLogPrefix + "* * * * *"))
     // same tick: nothing new to mint or run
     sched.tick()
     val minuteAfter = System.currentTimeMillis() / 60000L
