@@ -407,6 +407,36 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     }
   }
 
+  // resource browse — the dashboard's list view: every registered
+  // resource with its lifecycle status, staged-deletion flag, and tags
+  route("/resources") { ex =>
+    catalog match {
+      case None => respond(ex, 501, """{"error":"no catalog bound"}""")
+      case Some(cat) =>
+        import graft.catalog.ResourceKey
+        val keys: Seq[ResourceKey] =
+          cat.allSources.map(s => ResourceKey("SOURCE", s.id.toString)) ++
+          cat.allFeatures.map(f => ResourceKey("FEATURE", f.id.toString)) ++
+          cat.allLabels.map(l => ResourceKey("LABEL", l.id.toString)) ++
+          cat.allTrainingSets.map(t =>
+            ResourceKey("TRAINING_SET", t.id.toString)) ++
+          cat.allEntities.map(e => ResourceKey("ENTITY", e.name)) ++
+          cat.allOnDemands.map(o => ResourceKey("ON_DEMAND", o.id.toString)) ++
+          cat.allProviders.map(p => ResourceKey("PROVIDER", p.name)) ++
+          cat.allUsers.map(u => ResourceKey("USER", u.name)) ++
+          cat.allModels.map(m => ResourceKey("MODEL", m.name))
+        val kindFilter = query(ex).get("kind")
+        val body = keys
+          .filter(k => kindFilter.forall(_ == k.kind))
+          .map { k =>
+            s"""{"kind":${jsonVal(k.kind)},"id":${jsonVal(k.id)},"status":${
+              cat.status(k)._1},"staged":${cat.isStaged(k)},"tags":${
+              cat.tags(k).map(jsonVal).mkString("[", ",", "]")}}"""
+          }.mkString("[", ",", "]")
+        respond(ex, 200, body)
+    }
+  }
+
   // Prometheus scrape endpoint (reference metrics/metrics.go exposes the
   // same shape via promhttp): text exposition format 0.0.4.
   route("/metrics") { ex =>

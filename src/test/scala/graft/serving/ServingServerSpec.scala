@@ -161,6 +161,13 @@ class ServingServerSpec extends SparkSpec {
       assert(b3.contains(""""id":"orders.default","type":"source""""))
       assert(b3.contains(""""from":"orders.default","to":"f_rev.default""""))
       assert(b3.contains(""""task":"f_rev","runKey":"v1","attempt":1,"status":"success""""))
+      // browse view: statuses, staged flags, tags; kind filter narrows
+      val (c4, b4) = get(s"$base/resources")
+      assert(c4 == 200)
+      assert(b4.contains(
+        """{"kind":"FEATURE","id":"f_rev.default","status":0,"staged":false,"tags":["revenue"]}"""))
+      val (c5, b5) = get(s"$base/resources?kind=SOURCE")
+      assert(c5 == 200 && b5.contains("orders.default") && !b5.contains("f_rev"))
     } finally srv.stop()
     // no catalog bound → 501, not a 500 or a hang
     val bare = new ServingServer(new OnlineStore(new InProcessKv)).start()
