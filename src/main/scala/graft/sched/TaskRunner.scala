@@ -387,6 +387,14 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   def cancelRequested(task: String, runKey: String): Boolean =
     cancelRequests.contains((task, runKey))
 
+  /** Is (task, runKey)'s execution claim currently FREE — i.e. no live
+    * runner (this process or, via the FileLocker, any other) holds it?
+    * Probe-only: acquires and immediately releases. A `running` ledger
+    * row whose claim is free is an ORPHAN from a crashed coordinator —
+    * the Tasks service's SyncUnfinishedRuns re-queues exactly those. */
+  def claimFree(task: String, runKey: String): Boolean =
+    lock.tryWithLock(s"run!$task!$runKey")(true).getOrElse(false)
+
   /** Run `body` with retry/backoff/timeout, recording every attempt.
     * Returns the final record; a previously-succeeded (task, runKey) is
     * skipped with status "skipped" (resume semantics).

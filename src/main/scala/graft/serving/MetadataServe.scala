@@ -1621,6 +1621,21 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     w.result()
   }
 
+  /** SyncUnfinishedRuns — reconcile ledger state with EXECUTION reality
+    * (the reference scheduler calls this every TaskStatusSyncInterval,
+    * scheduler.go:66-72): a `running` row whose execution claim nobody
+    * holds is an orphan from a crashed coordinator — re-queue it as
+    * `pending` so any daemon's unfinished poll picks it up; rows whose
+    * claim is live are left alone (their owner's records are truth). */
+  private def syncUnfinishedRuns(req: Array[Byte]): Array[Byte] = {
+    runner.latestRuns().filter(_.status == "running").foreach { r =>
+      if (runner.claimFree(r.task, r.runKey))
+        runner.record(r.copy(attempt = r.attempt + 1, status = "pending",
+          error = Some("re-queued by SyncUnfinishedRuns: orphaned running row")))
+    }
+    Empty
+  }
+
   private def getTaskById(req: Array[Byte]): Array[Byte] = {
     val task = readIdMsg(new R(req))
     val rs = latestRuns().filter(_.task == task)
@@ -1810,7 +1825,7 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     ServerServiceDefinition.builder(MetadataServe.TasksServiceName)
       .addMethod(m("CreateTaskRun", UNARY), unary("CreateTaskRun", createTaskRun))
       .addMethod(m("SyncUnfinishedRuns", UNARY),
-        unary("SyncUnfinishedRuns", _ => Empty))
+        unary("SyncUnfinishedRuns", syncUnfinishedRuns))
       .addMethod(m("GetTaskByID", UNARY), unary("GetTaskByID", getTaskById))
       .addMethod(m("GetRuns", SERVER_STREAMING),
         ServerCalls.asyncServerStreamingCall(

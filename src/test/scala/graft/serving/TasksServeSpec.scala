@@ -188,6 +188,30 @@ class TasksServeSpec extends SparkSpec {
     }
   }
 
+  test("SyncUnfinishedRuns re-queues orphaned running rows as pending; " +
+       "a run whose claim is LIVE is left alone") {
+    withServer { (runner, ch) =>
+      val now = System.currentTimeMillis()
+      // orphan: a crashed coordinator's running row — claim held by nobody
+      runner.record(graft.sched.TaskRun("orphan", "k1", 0, "running", now, 0L, None))
+      // live: a run mid-execution in THIS process (claim held by the body)
+      runner.record(graft.sched.TaskRun("live", "k2", 0, "running", now, 0L, None))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() =>
+        runner.run("live", "k2") { started.countDown(); gate.await(); 1 })
+      holder.start()
+      assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      unary(ch, "SyncUnfinishedRuns", Array.emptyByteArray)
+      assert(runner.latestRun("orphan", "k1").get.status == "pending",
+        "orphaned running row re-queues")
+      assert(runner.latestRun("live", "k2").get.status == "running",
+        "live run untouched")
+      gate.countDown(); holder.join(10000)
+      assert(runner.latestRun("live", "k2").get.status == "success")
+    }
+  }
+
   test("WatchForCancel blocks until the run turns terminal: a concurrent " +
        "wire cancel resolves the watch with CANCELLED") {
     withServer { (runner, ch) =>
