@@ -53,9 +53,20 @@ final class Scheduler(
       * upstream terminally failed is recorded `upstream_failed` (served
       * as CANCELLED on the wire, the reference's DependencyFailed →
       * SetRunStatus(CANCELLED) branch) without executing. */
-    deps: String => Seq[String] = _ => Nil) {
+    deps: String => Seq[String] = _ => Nil,
+    /** How often the poll loop reconciles orphans — the reference's
+      * TaskStatusSyncInterval (coordinator/scheduler.go:66-72, 94): every
+      * interval the daemon itself runs [[TaskRunner.syncUnfinishedRuns]],
+      * so a crashed coordinator's orphaned `running` rows re-queue with
+      * no client RPC in the loop (self-healing fleet, not healing on
+      * request). */
+    syncIntervalMs: Long = 10000L,
+    /** How long [[stop]] waits for in-flight runs to finish before
+      * interrupting them (interrupted runs re-queue as `pending`). */
+    stopDrainMs: Long = 30000L) {
 
   @volatile private var stopped = false
+  @volatile private var lastSyncMs = 0L
   // runs THIS daemon is currently executing (cheap local guard; the real
   // cross-daemon exclusion is the runner's claim lock)
   private val inFlight = TrieMap.empty[(String, String), Unit]
@@ -83,11 +94,29 @@ final class Scheduler(
   /** Start the poll loop (daemon threads; [[stop]] to end). */
   def start(): Scheduler = { poller.start(); this }
 
+  /** Graceful shutdown: stop claiming new runs, DRAIN in-flight runs
+    * (up to `stopDrainMs`), then interrupt what remains — the interrupt
+    * path re-queues those runs as `pending` for a restarted daemon. The
+    * old shutdownNow-first shape made a clean stop WORSE than a crash:
+    * the interrupted attempt recorded terminal `failed` (which no
+    * reconcile re-queues) and the retry loop spawned a duplicate body
+    * thread into a dying pool. */
   def stop(): Unit = {
     stopped = true
     poller.interrupt()
-    pool.shutdownNow()
     poller.join(5000)
+    pool.shutdown() // no new work; in-flight runs keep their threads
+    val drained =
+      try pool.awaitTermination(stopDrainMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: InterruptedException => false }
+    if (!drained) {
+      pool.shutdownNow() // interrupt stragglers → TaskRunner re-queues
+      try pool.awaitTermination(5000L,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: InterruptedException => () }
+      ()
+    }
   }
 
   /** Unfinished = a run whose latest record still wants execution — the
@@ -155,6 +184,14 @@ final class Scheduler(
     * the worker pool. */
   private def dispatch(): Unit = {
     mintDueRuns()
+    val now = System.currentTimeMillis()
+    if (now - lastSyncMs >= syncIntervalMs) {
+      lastSyncMs = now
+      val n = runner.syncUnfinishedRuns()
+      if (n > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.Scheduler")
+          .info(s"scheduler $id re-queued $n orphaned running run(s)")
+    }
     unfinished().foreach { r =>
       bodies(r.task).foreach { body =>
         val k = (r.task, r.runKey)
@@ -239,12 +276,20 @@ object Scheduler {
     * Create* land as a `__schedule` resource property (MetadataServe
     * setMeta), direct catalog users may set plain `schedule`. Task names
     * follow the task-per-resource-name convention the ledger and the
-    * lineage export already use. */
+    * lineage export already use — so schedules are ONE PER NAME: when
+    * several variants of a resource carry schedule strings, the
+    * lexicographically-greatest (kind, id) wins deterministically (the
+    * newest variant under the repo's timestamp-suffixed variant naming;
+    * RequestScheduleChange on a newer variant supersedes the old one).
+    * Pinned by SchedulerSpec's variant-collision case. */
   def catalogSchedules(cat: graft.catalog.Catalog): Seq[(String, String)] =
     cat.allProperties.collect {
       case (k, ps) if ps.get("__schedule").orElse(ps.get("schedule"))
         .exists(_.nonEmpty) =>
-        k.id.split('.').head ->
-          ps.get("__schedule").orElse(ps.get("schedule")).get
-    }.distinct
+        (k.id.split('.').head, (k.kind, k.id),
+          ps.get("__schedule").orElse(ps.get("schedule")).get)
+    }
+      .groupBy(_._1)
+      .map { case (task, vs) => task -> vs.maxBy(_._2)._3 }
+      .toSeq.sortBy(_._1)
 }

@@ -191,6 +191,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     if (r.status == "success") localSuccesses += ((r.task, r.runKey))
     indexAdd(r)
     indexStamp = fileStamp()
+    signalChange() // wake long-poll watchers blocked in awaitChange
   }
 
   /** A crashed writer's partial final line must not FUSE with the next
@@ -312,7 +313,13 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           f.getParentFile.mkdirs()
           healTornTail(f)
           val out = new java.io.FileOutputStream(f, true)
-          try out.write(line.getBytes("UTF-8")) finally out.close()
+          // fsync like the ledger append: a crash that persists the
+          // fsynced run row but loses this sidecar line would silently
+          // strip a SCHEDULE-minted run's __cron__/__scheduler__
+          // provenance — the Tasks service would then report it as
+          // ON_APPLY with no scheduler id after restart
+          try { out.write(line.getBytes("UTF-8")); out.getFD.sync() }
+          finally out.close()
         case None =>
           fs.mkdirs(new Path(stateDir))
           val existing =
@@ -426,9 +433,17 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
       val now = System.currentTimeMillis()
       return (TaskRun(task, runKey, 0, "skipped", now, now, None), None)
     }
-    var attempt = 1
+    // Seed attempt numbering PAST the run's latest existing record: the
+    // index keeps the max-attempt record per run, and the service plane
+    // mints bookkeeping rows at latest+1 (SetRunStatus, the orphan
+    // re-queue), so a run whose latest row is pending@2 must record its
+    // outcome at attempt 3+ — a success@1 under a pending@2 would be
+    // permanently buried: GetRunMetadata reports PENDING forever and a
+    // restarted daemon re-executes completed work.
+    val base = latestRun(task, runKey).map(_.attempt).getOrElse(0)
+    var attempt = base + 1
     var last: TaskRun = null
-    while (attempt <= maxAttempts) {
+    while (attempt <= base + maxAttempts) {
       if (cancelRequests.contains((task, runKey))) {
         val now = System.currentTimeMillis()
         last = TaskRun(task, runKey, attempt, "cancelled", now, now,
@@ -474,6 +489,20 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
                   s"$groupId: body thread ignored interrupt after timeout; " +
                     "it may still be running while the next attempt starts")
               Left("timeout": String)
+            case _: InterruptedException =>
+              // THIS (waiting) thread was interrupted — a scheduler
+              // shutdown's shutdownNow, not a body failure. Treating it as
+              // an ordinary failure would retry: a SECOND body thread
+              // spawned while the first (never interrupted on this path)
+              // still runs, and a terminal `failed` row that no reconcile
+              // re-queues — a graceful stop would then abandon the run
+              // where a SIGKILL (leaving `running`) gets it re-queued.
+              // Kill the in-flight work and mark it interrupted instead.
+              spark.sparkContext.cancelJobGroup(groupId)
+              runner.interrupt()
+              runner.join(5000)
+              Thread.interrupted() // clear so the append below can run
+              Left(TaskRunner.Interrupted)
             case e: Throwable => Left(Option(e.getMessage).getOrElse(e.toString))
           }
         } finally {
@@ -495,10 +524,20 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
             append(last)
             return (last, None)
           }
+          // an interrupt WITHOUT a cancel request is a daemon shutdown:
+          // re-queue as `pending` so a restarted (or surviving) daemon's
+          // unfinished poll resumes the run — never retry here, the
+          // worker pool is going down
+          if (err == TaskRunner.Interrupted) {
+            last = TaskRun(task, runKey, attempt, "pending", start, end,
+              Some("re-queued: runner interrupted by shutdown"))
+            append(last)
+            return (last, None)
+          }
           val status = if (err == "timeout") "timeout" else "failed"
           last = TaskRun(task, runKey, attempt, status, start, end, Some(err))
           append(last)
-          if (attempt < maxAttempts) Thread.sleep(backoffMs << (attempt - 1))
+          if (attempt < base + maxAttempts) Thread.sleep(backoffMs << (attempt - base - 1))
           attempt += 1
       }
     }
@@ -507,15 +546,80 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
 
   /** Record a task that never ran because an upstream dependency failed —
     * the coordinator's cascade-skip ledger row ([[Dag.run]]). Attempt 0
-    * marks "no execution happened", like resume-skips. */
+    * marks "no execution happened", like resume-skips — unless the run
+    * already carries higher-attempt bookkeeping rows (a wire SetRunStatus
+    * or an orphan re-queue), in which case the record ties the latest
+    * attempt so the max-attempt index surfaces it (last-appended wins on
+    * ties) instead of burying it under a stale `pending`. */
   def recordUpstreamFailed(task: String, runKey: String,
                            failedUp: Seq[String]): TaskRun = {
     val now = System.currentTimeMillis()
-    val r = TaskRun(task, runKey, 0, "upstream_failed", now, now,
+    val att = latestRun(task, runKey).map(_.attempt).getOrElse(0)
+    val r = TaskRun(task, runKey, att, "upstream_failed", now, now,
       Some(s"upstream failed: ${failedUp.mkString(",")}"))
     append(r)
     r
   }
+
+  /** Reconcile ledger state with EXECUTION reality — the reference
+    * scheduler's TaskStatusSyncInterval pass (coordinator/scheduler.go:
+    * 66-72, 94): a `running` row whose execution claim nobody holds is an
+    * orphan from a crashed coordinator — re-queue it as `pending` so any
+    * daemon's unfinished poll picks it up. The re-check and the re-queue
+    * append happen INSIDE the run's claim lock: the old probe-release-
+    * record shape raced a daemon that claimed and finished the run in the
+    * window, and the re-queue row (higher attempt) would then bury the
+    * outcome. A run whose claim is live is skipped (tryWithLock fails) —
+    * its owner's records are truth. Returns the re-queued run count. */
+  def syncUnfinishedRuns(): Int =
+    latestRuns().count { r =>
+      r.status == "running" &&
+        lock.tryWithLock(s"run!${r.task}!${r.runKey}") {
+          // re-read INSIDE the claim: the row may have reached a terminal
+          // state between the index read and the lock grant
+          val cur = latestRun(r.task, r.runKey)
+          if (cur.exists(_.status == "running")) {
+            record(cur.get.copy(attempt = cur.get.attempt + 1,
+              status = "pending",
+              error = Some("re-queued by SyncUnfinishedRuns: orphaned running row")))
+            true
+          } else false
+        }.getOrElse(false)
+    }
+
+  // ------- cached current-state reads (the long-poll watch path) --------
+  // WatchForCancel-style watchers poll a run's current state every ~50 ms;
+  // routing each poll through latestRun would take the cross-process
+  // ledger FILE lock per poll, contending with every append and Tasks RPC
+  // sharing __ledger__. The cached read stats the file (lock-free) and
+  // takes the lock ONLY when the (mtime,length) stamp shows a foreign
+  // change; local appends wake waiting watchers immediately.
+
+  private val changeMonitor = new Object
+
+  /** Current state of one run off the in-memory index — takes the ledger
+    * lock only when another process changed the file. */
+  def latestRunCached(task: String, runKey: String): Option[TaskRun] =
+    synchronized {
+      if (fileStamp() != indexStamp)
+        lock.withLock("__ledger__")(refreshIndexLocked())
+      runIndex.get((task, runKey))
+    }
+
+  /** Block until a local append lands or `timeoutMs` passes — the watch
+    * loop's wait primitive (foreign appends are caught by the next stamp
+    * check). */
+  def awaitChange(timeoutMs: Long): Unit =
+    changeMonitor.synchronized { changeMonitor.wait(timeoutMs) }
+
+  private def signalChange(): Unit =
+    changeMonitor.synchronized { changeMonitor.notifyAll() }
+}
+
+object TaskRunner {
+  /** Sentinel error for an attempt ended by thread interruption (daemon
+    * shutdown) rather than body failure — re-queued, never retried. */
+  private[sched] val Interrupted = "__interrupted__"
 }
 
 /** Dependency-ordered task execution — the reference coordinator's task

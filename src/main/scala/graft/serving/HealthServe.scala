@@ -15,9 +15,12 @@ import ProtoWire.{R, W}
   * string}; HealthCheckResponse{status=1 enum}, SERVING = 1. Per the
   * protocol, an empty service name asks about the server as a whole;
   * asking about a service the endpoint does not host answers NOT_FOUND.
-  * `Watch` emits the current status — statuses here are static for the
-  * life of the server, so the stream completes after the first report
-  * rather than idling a connection. */
+  * `Watch` emits the current status and then HOLDS THE STREAM OPEN, per
+  * protocol: watch-based clients (grpc-go health watchers waiting for
+  * SERVING transitions) treat stream completion as an error and re-dial
+  * in a loop. Statuses here are static for the life of the server, so no
+  * further messages are ever sent — the stream ends when the client
+  * cancels or the server shuts down. */
 object HealthServe {
   val ServiceName = "grpc.health.v1.Health"
 
@@ -60,7 +63,10 @@ object HealthServe {
           new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
             override def invoke(req: Array[Byte],
                                 obs: StreamObserver[Array[Byte]]): Unit =
-              try Backpressure.drive(obs, Iterator.single(check(req)))
+              // one report, then leave the stream open (no onCompleted):
+              // statuses are static, so there is never a second message,
+              // but completing would make standard health watchers re-dial
+              try obs.onNext(check(req))
               catch { case e: Throwable => obs.onError(Backpressure.toStatus(e)) }
           }))
       .build()

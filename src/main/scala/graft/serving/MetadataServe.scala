@@ -1623,16 +1623,14 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
 
   /** SyncUnfinishedRuns — reconcile ledger state with EXECUTION reality
     * (the reference scheduler calls this every TaskStatusSyncInterval,
-    * scheduler.go:66-72): a `running` row whose execution claim nobody
-    * holds is an orphan from a crashed coordinator — re-queue it as
-    * `pending` so any daemon's unfinished poll picks it up; rows whose
-    * claim is live are left alone (their owner's records are truth). */
+    * scheduler.go:66-72): orphaned `running` rows re-queue as `pending`.
+    * Delegated to [[graft.sched.TaskRunner.syncUnfinishedRuns]], which
+    * holds the run's claim lock across the re-check + re-queue (the old
+    * probe-release-record shape raced a daemon claiming the run in the
+    * window) — and which the scheduler daemon now also calls on its own
+    * sync interval, so this RPC is a manual trigger, not the only healer. */
   private def syncUnfinishedRuns(req: Array[Byte]): Array[Byte] = {
-    runner.latestRuns().filter(_.status == "running").foreach { r =>
-      if (runner.claimFree(r.task, r.runKey))
-        runner.record(r.copy(attempt = r.attempt + 1, status = "pending",
-          error = Some("re-queued by SyncUnfinishedRuns: orphaned running row")))
-    }
+    runner.syncUnfinishedRuns()
     Empty
   }
 
@@ -1775,14 +1773,25 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     // "did my run get cancelled" watch; the reference's own server half
     // is an unimplemented infinite loop, taskmetadata.go:671-677 — this
     // one actually resolves), bounded so a watch on a stuck run cannot
-    // pin a server thread forever. Polls the O(1) run index.
-    val deadline = System.currentTimeMillis() + WatchForCancelTimeoutMs
+    // pin a server thread forever. Each wait round reads the CACHED run
+    // index (a file stat, lock-free when nothing foreign changed) and
+    // blocks on the runner's change monitor — local appends wake watchers
+    // immediately, and a fleet of watchers no longer re-takes the
+    // cross-process __ledger__ lock every 50 ms against every append and
+    // Tasks RPC sharing it. Concurrent watchers are capped: beyond the
+    // cap the call degrades to an immediate status report (callers
+    // re-poll), so watchers cannot pin the whole server thread pool.
     var cur = currentRun(task, run)
-    while (!TerminalStatuses.contains(cur.status) &&
-           System.currentTimeMillis() < deadline) {
-      Thread.sleep(50)
-      cur = currentRun(task, run)
-    }
+    if (TerminalStatuses.contains(cur.status)) ()
+    else if (!watchSlots.tryAcquire()) ()
+    else try {
+      val deadline = System.currentTimeMillis() + WatchForCancelTimeoutMs
+      while (!TerminalStatuses.contains(cur.status) &&
+             System.currentTimeMillis() < deadline) {
+        runner.awaitChange(50)
+        cur = runner.latestRunCached(task, run).getOrElse(cur)
+      }
+    } finally watchSlots.release()
     val w = new W
     w.enum(1, statusEnum(cur.status))
     cur.error.foreach(w.str(2, _))
@@ -1793,6 +1802,8 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     Set("success", "skipped", "failed", "timeout", "cancelled", "upstream_failed")
   private val WatchForCancelTimeoutMs =
     sys.env.getOrElse("GRAFT_WATCH_CANCEL_TIMEOUT_MS", "60000").toLong
+  private val watchSlots = new java.util.concurrent.Semaphore(
+    sys.env.getOrElse("GRAFT_WATCH_CANCEL_MAX", "32").toInt)
 
   private def runStream(route: String,
                         pick: () => Seq[graft.sched.TaskRun]) =

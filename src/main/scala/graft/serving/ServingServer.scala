@@ -403,7 +403,10 @@ final class ServingServer(store: OnlineStore, port: Int = 0,
     catalog match {
       case None => respond(ex, 501, """{"error":"no catalog bound"}""")
       case Some(cat) => respond(ex, 200, graft.catalog.Lineage.exportJson(
-        cat, tasks.map(_.runs()).getOrElse(Nil)))
+        // each run's CURRENT state off the O(1) latest-run index — the
+        // dashboard polls this route, and runs() re-parses the full
+        // ledger JSON per hit (per-attempt history isn't shown here)
+        cat, tasks.map(_.latestRuns()).getOrElse(Nil)))
     }
   }
 

@@ -202,6 +202,90 @@ class SchedulerSpec extends SparkSpec {
       Map("__schedule" -> "")) // empty = no schedule
     assert(Scheduler.catalogSchedules(cat).toSet ==
       Set("orders" -> "*/5 * * * *", "f_rev" -> "0 * * * *"))
+    // ONE schedule per task name: when several variants of a resource
+    // carry schedules, the greatest (kind, id) wins deterministically —
+    // a RequestScheduleChange on a newer variant supersedes the old one
+    cat.setProperties(
+      graft.catalog.ResourceKey("SOURCE", "orders.v2"),
+      Map("__schedule" -> "30 * * * *"))
+    val byTask = Scheduler.catalogSchedules(cat).toMap
+    assert(byTask("orders") == "30 * * * *",
+      "the lexicographically-greatest variant's schedule must win")
+    assert(Scheduler.catalogSchedules(cat).count(_._1 == "orders") == 1)
+  }
+
+  test("graceful stop() drains: an in-flight run finishes inside the " +
+       "drain window and lands success — never a failed/abandoned row") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 3, backoffMs = 1)
+    val bodies = new AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val sched = new Scheduler(runner, "s", _ => Some(() => {
+      bodies.incrementAndGet(); started.countDown()
+      Thread.sleep(400) // finishes well inside the 30 s default drain
+      1
+    }), pollIntervalMs = 10L).start()
+    createdRun(runner, "drainme", "k")
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    sched.stop() // must WAIT for the run, not interrupt it
+    assert(runner.latestRun("drainme", "k").get.status == "success")
+    assert(bodies.get() == 1)
+  }
+
+  test("stop() past the drain window interrupts the run, re-queues it as " +
+       "pending with exactly one body ever live, and a restarted daemon " +
+       "completes it — clean shutdown is never worse than a crash") {
+    val dir = freshDir()
+    val r1 = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 1)
+    val live = new AtomicInteger(0)
+    val maxLive = new AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val block = new java.util.concurrent.CountDownLatch(1)
+    val body: () => Any = () => {
+      val n = live.incrementAndGet()
+      maxLive.accumulateAndGet(n, math.max)
+      try { started.countDown(); block.await(); 1 } // only interrupt ends this
+      finally live.decrementAndGet()
+    }
+    val s1 = new Scheduler(r1, "s1", _ => Some(body),
+      pollIntervalMs = 10L, stopDrainMs = 100L).start()
+    createdRun(r1, "long", "k")
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    s1.stop() // drain expires → interrupt → re-queue, no retry
+    val rec = r1.latestRun("long", "k").get
+    assert(rec.status == "pending",
+      s"interrupted run must re-queue as pending, got ${rec.status}")
+    assert(maxLive.get() == 1, "a stop must never spawn a duplicate body")
+    assert(r1.runs().forall(_.status != "failed"),
+      "a clean shutdown must not record terminal failed")
+    // a restarted daemon resumes the re-queued run to completion
+    block.countDown()
+    val r2 = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 1)
+    val s2 = new Scheduler(r2, "s2", _ => Some(body), pollIntervalMs = 10L).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (!r2.latestRun("long", "k").exists(_.status == "success") &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(r2.latestRun("long", "k").get.status == "success")
+      assert(maxLive.get() == 1)
+    } finally s2.stop()
+  }
+
+  test("the daemon reconciles orphans itself on the sync interval: a " +
+       "crashed coordinator's running row re-queues as pending with no " +
+       "client RPC, even when no body is bound here") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
+    // crash artifact owned by a daemon that had the (unbound-here) binding
+    runner.record(TaskRun("foreign", "k", 0, "running",
+      System.currentTimeMillis(), 0L, None))
+    val sched = new Scheduler(runner, "survivor", _ => None,
+      pollIntervalMs = 10L, syncIntervalMs = 1L).start()
+    try {
+      val deadline = System.currentTimeMillis() + 10000
+      while (!runner.latestRun("foreign", "k").exists(_.status == "pending") &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      val rec = runner.latestRun("foreign", "k").get
+      assert(rec.status == "pending" && rec.error.exists(_.contains("re-queued")))
+    } finally sched.stop()
   }
 
   test("the background poll loop executes without explicit ticks") {

@@ -130,6 +130,108 @@ class TaskRunnerSpec extends SparkSpec {
     intercept[Exception] { new TaskRunner(spark, dir, backoffMs = 1).runs() }
   }
 
+  test("attempt numbering seeds past service-plane rows: an outcome after " +
+       "a wire re-queue is never buried under the higher-attempt pending") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 1)
+    val now = System.currentTimeMillis()
+    // the wire trail: SetRunStatus(RUNNING) minted running@1, the daemon
+    // crashed, SyncUnfinishedRuns re-queued pending@2 — a success recorded
+    // at attempt 1 would be permanently buried by the max-attempt index
+    runner.record(TaskRun("mat", "k", 1, "running", now, 0L, None))
+    runner.record(TaskRun("mat", "k", 2, "pending", now, 0L, None))
+    val (rec, out) = runner.run("mat", "k") { 7 }
+    assert(out.contains(7) && rec.status == "success" && rec.attempt == 3)
+    assert(runner.latestRun("mat", "k").get.status == "success")
+    // a RESTARTED runner still sees the success: resume, not re-execution
+    val runner2 = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 1)
+    assert(runner2.succeeded("mat", "k"))
+    val calls = new AtomicInteger(0)
+    assert(runner2.run("mat", "k") { calls.incrementAndGet() }._1.status == "skipped")
+    assert(calls.get() == 0)
+    // failures climb above the seeded base too, and cascade-skip
+    // bookkeeping ties the latest attempt instead of sinking to 0
+    runner.record(TaskRun("bad", "k", 4, "pending", now, 0L, None))
+    val (fr, _) = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+      .run("bad", "k") { sys.error("doomed") }
+    assert(fr.status == "failed" && fr.attempt == 6)
+    assert(runner.latestRun("bad", "k").get.status == "failed")
+    runner.record(TaskRun("down", "k", 3, "pending", now, 0L, None))
+    assert(runner.recordUpstreamFailed("down", "k", Seq("bad")).attempt == 3)
+    assert(runner.latestRun("down", "k").get.status == "upstream_failed")
+  }
+
+  test("interrupting a waiting runner (daemon shutdown) re-queues the run " +
+       "as pending: no retry, no duplicate body, a later runner resumes it") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 1)
+    val bodies = new AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var rec: TaskRun = null
+    val worker = new Thread(() => {
+      rec = runner.run("long", "k") {
+        bodies.incrementAndGet(); started.countDown()
+        gate.await() // interruptible: only the shutdown interrupt ends this
+        1
+      }._1
+    })
+    worker.start()
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    worker.interrupt() // what pool.shutdownNow does to a draining worker
+    worker.join(15000)
+    assert(!worker.isAlive)
+    assert(rec.status == "pending" && rec.attempt == 1,
+      s"interrupted run must re-queue, got ${rec.status}@${rec.attempt}")
+    assert(bodies.get() == 1, "no duplicate body thread after interrupt")
+    assert(runner.latestRun("long", "k").get.status == "pending")
+    // `pending` is Runnable: the next daemon picks it up and completes it
+    val (fin, out) = runner.run("long", "k") { bodies.incrementAndGet(); 5 }
+    assert(fin.status == "success" && fin.attempt == 2 && out.contains(5))
+    assert(bodies.get() == 2)
+  }
+
+  test("syncUnfinishedRuns re-queues orphaned running rows under the run " +
+       "claim lock; live claims and terminal rows are untouched") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    val now = System.currentTimeMillis()
+    runner.record(TaskRun("orphan", "k1", 0, "running", now, 0L, None))
+    runner.run("done", "k2") { 1 } // terminal — not an orphan
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    runner.record(TaskRun("live", "k3", 0, "running", now, 0L, None))
+    val holder = new Thread(() =>
+      runner.run("live", "k3") { started.countDown(); gate.await(); 1 })
+    holder.start()
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    assert(runner.syncUnfinishedRuns() == 1, "exactly the orphan re-queues")
+    assert(runner.latestRun("orphan", "k1").get.status == "pending")
+    assert(runner.latestRun("done", "k2").get.status == "success")
+    assert(runner.latestRun("live", "k3").get.status == "running")
+    gate.countDown(); holder.join(10000)
+    assert(runner.latestRun("live", "k3").get.status == "success")
+    // idempotent: the re-queued row is pending now, not running
+    assert(runner.syncUnfinishedRuns() == 0)
+  }
+
+  test("run-log sidecar lines are durable beside their ledger rows: a " +
+       "fresh runner over the same stateDir reads back provenance") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, backoffMs = 1)
+    runner.record(TaskRun("sched_task", "t1", 0, "created",
+      System.currentTimeMillis(), 0L, None))
+    runner.addRunLog("sched_task", "t1", "__cron__:* * * * *")
+    runner.addRunLog("sched_task", "t1", "__scheduler__:sched-9")
+    // restart: both the fsynced ledger row and its fsynced sidecar lines
+    // survive together (a run row without its provenance would be
+    // reported ON_APPLY with no scheduler id)
+    val runner2 = new TaskRunner(spark, dir, backoffMs = 1)
+    assert(runner2.latestRun("sched_task", "t1").get.status == "created")
+    assert(runner2.runLogs("sched_task", "t1") ==
+      Seq("__cron__:* * * * *", "__scheduler__:sched-9"))
+  }
+
   test("schedule due-time evaluation") {
     val s = Schedule(everyMs = 1000, offsetMs = 500)
     assert(s.lastDue(400).isEmpty)

@@ -38,7 +38,8 @@ class HealthServeSpec extends SparkSpec {
   }
 
   test("Check answers SERVING on the feature, metadata, and flight " +
-       "endpoints; unknown services are NOT_FOUND; Watch streams a report") {
+       "endpoints; unknown services are NOT_FOUND; Watch streams a report " +
+       "and holds the stream open") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft_health").toString
     val runner = new graft.sched.TaskRunner(spark, stateDir, backoffMs = 1)
     val gsrv = new GrpcServe(new OnlineStore(new InProcessKv)).start()
@@ -63,13 +64,23 @@ class HealthServeSpec extends SparkSpec {
         check(gch, MetadataServe.ServiceName)
       }
       assert(nf.getStatus.getCode.toString == "NOT_FOUND")
-      // Watch: server-streaming current status
-      val frames = ClientCalls.blockingServerStreamingCall(gch,
+      // Watch: streams the current status, then HOLDS the stream open —
+      // grpc.health.v1 watch clients treat completion as an error and
+      // re-dial in a loop, so the server must not complete after the
+      // first report (statuses are static; no second message ever comes)
+      val it = ClientCalls.blockingServerStreamingCall(gch,
         MetadataServe.method(HealthServe.ServiceName, "Watch", SERVER_STREAMING),
-        CallOptions.DEFAULT, new W().result()).asScala.toSeq
-      assert(frames.size == 1)
-      val r = new R(frames.head)
+        CallOptions.DEFAULT, new W().result())
+      val r = new R(it.next())
       assert(r.readTag()._1 == 1 && r.readVarint() == 1L)
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val probe = new Thread(() => {
+        try it.hasNext catch { case _: Throwable => () }
+        done.countDown()
+      })
+      probe.setDaemon(true); probe.start()
+      assert(!done.await(300, java.util.concurrent.TimeUnit.MILLISECONDS),
+        "Watch stream completed after the first report")
     } finally {
       gch.shutdownNow(); mch.shutdownNow(); fch.shutdownNow()
       gsrv.stop(); msrv.stop(); fsrv.stop()

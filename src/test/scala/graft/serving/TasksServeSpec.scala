@@ -212,6 +212,44 @@ class TasksServeSpec extends SparkSpec {
     }
   }
 
+  test("a run with wire-minted attempt rows still reports its execution " +
+       "outcome: SetRunStatus(RUNNING) then execute → READY, not a " +
+       "forever-PENDING burial") {
+    withServer { (runner, ch) =>
+      val c = { val w = new W; idMsg(1, "mat")(w); w.str(2, "r1"); w.result() }
+      unary(ch, "CreateTaskRun", c)
+      // an executor reports RUNNING over the wire (attempt 1), crashes,
+      // and the reconcile re-queues (attempt 2) — the classic trail
+      val sw = new W
+      idMsg(1, "r1")(sw); idMsg(2, "mat")(sw); sw.msg(3)(_.enum(1, 5)) // RUNNING
+      unary(ch, "SetRunStatus", sw.result())
+      unary(ch, "SyncUnfinishedRuns", Array.emptyByteArray)
+      assert(runner.latestRun("mat", "r1").get.status == "pending")
+      // the daemon executes the re-queued run: the success must seed PAST
+      // the pending@2 row and surface on the wire as READY (3)
+      val (rec, _) = runner.run("mat", "r1") { 1 }
+      assert(rec.status == "success" && rec.attempt == 3)
+      val r = new R(unary(ch, "GetRunMetadata", runTask("r1", "mat")))
+      var st = -1L
+      var more = true
+      while (more) r.readTag() match {
+        case (0, _) => more = false
+        case (13, _) =>
+          val s = r.readSlice()
+          var sm = true
+          while (sm) s.readTag() match {
+            case (0, _) => sm = false
+            case (1, _) => st = s.readVarint()
+            case (_, wt) => s.skip(wt)
+          }
+        case (_, wt) => r.skip(wt)
+      }
+      assert(st == 3L, s"wire must report READY after execution, got $st")
+      // resume holds over the bookkeeping rows too: a re-run is skipped
+      assert(runner.run("mat", "r1") { 2 }._1.status == "skipped")
+    }
+  }
+
   test("WatchForCancel blocks until the run turns terminal: a concurrent " +
        "wire cancel resolves the watch with CANCELLED") {
     withServer { (runner, ch) =>
