@@ -15,10 +15,20 @@ import org.apache.spark.sql.SparkSession
   * queries measuring 177 s in a short run and 251 s in a long one — a
   * uniform ~1.4× inflation tracking suite length in one JVM (GC/codegen-
   * cache churn), which fabricated an across-the-board "regression" when
-  * artifacts of different lengths were compared. The minimum of
-  * back-to-back runs approximates the uncontended steady-state time —
-  * the plan-shaped number round-over-round comparisons are about. The
-  * JSON carries `"timing":"min_of_N"` so readers know the methodology.
+  * artifacts of different lengths were compared. The minimum approximates
+  * the uncontended steady-state time — the plan-shaped number
+  * round-over-round comparisons are about.
+  *
+  * Reps run as N FULL INTERLEAVED PASSES over the whole query list (pass
+  * 1 of every query, then pass 2, min per query across passes) — NOT
+  * back-to-back per query. Back-to-back reps share one time window, so a
+  * multi-minute co-tenant pressure window on the box inflated BOTH
+  * samples of every alphabetically-adjacent query and min-of-2 kept the
+  * inflated number (rounds 11-12: contiguous 5-9.5× stream-family and
+  * pq-family blocks that never reproduced in isolation).
+  * Interleaved passes are minutes apart per query, so a pressure window
+  * can contaminate at most one sample. The JSON carries
+  * `"timing":"min_of_N_interleaved"` so readers know the methodology.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -86,24 +96,25 @@ object Bench {
         .foreach(t => spark.catalog.dropTempView(t.name))
       System.gc()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        cleanup()
-        dt
-      }
-      name -> times.min
+    val times = scala.collection.mutable.LinkedHashMap
+      .empty[String, List[Double]]
+    for (pass <- 1 to reps; (name, fn) <- named) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name (pass $pass): $e") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      times(name) = times.getOrElse(name, Nil) :+ dt
     }
+    val results = named.map { case (name, _) => name -> times(name).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""timing":"min_of_$reps","queries":$qs,"sf":"$sfDir"}"""
+      s""""timing":"min_of_${reps}_interleaved","queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full line above runs ~8 KB at 244 queries, but the driver keeps
     // only the LAST ~2000 chars of output — every BENCH_rN.json through r7
@@ -123,7 +134,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""timing":"min_of_$reps","n_queries":${results.size},""" +
+      s""""timing":"min_of_${reps}_interleaved","n_queries":${results.size},""" +
       s""""queries":$top,"queries_truncated_to_top":12,""" +
       s""""full_json":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
