@@ -1851,6 +1851,19 @@ object OracleSql {
         |  UNION ALL SELECT 'schedule', 'scheduler_id', 1
         |  UNION ALL SELECT 'schedule', 'trigger', 0)""".stripMargin,
 
+    // the daemon's self-healing reconcile: an orphaned running row (crash
+    // artifact) re-queues as pending@1 on the survivor's sync pass and
+    // executes to success@2 — exactly one re-queue row, the outcome
+    // seeded past it, zero terminal failed rows; the body's row count
+    // replays from orders
+    "sched_recovery" ->
+      """SELECT * FROM (
+        |  SELECT 'heal' AS step, 'requeued' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'heal', 'attempt', 2
+        |  UNION ALL SELECT 'heal', 'ready', 1
+        |  UNION ALL SELECT 'heal', 'rows', (SELECT COUNT(*) FROM orders)
+        |  UNION ALL SELECT 'heal', 'failed_rows', 0)""".stripMargin,
+
     // one feature's whole wire life: the served values are the registered
     // transformation's per-customer revenue (the engine side travels
     // register → daemon materialize → FeatureServe before landing here);

@@ -1335,6 +1335,49 @@ object SparkEntry {
     } finally { daemon.stop(); ch.shutdownNow(); srv.stop() }
   }
 
+  /** The daemon fleet's SELF-HEALING under the gate — the reference
+    * scheduler's TaskStatusSyncInterval reconcile (coordinator/
+    * scheduler.go:66-72, 94) with no client RPC in the loop: a crashed
+    * coordinator's orphaned `running` ledger row (claim held by nobody)
+    * is re-queued as `pending` by a surviving daemon's own sync pass,
+    * then claimed and executed to success — with the outcome attempt
+    * seeded PAST the re-queue row so the max-attempt index surfaces
+    * READY, never a forever-PENDING burial. Oracle = the literal heal
+    * trace, with the body's row count replayed from the same parquet. */
+  private def schedRecovery(s: SparkSession, dir: String): DataFrame = {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_sched_heal").toString
+    val runner = new graft.sched.TaskRunner(s, stateDir,
+      maxAttempts = 3, backoffMs = 1)
+    @volatile var orphanRows = -1L
+    val daemon = new graft.sched.Scheduler(runner, "sched-heal", {
+      case "mat_orders" => Some(() => {
+        orphanRows = s.read.parquet(s"$dir/orders.parquet").count(); orphanRows
+      })
+      case _ => None
+    }, pollIntervalMs = 25L, syncIntervalMs = 1L)
+    try {
+      // the crash artifact a dead coordinator leaves behind: a durable
+      // running row whose execution claim nobody holds
+      runner.record(graft.sched.TaskRun("mat_orders", "k1", 0, "running",
+        System.currentTimeMillis(), 0L, None))
+      daemon.start()
+      awaitRun(runner, "mat_orders", "k1", "success")
+      val trace = runner.runs().filter(_.task == "mat_orders")
+      val fin = runner.latestRun("mat_orders", "k1").get
+      val steps = Seq[(String, String, Long)](
+        ("heal", "requeued", trace.count(r => r.status == "pending" &&
+          r.error.exists(_.contains("re-queued by SyncUnfinishedRuns"))).toLong),
+        ("heal", "attempt", fin.attempt.toLong),
+        ("heal", "ready", if (fin.status == "success") 1L else 0L),
+        ("heal", "rows", orphanRows),
+        ("heal", "failed_rows",
+          trace.count(_.status == "failed").toLong))
+      import s.implicits._
+      steps.toDF("step", "metric", "value")
+    } finally daemon.stop()
+  }
+
   /** One feature's WHOLE life across every wire plane in a single gated
     * chain — the reference client workflow end-to-end: provider + entity +
     * primary source + templated SQL transformation + feature registered
@@ -4581,6 +4624,7 @@ object SparkEntry {
     "grpc_metadata_roundtrip" -> (grpcMetadataRoundtrip _),
     "staged_deletion"   -> (stagedDeletion _),
     "scheduler_lifecycle" -> (schedulerLifecycle _),
+    "sched_recovery"    -> (schedRecovery _),
     "wire_lifecycle"    -> (wireLifecycle _),
     "flight_roundtrip"  -> (flightRoundtrip _),
     "training_stream"   -> (trainingStream _),
