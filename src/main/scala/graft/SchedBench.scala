@@ -14,7 +14,20 @@ import org.apache.spark.sql.SparkSession
   *     scheduler-id log per run) — the registration→execution pipeline's
   *     runs/sec, and the latest-run index read rate underneath it.
   *
-  * One JSON line → BENCH_sched_r12.json. */
+  * Round-13 legs, quantifying that round's two serving-path claims:
+  *
+  *  3. /lineage IS LEDGER-SIZE INDEPENDENT: the dashboard route now
+  *     serves run states off the latest-run index; on a ledger with 20k
+  *     attempt records but 50 live runs the old code re-read + JSON-parsed
+  *     all 20k lines PER HTTP HIT — the reported requests/sec at that
+  *     shape is the evidence the parse is gone.
+  *  4. WATCHERS DON'T STARVE APPENDS: 24 concurrent WatchForCancel-shaped
+  *     pollers (cached index read + change-monitor wait, the RPC's loop
+  *     body) run against a live append stream; the append rate with
+  *     watchers active vs alone measures the contention the old
+  *     take-the-ledger-file-lock-every-50ms poll imposed.
+  *
+  * One JSON line → BENCH_sched_r13.json. */
 object SchedBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -73,6 +86,65 @@ object SchedBench {
     require(finals.size == n && finals.forall(_.status == "success"),
       "every drained run must read back success")
 
+    // ---- 3. /lineage off the latest-run index: 20k-record ledger, 50
+    //      live runs (400 attempt rows per run — the always-on daemon's
+    //      shape); the old route re-parsed all 20k lines per HTTP hit
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_schedbench3").toString
+    val runner3 = new sched.TaskRunner(spark, dir3, backoffMs = 1)
+    for (r <- 0 until 50; a <- 1 to 400)
+      runner3.record(TaskRun("deep", s"r$r", a,
+        if (a == 400) "success" else "failed", 0L, 0L, None))
+    val cat = new graft.catalog.Catalog(spark)
+    val srv = new graft.serving.ServingServer(
+      new graft.serving.OnlineStore(new graft.serving.InProcessKv),
+      catalog = Some(cat), tasks = Some(runner3)).start()
+    val lineageHits = 200
+    val url = new java.net.URI(
+      s"http://127.0.0.1:${srv.boundPort}/lineage").toURL
+    def hit(): Int = {
+      val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
+      c.disconnect(); body.length
+    }
+    hit() // warm
+    val tLin = System.nanoTime()
+    var h = 0
+    while (h < lineageHits) { hit(); h += 1 }
+    val lineagePerSec = lineageHits / ((System.nanoTime() - tLin) / 1e9)
+    srv.stop()
+
+    // ---- 4. watcher contention: 24 WatchForCancel-shaped pollers
+    //      (latestRunCached + awaitChange — the RPC loop body) against a
+    //      live append stream; compare appends/sec alone vs under watch
+    val dir4 = java.nio.file.Files.createTempDirectory("graft_schedbench4").toString
+    val runner4 = new sched.TaskRunner(spark, dir4, backoffMs = 1)
+    runner4.record(TaskRun("watched", "w1", 0, "running", 0L, 0L, None))
+    def appendBurst(tag: String, count: Int): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < count) {
+        runner4.record(TaskRun("noise", s"$tag$i", 1, "success", 0L, 0L, None))
+        i += 1
+      }
+      count / ((System.nanoTime() - t0) / 1e9)
+    }
+    val aloneRate = appendBurst("a", 2000)
+    @volatile var watching = true
+    val watchers = (1 to 24).map { _ =>
+      val t = new Thread(() => {
+        while (watching) {
+          val cur = runner4.latestRunCached("watched", "w1")
+          if (!cur.exists(_.status == "running")) ()
+          runner4.awaitChange(50)
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    Thread.sleep(100) // watchers spinning
+    val underWatchRate = appendBurst("b", 2000)
+    watching = false
+    watchers.foreach(_.join(2000))
+
     val decJson = decades.map { case (k, v) => s""""$k":${f"$v%.0f"}""" }
       .mkString("{", ",", "}")
     val json =
@@ -81,10 +153,16 @@ object SchedBench {
         f""""append_flatness_last_over_first":$flatness%.2f,""" +
         f""""index_reads_per_sec":$idxReadsPerSec%.0f,""" +
         s""""daemon_drain":{"runs":$n,"sec":${f"$drainSec%.2f"},""" +
-        f""""runs_per_sec":${n / drainSec}%.1f}}"""
+        f""""runs_per_sec":${n / drainSec}%.1f},""" +
+        s""""lineage":{"ledger_records":20000,"live_runs":50,""" +
+        f""""requests_per_sec":$lineagePerSec%.0f},""" +
+        s""""watch_contention":{"watchers":24,""" +
+        f""""appends_per_sec_alone":$aloneRate%.0f,""" +
+        f""""appends_per_sec_under_watch":$underWatchRate%.0f,""" +
+        f""""under_watch_over_alone":${underWatchRate / aloneRate}%.2f}}"""
     println(json)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_sched_r12.json"),
+      java.nio.file.Paths.get("/root/repo/BENCH_sched_r13.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -1803,7 +1803,8 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
   private val WatchForCancelTimeoutMs =
     sys.env.getOrElse("GRAFT_WATCH_CANCEL_TIMEOUT_MS", "60000").toLong
   private val watchSlots = new java.util.concurrent.Semaphore(
-    sys.env.getOrElse("GRAFT_WATCH_CANCEL_MAX", "32").toInt)
+    sys.props.get("graft.watchCancelMax")
+      .orElse(sys.env.get("GRAFT_WATCH_CANCEL_MAX")).getOrElse("32").toInt)
 
   private def runStream(route: String,
                         pick: () => Seq[graft.sched.TaskRun]) =

@@ -143,7 +143,13 @@ class ServingServerSpec extends SparkSpec {
     cat.addTags(ResourceKey("FEATURE", "f_rev.default"), Seq("revenue"))
     val stateDir = java.nio.file.Files.createTempDirectory("graft_dash").toString
     val runner = new graft.sched.TaskRunner(spark, stateDir, backoffMs = 1)
-    runner.run("f_rev", "v1") { 1 }
+    // flaky: fails once, then succeeds — /lineage must serve each run's
+    // CURRENT state off the latest-run index (one row, the success), not
+    // the per-attempt ledger history (which would also list the failure)
+    val tries = new java.util.concurrent.atomic.AtomicInteger(0)
+    runner.run("f_rev", "v1") {
+      if (tries.incrementAndGet() < 2) sys.error("flaky"); 1
+    }
     val srv = new ServingServer(new OnlineStore(new InProcessKv),
       catalog = Some(cat), tasks = Some(runner)).start()
     val base = s"http://127.0.0.1:${srv.boundPort}"
@@ -160,7 +166,9 @@ class ServingServerSpec extends SparkSpec {
       assert(c3 == 200)
       assert(b3.contains(""""id":"orders.default","type":"source""""))
       assert(b3.contains(""""from":"orders.default","to":"f_rev.default""""))
-      assert(b3.contains(""""task":"f_rev","runKey":"v1","attempt":1,"status":"success""""))
+      assert(b3.contains(""""task":"f_rev","runKey":"v1","attempt":2,"status":"success""""))
+      assert(!b3.contains(""""status":"failed""""),
+        "/lineage serves current state per run, not per-attempt history")
       // browse view: statuses, staged flags, tags; kind filter narrows
       val (c4, b4) = get(s"$base/resources")
       assert(c4 == 200)

@@ -250,6 +250,34 @@ class TasksServeSpec extends SparkSpec {
     }
   }
 
+  test("WatchForCancel beyond the concurrent-watcher cap degrades to an " +
+       "immediate status report instead of pinning another server thread") {
+    val prev = sys.props.put("graft.watchCancelMax", "1")
+    try withServer { (runner, ch) =>
+      val c = { val w = new W; idMsg(1, "t")(w); w.str(2, "r1"); w.result() }
+      unary(ch, "CreateTaskRun", c) // created — NOT terminal
+      // watcher 1 takes the only slot and blocks on the live run
+      val blocked = new Thread(() =>
+        try unary(ch, "WatchForCancel", runTask("r1", "t"))
+        catch { case _: Throwable => () })
+      blocked.setDaemon(true); blocked.start()
+      Thread.sleep(300)
+      assert(blocked.isAlive, "first watcher must long-poll")
+      // watcher 2: no slot free → immediate CURRENT status, no blocking
+      val t0 = System.currentTimeMillis()
+      val r = new R(unary(ch, "WatchForCancel", runTask("r1", "t")))
+      assert(System.currentTimeMillis() - t0 < 5000,
+        "capped watcher must answer immediately")
+      assert(r.readTag()._1 == 1 && r.readVarint() == 1L) // created
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.watchCancelMax", v)
+        case None => sys.props.remove("graft.watchCancelMax")
+      }
+      ()
+    }
+  }
+
   test("WatchForCancel blocks until the run turns terminal: a concurrent " +
        "wire cancel resolves the watch with CANCELLED") {
     withServer { (runner, ch) =>
