@@ -113,6 +113,17 @@ object SchedBench {
     val lineagePerSec = lineageHits / ((System.nanoTime() - tLin) / 1e9)
     srv.stop()
 
+    // ---- 3b. ledger compaction on the same 20k-attempt / 50-run shape:
+    //      full reads (restart index builds, runs() exports) are
+    //      O(records); compaction collapses to current state per run
+    def timeMs(body: => Unit): Double = {
+      val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e6
+    }
+    val readBeforeMs = timeMs(runner3.runs())
+    var droppedN = 0
+    val compactMs = timeMs { droppedN = runner3.compactLedger() }
+    val readAfterMs = timeMs(runner3.runs())
+
     // ---- 4. watcher contention: 24 WatchForCancel-shaped pollers
     //      (latestRunCached + awaitChange — the RPC loop body) against a
     //      live append stream; compare appends/sec alone vs under watch
@@ -156,6 +167,10 @@ object SchedBench {
         f""""runs_per_sec":${n / drainSec}%.1f},""" +
         s""""lineage":{"ledger_records":20000,"live_runs":50,""" +
         f""""requests_per_sec":$lineagePerSec%.0f},""" +
+        s""""compaction":{"records_before":20000,"dropped":$droppedN,""" +
+        f""""compact_ms":$compactMs%.1f,""" +
+        f""""full_read_ms_before":$readBeforeMs%.1f,""" +
+        f""""full_read_ms_after":$readAfterMs%.1f},""" +
         s""""watch_contention":{"watchers":24,""" +
         f""""appends_per_sec_alone":$aloneRate%.0f,""" +
         f""""appends_per_sec_under_watch":$underWatchRate%.0f,""" +

@@ -587,6 +587,67 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
         }.getOrElse(false)
     }
 
+  /** Compact the attempt ledger to ONE record per (task, runKey) — each
+    * run's current state, the same record [[latestRuns]] serves. An
+    * always-on daemon appends an attempt stream forever; appends are O(1)
+    * but full reads ([[runs]], a restart's index build) stay O(records),
+    * so a long-lived deployment compacts on its own cadence the way the
+    * reference prunes its task-run table. Runs in O(records) once, under
+    * the ledger lock + fence; the rewrite is crash-atomic (tmp + atomic
+    * rename — a crash leaves either the old or the new ledger, never a
+    * partial one). Run-log sidecars are untouched (they are per-run
+    * provenance, not per-attempt history). Returns records dropped.
+    *
+    * NOT called implicitly: per-attempt history is evidence (the gated
+    * trace queries pin it), so collapsing it is the operator's explicit
+    * choice. Current-state reads, resume semantics, and orphan reconcile
+    * are all latest-record functions and survive compaction unchanged. */
+  def compactLedger(): Int = synchronized {
+    lock.withLockFenced("__ledger__") { tok =>
+      fence.check(tok)
+      val all = runsLocked()
+      val latest = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), TaskRun]
+      all.foreach { r => // same rule as the index: max attempt, tie → last
+        val k = (r.task, r.runKey)
+        if (latest.get(k).forall(_.attempt <= r.attempt)) latest.put(k, r)
+      }
+      val dropped = all.size - latest.size
+      if (dropped > 0) {
+        val body = latest.values.map { r =>
+          val m = new java.util.LinkedHashMap[String, Any]()
+          m.put("task", r.task); m.put("runKey", r.runKey)
+          m.put("attempt", r.attempt); m.put("status", r.status)
+          m.put("startMs", r.startMs); m.put("endMs", r.endMs)
+          r.error.foreach(e => m.put("error", e))
+          mapper.writeValueAsString(m) + "\n"
+        }.mkString
+        localLedgerFile match {
+          case Some(f) =>
+            val tmp = new java.io.File(f.getParentFile, ".task_runs.jsonl.compact")
+            val out = new java.io.FileOutputStream(tmp)
+            try { out.write(body.getBytes("UTF-8")); out.getFD.sync() }
+            finally out.close()
+            java.nio.file.Files.move(tmp.toPath, f.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          case None =>
+            val tmp = new Path(s"$stateDir/.task_runs.jsonl.compact")
+            val out = fs.create(tmp, true)
+            out.write(body.getBytes("UTF-8")); out.close()
+            if (fs.exists(file) && !fs.delete(file, false))
+              sys.error(s"TaskRunner: could not delete $file during compaction")
+            if (!fs.rename(tmp, file))
+              sys.error(s"TaskRunner: could not rename $tmp -> $file")
+        }
+        runIndex.clear()
+        latest.values.foreach(indexAdd)
+        indexStamp = fileStamp()
+      }
+      dropped
+    }
+  }
+
   // ------- cached current-state reads (the long-poll watch path) --------
   // WatchForCancel-style watchers poll a run's current state every ~50 ms;
   // routing each poll through latestRun would take the cross-process

@@ -232,6 +232,38 @@ class TaskRunnerSpec extends SparkSpec {
       Seq("__cron__:* * * * *", "__scheduler__:sched-9"))
   }
 
+  test("compactLedger collapses attempt history to current state: reads, " +
+       "resume, logs, and a restarted runner agree before and after") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 1)
+    val calls = new AtomicInteger(0)
+    runner.run("flaky", "k1") {
+      if (calls.incrementAndGet() < 3) sys.error("x"); 1
+    }
+    runner.run("doomed", "k1") { sys.error("always") }
+    runner.record(TaskRun("orphan", "k2", 0, "running", 0L, 0L, None))
+    runner.addRunLog("flaky", "k1", "__scheduler__:s1")
+    val before = runner.latestRuns()
+    assert(runner.runs().size == 7) // 3 flaky + 3 doomed + 1 orphan
+    val dropped = runner.compactLedger()
+    assert(dropped == 4, s"2 flaky + 2 doomed attempt rows drop, got $dropped")
+    assert(runner.latestRuns() == before, "current state is unchanged")
+    assert(runner.runs().size == 3, "one record per run survives")
+    assert(runner.compactLedger() == 0, "idempotent")
+    // a RESTARTED runner over the compacted ledger agrees on everything
+    val r2 = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 1)
+    assert(r2.succeeded("flaky", "k1"))
+    assert(r2.run("flaky", "k1") { 9 }._1.status == "skipped")
+    assert(r2.latestRun("doomed", "k1").get.status == "failed")
+    assert(r2.latestRun("orphan", "k2").get.status == "running")
+    assert(r2.runLogs("flaky", "k1") == Seq("__scheduler__:s1"),
+      "run-log sidecars survive compaction")
+    // the orphan is still reconcilable, and appends continue normally
+    assert(r2.syncUnfinishedRuns() == 1)
+    r2.run("fresh", "k3") { 2 }
+    assert(r2.latestRun("fresh", "k3").get.status == "success")
+  }
+
   test("schedule due-time evaluation") {
     val s = Schedule(everyMs = 1000, offsetMs = 500)
     assert(s.lastDue(400).isEmpty)
