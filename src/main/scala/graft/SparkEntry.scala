@@ -1358,9 +1358,12 @@ object SparkEntry {
     }, pollIntervalMs = 25L, syncIntervalMs = 1L)
     try {
       // the crash artifact a dead coordinator leaves behind: a durable
-      // running row whose execution claim nobody holds
+      // running row whose execution claim nobody holds — backdated an
+      // hour (the daemon's automatic sync only treats rows older than
+      // orphanAfterMs as crashes, so a live external executor's fresh
+      // RUNNING report is never swept)
       runner.record(graft.sched.TaskRun("mat_orders", "k1", 0, "running",
-        System.currentTimeMillis(), 0L, None))
+        System.currentTimeMillis() - 3600000L, 0L, None))
       daemon.start()
       awaitRun(runner, "mat_orders", "k1", "success")
       val trace = runner.runs().filter(_.task == "mat_orders")

@@ -63,7 +63,12 @@ final class Scheduler(
     syncIntervalMs: Long = 10000L,
     /** How long [[stop]] waits for in-flight runs to finish before
       * interrupting them (interrupted runs re-queue as `pending`). */
-    stopDrainMs: Long = 30000L) {
+    stopDrainMs: Long = 30000L,
+    /** Minimum age of a `running` row before the automatic sync treats a
+      * free claim as a crash (wire-external executors hold no claim; a
+      * fresh RUNNING report must not re-queue a live run — only the
+      * explicit SyncUnfinishedRuns RPC sweeps regardless of age). */
+    orphanAfterMs: Long = 300000L) {
 
   @volatile private var stopped = false
   @volatile private var lastSyncMs = 0L
@@ -187,7 +192,7 @@ final class Scheduler(
     val now = System.currentTimeMillis()
     if (now - lastSyncMs >= syncIntervalMs) {
       lastSyncMs = now
-      val n = runner.syncUnfinishedRuns()
+      val n = runner.syncUnfinishedRuns(orphanAfterMs)
       if (n > 0)
         org.slf4j.LoggerFactory.getLogger("graft.Scheduler")
           .info(s"scheduler $id re-queued $n orphaned running run(s)")

@@ -101,6 +101,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
         if (!f.exists()) return Nil
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       case None =>
+        if (!fs.exists(file)) healMissingLedgerLocked()
         if (!fs.exists(file)) return Nil
         val in = fs.open(file)
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -138,6 +139,16 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     }
   }
 
+  /** The one place a TaskRun becomes a ledger line — append and
+    * compaction must never diverge on the on-disk format. */
+  private def ledgerLine(r: TaskRun): String = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    m.put("task", r.task); m.put("runKey", r.runKey); m.put("attempt", r.attempt)
+    m.put("status", r.status); m.put("startMs", r.startMs); m.put("endMs", r.endMs)
+    r.error.foreach(e => m.put("error", e))
+    mapper.writeValueAsString(m) + "\n"
+  }
+
   private def appendLocked(r: TaskRun): Unit = {
     // absorb rows OTHER runners appended since our last refresh FIRST —
     // the post-append stamp below covers them, so skipping this would
@@ -147,11 +158,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     // stat when nothing foreign changed, so the single-writer fast path
     // (every daemon attempt record) stays O(1).
     refreshIndexLocked()
-    val m = new java.util.LinkedHashMap[String, Any]()
-    m.put("task", r.task); m.put("runKey", r.runKey); m.put("attempt", r.attempt)
-    m.put("status", r.status); m.put("startMs", r.startMs); m.put("endMs", r.endMs)
-    r.error.foreach(e => m.put("error", e))
-    val line = mapper.writeValueAsString(m) + "\n"
+    val line = ledgerLine(r)
     localLedgerFile match {
       case Some(f) =>
         // O(1) true append, fsynced — the old read+rewrite was O(ledger)
@@ -193,6 +200,25 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     indexStamp = fileStamp()
     signalChange() // wake long-poll watchers blocked in awaitChange
   }
+
+  /** Non-local rewrites (append's read+rewrite, compaction) commit via
+    * write-tmp → delete-dest → rename; a crash between the delete and the
+    * rename leaves NO ledger but a COMPLETE tmp (tmp files always carry
+    * the full intended content and are written+closed before the delete).
+    * Adopt the tmp on the next locked read. When the dest EXISTS, any
+    * leftover tmp is an uncommitted rewrite from a crash before its
+    * delete — ignored, same single-record loss as crashing before the
+    * write. Local ledgers never hit this (true appends + atomic moves). */
+  private def healMissingLedgerLocked(): Unit =
+    Seq(new Path(s"$stateDir/.task_runs.jsonl.compact"),
+        new Path(s"$stateDir/.task_runs.jsonl.tmp")).foreach { tmp =>
+      if (!fs.exists(file) && fs.exists(tmp)) {
+        org.slf4j.LoggerFactory.getLogger("graft.TaskRunner").warn(
+          s"adopting orphaned ledger rewrite $tmp (crash between delete and rename)")
+        if (!fs.rename(tmp, file))
+          sys.error(s"TaskRunner: could not adopt $tmp as $file")
+      }
+    }
 
   /** A crashed writer's partial final line must not FUSE with the next
     * append (the merged bytes would read as one malformed line that is no
@@ -537,7 +563,20 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           val status = if (err == "timeout") "timeout" else "failed"
           last = TaskRun(task, runKey, attempt, status, start, end, Some(err))
           append(last)
-          if (attempt < base + maxAttempts) Thread.sleep(backoffMs << (attempt - base - 1))
+          if (attempt < base + maxAttempts) {
+            // a shutdown interrupt can land HERE too — escaping would
+            // strand the run on the terminal `failed` row just appended
+            // (which no reconcile re-queues); tie a `pending` over it
+            // (same attempt, last-appended wins) and stop
+            try Thread.sleep(backoffMs << (attempt - base - 1))
+            catch {
+              case _: InterruptedException =>
+                last = TaskRun(task, runKey, attempt, "pending", start, end,
+                  Some("re-queued: runner interrupted during retry backoff"))
+                append(last)
+                return (last, None)
+            }
+          }
           attempt += 1
       }
     }
@@ -554,7 +593,13 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   def recordUpstreamFailed(task: String, runKey: String,
                            failedUp: Seq[String]): TaskRun = {
     val now = System.currentTimeMillis()
-    val att = latestRun(task, runKey).map(_.attempt).getOrElse(0)
+    val cur = latestRun(task, runKey)
+    // a run that already COMPLETED must never be cascade-marked: tying
+    // its attempt would bury the success (last-appended wins on ties),
+    // flipping succeeded() false and re-executing finished work
+    if (cur.exists(c => c.status == "success" || c.status == "skipped"))
+      return TaskRun(task, runKey, 0, "skipped", now, now, None)
+    val att = cur.map(_.attempt).getOrElse(0)
     val r = TaskRun(task, runKey, att, "upstream_failed", now, now,
       Some(s"upstream failed: ${failedUp.mkString(",")}"))
     append(r)
@@ -570,15 +615,26 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     * record shape raced a daemon that claimed and finished the run in the
     * window, and the re-queue row (higher attempt) would then bury the
     * outcome. A run whose claim is live is skipped (tryWithLock fails) —
-    * its owner's records are truth. Returns the re-queued run count. */
-  def syncUnfinishedRuns(): Int =
+    * its owner's records are truth.
+    *
+    * `olderThanMs` guards EXTERNAL executors: a wire client that reports
+    * SetRunStatus(RUNNING) holds no claim lock, so a free claim is not
+    * proof of death for it — the automatic daemon sync passes a staleness
+    * threshold (only rows whose startMs is at least that old re-queue),
+    * while the explicit SyncUnfinishedRuns RPC keeps 0 (a client invoking
+    * the heal by hand asserts the executors are gone). It also closes the
+    * daemon's own marker window: execute() appends its fresh `running`
+    * marker BEFORE taking the claim, and a 0-threshold sweep in that gap
+    * would mint a spurious re-queue. Returns the re-queued run count. */
+  def syncUnfinishedRuns(olderThanMs: Long = 0L): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
     latestRuns().count { r =>
-      r.status == "running" &&
+      r.status == "running" && r.startMs <= cutoff &&
         lock.tryWithLock(s"run!${r.task}!${r.runKey}") {
           // re-read INSIDE the claim: the row may have reached a terminal
           // state between the index read and the lock grant
           val cur = latestRun(r.task, r.runKey)
-          if (cur.exists(_.status == "running")) {
+          if (cur.exists(c => c.status == "running" && c.startMs <= cutoff)) {
             record(cur.get.copy(attempt = cur.get.attempt + 1,
               status = "pending",
               error = Some("re-queued by SyncUnfinishedRuns: orphaned running row")))
@@ -586,6 +642,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           } else false
         }.getOrElse(false)
     }
+  }
 
   /** Compact the attempt ledger to ONE record per (task, runKey) — each
     * run's current state, the same record [[latestRuns]] serves. An
@@ -593,10 +650,13 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     * but full reads ([[runs]], a restart's index build) stay O(records),
     * so a long-lived deployment compacts on its own cadence the way the
     * reference prunes its task-run table. Runs in O(records) once, under
-    * the ledger lock + fence; the rewrite is crash-atomic (tmp + atomic
-    * rename — a crash leaves either the old or the new ledger, never a
-    * partial one). Run-log sidecars are untouched (they are per-run
-    * provenance, not per-attempt history). Returns records dropped.
+    * the ledger lock + fence. Crash safety: local ledgers commit via an
+    * ATOMIC_MOVE (old or new file, never partial); non-local stores lack
+    * atomic replace, so a crash between the delete and the rename leaves
+    * only the complete `.compact` tmp — which the next locked read adopts
+    * ([[healMissingLedgerLocked]]). Run-log sidecars are untouched (they
+    * are per-run provenance, not per-attempt history). Returns records
+    * dropped.
     *
     * NOT called implicitly: per-attempt history is evidence (the gated
     * trace queries pin it), so collapsing it is the operator's explicit
@@ -614,14 +674,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
       }
       val dropped = all.size - latest.size
       if (dropped > 0) {
-        val body = latest.values.map { r =>
-          val m = new java.util.LinkedHashMap[String, Any]()
-          m.put("task", r.task); m.put("runKey", r.runKey)
-          m.put("attempt", r.attempt); m.put("status", r.status)
-          m.put("startMs", r.startMs); m.put("endMs", r.endMs)
-          r.error.foreach(e => m.put("error", e))
-          mapper.writeValueAsString(m) + "\n"
-        }.mkString
+        val body = latest.values.map(ledgerLine).mkString
         localLedgerFile match {
           case Some(f) =>
             val tmp = new java.io.File(f.getParentFile, ".task_runs.jsonl.compact")

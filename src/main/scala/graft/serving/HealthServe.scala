@@ -25,6 +25,11 @@ object HealthServe {
   val ServiceName = "grpc.health.v1.Health"
 
   private val Serving: Array[Byte] = { val w = new W; w.enum(1, 1); w.result() }
+  // ServingStatus.SERVICE_UNKNOWN — Watch-only per health.proto: "if the
+  // requested service is unknown when the call is received, the server
+  // will send a message setting the serving status to SERVICE_UNKNOWN but
+  // should NOT terminate the call" (Check answers NOT_FOUND instead)
+  private val ServiceUnknown: Array[Byte] = { val w = new W; w.enum(1, 3); w.result() }
 
   private def readService(req: Array[Byte]): String = {
     val r = new R(req)
@@ -62,12 +67,21 @@ object HealthServe {
         ServerCalls.asyncServerStreamingCall(
           new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
             override def invoke(req: Array[Byte],
-                                obs: StreamObserver[Array[Byte]]): Unit =
+                                obs: StreamObserver[Array[Byte]]): Unit = {
               // one report, then leave the stream open (no onCompleted):
               // statuses are static, so there is never a second message,
-              // but completing would make standard health watchers re-dial
-              try obs.onNext(check(req))
+              // but completing would make standard health watchers re-dial.
+              // Unknown services get a SERVICE_UNKNOWN message (stream
+              // stays open awaiting registration), never a stream error —
+              // Watch semantics differ from Check here by protocol.
+              val svc = readService(req)
+              val report =
+                if (svc.nonEmpty && !served.contains(svc) && svc != ServiceName)
+                  ServiceUnknown
+                else Serving
+              try obs.onNext(report)
               catch { case e: Throwable => obs.onError(Backpressure.toStatus(e)) }
+            }
           }))
       .build()
   }

@@ -274,8 +274,13 @@ class SchedulerSpec extends SparkSpec {
        "crashed coordinator's running row re-queues as pending with no " +
        "client RPC, even when no body is bound here") {
     val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
-    // crash artifact owned by a daemon that had the (unbound-here) binding
+    // crash artifact owned by a daemon that had the (unbound-here)
+    // binding — backdated past the orphan threshold (a FRESH running row
+    // could be a live wire-external executor's report, which the
+    // automatic sync must never sweep)
     runner.record(TaskRun("foreign", "k", 0, "running",
+      System.currentTimeMillis() - 3600000L, 0L, None))
+    runner.record(TaskRun("live_external", "k", 0, "running",
       System.currentTimeMillis(), 0L, None))
     val sched = new Scheduler(runner, "survivor", _ => None,
       pollIntervalMs = 10L, syncIntervalMs = 1L).start()
@@ -285,6 +290,8 @@ class SchedulerSpec extends SparkSpec {
              System.currentTimeMillis() < deadline) Thread.sleep(20)
       val rec = runner.latestRun("foreign", "k").get
       assert(rec.status == "pending" && rec.error.exists(_.contains("re-queued")))
+      // the fresh RUNNING row (a live external executor) was NOT swept
+      assert(runner.latestRun("live_external", "k").get.status == "running")
     } finally sched.stop()
   }
 

@@ -191,6 +191,43 @@ class TaskRunnerSpec extends SparkSpec {
     assert(bodies.get() == 2)
   }
 
+  test("an interrupt during the retry backoff also re-queues: the " +
+       "terminal failed row is tied over by pending, never stranded") {
+    val dir = freshDir()
+    // long backoff so the interrupt reliably lands inside the sleep
+    val runner = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 60000)
+    val failed = new java.util.concurrent.CountDownLatch(1)
+    @volatile var rec: TaskRun = null
+    val worker = new Thread(() => {
+      rec = runner.run("flaky", "k") { failed.countDown(); sys.error("x") }._1
+    })
+    worker.start()
+    assert(failed.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(500) // let the failed@1 append land and the backoff start
+    worker.interrupt()
+    worker.join(15000)
+    assert(!worker.isAlive)
+    assert(rec.status == "pending" && rec.attempt == 1)
+    // the tie rule surfaces the re-queue over the failed row it shares
+    // an attempt with — the run is resumable, not stranded
+    assert(runner.latestRun("flaky", "k").get.status == "pending")
+    val (fin, _) = new TaskRunner(spark, dir, maxAttempts = 3, backoffMs = 1)
+      .run("flaky", "k") { 1 }
+    assert(fin.status == "success" && fin.attempt == 2)
+  }
+
+  test("recordUpstreamFailed never buries a completed run: a succeeded " +
+       "(task, runKey) is reported skipped and the ledger is untouched") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
+    runner.run("done", "k") { 1 }
+    val before = runner.runs()
+    val rec = runner.recordUpstreamFailed("done", "k", Seq("bad_upstream"))
+    assert(rec.status == "skipped")
+    assert(runner.runs() == before, "no ledger row for a cascade-skip of completed work")
+    assert(runner.succeeded("done", "k"))
+    assert(runner.latestRun("done", "k").get.status == "success")
+  }
+
   test("syncUnfinishedRuns re-queues orphaned running rows under the run " +
        "claim lock; live claims and terminal rows are untouched") {
     val dir = freshDir()

@@ -81,6 +81,16 @@ class HealthServeSpec extends SparkSpec {
       probe.setDaemon(true); probe.start()
       assert(!done.await(300, java.util.concurrent.TimeUnit.MILLISECONDS),
         "Watch stream completed after the first report")
+      // Watch on an UNKNOWN service: per health.proto this is a
+      // SERVICE_UNKNOWN(3) MESSAGE with the stream held open — stream
+      // errors are Check semantics, and erroring would re-dial watchers
+      val unknownReq = { val w = new W; w.str(1, "no.such.Service"); w.result() }
+      val it2 = ClientCalls.blockingServerStreamingCall(gch,
+        MetadataServe.method(HealthServe.ServiceName, "Watch", SERVER_STREAMING),
+        CallOptions.DEFAULT, unknownReq)
+      val r2 = new R(it2.next())
+      assert(r2.readTag()._1 == 1 && r2.readVarint() == 3L,
+        "unknown service must report SERVICE_UNKNOWN, not a stream error")
     } finally {
       gch.shutdownNow(); mch.shutdownNow(); fch.shutdownNow()
       gsrv.stop(); msrv.stop(); fsrv.stop()
