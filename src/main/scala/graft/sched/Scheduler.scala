@@ -128,10 +128,18 @@ final class Scheduler(
     * Tasks service's GetUnfinishedRuns view. `running` is included like
     * the reference (executor.go:96: PENDING or RUNNING are runnable): a
     * crashed daemon leaves `running` rows, and re-claiming them is how a
-    * restart resumes; a LIVE owner's claim lock makes the re-claim a
-    * harmless "locked" no-op. */
-  private def unfinished(): Seq[TaskRun] =
-    runner.latestRuns().filter(r => Scheduler.Runnable(r.status))
+    * restart resumes; a LIVE daemon owner's claim lock makes the re-claim
+    * a harmless "locked" no-op. But a wire-EXTERNAL executor that
+    * reported RUNNING holds no claim lock, so direct claims apply the
+    * same `orphanAfterMs` age gate as the sync pass — only a stale
+    * RUNNING row (no report for the threshold) is presumed crashed;
+    * external executors keep long runs alive by re-reporting RUNNING
+    * (SetRunStatus stamps the report time). */
+  private def unfinished(): Seq[TaskRun] = {
+    val cutoff = System.currentTimeMillis() - orphanAfterMs
+    runner.latestRuns().filter(r => Scheduler.Runnable(r.status) &&
+      (r.status != "running" || r.startMs <= cutoff))
+  }
 
   /** Mint a `created` ledger run for each schedule's latest due tick that
     * has no run yet — registration + a schedule string turns into

@@ -101,7 +101,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
         if (!f.exists()) return Nil
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       case None =>
-        if (!fs.exists(file)) healMissingLedgerLocked()
+        healRewritesLocked(file, ledgerTmps)
         if (!fs.exists(file)) return Nil
         val in = fs.open(file)
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -176,8 +176,13 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
       case None =>
         // non-local store: LocalFileSystem-style append is unavailable /
         // unreliable across Hadoop bindings, and records are metadata-
-        // scale — read + atomic rewrite (tmp + rename) keeps it durable
+        // scale — read + atomic rewrite (tmp + rename) keeps it durable.
+        // Heal first: a prior rewrite's crash window may have left the
+        // whole ledger only in an orphaned tmp, and the index stamp
+        // ((0,0) for a missing dest) would otherwise skip the read-side
+        // adoption and silently clobber it below
         fs.mkdirs(new Path(stateDir))
+        healRewritesLocked(file, ledgerTmps)
         val existing =
           if (fs.exists(file)) {
             val in = fs.open(file)
@@ -201,24 +206,37 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     signalChange() // wake long-poll watchers blocked in awaitChange
   }
 
-  /** Non-local rewrites (append's read+rewrite, compaction) commit via
-    * write-tmp → delete-dest → rename; a crash between the delete and the
-    * rename leaves NO ledger but a COMPLETE tmp (tmp files always carry
-    * the full intended content and are written+closed before the delete).
-    * Adopt the tmp on the next locked read. When the dest EXISTS, any
-    * leftover tmp is an uncommitted rewrite from a crash before its
-    * delete — ignored, same single-record loss as crashing before the
-    * write. Local ledgers never hit this (true appends + atomic moves). */
-  private def healMissingLedgerLocked(): Unit =
-    Seq(new Path(s"$stateDir/.task_runs.jsonl.compact"),
-        new Path(s"$stateDir/.task_runs.jsonl.tmp")).foreach { tmp =>
-      if (!fs.exists(file) && fs.exists(tmp)) {
+  /** Non-local rewrites (append's read+rewrite, log appends, compaction)
+    * commit via write-tmp → delete-dest → rename; a crash between the
+    * delete and the rename leaves NO dest but a COMPLETE tmp (tmp files
+    * always carry the full intended content and are written+closed before
+    * the delete). Heal BOTH halves of that window, under the ledger lock,
+    * before every non-local read or rewrite:
+    *  - dest missing: adopt the NEWEST orphaned tmp (mtime — an older
+    *    leftover from a different crashed rewrite must not shadow it);
+    *  - dest present: delete leftover tmps — they are uncommitted
+    *    rewrites from a crash before their delete (same single-record
+    *    loss as crashing before the write), and left lying around they
+    *    could shadow a FUTURE orphan adoption with stale content.
+    * Local stores never hit this (true appends + ATOMIC_MOVE). */
+  private def healRewritesLocked(dest: Path, tmps: Seq[Path]): Unit = {
+    if (!fs.exists(dest)) {
+      val orphans = tmps.filter(fs.exists(_))
+      if (orphans.nonEmpty) {
+        val newest = orphans.maxBy(t => fs.getFileStatus(t).getModificationTime)
         org.slf4j.LoggerFactory.getLogger("graft.TaskRunner").warn(
-          s"adopting orphaned ledger rewrite $tmp (crash between delete and rename)")
-        if (!fs.rename(tmp, file))
-          sys.error(s"TaskRunner: could not adopt $tmp as $file")
+          s"adopting orphaned rewrite $newest as $dest (crash between delete and rename)")
+        if (!fs.rename(newest, dest))
+          sys.error(s"TaskRunner: could not adopt $newest as $dest")
       }
     }
+    if (fs.exists(dest))
+      tmps.foreach(t => if (fs.exists(t)) fs.delete(t, false))
+  }
+
+  private def ledgerTmps = Seq(new Path(s"$stateDir/.task_runs.jsonl.compact"),
+    new Path(s"$stateDir/.task_runs.jsonl.tmp"))
+  private def logsTmps = Seq(new Path(s"$stateDir/.run_logs.jsonl.tmp"))
 
   /** A crashed writer's partial final line must not FUSE with the next
     * append (the merged bytes would read as one malformed line that is no
@@ -348,6 +366,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           finally out.close()
         case None =>
           fs.mkdirs(new Path(stateDir))
+          healRewritesLocked(logsFile, logsTmps) // same crash window as the ledger
           val existing =
             if (fs.exists(logsFile)) {
               val in = fs.open(logsFile)
@@ -371,6 +390,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           if (!f.exists()) return Nil
           new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         case None =>
+          healRewritesLocked(logsFile, logsTmps)
           if (!fs.exists(logsFile)) return Nil
           val in = fs.open(logsFile)
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -571,8 +591,16 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
             try Thread.sleep(backoffMs << (attempt - base - 1))
             catch {
               case _: InterruptedException =>
-                last = TaskRun(task, runKey, attempt, "pending", start, end,
-                  Some("re-queued: runner interrupted during retry backoff"))
+                // same precedence as the attempt path: a latched cancel
+                // wins over the shutdown re-queue — `pending` would let a
+                // restarted daemon resurrect a run the client killed
+                last =
+                  if (cancelRequests.contains((task, runKey)))
+                    TaskRun(task, runKey, attempt, "cancelled", start, end,
+                      Some("cancelled during retry backoff"))
+                  else
+                    TaskRun(task, runKey, attempt, "pending", start, end,
+                      Some("re-queued: runner interrupted during retry backoff"))
                 append(last)
                 return (last, None)
             }

@@ -46,9 +46,11 @@ object HealthServe {
   /** The Health service definition for an endpoint hosting `served`
     * (full gRPC service names). */
   def service(served: Set[String]): ServerServiceDefinition = {
+    def unknown(svc: String): Boolean =
+      svc.nonEmpty && !served.contains(svc) && svc != ServiceName
     def check(req: Array[Byte]): Array[Byte] = {
       val svc = readService(req)
-      if (svc.nonEmpty && !served.contains(svc) && svc != ServiceName)
+      if (unknown(svc))
         throw Status.NOT_FOUND
           .withDescription(s"unknown service $svc").asRuntimeException()
       Serving
@@ -73,13 +75,11 @@ object HealthServe {
               // but completing would make standard health watchers re-dial.
               // Unknown services get a SERVICE_UNKNOWN message (stream
               // stays open awaiting registration), never a stream error —
-              // Watch semantics differ from Check here by protocol.
-              val svc = readService(req)
-              val report =
-                if (svc.nonEmpty && !served.contains(svc) && svc != ServiceName)
-                  ServiceUnknown
-                else Serving
-              try obs.onNext(report)
+              // Watch semantics differ from Check here by protocol. Parse
+              // inside the try: malformed bytes must map through toStatus,
+              // not escape into the server internals as UNKNOWN.
+              try obs.onNext(
+                if (unknown(readService(req))) ServiceUnknown else Serving)
               catch { case e: Throwable => obs.onError(Backpressure.toStatus(e)) }
             }
           }))

@@ -1686,8 +1686,16 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     // any in-flight attempt (Spark job group + body thread) and latch the
     // request so the scheduler/runner never (re)starts this run
     if (statusString(st) == "cancelled") runner.cancel(task, run)
+    // a RUNNING report stamps startMs = now: it marks when execution
+    // actually began (the row previously inherited the CREATED row's
+    // time, so the orphan-sync staleness guard measured run age instead
+    // of report freshness and swept live >5min external runs); it also
+    // makes periodic RUNNING re-reports a heartbeat that keeps a live
+    // external run out of the automatic orphan sweep
+    val startMs = if (statusString(st) == "running")
+      System.currentTimeMillis() else cur.startMs
     runner.record(cur.copy(attempt = cur.attempt + 1,
-      status = statusString(st),
+      status = statusString(st), startMs = startMs,
       error = Some(msg).filter(_.nonEmpty)))
     Empty
   }

@@ -112,12 +112,18 @@ class SchedulerSpec extends SparkSpec {
     val sched = new Scheduler(runner, "s",
       name => if (name == "mine") Some(() => 1) else None)
     createdRun(runner, "someone_elses", "k1")
-    // crash artifact: a running row whose claim nobody holds
+    // crash artifact: a running row whose claim nobody holds — backdated
+    // past the orphan age gate (a FRESH running row could be a live
+    // wire-external executor's report, which direct claims must skip)
     runner.record(TaskRun("mine", "k2", 0, "running",
-      System.currentTimeMillis(), 0L, None))
+      System.currentTimeMillis() - 3600000L, 0L, None))
+    runner.record(TaskRun("mine", "k3", 0, "running",
+      System.currentTimeMillis(), 0L, None)) // fresh = possibly live
     val out = sched.tick()
     assert(out.map(r => (r.task, r.status)) == Seq(("mine", "success")))
     assert(runner.latestRun("someone_elses", "k1").get.status == "created")
+    assert(runner.latestRun("mine", "k3").get.status == "running",
+      "a fresh RUNNING row (possibly a live external executor) is not re-claimed")
   }
 
   test("dependency wait: downstream executes only after its upstream " +

@@ -222,7 +222,14 @@ class TasksServeSpec extends SparkSpec {
       // and the reconcile re-queues (attempt 2) — the classic trail
       val sw = new W
       idMsg(1, "r1")(sw); idMsg(2, "mat")(sw); sw.msg(3)(_.enum(1, 5)) // RUNNING
+      val beforeRunning = System.currentTimeMillis()
       unary(ch, "SetRunStatus", sw.result())
+      // a RUNNING report stamps startMs = report time (the heartbeat the
+      // orphan staleness guard keys on), not the created row's time
+      assert(runner.latestRun("mat", "r1").get.startMs >= beforeRunning)
+      // a FRESH report is never swept by an aged sync...
+      assert(runner.syncUnfinishedRuns(olderThanMs = 60000L) == 0)
+      // ...while the explicit RPC (threshold 0) re-queues it
       unary(ch, "SyncUnfinishedRuns", Array.emptyByteArray)
       assert(runner.latestRun("mat", "r1").get.status == "pending")
       // the daemon executes the re-queued run: the success must seed PAST
