@@ -68,7 +68,15 @@ final class Scheduler(
       * free claim as a crash (wire-external executors hold no claim; a
       * fresh RUNNING report must not re-queue a live run — only the
       * explicit SyncUnfinishedRuns RPC sweeps regardless of age). */
-    orphanAfterMs: Long = 300000L) {
+    orphanAfterMs: Long = 300000L,
+    /** Opt-in automatic ledger compaction: when > 0, the sync-cadence
+      * tick compacts once total attempt records exceed this factor times
+      * the live-run count ([[TaskRunner.compactLedger]] — the reference
+      * prunes its task-run store; here pruning is an explicit policy
+      * because per-attempt history is evidence). 0 (default) = never:
+      * the operator compacts by hand, or registers a compaction task on
+      * the `schedules` hook. */
+    compactAboveFactor: Int = 0) {
 
   @volatile private var stopped = false
   @volatile private var lastSyncMs = 0L
@@ -138,8 +146,26 @@ final class Scheduler(
   private def unfinished(): Seq[TaskRun] = {
     val cutoff = System.currentTimeMillis() - orphanAfterMs
     runner.latestRuns().filter(r => Scheduler.Runnable(r.status) &&
-      (r.status != "running" || r.startMs <= cutoff))
+      (r.status != "running" || r.startMs <= cutoff || ownOrphan(r)))
   }
+
+  /** Is this fresh `running` row OUR OWN dead predecessor's marker? The
+    * age gate protects claimless wire-external executors, but a daemon
+    * that crashed and restarted under the same id should resume its own
+    * rows immediately (same identity ⇒ the predecessor is provably not
+    * running — one id, one process). Own-ness is read from the run-log
+    * owner tag execute() stamps at claim time; only the daemon's
+    * attempt-0 marker qualifies (wire RUNNING reports land at attempt
+    * ≥ 1, so an external executor that picked the run up later is never
+    * swept by a stale owner tag). Runs this live process is already
+    * executing are skipped before the log read — the sidecar scan only
+    * happens in the rare post-restart window. */
+  private def ownOrphan(r: TaskRun): Boolean =
+    r.attempt == 0 && !inFlight.contains((r.task, r.runKey)) &&
+      runner.runLogs(r.task, r.runKey).reverseIterator
+        .collectFirst { case l if l.startsWith(Scheduler.OwnerPrefix) =>
+          l.stripPrefix(Scheduler.OwnerPrefix) }
+        .contains(id)
 
   /** Mint a `created` ledger run for each schedule's latest due tick that
     * has no run yet — registration + a schedule string turns into
@@ -204,6 +230,7 @@ final class Scheduler(
       if (n > 0)
         org.slf4j.LoggerFactory.getLogger("graft.Scheduler")
           .info(s"scheduler $id re-queued $n orphaned running run(s)")
+      maybeCompact()
     }
     unfinished().foreach { r =>
       bodies(r.task).foreach { body =>
@@ -212,7 +239,8 @@ final class Scheduler(
           case Right(false) => () // dependency wait
           case Left(failedUps) =>
             if (inFlight.putIfAbsent(k, ()).isEmpty)
-              try runner.recordUpstreamFailed(r.task, r.runKey, failedUps)
+              try runner.recordUpstreamFailed(r.task, r.runKey, failedUps,
+                orphanAfterMs)
               finally inFlight.remove(k)
           case Right(true) =>
             if (inFlight.putIfAbsent(k, ()).isEmpty)
@@ -238,7 +266,8 @@ final class Scheduler(
             case Right(false) => None // dependency wait
             case Left(failedUps) =>
               if (inFlight.putIfAbsent(k, ()).isEmpty)
-                try Some(runner.recordUpstreamFailed(r.task, r.runKey, failedUps))
+                try Some(runner.recordUpstreamFailed(r.task, r.runKey,
+                  failedUps, orphanAfterMs))
                 finally inFlight.remove(k)
               else None
             case Right(true) =>
@@ -250,6 +279,24 @@ final class Scheduler(
       }
     }
   }
+
+  /** The auto-compaction policy check — O(1) against the runner's
+    * maintained counters; compaction itself is O(records), amortized by
+    * only firing once the attempt history exceeds `compactAboveFactor`
+    * times the live-run count. Package-visible so SchedulerSpec can
+    * drive the policy deterministically. */
+  private[sched] def maybeCompact(): Int =
+    if (compactAboveFactor <= 0) 0
+    else {
+      val live = runner.latestRuns().size
+      if (live > 0 && runner.ledgerRecords() > compactAboveFactor.toLong * live) {
+        val dropped = runner.compactLedger()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger("graft.Scheduler")
+            .info(s"scheduler $id compacted ledger: dropped $dropped attempt record(s)")
+        dropped
+      } else 0
+    }
 
   /** Claim + execute one run. Mirrors executor.go's sequence: mark RUNNING
     * (only visible while the attempt is live — the runner's own attempt
@@ -263,6 +310,17 @@ final class Scheduler(
     if (r.status != "running")
       runner.record(TaskRun(r.task, r.runKey, 0, "running",
         System.currentTimeMillis(), 0L, None))
+    // claim-time owner stamp (idempotent): the durable breadcrumb
+    // [[ownOrphan]] reads so a restart under the same id resumes its own
+    // crashed rows without the external-executor age wait. Two daemons
+    // racing a `created` row may both stamp before the claim arbitrates;
+    // the loser's tag at worst delays the winner's fast-resume to the
+    // age gate — the claim lock stays the only execution authority.
+    val owned = runner.runLogs(r.task, r.runKey).reverseIterator
+      .collectFirst { case l if l.startsWith(Scheduler.OwnerPrefix) =>
+        l.stripPrefix(Scheduler.OwnerPrefix) }
+      .contains(id)
+    if (!owned) runner.addRunLog(r.task, r.runKey, Scheduler.OwnerPrefix + id)
     val (rec, _) = runner.run(r.task, r.runKey)(body())
     if (rec.status != "locked")
       runner.addRunLog(r.task, r.runKey, Scheduler.LogPrefix + id)
@@ -275,6 +333,13 @@ object Scheduler {
     * SetRunSchedulerID sidecar the Tasks service reads back as field 17 of
     * TaskRunMetadata). */
   val LogPrefix = "__scheduler__:"
+
+  /** Run-log prefix stamped at CLAIM time with the executing daemon's id
+    * — the restart-resume breadcrumb: a `running` row whose latest owner
+    * tag matches a (re)started daemon's own id bypasses the external-
+    * executor staleness gate (same id ⇒ the stamper is this daemon's
+    * dead predecessor). */
+  val OwnerPrefix = "__owner__:"
 
   /** Run-log prefix that records the cron expression that minted a run —
     * the Tasks service reports such runs with a ScheduleTrigger and

@@ -190,7 +190,14 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           } else ""
         val tmp = new Path(s"$stateDir/.task_runs.jsonl.tmp")
         val out = fs.create(tmp, true)
-        out.write((existing + line).getBytes("UTF-8")); out.close()
+        // hsync BEFORE the destructive delete below: the heal invariant
+        // (healRewritesLocked — "tmp files always carry the full intended
+        // content") must hold under node power-loss too, and on real HDFS
+        // bindings close() completes the file without guaranteeing
+        // datanode flush; FSDataOutputStream.hsync falls back to flush()
+        // where the wrapped stream is not Syncable, so this is safe on
+        // every binding.
+        out.write((existing + line).getBytes("UTF-8")); out.hsync(); out.close()
         // A silently failed delete or rename would drop this record from
         // the durable ledger — succeeded() would then miss the resume
         // check and a re-run would append a duplicate success. Fail
@@ -202,6 +209,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     }
     if (r.status == "success") localSuccesses += ((r.task, r.runKey))
     indexAdd(r)
+    recordCount += 1
     indexStamp = fileStamp()
     signalChange() // wake long-poll watchers blocked in awaitChange
   }
@@ -280,6 +288,9 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   private val runIndex =
     scala.collection.mutable.LinkedHashMap.empty[(String, String), TaskRun]
   private var indexStamp: (Long, Long) = (-1L, -1L)
+  // total ledger RECORDS (attempt rows) — maintained beside the index so
+  // the auto-compaction policy check is O(1), not a full ledger read
+  private var recordCount: Long = 0L
 
   private def fileStamp(): (Long, Long) = localLedgerFile match {
     case Some(f) =>
@@ -293,7 +304,9 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     val st = fileStamp()
     if (st != indexStamp) {
       runIndex.clear()
-      runsLocked().foreach(indexAdd)
+      val all = runsLocked()
+      all.foreach(indexAdd)
+      recordCount = all.size
       indexStamp = st
     }
   }
@@ -316,6 +329,14 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
   def latestRun(task: String, runKey: String): Option[TaskRun] = synchronized {
     lock.withLock("__ledger__") { refreshIndexLocked() }
     runIndex.get((task, runKey))
+  }
+
+  /** Total attempt records in the ledger vs [[latestRuns]]' live-run
+    * count — the auto-compaction policy's inputs. O(1) after warm (the
+    * count rides the index). */
+  def ledgerRecords(): Long = synchronized {
+    lock.withLock("__ledger__") { refreshIndexLocked() }
+    recordCount
   }
 
   /** Service-plane append — the Tasks gRPC service's write path
@@ -374,7 +395,9 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
             } else ""
           val tmp = new Path(s"$stateDir/.run_logs.jsonl.tmp")
           val out = fs.create(tmp, true)
-          out.write((existing + line).getBytes("UTF-8")); out.close()
+          // same power-loss invariant as the ledger rewrite: the tmp must
+          // be durably complete before the dest is deleted
+          out.write((existing + line).getBytes("UTF-8")); out.hsync(); out.close()
           if (fs.exists(logsFile) && !fs.delete(logsFile, false))
             sys.error(s"TaskRunner: could not delete $logsFile during log rewrite")
           if (!fs.rename(tmp, logsFile))
@@ -499,7 +522,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
       }
       val start = System.currentTimeMillis()
       val groupId = s"graft-task-$task-$runKey-$attempt"
-      val result =
+      val result: Either[TaskRunner.Cause, T] =
         try {
           spark.sparkContext.setJobGroup(groupId, task, interruptOnCancel = true)
           // dedicated thread (not a shared pool) so a timed-out body can be
@@ -534,7 +557,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
                 org.slf4j.LoggerFactory.getLogger("graft.TaskRunner").warn(
                   s"$groupId: body thread ignored interrupt after timeout; " +
                     "it may still be running while the next attempt starts")
-              Left("timeout": String)
+              Left(TaskRunner.Timeout)
             case _: InterruptedException =>
               // THIS (waiting) thread was interrupted — a scheduler
               // shutdown's shutdownNow, not a body failure. Treating it as
@@ -549,7 +572,8 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
               runner.join(5000)
               Thread.interrupted() // clear so the append below can run
               Left(TaskRunner.Interrupted)
-            case e: Throwable => Left(Option(e.getMessage).getOrElse(e.toString))
+            case e: Throwable =>
+              Left(TaskRunner.BodyFailure(Option(e.getMessage).getOrElse(e.toString)))
           }
         } finally {
           activeAttempts.remove((task, runKey))
@@ -561,27 +585,30 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           last = TaskRun(task, runKey, attempt, "success", start, end, None)
           append(last)
           return (last, Some(v))
-        case Left(err) =>
+        case Left(cause) =>
           // a failure caused by a cancel request (job-group kill /
           // interrupt) records "cancelled" and must NOT retry
           if (cancelRequests.contains((task, runKey))) {
             last = TaskRun(task, runKey, attempt, "cancelled", start, end,
-              Some(s"cancelled: $err"))
+              Some(s"cancelled: ${cause.msg}"))
             append(last)
             return (last, None)
           }
           // an interrupt WITHOUT a cancel request is a daemon shutdown:
           // re-queue as `pending` so a restarted (or surviving) daemon's
           // unfinished poll resumes the run — never retry here, the
-          // worker pool is going down
-          if (err == TaskRunner.Interrupted) {
+          // worker pool is going down. The Cause ADT (not an error-message
+          // string compare) means a body whose own exception message
+          // happens to read "timeout"/"interrupted" still records plain
+          // `failed` — only the runner's control paths mint these causes.
+          if (cause == TaskRunner.Interrupted) {
             last = TaskRun(task, runKey, attempt, "pending", start, end,
               Some("re-queued: runner interrupted by shutdown"))
             append(last)
             return (last, None)
           }
-          val status = if (err == "timeout") "timeout" else "failed"
-          last = TaskRun(task, runKey, attempt, status, start, end, Some(err))
+          val status = if (cause == TaskRunner.Timeout) "timeout" else "failed"
+          last = TaskRun(task, runKey, attempt, status, start, end, Some(cause.msg))
           append(last)
           if (attempt < base + maxAttempts) {
             // a shutdown interrupt can land HERE too — escaping would
@@ -619,7 +646,8 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     * attempt so the max-attempt index surfaces it (last-appended wins on
     * ties) instead of burying it under a stale `pending`. */
   def recordUpstreamFailed(task: String, runKey: String,
-                           failedUp: Seq[String]): TaskRun = {
+                           failedUp: Seq[String],
+                           runningGraceMs: Long = 300000L): TaskRun = {
     val now = System.currentTimeMillis()
     val cur = latestRun(task, runKey)
     // a run that already COMPLETED must never be cascade-marked: tying
@@ -627,6 +655,16 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
     // flipping succeeded() false and re-executing finished work
     if (cur.exists(c => c.status == "success" || c.status == "skipped"))
       return TaskRun(task, runKey, 0, "skipped", now, now, None)
+    // ... nor may a FRESH `running` report be buried: a wire-external
+    // executor (reachable via Dag.run, which has no orphan-age gate)
+    // holds no claim lock, so its live RUNNING row would be tied over by
+    // the cascade mark. Mirror the scheduler's staleness gate: a running
+    // row younger than the grace window is presumed live — leave it to
+    // record its own outcome (the cascade re-evaluates on a later pass
+    // if the row goes stale).
+    val live = cur.filter(c =>
+      c.status == "running" && now - c.startMs < runningGraceMs)
+    if (live.isDefined) return live.get
     val att = cur.map(_.attempt).getOrElse(0)
     val r = TaskRun(task, runKey, att, "upstream_failed", now, now,
       Some(s"upstream failed: ${failedUp.mkString(",")}"))
@@ -715,7 +753,11 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
           case None =>
             val tmp = new Path(s"$stateDir/.task_runs.jsonl.compact")
             val out = fs.create(tmp, true)
-            out.write(body.getBytes("UTF-8")); out.close()
+            // durably complete before the delete — the crash-window heal
+            // adopts this tmp as the WHOLE ledger, so a power-loss-
+            // truncated tmp plus a deleted dest would lose history; hsync
+            // (flush fallback on non-Syncable bindings) closes the window
+            out.write(body.getBytes("UTF-8")); out.hsync(); out.close()
             if (fs.exists(file) && !fs.delete(file, false))
               sys.error(s"TaskRunner: could not delete $file during compaction")
             if (!fs.rename(tmp, file))
@@ -723,6 +765,7 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
         }
         runIndex.clear()
         latest.values.foreach(indexAdd)
+        recordCount = latest.size
         indexStamp = fileStamp()
       }
       dropped
@@ -759,9 +802,19 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
 }
 
 object TaskRunner {
-  /** Sentinel error for an attempt ended by thread interruption (daemon
-    * shutdown) rather than body failure — re-queued, never retried. */
-  private[sched] val Interrupted = "__interrupted__"
+  /** Why an attempt did not return a value — a typed ADT, NOT an
+    * error-message string: the old string sentinels ("timeout",
+    * "__interrupted__") collided with any body exception whose message
+    * matched, misclassifying a plain failure as a runner control event
+    * (an endless re-queue loop for the interrupted case). */
+  private[sched] sealed trait Cause { def msg: String }
+  /** Attempt exceeded maxJobDuration — job group killed, retryable. */
+  private[sched] case object Timeout extends Cause { val msg = "timeout" }
+  /** The RUNNER thread was interrupted (daemon shutdown) — re-queued as
+    * `pending`, never retried. */
+  private[sched] case object Interrupted extends Cause { val msg = "interrupted" }
+  /** The body itself threw. */
+  private[sched] final case class BodyFailure(msg: String) extends Cause
 }
 
 /** Dependency-ordered task execution — the reference coordinator's task

@@ -24,6 +24,11 @@ import ProtoWire.{R, W}
 object HealthServe {
   val ServiceName = "grpc.health.v1.Health"
 
+  /** Default cap on held-open Watch streams per endpoint. */
+  private def defaultWatchMax: Int =
+    sys.props.get("graft.healthWatchMax")
+      .orElse(sys.env.get("GRAFT_HEALTH_WATCH_MAX")).getOrElse("64").toInt
+
   private val Serving: Array[Byte] = { val w = new W; w.enum(1, 1); w.result() }
   // ServingStatus.SERVICE_UNKNOWN — Watch-only per health.proto: "if the
   // requested service is unknown when the call is received, the server
@@ -44,8 +49,18 @@ object HealthServe {
   }
 
   /** The Health service definition for an endpoint hosting `served`
-    * (full gRPC service names). */
-  def service(served: Set[String]): ServerServiceDefinition = {
+    * (full gRPC service names). Held-open Watch streams are capped at
+    * `watchMax` per endpoint (symmetric with WatchForCancel's
+    * watchSlots): each open stream pins no thread but does pin
+    * per-stream transport state, so a misbehaving client re-dialing
+    * Watch in a loop would otherwise accumulate server state without
+    * bound. Beyond the cap, Watch degrades to Check semantics — current
+    * status, then onCompleted (a standard watcher re-dials; the loop
+    * costs it, not the server). Permits release on client
+    * cancel/disconnect. */
+  def service(served: Set[String],
+              watchMax: Int = defaultWatchMax): ServerServiceDefinition = {
+    val watchSlots = new java.util.concurrent.Semaphore(watchMax)
     def unknown(svc: String): Boolean =
       svc.nonEmpty && !served.contains(svc) && svc != ServiceName
     def check(req: Array[Byte]): Array[Byte] = {
@@ -78,8 +93,25 @@ object HealthServe {
               // Watch semantics differ from Check here by protocol. Parse
               // inside the try: malformed bytes must map through toStatus,
               // not escape into the server internals as UNKNOWN.
-              try obs.onNext(
-                if (unknown(readService(req))) ServiceUnknown else Serving)
+              try {
+                val msg =
+                  if (unknown(readService(req))) ServiceUnknown else Serving
+                if (watchSlots.tryAcquire()) {
+                  // release the slot when the client cancels/disconnects
+                  // — the only way a held-open stream ever ends
+                  var released = false
+                  try obs.asInstanceOf[
+                      org.sparkproject.connect.grpc.stub.ServerCallStreamObserver[Array[Byte]]]
+                    .setOnCancelHandler(() => watchSlots.release())
+                  catch { case _: Throwable =>
+                    watchSlots.release(); released = true }
+                  obs.onNext(msg)
+                  if (released) obs.onCompleted() // no cancel hook → no hold
+                } else {
+                  obs.onNext(msg)
+                  obs.onCompleted() // over cap: degrade to Check semantics
+                }
+              }
               catch { case e: Throwable => obs.onError(Backpressure.toStatus(e)) }
             }
           }))

@@ -1494,6 +1494,7 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
   private val ResumePrefix = "__resume__:"
   private val SchedulerPrefix = graft.sched.Scheduler.LogPrefix
   private val CronPrefix = graft.sched.Scheduler.CronLogPrefix
+  private val OwnerPrefix = graft.sched.Scheduler.OwnerPrefix
 
   private def runner: graft.sched.TaskRunner =
     tasks.getOrElse(throw Status.UNIMPLEMENTED
@@ -1565,7 +1566,8 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     w.msg(10)(_.int64(1, r.startMs / 1000L))
     if (r.endMs > 0) w.msg(11)(_.int64(1, r.endMs / 1000L))
     allLogs.filterNot(l => l.startsWith(ResumePrefix) ||
-      l.startsWith(SchedulerPrefix) || l.startsWith(CronPrefix))
+      l.startsWith(SchedulerPrefix) || l.startsWith(CronPrefix) ||
+      l.startsWith(OwnerPrefix)) // claim-time breadcrumb, not a user log
       .foreach(w.str(12, _))
     w.msg(13) { st =>
       st.enum(1, statusEnum(r.status))
@@ -1694,7 +1696,15 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     // external run out of the automatic orphan sweep
     val startMs = if (statusString(st) == "running")
       System.currentTimeMillis() else cur.startMs
-    runner.record(cur.copy(attempt = cur.attempt + 1,
+    // a RUNNING re-report over a run ALREADY running is a heartbeat, not
+    // a state transition: record it at the SAME attempt (last-appended
+    // wins on ties, so the index picks up the fresh startMs) instead of
+    // attempt+1 — otherwise each heartbeat inflates the attempt counter
+    // unboundedly between compactions, and attempt numbers stop meaning
+    // real execution attempts
+    val heartbeat = statusString(st) == "running" && cur.status == "running"
+    runner.record(cur.copy(
+      attempt = if (heartbeat) cur.attempt else cur.attempt + 1,
       status = statusString(st), startMs = startMs,
       error = Some(msg).filter(_.nonEmpty)))
     Empty

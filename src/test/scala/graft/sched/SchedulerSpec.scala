@@ -301,6 +301,66 @@ class SchedulerSpec extends SparkSpec {
     } finally sched.stop()
   }
 
+  test("a restarted daemon resumes its OWN fresh running row immediately " +
+       "(own-id bypass); a foreign daemon still waits the age gate") {
+    val dir = freshDir()
+    // a SIGKILL'd predecessor of daemon s1: running marker at attempt 0
+    // (fresh startMs — inside the orphanAfterMs window) plus the
+    // claim-time owner tag execute() stamps
+    val setup = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    setup.record(TaskRun("mat", "k", 0, "running",
+      System.currentTimeMillis(), 0L, None))
+    setup.addRunLog("mat", "k", Scheduler.OwnerPrefix + "s1")
+    val calls = new AtomicInteger(0)
+    val body = () => calls.incrementAndGet()
+    // a FOREIGN daemon must not claim the fresh row — for all it knows
+    // the row belongs to a live claimless external executor
+    val s2 = new Scheduler(new TaskRunner(spark, dir, maxAttempts = 2,
+      backoffMs = 1), "s2", _ => Some(body))
+    assert(s2.tick().isEmpty && calls.get() == 0)
+    // the restarted s1 recognizes its own marker and resumes on the
+    // first tick — no 5-minute external-executor wait
+    val s1 = new Scheduler(new TaskRunner(spark, dir, maxAttempts = 2,
+      backoffMs = 1), "s1", _ => Some(body))
+    val out = s1.tick()
+    assert(out.map(_.status) == Seq("success") && calls.get() == 1)
+  }
+
+  test("a fresh wire RUNNING report (attempt >= 1) is never fast-resumed, " +
+       "even when a stale owner tag matches — external executors own it") {
+    val dir = freshDir()
+    val runner = new TaskRunner(spark, dir, maxAttempts = 2, backoffMs = 1)
+    // daemon s1 once touched this run (owner tag), but an external
+    // executor has since reported RUNNING over the wire (attempt >= 1,
+    // SetRunStatus's shape) and may still be live
+    runner.record(TaskRun("ext", "k", 0, "created",
+      System.currentTimeMillis(), 0L, None))
+    runner.addRunLog("ext", "k", Scheduler.OwnerPrefix + "s1")
+    runner.record(TaskRun("ext", "k", 1, "running",
+      System.currentTimeMillis(), 0L, None))
+    val calls = new AtomicInteger(0)
+    val s1 = new Scheduler(runner, "s1", _ => Some(() => calls.incrementAndGet()))
+    assert(s1.tick().isEmpty && calls.get() == 0)
+  }
+
+  test("auto-compaction policy: fires above compactAboveFactor x live " +
+       "runs, off by default") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
+    // one live run carrying a long attempt history
+    for (a <- 1 to 10)
+      runner.record(TaskRun("t", "k", a, "failed", 1L, 2L, Some("x")))
+    val off = new Scheduler(runner, "s", _ => None)
+    assert(off.maybeCompact() == 0 && runner.ledgerRecords() == 10L,
+      "default (0) must never compact — per-attempt history is evidence")
+    val on = new Scheduler(runner, "s", _ => None, compactAboveFactor = 5)
+    assert(on.maybeCompact() == 9 && runner.ledgerRecords() == 1L)
+    // under the threshold the policy stays quiet
+    assert(on.maybeCompact() == 0)
+    // current state survives compaction
+    assert(runner.latestRun("t", "k").exists(r =>
+      r.status == "failed" && r.attempt == 10))
+  }
+
   test("the background poll loop executes without explicit ticks") {
     val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
     val calls = new AtomicInteger(0)

@@ -301,6 +301,40 @@ class TaskRunnerSpec extends SparkSpec {
     assert(r2.latestRun("fresh", "k3").get.status == "success")
   }
 
+  test("a body exception whose MESSAGE matches a runner control word is " +
+       "a plain terminal failure — causes are typed, not string-matched") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 1, backoffMs = 1)
+    // the old string sentinels: "__interrupted__" would have re-queued
+    // this as `pending` (an endless fail/re-queue loop on a live daemon),
+    // "timeout"/"interrupted" would have misclassified the status
+    for ((key, msg) <- Seq("k1" -> "__interrupted__", "k2" -> "timeout",
+                           "k3" -> "interrupted")) {
+      val (rec, _) = runner.run("collide", key) {
+        throw new RuntimeException(msg)
+      }
+      assert(rec.status == "failed" && rec.error.contains(msg),
+        s"message '$msg' must record failed, got ${rec.status}")
+    }
+  }
+
+  test("recordUpstreamFailed never buries a FRESH running report; a " +
+       "stale one ties the attempt") {
+    val runner = new TaskRunner(spark, freshDir(), maxAttempts = 2, backoffMs = 1)
+    val now = System.currentTimeMillis()
+    // a live claimless external executor just reported RUNNING
+    runner.record(TaskRun("t", "k", 2, "running", now, 0L, None))
+    val r = runner.recordUpstreamFailed("t", "k", Seq("up"))
+    assert(r.status == "running", "cascade must defer to the live run")
+    assert(runner.latestRun("t", "k").get.status == "running")
+    assert(runner.runs().count(x => x.task == "t") == 1, "nothing appended")
+    // a STALE running row (past the grace window) is an orphan — the
+    // cascade mark ties its attempt so the index surfaces it
+    runner.record(TaskRun("t2", "k", 2, "running", now - 600000L, 0L, None))
+    val r2 = runner.recordUpstreamFailed("t2", "k", Seq("up"))
+    assert(r2.status == "upstream_failed" && r2.attempt == 2)
+    assert(runner.latestRun("t2", "k").get.status == "upstream_failed")
+  }
+
   test("schedule due-time evaluation") {
     val s = Schedule(everyMs = 1000, offsetMs = 500)
     assert(s.lastDue(400).isEmpty)

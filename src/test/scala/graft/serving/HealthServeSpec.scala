@@ -97,6 +97,47 @@ class HealthServeSpec extends SparkSpec {
     }
   }
 
+  test("Watch beyond the held-open stream cap degrades to Check " +
+       "semantics: report + complete, and a freed slot is reusable") {
+    import org.sparkproject.connect.grpc.netty.NettyServerBuilder
+    // a bare endpoint with a cap of ONE held-open watch stream
+    val srv = NettyServerBuilder
+      .forAddress(new java.net.InetSocketAddress("127.0.0.1", 0))
+      .addService(HealthServe.service(Set.empty, watchMax = 1))
+      .build().start()
+    val ch = channel(srv.getPort)
+    try {
+      def watch() = ClientCalls.blockingServerStreamingCall(ch,
+        MetadataServe.method(HealthServe.ServiceName, "Watch",
+          SERVER_STREAMING),
+        CallOptions.DEFAULT, new W().result())
+      def firstStatus(it: java.util.Iterator[Array[Byte]]): Long = {
+        val r = new R(it.next())
+        assert(r.readTag()._1 == 1); r.readVarint()
+      }
+      def completes(it: java.util.Iterator[Array[Byte]],
+                    withinMs: Long): Boolean = {
+        val done = new java.util.concurrent.CountDownLatch(1)
+        val probe = new Thread(() => {
+          try it.hasNext catch { case _: Throwable => () }
+          done.countDown()
+        })
+        probe.setDaemon(true); probe.start()
+        done.await(withinMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      }
+      // watcher 1 takes the only slot and is held open per protocol
+      val held = watch()
+      assert(firstStatus(held) == 1L)
+      assert(!completes(held, 300), "in-cap watcher must be held open")
+      // watcher 2 overflows: current status, then onCompleted
+      val over = watch()
+      assert(firstStatus(over) == 1L,
+        "over-cap watch still reports the current status")
+      assert(completes(over, 5000),
+        "over-cap watch must complete (degrade to Check), not hold state")
+    } finally { ch.shutdownNow(); srv.shutdownNow() }
+  }
+
   test("a metadata server without a task ledger does not claim the Tasks " +
        "service healthy") {
     val msrv = new MetadataServe(new Catalog(spark)).start()

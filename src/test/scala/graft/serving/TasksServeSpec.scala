@@ -319,6 +319,39 @@ class TasksServeSpec extends SparkSpec {
     }
   }
 
+  test("a RUNNING re-report is a heartbeat: startMs refreshes but the " +
+       "attempt counter does not inflate") {
+    withServer { (runner, ch) =>
+      val createReq = {
+        val w = new W; idMsg(1, "hb_task")(w); w.str(2, "k"); w.result()
+      }
+      val runId = { val r = new R(unary(ch, "CreateTaskRun", createReq))
+        r.readTag(); r.readString() }
+      def setRunning(): Unit = {
+        val w = new W
+        idMsg(1, runId)(w); idMsg(2, "hb_task")(w)
+        w.msg(3)(_.enum(1, 5))
+        unary(ch, "SetRunStatus", w.result())
+      }
+      setRunning() // created → running: a real transition, attempt 1
+      val first = runner.latestRun("hb_task", runId).get
+      assert(first.status == "running" && first.attempt == 1)
+      Thread.sleep(5)
+      setRunning(); setRunning() // heartbeats — keep-alive re-reports
+      val cur = runner.latestRun("hb_task", runId).get
+      assert(cur.attempt == 1,
+        s"heartbeats must not bump the attempt counter, got ${cur.attempt}")
+      assert(cur.startMs > first.startMs,
+        "the heartbeat must refresh the staleness clock (startMs)")
+      // a genuine transition after heartbeats still bumps
+      val w = new W
+      idMsg(1, runId)(w); idMsg(2, "hb_task")(w)
+      w.msg(3)(_.enum(1, 3))
+      unary(ch, "SetRunStatus", w.result())
+      assert(runner.latestRun("hb_task", runId).get.attempt == 2)
+    }
+  }
+
   test("a server without a ledger does not register the Tasks service") {
     val srv = new MetadataServe(new Catalog(spark)).start()
     val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
