@@ -113,8 +113,30 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // STRUCTURAL drift triage: every bench artifact carries its own
+    // breach list against the committed per-query anchors
+    // (BENCH_ANCHORS.md), so the triage input can never be a superseded
+    // artifact — two rounds running, drift was adjudicated against a
+    // mid-round bench while the refreshed final's breaches went
+    // untriaged. Standing rule (BENCH_ANCHORS.md): a reading is a breach
+    // only when it exceeds anchor x 1.5 AND exceeds it by > 1 s; a
+    // breach means "re-TimeQ in a fresh session before calling drift",
+    // not "regression".
+    val anchors = readAnchors(
+      sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "BENCH_ANCHORS.md"))
+    val breaches = results.flatMap { case (name, v) =>
+      anchors.get(name).collect {
+        case a if v > a * 1.5 && v > a + 1.0 => name -> (v, a)
+      }
+    }
+    val breachJson = breaches
+      .map { case (k, (v, a)) => "\"" + k + "\":{\"sec\":" + f"$v%.3f" +
+        ",\"anchor\":" + f"$a%.3f" + "}" }
+      .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""timing":"min_of_${reps}_interleaved","queries":$qs,"sf":"$sfDir"}"""
+      s""""timing":"min_of_${reps}_interleaved","queries":$qs,""" +
+      s""""anchor_breaches":$breachJson,""" +
+      s""""anchors_checked":${anchors.size},"sf":"$sfDir"}"""
     println(full)
     // The full line above runs ~8 KB at 244 queries, but the driver keeps
     // only the LAST ~2000 chars of output — every BENCH_rN.json through r7
@@ -136,7 +158,24 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""timing":"min_of_${reps}_interleaved","n_queries":${results.size},""" +
       s""""queries":$top,"queries_truncated_to_top":12,""" +
+      s""""anchor_breaches":$breachJson,""" +
       s""""full_json":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Per-query anchor seconds from BENCH_ANCHORS.md's `| query | anchor |`
+    * table rows. Missing/unreadable file → empty (no breach check) — the
+    * bench must run anywhere, anchors are a repo-local artifact. */
+  private[graft] def readAnchors(path: String): Map[String, Double] =
+    try {
+      val Row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|.*""".r
+      // explicit UTF-8: the doc carries ×/— prose and the JVM default
+      // charset here is ASCII — Source.fromFile would throw and silently
+      // disable the breach check
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+        .linesIterator
+        .collect { case Row(q, s) => q -> s.toDouble }
+        .toMap
+    } catch { case _: Throwable => Map.empty }
 }
