@@ -1880,6 +1880,39 @@ object OracleSql {
         |UNION ALL SELECT -2, 1
         |UNION ALL SELECT -3, 1""".stripMargin,
 
+    // one corpus's whole life: wire-registered clean (non-blank text) →
+    // cron-minted daemon refresh publishing a versioned snapshot →
+    // streaming exact-dedup keepers (min doc_id per md5 fingerprint) →
+    // temperature mix weights over survivors → sharded JSONL read-back.
+    // The data rows replay the clean + keep-min + weight + shard rules;
+    // sentinels: -1 cron-minted trigger, -2 run READY, -3 the daemon's
+    // claim-time owner stamp, -4 stream copies == clean count, -5 LATEST
+    // pointer resolves to the published snapshot
+    "corpus_lifecycle" ->
+      s"""WITH clean AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |f AS (SELECT doc_id, md5($NORM_TEXT) AS fp FROM clean),
+         |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+         |surv AS (SELECT c.doc_id, c.source, k.fp, c.text
+         |  FROM k JOIN clean c USING (doc_id)),
+         |s AS (SELECT source, CAST(SUM(len($TOKS_RAW)) AS BIGINT) AS total_tokens
+         |  FROM surv GROUP BY 1),
+         |w AS (SELECT source,
+         |    round(sqrt(CAST(total_tokens AS DOUBLE)) /
+         |      SUM(sqrt(CAST(total_tokens AS DOUBLE))) OVER (), 6) AS weight
+         |  FROM s)
+         |SELECT surv.doc_id, surv.source, surv.fp,
+         |  ${mh63("CAST(surv.doc_id AS VARCHAR)")} % 4 AS shard,
+         |  w.weight
+         |FROM surv JOIN w USING (source)
+         |UNION ALL SELECT CAST(-1 AS BIGINT), '__sentinel__', 'cron_minted',
+         |  CAST(0 AS BIGINT), CAST(1 AS DOUBLE)
+         |UNION ALL SELECT -2, '__sentinel__', 'run_ready', 0, 1
+         |UNION ALL SELECT -3, '__sentinel__', 'owner_stamped', 0, 1
+         |UNION ALL SELECT -4, '__sentinel__', 'stream_complete', 0, 1
+         |UNION ALL SELECT -5, '__sentinel__', 'versioned_publish', 0, 1""".stripMargin,
+
     "training_stream" ->
       s"""WITH $EV
          |SELECT event_id, value FROM ev CROSS JOIN (VALUES (0), (1)) epochs(e)""".stripMargin,

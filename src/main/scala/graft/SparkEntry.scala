@@ -1550,6 +1550,143 @@ object SparkEntry {
 
   // ----------------------- B3/O5: training-set stream combinators
 
+  /** The LLM-pipeline mirror of [[wireLifecycle]] — one CORPUS's whole
+    * life across the scheduler, streaming, curation, and export seams in
+    * a single gated chain:
+    *   1. a primary documents source + a templated SQL clean
+    *      (`WHERE length(trim(text)) > 0`) registered over the Metadata
+    *      gRPC wire (the reference's register step);
+    *   2. a CRON schedule mints the refresh run — no client in the loop —
+    *      and the polling daemon claims it, resolves the SERVER-registered
+    *      transformation through the catalog DAG, and atomically publishes
+    *      a versioned parquet snapshot (Writers.atomicReplace);
+    *   3. the published snapshot is replayed through a STREAMING exact-
+    *      dedup aggregation (fingerprint → min-id keeper,
+    *      [[graft.streaming.StreamingDedup.exactKeepersFileStream]]);
+    *   4. temperature mix weights are computed over the surviving corpus;
+    *   5. survivors export as sharded JSONL and are READ BACK — the rows
+    *      hashed against the oracle are the read-back joined to the
+    *      weights, so registration, scheduling, execution, publish,
+    *      streaming, curation, and export are ALL inside the compare.
+    * Lifecycle assertions (cron-minted trigger, run READY, the daemon's
+    * claim-time owner stamp, stream completeness, LATEST-pointer publish)
+    * ride as negative-id sentinel rows the oracle pins literally. */
+  private def corpusLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.serving._
+    import graft.serving.ProtoWire.W
+    val cat = new Catalog(s)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_corpus_life").toString
+    val outBase =
+      java.nio.file.Files.createTempDirectory("graft_corpus_pub").toString
+    val runner = new graft.sched.TaskRunner(s, stateDir,
+      maxAttempts = 2, backoffMs = 1)
+    val msrv = new MetadataServe(cat, tasks = Some(runner)).start()
+    val ch = org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+      .forAddress("127.0.0.1", msrv.boundPort).usePlaintext().build()
+    @volatile var published: String = null
+    val daemon = new graft.sched.Scheduler(runner, "sched-corpus", {
+      case "refresh_docs" => Some(() => {
+        // the executor body: resolve the wire-registered transformation
+        // through the catalog DAG and publish a versioned snapshot
+        published = graft.sources.Writers.atomicReplace(s,
+          cat.resolve(ResourceId("docs_clean", "v1")), outBase)
+        published
+      })
+      case _ => None
+    }, pollIntervalMs = 25L,
+      // one refresh per minute tick; first sight mints the latest past
+      // tick, so exactly one run lands during the bounded gate window
+      schedules = () => Seq(("refresh_docs", "* * * * *")))
+    try {
+      def munary(rpc: String, req: Array[Byte]): Array[Byte] =
+        org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(ch,
+          MetadataServe.method(MetadataServe.ServiceName, rpc,
+            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req)
+      // -------- 1. registration plane (all over the wire)
+      munary("CreateSourceVariant", {
+        val w = new W
+        w.msg(1) { sv =>
+          sv.str(1, "docs_raw"); sv.str(2, "v1")
+          sv.msg(15)(_.msg(3)(_.str(1, s"$dir/documents.parquet")))
+        }
+        w.result()
+      })
+      munary("CreateSourceVariant", {
+        val w = new W
+        w.msg(1) { sv =>
+          sv.str(1, "docs_clean"); sv.str(2, "v1")
+          sv.msg(14)(_.msg(1)(_.str(1,
+            "SELECT doc_id, source, text FROM {{docs_raw.v1}} " +
+              "WHERE length(trim(text)) > 0")))
+        }
+        w.result()
+      })
+      // -------- 2. scheduled execution plane: cron mint + daemon claim
+      daemon.start()
+      val deadline = System.currentTimeMillis() + 120000L
+      def refreshRun(): Option[graft.sched.TaskRun] =
+        runner.latestRuns().find(r => r.task == "refresh_docs" &&
+          r.status == "success")
+      while (refreshRun().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val run = refreshRun().getOrElse(
+        sys.error("cron-minted refresh_docs never reached success"))
+      val logs = runner.runLogs("refresh_docs", run.runKey)
+      val cronMinted =
+        if (logs.exists(_.startsWith(graft.sched.Scheduler.CronLogPrefix))) 1.0 else 0.0
+      val ownerStamped =
+        if (logs.contains(graft.sched.Scheduler.OwnerPrefix + "sched-corpus")) 1.0
+        else 0.0
+      // the LATEST pointer must resolve to the snapshot the body published
+      val latestBytes = {
+        val p = new org.apache.hadoop.fs.Path(s"$outBase/LATEST")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val publishOk = if (latestBytes == published) 1.0 else 0.0
+      // -------- 3. streaming curation over the published snapshot
+      val snapshot = s.read.parquet(published)
+      val keepers = graft.streaming.StreamingDedup
+        .exactKeepersFileStream(s, published)
+      val cleanCount = snapshot.count()
+      val streamComplete =
+        if (keepers.agg(sum(col("copies"))).head.getLong(0) == cleanCount) 1.0
+        else 0.0
+      val survivors = keepers.select(col("fp"), col("doc_id"))
+        .join(snapshot, Seq("doc_id"))
+      // -------- 4. mix plan over the survivors
+      val weights = graft.functions.Mix.temperatureMix(survivors, "source",
+        "text", budgetTokens = 1000000L).select(col("source"), col("weight"))
+      // -------- 5. JSONL export + read-back
+      val exp =
+        java.nio.file.Files.createTempDirectory("graft_corpus_jsonl").toString
+      graft.sources.Writers.exportJsonl(
+        survivors.select(col("doc_id"), col("source"), col("fp")),
+        exp, "doc_id", shards = 4)
+      val back = graft.sources.Writers.readJsonl(s, exp,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, source STRING, fp STRING, shard BIGINT"))
+      val out = back.join(weights, Seq("source"))
+        .select(col("doc_id"), col("source"), col("fp"), col("shard"),
+          col("weight"))
+      val sentinels = Seq(
+        (-1L, "__sentinel__", "cron_minted", 0L, cronMinted),
+        (-2L, "__sentinel__", "run_ready", 0L, 1.0), // refreshRun() gated
+        (-3L, "__sentinel__", "owner_stamped", 0L, ownerStamped),
+        (-4L, "__sentinel__", "stream_complete", 0L, streamComplete),
+        (-5L, "__sentinel__", "versioned_publish", 0L, publishOk))
+      import s.implicits._
+      out.unionByName(
+        sentinels.toDF("doc_id", "source", "fp", "shard", "weight"))
+    } finally {
+      daemon.stop()
+      ch.shutdownNow(); msrv.stop()
+    }
+  }
+
   /** Two epochs through the training-set iterator with a buffered shuffle —
     * a permutation of 2× the base rows, which the sorted hash-compare checks
     * as a multiset (= CROSS JOIN with a 2-row epoch table in the oracle). */
@@ -4629,6 +4766,7 @@ object SparkEntry {
     "scheduler_lifecycle" -> (schedulerLifecycle _),
     "sched_recovery"    -> (schedRecovery _),
     "wire_lifecycle"    -> (wireLifecycle _),
+    "corpus_lifecycle"  -> (corpusLifecycle _),
     "flight_roundtrip"  -> (flightRoundtrip _),
     "training_stream"   -> (trainingStream _),
     "split_serve"       -> (splitServe _),

@@ -206,6 +206,37 @@ object StreamingDedup {
       }
   }
 
+  /** Streaming EXACT dedup: parquet files streamed through one running
+    * fingerprint → keeper aggregation — groupBy(md5 of normalized text)
+    * keeping the MINIMUM id plus the copy count. Deterministic regardless
+    * of file/micro-batch arrival order (unlike `dropDuplicates`' keep-
+    * whichever-arrived-first), so the streamed answer equals the batch
+    * exact-dedup rule and a SQL oracle can replay it. Complete-mode
+    * memory sink: the keeper table is digest-scale (one row per DISTINCT
+    * document). At 100 TB the streaming state is one (16-byte digest,
+    * long, long) entry per distinct doc — the same digest-keyed shuffle
+    * the batch [[graft.functions.Dedup.exact]] pays, held as state; the
+    * memory sink is the bounded-gate convenience, a real deployment
+    * writes the keepers to a sink table. Schema is taken from a static
+    * read of `inDir` (the published snapshot being replayed). */
+  def exactKeepersFileStream(spark: SparkSession, inDir: String,
+                             maxFilesPerTrigger: Int = 4,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(inDir)
+    val keepers = stream
+      .select(graft.functions.TextFunctions.fingerprintMd5(col(textCol)).as("fp"),
+        col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+    val table = s"stream_exact_${System.nanoTime()}"
+    StreamRun.drain(keepers.writeStream.format("memory").queryName(table)
+      .outputMode("complete"))
+    spark.table(table)
+  }
+
   /** End-to-end convenience for the gate and tests: stream the docs
     * through a file source, run the matcher to completion, return the
     * DISTINCT canonical pair table — by the pigeonhole guarantee, equal
