@@ -1652,8 +1652,11 @@ object SparkEntry {
       val keepers = graft.streaming.StreamingDedup
         .exactKeepersFileStream(s, published)
       val cleanCount = snapshot.count()
+      // coalesce: SUM over an EMPTY keeper table is NULL (the empty-input
+      // robustness contract — an empty corpus must chain through cleanly)
       val streamComplete =
-        if (keepers.agg(sum(col("copies"))).head.getLong(0) == cleanCount) 1.0
+        if (keepers.agg(coalesce(sum(col("copies")), lit(0L)))
+              .head.getLong(0) == cleanCount) 1.0
         else 0.0
       val survivors = keepers.select(col("fp"), col("doc_id"))
         .join(snapshot, Seq("doc_id"))
