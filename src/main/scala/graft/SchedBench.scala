@@ -27,7 +27,16 @@ import org.apache.spark.sql.SparkSession
   *     watchers active vs alone measures the contention the old
   *     take-the-ledger-file-lock-every-50ms poll imposed.
   *
-  * One JSON line → BENCH_sched_r13.json. */
+  * Round-14 leg:
+  *
+  *  5. RESTART-RESUME LATENCY: a crashed daemon's fresh `running` row
+  *     (attempt-0 marker + claim-time owner tag) is resumed by a restarted
+  *     daemon under the SAME id on its first tick (the own-id bypass),
+  *     while a FOREIGN daemon leaves it for the orphanAfterMs gate — the
+  *     measured ms from start() to success is the recovery-latency claim,
+  *     vs the 300 s default the r13 age gate imposed.
+  *
+  * One JSON line → BENCH_sched_r14.json. */
 object SchedBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -156,6 +165,38 @@ object SchedBench {
     watching = false
     watchers.foreach(_.join(2000))
 
+    // ---- 5. restart-resume latency (the own-id bypass): the crash
+    //      artifact a SIGKILL'd daemon leaves — fresh running@0 + its
+    //      claim-time owner tag — resumed by a restarted same-id daemon
+    val dir5 = java.nio.file.Files.createTempDirectory("graft_schedbench5").toString
+    val runner5 = new sched.TaskRunner(spark, dir5, backoffMs = 1)
+    runner5.record(TaskRun("resume_me", "k", 0, "running",
+      System.currentTimeMillis(), 0L, None))
+    runner5.addRunLog("resume_me", "k", Scheduler.OwnerPrefix + "bench-resume")
+    // a FOREIGN daemon must not touch the fresh row (age gate): give it a
+    // head start and assert zero executions
+    val foreignRan = new java.util.concurrent.atomic.AtomicInteger(0)
+    val foreign = new Scheduler(runner5, "bench-foreign",
+      t => if (t == "resume_me") Some(() => foreignRan.incrementAndGet())
+           else None, pollIntervalMs = 10L).start()
+    Thread.sleep(300)
+    foreign.stop()
+    require(foreignRan.get() == 0,
+      "foreign daemon must not claim a fresh external-lookalike running row")
+    val resumeRan = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tRes = System.nanoTime()
+    val restarted = new Scheduler(runner5, "bench-resume",
+      t => if (t == "resume_me") Some(() => resumeRan.incrementAndGet())
+           else None, pollIntervalMs = 10L).start()
+    val resDeadline = System.currentTimeMillis() + 60000L
+    while (!runner5.latestRun("resume_me", "k").exists(_.status == "success") &&
+           System.currentTimeMillis() < resDeadline) Thread.sleep(5)
+    val resumeMs = (System.nanoTime() - tRes) / 1e6
+    restarted.stop()
+    require(resumeRan.get() == 1 &&
+      runner5.latestRun("resume_me", "k").exists(_.status == "success"),
+      "restarted same-id daemon must resume its own row exactly once")
+
     val decJson = decades.map { case (k, v) => s""""$k":${f"$v%.0f"}""" }
       .mkString("{", ",", "}")
     val json =
@@ -174,10 +215,13 @@ object SchedBench {
         s""""watch_contention":{"watchers":24,""" +
         f""""appends_per_sec_alone":$aloneRate%.0f,""" +
         f""""appends_per_sec_under_watch":$underWatchRate%.0f,""" +
-        f""""under_watch_over_alone":${underWatchRate / aloneRate}%.2f}}"""
+        f""""under_watch_over_alone":${underWatchRate / aloneRate}%.2f},""" +
+        s""""restart_resume":{"foreign_claims_fresh_row":${foreignRan.get()},""" +
+        f""""own_id_resume_ms":$resumeMs%.0f,""" +
+        s""""r13_age_gate_ms":300000}}"""
     println(json)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_sched_r13.json"),
+      java.nio.file.Paths.get("/root/repo/BENCH_sched_r14.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
