@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * (prometheus scrape — the numbers an operator would alert on), with the
   * client-observed quantiles reported beside them as a cross-check;
   * throughput is client wall-clock (only the client knows when the last
-  * response landed). Writes BENCH_serving_r13.json. */
+  * response landed). Writes BENCH_serving_r14.json. */
 object ServingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -312,7 +312,7 @@ object ServingBench {
         s""""sf_dir":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_serving_r13.json"), json + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_serving_r14.json"), json + "\n")
     spark.stop()
     // scraped() now fails loudly on a missing counter line, so the
     // server-side counts are trustworthy — no sentinel masking needed
