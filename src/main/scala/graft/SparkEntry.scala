@@ -1633,6 +1633,16 @@ object SparkEntry {
         Thread.sleep(20)
       val run = refreshRun().getOrElse(
         sys.error("cron-minted refresh_docs never reached success"))
+      // DRAIN the daemon before assembling results: if the gate window
+      // crosses a minute boundary the cron mints a SECOND refresh run,
+      // and a concurrent atomicReplace could race the LATEST read below
+      // (a torn publishOk sentinel, or a read inside the pointer flip's
+      // delete→rename gap). stop() drains in-flight runs, so after it
+      // either no second publish happened or it completed — both var and
+      // pointer are stable and consistent either way (the transformation
+      // is deterministic, so any published version carries identical
+      // rows). The finally-stop below is then an idempotent no-op.
+      daemon.stop()
       val logs = runner.runLogs("refresh_docs", run.runKey)
       val cronMinted =
         if (logs.exists(_.startsWith(graft.sched.Scheduler.CronLogPrefix))) 1.0 else 0.0
