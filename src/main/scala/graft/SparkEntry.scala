@@ -1555,11 +1555,14 @@ object SparkEntry {
     * a single gated chain:
     *   1. a primary documents source + a templated SQL clean
     *      (`WHERE length(trim(text)) > 0`) registered over the Metadata
-    *      gRPC wire (the reference's register step);
-    *   2. a CRON schedule mints the refresh run — no client in the loop —
-    *      and the polling daemon claims it, resolves the SERVER-registered
-    *      transformation through the catalog DAG, and atomically publishes
-    *      a versioned parquet snapshot (Writers.atomicReplace);
+    *      gRPC wire, then a cron cadence registered on the resource via
+    *      wire RequestScheduleChange (the reference's register step);
+    *   2. the daemon reads the schedule back through
+    *      [[graft.sched.Scheduler.catalogSchedules]], MINTS the refresh
+    *      run at the due tick — no client in the loop — claims it,
+    *      resolves the SERVER-registered transformation through the
+    *      catalog DAG, and atomically publishes a versioned parquet
+    *      snapshot (Writers.atomicReplace);
     *   3. the published snapshot is replayed through a STREAMING exact-
     *      dedup aggregation (fingerprint → min-id keeper,
     *      [[graft.streaming.StreamingDedup.exactKeepersFileStream]]);
@@ -1586,7 +1589,7 @@ object SparkEntry {
       .forAddress("127.0.0.1", msrv.boundPort).usePlaintext().build()
     @volatile var published: String = null
     val daemon = new graft.sched.Scheduler(runner, "sched-corpus", {
-      case "refresh_docs" => Some(() => {
+      case "docs_clean" => Some(() => {
         // the executor body: resolve the wire-registered transformation
         // through the catalog DAG and publish a versioned snapshot
         published = graft.sources.Writers.atomicReplace(s,
@@ -1595,9 +1598,12 @@ object SparkEntry {
       })
       case _ => None
     }, pollIntervalMs = 25L,
-      // one refresh per minute tick; first sight mints the latest past
-      // tick, so exactly one run lands during the bounded gate window
-      schedules = () => Seq(("refresh_docs", "* * * * *")))
+      // schedules come from the CATALOG — the wire RequestScheduleChange
+      // below lands a `__schedule` property that catalogSchedules turns
+      // into (task, cron) pairs, the reference's full register→schedule→
+      // mint chain with no local schedule list; first sight mints the
+      // latest past minute tick, so one run lands in the gate window
+      schedules = () => graft.sched.Scheduler.catalogSchedules(cat))
     try {
       def munary(rpc: String, req: Array[Byte]): Array[Byte] =
         org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(ch,
@@ -1623,16 +1629,28 @@ object SparkEntry {
         }
         w.result()
       })
+      // the refresh cadence registered OVER THE WIRE on the resource
+      // (reference RequestScheduleChange, metadata.proto) — the daemon
+      // reads it back via catalogSchedules, no client in the loop after
+      munary("RequestScheduleChange", {
+        val w = new W
+        w.msg(1) { rid =>
+          rid.msg(1)(nv => { nv.str(1, "docs_clean"); nv.str(2, "v1") })
+          rid.enum(2, 7) // SOURCE_VARIANT
+        }
+        w.str(2, "* * * * *")
+        w.result()
+      })
       // -------- 2. scheduled execution plane: cron mint + daemon claim
       daemon.start()
       val deadline = System.currentTimeMillis() + 120000L
       def refreshRun(): Option[graft.sched.TaskRun] =
-        runner.latestRuns().find(r => r.task == "refresh_docs" &&
+        runner.latestRuns().find(r => r.task == "docs_clean" &&
           r.status == "success")
       while (refreshRun().isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(20)
       val run = refreshRun().getOrElse(
-        sys.error("cron-minted refresh_docs never reached success"))
+        sys.error("cron-minted docs_clean refresh never reached success"))
       // DRAIN the daemon before assembling results: if the gate window
       // crosses a minute boundary the cron mints a SECOND refresh run,
       // and a concurrent atomicReplace could race the LATEST read below
@@ -1643,7 +1661,7 @@ object SparkEntry {
       // is deterministic, so any published version carries identical
       // rows). The finally-stop below is then an idempotent no-op.
       daemon.stop()
-      val logs = runner.runLogs("refresh_docs", run.runKey)
+      val logs = runner.runLogs("docs_clean", run.runKey)
       val cronMinted =
         if (logs.exists(_.startsWith(graft.sched.Scheduler.CronLogPrefix))) 1.0 else 0.0
       val ownerStamped =
