@@ -7,13 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * the breach check into a no-op. Pin the parse against the repo copy. */
 class BenchAnchorsSpec extends AnyFunSuite {
 
-  test("BENCH_ANCHORS.md parses: all 42 anchors, spot values exact") {
+  test("BENCH_ANCHORS.md parses: all 43 anchors, spot values exact") {
     val anchors = Bench.readAnchors("BENCH_ANCHORS.md")
-    assert(anchors.size == 42,
-      s"expected 42 anchors, got ${anchors.size} (cwd=${sys.props("user.dir")})")
+    assert(anchors.size == 43,
+      s"expected 43 anchors, got ${anchors.size} (cwd=${sys.props("user.dir")})")
     assert(anchors("triangle_count") == 8.44)
     assert(anchors("event_funnel") == 0.81)
     assert(anchors("dedup_clusters_star") == 3.83)
+    assert(anchors("corpus_lifecycle") == 4.98) // round-14 addition
   }
 
   test("a missing anchors file disables the check instead of failing the bench") {
