@@ -175,7 +175,11 @@ object Bench {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
         .linesIterator
-        .collect { case Row(q, s) => q -> s.toDouble }
+        // per-row tolerance: one malformed cell (e.g. "4.98.") must skip
+        // that ROW, not silently discard every anchor and turn the
+        // structural breach check into a no-op
+        .collect { case Row(q, s) => s.toDoubleOption.map(q -> _) }
+        .flatten
         .toMap
     } catch { case _: Throwable => Map.empty }
 }

@@ -1196,6 +1196,17 @@ object SparkEntry {
     steps.toSeq.toDF("step", "metric", "value")
   }
 
+  /** Blocking unary call on the Metadata gRPC service over `ch` — the
+    * wire-lifecycle gates' shared client helper (one definition, so a
+    * future call-option/deadline change cannot drift between gates). */
+  private def metaUnary(ch: org.sparkproject.connect.grpc.ManagedChannel,
+                        rpc: String, req: Array[Byte]): Array[Byte] =
+    org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(ch,
+      graft.serving.MetadataServe.method(
+        graft.serving.MetadataServe.ServiceName, rpc,
+        org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
+      org.sparkproject.connect.grpc.CallOptions.DEFAULT, req)
+
   /** Await a ledger run reaching `want` (bounded poll) — the gated
     * lifecycle queries' deterministic rendezvous with the daemon. */
   private def awaitRun(runner: graft.sched.TaskRunner, task: String,
@@ -1418,10 +1429,7 @@ object SparkEntry {
     }, pollIntervalMs = 25L)
     try {
       def munary(rpc: String, req: Array[Byte]): Array[Byte] =
-        org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(mch,
-          MetadataServe.method(MetadataServe.ServiceName, rpc,
-            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
-          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req)
+        metaUnary(mch, rpc, req)
       def tunary(rpc: String, req: Array[Byte]): Array[Byte] =
         org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(mch,
           MetadataServe.method(MetadataServe.TasksServiceName, rpc,
@@ -1606,10 +1614,7 @@ object SparkEntry {
       schedules = () => graft.sched.Scheduler.catalogSchedules(cat))
     try {
       def munary(rpc: String, req: Array[Byte]): Array[Byte] =
-        org.sparkproject.connect.grpc.stub.ClientCalls.blockingUnaryCall(ch,
-          MetadataServe.method(MetadataServe.ServiceName, rpc,
-            org.sparkproject.connect.grpc.MethodDescriptor.MethodType.UNARY),
-          org.sparkproject.connect.grpc.CallOptions.DEFAULT, req)
+        metaUnary(ch, rpc, req)
       // -------- 1. registration plane (all over the wire)
       munary("CreateSourceVariant", {
         val w = new W

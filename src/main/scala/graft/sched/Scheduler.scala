@@ -149,23 +149,40 @@ final class Scheduler(
       (r.status != "running" || r.startMs <= cutoff || ownOrphan(r)))
   }
 
+  // (task, runKey) → (run-log file stamp, verdict): the sidecar is
+  // re-read only when the log file actually changed — without this, a
+  // multi-daemon deployment paid a full log read UNDER THE LEDGER LOCK
+  // per poll tick per fresh foreign running row, for the whole duration
+  // of every long run another daemon executes
+  private val ownCache = TrieMap.empty[(String, String), ((Long, Long), Boolean)]
+
   /** Is this fresh `running` row OUR OWN dead predecessor's marker? The
     * age gate protects claimless wire-external executors, but a daemon
     * that crashed and restarted under the same id should resume its own
     * rows immediately (same identity ⇒ the predecessor is provably not
     * running — one id, one process). Own-ness is read from the run-log
-    * owner tag execute() stamps at claim time; only the daemon's
+    * owner tag execute() stamps inside the claim; only the daemon's
     * attempt-0 marker qualifies (wire RUNNING reports land at attempt
-    * ≥ 1, so an external executor that picked the run up later is never
-    * swept by a stale owner tag). Runs this live process is already
-    * executing are skipped before the log read — the sidecar scan only
-    * happens in the rare post-restart window. */
+    * ≥ 1 — SetRunStatus's adoption guard — so an external executor that
+    * picked the run up later is never swept by a stale owner tag). Runs
+    * this live process is already executing are skipped before any IO;
+    * verdicts are cached on the log file's stamp, so steady-state
+    * foreign rows cost one stat per tick, not a log read. */
   private def ownOrphan(r: TaskRun): Boolean =
-    r.attempt == 0 && !inFlight.contains((r.task, r.runKey)) &&
-      runner.runLogs(r.task, r.runKey).reverseIterator
-        .collectFirst { case l if l.startsWith(Scheduler.OwnerPrefix) =>
-          l.stripPrefix(Scheduler.OwnerPrefix) }
-        .contains(id)
+    r.attempt == 0 && !inFlight.contains((r.task, r.runKey)) && {
+      val k = (r.task, r.runKey)
+      val st = runner.runLogsStamp()
+      ownCache.get(k) match {
+        case Some((s, v)) if s == st => v
+        case _ =>
+          val v = runner.runLogs(r.task, r.runKey).reverseIterator
+            .collectFirst { case l if l.startsWith(Scheduler.OwnerPrefix) =>
+              l.stripPrefix(Scheduler.OwnerPrefix) }
+            .contains(id)
+          ownCache.put(k, (st, v))
+          v
+      }
+    }
 
   /** Mint a `created` ledger run for each schedule's latest due tick that
     * has no run yet — registration + a schedule string turns into
@@ -312,16 +329,23 @@ final class Scheduler(
         System.currentTimeMillis(), 0L, None))
     // claim-time owner stamp: the durable breadcrumb [[ownOrphan]] reads
     // so a restart under the same id resumes its own crashed rows without
-    // the external-executor age wait. Appended UNCONDITIONALLY (one O(1)
-    // fsynced line per execution, symmetric with the scheduler-id log
-    // below) — a read-then-dedup here was O(log file) per run, an O(n²)
-    // tail across a daemon's drain (measured: 81 runs/s vs 426). The
-    // latest tag wins on read. Two daemons racing a `created` row may
-    // both stamp before the claim arbitrates; the loser's tag at worst
-    // delays the winner's fast-resume to the age gate — the claim lock
-    // stays the only execution authority.
-    runner.addRunLog(r.task, r.runKey, Scheduler.OwnerPrefix + id)
-    val (rec, _) = runner.run(r.task, r.runKey)(body())
+    // the external-executor age wait. Stamped as the FIRST statement of
+    // the claimed body — i.e. INSIDE the run claim — so a daemon that
+    // loses the claim race ("locked") never stamps: a pre-claim stamp
+    // let every non-owner daemon overwrite the true owner's breadcrumb
+    // once per poll tick for a long run's whole duration (log growth +
+    // a lost fast-resume for the real owner). One O(1) fsynced line per
+    // ATTEMPT LOOP (the AtomicBoolean dedups retries), symmetric with
+    // the scheduler-id log below; a read-then-dedup here was O(log
+    // file) per run, an O(n²) tail across a drain (measured 81 runs/s
+    // vs 266). A SIGKILL between claim grant and stamp loses only the
+    // fast-resume — the age gate still recovers the run.
+    val stamped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val (rec, _) = runner.run(r.task, r.runKey) {
+      if (stamped.compareAndSet(false, true))
+        runner.addRunLog(r.task, r.runKey, Scheduler.OwnerPrefix + id)
+      body()
+    }
     if (rec.status != "locked")
       runner.addRunLog(r.task, r.runKey, Scheduler.LogPrefix + id)
     rec

@@ -405,6 +405,19 @@ final class TaskRunner(spark: SparkSession, stateDir: String,
       }
     }
 
+  /** (mtime, length) fingerprint of the run-log sidecar — a lock-free
+    * stat, the cache key for readers (e.g. the scheduler's own-orphan
+    * check) that want to re-read the file only when it actually
+    * changed. (0,0) when the file does not exist. */
+  def runLogsStamp(): (Long, Long) = localLogsFile match {
+    case Some(f) =>
+      if (!f.exists()) (0L, 0L) else (f.lastModified(), f.length())
+    case None =>
+      if (!fs.exists(logsFile)) (0L, 0L)
+      else { val st = fs.getFileStatus(logsFile)
+        (st.getModificationTime, st.getLen) }
+  }
+
   /** Log lines for (task, runKey), append order. */
   def runLogs(task: String, runKey: String): Seq[String] =
     lock.withLock("__ledger__") {

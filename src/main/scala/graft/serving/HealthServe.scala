@@ -24,10 +24,13 @@ import ProtoWire.{R, W}
 object HealthServe {
   val ServiceName = "grpc.health.v1.Health"
 
-  /** Default cap on held-open Watch streams per endpoint. */
+  /** Default cap on held-open Watch streams per endpoint. A malformed
+    * override falls back to 64 — a tuning knob must not be able to keep
+    * the whole gRPC endpoint from starting. */
   private def defaultWatchMax: Int =
     sys.props.get("graft.healthWatchMax")
-      .orElse(sys.env.get("GRAFT_HEALTH_WATCH_MAX")).getOrElse("64").toInt
+      .orElse(sys.env.get("GRAFT_HEALTH_WATCH_MAX"))
+      .flatMap(_.trim.toIntOption).getOrElse(64)
 
   private val Serving: Array[Byte] = { val w = new W; w.enum(1, 1); w.result() }
   // ServingStatus.SERVICE_UNKNOWN — Watch-only per health.proto: "if the
@@ -98,15 +101,24 @@ object HealthServe {
                   if (unknown(readService(req))) ServiceUnknown else Serving
                 if (watchSlots.tryAcquire()) {
                   // release the slot when the client cancels/disconnects
-                  // — the only way a held-open stream ever ends
-                  var released = false
-                  try obs.asInstanceOf[
-                      org.sparkproject.connect.grpc.stub.ServerCallStreamObserver[Array[Byte]]]
-                    .setOnCancelHandler(() => watchSlots.release())
-                  catch { case _: Throwable =>
-                    watchSlots.release(); released = true }
-                  obs.onNext(msg)
-                  if (released) obs.onCompleted() // no cancel hook → no hold
+                  // — the only way a held-open stream ever ends. The
+                  // AtomicBoolean guards EVERY release path (cancel
+                  // handler, hook-install failure, onNext failure): a
+                  // permit that leaked would permanently shrink the cap,
+                  // and a double release would grow it past watchMax.
+                  val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+                  def release(): Unit =
+                    if (released.compareAndSet(false, true)) watchSlots.release()
+                  val hooked =
+                    try {
+                      obs.asInstanceOf[
+                        org.sparkproject.connect.grpc.stub.ServerCallStreamObserver[Array[Byte]]]
+                        .setOnCancelHandler(() => release())
+                      true
+                    } catch { case _: Throwable => release(); false }
+                  try obs.onNext(msg)
+                  catch { case e: Throwable => release(); throw e }
+                  if (!hooked) obs.onCompleted() // no cancel hook → no hold
                 } else {
                   obs.onNext(msg)
                   obs.onCompleted() // over cap: degrade to Check semantics

@@ -1701,8 +1701,14 @@ final class MetadataServe(catalog: Catalog, port: Int = 0,
     // wins on ties, so the index picks up the fresh startMs) instead of
     // attempt+1 — otherwise each heartbeat inflates the attempt counter
     // unboundedly between compactions, and attempt numbers stop meaning
-    // real execution attempts
-    val heartbeat = statusString(st) == "running" && cur.status == "running"
+    // real execution attempts. The `attempt >= 1` guard is load-bearing:
+    // a RUNNING report over a crashed DAEMON's attempt-0 running marker
+    // is an external executor ADOPTING the run, not a heartbeat — it
+    // must land at attempt 1 or the restarted daemon's own-id fast
+    //-resume (Scheduler.ownOrphan keys on attempt == 0) would claim and
+    // execute the run concurrently with the live external executor.
+    val heartbeat = statusString(st) == "running" &&
+      cur.status == "running" && cur.attempt >= 1
     runner.record(cur.copy(
       attempt = if (heartbeat) cur.attempt else cur.attempt + 1,
       status = statusString(st), startMs = startMs,

@@ -352,6 +352,33 @@ class TasksServeSpec extends SparkSpec {
     }
   }
 
+  test("a wire RUNNING report over a crashed daemon's attempt-0 marker is " +
+       "an ADOPTION (attempt 1), not a heartbeat — the own-id fast-resume " +
+       "must never race a live external executor") {
+    withServer { (runner, ch) =>
+      // the crash artifact: daemon s1's running marker + owner breadcrumb
+      runner.record(graft.sched.TaskRun("adopted", "k", 0, "running",
+        System.currentTimeMillis(), 0L, None))
+      runner.addRunLog("adopted", "k",
+        graft.sched.Scheduler.OwnerPrefix + "s1")
+      // an external executor adopts the orphan over the wire
+      val w = new W
+      idMsg(1, "k")(w); idMsg(2, "adopted")(w)
+      w.msg(3)(_.enum(1, 5))
+      unary(ch, "SetRunStatus", w.result())
+      val cur = runner.latestRun("adopted", "k").get
+      assert(cur.status == "running" && cur.attempt == 1,
+        s"adoption must bump to attempt 1, got ${cur.attempt}")
+      // the restarted daemon s1 must NOT fast-resume the adopted run
+      // (attempt >= 1 disqualifies it from the own-orphan bypass)
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val s1 = new graft.sched.Scheduler(runner, "s1",
+        _ => Some(() => calls.incrementAndGet()))
+      assert(s1.tick().isEmpty && calls.get() == 0,
+        "own-id bypass claimed a run a live external executor adopted")
+    }
+  }
+
   test("a server without a ledger does not register the Tasks service") {
     val srv = new MetadataServe(new Catalog(spark)).start()
     val ch = NettyChannelBuilder.forAddress("127.0.0.1", srv.boundPort)
