@@ -52,6 +52,18 @@ object SparkEntry {
     Option(df.agg(max(col("ts"))).collect()(0).getTimestamp(0))
       .getOrElse(new java.sql.Timestamp(0L))
 
+  /** Run independent Spark actions concurrently (guide §2.6 "overlap
+    * independent jobs"): the stream-replay fixtures write their left and
+    * right inputs as two small jobs the driver otherwise serializes
+    * end-to-end — each is a near-single-task job, so overlapping them
+    * halves the fixture-setup wall time without contending for cores. */
+  private def awaitAll(fs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    fs.map(f => Future(f())).foreach(Await.result(_, Duration.Inf))
+  }
+
   // ------------------------------------------------------------------ T1/T2
   // SQL transformation with {{source}} templating, full SparkSQL passthrough.
 
@@ -768,14 +780,20 @@ object SparkEntry {
     * at ⌈0.9·(n+1)⌉), coverage measured on the held-out test split —
     * leakage-safe uncertainty the judged model never saw. */
   private def conformalInterval(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
-          .as("__k"),
-        col("l_quantity").cast("long").as("x"),
-        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+    // fanOut + persist: the split-keyed projection feeds FIVE downstream
+    // passes (train agg, two calibration row-number passes, quantile agg,
+    // test coverage) — profiled as five ~0.6-1.0 s scan+md5 stages on the
+    // 3-partition lineitem scan. One fanned materialization replaces them
+    // (Bench's per-query cleanup clears the cache after the timer).
+    val li = Dedup.fanOut(t(s, dir, "lineitem")
+        .select(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+            .as("__k"),
+          col("l_quantity").cast("long").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y")))
       .withColumn("__split",
         functions.expressions.Md5Long(concat(col("__k"), lit("|cf")))
           .bitwiseAND(lit(Long.MaxValue)) % 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = li.where(col("__split") <= 1)
     val t0 = train.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
@@ -2071,10 +2089,11 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").cast("long").as("entity"),
         col("embedding").as("vector"))
-    emb.repartition(4).write.parquet(s"$tmp/in1")
-    emb.filter(col("entity") % 10 === 0)
-      .withColumn("vector", transform(col("vector"), x => -x))
-      .repartition(2).write.parquet(s"$tmp/in2")
+    awaitAll(
+      () => emb.repartition(4).write.parquet(s"$tmp/in1"),
+      () => emb.filter(col("entity") % 10 === 0)
+        .withColumn("vector", transform(col("vector"), x => -x))
+        .repartition(2).write.parquet(s"$tmp/in2"))
     val kvDir = s"$tmp/kv"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2224,9 +2243,11 @@ object SparkEntry {
       .select(col("user_id").as("entity"), col("value"), col("ts"))
     val lbls = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("entity"), col("value"), col("ts"))
-    feats.coalesce(1).write.parquet(s"$tmp/f")
-    lbls.coalesce(1).write.parquet(s"$tmp/l")
-    val maxTs = maxTsOrEpoch(ev)
+    @volatile var maxTs = new java.sql.Timestamp(0L)
+    awaitAll(
+      () => feats.coalesce(1).write.parquet(s"$tmp/f"),
+      () => lbls.coalesce(1).write.parquet(s"$tmp/l"),
+      () => maxTs = maxTsOrEpoch(ev))
     def sentinel(offsetDays: Int): DataFrame = {
       import s.implicits._
       Seq((-1L, 0.0, new java.sql.Timestamp(
@@ -2243,8 +2264,9 @@ object SparkEntry {
     // every armed timeout: a 2-stateful-batch lifecycle instead of the
     // previous 4-5. The finer multi-batch interleavings are covered by
     // StreamingAsOfSpec.
-    sentinel(1).write.mode("append").parquet(s"$tmp/f")
-    sentinel(1).write.mode("append").parquet(s"$tmp/l")
+    awaitAll(
+      () => sentinel(1).write.mode("append").parquet(s"$tmp/f"),
+      () => sentinel(1).write.mode("append").parquet(s"$tmp/l"))
 
     val fStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/f", 8)
     val lStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/l", 8)
@@ -2498,13 +2520,20 @@ object SparkEntry {
     * bands/threshold parameter choice. */
   private def dedupPrEval(s: SparkSession, dir: String): DataFrame = {
     val sub = t(s, dir, "documents").filter(col("doc_id") < 500)
-    val txt = sub.select(col("doc_id"),
-      functions.TextFunctions.normalizedText(col("text")).as("__t"))
-    val a = txt.select(col("doc_id").as("idA"), col("__t").as("__ta"))
-    val b = txt.select(col("doc_id").as("idB"), col("__t").as("__tb"))
+    // gram sets hashed+sorted ONCE per doc in the leg projections; the
+    // quadratic pair stage is then a linear merge per pair
+    // (SortedLongsJaccard ≡ KgramJaccard on the texts, spec-asserted) —
+    // the panel previously re-derived each doc's gram set once per
+    // PARTNER (~500×) inside the cross join
+    val txt = Dedup.fanOut(sub.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        functions.expressions.HashExprs.kgramSet(
+          functions.TextFunctions.normalizedText(col("text")), 5).as("__g"))
+    val a = txt.select(col("doc_id").as("idA"), col("__g").as("__ga"))
+    val b = txt.select(col("doc_id").as("idB"), col("__g").as("__gb"))
     val truth = a.crossJoin(b).where(col("idA") < col("idB"))
       .where(functions.expressions.HashExprs
-        .kgramJaccard(col("__ta"), col("__tb"), 5) >= 0.5)
+        .sortedLongsJaccard(col("__ga"), col("__gb")) >= 0.5)
       .select("idA", "idB")
     val pred = Dedup.minhashNearDups(sub, "text", "doc_id",
       shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5)
@@ -3186,8 +3215,10 @@ object SparkEntry {
   private def streamingSessions(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssess").toString
     val ev = events(s, dir).select(col("user_id"), col("value"), col("ts"))
-    ev.repartition(4).write.parquet(s"$tmp/in")
-    val maxTs = maxTsOrEpoch(ev) // scalar sentinel anchor
+    @volatile var maxTs = new java.sql.Timestamp(0L) // scalar sentinel anchor
+    awaitAll(
+      () => ev.repartition(4).write.parquet(s"$tmp/in"),
+      () => maxTs = maxTsOrEpoch(ev))
     import s.implicits._
     Seq((-1L, 0.0, new java.sql.Timestamp(maxTs.getTime + 86400000L)))
       .toDF("user_id", "value", "ts")
@@ -3669,8 +3700,10 @@ object SparkEntry {
       .select(col("user_id").as("user"), col("event_type").as("typ"),
         col("ts"))
       .where(col("typ").isin("view", "click", "purchase"))
-    ev.coalesce(1).write.parquet(s"$tmp/in")
-    val maxTs = maxTsOrEpoch(events(s, dir))
+    @volatile var maxTs = new java.sql.Timestamp(0L)
+    awaitAll(
+      () => ev.coalesce(1).write.parquet(s"$tmp/in"),
+      () => maxTs = maxTsOrEpoch(events(s, dir)))
     locally { // sentinel pushes the final watermark past anchor + horizon
       import s.implicits._
       Seq((-1L, "view", new java.sql.Timestamp(
@@ -3717,8 +3750,10 @@ object SparkEntry {
     val ev = events(s, dir)
       .select(col("user_id").as("key"), col("event_id").as("id"),
         col("ts"), col("value").as("x"))
-    ev.coalesce(1).write.parquet(s"$tmp/in")
-    val maxTs = maxTsOrEpoch(events(s, dir))
+    @volatile var maxTs = new java.sql.Timestamp(0L)
+    awaitAll(
+      () => ev.coalesce(1).write.parquet(s"$tmp/in"),
+      () => maxTs = maxTsOrEpoch(events(s, dir)))
     locally { // sentinel pushes the final watermark past every real row
       import s.implicits._
       Seq((-1L, -1L, new java.sql.Timestamp(
@@ -3762,8 +3797,10 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sgap").toString
     val ev = events(s, dir)
       .select(col("user_id").as("key"), col("event_id").as("id"), col("ts"))
-    ev.coalesce(1).write.parquet(s"$tmp/in")
-    val maxTs = maxTsOrEpoch(events(s, dir))
+    @volatile var maxTs = new java.sql.Timestamp(0L)
+    awaitAll(
+      () => ev.coalesce(1).write.parquet(s"$tmp/in"),
+      () => maxTs = maxTsOrEpoch(events(s, dir)))
     locally {
       import s.implicits._
       Seq((-1L, -1L, new java.sql.Timestamp(
@@ -3861,7 +3898,18 @@ object SparkEntry {
     val pairs = li.as("x").join(li.as("y"), "l_orderkey")
       .filter(col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-    functions.Graph.triangleCounts(pairs, "a", "b")
+    // Broadcast-gate probe without running the self-join twice: the pair
+    // count is bounded by Σ c·(c−1)/2 over per-order line counts — ONE
+    // linear partial-agg pass over lineitem, where triangleCounts' default
+    // probe (edges.count()) would materialize the whole co-part self-join
+    // a second time just to count it. Same gate decision (an upper bound
+    // under the cap still proves the broadcast is safe; above it the
+    // unhinted/AQE path is taken exactly as before).
+    val bound = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("s"))
+      .head().getLong(0) / 2
+    functions.Graph.triangleCounts(pairs, "a", "b",
+      maxBroadcastEdges = if (bound <= 5000000L) Long.MaxValue else 0L)
       .select(col("v").cast("long").as("part"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part").asc)
       .limit(25)
@@ -3950,12 +3998,13 @@ object SparkEntry {
   private def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sij").toString
     val ev = events(s, dir)
-    ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("entity"), col("value"), col("ts"))
-      .coalesce(1).write.parquet(s"$tmp/l")
-    ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("entity"), col("value"), col("ts"))
-      .coalesce(1).write.parquet(s"$tmp/r")
+    awaitAll(
+      () => ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("entity"), col("value"), col("ts"))
+        .coalesce(1).write.parquet(s"$tmp/l"),
+      () => ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("entity"), col("value"), col("ts"))
+        .coalesce(1).write.parquet(s"$tmp/r"))
     val lStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/l", 8)
     val rStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/r", 8)
     val joined = graft.streaming.StreamingJoin.intervalJoin(
@@ -4243,16 +4292,19 @@ object SparkEntry {
       .select(col("user_id").as("entity"), col("value"), col("ts"))
     val purch = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("entity"), col("value"), col("ts"))
-    clicks.coalesce(1).write.parquet(s"$tmp/l")
-    purch.coalesce(1).write.parquet(s"$tmp/r")
-    val maxTs = maxTsOrEpoch(ev)
+    @volatile var maxTs = new java.sql.Timestamp(0L)
+    awaitAll(
+      () => clicks.coalesce(1).write.parquet(s"$tmp/l"),
+      () => purch.coalesce(1).write.parquet(s"$tmp/r"),
+      () => maxTs = maxTsOrEpoch(ev))
     def sentinel: DataFrame = {
       import s.implicits._
       Seq((-1L, 0.0, new java.sql.Timestamp(
         maxTs.getTime + 3651L * 86400000L))).toDF("entity", "value", "ts")
     }
-    sentinel.write.mode("append").parquet(s"$tmp/l")
-    sentinel.write.mode("append").parquet(s"$tmp/r")
+    awaitAll(
+      () => sentinel.write.mode("append").parquet(s"$tmp/l"),
+      () => sentinel.write.mode("append").parquet(s"$tmp/r"))
     val lStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/l", 8)
     val rStream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/r", 8)
     val joined = graft.streaming.StreamingJoin.intervalJoin(

@@ -40,7 +40,7 @@ object BpeTrain {
   def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
-    val wf = docs
+    val wf = graft.functions.Dedup.fanOut(docs.select(col(textCol)))
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .where(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -123,7 +123,7 @@ object BpeTrain {
                    batch: Int = 64): DataFrame = {
     require(rounds > 0 && batch > 0, "rounds and batch must be positive")
     val spark = docs.sparkSession
-    val wf = docs
+    val wf = graft.functions.Dedup.fanOut(docs.select(col(textCol)))
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .where(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -210,7 +210,7 @@ object BpeTrain {
     require(numMerges > 0, "numMerges must be positive")
     require(driverWordLimit > 0, "driverWordLimit must be positive")
     val spark = docs.sparkSession
-    val wf = docs
+    val wf = graft.functions.Dedup.fanOut(docs.select(col(textCol)))
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .where(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -342,7 +342,8 @@ object BpeTrain {
     * aggregation back to documents. */
   def encodeDigest(docs: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
-    val words = docs
+    val words = graft.functions.Dedup.fanOut(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
       .where(length(col("__w")) > 0)

@@ -31,6 +31,27 @@ object Dedup {
     if (checkpoint) df.checkpoint()
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Fan a NARROW scan out to the session's parallelism before a heavy
+    * per-row projection (sketch signatures, BPE encode, codec work). A
+    * small input file splits into fewer scan partitions than cores
+    * (FilePartition packs by `maxPartitionBytes`), so a CPU-bound
+    * scan-stage expression runs on 1-3 of the session's cores while the
+    * rest idle — measured 1 scan task for the sf0.1 documents corpus on
+    * local[32]. At cluster scale the input has >= cores natural splits
+    * and this is a NO-OP (the condition fails; no shuffle is added), so
+    * the 100 TB plan shape is unchanged — this is the guide §2 "derive
+    * partitioning from input size" rule, applied to scans.
+    *
+    * Results are unaffected: every consumer downstream of the fan-out
+    * sites is hash/key-based and order-independent (the determinism
+    * contract all queries already pin). */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions * 2 < target)
+      df.repartition(target)
+    else df
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
 
   /** Cap activity of the LAST run per `what` tag: (hot keys dropped, rows
@@ -252,13 +273,14 @@ object Dedup {
     // They cannot be near-duplicates under a k-gram measure, so they are
     // filtered out of the signature table — matching the DuckDB oracle,
     // which never emits them.
-    val sigs = barrier(df
-      .select(col(idCol).as("__id"),
-        TextFunctions.normalizedText(col(textCol)).as("__norm"))
-      .where(char_length(col("__norm")) >= shingleK)
-      .select(col("__id"),
-        graft.functions.expressions.HashExprs
-          .minhashSig(col("__norm"), shingleK, numHashes).as("__sig")),
+    val sigs = barrier(
+      fanOut(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+        .select(col("__id"),
+          TextFunctions.normalizedText(col("__t")).as("__norm"))
+        .where(char_length(col("__norm")) >= shingleK)
+        .select(col("__id"),
+          graft.functions.expressions.HashExprs
+            .minhashSig(col("__norm"), shingleK, numHashes).as("__sig")),
       checkpointSignatures)
     // hot-band guard: a degenerate band key shared by n docs yields n²
     // candidates — cap its document frequency before the self-join
@@ -275,6 +297,10 @@ object Dedup {
     // Integer compare (# agreeing components >= minAgree) — no float
     // boundary, bit-identical in the DuckDB oracle.
     val minAgree = math.ceil((threshold - 0.15) * numHashes).toInt
+    // localCheckpoint: the candidate pairs feed THREE consumers below (the
+    // id semi-filter via explode and both verify joins) — materialize the
+    // LSH join once instead of trusting exchange reuse across the legs.
+    // Candidate pairs are O(dups), small by the pipeline's own premise.
     val estimated = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
       .withColumn("__agree",
         aggregate(zip_with(col("__sa"), col("__sb"),
@@ -283,9 +309,23 @@ object Dedup {
       .where(col("__agree") >= minAgree)
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
+      .localCheckpoint()
 
-    val txt = df.select(col(idCol).as("__jid"),
-      TextFunctions.normalizedText(col(textCol)).as("__jtxt"))
+    // Guide §3.2/§8: verify only candidate-involved docs. The previous
+    // shape normalized EVERY doc's text in both join legs (measured: the
+    // two broadcast-leg builds were the two slowest single-task stages of
+    // the whole query, ~0.9 s + 0.3 s at sf0.1 — full-corpus
+    // normalizedText twice); the semi-join prunes the text scan to the
+    // pair-involved ids before any per-char work. Unhinted joins: AQE
+    // broadcasts the candidate-id side when it is small and falls back to
+    // a single shuffle of the doc table otherwise (the old shape's
+    // at-scale fallback shuffled the full text table twice).
+    val candIds = estimated
+      .select(explode(array(col("idA"), col("idB"))).as("__jid")).distinct()
+    val txt = df.select(col(idCol).as("__jid"), col(textCol).as("__rawt"))
+      .join(candIds, Seq("__jid"), "left_semi")
+      .select(col("__jid"),
+        TextFunctions.normalizedText(col("__rawt")).as("__jtxt"))
     estimated
       .join(txt.withColumnRenamed("__jid", "idA").withColumnRenamed("__jtxt", "__ta"),
         Seq("idA"))
@@ -302,8 +342,9 @@ object Dedup {
     * so corpus signatures are computed once, not per arriving batch. */
   def minhashSignatureTable(df: DataFrame, textCol: String, idCol: String,
                             shingleK: Int = 5, numHashes: Int = 64): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        TextFunctions.normalizedText(col(textCol)).as("__norm"))
+    fanOut(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+        TextFunctions.normalizedText(col("__t")).as("__norm"))
       .where(char_length(col("__norm")) >= shingleK)
       .select(col("doc_id"), graft.functions.expressions.HashExprs
         .minhashSig(col("__norm"), shingleK, numHashes).as("sig"))
@@ -348,8 +389,15 @@ object Dedup {
       .select(least(col("__idN"), col("__idO")).as("idA"),
         greatest(col("__idN"), col("__idO")).as("idB"))
       .dropDuplicates("idA", "idB")
-    val txt = allDocs.select(col(idCol).as("__jid"),
-      TextFunctions.normalizedText(col(textCol)).as("__jtxt"))
+      .localCheckpoint()
+    // same semi-filtered verify as [[minhashNearDups]]: only
+    // candidate-involved docs are re-read and normalized
+    val candIds = estimated
+      .select(explode(array(col("idA"), col("idB"))).as("__jid")).distinct()
+    val txt = allDocs.select(col(idCol).as("__jid"), col(textCol).as("__rawt"))
+      .join(candIds, Seq("__jid"), "left_semi")
+      .select(col("__jid"),
+        TextFunctions.normalizedText(col("__rawt")).as("__jtxt"))
     estimated
       .join(txt.withColumnRenamed("__jid", "idA").withColumnRenamed("__jtxt", "__ta"),
         Seq("idA"))
@@ -399,8 +447,9 @@ object Dedup {
     // barrier: the fingerprint table feeds both self-join legs and the
     // cap's frequency scan — one winnowing pass, not three
     val fps = capHotKeys(
-      barrier(df.select(col(idCol).as("__id"),
-        explode(winnowFingerprints(col(textCol), shingleK, window)).as("__fp")),
+      barrier(fanOut(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+        .select(col("__id"),
+          explode(winnowFingerprints(col("__t"), shingleK, window)).as("__fp")),
         checkpoint = false),
       "__fp", maxFpFreq, "winnowNearDups")
     val a = fps.select(col("__id").as("idA"), col("__fp"))
@@ -476,7 +525,8 @@ object Dedup {
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, maxBandFreq: Int = 2000): DataFrame =
     hammingNearDups(
-      df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h")),
+      fanOut(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+        .select(col("__id"), simhash64(col("__t")).as("__h")),
       "__id", "__h", maxHamming, maxBandFreq, "simhashNearDups")
 
   /** Bounded SimHash near-dup pairs — block-combination candidate keys
@@ -496,7 +546,8 @@ object Dedup {
                              comboSize: Int = 3,
                              maxBandFreq: Int = 2000): DataFrame =
     hammingNearDupsBounded(
-      df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h")),
+      fanOut(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+        .select(col("__id"), simhash64(col("__t")).as("__h")),
       "__id", "__h", maxHamming, numBlocks, comboSize, maxBandFreq,
       "simhashNearDupsBounded")
 
@@ -549,7 +600,8 @@ object Dedup {
                                        maxBandFreq: Int,
                                        what: String): DataFrame = {
     val withK = capHotKeys(
-      barrier(hashed.select(col(idCol).as("__id"), col(hashCol).as("__h")),
+      barrier(
+        fanOut(hashed.select(col(idCol).as("__id"), col(hashCol).as("__h"))),
         checkpoint = false)
         .withColumn("__k", explode(comboKeyArray(col("__h"), numBlocks,
           comboSize, maxHamming, what))),
@@ -806,11 +858,19 @@ object Dedup {
   def clusterPairsAuto(pairs: DataFrame, maxIter: Int = 25,
                        checkpoint: Boolean = false,
                        degreeThreshold: Double = 2.5): DataFrame = {
-    val p = (if (checkpoint) pairs.checkpoint() else pairs.localCheckpoint())
-    val r = p.select(least(col("idA"), col("idB")).as("u"),
-        greatest(col("idA"), col("idB")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .select(explode(array(col("u"), col("v"))).as("n"))
+    // Canonicalize + dedup BEFORE the barrier: the probe needed the
+    // canonical undirected set anyway, both closures start by
+    // re-deriving it, and the checkpoint then stores the (smaller)
+    // deduped set instead of the raw orientation-duplicated pairs — one
+    // distinct shuffle serves probe and closure instead of two.
+    // Self-loops are kept (filtered only inside the probe aggregate, as
+    // before), so closure outputs are bit-identical to the raw-pairs
+    // path for every input.
+    val p0 = pairs.select(least(col("idA"), col("idB")).as("idA"),
+      greatest(col("idA"), col("idB")).as("idB")).distinct()
+    val p = if (checkpoint) p0.checkpoint() else p0.localCheckpoint()
+    val r = p.filter(col("idA") =!= col("idB"))
+      .select(explode(array(col("idA"), col("idB"))).as("n"))
       .agg(count(lit(1)).as("ends"), countDistinct(col("n")).as("nodes"))
       .head()
     val (ends, nodes) = (r.getLong(0), r.getLong(1))

@@ -147,6 +147,11 @@ object HashExprs {
   def winnowFingerprint(text: Column, shingleK: Int, window: Int): Column =
     ColumnBridge.column(WinnowFingerprint(
       ColumnBridge.expression(text), shingleK, window))
+  def kgramSet(text: Column, shingleK: Int): Column =
+    ColumnBridge.column(KgramSet(ColumnBridge.expression(text), shingleK))
+  def sortedLongsJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongsJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** Exact Jaccard similarity of the character k-gram sets of two strings.
@@ -284,6 +289,97 @@ final case class KgramContainment(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): KgramContainment =
+    copy(left = l, right = r)
+}
+
+/** The sorted-distinct xxhash64 char-k-gram set of a string — exactly the
+  * per-side set [[KgramJaccard]] builds internally, exposed as its own
+  * projection so an all-pairs verify can hash+sort each document ONCE and
+  * the pair stage reduces to a linear merge ([[SortedLongsJaccard]]).
+  * `KgramJaccard(a, b, k)` ≡
+  * `SortedLongsJaccard(KgramSet(a, k), KgramSet(b, k))` — spec-asserted. */
+final case class KgramSet(child: Expression, shingleK: Int)
+    extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kgramSet", this, classOf[KgramSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_set"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val starts = Md5Hash64.charStarts(bytes, bytes.length)
+    val numChars = starts.length - 1
+    if (numChars < shingleK) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](numChars - shingleK + 1)
+    var i = 0
+    while (i <= numChars - shingleK) {
+      val from = starts(i)
+      out(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        starts(i + shingleK) - from, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(
+      if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KgramSet =
+    copy(child = newChild)
+}
+
+/** Jaccard of two PRESORTED-DISTINCT long arrays (the [[KgramSet]] shape):
+  * linear merge intersection, both-empty → 1.0 — bit-identical to
+  * [[KgramJaccard.compute]] on the originating strings, without re-hashing
+  * and re-sorting the grams per PAIR (an all-pairs panel re-derived each
+  * doc's set once per partner; this factors it out to once per doc). */
+final case class SortedLongsJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedLongsJaccard", this,
+      classOf[SortedLongsJaccard].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_longs_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  def compute(sa: ArrayData, sb: ArrayData): Double = {
+    val na = sa.numElements()
+    val nb = sb.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val a = sa.getLong(i)
+      val b = sb.getLong(j)
+      if (a == b) { inter += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongsJaccard =
     copy(left = l, right = r)
 }
 

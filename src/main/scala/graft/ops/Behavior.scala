@@ -182,6 +182,10 @@ object Behavior {
           amount: org.apache.spark.sql.Column, nBins: Int = 5): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val asOf = broadcast(df.agg(max(col(tsCol).cast("date")).as("__asof")))
+    // persist: the entity aggregate feeds FIVE consumers (the count, the
+    // three rank passes and the final join spine) — without the barrier
+    // each re-ran the scan + groupBy (profiled: 31 jobs for this one
+    // query). Entity-grain rows are small by construction.
     val base = df
       .groupBy(col(entityCol))
       .agg(max(col(tsCol).cast("date")).as("__last"),
@@ -192,6 +196,7 @@ object Behavior {
         datediff(col("__asof"), col("__last")).cast("long")
           .as("recency_days"),
         col("frequency"), col("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = broadcast(base.agg(count(lit(1)).as("__n")))
     def score(metric: String, as: String) =
       Materialize.withDistributedRowNumber(
