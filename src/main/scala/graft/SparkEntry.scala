@@ -4011,6 +4011,11 @@ object SparkEntry {
       lStream, rStream, delayThreshold = "3650 days", lenSeconds = 7200L)
     val table = s"stream_ij_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    // 8 state partitions, MEASURED: cores-sized state partitions (32) were
+    // tried this round on the ~20 s-of-task-time join and regressed the
+    // query 3.78 → 9.9 s min — per-partition state-store load/commit cost
+    // dominates the added parallelism at this state size. Partition count
+    // never affects the emitted set.
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try joined.writeStream.outputMode("append")
       .format("memory").queryName(table)
@@ -4312,6 +4317,8 @@ object SparkEntry {
       joinType = "leftOuter")
     val table = s"stream_ijo_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    // 8 state partitions — cores-sized was measured worse, see
+    // stream_interval_join
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try joined.writeStream.outputMode("append")

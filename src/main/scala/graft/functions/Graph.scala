@@ -136,8 +136,19 @@ object Graph {
     // SLOWER here: shipping each vertex's adjacency to every incident
     // edge shuffles Σdeg² elements — the same mass as the wedge join —
     // with worse constants than the codegen'd SMJ.)
-    val e1 = d.select(col("__s"), col("__t").as("__u"))
-    val e2 = d.select(col("__s"), col("__t").as("__v"))
+    // Pin the wedge join's parallelism: its input shuffle is small (tens
+    // of MB) but the join PRODUCES Σ outdeg² rows — profiled 60 s of task
+    // time from a 22 MB shuffle read — so AQE's byte-based partition
+    // coalescing shrinks exactly the stage that needs every core. An
+    // explicit cores-sized hash repartition on the wedge key replaces the
+    // implicit exchange the join would insert anyway (same bytes moved,
+    // both legs co-partitioned, no second exchange) and is exempt from
+    // AQE coalescing. Skew-safe: degree orientation bounds out-degrees
+    // by ~√m, so no single __s key can dominate a partition.
+    val dP = d.repartition(
+      d.sparkSession.sparkContext.defaultParallelism, col("__s"))
+    val e1 = dP.select(col("__s"), col("__t").as("__u"))
+    val e2 = dP.select(col("__s"), col("__t").as("__v"))
     val wedges = e1.join(e2, "__s").filter(col("__u") < col("__v"))
     // closing join: wedges (O(m^1.5) rows) STREAM through a
     // BroadcastHashJoin semi when the edge set fits — never sorted,
@@ -201,6 +212,10 @@ object Graph {
       .select(col("__n"), col("__v"),
         round(lit(1.0) / log(col("__deg")), 9).cast("decimal(18,9)")
           .as("__term"))
+    // NOTE: no explicit repartition here (unlike the triangle wedge join):
+    // `centers` is born hash-partitioned on __n by the deg join, so the
+    // pairing self-join reuses that partitioning — an explicit repartition
+    // was tried this round and only added a redundant exchange.
     val cand = centers.as("x").join(centers.as("y"),
         col("x.__n") === col("y.__n") && col("x.__v") < col("y.__v"))
       .select(col("x.__v").as("a"), col("y.__v").as("b"),
