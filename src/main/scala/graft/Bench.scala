@@ -54,12 +54,17 @@ object Bench {
       val TF = graft.functions.TextFunctions
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .limit(5000).select(col("doc_id"), col("text"))
+      val HE = graft.functions.expressions.HashExprs
       docs.select(
           TF.qualityScore(col("text")), TF.langId(col("text")),
           TF.bpeTokenCount(col("text")), TF.fingerprintMd5(col("text")),
           graft.functions.Dedup.minhashSignature(col("text"), 5, 64),
           graft.functions.Dedup.simhash64(col("text")),
-          graft.functions.Dedup.winnowFingerprints(col("text")))
+          graft.functions.Dedup.winnowFingerprints(col("text")),
+          // round-14 verify-path expressions (dedup_pr_eval's factored
+          // gram sets) — same warm-the-expression-stack rationale
+          HE.sortedLongsJaccard(HE.kgramSet(col("text"), 5),
+            HE.kgramSet(substring(col("text"), 2, 1000000), 5)))
         .queryExecution.toRdd.count()
       // the BPE train/encode path JITs a different expression stack than
       // bpeTokenCount (generated merge replays); warm it too, or

@@ -3330,8 +3330,13 @@ object SparkEntry {
     * dropDuplicatesWithinWatermark on the event-time column instead). */
   private def streamingDedup(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+    // persist: both delivery writes (which must stay SEQUENTIAL — the
+    // second delivery's later file mtimes put the duplicates in a later
+    // micro-batch, the cross-batch state the gate exercises) re-read the
+    // same projected events scan
     val ev = events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ev.repartition(4).write.parquet(s"$tmp/in")
     ev.repartition(4).write.mode("append").parquet(s"$tmp/in") // second delivery
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -3369,8 +3374,10 @@ object SparkEntry {
     * the unbounded dedup (and the same batch oracle). */
   private def streamingDedupWm(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sdw").toString
+    // persist: same two-sequential-delivery shape as streamingDedup
     val ev = events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ev.repartition(4).write.parquet(s"$tmp/in")
     ev.repartition(4).write.mode("append").parquet(s"$tmp/in")
     val schema = org.apache.spark.sql.types.StructType(Seq(

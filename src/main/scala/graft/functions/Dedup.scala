@@ -482,9 +482,17 @@ object Dedup {
                        maxFpFreq: Int = 2000): DataFrame = {
     val cand = winnowNearDups(df, textCol, idCol, shingleK, window,
       minShared, maxFpFreq)
-    // verify on the SAME normalized text the fingerprint stage hashed
-    val texts = df.select(col(idCol).as("__tid"),
-      TextFunctions.normalizedText(col(textCol)).as("__txt"))
+      // feeds the id semi-filter AND the pair join — materialize once
+      .localCheckpoint()
+    // verify on the SAME normalized text the fingerprint stage hashed,
+    // but only for candidate-involved docs (the minhashNearDups
+    // semi-filter pattern — the full corpus was normalized per leg before)
+    val candIds = cand
+      .select(explode(array(col("idA"), col("idB"))).as("__tid")).distinct()
+    val texts = df.select(col(idCol).as("__tid"), col(textCol).as("__rawt"))
+      .join(candIds, Seq("__tid"), "left_semi")
+      .select(col("__tid"),
+        TextFunctions.normalizedText(col("__rawt")).as("__txt"))
       .withColumn("__len", length(col("__txt")))
     val withTexts = cand
       .join(texts.select(col("__tid").as("idA"), col("__txt").as("__ta"),

@@ -57,7 +57,9 @@ object Graph {
       round(c, 12).cast("decimal(18,12)")
     var ranks = nodes.crossJoin(nRow)
       .select(col("__v"), pin12(lit(1.0) / col("__n")).as("__r"))
-    val weighted = e.join(outW, "__s")
+    // cache: every round re-joined the (already cached) edge table with
+    // the out-strengths — one materialization serves all iterations
+    val weighted = e.join(outW, "__s").cache()
     for (_ <- 1 to iters) {
       val contribs = weighted
         .join(ranks.withColumnRenamed("__v", "__s"), "__s")
