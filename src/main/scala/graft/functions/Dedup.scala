@@ -46,6 +46,7 @@ object Dedup {
     * sites is hash/key-based and order-independent (the determinism
     * contract all queries already pin). */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // partition probe needs a batch plan
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions * 2 < target)
       df.repartition(target)
