@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to this process's stdout instead
+// of through sbt's logger: the logger prefixes every line with "[info] ",
+// which broke the bench's one-line-JSON driver contract two rounds running
+// (the driver tail-parses stdout and `[info] {...}` is not valid JSON).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,14 +55,17 @@ object JobProf {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (collecting) {
           val si = e.stageInfo
-          val agg = stages.getOrElseUpdate(si.stageId,
-            StageAgg(si.name.takeWhile(_ != '\n').take(90)))
-          agg.tasks += si.numTasks
-          agg.taskMs += si.taskMetrics.executorRunTime
-          agg.shufReadB += si.taskMetrics.shuffleReadMetrics.totalBytesRead
-          agg.shufWriteB += si.taskMetrics.shuffleWriteMetrics.bytesWritten
-          agg.spillB += si.taskMetrics.diskBytesSpilled
-          agg.inputB += si.taskMetrics.inputMetrics.bytesRead
+          // keyed by stageId with the LAST attempt winning (assignment,
+          // not +=): a retried stage attempt would otherwise double-count
+          // its tasks/metrics in the aggregate
+          stages(si.stageId) = StageAgg(
+            si.name.takeWhile(_ != '\n').take(90),
+            tasks = si.numTasks,
+            taskMs = si.taskMetrics.executorRunTime,
+            shufReadB = si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            shufWriteB = si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            spillB = si.taskMetrics.diskBytesSpilled,
+            inputB = si.taskMetrics.inputMetrics.bytesRead)
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -82,9 +85,19 @@ object JobProf {
           System.gc()
         }
       }
+      // drain the async listener bus before reading the aggregates: poll
+      // until the aggregates are quiescent for two consecutive checks
+      // (a fixed sleep under-reported on slow runs; the bus drain API is
+      // private[spark])
+      var snap = (-1, -1, 0L)
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val now = (jobWall.size, stages.size, stages.valuesIterator.map(_.taskMs).sum)
+        if (now == snap) stable += 1 else { stable = 0; snap = now }
+      }
       collecting = false
-      // let the async listener bus drain before reading the aggregates
-      Thread.sleep(500)
       println(f"${"job"}%5s ${"wall_ms"}%8s  stages")
       jobWall.toSeq.sortBy(_._1).foreach { case (id, w) =>
         println(f"$id%5d $w%8d  ${jobStages(id).sorted.mkString(",")}")

@@ -61,8 +61,32 @@ object SparkEntry {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    fs.map(f => Future(f())).foreach(Await.result(_, Duration.Inf))
+    // Await EVERY future before propagating a failure: throwing on the
+    // first would leave sibling fixture writers still appending to the
+    // temp dir while the caller unwinds. Secondary failures ride along
+    // as suppressed exceptions instead of vanishing.
+    val done = fs.map(f => Future(f()))
+      .map(fut => scala.util.Try(Await.result(fut, Duration.Inf)))
+    val failures = done.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
   }
+
+  /** Streaming state-store partition count for the stateful replay
+    * fixtures. The floor of 8 is MEASURED at this state size (~150
+    * entities): cores-sized stores (32) regressed the interval joins
+    * 3.78 → 9.9 s because per-store open/commit cost dominates tiny
+    * state. It is not a local[32] constant though — state scales with
+    * input, so the store count grows with the session's parallelism
+    * (a quarter of the cores keeps each store big enough to amortize
+    * its commit); `spark.graft.statePartitions` overrides for callers
+    * that know their state size. Partition count never affects the
+    * emitted rows — only the state-store layout. */
+  private def statePartitions(s: SparkSession): String =
+    s.conf.getOption("spark.graft.statePartitions").getOrElse(
+      math.max(8, s.sparkContext.defaultParallelism / 4).toString)
 
   // ------------------------------------------------------------------ T1/T2
   // SQL transformation with {{source}} templating, full SparkSQL passthrough.
@@ -2032,7 +2056,7 @@ object SparkEntry {
     val table = s"stream_latest_${System.nanoTime()}"
     // small state partitioning for the 150-entity state (see streamAsOf)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     val q = try graft.streaming.StreamingLatest.latestValueStream(s, stream)
       .writeStream.outputMode("update").format("memory").queryName(table)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -2060,7 +2084,7 @@ object SparkEntry {
     val stream = graft.streaming.StreamingLatest.readTripleStream(s, s"$tmp/in",
       maxFilesPerTrigger = 2)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     val kvDir = s"$tmp/kv"
     val q = try graft.streaming.StreamingOnline.onlineSink(
       graft.streaming.StreamingLatest.latestValueStream(s, stream).toDF(),
@@ -2096,7 +2120,7 @@ object SparkEntry {
         .repartition(2).write.parquet(s"$tmp/in2"))
     val kvDir = s"$tmp/kv"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     try {
       def run(in: String, ckpt: String, base: Long): Unit = {
         val stream = s.readStream.schema("entity long, vector array<float>")
@@ -2138,7 +2162,7 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), col("text"))
       .repartition(6).write.parquet(s"$tmp/in")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     try graft.streaming.StreamingDedup.runFileStream(s, s"$tmp/in")
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -2160,7 +2184,7 @@ object SparkEntry {
         col("text"))
       .repartition(6).write.parquet(s"$tmp/in")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     try graft.streaming.StreamingDedup.runFileStreamTtl(s, s"$tmp/in",
       ttlMs = 30L * 60 * 1000, delay = "2 days")
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -2281,7 +2305,7 @@ object SparkEntry {
     // this tiny state) — it's the right provider only once per-partition
     // state outgrows the heap, so the default HDFS-backed store stays.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     // pin the no-data-batch contract the lifecycle above relies on (it is
     // the Spark default, but the flush would silently hang without it)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -3231,7 +3255,7 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType)))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // 150-user state
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s)) // 150-user state
     val q = try s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 4).parquet(s"$tmp/in")
       .withWatermark("ts", "0 seconds")
@@ -3349,7 +3373,7 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType)))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // 150-entity state, not 32 stores
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s)) // 150-entity state, not 32 stores
     val q = try s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 4).parquet(s"$tmp/in")
       .dropDuplicates("event_id")
@@ -3390,7 +3414,7 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType)))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     val q = try s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 4).parquet(s"$tmp/in")
       // delay >= the whole corpus span: every duplicate arrives while its
@@ -3732,7 +3756,7 @@ object SparkEntry {
       delayThreshold = "3650 days")
     val table = s"stream_funnel_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try depths.writeStream.outputMode("append")
       .format("memory").queryName(table)
@@ -3784,7 +3808,7 @@ object SparkEntry {
       delayThreshold = "3650 days")
     val table = s"stream_cusum_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try sums.toDF().writeStream.outputMode("append")
       .format("memory").queryName(table)
@@ -3827,7 +3851,7 @@ object SparkEntry {
       s, stream, gapSeconds = 43200L, delayThreshold = "3650 days")
     val table = s"stream_gaps_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try gaps.toDF().writeStream.outputMode("append")
       .format("memory").queryName(table)
@@ -4023,7 +4047,7 @@ object SparkEntry {
     // query 3.78 → 9.9 s min — per-partition state-store load/commit cost
     // dominates the added parallelism at this state size. Partition count
     // never affects the emitted set.
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     val q = try joined.writeStream.outputMode("append")
       .format("memory").queryName(table)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -4326,7 +4350,7 @@ object SparkEntry {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     // 8 state partitions — cores-sized was measured worse, see
     // stream_interval_join
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try joined.writeStream.outputMode("append")
       .format("memory").queryName(table)

@@ -48,8 +48,16 @@ object Dedup {
   private[graft] def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // partition probe needs a batch plan
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions * 2 < target)
-      df.repartition(target)
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    // Two gates: relative (the scan fills under half the cores) AND
+    // absolute (the input is genuinely small-file-shaped). Without the
+    // absolute bound, a mid-size corpus (a few thousand splits) on a
+    // very large cluster (defaultParallelism ≫ splits) would round-robin
+    // its raw payload just to fill cores — a full shuffle that costs
+    // more than the idle cores save. 64 splits ≈ 8 GB at the default
+    // 128 MB split size; past that, natural splits carry the
+    // parallelism and this stays a no-op.
+    if (parts * 2 < target && parts <= 64) df.repartition(target)
     else df
   }
 
@@ -298,11 +306,11 @@ object Dedup {
     // Integer compare (# agreeing components >= minAgree) — no float
     // boundary, bit-identical in the DuckDB oracle.
     val minAgree = math.ceil((threshold - 0.15) * numHashes).toInt
-    // localCheckpoint: the candidate pairs feed THREE consumers below (the
+    // checkpoint: the candidate pairs feed THREE consumers below (the
     // id semi-filter via explode and both verify joins) — materialize the
     // LSH join once instead of trusting exchange reuse across the legs.
     // Candidate pairs are O(dups), small by the pipeline's own premise.
-    val estimated = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
+    val estimated0 = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
       .withColumn("__agree",
         aggregate(zip_with(col("__sa"), col("__sb"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -310,7 +318,13 @@ object Dedup {
       .where(col("__agree") >= minAgree)
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
-      .localCheckpoint()
+    // honor the caller's reliability flag (same contract as the signature
+    // barrier): local checkpoints pin blocks to executors and die with
+    // them — on a cluster pass checkpointSignatures = true so a lost
+    // executor re-reads the pair set instead of failing the query
+    val estimated =
+      if (checkpointSignatures) estimated0.checkpoint()
+      else estimated0.localCheckpoint()
 
     // Guide §3.2/§8: verify only candidate-involved docs. The previous
     // shape normalized EVERY doc's text in both join legs (measured: the

@@ -47,8 +47,13 @@ class StarCcPropertySpec extends SparkSpec {
         got == expected
       }
     }
+    // 4 workers: the per-case cost is Spark job-launch latency on a tiny
+    // graph (the iterative contraction runs ~15 near-empty jobs per case),
+    // so independent cases overlap nearly perfectly — same 25 successful
+    // cases, same property, ~4x less wall (this spec was 281 s of a
+    // 1044 s suite before; the driver's test budget cut the r14 run off)
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withWorkers(4), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -75,7 +80,7 @@ class StarCcPropertySpec extends SparkSpec {
       }
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withWorkers(4), prop)
     assert(res.passed, res.status.toString)
   }
 }
