@@ -1724,8 +1724,14 @@ object SparkEntry {
       val publishOk = if (latestBytes == published) 1.0 else 0.0
       // -------- 3. streaming curation over the published snapshot
       val snapshot = s.read.parquet(published)
-      val keepers = graft.streaming.StreamingDedup
+      // state-partition floor for the keepers stream — this was the one
+      // streaming site without it (JobProf r15: its stateful aggregate ran
+      // one state store per session shuffle partition)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+      val keepers = try graft.streaming.StreamingDedup
         .exactKeepersFileStream(s, published)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val cleanCount = snapshot.count()
       // coalesce: SUM over an EMPTY keeper table is NULL (the empty-input
       // robustness contract — an empty corpus must chain through cleanly)

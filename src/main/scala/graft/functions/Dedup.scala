@@ -791,8 +791,14 @@ object Dedup {
       pairs: DataFrame, maxIter: Int = 25,
       checkpoint: Boolean = false): (DataFrame, Boolean) = {
     val spark = pairs.sparkSession
+    // lazy local checkpoint: the round's convergence probe (isEmpty on the
+    // changed-flag filter) is the materializing action — one job per round
+    // instead of eager-ckpt + probe, and on non-final rounds the probe's
+    // early exit skips computing partitions the next round will compute
+    // anyway (same plan-truncation either way; the Graph.scala star-loop
+    // note has the measurement). Reliable checkpoints stay eager.
     def ckpt(d: DataFrame): DataFrame =
-      if (checkpoint) d.checkpoint() else d.localCheckpoint()
+      if (checkpoint) d.checkpoint() else d.localCheckpoint(eager = false)
     val edges0 = pairs.select(col("idA").as("src"), col("idB").as("dst"))
       .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .distinct()
@@ -891,7 +897,9 @@ object Dedup {
     // path for every input.
     val p0 = pairs.select(least(col("idA"), col("idB")).as("idA"),
       greatest(col("idA"), col("idB")).as("idB")).distinct()
-    val p = if (checkpoint) p0.checkpoint() else p0.localCheckpoint()
+    // lazy: the degree probe right below is the materializing action
+    val p = if (checkpoint) p0.checkpoint()
+      else p0.localCheckpoint(eager = false)
     val r = p.filter(col("idA") =!= col("idB"))
       .select(explode(array(col("idA"), col("idB"))).as("n"))
       .agg(count(lit(1)).as("ends"), countDistinct(col("n")).as("nodes"))

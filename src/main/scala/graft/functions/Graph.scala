@@ -147,8 +147,22 @@ object Graph {
     // both legs co-partitioned, no second exchange) and is exempt from
     // AQE coalescing. Skew-safe: degree orientation bounds out-degrees
     // by ~√m, so no single __s key can dominate a partition.
-    val dP = d.repartition(
-      d.sparkSession.sparkContext.defaultParallelism, col("__s"))
+    // Round-15 re-measurement (the r14 driver bench suggested the pin
+    // regressed; isolated TimeQ, 4-5 reps each, same box):
+    //   32 cores: pin min 7.45 s vs un-pinned min 7.26 s — a tie;
+    //    8 cores: pin min 7.73 s vs un-pinned min 11.04 s — pin 1.4x
+    //             faster (AQE byte-based coalescing shrinks the
+    //             CPU-amplifying stage below the core count exactly as
+    //             profiled in r14).
+    // So the pin stays. `spark.graft.wedgePartitions` overrides for
+    // clusters where cores-sized tasks would each produce too large a
+    // slice of the Σ outdeg² wedge output (the output streams into the
+    // closing semi-join's partial aggregation, so the cost of too-few
+    // partitions is straggler tasks, not memory).
+    val wedgeParts = d.sparkSession.conf
+      .getOption("spark.graft.wedgePartitions").map(_.toInt)
+      .getOrElse(d.sparkSession.sparkContext.defaultParallelism)
+    val dP = d.repartition(wedgeParts, col("__s"))
     val e1 = dP.select(col("__s"), col("__t").as("__u"))
     val e2 = dP.select(col("__s"), col("__t").as("__v"))
     val wedges = e1.join(e2, "__s").filter(col("__u") < col("__v"))
@@ -259,8 +273,17 @@ object Graph {
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 25,
                               checkpoint: Boolean = false): DataFrame = {
+    // LAZY local checkpoint: each round's checksum aggregate is the
+    // materializing action, so a round costs ONE job instead of two
+    // (eager ckpt + checksum) — the loop is tiny-job-launch bound at the
+    // near-dup graph sizes the bench runs (JobProf r15: ~60 sub-100 ms
+    // jobs per incremental-closure query). The plan is truncated to a
+    // leaf at construction either way; blocks persist as the checksum
+    // computes them. Reliable checkpoints stay eager — a lazy reliable
+    // checkpoint recomputes its whole lineage a second time for the
+    // checkpoint write.
     def ckpt(d: DataFrame): DataFrame =
-      if (checkpoint) d.checkpoint() else d.localCheckpoint()
+      if (checkpoint) d.checkpoint() else d.localCheckpoint(eager = false)
     def canon(e: DataFrame): DataFrame = e.select(
         least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))

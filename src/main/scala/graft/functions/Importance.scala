@@ -59,7 +59,13 @@ object Importance {
     // the target once). docBkt is the one corpus-order table — persist is
     // MEMORY_AND_DISK; prefer checkpoint at cluster scale (Dedup.barrier
     // note).
-    val docBkt = Dedup.barrier(corpus
+    // fanOut (guide §2, the dedup-family scan-parallelism floor): the
+    // gram explode + md5 bucket hash is the query's CPU stage and ran as
+    // ONE scan task on the single-file sf corpus (JobProf r15: a 1-task
+    // ~470 ms stage on local[32]); a no-op once the input has >= cores/2
+    // natural splits.
+    val docBkt = Dedup.barrier(
+      Dedup.fanOut(corpus.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(grams(col(textCol))).as("__g"))
       .select(col(idCol), bucketOf(col("__g"), buckets).as("__b"))
       .groupBy(col(idCol), col("__b"))
@@ -68,7 +74,8 @@ object Importance {
     val raw = Dedup.barrier(
       docBkt.groupBy(col("__b")).agg(sum(col("__c")).as("__r")),
       checkpoint = false)
-    val tgt = Dedup.barrier(target
+    val tgt = Dedup.barrier(
+      Dedup.fanOut(target.select(col(textCol)))
       .select(explode(grams(col(textCol))).as("__g"))
       .select(bucketOf(col("__g"), buckets).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__t")), checkpoint = false)
