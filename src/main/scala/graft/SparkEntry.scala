@@ -3946,7 +3946,11 @@ object SparkEntry {
       .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("s"))
       .head().getLong(0) / 2
     functions.Graph.triangleCounts(pairs, "a", "b",
-      maxBroadcastEdges = if (bound <= 5000000L) Long.MaxValue else 0L)
+      maxBroadcastEdges = if (bound <= 5000000L) Long.MaxValue else 0L,
+      // above the broadcast cap, the same bound sizes the wedge Bloom
+      // pre-filter (guide §3.2) — on the bench SF the hint path runs and
+      // the bloom never fires
+      expectedEdges = bound)
       .select(col("v").cast("long").as("part"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part").asc)
       .limit(25)

@@ -72,6 +72,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(path, "a", "b").count() == 0)
   }
 
+  test("triangles: bloom-prefiltered unhinted path equals the broadcast path") {
+    // random-ish multigraph: the same counts must come out of the
+    // broadcast-hint plan, the plain unhinted plan, and the unhinted plan
+    // with the wedge Bloom pre-filter (false positives are re-checked by
+    // the exact closing semi-join, so the filter may never change results)
+    val es = (for { a <- 1L to 12L; b <- 1L to 12L
+      if a != b && (a * 31 + b) % 3 != 0 } yield (a, b)).toDF("a", "b")
+    val hinted = Graph.triangleCounts(es, "a", "b",
+        maxBroadcastEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.triangleCounts(es, "a", "b", maxBroadcastEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Graph.triangleCounts(es, "a", "b",
+        maxBroadcastEdges = 0L, expectedEdges = 200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hinted.nonEmpty && bloomed == hinted && plain == hinted)
+  }
+
   test("triangles: duplicate/reversed edges and self-loops are cleaned; hub wedge bound") {
     // triangle {1,2,3} written redundantly + self loop + hub 9 (star, no closure)
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 4L),
