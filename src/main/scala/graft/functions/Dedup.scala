@@ -267,7 +267,20 @@ object Dedup {
                       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8,
                       checkpointSignatures: Boolean = false,
-                      maxBandFreq: Int = 2000): DataFrame = {
+                      maxBandFreq: Int = 2000): DataFrame =
+    minhashNearDupsImpl(df, textCol, idCol, shingleK, numHashes, bands,
+      threshold, checkpointSignatures, maxBandFreq, wideShape = None)
+
+  /** [[minhashNearDups]] with the candidate-shape gate overridable —
+    * `wideShape = Some(b)` pins the metadata-banding (true) or
+    * inline-signature (false) candidate shape; `None` derives it from the
+    * corpus scan (the production path). Spec hook: both shapes must
+    * return identical pairs. */
+  private[graft] def minhashNearDupsImpl(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, numHashes: Int, bands: Int,
+      threshold: Double, checkpointSignatures: Boolean,
+      maxBandFreq: Int, wideShape: Option[Boolean]): DataFrame = {
     val rowsPerBand = numHashes / bands
     // barrier: CollapseProject would otherwise inline the signature
     // expression once per band key per join leg (~17 evals/row — measured
@@ -282,8 +295,19 @@ object Dedup {
     // They cannot be near-duplicates under a k-gram measure, so they are
     // filtered out of the signature table — matching the DuckDB oracle,
     // which never emits them.
+    val raw = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    // One probe decides BOTH the scan fan-out and the candidate shape
+    // below (same two gates as [[fanOut]]): a corpus with ≥ 64 natural
+    // splits (≈ 8 GB at the default split size) or filling half the
+    // cores is "wide".
+    val target = raw.sparkSession.sparkContext.defaultParallelism
+    val scanPartsN =
+      if (raw.isStreaming) Int.MaxValue
+      else raw.queryExecution.toRdd.getNumPartitions
+    val small = scanPartsN * 2 < target && scanPartsN <= 64
+    val wide = wideShape.getOrElse(!small)
     val sigs = barrier(
-      fanOut(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      (if (small) raw.repartition(target) else raw)
         .select(col("__id"),
           TextFunctions.normalizedText(col("__t")).as("__norm"))
         .where(char_length(col("__norm")) >= shingleK)
@@ -291,33 +315,77 @@ object Dedup {
           graft.functions.expressions.HashExprs
             .minhashSig(col("__norm"), shingleK, numHashes).as("__sig")),
       checkpointSignatures)
-    // hot-band guard: a degenerate band key shared by n docs yields n²
-    // candidates — cap its document frequency before the self-join
-    val banded = capHotKeys(
-      sigs.withColumn("__band",
-        explode(lshBandKeys(col("__sig"), bands, rowsPerBand))),
-      "__band", maxBandFreq, "minhashNearDups")
-
-    val a = banded.select(col("__band"), col("__id").as("idA"), col("__sig").as("__sa"))
-    val b = banded.select(col("__band"), col("__id").as("idB"), col("__sig").as("__sb"))
-    // estimate BEFORE dropDuplicates: the filter runs streaming inside the
-    // join stage, so the dedup shuffle carries only surviving (idA, idB)
-    // pairs instead of every candidate with two 512 B signatures attached.
     // Integer compare (# agreeing components >= minAgree) — no float
     // boundary, bit-identical in the DuckDB oracle.
     val minAgree = math.ceil((threshold - 0.15) * numHashes).toInt
+    // Candidate generation: TWO measured shapes, gated on corpus scale,
+    // identical output (spec-pinned by MinhashShapeSpec):
+    //
+    //  - INLINE (small corpora): both band-join legs carry the 512 B
+    //    signature and the agree-estimate runs streaming inside the join
+    //    stage, so the dedup exchange sees only survivors. Fewest
+    //    stages — r15 A/B: 1.5 s vs 2.3-2.8 s per consumer at sf0.1,
+    //    where stage latency, not bytes, binds.
+    //
+    //  - WIDE (≥ 64-split corpora, guide §2.3/§8): the band self-join
+    //    shuffles (band, id) METADATA ONLY — the r14 shape moved the full
+    //    signatures through the exchange, ~40× the bytes the join needs
+    //    (297 MB per leg at a 50 k-doc corpus, JobProf r15 at the
+    //    synthesized 10× SF; 594 MB → 26 MB after). Signatures re-attach
+    //    to the DEDUPED pair set by id — AQE broadcasts the pair side in
+    //    the common O(dups) case — and the estimate runs once per
+    //    distinct pair instead of once per band collision. r15 A/B at the
+    //    10× SF: family −5..−14%; at a real cluster the exchange bytes
+    //    are network, not page cache, and dominate.
+    //
+    // hot-band guard either way: a degenerate band key shared by n docs
+    // yields n² candidates — cap its document frequency before the
+    // self-join.
+    val estimated0 = if (wide) {
+      val banded = capHotKeys(
+        barrier(sigs.select(col("__id"),
+            explode(lshBandKeys(col("__sig"), bands, rowsPerBand))
+              .as("__band")),
+          checkpoint = false),
+        "__band", maxBandFreq, "minhashNearDups")
+      val a = banded.select(col("__band"), col("__id").as("idA"))
+      val b = banded.select(col("__band"), col("__id").as("idB"))
+      val rawPairs = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
+        .select("idA", "idB")
+        .dropDuplicates("idA", "idB")
+      rawPairs
+        .join(sigs.select(col("__id").as("idA"), col("__sig").as("__sa")),
+          Seq("idA"))
+        .join(sigs.select(col("__id").as("idB"), col("__sig").as("__sb")),
+          Seq("idB"))
+        .withColumn("__agree",
+          aggregate(zip_with(col("__sa"), col("__sb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x))
+        .where(col("__agree") >= minAgree)
+        .select("idA", "idB")
+    } else {
+      val banded = capHotKeys(
+        sigs.withColumn("__band",
+          explode(lshBandKeys(col("__sig"), bands, rowsPerBand))),
+        "__band", maxBandFreq, "minhashNearDups")
+      val a = banded.select(col("__band"), col("__id").as("idA"),
+        col("__sig").as("__sa"))
+      val b = banded.select(col("__band"), col("__id").as("idB"),
+        col("__sig").as("__sb"))
+      a.join(b, Seq("__band")).where(col("idA") < col("idB"))
+        .withColumn("__agree",
+          aggregate(zip_with(col("__sa"), col("__sb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x))
+        .where(col("__agree") >= minAgree)
+        .select("idA", "idB")
+        .dropDuplicates("idA", "idB")
+    }
     // checkpoint: the candidate pairs feed THREE consumers below (the
     // id semi-filter via explode and both verify joins) — materialize the
     // LSH join once instead of trusting exchange reuse across the legs.
     // Candidate pairs are O(dups), small by the pipeline's own premise.
-    val estimated0 = a.join(b, Seq("__band")).where(col("idA") < col("idB"))
-      .withColumn("__agree",
-        aggregate(zip_with(col("__sa"), col("__sb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x))
-      .where(col("__agree") >= minAgree)
-      .select("idA", "idB")
-      .dropDuplicates("idA", "idB")
     // honor the caller's reliability flag (same contract as the signature
     // barrier): local checkpoints pin blocks to executors and die with
     // them — on a cluster pass checkpointSignatures = true so a lost
@@ -337,7 +405,14 @@ object Dedup {
     // at-scale fallback shuffled the full text table twice).
     val candIds = estimated
       .select(explode(array(col("idA"), col("idB"))).as("__jid")).distinct()
-    val txt = df.select(col(idCol).as("__jid"), col(textCol).as("__rawt"))
+    // fan the verify scan out on small corpora (reuses the probe above):
+    // a small-file corpus packs into ONE scan split (openCost packing),
+    // so the semi-join + normalize + kgram verify all ran as a single
+    // task (JobProf r15: a 4.5 s 1-task stage at the synthesized 10× SF
+    // inside every closure consumer). A no-op once the corpus has
+    // natural splits.
+    val txtScan = df.select(col(idCol).as("__jid"), col(textCol).as("__rawt"))
+    val txt = (if (small) txtScan.repartition(target) else txtScan)
       .join(candIds, Seq("__jid"), "left_semi")
       .select(col("__jid"),
         TextFunctions.normalizedText(col("__rawt")).as("__jtxt"))
@@ -380,36 +455,92 @@ object Dedup {
                                  newDocs: DataFrame, textCol: String, idCol: String,
                                  shingleK: Int = 5, numHashes: Int = 64,
                                  bands: Int = 16, threshold: Double = 0.8,
-                                 maxBandFreq: Int = 2000): DataFrame = {
+                                 maxBandFreq: Int = 2000): DataFrame =
+    minhashNearDupsIncrementalImpl(corpusSigs, allDocs, newDocs, textCol,
+      idCol, shingleK, numHashes, bands, threshold, maxBandFreq,
+      wideShape = None)
+
+  /** [[minhashNearDupsIncremental]] with the candidate-shape gate
+    * overridable (same spec hook as [[minhashNearDupsImpl]]). */
+  private[graft] def minhashNearDupsIncrementalImpl(
+      corpusSigs: DataFrame, allDocs: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, shingleK: Int, numHashes: Int,
+      bands: Int, threshold: Double, maxBandFreq: Int,
+      wideShape: Option[Boolean]): DataFrame = {
     val rowsPerBand = numHashes / bands
     val newSigs = barrier(
       minhashSignatureTable(newDocs, textCol, idCol, shingleK, numHashes),
       checkpoint = false)
-    val allSigs = corpusSigs.unionByName(newSigs)
-    def banded(sigs: DataFrame) = sigs.withColumn("__band",
-      explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
-    val bandedAll = capHotKeys(banded(allSigs), "__band", maxBandFreq,
-      "minhashNearDupsIncremental")
-    val n = banded(newSigs)
-      .select(col("__band"), col("doc_id").as("__idN"), col("sig").as("__sn"))
-    val o = bandedAll
-      .select(col("__band"), col("doc_id").as("__idO"), col("sig").as("__so"))
+    // barriered: the union feeds the banding pass AND both signature
+    // re-attach legs below — without it each consumer re-reads the
+    // corpus-signature source (JobProf r15: five near-identical source
+    // passes per run at the 10× SF)
+    val allSigs = barrier(corpusSigs.unionByName(newSigs),
+      checkpoint = false)
+    // same two candidate shapes as [[minhashNearDups]], gated on the
+    // corpus scan (inline signatures when small — fewest stages; metadata
+    // band legs + re-attach when wide — §2.3/§8 bytes), identical output
+    // (MinhashShapeSpec)
+    val docsScan =
+      allDocs.select(col(idCol).as("__jid"), col(textCol).as("__rawt"))
+    val target = allDocs.sparkSession.sparkContext.defaultParallelism
+    val scanPartsN =
+      if (docsScan.isStreaming) Int.MaxValue
+      else docsScan.queryExecution.toRdd.getNumPartitions
+    val small = scanPartsN * 2 < target && scanPartsN <= 64
+    val wide = wideShape.getOrElse(!small)
     val minAgree = math.ceil((threshold - 0.15) * numHashes).toInt
-    val estimated = n.join(o, Seq("__band")).where(col("__idN") =!= col("__idO"))
-      .withColumn("__agree",
-        aggregate(zip_with(col("__sn"), col("__so"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x))
-      .where(col("__agree") >= minAgree)
-      .select(least(col("__idN"), col("__idO")).as("idA"),
-        greatest(col("__idN"), col("__idO")).as("idB"))
-      .dropDuplicates("idA", "idB")
-      .localCheckpoint()
+    def agree(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => when(a === b, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val estimated0 = if (wide) {
+      def bandedKeys(sigs: DataFrame) = sigs.select(col("doc_id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("__band"))
+      val bandedAll = capHotKeys(
+        barrier(bandedKeys(allSigs), checkpoint = false),
+        "__band", maxBandFreq, "minhashNearDupsIncremental")
+      val n = bandedKeys(newSigs)
+        .select(col("__band"), col("doc_id").as("__idN"))
+      val o = bandedAll.select(col("__band"), col("doc_id").as("__idO"))
+      val rawPairs = n.join(o, Seq("__band"))
+        .where(col("__idN") =!= col("__idO"))
+        .select(least(col("__idN"), col("__idO")).as("idA"),
+          greatest(col("__idN"), col("__idO")).as("idB"))
+        .dropDuplicates("idA", "idB")
+      // agreement is symmetric, so attaching by canonical (idA, idB) id
+      // computes the same count the (__idN, __idO) rows did
+      rawPairs
+        .join(allSigs.select(col("doc_id").as("idA"), col("sig").as("__sa")),
+          Seq("idA"))
+        .join(allSigs.select(col("doc_id").as("idB"), col("sig").as("__sb")),
+          Seq("idB"))
+        .where(agree(col("__sa"), col("__sb")) >= minAgree)
+        .select("idA", "idB")
+    } else {
+      def banded(sigs: DataFrame) = sigs.withColumn("__band",
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      val bandedAll = capHotKeys(banded(allSigs), "__band", maxBandFreq,
+        "minhashNearDupsIncremental")
+      val n = banded(newSigs)
+        .select(col("__band"), col("doc_id").as("__idN"),
+          col("sig").as("__sn"))
+      val o = bandedAll
+        .select(col("__band"), col("doc_id").as("__idO"),
+          col("sig").as("__so"))
+      n.join(o, Seq("__band")).where(col("__idN") =!= col("__idO"))
+        .where(agree(col("__sn"), col("__so")) >= minAgree)
+        .select(least(col("__idN"), col("__idO")).as("idA"),
+          greatest(col("__idN"), col("__idO")).as("idB"))
+        .dropDuplicates("idA", "idB")
+    }
+    val estimated = estimated0.localCheckpoint()
     // same semi-filtered verify as [[minhashNearDups]]: only
-    // candidate-involved docs are re-read and normalized
+    // candidate-involved docs are re-read and normalized; the small-
+    // corpus fan-out spreads the single-split scan before the per-char
+    // verify work
     val candIds = estimated
       .select(explode(array(col("idA"), col("idB"))).as("__jid")).distinct()
-    val txt = allDocs.select(col(idCol).as("__jid"), col(textCol).as("__rawt"))
+    val txt = (if (small) docsScan.repartition(target) else docsScan)
       .join(candIds, Seq("__jid"), "left_semi")
       .select(col("__jid"),
         TextFunctions.normalizedText(col("__rawt")).as("__jtxt"))
@@ -504,7 +635,11 @@ object Dedup {
     // semi-filter pattern — the full corpus was normalized per leg before)
     val candIds = cand
       .select(explode(array(col("idA"), col("idB"))).as("__tid")).distinct()
-    val texts = df.select(col(idCol).as("__tid"), col(textCol).as("__rawt"))
+    // fanOut before the semi-join: the single-split small-file scan
+    // otherwise funnels the normalize + containment verify into one task
+    // (same fix as the minhash verify legs)
+    val texts = fanOut(
+        df.select(col(idCol).as("__tid"), col(textCol).as("__rawt")))
       .join(candIds, Seq("__tid"), "left_semi")
       .select(col("__tid"),
         TextFunctions.normalizedText(col("__rawt")).as("__txt"))

@@ -195,19 +195,47 @@ object Graph {
     // computes); capped so the filter itself stays executor-friendly
     // (200 M keys ≈ 175 MB at 3% fpp). The edge set is scanned twice
     // (filter build + join) — the documented §3.2 trade.
+    val useBloom =
+      !applyHint && expectedEdges > 0L && expectedEdges <= 200000000L
     val wedgesF =
-      if (applyHint || expectedEdges <= 0L || expectedEdges > 200000000L)
-        wedges
+      if (!useBloom) wedges
       else {
+        // tiered fpp: 1% when the filter stays small (≤ 100 M keys ≈
+        // 120 MB), 3% up to the cap (≤ 175 MB).
+        //
+        // Built via RDD treeAggregate, NOT df.stat.bloomFilter: since the
+        // stat function delegates to BloomFilterAggregate it silently
+        // CAPS the filter at spark.sql.optimizer.runtime.bloomFilter
+        // .maxNumBits (64 Mbit default) — measured at the 10× SF: a 12 M-
+        // key filter came back 8 MB regardless of fpp, an ACTUAL fp rate
+        // of ~22% (105.9 M of 410.9 M wedges passed vs the ~22.7 M a real
+        // 1% filter admits — TriProbe r15). treeAggregate sizes the
+        // filter honestly and never routes the bits through the driver
+        // more than the final merge already must.
+        val fpp = if (expectedEdges <= 100000000L) 0.01 else 0.03
         val bf = closing
           .select(xxhash64(col("__u"), col("__v")).as("__k"))
-          .stat.bloomFilter("__k", expectedEdges, 0.03)
+          .rdd.treeAggregate(
+            org.apache.spark.util.sketch.BloomFilter
+              .create(expectedEdges, fpp))(
+            (f, r) => { f.putLong(r.getLong(0)); f },
+            (f1, f2) => { f1.mergeInPlace(f2); f1 })
         val bfB = edges.sparkSession.sparkContext.broadcast(bf)
         val mightClose =
           udf((k: Long) => bfB.value.mightContainLong(k))
         wedges.where(mightClose(xxhash64(col("__u"), col("__v"))))
       }
-    val tris = wedgesF.join(closingSide, Seq("__u", "__v"), "leftsemi")
+    // In the bloom path the closing side is known bounded (expectedEdges
+    // ≤ 200 M, spread over the shuffle partitions), so force a SHUFFLED
+    // HASH join: the default sort-merge sorted the surviving wedge side —
+    // JobProf r15 at 10× SF: 1.1 GB of sort spill, the single most
+    // expensive stage of the query. Streaming wedges through a per-
+    // partition hash build never sorts them (guide §3.1). Above the cap
+    // (or with no estimate) the unhinted SMJ stays — it spills gracefully
+    // at any build size.
+    val closingJ = if (useBloom) closingSide.hint("shuffle_hash")
+                   else closingSide
+    val tris = wedgesF.join(closingJ, Seq("__u", "__v"), "leftsemi")
     tris.select(explode(array(col("__s"), col("__u"), col("__v"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
